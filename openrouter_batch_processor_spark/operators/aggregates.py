@@ -1,0 +1,68 @@
+"""Cost/usage/progress aggregation (reference ops G2-G6, worker.py:110-176).
+
+The reference folds per-request usage dicts into a 20-field accumulator
+with per-field error tolerance (malformed values skipped) and 12-dp
+rounding per float add. Distributed shape: one groupBy with partial
+(map-side) aggregation — sums and conditional counts are all
+combiner-friendly, so the shuffle carries one row per (job, partition),
+not per request. try_cast gives the per-field tolerance.
+
+Note on rounding parity: the reference rounds after *every* add;
+floating-point sum order differs across partitions, so bit-exact parity
+with a sequential fold is not a distributed-sound contract. We sum then
+round once — associative, deterministic at any partition count — and pin
+the 12-dp display precision at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tolerant_long(col: str) -> "F.Column":
+    return F.coalesce(F.try_cast(F.col(col), "long"), F.lit(0))
+
+
+def _tolerant_double(col: str) -> "F.Column":
+    return F.coalesce(F.try_cast(F.col(col), "double"), F.lit(0.0))
+
+
+TOKEN_FIELDS = [
+    "prompt_tokens",
+    "completion_tokens",
+    "total_tokens",
+    "reasoning_tokens",
+    "cached_tokens",
+    "cache_write_tokens",
+    "audio_tokens",
+    "video_tokens",
+    "image_tokens",
+]
+
+COST_FIELDS = ["cost", "upstream_inference_cost", "discount", "upstream_cost"]
+
+
+def usage_summary(usage: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """G2 + G6: counters, token sums, cost sums per job (or globally).
+
+    Expects an `ok` boolean and optional `is_byok`; any missing numeric
+    field may simply be absent from the frame — only present columns are
+    aggregated (the reference skips absent nested fields the same way).
+    """
+    present = set(usage.columns)
+    aggs = [
+        F.count(F.lit(1)).alias("api_requests"),
+        F.count(F.when(F.col("ok"), 1)).alias("successful_requests"),
+        F.count(F.when(~F.col("ok"), 1)).alias("failed_requests"),
+    ]
+    if "is_byok" in present:
+        aggs.append(F.count(F.when(F.col("is_byok") == True, 1)).alias("byok_requests"))  # noqa: E712
+    for f in TOKEN_FIELDS:
+        if f in present:
+            aggs.append(F.sum(_tolerant_long(f)).alias(f"{f}_sum"))
+    for f in COST_FIELDS:
+        if f in present:
+            aggs.append(F.round(F.sum(_tolerant_double(f)), 12).alias(f"{f}_sum"))
+    grouped = usage.groupBy(*group_cols) if group_cols else usage.groupBy()
+    return grouped.agg(*aggs)

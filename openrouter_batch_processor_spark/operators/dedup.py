@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference only does exact content-hash dedup of input archives
+(X1, app.py:272-372). At 100 TB of training text you need the fuzzy
+family too. All variants below are built on *portable deterministic*
+hashing — md5 of strings and hex->int via conv() — so every one has a
+bit-exact ANSI-SQL oracle (no Spark-private hash functions like
+xxhash64/murmur on the correctness path).
+
+Scale design:
+- exact: one groupBy on a 32-byte fingerprint. Map-side combine makes
+  the shuffle carry fingerprints, not documents.
+- MinHash+LSH: shingle -> k minhashes -> banded keys -> self-join on
+  (band, key). The self-join is on the banded hash, so candidate
+  generation is O(near-duplicates), never the O(n^2) cross join.
+  Signatures are k*32 bytes per doc regardless of doc size.
+- SimHash: explode (token, bit) votes -> two combiner-friendly groupBys.
+  Near-dup candidates = exact match on simhash (or banded substrings).
+- Embedding near-dup: brute-force O(n^2) variant kept ONLY as the
+  correctness baseline / oracle twin; the scale path is LSH bucketing
+  (similarity.py) — never ship the cross join to a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.functions.hashing import (
+    doc_fingerprint,
+    normalize_text,
+)
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_K // LSH_BANDS = 2
+SHINGLE_N = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (X1 generalized to documents)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by normalized-text md5: canonical id (min), dup count.
+
+    Output: fingerprint, canonical_id, dup_count — only groups with >1
+    member (the actual duplicates)."""
+    return (
+        docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """X1 as a keep-policy: one survivor (min id) per fingerprint.
+
+    Implemented as groupBy+min then semi-join back — two narrow shuffles
+    on the same key (AQE coalesces), no window over the whole dataset.
+    """
+    fp = docs.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    survivors = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(survivors, [id_col, "fingerprint"], "leftsemi").drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash and n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: "F.Column", n: int = SHINGLE_N) -> "F.Column":
+    """Word-level n-gram shingles of normalized text, as array<string>.
+
+    Empty array when the doc has fewer than n tokens (mirrors the DuckDB
+    oracle's range(0, cnt-n+1) which is empty for short docs)."""
+    toks = F.split(normalize_text(text), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - n)  # inclusive stop
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(cnt >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def explode_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) long table, distinct — the set representation."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """k-permutation minhash via salted md5: mh_i = min(md5(i|'|'|s)).
+
+    min over hex strings is a lexicographic min — identical on any ANSI
+    engine, which is why this (and not Spark's MinHashLSH, which uses
+    private murmur seeds) is the correctness-checked implementation.
+    Narrow (no shuffle): signatures computed per-row from the shingle
+    array."""
+    sh = shingles_col(F.col(text_col))
+    sig_cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return docs.select(F.col(id_col), *sig_cols).filter(F.col("mh0").isNotNull())
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH keys: band b -> md5(concat of its rows' minhashes).
+
+    Output: (id, band, band_key). Docs sharing any (band, band_key) are
+    candidate near-duplicates."""
+    rows_per_band = k // bands
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        pieces.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Self-join banded keys -> distinct candidate pairs (a < b).
+
+    The join key is (band, band_key) — high-cardinality and uniform, so
+    the shuffle partitions evenly; a hot bucket (giant cluster of
+    near-identical docs) is exactly the AQE skew-join case."""
+    b = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (verify stage).
+
+    |A ∩ B| from a shingle-level self-join restricted to candidate
+    pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs."""
+    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    sh = explode_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    bsh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(bsh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Weighted 32-bit SimHash over word tokens.
+
+    token hash = first 8 md5 hex chars -> uint32; each bit votes
+    +count/-count; simhash bit j = 1 iff vote > 0. Two groupBys, both
+    with map-side partial aggregation; the (doc, bit) explosion is wide
+    but embarrassingly parallel and never collected."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    )
+    votes = (
+        toks.select(
+            F.col(id_col),
+            F.col("cnt"),
+            F.col("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,176 @@
+"""S10 — the LLM-inference map operator (the reference's core op).
+
+The reference loops groups sequentially, one HTTPS chat-completion POST
+per group, 0.2 s sleep between calls, 120 s timeout, errors captured as
+data rows (worker.py:295-355). Distributed shape:
+
+    groups DF -> mapInPandas(llm_map) -> result rows + usage columns
+
+- Transport is pluggable: `MockTransport` (deterministic, for tests and
+  oracle parity) or `HttpTransport` (OpenRouter wire format, real use).
+- Rate limiting: the reference's global 5 req/s becomes a per-partition
+  token bucket of rate/num_partitions — partition count is the
+  concurrency knob replacing ThreadPoolExecutor(max_workers=4).
+- Fault isolation (T5): per-record try/except; failures become
+  'ERROR: <e>' rows with ok=False, never failed tasks.
+- Scale: mapInPandas streams Arrow batches; no group list ever sits on
+  the driver. 1M groups on 1000 executors is the same code.
+
+The mock reply is md5(prompt) — deterministic and, crucially,
+reproducible in ANSI SQL, so even this operator is DuckDB-oracle-checked
+end to end.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+from hashlib import md5 as _md5
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("output", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("prompt_tokens", T.LongType()),
+        T.StructField("completion_tokens", T.LongType()),
+        T.StructField("total_tokens", T.LongType()),
+        T.StructField("cost", T.DoubleType()),
+    ]
+)
+
+EMPTY_FOLDER = "Empty folder"
+UNSUPPORTED = "Unsupported file type"
+
+
+@dataclass
+class LLMConfig:
+    system_prompt: str = ""
+    model: str = "mock/deterministic"
+    reasoning_mode: str = "off"  # off | true | false (tri-state, app.py:693-695)
+    requests_per_second: float = 0.0  # 0 = unthrottled (mock/local)
+    timeout_seconds: float = 120.0
+
+
+class MockTransport:
+    """Deterministic stand-in: reply = md5(system_prompt + prompt).
+
+    Token accounting mirrors the reference's usage fields: prompt tokens
+    = whitespace token count of the prompt, completion = 1 per reply.
+    """
+
+    def __init__(self, config: LLMConfig):
+        self.config = config
+
+    def complete(self, prompt: str) -> dict:
+        payload = f"{self.config.system_prompt}\n{prompt}"
+        reply = _md5(payload.encode("utf-8")).hexdigest()
+        p_tok = len(prompt.split())
+        return {
+            "content": reply,
+            "prompt_tokens": p_tok,
+            "completion_tokens": 1,
+            "total_tokens": p_tok + 1,
+            "cost": round(p_tok * 1e-6, 12),
+        }
+
+
+class HttpTransport:
+    """OpenRouter chat-completions wire format (worker.py:313-344).
+
+    Network calls are gated behind an explicit opt-in; tests and the
+    oracle harness always use MockTransport.
+    """
+
+    API_URL = "https://openrouter.ai/api/v1/chat/completions"
+
+    def __init__(self, config: LLMConfig, api_key: str):
+        self.config = config
+        self.api_key = api_key
+
+    def complete(self, prompt: str) -> dict:
+        import urllib.request
+        import json as _json
+
+        messages = [
+            {"role": "system", "content": self.config.system_prompt},
+            {"role": "user", "content": prompt},
+        ]
+        body: dict = {"model": self.config.model, "messages": messages}
+        if self.config.reasoning_mode in ("true", "false"):
+            body["reasoning"] = {"enabled": self.config.reasoning_mode == "true"}
+        req = urllib.request.Request(
+            self.API_URL,
+            data=_json.dumps(body).encode("utf-8"),
+            headers={
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.config.timeout_seconds) as resp:
+            data = _json.loads(resp.read().decode("utf-8"))
+        usage = data.get("usage", {})
+        return {
+            "content": data["choices"][0]["message"]["content"],
+            "prompt_tokens": int(usage.get("prompt_tokens", 0) or 0),
+            "completion_tokens": int(usage.get("completion_tokens", 0) or 0),
+            "total_tokens": int(usage.get("total_tokens", 0) or 0),
+            "cost": float(usage.get("cost", 0.0) or 0.0),
+        }
+
+
+def llm_map(
+    groups: DataFrame,
+    config: LLMConfig,
+    transport_factory: Callable[[LLMConfig], object] | None = None,
+) -> DataFrame:
+    """Run the LLM over grouped work units; returns RESULT_SCHEMA rows.
+
+    Input needs columns: group_id, prompt (pre-assembled), file_count.
+    Sentinels (P7 empty / P1 unsupported) are handled by the caller via
+    prompt=NULL + a sentinel column; here NULL prompts short-circuit.
+    """
+    factory = transport_factory or MockTransport
+    rate = config.requests_per_second
+    # Per-partition share of the global budget; partition count is the
+    # real concurrency knob (see module docstring). Only touch .rdd when
+    # throttling is actually requested — it forces plan analysis.
+    per_part_interval = 0.0
+    if rate > 0:
+        num_parts = max(groups.rdd.getNumPartitions(), 1)
+        per_part_interval = num_parts / rate
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory(config)
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                sentinel = getattr(rec, "sentinel", None)
+                if sentinel:
+                    rows.append((rec.group_id, sentinel, True, 0, 0, 0, 0.0))
+                    continue
+                try:
+                    r = transport.complete(rec.prompt)
+                    rows.append(
+                        (
+                            rec.group_id,
+                            r["content"],
+                            True,
+                            r["prompt_tokens"],
+                            r["completion_tokens"],
+                            r["total_tokens"],
+                            r["cost"],
+                        )
+                    )
+                except Exception as exc:  # T5: errors become data
+                    rows.append((rec.group_id, f"ERROR: {exc}", False, 0, 0, 0, 0.0))
+                if per_part_interval > 0:
+                    time.sleep(per_part_interval)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    return groups.mapInPandas(run, schema=RESULT_SCHEMA)

@@ -1,0 +1,162 @@
+"""Embedding similarity search (approximate-nearest-neighbor family).
+
+Two tiers, same cosine arithmetic (double precision, rounded at the
+edge so the DuckDB oracle hash-matches):
+
+- `topk_bruteforce`: exact cosine top-k against one query vector. The
+  per-row dot product is a pure Column fold (F.zip_with + F.aggregate,
+  whole-stage codegen, no Python). Top-k uses orderBy().limit(k), which
+  Spark executes as TakeOrderedAndProject — O(k) heap per partition +
+  O(k * partitions) driver merge, NOT a global sort. This scales to any
+  row count; what it doesn't scale in is queries (one pass per query).
+
+- `ivf_topk`: IVF-style pruning. Deterministic "training": centroids =
+  the C lowest-id vectors (a stand-in for k-means — deterministic so the
+  oracle can reproduce it). Every vector is assigned to its nearest
+  centroid (broadcast join against C rows); a query probes only the
+  nprobe nearest centroid buckets, scanning ~nprobe/C of the data. At
+  100 TB the assignment is a one-off write partitioned by centroid_id,
+  and each query prunes partitions instead of scanning the corpus.
+
+- `neardup_pairs_bruteforce`: O(n^2) cosine pairs — the correctness
+  baseline for embedding near-dedup. Marked small-scale-only; the scale
+  path is bucketing by IVF cell and joining within cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product (same fold order as the
+    DuckDB oracle's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector (tiny, broadcast by
+    value inside the plan). Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (squared-L2) centroid.
+
+    Centroids = the n_centroids lowest-id vectors (deterministic seed
+    choice). Implemented as a broadcast cross join against C rows + a
+    min-by reduction — one narrow pass over the corpus.
+    """
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(sq, 6).alias("dist"),
+    )
+    # min_by with (dist, centroid_id) tiebreak, via struct ordering
+    best = dists.groupBy(id_col).agg(
+        F.min(F.struct("dist", "centroid_id")).alias("_best"),
+        F.first(F.col(vec_col), ignorenulls=True).alias(vec_col),
+    )
+    return best.select(
+        id_col, vec_col, F.col("_best.centroid_id").alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the nprobe nearest centroid cells."""
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col("cvec"), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        centroids.select("centroid_id", F.round(qdist, 6).alias("qdist"))
+        .orderBy("qdist", "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    pruned = assigned.join(F.broadcast(probe), "centroid_id")
+    scored = pruned.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def neardup_pairs_bruteforce(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (a < b). Correctness baseline ONLY —
+    O(n^2); at scale, bucket by IVF cell first and join within cells."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

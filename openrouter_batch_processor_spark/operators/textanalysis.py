@@ -1,0 +1,125 @@
+"""Text analysis for training-data pipelines: language id, quality
+scoring, token counting, fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python on the hot
+path) with arithmetic chosen to be reproducible in ANSI SQL for the
+DuckDB oracle: regexp counts, ratio arithmetic rounded at the edge,
+md5/conv-based hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.functions.hashing import (
+    doc_fingerprint,
+    normalize_text,
+    rolling_hash,
+)
+
+# Deterministic marker lexicons for the heuristic language scorer. The
+# driver's synthetic corpus draws from a closed vocabulary, so accuracy
+# is irrelevant; what the operator demonstrates is the shape: per-lang
+# evidence scores -> argmax with a stable tiebreak.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "fast", "slow", "small", "big"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-alnum marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    toks = F.split(normalize_text(text), " ")
+    return F.when(normalize_text(text) == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+
+
+def regex_token_count(text: Column) -> Column:
+    """Count of TOKEN_RE matches — a fast proxy for BPE token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_exact"),
+        whitespace_token_count(t).alias("n_ws_tokens"),
+        regex_token_count(t).alias("n_re_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition heuristics.
+
+    score = clamp(0,1) of a linear combination; every ratio rounded to
+    6 dp so the oracle hash-matches."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    toks = F.split(normalize_text(t), " ")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_toks, F.lit(1.0)), 6)
+    uniq_ratio = F.round(n_uniq / F.greatest(n_toks, F.lit(1.0)), 6)
+    mean_tok_len = F.round(n_chars / F.greatest(n_toks, F.lit(1.0)), 6)
+    score = (
+        F.lit(0.3) * stop_ratio
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_exact"),
+        n_toks.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6).alias("quality_score"),
+    )
+
+
+def _lang_score(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long")
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic lang-id: marker-hit counts per language, argmax with
+    lexicographic tiebreak (stable and oracle-reproducible)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    scores = {lang: _lang_score(toks, m) for lang, m in sorted(LANG_MARKERS.items())}
+    # argmax via greatest over (score, inverted-lang) structs is messy in
+    # portable SQL; a CASE ladder over sorted langs (first max wins ==
+    # lexicographically smallest among ties) is identical on both engines.
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.lit(True)
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                cond = cond & (scores[lang] > scores[other])
+            elif other > lang:
+                cond = cond & (scores[lang] >= scores[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    out_cols = [F.col(id_col)]
+    out_cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
+    out_cols.append(best.otherwise(F.lit("und")).alias("pred_lang"))
+    return docs.select(*out_cols)
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Both fingerprints: order-insensitive md5 + order-sensitive rolling
+    polynomial hash (detects shuffled-word plagiarism the md5 misses)."""
+    return docs.select(
+        F.col(id_col),
+        doc_fingerprint(F.col(text_col)).alias("fp_md5"),
+        rolling_hash(F.col(text_col)).alias("fp_rolling"),
+    )

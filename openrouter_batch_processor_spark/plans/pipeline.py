@@ -1,0 +1,102 @@
+"""The flagship pipeline: scan -> group -> prompt-assemble -> LLM map ->
+results + usage aggregation (reference lifecycle §3.1, worker.py:246-437).
+
+The driver's `documents` table stands in for the extracted input tree:
+each document becomes a file `src<k>/doc_<id>.txt`, each source a
+subfolder group (group_by_subfolder=True). The LLM transport is the
+deterministic mock (reply = md5 of the assembled prompt), which makes
+the ENTIRE pipeline — grouping, ordering, labeling, prompt assembly,
+inference, token/cost accounting — DuckDB-oracle-checkable.
+
+Plan shape (one shuffle):
+  parquet scan (pruned to doc_id, text, source)
+    -> narrow projections (rel_path, labeled text)
+    -> groupBy(group_id): sort_array(collect_list)  [the one shuffle]
+    -> mapInPandas LLM call                          [no extra shuffle]
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.llm import LLMConfig, MockTransport, llm_map
+
+SYSTEM_PROMPT = "You are a batch processor."
+
+
+def documents_as_files(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the reference's file inventory shape.
+
+    rel_path zero-pads doc_id so lexicographic order == numeric order
+    (the reference sorts members lexicographically; worker.py:25)."""
+    rel = F.concat(
+        F.col("source"),
+        F.lit("/doc_"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(".txt"),
+    )
+    return docs.select(
+        F.col("doc_id"),
+        rel.alias("rel_path"),
+        F.concat(F.col("source"), F.lit("/")).alias("group_id"),
+        F.col("text"),
+    )
+
+
+def assemble_prompts(files: DataFrame) -> DataFrame:
+    """G1 + F9 + F10: per group, members sorted by rel_path, each labeled
+    'File: <rel>\\n<text>' (groups here are folders, so the multi-file
+    labeling gate is always on), joined by blank lines."""
+    labeled = files.withColumn(
+        "labeled",
+        F.concat(F.lit("File: "), F.col("rel_path"), F.lit("\n"), F.col("text")),
+    )
+    grouped = labeled.groupBy("group_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rel_path"), F.col("labeled")))
+        ).alias("members")
+    )
+    return grouped.select(
+        "group_id",
+        F.concat_ws("\n\n", F.transform(F.col("members"), lambda m: m["labeled"])).alias(
+            "prompt"
+        ),
+        F.size("members").alias("file_count"),
+    )
+
+
+def run_llm_pipeline(spark: SparkSession, sf_dir: str, rate: float = 0.0) -> DataFrame:
+    """documents.parquet -> grouped prompts -> mock LLM -> result rows."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    groups = assemble_prompts(documents_as_files(docs))
+    config = LLMConfig(system_prompt=SYSTEM_PROMPT, requests_per_second=rate)
+    return llm_map(groups, config, MockTransport)
+
+
+# DuckDB oracle for the whole pipeline (used by registry + driver):
+PIPELINE_ORACLE_SQL = """
+WITH files AS (
+    SELECT doc_id,
+           source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') || '.txt' AS rel_path,
+           source || '/' AS group_id,
+           text
+    FROM documents
+), prompts AS (
+    SELECT group_id,
+           string_agg('File: ' || rel_path || chr(10) || text, chr(10) || chr(10)
+                      ORDER BY rel_path) AS prompt,
+           count(*) AS file_count
+    FROM files GROUP BY group_id
+)
+SELECT group_id AS file,
+       md5('You are a batch processor.' || chr(10) || prompt) AS output,
+       TRUE AS ok,
+       len(regexp_extract_all(prompt, '\\S+')) AS prompt_tokens,
+       1::BIGINT AS completion_tokens,
+       len(regexp_extract_all(prompt, '\\S+')) + 1 AS total_tokens,
+       round(len(regexp_extract_all(prompt, '\\S+')) * 0.000001, 12) AS cost
+FROM prompts
+"""

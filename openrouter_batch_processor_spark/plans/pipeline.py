@@ -17,12 +17,11 @@ Plan shape (one shuffle):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openrouter_batch_processor_spark.operators.llm import LLMConfig, MockTransport, llm_map
+from openrouter_batch_processor_spark.session import load_table
 
 SYSTEM_PROMPT = "You are a batch processor."
 
@@ -70,7 +69,7 @@ def assemble_prompts(files: DataFrame) -> DataFrame:
 
 def run_llm_pipeline(spark: SparkSession, sf_dir: str, rate: float = 0.0) -> DataFrame:
     """documents.parquet -> grouped prompts -> mock LLM -> result rows."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents")
     groups = assemble_prompts(documents_as_files(docs))
     config = LLMConfig(system_prompt=SYSTEM_PROMPT, requests_per_second=rate)
     return llm_map(groups, config, MockTransport)

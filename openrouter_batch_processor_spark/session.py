@@ -52,6 +52,50 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# The driver's testdata stores timestamps as parquet TIMESTAMP(NANOS),
+# which Spark refuses by default (PARQUET_TYPE_ILLEGAL) while DuckDB
+# silently truncates to micros. We read nanos as longs and truncate with
+# integer division (`div`, NOT `/` — epoch nanos ~1.7e18 exceed a
+# double's 53-bit mantissa, so float division corrupts the low digits).
+NANOS_TS_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata parquet with nanos->micros timestamp repair.
+
+    Also pins the session timezone to UTC so timestamp rendering and
+    collection match the oracle's naive-timestamp semantics regardless
+    of the driver session's locale.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
+    for c in NANOS_TS_COLS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet as a temp view; return the dict.
 
@@ -60,21 +104,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     ReadSchema in .explain("formatted").
     """
     tables = {}
-    for name in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ):
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
+    for name in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             tables[name] = df
     return tables

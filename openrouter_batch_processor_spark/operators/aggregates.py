@@ -21,11 +21,11 @@ from pyspark.sql import functions as F
 
 
 def _tolerant_long(col: str) -> "F.Column":
-    return F.coalesce(F.try_cast(F.col(col), "long"), F.lit(0))
+    return F.coalesce(F.col(col).try_cast("long"), F.lit(0))
 
 
 def _tolerant_double(col: str) -> "F.Column":
-    return F.coalesce(F.try_cast(F.col(col), "double"), F.lit(0.0))
+    return F.coalesce(F.col(col).try_cast("double"), F.lit(0.0))
 
 
 TOKEN_FIELDS = [
@@ -63,6 +63,13 @@ def usage_summary(usage: DataFrame, group_cols: list[str] | None = None) -> Data
             aggs.append(F.sum(_tolerant_long(f)).alias(f"{f}_sum"))
     for f in COST_FIELDS:
         if f in present:
-            aggs.append(F.round(F.sum(_tolerant_double(f)), 12).alias(f"{f}_sum"))
+            # Sum in DECIMAL(28,12): exact and associative, so the total is
+            # identical at any partition count (a double sum is neither).
+            aggs.append(
+                F.round(
+                    F.sum(_tolerant_double(f).cast("decimal(28,12)")).cast("double"),
+                    12,
+                ).alias(f"{f}_sum")
+            )
     grouped = usage.groupBy(*group_cols) if group_cols else usage.groupBy()
     return grouped.agg(*aggs)

@@ -227,16 +227,17 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
             F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
         )
         .withColumn(
+            # shiftright/shiftleft take literal shift amounts in the
+            # PySpark API; the SQL forms accept column shifts
             "vote",
-            F.col("cnt")
-            * (F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1),
+            F.col("cnt") * (F.expr("shiftright(h, bit) & 1") * 2 - 1),
         )
         .groupBy(id_col, "bit")
         .agg(F.sum("vote").alias("v"))
     )
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

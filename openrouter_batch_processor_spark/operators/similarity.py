@@ -80,16 +80,10 @@ def assign_ivf_cells(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    sq = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid_vec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # ||a-b||^2 = a.a - 2 a.b + b.b — expressed via three dot products so
+    # the DuckDB oracle (list_dot_product) reproduces the same arithmetic.
+    a, b = F.col(vec_col), F.col("centroid_vec")
+    sq = _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
     dists = embeddings.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -123,13 +117,8 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
-    qdist = F.aggregate(
-        F.zip_with(
-            F.col("cvec"), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    c = F.col("cvec")
+    qdist = _dot(c, c) - 2 * _dot(c, q) + _dot(q, q)
     probe = (
         centroids.select("centroid_id", F.round(qdist, 6).alias("qdist"))
         .orderBy("qdist", "centroid_id")

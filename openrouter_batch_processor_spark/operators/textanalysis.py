@@ -67,14 +67,19 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 6)
-    stop_ratio = F.round(n_stop / F.greatest(n_toks, F.lit(1.0)), 6)
-    uniq_ratio = F.round(n_uniq / F.greatest(n_toks, F.lit(1.0)), 6)
+    punct_raw = n_punct / F.greatest(n_chars, F.lit(1.0))
+    stop_raw = n_stop / F.greatest(n_toks, F.lit(1.0))
+    uniq_raw = n_uniq / F.greatest(n_toks, F.lit(1.0))
+    punct_ratio = F.round(punct_raw, 6)
+    stop_ratio = F.round(stop_raw, 6)
+    uniq_ratio = F.round(uniq_raw, 6)
     mean_tok_len = F.round(n_chars / F.greatest(n_toks, F.lit(1.0)), 6)
+    # score from the RAW ratios: pre-rounded inputs make the final value
+    # land exactly on .xxxxx5 ties where engines' round() rules diverge
     score = (
-        F.lit(0.3) * stop_ratio
-        + F.lit(0.4) * uniq_ratio
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        F.lit(0.3) * stop_raw
+        + F.lit(0.4) * uniq_raw
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_raw * 4, F.lit(1.0)))
     )
     return docs.select(
         F.col(id_col),

@@ -1,0 +1,77 @@
+"""Event-time window analytics over the events table (batch forms).
+
+The reference has no true windows — its closest behaviors are the
+per-group progress checkpoint loop (T1/T2). These operators are the
+idiomatic Spark upgrades: tumbling-window aggregation and gap-based
+sessionization. The Structured Streaming twins (readStream + watermark)
+live in streaming/windows.py; these batch forms share the semantics and
+are the DuckDB-oracle-checked ones.
+
+Scale notes:
+- tumbling: one shuffle on (window, event_type); partial aggs combine
+  map-side. At 100 TB, time-partitioned input makes the window grouping
+  mostly partition-local.
+- sessionize: one shuffle on user_id (the window partition key), then
+  per-user ordering — the classic sessionization shape. Skewed users
+  (bots) are the risk at scale; AQE skew handling or a per-user event
+  cap handles them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (hour, event_type): event count + exact value sum."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), width).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``.
+
+    lag -> boundary flag -> running sum (the standard two-window
+    sessionization); both windows share the user_id partitioning so
+    there is exactly one shuffle."""
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_flag = events.withColumn("_ep", epoch).withColumn(
+        "_new",
+        F.when(
+            F.lag("_ep").over(w).isNull()
+            | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_seconds),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_flag.withColumn("session_id", F.sum("_new").over(wrun))
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+            (F.max("_ep") - F.min("_ep")).alias("duration_sec"),
+        )
+    )

@@ -302,3 +302,743 @@ def q_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("record 000000001 from "), F.col("source")).alias("output"),
     )
     return renumber(docs, "doc_id")
+
+
+# ===========================================================================
+# G1 + F5 + G4 + G5 — per-source grouping, set-hash fingerprint, listing
+# ===========================================================================
+
+
+@register(
+    "g1_group_hash",
+    """
+    WITH files AS (
+      SELECT source || '/' AS group_id,
+             source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') || '.txt' AS rel_path,
+             text
+      FROM documents)
+    SELECT group_id,
+           count(*) AS file_count,
+           count(*)::VARCHAR || CASE WHEN count(*) = 1 THEN ' item' ELSE ' items' END AS items_label,
+           max(rel_path) AS latest_file,
+           md5(string_agg(md5(rel_path || ' ' || text), '' ORDER BY md5(rel_path || ' ' || text))) AS content_hash
+    FROM files GROUP BY group_id
+    """,
+    ops=["G1", "F5", "G4", "G5", "O1"],
+)
+def q_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.plans.pipeline import documents_as_files
+
+    files = documents_as_files(_t(spark, sf_dir, "documents"))
+    per_file = F.md5(F.concat_ws(" ", F.col("rel_path"), F.col("text")))
+    cnt = F.count(F.lit(1))
+    return files.groupBy("group_id").agg(
+        cnt.alias("file_count"),
+        F.concat(
+            cnt.cast("string"),
+            F.when(cnt == 1, F.lit(" item")).otherwise(F.lit(" items")),
+        ).alias("items_label"),
+        F.max("rel_path").alias("latest_file"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list(per_file)))).alias(
+            "content_hash"
+        ),
+    )
+
+
+# ===========================================================================
+# G2 + G6 — usage/cost fold with per-field tolerance and 12-dp costs
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.aggregates import usage_summary  # noqa: E402
+
+
+@register(
+    "g2_usage_fold",
+    """
+    WITH usage AS (
+      SELECT user_id % 10 AS job_id,
+             event_type != 'error' AS ok,
+             user_id % 5 = 0 AS is_byok,
+             floor(value * 10)::BIGINT AS prompt_tokens,
+             floor(value * 3)::BIGINT AS completion_tokens,
+             floor(value * 10)::BIGINT + floor(value * 3)::BIGINT AS total_tokens,
+             CASE WHEN event_type = 'purchase' THEN floor(value)::BIGINT END AS reasoning_tokens,
+             value * 0.0001 AS cost
+      FROM events)
+    SELECT job_id,
+           count(*) AS api_requests,
+           count(CASE WHEN ok THEN 1 END) AS successful_requests,
+           count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
+           count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
+           sum(prompt_tokens) AS prompt_tokens_sum,
+           sum(completion_tokens) AS completion_tokens_sum,
+           sum(total_tokens) AS total_tokens_sum,
+           coalesce(sum(reasoning_tokens), 0) AS reasoning_tokens_sum,
+           round(sum(cost::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum
+    FROM usage GROUP BY job_id
+    """,
+    ops=["G2", "G6", "G3"],
+)
+def q_usage_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    usage = e.select(
+        (F.col("user_id") % 10).alias("job_id"),
+        (F.col("event_type") != "error").alias("ok"),
+        (F.col("user_id") % 5 == 0).alias("is_byok"),
+        F.floor(F.col("value") * 10).cast("long").alias("prompt_tokens"),
+        F.floor(F.col("value") * 3).cast("long").alias("completion_tokens"),
+        (F.floor(F.col("value") * 10) + F.floor(F.col("value") * 3))
+        .cast("long")
+        .alias("total_tokens"),
+        F.when(F.col("event_type") == "purchase", F.floor(F.col("value")).cast("long")).alias(
+            "reasoning_tokens"
+        ),
+        (F.col("value") * 0.0001).alias("cost"),
+    )
+    out = usage_summary(usage, ["job_id"])
+    # reference treats absent/bad values as 0 per field (worker.py:153-159)
+    return out.withColumn(
+        "reasoning_tokens_sum", F.coalesce(F.col("reasoning_tokens_sum"), F.lit(0))
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped analytics (scan -> filter -> agg; the bench headliners)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS sum_disc_price,
+           sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
+           round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_qty,
+           round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ops=["G2", "P1", "O1"],
+)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 4)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 4)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity", 4)).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_discount", 6)).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue",
+    """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o.o_orderpriority,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    ops=["J1", "G2", "O3", "G5"],
+)
+def q3_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# J2 — OR-of-two-keys probe (union of semi-joins)
+# ===========================================================================
+
+
+@register(
+    "j2_hash_probe",
+    """
+    SELECT DISTINCT l.l_orderkey, l.l_linenumber FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 5 = 0)
+       OR EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey % 2 = 0)
+    """,
+    ops=["J2", "X1"],
+)
+def q_hash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part_keys = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    supp_keys = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    by_part = li.join(
+        F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey, "leftsemi"
+    )
+    by_supp = li.join(
+        F.broadcast(supp_keys), li.l_suppkey == supp_keys.s_suppkey, "leftsemi"
+    )
+    return (
+        by_part.select("l_orderkey", "l_linenumber")
+        .unionByName(by_supp.select("l_orderkey", "l_linenumber"))
+        .distinct()
+    )
+
+
+# ===========================================================================
+# J5 — priority-ordered resolution chain (coalesce over left joins)
+# ===========================================================================
+
+
+@register(
+    "j5_resolution",
+    """
+    SELECT o.o_orderkey,
+           coalesce(CASE WHEN c.c_acctbal > 5000 THEN c.c_name END,
+                    n.n_name, 'unknown') AS resolved
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    ops=["J5", "J1", "F18"],
+)
+def q_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.when(F.col("c_acctbal") > 5000, F.col("c_name")),
+                F.col("n_name"),
+                F.lit("unknown"),
+            ).alias("resolved"),
+        )
+    )
+
+
+# ===========================================================================
+# O3 — multi-key sort with nulls-last + top-k
+# ===========================================================================
+
+
+@register(
+    "o3_sort_topk",
+    """
+    SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS priority, o_totalprice
+    FROM orders
+    ORDER BY priority ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    ops=["O3", "O2", "O4"],
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("priority"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.asc_nulls_last("priority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# P1-P4 — predicate family (whitelist, prefix, range, exclusion)
+# ===========================================================================
+
+
+@register(
+    "p_filters",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+      AND source LIKE 'src1%'
+      AND n_chars BETWEEN 100 AND 400
+      AND source NOT IN ('src13')
+    """,
+    ops=["P1", "P2", "P3", "P4"],
+)
+def q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "de")
+        & F.col("source").startswith("src1")
+        & F.col("n_chars").between(100, 400)
+        & ~F.col("source").isin("src13")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ===========================================================================
+# X1 — exact dedup machinery on a boilerplate-prefix key
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import exact_duplicates  # noqa: E402
+
+
+@register(
+    "x1_exact_dedup",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 1, 2), ' ')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM keyed GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    ops=["X1", "F4"],
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # boilerplate key: first two normalized tokens (guarantees real dup
+    # groups on the synthetic corpus; same machinery as full-text X1)
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    prefix = F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 2), " ")
+    keyed = d.select("doc_id", prefix.alias("text2"))
+    return exact_duplicates(keyed, id_col="doc_id", text_col="text2")
+
+
+# ===========================================================================
+# X2 + F16 — order-preserving dedup + format normalization over events
+# ===========================================================================
+
+from openrouter_batch_processor_spark.functions.textops import normalize_formats  # noqa: E402
+
+
+@register(
+    "f16_formats",
+    """
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'click' THEN ' CSV' WHEN 'view' THEN 'text'
+                             WHEN 'purchase' THEN 'json' WHEN 'signup' THEN 'Text'
+                             ELSE 'bogus' END AS raw
+      FROM events),
+    o AS (
+      SELECT user_id, trim(lower(raw)) AS fmt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord
+      FROM m),
+    f AS (
+      SELECT user_id, fmt, min(ord) AS ford FROM o
+      WHERE fmt IN ('text', 'csv', 'json') GROUP BY user_id, fmt),
+    agg AS (
+      SELECT user_id, string_agg(fmt, ',' ORDER BY ford) AS formats FROM f GROUP BY user_id)
+    SELECT u.user_id,
+           coalesce(a.formats, CASE WHEN u.user_id % 2 = 0 THEN 'text' ELSE 'csv' END) AS formats
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN agg a ON u.user_id = a.user_id
+    """,
+    ops=["X2", "F16"],
+)
+def q_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    mapped = (
+        F.when(F.col("event_type") == "click", " CSV")
+        .when(F.col("event_type") == "view", "text")
+        .when(F.col("event_type") == "purchase", "json")
+        .when(F.col("event_type") == "signup", "Text")
+        .otherwise("bogus")
+    )
+    per_user = (
+        e.select("user_id", F.struct(F.col("ts"), F.col("event_id"), mapped.alias("raw")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ordered"))
+        .select(
+            "user_id",
+            F.transform(F.col("ordered"), lambda s: s["raw"]).alias("raws"),
+        )
+    )
+    formats = normalize_formats(F.col("raws"), F.col("user_id") % 2 == 0)
+    return per_user.select(
+        "user_id", F.array_join(formats, ",").alias("formats")
+    )
+
+
+# ===========================================================================
+# Text analysis extensions: token stats, quality, langid, fingerprints
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(text) AS n_chars_exact,
+           CASE WHEN {_NORM_SQL} = '' THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens
+    FROM documents
+    """,
+    ops=["EXT-tokens"],
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(text)::DOUBLE AS n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             n_chars::BIGINT AS n_chars_exact,
+             len(toks)::BIGINT AS n_tokens,
+             n_punct / greatest(n_chars, 1.0) AS punct_raw,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+             round(n_chars / greatest(len(toks)::DOUBLE, 1.0), 6) AS mean_token_len
+      FROM base)
+    SELECT doc_id, n_chars_exact, n_tokens,
+           round(punct_raw, 6) AS punct_ratio,
+           round(stop_raw, 6) AS stopword_ratio,
+           round(uniq_raw, 6) AS unique_ratio,
+           mean_token_len,
+           round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
+    FROM r
+    """,
+    ops=["EXT-quality"],
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
+      FROM t)
+    SELECT doc_id, score_de, score_en, score_es, score_zh,
+           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+                WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_es > score_de AND score_es > score_en AND score_es >= score_zh THEN 'es'
+                WHEN score_zh > score_de AND score_zh > score_en AND score_zh > score_es THEN 'zh'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+    ops=["EXT-langid"],
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_reduce(
+             list_transform(string_split(norm, ' '),
+                            tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000000007),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_rolling
+    FROM t
+    """,
+    ops=["EXT-fingerprint", "F4", "F5"],
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dedup extensions: MinHash-LSH bands, candidate pairs + Jaccard, SimHash
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
+    lsh_bands,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+_SHINGLES_SQL = f"""
+    t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+          FROM t WHERE len(toks) >= 3),
+    m AS (SELECT doc_id,
+                 list_min(list_transform(sh, x -> md5('0|' || x))) AS mh0,
+                 list_min(list_transform(sh, x -> md5('1|' || x))) AS mh1,
+                 list_min(list_transform(sh, x -> md5('2|' || x))) AS mh2,
+                 list_min(list_transform(sh, x -> md5('3|' || x))) AS mh3,
+                 list_min(list_transform(sh, x -> md5('4|' || x))) AS mh4,
+                 list_min(list_transform(sh, x -> md5('5|' || x))) AS mh5,
+                 list_min(list_transform(sh, x -> md5('6|' || x))) AS mh6,
+                 list_min(list_transform(sh, x -> md5('7|' || x))) AS mh7
+          FROM s),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM m UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM m UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM m UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM m)
+"""
+
+
+@register(
+    "dedup_minhash_bands",
+    f"WITH {_SHINGLES_SQL} SELECT doc_id, band, band_key FROM bands",
+    ops=["EXT-minhash", "X1"],
+)
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bands(minhash_signatures(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_minhash_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh_set x ON x.doc_id = c.id_a
+      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+    """,
+    ops=["EXT-minhash", "EXT-jaccard"],
+)
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
+    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok != '' GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM cnts),
+    votes AS (
+      SELECT doc_id, r.bit, sum(cnt * (((hv >> r.bit) & 1) * 2 - 1)) AS v
+      FROM h CROSS JOIN range(0, 32) r(bit)
+      GROUP BY doc_id, r.bit)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    ops=["EXT-simhash"],
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search: brute-force top-k, IVF top-k, near-dup pairs
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
+    ivf_topk,
+    neardup_pairs_bruteforce,
+    topk_bruteforce,
+)
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT e.vec_id,
+           round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')}, 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    ops=["EXT-simsearch"],
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_bruteforce(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                                - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               round(list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(c.cvec, q.qv)
+                     + list_dot_product(q.qv, q.qv), 6) AS qdist
+        FROM centroids c, q)
+      ORDER BY qdist, centroid_id LIMIT 2)
+    SELECT a.vec_id,
+           round({_COS_SQL.format(a='a.v', b='q.qv')}, 6) AS cos_sim
+    FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+    ops=["EXT-simsearch", "EXT-ivf"],
+)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@register(
+    "sim_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL.format(a='a.v', b='b.v')}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.format(a='a.v', b='b.v')}, 6) >= 0.4
+    """,
+    ops=["EXT-neardup"],
+)
+def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairsbf(spark, sf_dir)
+
+
+def neardup_pairsbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs_bruteforce(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ===========================================================================
+# Event-time windows: tumbling aggregation + gap sessionization
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.windows import (  # noqa: E402
+    sessionize,
+    tumbling_counts,
+)
+
+
+@register(
+    "events_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM events GROUP BY window_start, event_type
+    """,
+    ops=["T1", "T2", "EXT-windows"],
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, ep,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           max(ep) - min(ep) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+    ops=["T1", "W2", "EXT-sessions"],
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))

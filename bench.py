@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with the noop writer — full computation, no
+driver-side result accumulation, so the number measures the plan, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from openrouter_batch_processor_spark.registry import REGISTRY
+    from openrouter_batch_processor_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan so the first query doesn't
+    # absorb session startup costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

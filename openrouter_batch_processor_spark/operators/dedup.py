@@ -73,12 +73,19 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: "F.Column", n: int = SHINGLE_N) -> "F.Column":
-    """Word-level n-gram shingles of normalized text, as array<string>.
+def shingles_col(toks: "F.Column", n: int = SHINGLE_N) -> "F.Column":
+    """Word-level n-gram shingles from a *materialized* token-array
+    column, as array<string>.
+
+    IMPORTANT: pass an attribute (a column produced by a previous
+    select), not an inline split(...) expression — each element_at in
+    the lambda re-evaluates its argument, so an inline split would rerun
+    regexp_replace+split O(n_shingles) times per row. Catalyst's
+    CollapseProject keeps the staging projection intact because the
+    alias is expensive and multiply-referenced (SPARK-36718).
 
     Empty array when the doc has fewer than n tokens (mirrors the DuckDB
-    oracle's range(0, cnt-n+1) which is empty for short docs)."""
-    toks = F.split(normalize_text(text), " ")
+    oracle's range over len(toks)-n+1 which is empty for short docs)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), cnt - n)  # inclusive stop
     make = lambda i: F.concat_ws(  # noqa: E731
@@ -89,10 +96,34 @@ def shingles_col(text: "F.Column", n: int = SHINGLE_N) -> "F.Column":
     )
 
 
+def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, toks) staging projection: normalize + split exactly once."""
+    return docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(id, sh) with sh = array of n-gram shingles, each stage evaluated
+    once per row (tokens -> shingles as separate projections)."""
+    return tokenized(docs, id_col, text_col).select(
+        F.col(id_col), shingles_col(F.col("toks"), n).alias("sh")
+    )
+
+
 def explode_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) long table, distinct — the set representation."""
+    """(id, shingle) long table, distinct — the set representation.
+
+    explode_outer, not explode: plain explode makes Catalyst infer a
+    size(sh)>0 filter and push it below the staging projections, where
+    it re-inlines the whole shingle chain into the Filter node (the
+    O(n_shingles) split-per-row blowup again). outer generation infers
+    nothing; the null row from empty arrays is dropped by a cheap
+    attribute filter above the Generate."""
     return (
-        docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle"))
+        doc_shingles(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode_outer(F.col("sh")).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -102,22 +133,51 @@ def explode_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
-    """k-permutation minhash via salted md5: mh_i = min(md5(i|'|'|s)).
+# Affine-permutation constants for k=8 minhashes: mh_i = min over shingles
+# of (A[i]*h + B[i]) mod ROLLING_MOD, where h = uint32 from md5(shingle).
+# One md5 pass per shingle regardless of k (vs k passes for salted md5);
+# products stay < 8e6 * 4.3e9 ≈ 3.4e16, safely inside int64 on both
+# Spark and the DuckDB oracle.
+MINHASH_A = (999983, 1299709, 2750159, 4256233, 5800079, 7368787, 8960453, 9576890)
+MINHASH_B = (15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939)
 
-    min over hex strings is a lexicographic min — identical on any ANSI
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """k-permutation minhash: hash each shingle once (md5 -> uint32),
+    then k affine permutations (a*h+b mod p), min per permutation.
+
+    Pure integer arithmetic on both engines — identical on any ANSI
     engine, which is why this (and not Spark's MinHashLSH, which uses
     private murmur seeds) is the correctness-checked implementation.
     Narrow (no shuffle): signatures computed per-row from the shingle
-    array."""
-    sh = shingles_col(F.col(text_col))
+    array; the md5 pass is shared across all k permutations."""
+    from openrouter_batch_processor_spark.functions.hashing import ROLLING_MOD
+
+    # Filter on token count BEFORE the expensive stages: a trailing
+    # filter on mh0 would be pushed down by Catalyst and re-inline the
+    # whole minhash chain into the Filter node (each predicate eval then
+    # recomputes split+md5 per row). size(toks) >= SHINGLE_N is exactly
+    # "shingle set non-empty", i.e. mh0 is not null.
+    toks = tokenized(docs, id_col, text_col).filter(F.size(F.col("toks")) >= SHINGLE_N)
+    base = toks.select(
+        F.col(id_col), shingles_col(F.col("toks")).alias("sh")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("_h"),
+    )
     sig_cols = [
         F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            F.transform(
+                F.col("_h"),
+                lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % ROLLING_MOD,
+            )
         ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return docs.select(F.col(id_col), *sig_cols).filter(F.col("mh0").isNotNull())
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:

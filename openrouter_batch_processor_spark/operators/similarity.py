@@ -132,6 +132,22 @@ def ivf_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def unit_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pre-normalize to unit length so pair cosine is ONE dot product.
+
+    Computing cosine(a, b) naively folds three 64-dim dot products per
+    pair; normalizing first amortizes the two norm folds to a single
+    narrow pass over the corpus — a 3x cut on the O(n^2) stage."""
+    v = F.col(vec_col)
+    nrm = F.sqrt(_dot(v, v))
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x.cast("double") / nrm).alias("unit"),
+    )
+
+
 def neardup_pairs_bruteforce(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -140,12 +156,13 @@ def neardup_pairs_bruteforce(
 ) -> DataFrame:
     """All-pairs cosine >= threshold (a < b). Correctness baseline ONLY —
     O(n^2); at scale, bucket by IVF cell first and join within cells."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    units = unit_vectors(embeddings, id_col, vec_col)
+    a = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+    b = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )

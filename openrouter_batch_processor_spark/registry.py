@@ -814,6 +814,18 @@ from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
     simhash,
 )
 
+# Minhash oracle mirrors operators/dedup.py: one md5->uint32 per shingle,
+# k affine permutations (A[i]*h + B[i]) % 1e9+7, min per permutation.
+from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+)
+
+_MH_COLS = ",\n".join(
+    f"                 list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % 1000000007)) AS mh{i}"
+    for i in range(8)
+)
+
 _SHINGLES_SQL = f"""
     t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
     s AS (SELECT doc_id,
@@ -821,20 +833,14 @@ _SHINGLES_SQL = f"""
                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
           FROM t WHERE len(toks) >= 3),
     m AS (SELECT doc_id,
-                 list_min(list_transform(sh, x -> md5('0|' || x))) AS mh0,
-                 list_min(list_transform(sh, x -> md5('1|' || x))) AS mh1,
-                 list_min(list_transform(sh, x -> md5('2|' || x))) AS mh2,
-                 list_min(list_transform(sh, x -> md5('3|' || x))) AS mh3,
-                 list_min(list_transform(sh, x -> md5('4|' || x))) AS mh4,
-                 list_min(list_transform(sh, x -> md5('5|' || x))) AS mh5,
-                 list_min(list_transform(sh, x -> md5('6|' || x))) AS mh6,
-                 list_min(list_transform(sh, x -> md5('7|' || x))) AS mh7
+                 list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs,
+{_MH_COLS}
           FROM s),
     bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM m UNION ALL
-      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM m UNION ALL
-      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM m UNION ALL
-      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM m)
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS band_key FROM m UNION ALL
+      SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM m UNION ALL
+      SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM m UNION ALL
+      SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM m)
 """
 
 
@@ -974,12 +980,15 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_neardup_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COS_SQL.format(a='a.v', b='b.v')}, 6) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round({_COS_SQL.format(a='a.v', b='b.v')}, 6) >= 0.4
+           round(list_dot_product(a.unit, b.unit), 6) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4
     """,
     ops=["EXT-neardup"],
 )

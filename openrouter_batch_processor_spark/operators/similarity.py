@@ -139,12 +139,25 @@ def unit_vectors(
 
     Computing cosine(a, b) naively folds three 64-dim dot products per
     pair; normalizing first amortizes the two norm folds to a single
-    narrow pass over the corpus — a 3x cut on the O(n^2) stage."""
-    v = F.col(vec_col)
-    nrm = F.sqrt(_dot(v, v))
-    return embeddings.select(
+    narrow pass over the corpus — a 3x cut on the O(n^2) stage.
+
+    Expression shape matters here: `transform(v, x -> x / sqrt(...))`
+    would re-evaluate the norm fold once PER ELEMENT (lambda bodies are
+    re-evaluated; Catalyst has no let-binding). zip_with against
+    array_repeat(nrm, n) evaluates nrm once per row — argument
+    expressions of a higher-order function are evaluated exactly once.
+    The cast-to-double staging projection is kept separate so
+    CollapseProject (multi-reference + non-cheap) can't re-inline it.
+    """
+    staged = embeddings.select(
         F.col(id_col),
-        F.transform(v, lambda x: x.cast("double") / nrm).alias("unit"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    vd = F.col("vd")
+    nrm = F.sqrt(F.aggregate(F.zip_with(vd, vd, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b))
+    return staged.select(
+        F.col(id_col),
+        F.zip_with(vd, F.array_repeat(nrm, F.size(vd)), lambda x, n: x / n).alias("unit"),
     )
 
 
@@ -157,7 +170,14 @@ def neardup_pairs_bruteforce(
     """All-pairs cosine >= threshold (a < b). Correctness baseline ONLY —
     O(n^2); at scale, bucket by IVF cell first and join within cells."""
     units = unit_vectors(embeddings, id_col, vec_col)
-    a = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+    # A small parquet scan arrives as ONE partition, and the broadcast
+    # nested-loop join inherits the streamed side's partitioning — i.e.
+    # the whole O(n^2) stage runs in a single task. Repartition the
+    # streamed side so every core gets a slice of the pair space.
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = units.repartition(parallelism).select(
+        F.col(id_col).alias("id_a"), F.col("unit").alias("va")
+    )
     b = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (

@@ -1,0 +1,188 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode/feature/resize/frame-sample as Arrow-batched
+mapInPandas stages.
+
+The reference's only multimodal handling is image-file -> base64
+data-URL prompt parts (worker.py:84-98). A 100 TB training pipeline
+needs the general form: a `binary` payload column plus a metadata
+struct, processed by vectorized Python stages. The decode step itself
+needs codec libraries that are NOT in this container, so it is stubbed
+two ways (SURVEY.md north-star contract):
+
+- `fake_decoder` — deterministic, dependency-free: 'decodes' payload
+  bytes into a stable (width, height, n_channels, checksum) tuple so
+  the full Spark plumbing (schema, batching, partitioning) is testable.
+- `library_decoder` — raises NotImplementedError with the exact
+  libraries a real deployment would install (Pillow/av/soundfile).
+
+Scale notes: mapInPandas streams Arrow record batches, so a partition
+of 10k images never materializes as one Python list; metadata-only
+transforms (routing, filtering, size stats) stay JVM-side as Column
+expressions and never touch the payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def media_table(files: DataFrame, kind_by_ext: dict[str, str] | None = None) -> DataFrame:
+    """Lift a binaryFile scan into the MEDIA_SCHEMA shape (JVM-side).
+
+    Metadata derivation (id, kind, mime, size) is pure Column work; the
+    payload is carried opaquely — never parsed on the JVM."""
+    from openrouter_batch_processor_spark.functions.paths import file_extension
+    from openrouter_batch_processor_spark.sources.ingest import MIME_BY_EXT
+
+    kind_by_ext = kind_by_ext or {
+        ".jpg": "image", ".jpeg": "image", ".png": "image",
+        ".tif": "image", ".tiff": "image",
+        ".wav": "audio", ".mp3": "audio",
+        ".mp4": "video", ".mkv": "video",
+    }
+    ext = file_extension(F.col("rel_path"))
+    kind = F.lit(None).cast("string")
+    for e, k in reversed(list(kind_by_ext.items())):
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+    mime = F.lit(None).cast("string")
+    for e, m in reversed(list(MIME_BY_EXT.items())):
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return files.select(
+        F.sha2(F.col("content"), 256).alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+    ).filter(F.col("kind").isNotNull())
+
+
+def fake_decoder(payload: bytes, kind: str) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for a codec: shape derived from a stable
+    hash of the payload. Same bytes -> same 'decoded' shape, on any
+    executor — which is exactly what the plumbing tests need."""
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    channels = 1 + digest[2] % 3 if kind == "image" else 1
+    return width, height, channels, digest.hex()[:16]
+
+
+def library_decoder(payload: bytes, kind: str) -> tuple[int, int, int, str]:
+    """The real-deployment decode path. The codec libraries are not in
+    this container; the Spark-side contract (schema, batch shape) is
+    identical to fake_decoder."""
+    raise NotImplementedError(
+        "media decode requires codec libraries (images: Pillow; audio: "
+        "soundfile; video: av) — install them and swap this decoder in; "
+        "the mapInPandas plumbing is unchanged"
+    )
+
+
+def extract_features(media: DataFrame, decoder=fake_decoder) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    One output row per media row: decoded shape + payload checksum.
+    Decoder failures become NULL-shape rows (T5 error-as-data), so one
+    corrupt file never fails a 100k-file task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    w, h, c, ck = decoder(bytes(rec.payload), rec.kind)
+                    rows.append((rec.media_id, rec.kind, w, h, c, ck))
+                except Exception:
+                    rows.append((rec.media_id, rec.kind, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int, resizer=None) -> DataFrame:
+    """Resize stage: same mapInPandas shape; default 'resizer' is the
+    identity stub (real one: Pillow thumbnail + re-encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                out = resizer(payload, width, height) if resizer else payload
+                rows.append((rec.media_id, width, height, out))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling stub for video: emits one row per sampled offset
+    (a real build decodes keyframes with av). Demonstrates the 1-in/N-out
+    mapInPandas shape (a UDTF-style expansion) with bounded memory."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("frame_checksum", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    chunk = payload[off : off + every_n_bytes]
+                    rows.append(
+                        (rec.media_id, i, off, hashlib.sha256(chunk).hexdigest()[:16])
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )

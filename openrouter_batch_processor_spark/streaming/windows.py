@@ -1,0 +1,133 @@
+"""Structured Streaming twins of the batch event analytics, plus the
+reference's progress-reporting behaviors (T1/T2) as streaming state.
+
+The reference's 'streaming' is incremental batch: after every LLM group
+it rewrites meta.json with processed/total counters, and a client polls
+it (worker.py:351-353, app.py:938-948). In Spark that becomes:
+
+- readStream over the events source -> watermarked tumbling windows ->
+  an in-memory/table sink the poll endpoint queries (T2).
+- progress = a streaming aggregation checkpointed by the engine (T1) —
+  the checkpoint directory replaces the meta.json file-as-state-store.
+- session windows (F.session_window) for gap-based sessions — the
+  native streaming form of operators/windows.sessionize.
+
+All queries here use availableNow triggers in tests: process everything
+currently available, then stop — deterministic, CI-friendly, and the
+semantics (incl. watermark bookkeeping) are identical to a long-running
+trigger. At scale the same code runs continuously with checkpoints on
+durable storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, schema=None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet directory.
+
+    A parquet file dropped into the directory is one micro-batch unit —
+    the streaming mirror of the reference's 'new zip arrives' ingest.
+    The driver testdata stores ts as TIMESTAMP(NANOS) which Spark reads
+    as long under nanosAsLong; normalize to a timestamp column here.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        import os
+
+        schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling aggregation — same output columns as the
+    batch tumbling_counts, so batch results are the oracle for the
+    streaming run (test strategy: stream(availableNow) == batch).
+
+    The watermark bounds state: windows older than max(event_time) -
+    watermark are finalized and evicted. Late events inside the
+    watermark are merged; beyond it, dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (F.session_window): per-user sessions that
+    close after ``gap`` of inactivity. The streaming form of
+    operators/windows.sessionize; state eviction via the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("sw.end"), TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def progress_stream(results_stream: DataFrame) -> DataFrame:
+    """T1/T2: running processed/ok/failed counters per job — the
+    streaming replacement for the per-group meta.json rewrite.
+
+    Input: a stream of LLM result rows with (job_id, ok). Output: one
+    row per job with monotonically-updating counters; a poll endpoint
+    reads the sink table instead of a meta.json file."""
+    return results_stream.groupBy("job_id").agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.count(F.when(F.col("ok"), 1)).alias("succeeded"),
+        F.count(F.when(~F.col("ok"), 1)).alias("failed"),
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Execute a streaming DF with Trigger.AvailableNow into a memory
+    sink table named ``query_name``; blocks until all available data is
+    processed. Reads: spark.table(query_name)."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: schema lift, stubbed decode via
+mapInPandas, error-as-data, resize/frame-sample shapes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.multimodal import (
+    extract_features,
+    fake_decoder,
+    library_decoder,
+    media_table,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("a.png", b"\x89PNG-payload-one", "png"),
+        ("b.jpg", b"jpegpayloadtwo", "jpg"),
+        ("c.wav", b"RIFFwavbytes", "wav"),
+        ("d.mp4", b"\x00\x00ftypmp4" * 300, "mp4"),
+        ("e.xyz", b"unknown-kind", "xyz"),
+    ]
+    files = spark.createDataFrame(
+        [(p, c, len(c)) for p, c, _ in rows],
+        "rel_path string, content binary, length long",
+    )
+    return media_table(files)
+
+
+class TestMediaTable:
+    def test_kinds_and_ids(self, media):
+        rows = media.collect()
+        kinds = {r["kind"] for r in rows}
+        assert kinds == {"image", "audio", "video"}  # unknown ext filtered
+        assert len(rows) == 4
+        for r in rows:
+            assert r["media_id"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
+            assert r["n_bytes"] == len(bytes(r["payload"]))
+
+    def test_image_mime(self, media):
+        mimes = {r["media_id"][:8]: r["mime"] for r in media.filter(F.col("kind") == "image").collect()}
+        assert set(mimes.values()) == {"image/png", "image/jpeg"}
+
+
+class TestFeatures:
+    def test_fake_decode_deterministic(self, media):
+        feats = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert len(feats) == 4
+        for media_row in media.collect():
+            w, h, c, ck = fake_decoder(bytes(media_row["payload"]), media_row["kind"])
+            got = feats[media_row["media_id"]]
+            assert (got["width"], got["height"], got["n_channels"], got["checksum"]) == (w, h, c, ck)
+
+    def test_decoder_failure_is_data(self, media, spark):
+        def broken(payload, kind):
+            raise ValueError("corrupt")
+
+        rows = extract_features(media, decoder=broken).collect()
+        assert len(rows) == 4
+        assert all(r["width"] is None and r["checksum"] is None for r in rows)
+
+    def test_library_decoder_stub(self):
+        with pytest.raises(NotImplementedError):
+            library_decoder(b"x", "image")
+
+
+class TestResizeAndFrames:
+    def test_resize_identity_stub(self, media):
+        rows = resize_images(media, 32, 32).collect()
+        assert len(rows) == 2  # images only
+        assert all((r["target_w"], r["target_h"]) == (32, 32) for r in rows)
+
+    def test_frame_sampling_expansion(self, media):
+        frames = sample_frames(media, every_n_bytes=512).collect()
+        assert len(frames) > 1  # video payload expands to several frames
+        assert [f["frame_no"] for f in sorted(frames, key=lambda r: r["offset"])] == list(
+            range(len(frames))
+        )

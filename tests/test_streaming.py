@@ -1,0 +1,80 @@
+"""Structured Streaming tests: stream(availableNow) output == batch
+output on the same data (the streaming correctness oracle), session
+windows, and the T1/T2 progress counters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.streaming.windows import (
+    progress_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows_stream,
+    tumbling_counts_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestTumblingStream:
+    def test_stream_equals_batch(self, spark):
+        from openrouter_batch_processor_spark.operators.windows import tumbling_counts
+        from openrouter_batch_processor_spark.session import load_table
+
+        stream = tumbling_counts_stream(read_events_stream(spark, SF_DIR))
+        run_to_memory(stream, "tumbling_test")
+        got = _rows_set(
+            spark.table("tumbling_test"),
+            ["window_start", "event_type", "n_events", "value_sum"],
+        )
+        batch = load_table(spark, SF_DIR, "events")
+        want = _rows_set(
+            tumbling_counts(batch),
+            ["window_start", "event_type", "n_events", "value_sum"],
+        )
+        assert got == want and len(got) > 0
+
+
+class TestSessionWindows:
+    def test_sessions_respect_gap(self, spark):
+        stream = session_windows_stream(read_events_stream(spark, SF_DIR))
+        run_to_memory(stream, "sessions_test")
+        rows = spark.table("sessions_test").collect()
+        assert len(rows) > 0
+        # no user may have two sessions closer than the 30-min gap
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["session_start"], r["session_end"])
+            )
+        import datetime as dt
+
+        fmt = "%Y-%m-%d %H:%M:%S"
+        for spans in by_user.values():
+            spans.sort()
+            for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+                gap = dt.datetime.strptime(s2, fmt) - dt.datetime.strptime(e1, fmt)
+                assert gap.total_seconds() >= 0
+
+
+class TestProgressStream:
+    def test_counters(self, spark, tmp_path):
+        src = tmp_path / "results_stream"
+        src.mkdir()
+        df = spark.createDataFrame(
+            [("job1", True), ("job1", True), ("job1", False), ("job2", True)],
+            "job_id string, ok boolean",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema("job_id string, ok boolean").parquet(str(src))
+        run_to_memory(progress_stream(stream), "progress_test")
+        got = {
+            r["job_id"]: (r["processed"], r["succeeded"], r["failed"])
+            for r in spark.table("progress_test").collect()
+        }
+        assert got == {"job1": (3, 2, 1), "job2": (1, 1, 0)}

@@ -26,8 +26,13 @@ def content_sha256(content: Column) -> Column:
 
 
 def data_url(content: Column, mime: Column) -> Column:
-    """F14: 'data:<mime>;base64,<b64>' multimodal payload encoding."""
-    return F.concat(F.lit("data:"), mime, F.lit(";base64,"), F.base64(content))
+    """F14: 'data:<mime>;base64,<b64>' multimodal payload encoding.
+
+    Spark's base64() emits RFC-2045 chunked output (a CRLF every 76
+    chars); Python's b64encode (worker.py:90) and data-URLs use the
+    unchunked form — strip the line breaks for payload parity."""
+    b64 = F.regexp_replace(F.base64(content), "[\\r\\n]", "")
+    return F.concat(F.lit("data:"), mime, F.lit(";base64,"), b64)
 
 
 def redact_api_key(api_key: Column) -> Column:

@@ -1051,3 +1051,381 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# F13 json repair, F14/F15 encoding+redaction, F6/F7 naming, F8 footer
+# ===========================================================================
+
+from openrouter_batch_processor_spark.functions.hashing import data_url  # noqa: E402
+from openrouter_batch_processor_spark.functions.paths import (  # noqa: E402
+    output_filename,
+    storage_name,
+)
+from openrouter_batch_processor_spark.functions.textops import (  # noqa: E402
+    append_footer,
+    json_repair_parse,
+)
+
+
+@register(
+    "f13_json_repair",
+    # The oracle states the ground-truth OUTCOME per constructed case
+    # (trailing-comma object -> repaired; fenced -> sliced; prose ->
+    # sentinel; array -> parses, no $.lang), rather than re-implementing
+    # the repair algorithm in SQL — a semantic oracle for a UDF op.
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 2 THEN FALSE ELSE TRUE END AS parse_ok,
+           CASE doc_id % 4 WHEN 0 THEN lang WHEN 1 THEN lang ELSE NULL END AS lang_out
+    FROM documents
+    """,
+    ops=["F13", "D5", "K3"],
+)
+def q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    obj = F.concat(F.lit('{"id": '), i, F.lit(', "lang": "'), F.col("lang"), F.lit('",}'))
+    fenced = F.concat(
+        F.lit('Here you go:\n```json\n{"id": '), i,
+        F.lit(', "lang": "'), F.col("lang"), F.lit('"}\n```'),
+    )
+    arr = F.concat(F.lit("[1, 2, "), i, F.lit("]"))
+    raw = (
+        F.when(i % 4 == 0, obj)
+        .when(i % 4 == 1, fenced)
+        .when(i % 4 == 2, F.lit("no json at all"))
+        .otherwise(arr)
+    )
+    return docs.select(i, json_repair_parse(raw).alias("_r")).select(
+        "doc_id",
+        F.col("_r.parse_ok").alias("parse_ok"),
+        F.get_json_object(F.col("_r.parsed_json"), "$.lang").alias("lang_out"),
+    )
+
+
+@register(
+    "f14_f15_encoding",
+    """
+    SELECT doc_id,
+           'data:text/plain;base64,' || to_base64(encode(text)) AS data_url,
+           sha256(text) AS content_sha,
+           right('sk-or-v1-' || md5(doc_id::VARCHAR), 8) AS api_key_last8
+    FROM documents
+    """,
+    ops=["F14", "F15", "F4", "D6"],
+)
+def q_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    api_key = F.concat(F.lit("sk-or-v1-"), F.md5(F.col("doc_id").cast("string")))
+    from openrouter_batch_processor_spark.functions.hashing import redact_api_key
+
+    return docs.select(
+        "doc_id",
+        data_url(content, F.lit("text/plain")).alias("data_url"),
+        F.sha2(content, 256).alias("content_sha"),
+        redact_api_key(api_key).alias("api_key_last8"),
+    )
+
+
+@register(
+    "f6_f7_filenames",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN source || '/'
+                  ELSE 'doc_' || doc_id::VARCHAR || '.txt' END AS group_id,
+             doc_id % 3 = 0 AS is_folder,
+             'upload ' || source || '!.zip' AS upload_name,
+             md5(source) AS content_hash
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN is_folder
+                THEN regexp_replace(group_id, '/$', '') || '_folder_output.txt'
+                ELSE regexp_replace(group_id, '\\.[^./]+$', '') || '.txt'
+           END AS out_name,
+           substr(regexp_replace(regexp_replace(upload_name, '\\.zip$', ''),
+                                 '[^A-Za-z0-9_.-]+', '_', 'g'), 1, 80)
+             || '_' || substr(content_hash, 1, 12) || '.zip' AS storage
+    FROM g
+    """,
+    ops=["F6", "F7", "K4"],
+)
+def q_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    group_id = F.when(i % 3 == 0, F.concat(F.col("source"), F.lit("/"))).otherwise(
+        F.concat(F.lit("doc_"), i.cast("string"), F.lit(".txt"))
+    )
+    upload = F.concat(F.lit("upload "), F.col("source"), F.lit("!.zip"))
+    return docs.select(
+        "doc_id",
+        output_filename(group_id, i % 3 == 0).alias("out_name"),
+        storage_name(upload, F.md5(F.col("source"))).alias("storage"),
+    )
+
+
+@register(
+    "f8_footer",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             substr(text, 1, 40) ||
+               CASE doc_id % 3 WHEN 1 THEN chr(10) WHEN 2 THEN chr(13) ELSE '' END AS body,
+             CASE WHEN doc_id % 2 = 0 THEN '-- processed --' ELSE '   ' END AS footer
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN trim(footer) = '' THEN body
+                WHEN ends_with(body, chr(10)) OR ends_with(body, chr(13)) THEN body || footer
+                ELSE body || chr(10) || footer
+           END AS final_text
+    FROM t
+    """,
+    ops=["F8"],
+)
+def q_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    body = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.when(i % 3 == 1, F.lit("\n")).when(i % 3 == 2, F.lit("\r")).otherwise(F.lit("")),
+    )
+    footer = F.when(i % 2 == 0, F.lit("-- processed --")).otherwise(F.lit("   "))
+    return docs.select("doc_id", append_footer(body, footer).alias("final_text"))
+
+
+# ===========================================================================
+# G4 child counts, O2 newest-first listing, X3 artifact union,
+# P5/P6 path guards + registry prune, J3/J4 broadcast dimension join
+# ===========================================================================
+
+
+@register(
+    "g4_child_counts",
+    """
+    SELECT source,
+           count(*) AS n_children,
+           count(*)::VARCHAR || ' item' || CASE WHEN count(*) = 1 THEN '' ELSE 's' END AS label
+    FROM documents GROUP BY source
+    """,
+    ops=["G4", "S9"],
+)
+def q_child_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        n.alias("n_children"),
+        F.concat(
+            n.cast("string"), F.lit(" item"), F.when(n == 1, F.lit("")).otherwise(F.lit("s"))
+        ).alias("label"),
+    )
+
+
+@register(
+    "o2_newest_listing",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS modified_at
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 20
+    """,
+    ops=["O2", "S9", "O4"],
+)
+def q_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("modified_at"),
+        )
+        .orderBy(F.desc(F.col("modified_at")), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "x3_artifact_union",
+    """
+    SELECT DISTINCT artifact FROM (
+      SELECT 'texts/doc_' || doc_id::VARCHAR || '.txt' AS artifact
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'output_' || source || '.csv' FROM documents
+      WHERE CASE WHEN length(source) % 2 = 0 THEN TRUE ELSE FALSE END
+      UNION ALL
+      SELECT 'output_' || source || '.json' FROM documents
+      WHERE CASE WHEN length(source) % 2 = 1 THEN TRUE ELSE FALSE END
+      UNION ALL
+      SELECT 'meta.json' FROM documents)
+    """,
+    ops=["X3", "K7"],
+)
+def q_artifact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    texts = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("texts/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "artifact"
+        )
+    )
+    csvs = docs.filter(F.length("source") % 2 == 0).select(
+        F.concat(F.lit("output_"), F.col("source"), F.lit(".csv")).alias("artifact")
+    )
+    jsons = docs.filter(F.length("source") % 2 == 1).select(
+        F.concat(F.lit("output_"), F.col("source"), F.lit(".json")).alias("artifact")
+    )
+    metas = docs.select(F.lit("meta.json").alias("artifact"))
+    return texts.unionByName(csvs).unionByName(jsons).unionByName(metas).distinct()
+
+
+@register(
+    "p5_p6_path_guards",
+    """
+    WITH candidates AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '../escape/doc_' || doc_id::VARCHAR
+                  WHEN doc_id % 5 = 1 THEN 'input/' || source || '/../../etc/passwd'
+                  ELSE 'input/' || source || '/doc_' || doc_id::VARCHAR || '.txt'
+             END AS path
+      FROM documents),
+    safe AS (
+      SELECT * FROM candidates
+      WHERE path NOT LIKE '..%' AND path NOT LIKE '%/../%' AND path LIKE 'input/%'),
+    on_disk AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+    SELECT s.doc_id, s.path FROM safe s
+    WHERE s.doc_id IN (SELECT doc_id FROM on_disk)
+    """,
+    ops=["P5", "P6", "J2"],
+)
+def q_path_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 5 == 0, F.concat(F.lit("../escape/doc_"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("input/"), F.col("source"), F.lit("/../../etc/passwd")))
+        .otherwise(
+            F.concat(F.lit("input/"), F.col("source"), F.lit("/doc_"), i.cast("string"), F.lit(".txt"))
+        )
+    )
+    cand = docs.select(i, path.alias("path"))
+    safe = cand.filter(
+        ~F.col("path").startswith("..")
+        & ~F.col("path").contains("/../")
+        & F.col("path").startswith("input/")
+    )
+    on_disk = docs.filter(i % 2 == 0).select("doc_id")
+    return safe.join(on_disk, "doc_id", "leftsemi")
+
+
+# D10/J3/J4: the model-catalog dimension — a tiny static table broadcast
+# against fact rows (the reference renders it as a grouped dropdown and
+# probes it per job; app.py:24-71, templates/_model_dropdown.html:1-11).
+MODEL_CATALOG = [
+    (0, "openai/gpt-4o", "GPT-4o", "OpenAI"),
+    (1, "anthropic/claude-sonnet", "Claude Sonnet", "Anthropic"),
+    (2, "google/gemini-pro", "Gemini Pro", "Google"),
+    (3, "meta-llama/llama-3", "Llama 3", "Meta"),
+    (4, "mistralai/mistral-large", "Mistral Large", "Mistral"),
+]
+
+
+@register(
+    "j3_j4_model_dim_join",
+    """
+    WITH dim(idx, model_id, label, grp) AS (
+      VALUES (0, 'openai/gpt-4o', 'GPT-4o', 'OpenAI'),
+             (1, 'anthropic/claude-sonnet', 'Claude Sonnet', 'Anthropic'),
+             (2, 'google/gemini-pro', 'Gemini Pro', 'Google'),
+             (3, 'meta-llama/llama-3', 'Llama 3', 'Meta'),
+             (4, 'mistralai/mistral-large', 'Mistral Large', 'Mistral'))
+    SELECT d.grp, d.label,
+           count(*) AS n_jobs,
+           sum(o.o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
+    FROM orders o JOIN dim d ON o.o_orderkey % 5 = d.idx
+    GROUP BY d.grp, d.label
+    """,
+    ops=["J3", "J4", "D10", "G2"],
+)
+def q_model_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        MODEL_CATALOG, "idx long, model_id string, label string, grp string"
+    )
+    return (
+        orders.withColumn("idx", F.col("o_orderkey") % 5)
+        .join(F.broadcast(dim), "idx")
+        .groupBy("grp", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_jobs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Relational headliners: filter-pushdown agg (q6 shape) and semi-join
+# priority check (q4 shape) — the scan-efficiency showcases
+# ===========================================================================
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,6))::DOUBLE AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    ops=["P1", "G2", "EXT-relational"],
+)
+def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    ops=["J2", "G2", "EXT-relational"],
+)
+def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

@@ -1351,8 +1351,13 @@ MODEL_CATALOG = [
 )
 def q_model_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    dim = spark.createDataFrame(
-        MODEL_CATALOG, "idx long, model_id string, label string, grp string"
+    # VALUES literal, not createDataFrame: the dim is plan-embedded (no
+    # Py4J/RDD roundtrip, no extra job) and still broadcast.
+    values = ", ".join(
+        f"({i}, '{m}', '{lb}', '{g}')" for i, m, lb, g in MODEL_CATALOG
+    )
+    dim = spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t(idx, model_id, label, grp)"
     )
     return (
         orders.withColumn("idx", F.col("o_orderkey") % 5)

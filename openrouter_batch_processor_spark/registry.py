@@ -1434,3 +1434,64 @@ def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftsemi",
     )
     return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ===========================================================================
+# P1/P7 sentinels through the LLM map: empty groups and unsupported-only
+# groups short-circuit to data rows, never reaching the transport
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.llm import (  # noqa: E402
+    EMPTY_FOLDER,
+    UNSUPPORTED,
+    LLMConfig,
+    MockTransport,
+    llm_map,
+)
+
+
+@register(
+    "p7_sentinel_groups",
+    """
+    WITH g AS (
+      SELECT source AS group_id,
+             count(*) FILTER (WHERE doc_id % 3 != 0) AS n_supported,
+             count(*) AS n_total
+      FROM documents GROUP BY source)
+    SELECT group_id || '/' AS file,
+           CASE WHEN n_total = 0 THEN 'Empty folder'
+                WHEN n_supported = 0 THEN 'Unsupported file type'
+                ELSE md5('\n' || group_id || ':' || n_supported::VARCHAR)
+           END AS output,
+           TRUE AS ok
+    FROM g
+    """,
+    ops=["P1", "P7", "S10", "T5"],
+)
+def q_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups whose files are all filtered by the P1 extension whitelist
+    (simulated: doc_id % 3 == 0 is 'unsupported') yield the sentinel row;
+    groups with support run the mock transport (worker.py:299-310)."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("doc_id") % 3 != 0, 1)).alias("n_supported"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.concat(F.col("source"), F.lit("/")).alias("group_id"),
+            F.when(F.col("n_total") == 0, F.lit(EMPTY_FOLDER))
+            .when(F.col("n_supported") == 0, F.lit(UNSUPPORTED))
+            .otherwise(F.lit(None))
+            .alias("sentinel"),
+            F.concat(
+                F.regexp_replace(F.col("group_id"), "/$", ""),
+                F.lit(":"),
+                F.col("n_supported").cast("string"),
+            ).alias("prompt"),
+            F.col("n_supported").alias("file_count"),
+        )
+    )
+    out = llm_map(groups, LLMConfig(system_prompt=""), MockTransport)
+    return out.select("file", "output", "ok")

@@ -1,0 +1,129 @@
+"""Physical-plan audit: assert the scale properties of headline queries.
+
+For each audited query, capture .explain("formatted") output and check:
+- column pruning: the parquet ReadSchema only carries needed columns;
+- predicate pushdown where a filter targets scan columns (PushedFilters);
+- broadcast joins for dimension-sized sides (no accidental sort-merge);
+- no BroadcastNestedLoopJoin outside the explicitly brute-force queries;
+- whole-stage codegen present.
+
+Run: python tools/explain_audit.py [sf_dir]   — exits 1 on any violation.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# query -> list of (must_contain, must_not_contain, description)
+AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
+    "q1_pricing_summary": [
+        ("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", None,
+         "shipdate filter reaches the parquet scan"),
+        ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate", None,
+         "scan reads only the 7 needed columns"),
+        ("Exchange (", None, "exactly one shuffle, between partial and final agg"),
+        (None, "SortMergeJoin", "no join at all"),
+    ],
+    "q6_revenue_forecast": [
+        ("PushedFilters:", None, "range+discount filters pushed"),
+        (None, "Exchange hashpartitioning", "global agg needs no hash shuffle"),
+    ],
+    "q3_top_revenue": [
+        ("BroadcastHashJoin", None, "customer-filter side broadcasts"),
+        ("TakeOrderedAndProject", None, "top-k, not a global sort"),
+    ],
+    "j3_j4_model_dim_join": [
+        ("BroadcastHashJoin", None, "5-row dim is broadcast"),
+        (None, "SortMergeJoin", "no shuffle join against a 5-row dim"),
+    ],
+    "q4_priority_check": [
+        ("LeftSemi", None, "EXISTS compiles to a semi join"),
+        ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate", None,
+         "orderdate filter pushed to orders scan"),
+    ],
+    "o3_sort_topk": [
+        ("TakeOrderedAndProject", None, "limit+orderBy is TakeOrdered (O(k) heap/partition)"),
+    ],
+    "o2_newest_listing": [
+        ("TakeOrderedAndProject", None, "newest-20 is TakeOrdered, not full sort"),
+    ],
+    "dedup_minhash_bands": [
+        (None, "Exchange", "signature computation is narrow — zero shuffles"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", None,
+         "documents scan pruned to id+text"),
+    ],
+    "text_token_stats": [
+        (None, "BroadcastNestedLoopJoin", "narrow per-row stats"),
+    ],
+    "llm_pipeline_mock": [
+        ("ReadSchema: struct<doc_id:bigint,text:string,source:string>", None,
+         "documents scan pruned to 3 columns"),
+        ("MapInPandas", None, "LLM map runs as Arrow-batched MapInPandas"),
+    ],
+    "x1_exact_dedup": [
+        ("HashAggregate", None, "dedup is a hash agg on the fingerprint"),
+        (None, "SortAggregate", "no sort-based agg fallback"),
+    ],
+    "events_tumbling": [
+        ("ReadSchema: struct<ts:bigint,event_type:string,value:double>",
+         None, "events scan pruned to exactly ts/type/value"),
+    ],
+}
+
+# Queries where a nested-loop join is the documented intent.
+BRUTE_FORCE_OK = {"sim_neardup_pairs", "sim_topk_bruteforce", "sim_ivf_topk"}
+
+
+def main() -> int:
+    from openrouter_batch_processor_spark.registry import REGISTRY
+    from openrouter_batch_processor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for name, checks in AUDITS.items():
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        for must, must_not, why in checks:
+            ok = True
+            if must is not None and must not in plan:
+                # second element doubles as an alternative "must" when
+                # both are set (either satisfies)
+                if must_not is not None and must_not in plan:
+                    pass
+                else:
+                    ok = False
+            elif must is None and must_not is not None and must_not in plan:
+                ok = False
+            status = "ok  " if ok else "FAIL"
+            if not ok:
+                failures += 1
+            print(f"{status} {name}: {why}")
+
+    # global check: no unexpected nested-loop joins anywhere
+    for name, spec in REGISTRY.items():
+        if name in BRUTE_FORCE_OK or name in AUDITS:
+            continue
+        plan = plan_of(spec.fn(spark, sf_dir))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            failures += 1
+            print(f"FAIL {name}: unexpected nested-loop/cartesian join")
+    print(f"\n{failures} violations")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

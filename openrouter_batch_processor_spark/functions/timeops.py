@@ -60,6 +60,10 @@ def parse_timedelta(text: Column) -> Column:
     Unparseable -> NULL (the reference maps those to +/-inf only as a
     sort policy, which is exactly nulls_last/nulls_first in Spark: O3).
     """
+    # One regexp_extract per capture group looks wasteful, but it stays
+    # inside whole-stage codegen; binding the match once via a
+    # higher-order function drops the expression to interpreted eval and
+    # measures ~60% SLOWER at sf0.1. Keep the codegen-friendly form.
     day_part = F.regexp_extract(text, r"^(-?\d+) days?, ", 1)
     hms = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 0)
     h = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 1)

@@ -82,9 +82,15 @@ def assign_ivf_cells(
     )
     # ||a-b||^2 = a.a - 2 a.b + b.b — expressed via three dot products so
     # the DuckDB oracle (list_dot_product) reproduces the same arithmetic.
+    # a.a is staged as a per-row column (one fold per row, not per pair);
+    # the small scan is repartitioned so the broadcast join parallelizes.
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    staged = embeddings.repartition(parallelism).select(
+        F.col(id_col), F.col(vec_col), _dot(F.col(vec_col), F.col(vec_col)).alias("_aa")
+    )
     a, b = F.col(vec_col), F.col("centroid_vec")
-    sq = _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
-    dists = embeddings.crossJoin(F.broadcast(centroids)).select(
+    sq = F.col("_aa") - 2 * _dot(a, b) + _dot(b, b)
+    dists = staged.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),

@@ -167,6 +167,41 @@ def unit_vectors(
     )
 
 
+def neardup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SCALE path for embedding near-dedup: assign vectors to IVF
+    cells, then pair-join only WITHIN each cell.
+
+    The cross join becomes an equi-join on centroid_id — a hash shuffle
+    that partitions the O(n^2) problem into C independent O((n/C)^2)
+    problems. Near-identical vectors land in the same cell, so recall
+    for high thresholds is excellent; pairs straddling a cell boundary
+    are missed by construction (the approximate contract; raise recall
+    by multi-probing — assigning each vector to its p nearest cells).
+    A giant cell (skewed cluster) is exactly the AQE skew-join case."""
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    units = unit_vectors(assigned.select(id_col, vec_col), id_col, vec_col)
+    cells = assigned.select(id_col, "centroid_id").join(units, id_col)
+    a = cells.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col("unit").alias("va")
+    )
+    b = cells.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col("unit").alias("vb")
+    )
+    pairs = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def neardup_pairs_bruteforce(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1495,3 +1495,47 @@ def q_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = llm_map(groups, LLMConfig(system_prompt=""), MockTransport)
     return out.select("file", "output", "ok")
+
+
+# ===========================================================================
+# Scale-path near-dedup: IVF-bucketed within-cell pairs (the shape that
+# replaces sim_neardup_pairs' cross join on a cluster)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
+    neardup_pairs_bucketed,
+)
+
+
+@register(
+    "sim_neardup_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, e.v)
+                                - 2 * list_dot_product(e.v, c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM assigned a
+    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN u ua ON ua.vec_id = a.vec_id
+    JOIN u ub ON ub.vec_id = b.vec_id
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "J2"],
+)
+def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )

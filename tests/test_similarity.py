@@ -1,0 +1,82 @@
+"""Similarity operator semantics: cosine properties, top-k ordering,
+IVF pruning vs brute force, bucketed vs brute-force near-dup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.similarity import (
+    assign_ivf_cells,
+    ivf_topk,
+    neardup_pairs_bruteforce,
+    neardup_pairs_bucketed,
+    topk_bruteforce,
+    unit_vectors,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 3 tight clusters around orthogonal axes + exact duplicates
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    # interleaved so vec_ids 0..2 (the deterministic centroid seeds) are
+    # one pure vector per cluster
+    rows = []
+    vid = 0
+    for jitter in (0.0, 0.01, 0.02, 0.03):
+        for c, v in base.items():
+            vec = [x + (jitter if i == (c + 1) % 4 else 0.0) for i, x in enumerate(v)]
+            rows.append((vid, vec, c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestUnitVectors:
+    def test_unit_norm(self, spark, emb):
+        for r in unit_vectors(emb).collect():
+            n = math.sqrt(sum(x * x for x in r["unit"]))
+            assert abs(n - 1.0) < 1e-9
+
+
+class TestTopK:
+    def test_self_is_top1(self, spark, emb):
+        rows = topk_bruteforce(emb, [1.0, 0.0, 0.0, 0.0], k=4).collect()
+        assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_ivf_matches_bruteforce_on_clusters(self, spark, emb):
+        q = [0.0, 1.0, 0.0, 0.0]
+        bf = [r["vec_id"] for r in topk_bruteforce(emb, q, k=3).collect()]
+        ivf = [
+            r["vec_id"]
+            for r in ivf_topk(emb, q, k=3, n_centroids=3, nprobe=2).collect()
+        ]
+        # the query's own cluster is within the probed cells
+        assert set(bf[:2]) <= set(ivf)
+
+
+class TestNearDup:
+    def test_bucketed_is_subset_of_bruteforce(self, spark, emb):
+        bf = {(r["id_a"], r["id_b"]) for r in neardup_pairs_bruteforce(emb, 0.95).collect()}
+        bucketed = {
+            (r["id_a"], r["id_b"])
+            for r in neardup_pairs_bucketed(emb, 0.95, n_centroids=3).collect()
+        }
+        assert bucketed <= bf
+        # within-cluster near-identical pairs are found
+        assert any(a % 3 == b % 3 for a, b in bucketed)
+
+    def test_cell_assignment_groups_clusters(self, spark, emb):
+        cells = {r["vec_id"]: r["centroid_id"] for r in assign_ivf_cells(emb, 3).collect()}
+        # members of each jitter-cluster (ids ≡ c mod 3) share one cell
+        for c in range(3):
+            ids = [c + 3 * j for j in range(4)]
+            assert len({cells[i] for i in ids}) == 1

@@ -1539,3 +1539,80 @@ def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_bucketed(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# ===========================================================================
+# Sliding event-time windows + keep-first dedup policy
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first  # noqa: E402
+
+
+@register(
+    "events_sliding",
+    # A sliding window (2h width, 1h slide) is the union of 2 shifted
+    # tumbling assignments — each event belongs to exactly 2 windows.
+    """
+    WITH assigned AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('hour', ts - INTERVAL 1 HOUR), '%Y-%m-%d %H:%M:%S'),
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+    ops=["EXT-windows", "T1"],
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "x1_dedup_keep_first",
+    # Fingerprint = first 5 normalized tokens (boilerplate prefix), so
+    # the keep-policy actually collapses rows at test scale.
+    """
+    WITH fp AS (
+      SELECT *, md5(array_to_string(list_slice(
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 1, 5), ' ')) AS fingerprint
+      FROM documents),
+    survivors AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, f.lang, f.source, f.n_chars
+    FROM fp f JOIN survivors s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint
+    """,
+    ops=["X1", "X2", "EXT-dedup-policy"],
+)
+def q_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5)
+    )
+    keyed = docs.withColumn("_k", prefix)
+    out = dedup_keep_first(keyed, id_col="doc_id", text_col="_k")
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -78,3 +78,32 @@ class TestProgressStream:
             for r in spark.table("progress_test").collect()
         }
         assert got == {"job1": (3, 2, 1), "job2": (1, 1, 0)}
+
+
+class TestStreamingLLM:
+    def test_llm_map_over_stream(self, spark, tmp_path):
+        """S10 on a stream: groups arriving as files flow through the
+        same mapInPandas operator used in batch (micro-batch execution),
+        with identical outputs."""
+        from hashlib import md5
+
+        from openrouter_batch_processor_spark.operators.llm import (
+            LLMConfig,
+            MockTransport,
+            llm_map,
+        )
+
+        src = tmp_path / "groups"
+        src.mkdir()
+        batch_df = spark.createDataFrame(
+            [(f"g{i}/", f"prompt {i}", 1, None) for i in range(8)],
+            "group_id string, prompt string, file_count long, sentinel string",
+        )
+        batch_df.coalesce(2).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+        out = llm_map(stream, LLMConfig(system_prompt="s"), MockTransport)
+        run_to_memory(out, "llm_stream_test", output_mode="append")
+        rows = {r["file"]: r["output"] for r in spark.table("llm_stream_test").collect()}
+        assert rows == {
+            f"g{i}/": md5(f"s\nprompt {i}".encode()).hexdigest() for i in range(8)
+        }

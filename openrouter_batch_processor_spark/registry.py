@@ -1616,3 +1616,73 @@ def q_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.withColumn("_k", prefix)
     out = dedup_keep_first(keyed, id_col="doc_id", text_col="_k")
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# ===========================================================================
+# Composite training-corpus preparation: dedup -> language filter ->
+# quality gate -> per-source stats (the end-to-end LLM-data-prep chain)
+# ===========================================================================
+
+
+@register(
+    "corpus_prep_pipeline",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang, source, n_chars,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+      FROM documents),
+    fp AS (
+      SELECT *, md5(array_to_string(list_slice(string_split(norm_text, ' '), 1, 5), ' ')) AS fingerprint
+      FROM norm),
+    survivors AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    deduped AS (
+      SELECT f.* FROM fp f
+      JOIN survivors s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint),
+    gated AS (
+      SELECT *,
+             CASE WHEN norm_text = '' THEN 0
+                  ELSE len(string_split(norm_text, ' ')) END AS n_tokens
+      FROM deduped
+      WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 100),
+    final AS (SELECT * FROM gated WHERE n_tokens >= 20)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(sum(n_chars)::DOUBLE / sum(n_tokens), 6) AS chars_per_token
+    FROM final
+    GROUP BY source, lang
+    """,
+    ops=["X1", "P1", "G2", "EXT-tokens", "EXT-quality", "EXT-dedup-policy"],
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain every pretraining-data pipeline runs: exact-dedup (keep
+    first by boilerplate-prefix fingerprint), language whitelist, length
+    quality gates, then per-(source, lang) token accounting. One Spark
+    plan: narrow fingerprint -> one dedup shuffle -> pushed-down filters
+    -> one agg shuffle."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+    from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_norm", normalize_text(F.col("text"))
+    )
+    keyed = docs.withColumn(
+        "_k", F.concat_ws(" ", F.slice(F.split(F.col("_norm"), " "), 1, 5))
+    )
+    deduped = dedup_keep_first(keyed, id_col="doc_id", text_col="_k")
+    gated = deduped.filter(
+        F.col("lang").isin("en", "fr", "de") & (F.col("n_chars") >= 100)
+    ).withColumn(
+        "n_tokens",
+        F.when(F.col("_norm") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("_norm"), " "))
+        ),
+    )
+    final = gated.filter(F.col("n_tokens") >= 20)
+    return final.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )

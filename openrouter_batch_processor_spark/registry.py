@@ -1686,3 +1686,181 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ===========================================================================
+# As-of join, SimHash hamming candidate pairs, window ranking/lag,
+# skew-safe exact distinct — extension operators round 2
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.asof import (  # noqa: E402
+    asof_join,
+    latest_per_ts,
+)
+from openrouter_batch_processor_spark.operators.skew import (  # noqa: E402
+    salted_distinct_count,
+)
+
+
+@register(
+    "asof_trade_quote",
+    """
+    WITH q AS (
+      SELECT user_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1),
+    t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT t.event_id, t.user_id,
+           strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS trade_ts,
+           strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS quote_ts,
+           round(q.value::DOUBLE, 6) AS quote_value
+    FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+    ops=["EXT-asof", "J2", "O1"],
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest click at or before each purchase' per user — the as-of
+    join, checked against DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    quotes = latest_per_ts(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id"),
+        ["user_id"], "ts", "event_id",
+    ).drop("event_id")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(trades, quotes, keys=["user_id"], ts_col="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("trade_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("quote_ts"),
+        F.round(F.col("asof_value").cast("double"), 6).alias("quote_value"),
+    )
+
+
+_SIMHASH_CTE = """
+    t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
+    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok != '' GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM cnts),
+    votes AS (
+      SELECT doc_id, r.bit, sum(cnt * (((hv >> r.bit) & 1) * 2 - 1)) AS v
+      FROM h CROSS JOIN range(0, 32) r(bit)
+      GROUP BY doc_id, r.bit),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+      FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_key
+      FROM sh CROSS JOIN range(0, 4) b(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+                      c.doc_id AS id_b, c.simhash AS sim_b
+      FROM bands a JOIN bands c ON a.band = c.band AND a.band_key = c.band_key
+      WHERE a.doc_id < c.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """,
+    ops=["EXT-simhash", "EXT-neardup", "J2"],
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates: 4 bands of 8 bits; docs
+    sharing any band bucket are candidates, verified by full hamming
+    distance (<= 6 of 32 bits). Same LSH join shape as minhash —
+    candidate generation is O(near-dups), never all-pairs."""
+    from openrouter_batch_processor_spark.operators.dedup import simhash
+
+    sh = simhash(_t(spark, sf_dir, "documents"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        # SQL form: the PySpark shiftright() only takes literal shifts
+        "band_key",
+        F.expr("shiftright(simhash, band * 8) & 255"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sim_a", "id_b", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@register(
+    "w_rank_lag_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             o_orderdate
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk,
+           date_diff('day', prev_date, o_orderdate) AS days_since_prev
+    FROM ranked WHERE rnk <= 3
+    """,
+    ops=["O3", "W1", "EXT-relational"],
+)
+def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price + days since previous order —
+    ranking and lag windows (one shuffle on o_custkey, shared by both
+    windows)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_price).alias("rnk"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w_date)
+            ).alias("days_since_prev"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "g_distinct_users_salted",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    ops=["G2", "EXT-skew"],
+)
+def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via the two-phase salted aggregation
+    (operators/skew.py) — identical results to a plain COUNT(DISTINCT),
+    but a hot key's distinct-set never sits in one task."""
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev.select("event_type", "user_id"), ["event_type"], "user_id")

@@ -1864,3 +1864,110 @@ def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     but a hot key's distinct-set never sits in one task."""
     ev = _t(spark, sf_dir, "events")
     return salted_distinct_count(ev.select("event_type", "user_id"), ["event_type"], "user_id")
+
+
+# ===========================================================================
+# Range join (banded), time-hierarchy rollup, KMV distinct sketch
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.rangejoin import (  # noqa: E402
+    banded_range_count,
+)
+from openrouter_batch_processor_spark.operators.sketches import kmv_distinct  # noqa: E402
+
+
+@register(
+    "range_join_nearby_clicks",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           count(c.ts) AS n_in_range
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    ops=["EXT-rangejoin", "J2"],
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±30 min of each purchase (same user) — banded
+    range join vs DuckDB's native IEJoin range join as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = banded_range_count(
+        purchases, clicks, keys=["user_id"], ts_col="ts", window_seconds=1800
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "n_in_range",
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    """
+    WITH e AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             extract(hour FROM ts) AS hour, value
+      FROM events)
+    SELECT day, hour,
+           GROUPING(day) AS g_day, GROUPING(hour) AS g_hour,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM e
+    GROUP BY ROLLUP(day, hour)
+    """,
+    ops=["EXT-rollup", "G2", "EXT-windows"],
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: (day, hour) -> day -> grand
+    total in ONE pass (Spark expands grouping sets with partial aggs —
+    no per-level rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        "value",
+    )
+    return e.rollup("day", "hour").agg(
+        F.grouping("day").cast("long").alias("g_day"),
+        F.grouping("hour").cast("long").alias("g_hour"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6).alias(
+            "value_sum"
+        ),
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    s AS (SELECT event_type,
+                 count(*) AS n_hashes,
+                 max(CASE WHEN rn = 16 THEN hv END) AS kth
+          FROM r GROUP BY event_type)
+    SELECT event_type, n_hashes,
+           CASE WHEN n_hashes < 16 THEN n_hashes::DOUBLE
+                ELSE round(15 / (kth / 4294967296.0), 6)
+           END AS distinct_est
+    FROM s
+    """,
+    ops=["EXT-sketch", "G2"],
+)
+def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")

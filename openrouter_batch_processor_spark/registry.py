@@ -1971,3 +1971,50 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return kmv_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")
+
+
+# ===========================================================================
+# Rows-only entries (sql=None -> driver records the weaker rows/schema
+# check): multimodal decode plumbing and a true Structured Streaming run
+# ===========================================================================
+
+
+@register("multimodal_features", None, ops=["D6", "S4", "EXT-multimodal"])
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media pipeline plumbing over real data: documents' text bytes as
+    opaque payloads -> media_table -> deterministic fake decode via
+    mapInPandas (the container has no codec libs; the Spark-side schema,
+    batching, and error-as-data contract are the real thing)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        extract_features,
+        media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("img/doc_"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".jpg"),
+        ).alias("rel_path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return extract_features(media_table(files)).drop("checksum").orderBy("media_id")
+
+
+@register("streaming_tumbling_availablenow", None, ops=["T1", "T2", "EXT-windows"])
+def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file-source stream over the
+    events parquet, watermarked tumbling aggregation, availableNow
+    trigger into a memory sink — returned as the batch of results. The
+    batch twin (events_tumbling) is the value-checked oracle; equality
+    of the two is asserted in tests/test_streaming.py."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    stream = tumbling_counts_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_tumbling")
+    return spark.table("registry_stream_tumbling")

@@ -2018,3 +2018,148 @@ def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts_stream(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "registry_stream_tumbling")
     return spark.table("registry_stream_tumbling")
+
+
+# ===========================================================================
+# Multi-signal dedup, length histograms + exact median, deterministic
+# stratified sampling — training-pipeline utilities round 3
+# ===========================================================================
+
+
+@register(
+    "dedup_multisignal",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh_set x ON x.doc_id = c.id_a
+      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT j.id_a, j.id_b, j.jaccard,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM jac j
+    JOIN u ua ON ua.vec_id = j.id_a
+    JOIN u ub ON ub.vec_id = j.id_b
+    """,
+    ops=["EXT-minhash", "EXT-jaccard", "EXT-neardup", "J2"],
+)
+def q_multisignal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dedup: text LSH candidates verified by BOTH
+    n-gram Jaccard and embedding cosine (documents.doc_id aligns with
+    embeddings.vec_id). Real pretraining dedup crosses signals exactly
+    like this — lexical match catches templates, embedding catches
+    paraphrase; the join of the two is the high-precision kill list."""
+    from openrouter_batch_processor_spark.operators.dedup import ngram_jaccard_pairs
+    from openrouter_batch_processor_spark.operators.similarity import unit_vectors
+
+    jac = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    units = unit_vectors(_t(spark, sf_dir, "embeddings"))
+    ua = units.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("_ua"))
+    ub = units.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("_ub"))
+    from openrouter_batch_processor_spark.operators.similarity import _dot
+
+    return (
+        jac.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(_dot(F.col("_ua"), F.col("_ub")), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "stats_length_histogram",
+    """
+    SELECT source,
+           least((n_chars // 100), 9) AS bucket,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source, least((n_chars // 100), 9)
+    """,
+    ops=["G4", "EXT-quality"],
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per source: fixed 100-char buckets,
+    top-capped — the distribution profile a corpus QA step produces."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    return docs.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "stats_exact_median",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source, n AS n_docs, n_chars AS median_chars
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    ops=["G2", "O3", "EXT-quality"],
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median by rank — engine-portable (interpolating
+    percentile implementations differ; the rank formulation doesn't).
+    One shuffle on source shared by both windows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == (F.col("n") + 1) / 2).select(
+        "source", F.col("n").alias("n_docs"), F.col("n_chars").alias("median_chars")
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 20 ELSE 10 END
+    """,
+    ops=["P1", "EXT-sampling"],
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates via a hash
+    gate (md5 of the id) — reproducible on any engine and any partition
+    layout, unlike rand()-based sampling. The standard way to cut
+    per-source/per-language quotas into a 100 TB corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(10)
+    return docs.filter(h % 100 < rate).select("doc_id", "lang", "source")

@@ -1,0 +1,171 @@
+"""The reference's §3.1 job lifecycle as one callable: a user of the
+reference switches by constructing JobConfig and calling run_job.
+
+    POST / submission          -> JobConfig (plans/config.py)
+    prepare_job_input          -> sources: folder scan or zip ingest
+    process_job loop           -> group -> prompt -> LLM map (mock or HTTP)
+    sinks                      -> output.csv / output.json / per-group
+                                  texts / concat+renumber / meta.json /
+                                  deterministic results zip
+
+Each stage is the already-tested operator; this module only wires them
+in the reference's order (app.py:642-656, worker.py:246-437) and
+returns the artifact manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.grouping import build_groups
+from openrouter_batch_processor_spark.operators.llm import (
+    EMPTY_FOLDER,
+    LLMConfig,
+    MockTransport,
+    UNSUPPORTED,
+    llm_map,
+)
+from openrouter_batch_processor_spark.plans.config import JobConfig
+from openrouter_batch_processor_spark.sinks.artifacts import (
+    concatenated_text,
+    json_rows,
+    package_results_zip,
+    render_output_json,
+    write_group_texts,
+    write_inventory_csv,
+    write_job_meta,
+    write_results_csv,
+)
+from openrouter_batch_processor_spark.sources.ingest import (
+    decode_text_files,
+    file_inventory,
+    scan_files,
+    zip_members,
+)
+
+
+@dataclass
+class JobResult:
+    results: DataFrame
+    artifacts: list[str]
+    results_zip: str
+
+
+def _labeled_prompts(groups: DataFrame, footer: str) -> DataFrame:
+    """F9/F10/F8: label members when multi-file/folder, join with blank
+    lines, append the configured footer; emit P1/P7 sentinels."""
+    multi = (F.size("members") > 1) | F.col("is_folder")
+    labeled = F.transform(
+        F.col("members"),
+        lambda m: F.when(
+            multi, F.concat(F.lit("File: "), m["rel_path"], F.lit("\n"), m["text"])
+        ).otherwise(m["text"]),
+    )
+    prompt = F.concat_ws("\n\n", labeled)
+    if footer.strip():
+        from openrouter_batch_processor_spark.functions.textops import append_footer
+
+        prompt = append_footer(prompt, F.lit(footer))
+    return groups.select(
+        "group_id",
+        prompt.alias("prompt"),
+        F.col("file_count"),
+        F.col("is_folder"),
+        F.when(F.col("file_count") == 0, F.lit(EMPTY_FOLDER))
+        .when(F.col("supported_count") == 0, F.lit(UNSUPPORTED))
+        .otherwise(F.lit(None))
+        .alias("sentinel"),
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    config: JobConfig,
+    job_dir: str,
+    transport_factory=MockTransport,
+) -> JobResult:
+    """Execute one job end-to-end; artifacts land under job_dir."""
+    config.validate()
+    kind, ref = config.resolved_input()
+
+    if kind == "folder":
+        files = scan_files(spark, ref)
+    else:  # existing zip or upload: distributed member ingest (S5/S6)
+        members = zip_members(spark, ref)
+        files = members.select(
+            F.col("zip_path").alias("path"),
+            F.col("rel_path"),
+            F.col("length"),
+            F.col("content"),
+            F.current_timestamp().alias("mtime"),
+        )
+
+    texts = decode_text_files(files)
+    supported = texts.select("rel_path", "text")
+    # group over ALL files (unsupported members still form groups and
+    # produce the sentinel row, worker.py:309-310)
+    all_files = files.select("rel_path").join(
+        supported, "rel_path", "left"
+    )
+    groups = build_groups(all_files, path_col="rel_path", text_col="text",
+                          group_by_subfolder=config.group_by_subfolder)
+    groups = groups.withColumn(
+        "supported_count",
+        F.size(F.filter(F.col("members"), lambda m: m["text"].isNotNull())),
+    ).withColumn(
+        "members",
+        F.filter(F.col("members"), lambda m: m["text"].isNotNull()),
+    )
+
+    prompts = _labeled_prompts(groups, config.footer)
+    llm_cfg = LLMConfig(
+        system_prompt=config.system_prompt,
+        model=config.resolved_model(),
+        reasoning_mode=config.reasoning_mode,
+    )
+    results = llm_map(prompts, llm_cfg, transport_factory)
+
+    os.makedirs(job_dir, exist_ok=True)
+    formats = config.resolved_formats()
+    flags = prompts.select(F.col("group_id"), "is_folder")
+    flagged = results.join(flags, results["file"] == flags["group_id"]).select(
+        "file", "output", "ok", "is_folder"
+    )
+
+    if "csv" in formats:
+        write_results_csv(results, job_dir)
+        write_inventory_csv(file_inventory(files), job_dir)
+    if "json" in formats:
+        rows = [r.asDict() for r in json_rows(results).orderBy("file_name").collect()]
+        with open(os.path.join(job_dir, "output.json"), "w", encoding="utf-8") as fh:
+            fh.write(render_output_json(rows))
+    if "text" in formats:
+        if config.separate_outputs:
+            write_group_texts(flagged, os.path.join(job_dir, "texts"))
+        else:
+            concat = concatenated_text(results).head()["text"]
+            with open(
+                os.path.join(job_dir, "results_concat.txt"), "w", encoding="utf-8"
+            ) as fh:
+                fh.write(concat)
+
+    write_job_meta(
+        {
+            "api_key": config.api_key,
+            "model": config.resolved_model(),
+            "system_prompt": config.system_prompt,
+            "output_formats": formats,
+            "group_by_subfolder": config.group_by_subfolder,
+            "separate_outputs": config.separate_outputs,
+            "input_source": kind,
+            "source_route": config.source_route,
+        },
+        os.path.join(job_dir, "meta.json"),
+    )
+    zip_path = os.path.join(job_dir, "results.zip")
+    packed = package_results_zip(zip_path, job_dir, formats)
+    return JobResult(results=results, artifacts=packed, results_zip=zip_path)

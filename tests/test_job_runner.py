@@ -1,0 +1,87 @@
+"""run_job end-to-end: folder route, zip route, format selection,
+sentinel rows, artifact manifest."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+
+from openrouter_batch_processor_spark.plans.config import JobConfig
+from openrouter_batch_processor_spark.plans.job_runner import run_job
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = tmp_path / "in"
+    (root / "alpha").mkdir(parents=True)
+    (root / "alpha" / "a.txt").write_text("alpha a")
+    (root / "alpha" / "b.txt").write_text("alpha b")
+    (root / "alpha" / "img.png").write_bytes(b"binary")  # unsupported in group
+    (root / "bad").mkdir()
+    (root / "bad" / "img.png").write_bytes(b"binary")  # unsupported-only group
+    (root / "loose.txt").write_text("loose")
+    return root
+
+
+class TestFolderRoute:
+    def test_artifacts_and_sentinels(self, spark, tmp_path, tree):
+        cfg = JobConfig(
+            api_key="k-abcdefgh",
+            system_prompt="sys",
+            input_folder=str(tree),
+            output_formats=["csv", "json", "text"],
+            separate_outputs=True,
+            footer="-- end --",
+        )
+        job_dir = tmp_path / "job"
+        res = run_job(spark, cfg, str(job_dir))
+        rows = {r["file"]: r for r in res.results.collect()}
+        assert set(rows) == {"alpha/", "bad/", "loose.txt"}
+        assert rows["bad/"]["output"] == "Unsupported file type"
+        assert rows["alpha/"]["ok"] is True
+
+        assert (job_dir / "meta.json").exists()
+        meta = json.loads((job_dir / "meta.json").read_text())
+        assert meta["api_key_last8"] == "abcdefgh"
+        assert "api_key" not in meta
+
+        with zipfile.ZipFile(res.results_zip) as zf:
+            names = zf.namelist()
+        assert "meta.json" in names
+        assert any(n.startswith("texts/") for n in names)
+        assert any(n.startswith("output.csv/") for n in names)
+        assert "output.json" in names
+
+    def test_concat_route(self, spark, tmp_path, tree):
+        cfg = JobConfig(
+            api_key="k",
+            system_prompt="s",
+            input_folder=str(tree),
+            output_formats=["text"],
+            separate_outputs=False,
+        )
+        job_dir = tmp_path / "job2"
+        res = run_job(spark, cfg, str(job_dir))
+        concat = (job_dir / "results_concat.txt").read_text()
+        assert concat.count("\n") == 2  # 3 groups joined
+        assert "results_concat.txt" in res.artifacts
+
+
+class TestZipRoute:
+    def test_zip_ingest(self, spark, tmp_path):
+        zpath = tmp_path / "input.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.writestr("g1/x.txt", "one")
+            zf.writestr("g1/y.txt", "two")
+            zf.writestr("solo.txt", "three")
+        cfg = JobConfig(
+            api_key="k", system_prompt="s", input_zip=str(zpath), output_formats=["csv"]
+        )
+        job_dir = tmp_path / "job3"
+        res = run_job(spark, cfg, str(job_dir))
+        rows = {r["file"]: r["ok"] for r in res.results.collect()}
+        assert rows == {"g1/": True, "solo.txt": True}
+        assert (job_dir / "output.csv").exists()
+        assert (job_dir / "input.csv").exists()

@@ -2163,3 +2163,89 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 20).otherwise(10)
     return docs.filter(h % 100 < rate).select("doc_id", "lang", "source")
+
+
+# ===========================================================================
+# D7 full-width usage fold: all 9 token fields + 4 cost fields + byok,
+# with per-field malformed-value tolerance (worker.py:110-176 parity)
+# ===========================================================================
+
+
+@register(
+    "g2_usage_full_tolerant",
+    """
+    WITH usage AS (
+      SELECT user_id % 8 AS job_id,
+             event_type != 'error' AS ok,
+             user_id % 7 = 0 AS is_byok,
+             -- malformed every 11th row: try_cast -> NULL -> treated as 0
+             CASE WHEN event_id % 11 = 0 THEN 'garbage'
+                  ELSE (floor(value * 10)::BIGINT)::VARCHAR END AS prompt_tokens,
+             (floor(value * 3)::BIGINT)::VARCHAR AS completion_tokens,
+             (floor(value * 13)::BIGINT)::VARCHAR AS total_tokens,
+             (floor(value)::BIGINT)::VARCHAR AS reasoning_tokens,
+             (floor(value * 2)::BIGINT)::VARCHAR AS cached_tokens,
+             (floor(value / 2)::BIGINT)::VARCHAR AS cache_write_tokens,
+             (event_id % 3)::VARCHAR AS audio_tokens,
+             (event_id % 2)::VARCHAR AS video_tokens,
+             (event_id % 5)::VARCHAR AS image_tokens,
+             CASE WHEN event_id % 13 = 0 THEN 'NaNish'
+                  ELSE (value * 0.0001)::VARCHAR END AS cost,
+             (value * 0.00002)::VARCHAR AS upstream_inference_cost,
+             (value * 0.00001)::VARCHAR AS discount,
+             (value * 0.00003)::VARCHAR AS upstream_cost
+      FROM events)
+    SELECT job_id,
+           count(*) AS api_requests,
+           count(CASE WHEN ok THEN 1 END) AS successful_requests,
+           count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
+           count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
+           sum(coalesce(TRY_CAST(prompt_tokens AS BIGINT), 0)) AS prompt_tokens_sum,
+           sum(coalesce(TRY_CAST(completion_tokens AS BIGINT), 0)) AS completion_tokens_sum,
+           sum(coalesce(TRY_CAST(total_tokens AS BIGINT), 0)) AS total_tokens_sum,
+           sum(coalesce(TRY_CAST(reasoning_tokens AS BIGINT), 0)) AS reasoning_tokens_sum,
+           sum(coalesce(TRY_CAST(cached_tokens AS BIGINT), 0)) AS cached_tokens_sum,
+           sum(coalesce(TRY_CAST(cache_write_tokens AS BIGINT), 0)) AS cache_write_tokens_sum,
+           sum(coalesce(TRY_CAST(audio_tokens AS BIGINT), 0)) AS audio_tokens_sum,
+           sum(coalesce(TRY_CAST(video_tokens AS BIGINT), 0)) AS video_tokens_sum,
+           sum(coalesce(TRY_CAST(image_tokens AS BIGINT), 0)) AS image_tokens_sum,
+           round(sum(coalesce(TRY_CAST(cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum,
+           round(sum(coalesce(TRY_CAST(upstream_inference_cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS upstream_inference_cost_sum,
+           round(sum(coalesce(TRY_CAST(discount AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS discount_sum,
+           round(sum(coalesce(TRY_CAST(upstream_cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS upstream_cost_sum
+    FROM usage GROUP BY job_id
+    """,
+    ops=["G2", "G6", "D7"],
+)
+def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete 20-field accumulator, fed string-typed
+    fields with injected garbage: try_cast tolerance must skip bad
+    values per field without dropping the row (worker.py:153-176)."""
+    from openrouter_batch_processor_spark.operators.aggregates import usage_summary
+
+    e = _t(spark, sf_dir, "events")
+    v, eid = F.col("value"), F.col("event_id")
+    as_str = lambda c: c.cast("long").cast("string")  # noqa: E731
+    usage = e.select(
+        (F.col("user_id") % 8).alias("job_id"),
+        (F.col("event_type") != "error").alias("ok"),
+        (F.col("user_id") % 7 == 0).alias("is_byok"),
+        F.when(eid % 11 == 0, F.lit("garbage"))
+        .otherwise(as_str(F.floor(v * 10)))
+        .alias("prompt_tokens"),
+        as_str(F.floor(v * 3)).alias("completion_tokens"),
+        as_str(F.floor(v * 13)).alias("total_tokens"),
+        as_str(F.floor(v)).alias("reasoning_tokens"),
+        as_str(F.floor(v * 2)).alias("cached_tokens"),
+        as_str(F.floor(v / 2)).alias("cache_write_tokens"),
+        (eid % 3).cast("string").alias("audio_tokens"),
+        (eid % 2).cast("string").alias("video_tokens"),
+        (eid % 5).cast("string").alias("image_tokens"),
+        F.when(eid % 13 == 0, F.lit("NaNish"))
+        .otherwise((v * 0.0001).cast("string"))
+        .alias("cost"),
+        (v * 0.00002).cast("string").alias("upstream_inference_cost"),
+        (v * 0.00001).cast("string").alias("discount"),
+        (v * 0.00003).cast("string").alias("upstream_cost"),
+    )
+    return usage_summary(usage, ["job_id"])

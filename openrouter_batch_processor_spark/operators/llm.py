@@ -142,7 +142,10 @@ def llm_map(
     # throttling is actually requested — it forces plan analysis.
     per_part_interval = 0.0
     if rate > 0:
-        num_parts = max(groups.rdd.getNumPartitions(), 1)
+        # .rdd is unavailable on a streaming DataFrame; there, pace each
+        # micro-batch partition at the full configured rate (partition
+        # count is unknown until execution).
+        num_parts = 1 if groups.isStreaming else max(groups.rdd.getNumPartitions(), 1)
         per_part_interval = num_parts / rate
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -62,9 +62,14 @@ def scan_files(spark: SparkSession, root: str, recursive: bool = True) -> DataFr
         .option("recursiveFileLookup", str(recursive).lower())
         .load(root)
     )
+    # Strip the root prefix by LENGTH, not regex — a root containing
+    # regex metacharacters ('+', '(', ...) must not change semantics.
     root_norm = root.rstrip("/") + "/"
-    rel = F.regexp_replace(F.col("path"), r"^file:", "")
-    rel = F.regexp_replace(rel, F.lit(root_norm), F.lit(""))
+    no_scheme = F.regexp_replace(F.col("path"), r"^file:", "")
+    rel = F.when(
+        F.substring(no_scheme, 1, len(root_norm)) == root_norm,
+        F.expr(f"substring(regexp_replace(path, '^file:', ''), {len(root_norm) + 1})"),
+    ).otherwise(no_scheme)
     return df.select(
         F.col("path"),
         normalize_path(rel).alias("rel_path"),

@@ -134,3 +134,12 @@ class TestListings:
         rows = list_zips(spark, str(d)).collect()
         assert [r["zip_name"] for r in rows] == ["new.zip", "old.zip"]
         assert rows[0]["size_bytes"] == 2
+
+
+class TestRegexMetacharRoot:
+    def test_root_with_metachars(self, spark, tmp_path):
+        root = tmp_path / "weird (dir) +plus"
+        (root / "sub").mkdir(parents=True)
+        (root / "sub" / "f.txt").write_text("x", encoding="utf-8")
+        rows = scan_files(spark, str(root)).collect()
+        assert [r["rel_path"] for r in rows] == ["sub/f.txt"]

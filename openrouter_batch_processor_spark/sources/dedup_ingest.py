@@ -36,12 +36,15 @@ def probe_registry(new_archives: DataFrame, registry: DataFrame) -> DataFrame:
         new_archives["zip_sha256"] == F.col("_k"),
         "left",
     ).drop("_k")
-    # priority: content match wins, else zip match (app.py:191-203 order)
+    # priority: content match wins, else zip match (app.py:191-203 order).
+    # The second probe re-joins on the archive's full identity tuple, not
+    # just upload_name — duplicate names within one batch must not fan out.
+    ident = ["upload_name", "zip_sha256", "content_sha256"]
     content_hits = by_content.filter(F.col("_hit").isNotNull())
     rest = by_content.filter(F.col("_hit").isNull()).drop("_hit")
     zip_only = rest.join(
-        by_zip.select("upload_name", F.col("_hit")),
-        "upload_name",
+        by_zip.select(*ident, F.col("_hit")).dropDuplicates(ident),
+        ident,
         "left",
     )
     return content_hits.unionByName(zip_only).withColumnRenamed("_hit", "reuse_zip_name")

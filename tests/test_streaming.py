@@ -107,3 +107,50 @@ class TestStreamingLLM:
         assert rows == {
             f"g{i}/": md5(f"s\nprompt {i}".encode()).hexdigest() for i in range(8)
         }
+
+
+class TestStatefulProgress:
+    def test_state_accumulates_across_microbatches(self, spark, tmp_path):
+        """applyInPandasWithState: per-job counters persist across
+        micro-batches (maxFilesPerTrigger=1 -> one batch per file)."""
+        import pandas as pd
+
+        from openrouter_batch_processor_spark.streaming.stateful import progress_tracker
+
+        src = tmp_path / "batches"
+        src.mkdir()
+        schema = "job_id string, ok boolean, cost double"
+        b1 = spark.createDataFrame(
+            [("j1", True, 0.001), ("j1", False, 0.0), ("j2", True, 0.002)], schema
+        )
+        b2 = spark.createDataFrame([("j1", True, 0.003)], schema)
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = progress_tracker(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_progress_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("stateful_progress_test").collect()
+        # latest snapshot per job = accumulated totals
+        latest = {}
+        for r in rows:
+            cur = latest.get(r["job_id"])
+            if cur is None or r["processed"] > cur["processed"]:
+                latest[r["job_id"]] = r
+        j1 = latest["j1"]
+        assert (j1["processed"], j1["succeeded"], j1["failed"]) == (3, 2, 1)
+        assert j1["cost"] == round(0.001 + 0.003, 12)
+        j2 = latest["j2"]
+        assert (j2["processed"], j2["succeeded"], j2["failed"]) == (1, 1, 0)

@@ -43,7 +43,7 @@ PYTEST_COVERAGE = {
     "P5": ("registry p5_p6_path_guards", "oracle"),
     "P7": ("operators/llm sentinels", "tests/test_llm.py"),
     "P8": ("plans/config.JobConfig.validate", "tests/test_config.py"),
-    "T1": ("streaming/windows.progress_stream", "tests/test_streaming.py"),
+    "T1": ("streaming/windows.progress_stream + stateful.progress_tracker (applyInPandasWithState)", "tests/test_streaming.py"),
     "T2": ("streaming/windows.run_to_memory + table poll", "tests/test_streaming.py"),
     "T3": ("plans/jobs.run_jobs_concurrently (FAIR pools)", "tests/test_jobs_and_ingest.py"),
     "T4": ("operators/llm token bucket", "tests/test_jobs_and_ingest.py"),

@@ -256,6 +256,93 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (node,
+    cluster_id) where cluster_id = min node id reachable from node.
+
+    The last stage of a real dedup pipeline: LSH gives candidate *pairs*,
+    but keep-one-per-cluster needs the transitive closure (A~B, B~C =>
+    one cluster {A,B,C}).
+
+    Implementation: iterative min-label propagation. Each round is one
+    equi-join (labels onto edge endpoints) + one map-side-combining
+    groupBy; labels converge to the component minimum in O(diameter)
+    rounds. Candidate-pair graphs from banded LSH are near-cliques
+    (diameter 1-2), so 2-3 rounds in practice. Per round we
+    localCheckpoint(eager) the label table: truncates lineage so plan
+    size stays constant across iterations, and the convergence count and
+    next join reuse the materialized result instead of recomputing the
+    whole prefix.
+
+    Scale: per-round cost is a shuffle of |E| on uniformly-hashed ids.
+    For adversarial graphs (long chains, diameter >> log n) swap the
+    propagation body for the large-star/small-star contraction of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SOCC'14) — same join-shaped primitives, O(log^2 n) rounds. Only
+    nodes that appear in >= 1 pair are emitted (singletons are their own
+    cluster by definition and would dominate output size at scale)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nbr_label"))
+        )
+        stepped = labels.join(
+            nbr.select(F.col("src").alias("node"), "nbr_label"), "node", "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") < F.col("old_label")).limit(1).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH candidate pairs -> duplicate clusters with sizes.
+
+    Output: (doc_id, cluster_id, cluster_size) for every doc that is a
+    candidate duplicate of at least one other doc; cluster_id is the min
+    doc id in the cluster (the canonical survivor under keep-first
+    policy). cluster_size via a self-aggregating join, not a window: the
+    label table is (id, id) pairs, so the groupBy is tiny and
+    broadcast-joined back."""
+    comp = connected_components(minhash_candidate_pairs(docs, id_col, text_col))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "cluster_id")
+        .select(F.col("node").alias(id_col), "cluster_id", "cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -808,6 +808,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
+    duplicate_clusters,
     lsh_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -880,6 +881,38 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+    FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "X1", "J2"],
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of LSH candidate pairs -> duplicate clusters.
+
+    Spark side: iterative min-label propagation (connected components);
+    oracle side: DuckDB recursive CTE computing min reachable id. Same
+    semantics, two totally different execution strategies."""
+    return duplicate_clusters(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1,0 +1,56 @@
+"""Connected-components cluster resolution: transitive closure over
+candidate pairs, canonical = min id, convergence on chains (the case
+banded-LSH near-cliques never exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.dedup import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_cluster(self, spark):
+        # path graph 1-2-3-4-5: diameter 4, forces multiple propagation rounds
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+        )
+        got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_separate_components_keep_separate_labels(self, spark):
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)], ["id_a", "id_b"]
+        )
+        got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    def test_label_direction_agnostic(self, spark):
+        # min id on the "b" side: label still propagates to the minimum
+        pairs = spark.createDataFrame([(5, 1), (5, 9)], ["id_a", "id_b"])
+        got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 5: 1, 9: 1}
+
+
+class TestDuplicateClusters:
+    def test_near_dup_docs_cluster_with_sizes(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " extra"),  # near-dup of 1
+                (3, base.replace("quick", "quack")),  # near-dup of 1
+                (4, "completely different text about spark engines at scale"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in duplicate_clusters(docs).collect()}
+        # doc 4 shares no LSH band with anything -> not emitted
+        assert 4 not in rows
+        assert {r["cluster_id"] for r in rows.values()} == {1}
+        sizes = {r["cluster_size"] for r in rows.values()}
+        assert sizes == {len(rows)}
+        assert set(rows) >= {1, 2}

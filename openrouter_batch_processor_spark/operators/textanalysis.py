@@ -120,6 +120,72 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(*out_cols)
 
 
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term, tf) long table over whitespace tokens of normalized
+    text — the shared base for TF-IDF and heavy-hitter analysis.
+
+    One explode + one combiner-friendly groupBy; the shuffle carries
+    (id, term) pairs pre-aggregated map-side, never raw token streams."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tfidf = tf * ln(n_docs / df),
+    rounded at the edge, ranked per doc with a lexicographic tiebreak.
+
+    Plan shape: tf table (1 shuffle) -> df per term (2nd shuffle, tiny:
+    one row per distinct term) joined back on term -> corpus size as a
+    broadcast scalar (single-row cross join, NOT a collect) -> per-doc
+    row_number window. The window partitions by doc id, so it
+    parallelizes across the cluster; no global sort anywhere."""
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(docs, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 50
+) -> DataFrame:
+    """Global top-n most frequent terms with corpus counts.
+
+    Exact, via two chained partial-aggregating groupBys: (id, term)
+    combine first (bounds any single reducer by per-doc vocabulary),
+    then per-term totals. The final top-n is TakeOrderedAndProject —
+    per-partition heaps + a driver merge of n rows, never a global sort.
+    At 100 TB this is the textbook skew-safe heavy-hitter shape: the
+    hottest term arrives at its reducer already combined per partition.
+    Deterministic tiebreak on term for oracle parity."""
+    tf = term_frequencies(docs, id_col, text_col)
+    totals = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_count"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return totals.orderBy(F.desc("total_count"), F.asc("term")).limit(n)
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Both fingerprints: order-insensitive md5 + order-sensitive rolling
     polynomial hash (detects shuffled-word plagiarism the md5 misses)."""

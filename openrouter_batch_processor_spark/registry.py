@@ -702,8 +702,10 @@ def q_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
     fingerprints,
+    heavy_hitters,
     language_id,
     quality_scores,
+    tfidf_topk,
     token_stats,
 )
 
@@ -801,6 +803,51 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_TF_SQL = f"""
+    toks AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term != '' GROUP BY doc_id, term)
+"""
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH {_TF_SQL},
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """,
+    ops=["EXT-tfidf", "EXT-tokens", "G2", "O3"],
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "text_heavy_hitters",
+    f"""
+    WITH {_TF_SQL}
+    SELECT term, sum(tf)::BIGINT AS total_count, count(*) AS doc_freq
+    FROM tf GROUP BY term
+    ORDER BY total_count DESC, term ASC LIMIT 50
+    """,
+    ops=["EXT-heavyhitters", "EXT-tokens", "G2", "O4"],
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(_t(spark, sf_dir, "documents"), n=50)
 
 
 # ===========================================================================

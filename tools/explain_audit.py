@@ -84,12 +84,14 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 
 # Queries where a nested-loop join is the documented intent: either the
 # brute-force correctness baseline, or a broadcast cross join against a
-# constant-size side (the 8-row IVF centroid table).
+# constant-size side (the 8-row IVF centroid table; the 1-row corpus
+# count in TF-IDF's idf scalar).
 BRUTE_FORCE_OK = {
     "sim_neardup_pairs",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_neardup_bucketed",
+    "text_tfidf_topk",
 }
 
 

@@ -28,6 +28,58 @@ def _uhash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Deterministic histogram quantiles: the scale path next to the
+    exact rank-based median.
+
+    Phase 1 folds the dataset into a fixed-width histogram — one
+    combiner-friendly groupBy whose output is bounded by
+    value_range/width, independent of row count (the whole point at
+    100 TB: the exact-median sort shuffles every row; this shuffles one
+    row per bucket). Phase 2 runs cumulative + total window sums over
+    that tiny histogram (single partition by construction — bucket count
+    is the bound, not data size) and picks, per percentile p, the first
+    bucket where cum >= ceil(total*p/100). The reported value is the
+    bucket's inclusive upper edge, so the true quantile is within one
+    bucket width — a deterministic error bound, unlike sampling sketches.
+
+    All arithmetic is portable: float divide -> floor for bucketing,
+    integer threshold via floor((total*p + 99)/100). Output is one row:
+    total, then p{p}_bucket / p{p}_value per percentile."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.select(F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        "bucket",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("total"),
+    )
+    aggs = [F.max("total").alias("total")]
+    for p in percentiles:
+        thr = F.floor((F.col("total") * p + 99) / F.lit(100)).cast("long")
+        bucket = F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+        aggs.append(bucket.alias(f"p{p}_bucket"))
+    one = c.agg(*aggs)
+    vals = [
+        ((F.col(f"p{p}_bucket") + 1) * width).cast("double").alias(f"p{p}_value")
+        for p in percentiles
+    ]
+    return one.select("total", *[F.col(f"p{p}_bucket") for p in percentiles], *vals)
+
+
 def kmv_distinct(
     df: DataFrame,
     keys: list[str],

@@ -1516,6 +1516,73 @@ def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
+             AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the classic star strategy.
+
+    nation x region collapse to a broadcast dim before touching facts, so
+    the only shuffles are the orders->lineitem and customer equi-joins;
+    the date filter sits directly on the orders scan (pushed to parquet).
+    The c_nationkey = s_nationkey cycle edge rides the supplier join as a
+    residual condition instead of forcing an extra shuffle."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        nr, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ===========================================================================
 # P1/P7 sentinels through the LLM map: empty groups and unsupported-only
 # groups short-circuit to data rows, never reaching the transport
@@ -2051,6 +2118,37 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return kmv_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")
+
+
+from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles,
+)
+
+
+@register(
+    "stats_binned_quantiles",
+    """
+    WITH b AS (SELECT floor(l_extendedprice / 500.0)::BIGINT AS bucket FROM lineitem),
+    hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    c AS (SELECT bucket,
+                 (sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                 (sum(cnt) OVER ())::BIGINT AS total
+          FROM hist)
+    SELECT max(total) AS total,
+           min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) AS p50_bucket,
+           min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) AS p90_bucket,
+           min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) AS p99_bucket,
+           ((min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p50_value,
+           ((min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p90_value,
+           ((min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p99_value
+    FROM c
+    """,
+    ops=["EXT-sketch", "EXT-quality", "G2", "O3"],
+)
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles of l_extendedprice (bucket width 500): the
+    shuffle-one-row-per-bucket scale path vs the exact rank median."""
+    return binned_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 500.0)
 
 
 # ===========================================================================

@@ -7,7 +7,10 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from openrouter_batch_processor_spark.operators.rangejoin import banded_range_count
-from openrouter_batch_processor_spark.operators.sketches import kmv_distinct
+from openrouter_batch_processor_spark.operators.sketches import (
+    binned_quantiles,
+    kmv_distinct,
+)
 
 
 def _t0(minutes):
@@ -74,3 +77,34 @@ class TestKMV:
         e1 = kmv_distinct(df, ["g"], "v").head()["distinct_est"]
         e2 = kmv_distinct(df.orderBy(F.rand(seed=1)), ["g"], "v").head()["distinct_est"]
         assert e1 == e2  # order-independent, engine-reproducible
+
+
+class TestBinnedQuantiles:
+    def test_exact_on_bucket_boundaries(self, spark):
+        # values 1..100 with width 1: bucket i holds value i -> the
+        # p-th percentile bucket is exactly p and its upper edge p+1
+        df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+        row = binned_quantiles(df, "v", 1.0).collect()[0]
+        assert row["total"] == 100
+        assert (row["p50_bucket"], row["p90_bucket"], row["p99_bucket"]) == (50, 90, 99)
+        assert row["p50_value"] == 51.0
+
+    def test_error_bounded_by_width(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vals = sorted(rng.uniform(0, 1000) for _ in range(999))
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        width = 50.0
+        row = binned_quantiles(df, "v", width).collect()[0]
+        for p in (50, 90, 99):
+            true_q = vals[(999 * p + 99) // 100 - 1]  # ceil(n*p/100)-th smallest
+            got = row[f"p{p}_value"]
+            assert true_q <= got <= true_q + width + 1e-9
+
+    def test_skips_empty_buckets(self, spark):
+        # two far-apart clusters: cum window must jump the gap correctly
+        df = spark.createDataFrame([(1.0,)] * 60 + [(9999.0,)] * 40, ["v"])
+        row = binned_quantiles(df, "v", 10.0).collect()[0]
+        assert row["p50_bucket"] == 0
+        assert row["p90_bucket"] == 999

@@ -2198,6 +2198,30 @@ def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("registry_stream_tumbling")
 
 
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS event_date
+    FROM events
+    """,
+    ops=["T1", "X1", "EXT-dedup-policy"],
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup, oracle-checked: the key set emitted by
+    dropDuplicatesWithinWatermark over the events stream equals batch
+    SELECT DISTINCT — a value-level gate on a real streaming run, not
+    just a rows-only smoke."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        dedup_events_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = dedup_events_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_dedup", output_mode="append")
+    return spark.table("registry_stream_dedup")
+
+
 # ===========================================================================
 # Multi-signal dedup, length histograms + exact median, deterministic
 # stratified sampling — training-pipeline utilities round 3

@@ -36,16 +36,25 @@ def read_events_stream(
     the streaming mirror of the reference's 'new zip arrives' ingest.
     The driver testdata stores ts as TIMESTAMP(NANOS) which Spark reads
     as long under nanosAsLong; normalize to a timestamp column here.
+
+    The source path targets the events file glob, not the whole sf dir:
+    the sf dir also holds the other tables' parquet files, which under
+    an events schema surface as all-null rows (one phantom null key per
+    foreign file in downstream dedup/aggregation).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
-        import os
-
         schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    # A glob, not the bare file path: the file-stream source derives
+    # basePath from the non-glob path prefix and requires a directory
+    # (a literal file path fails at getBatch). "events.*" keeps the
+    # source pinned to the events table either way.
+    df = reader.parquet(os.path.join(sf_dir, "events.*"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -95,6 +104,32 @@ def session_windows_stream(
             F.date_format(F.col("sw.end"), TS_FMT).alias("session_end"),
             "n_events",
         )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type", "event_date"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — X1 in flight, via
+    dropDuplicatesWithinWatermark.
+
+    The batch registry dedups a static corpus by fingerprint; in a
+    continuous ingest pipeline the same contract is 'drop re-deliveries
+    of a key seen within the watermark horizon'. The watermark bounds
+    the dedup state: keys older than max(event_time) - watermark are
+    evicted, so state is O(arrival rate x horizon) instead of O(history)
+    — the property that makes exactly-once ingest dedup viable at
+    100 TB/day. Emits only the key columns: the emitted set over a run
+    equals SELECT DISTINCT keys, which is exactly the batch oracle
+    (first-seen row payloads would be arrival-order-dependent; the key
+    set is not)."""
+    e = events.withColumn("event_date", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    return (
+        e.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
     )
 
 

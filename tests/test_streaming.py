@@ -154,3 +154,41 @@ class TestStatefulProgress:
         assert j1["cost"] == round(0.001 + 0.003, 12)
         j2 = latest["j2"]
         assert (j2["processed"], j2["succeeded"], j2["failed"]) == (1, 1, 0)
+
+
+class TestStreamingDedup:
+    def test_redelivery_across_microbatches_dropped(self, spark, tmp_path):
+        """Key re-delivered in a LATER micro-batch within the watermark
+        horizon is dropped — the cross-batch state the sf-data oracle
+        check (one file, one batch) cannot exercise."""
+        import datetime as dt
+
+        from openrouter_batch_processor_spark.streaming.windows import (
+            dedup_events_stream,
+        )
+
+        t = dt.datetime(2026, 1, 1, 12, 0, 0)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        b1 = spark.createDataFrame(
+            [(1, t, 10, "click", 1.0, ""), (2, t, 11, "view", 1.0, "")], schema
+        )
+        b2 = spark.createDataFrame(
+            [
+                (3, t + dt.timedelta(minutes=5), 10, "click", 2.0, ""),  # re-delivery
+                (4, t + dt.timedelta(minutes=5), 12, "click", 1.0, ""),  # new key
+            ],
+            schema,
+        )
+        src = str(tmp_path / "stream_src")
+        b1.coalesce(1).write.mode("overwrite").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+
+        reader = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = dedup_events_stream(reader, keys=("user_id", "event_type"))
+        run_to_memory(out, "dedup_cross_batch", output_mode="append")
+        got = _rows_set(spark.table("dedup_cross_batch"), ["user_id", "event_type"])
+        assert got == {(10, "click"), (11, "view"), (12, "click")}

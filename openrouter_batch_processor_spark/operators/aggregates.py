@@ -73,3 +73,56 @@ def usage_summary(usage: DataFrame, group_cols: list[str] | None = None) -> Data
             )
     grouped = usage.groupBy(*group_cols) if group_cols else usage.groupBy()
     return grouped.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (one-pass OLS)
+# ---------------------------------------------------------------------------
+
+# Fixed epoch offset (2024-01-01 UTC): centering x keeps x*x sums small
+# enough for exact DECIMAL accumulation. A constant, not a computed min —
+# computed centering would need a pre-pass or a non-deterministic plan.
+TREND_EPOCH0 = 1704067200
+
+
+def linear_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    y_col: str = "value",
+) -> DataFrame:
+    """Per-group OLS slope/intercept of value vs time in ONE aggregation
+    pass: the classic mergeable-moments trick (n, sum x, sum y, sum xy,
+    sum x^2), then the closed form on the driver-side projection.
+
+    Why not regr_slope(): portability. The moment sums accumulate in
+    DECIMAL — exact and associative, so the result is identical at any
+    partition count and bit-equal to the DuckDB oracle; a double
+    accumulator would drift with partitioning. Slope/intercept are
+    evaluated in double only at the very end, from identical decimal
+    sums, and rounded at the edge.
+
+    Map-side combine applies (all five moments are sums), so the shuffle
+    carries one 5-tuple per (partition, group) — this is the pattern for
+    any streaming-friendly statistic at 100 TB."""
+    x = (F.unix_timestamp(F.col(ts_col)) - F.lit(TREND_EPOCH0)).alias("x")
+    y = F.col(y_col).cast("double").alias("y")
+    base = events.select(F.col(group_col), x, y)
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,10)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,10)")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    intercept = (d("sy") - slope * d("sx")) / d("n")
+    return agg.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

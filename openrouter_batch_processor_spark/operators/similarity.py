@@ -234,3 +234,113 @@ def neardup_pairs_bruteforce(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine LSH): the second scale path for
+# embedding near-dup, complementary to IVF cells. IVF recall degrades at
+# cell boundaries; RP-LSH buckets by angular region instead, and the
+# two can be unioned for multi-signal candidate generation.
+# ---------------------------------------------------------------------------
+
+RP_PLANES = 16
+RP_BANDS = 2  # 8 sign bits per band
+
+
+def rp_weights(planes: int = RP_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals in [-1, 1).
+
+    Derived from md5("rp_<plane>_<dim>") exactly like the engine's other
+    portable hashes, computed once at plan-build time and embedded as
+    literals in BOTH the Spark plan and the oracle SQL — the two engines
+    never have to agree on an RNG, only on md5."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rp_{p}_{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def rp_signatures(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = RP_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit signature per vector: bit p = [dot(w_p, v) > 0].
+
+    Narrow (zero shuffles): each signature is planes x dim
+    multiply-adds folded per row inside codegen. Vectors with equal
+    banded sign patterns lie in the same angular region — Charikar's
+    SimHash for cosine space."""
+    W = rp_weights(planes, dim)
+    staged = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    sig = None
+    for p, row in enumerate(W):
+        warr = F.array(*[F.lit(w) for w in row])
+        dot = F.aggregate(
+            F.zip_with(warr, F.col("vd"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return staged.select(F.col(id_col), sig.alias("rp_sig"))
+
+
+def rp_candidate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = RP_PLANES,
+    bands: int = RP_BANDS,
+    dim: int = 64,
+) -> DataFrame:
+    """RP-LSH near-dup pairs: banded signature equi-join for candidates,
+    exact unit-vector cosine as the verify stage.
+
+    Same plan skeleton as MinHash->Jaccard: candidates from a
+    high-cardinality equi-join (never all-pairs), verify restricted to
+    candidates. A pair colliding on ANY band is a candidate; at
+    8 bits/band a collision means the pair agrees on 8 consecutive
+    sign bits (similar angular region)."""
+    sigs = rp_signatures(embeddings, id_col, vec_col, planes, dim)
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    pieces = [
+        sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("rp_sig"), b * bits_per_band).bitwiseAND(mask).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    units = unit_vectors(embeddings, id_col, vec_col)
+    ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+    ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

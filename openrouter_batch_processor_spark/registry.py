@@ -1583,6 +1583,86 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH best AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+      FROM lineitem)
+    SELECT p.p_partkey, p.p_name, s.s_name AS best_supplier,
+           b.l_extendedprice AS min_price
+    FROM best b
+    JOIN part p     ON p.p_partkey = b.l_partkey AND p.p_retailprice > 950
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1
+    """,
+    ops=["EXT-relational", "J1", "O3", "W1"],
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min-per-group subquery) as a ranked
+    window: one shuffle on l_partkey, rank-1 filter, then a broadcast
+    supplier join; the p_retailprice predicate is pushed to the part
+    scan before the join."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey")
+    )
+    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("best_supplier"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
+    TREND_EPOCH0,
+    linear_trend,
+)
+
+
+@register(
+    "events_linear_trend",
+    f"""
+    WITH b AS (SELECT event_type,
+                      floor(epoch(ts))::BIGINT - {TREND_EPOCH0} AS x,
+                      value::DOUBLE AS y
+               FROM events),
+    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+                 sum(y::DECIMAL(28,10)) AS sy,
+                 sum((x * y)::DECIMAL(38,10)) AS sxy,
+                 sum(x::DECIMAL(38,0) * x) AS sxx
+          FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                 / n::DOUBLE, 6) AS intercept
+    FROM a
+    """,
+    ops=["EXT-relational", "G2", "T1"],
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-group OLS via exact decimal moment sums — identical
+    result at any partition count (associative accumulation), bit-equal
+    to the oracle."""
+    return linear_trend(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # P1/P7 sentinels through the LLM map: empty groups and unsupported-only
 # groups short-circuit to data rows, never reaching the transport
@@ -1686,6 +1766,55 @@ def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_bucketed(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
+    rp_candidate_pairs,
+    rp_weights,
+)
+
+
+def _rp_sig_sql() -> str:
+    cases = []
+    for p, row in enumerate(rp_weights()):
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, 65), i -> ({lit})[i] * v[i]),"
+            " (a, b) -> a + b)"
+        )
+        cases.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(cases)
+
+
+@register(
+    "sim_rp_lsh_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, ({_rp_sig_sql()}) AS rp_sig FROM e),
+    banded AS (
+      SELECT vec_id, 0 AS band, rp_sig & 255 AS band_key FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band, (rp_sig >> 8) & 255 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT c.id_a, c.id_b, round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM cand c
+    JOIN u ua ON ua.vec_id = c.id_a
+    JOIN u ub ON ub.vec_id = c.id_b
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-simsearch", "J2"],
+)
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar sign-bit LSH over embeddings: banded signature equi-join
+    for candidates, exact cosine verify — the angular-region counterpart
+    to IVF-cell bucketing. The hyperplane normals come from the md5
+    portable-hash family, so the oracle reproduces them exactly."""
+    return rp_candidate_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ===========================================================================

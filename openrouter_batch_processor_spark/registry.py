@@ -2351,6 +2351,36 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("registry_stream_dedup")
 
 
+@register(
+    "streaming_interval_join",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+           floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS delay_sec
+    FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts < c.ts + INTERVAL 1 DAY
+    """,
+    ops=["T1", "EXT-rangejoin", "J2", "EXT-windows"],
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval self-join (click->purchase
+    attribution), value-checked against the batch SQL interval join —
+    the state-bounding streaming join shape, not a smoke test."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        click_attribution_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = click_attribution_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_attrib", output_mode="append")
+    return spark.table("registry_stream_attrib")
+
+
 # ===========================================================================
 # Multi-signal dedup, length histograms + exact median, deterministic
 # stratified sampling — training-pipeline utilities round 3

@@ -28,3 +28,41 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read back; filters on partition columns prune directories
     (visible as PartitionFilters in .explain('formatted'))."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format dataset IO
+# ---------------------------------------------------------------------------
+
+# Formats a training-data pipeline actually exchanges: parquet for
+# storage, ORC for interop, JSONL for LLM-tooling handoff, CSV for the
+# reference's artifact contract. All four ride the same DataFrameWriter/
+# Reader machinery (committer protocol, partition parallelism, pushdown
+# where the format supports it — parquet/orc yes, json/csv schema-only).
+DATASET_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_dataset(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame as a (possibly multi-file) dataset in ``fmt``.
+
+    CSV gets an explicit header so the file is self-describing; JSON is
+    JSON-Lines (one object per line — the LLM-pipeline interchange
+    format), which is what Spark's json writer emits natively."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+
+def read_dataset(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read a dataset back with an EXPLICIT schema (never inferred —
+    inference is a full extra pass on text formats and type-unstable).
+
+    For parquet/orc the schema argument is optional (self-describing
+    footers); for json/csv it is required for round-trip fidelity."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.load(path)

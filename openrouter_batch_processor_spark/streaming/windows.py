@@ -133,6 +133,48 @@ def dedup_events_stream(
     )
 
 
+def click_attribution_stream(
+    events: DataFrame, horizon: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Stream-stream interval self-join: attribute each purchase to the
+    clicks by the same user within ``horizon`` before it.
+
+    The canonical streaming join shape: both sides carry watermarks and
+    the join condition carries the event-time constraint, so the engine
+    can bound buffered state — click rows older than
+    max(event_time) - watermark - horizon can never match a future
+    purchase and are evicted. Without the time constraint a
+    stream-stream join would buffer forever; this is what makes the join
+    viable on an unbounded 100 TB/day stream.
+
+    Output delay_sec uses truncated-to-second timestamps on both sides
+    (unix_timestamp), matching the batch oracle's floor(epoch(ts))."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("click_ts", TS_FMT).alias("click_at"),
+        F.date_format("purchase_ts", TS_FMT).alias("purchase_at"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias(
+            "delay_sec"
+        ),
+    )
+
+
 def progress_stream(results_stream: DataFrame) -> DataFrame:
     """T1/T2: running processed/ok/failed counters per job — the
     streaming replacement for the per-group meta.json rewrite.

@@ -42,3 +42,44 @@ class TestPartitionedDataset:
         assert pruned.count() == 25
         # the filter is partition-level: no data-column PushedFilters needed
         assert "PartitionFilters: []" not in plan
+
+
+class TestMultiFormatRoundTrip:
+    def test_documents_round_trip_all_formats(self, spark, tmp_path):
+        from openrouter_batch_processor_spark.session import load_table
+        from openrouter_batch_processor_spark.sinks.dataset import (
+            DATASET_FORMATS,
+            read_dataset,
+            write_dataset,
+        )
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        want = {tuple(r) for r in docs.collect()}
+        for fmt in DATASET_FORMATS:
+            path = str(tmp_path / f"ds_{fmt}")
+            write_dataset(docs, path, fmt)
+            got_df = read_dataset(spark, path, fmt, schema=docs.schema)
+            assert got_df.schema == docs.schema, fmt
+            assert {tuple(r) for r in got_df.collect()} == want, fmt
+
+    def test_text_formats_preserve_strings_with_delimiters(self, spark, tmp_path):
+        from openrouter_batch_processor_spark.sinks.dataset import (
+            read_dataset,
+            write_dataset,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 'comma, "quote", and\tthings'), (2, "newline-free but, tricky")],
+            "id long, s string",
+        )
+        for fmt in ("json", "csv"):
+            path = str(tmp_path / f"tricky_{fmt}")
+            write_dataset(df, path, fmt)
+            got = {
+                (r["id"], r["s"])
+                for r in read_dataset(spark, path, fmt, schema=df.schema).collect()
+            }
+            assert got == {tuple(r) for r in df.collect()}, fmt

@@ -1,0 +1,113 @@
+"""Deterministic mini k-means over embedding columns — the iterative
+MLlib-style algorithm re-expressed as pure DataFrame operations.
+
+Why it exists: training-data pipelines cluster embeddings constantly
+(IVF cells, topic buckets, dedup prototypes, stratification). MLlib's
+KMeans has random init and engine-private numerics; this variant is
+built for the engine's correctness bar instead:
+
+- init = the k lowest-id vectors (deterministic, oracle-reproducible);
+- assignment = argmin of round(squared L2, 6) with centroid-id tiebreak
+  (same convention as similarity.assign_ivf_cells);
+- new centroids = per-dimension means accumulated in DECIMAL(38,12) —
+  exact and associative, so the result is identical at any partition
+  count and bit-equal to the unrolled-SQL oracle.
+
+Scale shape per iteration: centroids are a k-row broadcast (the only
+"model state" — never a driver collect of data); assignment is a narrow
+map over the corpus; the mean recomputation is one combiner-friendly
+groupBy on (cluster, dim) whose output is k*dim rows regardless of
+corpus size. Iterations are a driver-side loop over small plans, each
+cut with localCheckpoint — the standard Spark iterative-algorithm
+pattern (same as dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _staged(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+
+
+def _assign(staged: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid per vector: broadcast cross join against k rows,
+    rank-1 on (rounded squared distance, cluster_id)."""
+    from pyspark.sql.window import Window
+
+    vd, cv = F.col("vd"), F.col("cvec")
+    dist = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cluster_id"))
+    return (
+        staged.join(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+
+
+def _recompute(assigned: DataFrame, staged: DataFrame, id_col: str) -> DataFrame:
+    """Per-dimension exact-decimal means -> rebuilt centroid arrays.
+
+    groupBy(cluster, pos) output is k*dim rows; the array rebuild sorts
+    the (pos, mean) structs per cluster — per-group cost only."""
+    exploded = (
+        assigned.join(staged, id_col)
+        .select("cluster_id", F.posexplode("vd").alias("pos", "x"))
+    )
+    means = exploded.groupBy("cluster_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
+def kmeans_lite(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; output (id, cluster_id,
+    cluster_size) under the final assignment.
+
+    A cluster that loses all members simply drops out of the next
+    centroid set (consistent on both engines)."""
+    from pyspark.sql.window import Window
+
+    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    cents = (
+        staged.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster_id"),
+            F.col("vd").alias("cvec"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(staged, cents, id_col)
+        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return assigned.join(F.broadcast(sizes), "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )

@@ -1817,6 +1817,58 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_candidate_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+from openrouter_batch_processor_spark.operators.kmeans import kmeans_lite  # noqa: E402
+
+
+def _km_assign_sql(cent_cte: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, e.v)
+                                - 2 * list_dot_product(e.v, c.c)
+                                + list_dot_product(c.c, c.c), 6), c.cid) AS rn
+        FROM e CROSS JOIN {cent_cte} c) WHERE rn = 1)"""
+
+
+def _km_recompute_sql(assign_cte: str, name: str) -> str:
+    return f"""
+    {name}_m AS (
+      SELECT a.cluster_id AS cid, u.pos,
+             (sum(u.x::DECIMAL(38,12))::DOUBLE / count(*)) AS m
+      FROM {assign_cte} a JOIN (
+        SELECT vec_id,
+               unnest(list_transform(range(1, 65),
+                                     i -> struct_pack(pos := i, x := v[i]))) AS u
+        FROM e) t ON t.vec_id = a.vec_id
+      GROUP BY a.cluster_id, u.pos),
+    {name} AS (SELECT cid, array_agg(m ORDER BY pos) AS c FROM {name}_m GROUP BY cid)"""
+
+
+@register(
+    "kmeans_lite_clusters",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')}
+    SELECT a2.vec_id, a2.cluster_id, s.cluster_size
+    FROM a2 JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM a2 GROUP BY cluster_id) s USING (cluster_id)
+    """,
+    ops=["EXT-ivf", "EXT-simsearch", "G2", "J2"],
+)
+def q_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations (k=8) on the embeddings table,
+    checked against a fully unrolled SQL oracle — iterative algorithm
+    parity, not just single-pass parity."""
+    return kmeans_lite(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 # ===========================================================================
 # Sliding event-time windows + keep-first dedup policy
 # ===========================================================================

@@ -126,3 +126,42 @@ def linear_trend(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    group_col: str = "event_type",
+    y_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outliers in two phases: one combiner-friendly
+    moments pass (n, sum y, sum y^2 in exact DECIMAL), then a broadcast
+    join of the tiny per-group stats back onto the stream and a narrow
+    filter |z| > threshold.
+
+    The per-group stats table is O(groups) rows — broadcast, never a
+    window over the raw data (a global window would shuffle the full
+    dataset per group). Sample std via the sum-of-squares identity on
+    exact sums keeps both engines bit-identical."""
+    y = F.col(y_col).cast("double")
+    stats = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("decimal(28,10)")).alias("sy"),
+        F.sum((y * y).cast("decimal(38,10)")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sy") / d("n")
+    std = F.sqrt((d("n") * d("syy") - d("sy") * d("sy")) / (d("n") * (d("n") - 1)))
+    enriched = events.join(
+        F.broadcast(stats.select(group_col, mean.alias("_mean"), std.alias("_std"))),
+        group_col,
+    )
+    z = (F.col(y_col).cast("double") - F.col("_mean")) / F.col("_std")
+    # _std > 0 guard: a zero-variance group yields z = 0/0 = NaN, and
+    # NaN compares GREATER than any threshold in both engines — without
+    # the guard every row of a constant group would be "anomalous".
+    return (
+        enriched.withColumn("z", F.round(z, 6))
+        .filter((F.col("_std") > 0) & (F.abs(F.col("z")) > threshold))
+        .select("event_id", group_col, F.col(y_col).cast("double").alias(y_col), "z")
+    )

@@ -94,3 +94,51 @@ def salted_collect_sorted(
         F.sort_array(F.flatten(F.collect_list("_part"))).alias("members"),
         F.sum(F.size("_part")).alias("n_members"),
     )
+
+
+def topk_per_group_agg(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Top-k rows per group WITHOUT a window: collect (neg order, tie,
+    payload) structs per group, sort_array, slice k, posexplode.
+
+    The window form (row_number over partitionBy) sorts every group's
+    full row set; this form's per-group state after map-side combine is
+    the rows themselves but the final sort is per-group in the agg, and
+    a pre-aggregated input (as in top-suppliers-per-nation) makes the
+    collect_list small. For unbounded groups, cap state first with
+    salted partial top-k (per (key, salt) slice, then merge) — same
+    algebra, the slice is the combiner.
+
+    Descending order with ascending tiebreak is encoded as
+    struct(-order, tiebreak) under sort_array ASC (exact for doubles).
+    Output: group, rank (1-based), order_col, payload_cols."""
+    tiebreak = payload_cols[0]
+    packed = df.groupBy(group_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(order_col)).alias("_neg"),
+                        F.col(tiebreak).alias("_tb"),
+                        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    ex = packed.select(
+        group_col, F.posexplode("_top").alias("_pos", "_s")
+    )
+    return ex.select(
+        group_col,
+        (F.col("_pos") + 1).alias("rank"),
+        (-F.col("_s._neg")).alias(order_col),
+        *[F.col(f"_s._p.{c}").alias(c) for c in payload_cols],
+    )

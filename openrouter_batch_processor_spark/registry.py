@@ -1663,6 +1663,125 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(_t(spark, sf_dir, "events"))
 
 
+from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
+    anomaly_zscore,
+)
+
+_Z_SQL = """(e.value::DOUBLE - sy::DOUBLE / n::DOUBLE)
+             / sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * (n::DOUBLE - 1)))"""
+
+
+@register(
+    "events_anomaly_zscore",
+    f"""
+    WITH s AS (SELECT event_type, count(*) AS n,
+                      sum((value::DOUBLE)::DECIMAL(28,10)) AS sy,
+                      sum((value::DOUBLE * value::DOUBLE)::DECIMAL(38,10)) AS syy
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value::DOUBLE AS value,
+           round({_Z_SQL}, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * (n::DOUBLE - 1))) > 0
+      AND abs(round({_Z_SQL}, 6)) > 3.0
+    """,
+    ops=["EXT-quality", "G2", "J3", "P1"],
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: moments pass + broadcast stats join
+    back — never a window over the raw stream."""
+    return anomaly_zscore(_t(spark, sf_dir, "events"), threshold=3.0)
+
+
+from openrouter_batch_processor_spark.operators.skew import (  # noqa: E402
+    topk_per_group_agg,
+)
+
+
+@register(
+    "topk_suppliers_per_nation",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+                          AS revenue
+                 FROM lineitem GROUP BY l_suppkey),
+    j AS (SELECT s.s_nationkey, s.s_suppkey, s.s_name, r.revenue
+          FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                        ORDER BY revenue DESC, s_suppkey ASC) AS rank
+           FROM j)
+    SELECT s_nationkey, rank, revenue, s_suppkey, s_name FROM rk WHERE rank <= 3
+    """,
+    ops=["EXT-skew", "O3", "G2", "J2"],
+)
+def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue suppliers per nation via the window-FREE top-k
+    (collect/sort_array/slice per group) — the skew-safe alternative to
+    row_number, checked against the window-form oracle for equivalence."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    j = rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey).select(
+        "s_nationkey", "s_suppkey", "s_name", "revenue"
+    )
+    return topk_per_group_agg(j, "s_nationkey", "revenue", 3, ["s_suppkey", "s_name"])
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY day
+    """,
+    ops=["EXT-relational", "G2", "F11"],
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted to one column per event type. Explicit pivot
+    values keep the schema static (no extra distinct pass); absent
+    combinations filled to 0 to match conditional-count semantics."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.groupBy("day").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+    )
+
+
+@register(
+    "cube_docs_source_lang",
+    """
+    SELECT source, lang, grouping(source) AS g_source, grouping(lang) AS g_lang,
+           count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum
+    FROM documents GROUP BY CUBE (source, lang)
+    """,
+    ops=["EXT-rollup", "G2"],
+)
+def q_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (source, lang) with grouping indicators — all four
+    aggregation levels in one shuffle (Catalyst expands the grouping
+    sets; partial aggregation still applies per set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.grouping("source").alias("g_source"),
+        F.grouping("lang").alias("g_lang"),
+    ).select("source", "lang", "g_source", "g_lang", "n_docs", "chars_sum")
+
+
 # ===========================================================================
 # P1/P7 sentinels through the LLM map: empty groups and unsupported-only
 # groups short-circuit to data rows, never reaching the transport

@@ -194,17 +194,33 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Execute a streaming DF with Trigger.AvailableNow into a memory
     sink table named ``query_name``; blocks until all available data is
-    processed. Reads: spark.table(query_name)."""
-    writer = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    processed. Reads: spark.table(query_name).
+
+    ``shuffle_partitions`` caps the STATEFUL shuffle width for this run:
+    a streaming query instantiates one state store per shuffle
+    partition, and with AQE disabled for stateful workloads the batch
+    default (32 here) pays 32 store setups for kilobyte-scale state. A
+    long-running production stream sizes this to state volume instead;
+    the conf is restored after the run (streaming queries pin their
+    partitioning at first start, so this can't affect batch plans)."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        writer = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1,0 +1,108 @@
+"""Document chunking and token-stream packing — the two transforms that
+turn a deduped, filtered corpus into model-ready training sequences.
+
+- ``chunk_documents``: sliding-window token chunks (width C, overlap V):
+  chunk i covers tokens [i*(C-V), i*(C-V)+C). Narrow after one staging
+  projection (tokens materialized once per row — see
+  operators/dedup.shingles_col for why the staging select matters);
+  the explode multiplies rows but never shuffles.
+
+- ``pack_documents``: contiguous stream packing — lay all documents
+  head-to-tail in doc_id order and cut the stream into fixed
+  ``capacity``-token context windows (doc boundaries may straddle bins:
+  that is exactly how causal-LM pretraining packs sequences). The global
+  running offset uses the same range-partition + broadcast-offset
+  pattern as operators/renumber.renumber: NO single-task global window;
+  driver traffic is O(num_partitions) longs of metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+
+def _tok_staged(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    staged = docs.select(F.col(id_col), toks.alias("toks"))
+    n = F.when(F.concat_ws(" ", F.col("toks")) == "", F.lit(0)).otherwise(
+        F.size(F.col("toks"))
+    )
+    return staged.select(F.col(id_col), F.col("toks"), n.cast("long").alias("n_tokens"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 40,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens). Documents with
+    zero tokens produce no chunks; the final chunk may be shorter than
+    ``chunk_tokens``. stride = chunk_tokens - overlap must be > 0."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    staged = _tok_staged(docs, id_col, text_col).filter(F.col("n_tokens") >= 1)
+    n_chunks = F.floor((F.col("n_tokens") + (stride - 1)) / F.lit(stride))
+    exploded = staged.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document its offset in the packed token stream and
+    the context-window bin that offset falls into.
+
+    Output: (id, n_tokens, start_offset, bin_id, offset_in_bin), stream
+    order = ascending id. Two-phase global prefix sum: range-partition
+    by id, per-partition token totals to the driver (metadata), partial
+    window cumsum + broadcast base offsets."""
+    base = _tok_staged(docs, id_col, text_col).select(id_col, "n_tokens")
+    parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    start = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_map[F.col("_pid")]
+    ).alias("start_offset")
+    out = ranged.select(F.col(id_col), F.col("n_tokens"), start).drop("_pid")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(capacity)).cast("long").alias("bin_id"),
+        (F.col("start_offset") % capacity).alias("offset_in_bin"),
+    )

@@ -728,6 +728,64 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
+from openrouter_batch_processor_spark.operators.chunking import (  # noqa: E402
+    chunk_documents,
+    pack_documents,
+)
+
+_TOKS_N_SQL = f"""
+    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+                  CASE WHEN {_NORM_SQL} = '' THEN 0
+                       ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens
+           FROM documents)
+"""
+
+
+@register(
+    "chunk_documents_sliding",
+    f"""
+    WITH {_TOKS_N_SQL},
+    c AS (SELECT doc_id, toks, n_tokens,
+                 unnest(range(0, (n_tokens + 29) // 30)) AS chunk_id
+          FROM tk WHERE n_tokens >= 1)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 30 + 1,
+                                      least(chunk_id * 30 + 40, n_tokens)), ' ')
+             AS chunk_text,
+           least(chunk_id * 30 + 40, n_tokens) - chunk_id * 30 AS n_chunk_tokens
+    FROM c
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G1"],
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (width 40, overlap 10): the
+    corpus->training-sequence explode."""
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=10)
+
+
+@register(
+    "pack_documents_stream",
+    f"""
+    WITH {_TOKS_N_SQL},
+    c AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+                   AS start_offset
+          FROM tk)
+    SELECT doc_id, n_tokens, start_offset,
+           floor(start_offset / 512.0)::BIGINT AS bin_id,
+           start_offset % 512 AS offset_in_bin
+    FROM c
+    """,
+    ops=["EXT-tokens", "W1", "W2"],
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-stream packing into 512-token context windows
+    via the distributed prefix-sum (range partition + broadcast offsets,
+    no single-task global window) — same scale pattern as renumber."""
+    return pack_documents(_t(spark, sf_dir, "documents"), capacity=512)
+
+
 @register(
     "text_quality",
     f"""

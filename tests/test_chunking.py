@@ -1,0 +1,63 @@
+"""Chunking and stream-packing semantics on hand-checked corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from openrouter_batch_processor_spark.operators.chunking import (
+    chunk_documents,
+    pack_documents,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        rows = chunk_documents(
+            _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
+        ).collect()
+        got = {r["chunk_id"]: (r["chunk_text"], r["n_chunk_tokens"]) for r in rows}
+        # stride 2: starts 0,2,4,6,8
+        assert got[0] == ("t0 t1 t2 t3", 4)
+        assert got[1] == ("t2 t3 t4 t5", 4)
+        assert got[4] == ("t8 t9", 2)  # final short chunk
+        assert len(got) == 5
+
+    def test_short_and_empty_docs(self, spark):
+        rows = chunk_documents(
+            _docs(spark, [(1, "only three tokens"), (2, ""), (3, "   ")]),
+            chunk_tokens=10,
+            overlap=2,
+        ).collect()
+        assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [
+            (1, "only three tokens")
+        ]
+
+    def test_rejects_bad_overlap(self, spark):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=5, overlap=5)
+
+
+class TestPackDocuments:
+    def test_offsets_and_bins(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "")],
+        )
+        rows = {r["doc_id"]: r for r in pack_documents(docs, capacity=4).collect()}
+        assert (rows[1]["start_offset"], rows[1]["bin_id"], rows[1]["offset_in_bin"]) == (0, 0, 0)
+        assert (rows[2]["start_offset"], rows[2]["bin_id"]) == (3, 0)
+        assert (rows[3]["start_offset"], rows[3]["bin_id"], rows[3]["offset_in_bin"]) == (5, 1, 1)
+        assert rows[4]["n_tokens"] == 0 and rows[4]["start_offset"] == 9
+
+    def test_partitioning_invariant(self, spark):
+        docs = _docs(spark, [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(100)])
+        r1 = sorted(map(tuple, pack_documents(docs.coalesce(1), capacity=16).collect()))
+        r8 = sorted(
+            map(tuple, pack_documents(docs.repartition(8), capacity=16, num_partitions=8).collect())
+        )
+        assert r1 == r8

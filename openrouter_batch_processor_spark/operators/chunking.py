@@ -64,6 +64,46 @@ def chunk_documents(
     )
 
 
+def pack_token_counts(
+    df: DataFrame,
+    count_col: str,
+    order_cols: list[str],
+    capacity: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Core stream packer over precomputed token counts: append
+    start_offset / bin_id / offset_in_bin under the global stream order
+    given by ``order_cols``.
+
+    Two-phase global prefix sum (the renumber pattern): range-partition
+    on the order key, per-partition totals to the driver (O(partitions)
+    longs of metadata, not data), partition-local window cumsum +
+    broadcast base offsets. No single-task global window."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(count_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    start = F.sum(count_col).over(w) - F.col(count_col) + offset_map[F.col("_pid")]
+    return (
+        ranged.withColumn("start_offset", start)
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / F.lit(capacity)).cast("long")
+        )
+        .withColumn("offset_in_bin", F.col("start_offset") % capacity)
+        .drop("_pid")
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     capacity: int = 2048,
@@ -75,34 +115,9 @@ def pack_documents(
     the context-window bin that offset falls into.
 
     Output: (id, n_tokens, start_offset, bin_id, offset_in_bin), stream
-    order = ascending id. Two-phase global prefix sum: range-partition
-    by id, per-partition token totals to the driver (metadata), partial
-    window cumsum + broadcast base offsets."""
+    order = ascending id."""
     base = _tok_staged(docs, id_col, text_col).select(id_col, "n_tokens")
-    parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
-    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    totals = {
-        r["_pid"]: r["s"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    start = (
-        F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_map[F.col("_pid")]
-    ).alias("start_offset")
-    out = ranged.select(F.col(id_col), F.col("n_tokens"), start).drop("_pid")
-    return out.select(
-        id_col,
-        "n_tokens",
-        "start_offset",
-        F.floor(F.col("start_offset") / F.lit(capacity)).cast("long").alias("bin_id"),
-        (F.col("start_offset") % capacity).alias("offset_in_bin"),
+    packed = pack_token_counts(base, "n_tokens", [id_col], capacity, num_partitions)
+    return packed.select(
+        id_col, "n_tokens", "start_offset", "bin_id", "offset_in_bin"
     )

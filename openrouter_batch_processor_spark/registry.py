@@ -787,6 +787,65 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_to_training_stream",
+    f"""
+    WITH norm AS (SELECT doc_id, lang, source, n_chars, {_NORM_SQL} AS nt
+                  FROM documents),
+    fp AS (SELECT *, md5(nt) AS f FROM norm),
+    sv AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+    dd AS (SELECT fp.* FROM fp JOIN sv ON sv.doc_id = fp.doc_id AND sv.f = fp.f),
+    g AS (SELECT doc_id, nt FROM dd
+          WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 100),
+    tk AS (SELECT doc_id, string_split(nt, ' ') AS toks,
+                  CASE WHEN nt = '' THEN 0
+                       ELSE len(string_split(nt, ' ')) END AS n
+           FROM g),
+    c AS (SELECT doc_id, unnest(range(0, (n + 29) // 30)) AS chunk_id, n
+          FROM tk WHERE n >= 1),
+    cc AS (SELECT doc_id, chunk_id,
+                  least(chunk_id * 30 + 40, n) - chunk_id * 30 AS nct
+           FROM c),
+    p AS (SELECT doc_id, chunk_id, nct,
+                 (sum(nct) OVER (ORDER BY doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT - nct AS so
+          FROM cc)
+    SELECT floor(so / 512.0)::BIGINT AS bin_id, count(*) AS n_chunks,
+           sum(nct)::BIGINT AS bin_tokens, count(DISTINCT doc_id) AS n_docs
+    FROM p GROUP BY 1
+    """,
+    ops=["X1", "P1", "G2", "EXT-tokens", "EXT-dedup-policy", "EXT-quality", "W1"],
+)
+def q_corpus_to_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus->model-input pipeline as ONE plan: exact
+    dedup (keep-first) -> language/length quality gate -> sliding-window
+    chunking -> contiguous packing into 512-token context windows ->
+    per-window accounting. Composes four operator families; every stage
+    is the same implementation the standalone queries check."""
+    from openrouter_batch_processor_spark.operators.chunking import (
+        pack_token_counts,
+    )
+    from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = dedup_keep_first(docs)
+    gated = deduped.filter(
+        F.col("lang").isin("en", "fr", "de") & (F.col("n_chars") >= 100)
+    )
+    chunks = chunk_documents(gated, chunk_tokens=40, overlap=10)
+    packed = pack_token_counts(
+        chunks.select("doc_id", "chunk_id", "n_chunk_tokens"),
+        "n_chunk_tokens",
+        ["doc_id", "chunk_id"],
+        capacity=512,
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("bin_tokens"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    )
+
+
+@register(
     "text_quality",
     f"""
     WITH base AS (

@@ -61,3 +61,35 @@ class TestPackDocuments:
             map(tuple, pack_documents(docs.repartition(8), capacity=16, num_partitions=8).collect())
         )
         assert r1 == r8
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+TOKEN_LISTS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=40
+)
+
+
+class TestChunkingProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(toks=TOKEN_LISTS, chunk=st.integers(2, 8), overlap=st.integers(0, 4))
+    def test_cover_count_and_reconstruction(self, spark, toks, chunk, overlap):
+        if overlap >= chunk:
+            overlap = chunk - 1
+        stride = chunk - overlap
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        n = len(toks)
+        # chunk count formula
+        assert len(rows) == (n + stride - 1) // stride
+        # zero-overlap chunks reconstruct the doc exactly
+        if overlap == 0:
+            assert " ".join(r["chunk_text"] for r in rows) == " ".join(toks)
+        # every chunk matches its slice of the token list
+        for r in rows:
+            start = r["chunk_id"] * stride
+            assert r["chunk_text"] == " ".join(toks[start : start + chunk])

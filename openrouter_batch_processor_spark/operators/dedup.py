@@ -296,8 +296,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Seed with min(node, min neighbor) — one combiner groupBy that is a
+    # full first propagation round for free: on LSH near-cliques this
+    # alone converges, so the loop usually runs exactly once (verify).
+    labels = edges.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+        F.col("src").alias("node"), F.least("src", "_mn").alias("label")
     )
     for _ in range(max_iter):
         nbr = (

@@ -1701,6 +1701,133 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "F11"],
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; the OR-of-pairs predicate is applied
+    after the cheap dim joins, never as a join condition (which would
+    force a nested loop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey)
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                 / sum(volume)::DOUBLE, 6) AS mkt_share,
+           count(*) AS n_items
+    FROM vol GROUP BY o_year
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    trade — conditional decimal aggregation over a 7-way star join; the
+    region filter collapses into the broadcast customer-nation dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     """
     WITH best AS (

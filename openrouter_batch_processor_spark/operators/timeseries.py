@@ -1,0 +1,79 @@
+"""Ordered-sequence analytics: per-group EWMA (the applyInPandas
+showcase) and event-transition counts.
+
+EWMA is the engine's canonical "genuinely needs Python" operator: the
+recurrence e_i = a*x_i + (1-a)*e_{i-1} is order-recursive, so no
+built-in window aggregate expresses it. It runs as grouped-map
+applyInPandas — each group arrives as ONE Arrow batch, the fold is a
+tight numpy-backed loop, and the output is one row per group. State is
+bounded by the largest single group (same contract as G1 grouping; a
+pathological group would use the salted split). Everything around it —
+grouping, shuffle, output schema — stays in the JVM plan.
+
+The fold arithmetic is plain IEEE double multiply-add in a fixed order,
+so the DuckDB oracle reproduces it exactly with list_reduce over
+array_agg(... ORDER BY ts, event_id) — a real value oracle for a pandas
+UDF, not a rows-only smoke.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_last(
+    events: DataFrame,
+    group_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    y_col: str = "value",
+    alpha: float = EWMA_ALPHA,
+) -> DataFrame:
+    """Final EWMA value per group after folding the full ordered series.
+
+    Output: (group, n, ewma). Deterministic: the intra-group order is
+    pinned by ``order_cols`` (sorted inside the pandas batch, not by the
+    shuffle, which guarantees nothing)."""
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+    cols = [group_col, *order_cols, y_col]
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order_cols))
+        e = None
+        for x in pdf[y_col].astype("float64"):
+            e = x if e is None else alpha * x + one_minus * e
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "n": [len(pdf)], "ewma": [round(e, 6)]}
+        )
+
+    return (
+        events.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(fold, schema=f"{group_col} string, n long, ewma double")
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    group_col: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: lag within the (user, time) window, then one
+    combiner-friendly groupBy on (from_state, to_state).
+
+    The window partitions by user — parallel across the cluster, state
+    per task is one user's in-flight rows. Output is |states|^2 rows max."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    pairs = events.withColumn("from_state", F.lag(state_col).over(w)).filter(
+        F.col("from_state").isNotNull()
+    )
+    return (
+        pairs.groupBy(F.col("from_state"), F.col(state_col).alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

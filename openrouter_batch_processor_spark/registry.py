@@ -732,6 +732,48 @@ from openrouter_batch_processor_spark.operators.chunking import (  # noqa: E402
     chunk_documents,
     pack_documents,
 )
+from openrouter_batch_processor_spark.operators.timeseries import (  # noqa: E402
+    ewma_last,
+    transition_counts,
+)
+
+
+@register(
+    "events_ewma",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs, count(*) AS n
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ordered
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-recursive EWMA per event type via grouped-map
+    applyInPandas — a pandas-UDF operator with a true VALUE oracle
+    (identical IEEE fold order in DuckDB's list_reduce)."""
+    return ewma_last(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_transitions",
+    """
+    WITH p AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state
+      FROM events)
+    SELECT from_state, event_type AS to_state, count(*) AS n_transitions
+    FROM p WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+    """,
+    ops=["O3", "G2", "EXT-sessions"],
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences."""
+    return transition_counts(_t(spark, sf_dir, "events"))
 
 _TOKS_N_SQL = f"""
     tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,

@@ -1,0 +1,63 @@
+"""EWMA fold (applyInPandas) and Markov transition counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from openrouter_batch_processor_spark.operators.timeseries import (
+    ewma_last,
+    transition_counts,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+class TestEwma:
+    def test_matches_closed_form(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        xs = [10.0, 20.0, 30.0]
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "t", x) for i, x in enumerate(xs)
+        ]
+        got = ewma_last(_events(spark, rows)).collect()[0]
+        e = xs[0]
+        for x in xs[1:]:
+            e = 0.3 * x + 0.7 * e
+        assert got["n"] == 3 and got["ewma"] == round(e, 6)
+
+    def test_order_is_event_time_not_arrival(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        # rows deliberately out of time order in the input
+        rows = [
+            (2, t0 + dt.timedelta(minutes=2), 1, "t", 30.0),
+            (0, t0, 1, "t", 10.0),
+            (1, t0 + dt.timedelta(minutes=1), 1, "t", 20.0),
+        ]
+        got = ewma_last(_events(spark, rows).repartition(4)).collect()[0]
+        assert got["ewma"] == round(0.3 * 30 + 0.7 * (0.3 * 20 + 0.7 * 10), 6)
+
+
+class TestTransitions:
+    def test_counts_per_user_sequences(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        seq_u1 = ["click", "view", "click", "view"]  # c->v, v->c, c->v
+        seq_u2 = ["view", "purchase"]  # v->p
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, s, 0.0) for i, s in enumerate(seq_u1)
+        ] + [
+            (10 + i, t0 + dt.timedelta(minutes=i), 2, s, 0.0)
+            for i, s in enumerate(seq_u2)
+        ]
+        got = {
+            (r["from_state"], r["to_state"]): r["n_transitions"]
+            for r in transition_counts(_events(spark, rows)).collect()
+        }
+        assert got == {
+            ("click", "view"): 2,
+            ("view", "click"): 1,
+            ("view", "purchase"): 1,
+        }

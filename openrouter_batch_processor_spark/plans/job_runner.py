@@ -53,6 +53,7 @@ class JobResult:
     results: DataFrame
     artifacts: list[str]
     results_zip: str
+    metrics: dict[str, int] | None = None
 
 
 def _labeled_prompts(groups: DataFrame, footer: str) -> DataFrame:
@@ -127,7 +128,27 @@ def run_job(
         model=config.resolved_model(),
         reasoning_mode=config.reasoning_mode,
     )
-    results = llm_map(prompts, llm_cfg, transport_factory)
+    # Materialize the LLM map EXACTLY ONCE before the sink fan-out:
+    # every sink below re-triggers its input lineage, and with a real
+    # HTTP transport that would mean duplicate API calls (and duplicate
+    # spend) per requested format. The eager checkpoint runs the
+    # transport once and pins the rows; all sinks read the materialized
+    # result. On a cluster this is checkpoint() to durable storage.
+    results = llm_map(prompts, llm_cfg, transport_factory).localCheckpoint(eager=True)
+
+    # G3/T1 accounting via the Observation API: metrics ride the first
+    # sink action over the checkpointed rows — no separate counting job
+    # against the data.
+    from pyspark.sql import Observation
+
+    obs = Observation("job_metrics")
+    results.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+        F.count(F.when(~F.col("ok"), 1)).alias("n_failed"),
+    ).write.mode("overwrite").format("noop").save()
+    metrics = {k: int(v) for k, v in obs.get.items()}
 
     os.makedirs(job_dir, exist_ok=True)
     formats = config.resolved_formats()
@@ -168,4 +189,5 @@ def run_job(
     )
     zip_path = os.path.join(job_dir, "results.zip")
     packed = package_results_zip(zip_path, job_dir, formats)
-    return JobResult(results=results, artifacts=packed, results_zip=zip_path)
+    return JobResult(results=results, artifacts=packed, results_zip=zip_path,
+                     metrics=metrics)

@@ -85,3 +85,47 @@ class TestZipRoute:
         assert rows == {"g1/": True, "solo.txt": True}
         assert (job_dir / "output.csv").exists()
         assert (job_dir / "input.csv").exists()
+
+
+class TestSingleMaterialization:
+    def test_transport_called_once_per_group_despite_sink_fanout(
+        self, spark, tree, tmp_path
+    ):
+        calls_log = str(tmp_path / "calls.log")
+        open(calls_log, "w").close()
+
+        # Defined inside the test so cloudpickle ships it by VALUE to the
+        # UDF workers (a module-level class in tests/ is not importable
+        # there). One line per LLM call, appended across worker
+        # processes.
+        def counting_factory(config):
+            from openrouter_batch_processor_spark.operators.llm import MockTransport
+
+            inner = MockTransport(config)
+
+            class _T:
+                def complete(self, prompt):
+                    with open(calls_log, "a") as fh:
+                        fh.write("x\n")
+                    return inner.complete(prompt)
+
+            return _T()
+
+        cfg = JobConfig(
+            api_key="k" * 12,
+            system_prompt="sys",
+            input_folder=str(tree),
+            output_formats=["csv", "json", "text"],  # three sink families
+            group_by_subfolder=True,
+            separate_outputs=True,
+        )
+        res = run_job(spark, cfg, job_dir=str(tmp_path / "job"),
+                      transport_factory=counting_factory)
+        n_calls = sum(1 for _ in open(calls_log))
+        n_llm_groups = res.metrics["n_groups"]
+        # sentinel groups (empty/unsupported) never reach the transport
+        sentinels = res.results.filter(
+            "output IN ('Empty folder', 'Unsupported file type')"
+        ).count()
+        assert n_calls == n_llm_groups - sentinels > 0
+        assert res.metrics["n_ok"] + res.metrics["n_failed"] == n_llm_groups

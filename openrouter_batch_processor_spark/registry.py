@@ -775,6 +775,38 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event sequences."""
     return transition_counts(_t(spark, sf_dir, "events"))
 
+
+@register(
+    "events_props_json",
+    """
+    WITH x AS (SELECT event_type,
+                      json_extract_string(props, '$.k')::BIGINT AS k
+               FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE k IS NULL) AS n_unparsed,
+           sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max
+    FROM x GROUP BY event_type
+    """,
+    ops=["F13", "D5", "G2", "EXT-quality"],
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column: from_json
+    with an explicit schema (PERMISSIVE — malformed rows surface as
+    nulls, counted, never failing the job: the engine's errors-as-data
+    rule applied to JSON parsing)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
 _TOKS_N_SQL = f"""
     tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
                   CASE WHEN {_NORM_SQL} = '' THEN 0

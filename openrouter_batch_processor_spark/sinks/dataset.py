@@ -42,15 +42,28 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
 DATASET_FORMATS = ("parquet", "orc", "json", "csv")
 
 
-def write_dataset(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
     """Write a DataFrame as a (possibly multi-file) dataset in ``fmt``.
 
     CSV gets an explicit header so the file is self-describing; JSON is
     JSON-Lines (one object per line — the LLM-pipeline interchange
-    format), which is what Spark's json writer emits natively."""
+    format), which is what Spark's json writer emits natively.
+
+    ``max_records_per_file`` bounds file size from above (the writer
+    rolls to a new file at the limit) — one half of small-files
+    hygiene at 100 TB; the other half, too-many-tiny-files, is a
+    coalesce/AQE concern upstream of the write."""
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         w = w.option("header", True)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.save(path)
 
 

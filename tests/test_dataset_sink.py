@@ -83,3 +83,18 @@ class TestMultiFormatRoundTrip:
                 for r in read_dataset(spark, path, fmt, schema=df.schema).collect()
             }
             assert got == {tuple(r) for r in df.collect()}, fmt
+
+    def test_max_records_per_file_bounds_file_size(self, spark, tmp_path):
+        import glob
+
+        from openrouter_batch_processor_spark.sinks.dataset import (
+            read_dataset,
+            write_dataset,
+        )
+
+        df = spark.range(1000).coalesce(1)
+        path = str(tmp_path / "rolled")
+        write_dataset(df, path, "parquet", max_records_per_file=100)
+        files = glob.glob(f"{path}/*.parquet")
+        assert len(files) == 10  # writer rolls at the limit
+        assert read_dataset(spark, path, "parquet").count() == 1000

@@ -777,6 +777,44 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sources_fingerprint_setops",
+    f"""
+    WITH fp AS (SELECT source, md5({_NORM_SQL}) AS f FROM documents),
+    a AS (SELECT DISTINCT f FROM fp WHERE source IN ('src0','src1','src2')),
+    b AS (SELECT DISTINCT f FROM fp WHERE source IN ('src2','src3','src4'))
+    SELECT 'in_both' AS bucket, count(*) AS n
+    FROM (SELECT f FROM a INTERSECT SELECT f FROM b)
+    UNION ALL
+    SELECT 'only_first', count(*) FROM (SELECT f FROM a EXCEPT SELECT f FROM b)
+    UNION ALL
+    SELECT 'only_second', count(*) FROM (SELECT f FROM b EXCEPT SELECT f FROM a)
+    """,
+    ops=["X1", "X3", "F4", "EXT-dedup-policy"],
+)
+def q_fingerprint_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra between two source groups' content-fingerprint sets:
+    intersect = content shared across crawls, except = exclusive
+    content. Spark executes both as hash joins on the 32-byte
+    fingerprint (leftsemi/leftanti under the hood) — the contamination /
+    overlap-audit primitive for corpus curation."""
+    from openrouter_batch_processor_spark.functions.hashing import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", doc_fingerprint(F.col("text")).alias("f"))
+    a = fp.filter(F.col("source").isin("src0", "src1", "src2")).select("f").distinct()
+    b = fp.filter(F.col("source").isin("src2", "src3", "src4")).select("f").distinct()
+    pieces = [
+        a.intersect(b).agg(F.lit("in_both").alias("bucket"), F.count(F.lit(1)).alias("n")),
+        a.exceptAll(b).agg(F.lit("only_first").alias("bucket"), F.count(F.lit(1)).alias("n")),
+        b.exceptAll(a).agg(F.lit("only_second").alias("bucket"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "events_props_json",
     """
     WITH x AS (SELECT event_type,

@@ -111,7 +111,9 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def explode_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def explode_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
     """(id, shingle) long table, distinct — the set representation.
 
     explode_outer, not explode: plain explode makes Catalyst infer a
@@ -121,10 +123,53 @@ def explode_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     nothing; the null row from empty arrays is dropped by a cheap
     attribute filter above the Generate."""
     return (
-        doc_shingles(docs, id_col, text_col)
+        doc_shingles(docs, id_col, text_col, n)
         .select(F.col(id_col), F.explode_outer(F.col("sh")).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
         .distinct()
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    bench_mod: int = 101,
+    bench_rem: int = 7,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out benchmark set (the GPT-3 / Pile test-set
+    contamination check; reference has no analogue — training-pipeline
+    extension).
+
+    The benchmark membership predicate here is deterministic
+    (doc_id % bench_mod == bench_rem) so the oracle can restate it; in
+    production it would be a separate benchmark corpus.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus (benchmarks are MBs, corpora are TBs), so the semi-join
+    against it BROADCASTS — each training doc's shingles are probed
+    against an in-memory hash set, no shuffle of the corpus side. The
+    two per-doc aggregations shuffle on doc_id (well distributed), and
+    AQE coalesces the sizes⋈shared join onto the same partitioning.
+    Returns only contaminated docs: (doc_id, n_shared, n_shingles,
+    contam_frac)."""
+    sh = explode_shingles(docs, id_col, text_col, n)
+    is_bench = (F.col(id_col) % bench_mod) == bench_rem
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+    sizes = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        train.join(F.broadcast(bench), "shingle", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sizes.join(shared, id_col).select(
+        F.col(id_col),
+        F.col("n_shared"),
+        F.col("n_shingles"),
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("contam_frac"),
     )
 
 

@@ -186,6 +186,53 @@ def heavy_hitters(
     return totals.orderBy(F.desc("total_count"), F.asc("term")).limit(n)
 
 
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-trigram fraction and most-frequent-bigram mass. (The
+    paper's duplicate-LINE fraction is meaningless on this corpus —
+    the synthetic docs are single-line — so the n-gram variants carry
+    the signal.)
+
+    Two execution shapes on purpose:
+    - dup_trigram_frac is a pure per-row Column program (shingles +
+      array_distinct inside whole-stage codegen, zero shuffle);
+    - top_bigram_frac NEEDS per-(doc, bigram) counting, so it explodes
+      and aggregates — the shuffle carries (doc_id, bigram) pairs
+      pre-combined map-side, then a second combine down to one row per
+      doc. Keys are (doc, bigram), so even a pathological hot document
+      spreads across partitions until the final per-doc combine.
+    Docs too short for bigrams surface with top_bigram_frac = 0."""
+    from openrouter_batch_processor_spark.operators.dedup import shingles_col, tokenized
+
+    t = tokenized(docs, id_col, text_col)
+    tri = t.select(F.col(id_col), shingles_col(F.col("toks"), 3).alias("tri"))
+    per_doc = tri.select(
+        F.col(id_col),
+        F.size("tri").cast("long").alias("n_trigrams"),
+        F.when(F.size("tri") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) - F.size(F.array_distinct("tri")) / F.size("tri"), 6)
+        )
+        .alias("dup_trigram_frac"),
+    )
+    bg = t.select(
+        F.col(id_col), F.explode_outer(shingles_col(F.col("toks"), 2)).alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    bc = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    top = bc.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    joined = per_doc.join(top, id_col, "left")
+    top_frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        F.col("dup_trigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((F.col("dup_trigram_frac") > 0.2) | (top_frac > 0.18)).alias("repetitive"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Both fingerprints: order-insensitive md5 + order-sensitive rolling
     polynomial hash (detects shuffled-word plagiarism the md5 misses)."""

@@ -3137,3 +3137,267 @@ def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v * 0.00003).cast("string").alias("upstream_cost"),
     )
     return usage_summary(usage, ["job_id"])
+
+
+# ===========================================================================
+# EXT-quality — Gopher-style repetition signals over documents
+# ===========================================================================
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    tri AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [] END AS tr
+            FROM t),
+    pd AS (SELECT doc_id, len(tr) AS n_trigrams,
+                  CASE WHEN len(tr) = 0 THEN 0.0
+                       ELSE round(1.0 - len(list_distinct(tr)) / len(tr), 6) END AS dup_trigram_frac
+           FROM tri),
+    bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                                      THEN list_transform(range(1, len(toks)),
+                                                          i -> toks[i] || ' ' || toks[i+1])
+                                      ELSE [] END) AS bg
+           FROM t),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    tb AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac FROM bc GROUP BY 1)
+    SELECT p.doc_id, n_trigrams, dup_trigram_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           (dup_trigram_frac > 0.2 OR coalesce(top_bigram_frac, 0.0) > 0.18) AS repetitive
+    FROM pd p LEFT JOIN tb USING (doc_id)
+    """,
+    ops=["EXT-quality", "G2", "G4", "EXT-tokens"],
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.textanalysis import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# EXT-dedup-policy — benchmark decontamination by 5-gram overlap
+# ===========================================================================
+
+
+@register(
+    "dedup_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 4
+                      THEN list_transform(range(1, len(toks) - 2),
+                                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                               || ' ' || toks[i+3])
+                      ELSE [] END AS sh
+          FROM t),
+    ss AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    bench AS (SELECT DISTINCT shingle FROM ss WHERE doc_id % 101 = 7),
+    train AS (SELECT doc_id, shingle FROM ss WHERE doc_id % 101 <> 7),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+    shared AS (SELECT tr.doc_id, count(*) AS n_shared
+               FROM train tr JOIN bench b ON b.shingle = tr.shingle GROUP BY 1)
+    SELECT z.doc_id, n_shared, n_shingles, round(n_shared / n_shingles, 6) AS contam_frac
+    FROM sizes z JOIN shared h ON h.doc_id = z.doc_id
+    """,
+    ops=["EXT-dedup-policy", "X1", "J2", "G2"],
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.dedup import ngram_contamination
+
+    return ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# TPC-H Q16/Q17/Q18/Q22 shapes — the remaining classic join strategies:
+# NOT-IN anti-join, correlated scalar avg, HAVING semi-join, scalar
+# subquery + no-orders anti-join
+# ===========================================================================
+
+
+@register(
+    "q16_supplier_part_breadth",
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pf AS (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size IN (1, 4, 9, 16, 25, 36))
+    SELECT p_brand, p_type,
+           count(DISTINCT l_suppkey) AS supplier_cnt,
+           count(DISTINCT l_partkey) AS part_cnt
+    FROM pairs
+    JOIN pf ON pf.p_partkey = pairs.l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type
+    """,
+    ops=["J2", "G2", "EXT-relational"],
+)
+def q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by distinct lineitem pairs):
+    supplier breadth per (brand, type) excluding blacklisted suppliers.
+
+    Plan: the (partkey, suppkey) DISTINCT is the one real shuffle and
+    arrives pre-combined map-side; the supplier blacklist and the
+    size-filtered part dim both broadcast, so the anti-join and the dim
+    join are map-side probes. count(DISTINCT) re-shuffles on the group
+    keys — (brand, type) cardinality is tiny, AQE coalesces."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 4, 9, 16, 25, 36))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pf AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#12', 'Brand#23')),
+    lf AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN pf ON pf.p_partkey = lineitem.l_partkey),
+    st AS (SELECT l_partkey, sum(l_quantity::DECIMAL(18,6)) AS sq, count(*) AS cq
+           FROM lf GROUP BY 1)
+    SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 6) AS avg_weekly_revenue,
+           count(*) AS n_rows
+    FROM lf l JOIN st ON st.l_partkey = l.l_partkey
+    WHERE 2 * cq * l.l_quantity::DECIMAL(18,6) < sq
+    """,
+    ops=["J2", "J3", "G2", "EXT-relational"],
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below half their part's
+    average quantity (the correlated scalar-average subquery).
+
+    Decorrelated the way Catalyst would: per-part (sum, count) agg on
+    the brand-filtered fact slice, broadcast back onto the same slice.
+    The half-average comparison is cross-multiplied into exact integer/
+    decimal arithmetic (2*count*qty < sum) so the oracle can't diverge
+    on float division. Only the per-part agg shuffles; both joins are
+    broadcasts of brand-sized dims."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).drop("p_partkey")
+    st = lf.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+        F.count(F.lit(1)).alias("cq"),
+    )
+    joined = lf.withColumnRenamed("l_partkey", "lp").join(
+        F.broadcast(st), F.col("lp") == st.l_partkey
+    )
+    small = joined.filter(
+        F.lit(2) * F.col("cq") * F.col("l_quantity").cast("decimal(18,6)") < F.col("sq")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 6
+        ).alias("avg_weekly_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,6)) AS tq
+                 FROM lineitem GROUP BY 1
+                 HAVING sum(l_quantity::DECIMAL(18,6)) > 250)
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o.o_totalprice, tq::DOUBLE AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    ops=["G2", "J1", "J2", "G6", "EXT-relational"],
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    with their customers (GROUP BY + HAVING driving a join).
+
+    The per-order agg is the only wide shuffle; the HAVING filter
+    shrinks it to a few hundred rows, which then BROADCAST through both
+    remaining joins — orders and customer are probed map-side, never
+    shuffled. At 100 TB that ordering (reduce first, then join the
+    survivors) is the difference between broadcasting kilobytes and
+    shuffling the two biggest tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("tq"))
+        .filter(F.col("tq") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    wide = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "tq"
+    )
+    out = cust.join(F.broadcast(wide), cust.c_custkey == wide.o_custkey)
+    return out.select(
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+        "o_totalprice",
+        F.col("tq").cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "q22_inactive_high_balance",
+    """
+    WITH pos AS (SELECT sum(c_acctbal::DECIMAL(18,6)) AS sb, count(*) AS nb
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS n_cust,
+           sum(c_acctbal::DECIMAL(18,6))::DOUBLE AS total_bal
+    FROM customer c, pos
+    WHERE c.c_acctbal::DECIMAL(18,6) * nb > sb
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    ops=["J2", "J3", "P1", "G2", "EXT-relational"],
+)
+def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (global scalar subquery + anti-join).
+
+    The global average arrives as a broadcast one-row cross join; the
+    above-average comparison is cross-multiplied into decimal
+    (acctbal*count > sum) so no float-division boundary can flip a row.
+    The lapsed-customer check is a shuffle anti-join on custkey —
+    orders is too big to broadcast at scale, but its date predicate
+    pushes to the parquet scan and the customer side is already thinned
+    by the balance predicate before it shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    high = cust.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("nb") > F.col("sb")
+    )
+    inactive = high.join(orders, high.c_custkey == orders.o_custkey, "leftanti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
+    )

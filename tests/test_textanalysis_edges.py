@@ -76,3 +76,62 @@ class TestExactDupEdges:
         assert len(dups) == 2  # (7,8) and the empty/ws pair (1,2)
         by_canon = {r["canonical_id"]: r["dup_count"] for r in dups}
         assert by_canon == {7: 2, 1: 2}
+
+
+class TestRepetitionSignals:
+    def test_known_values(self, spark, edocs):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            repetition_signals,
+        )
+
+        rows = {r["doc_id"]: r for r in repetition_signals(edocs).collect()}
+        assert len(rows) == len(EDGE_DOCS)  # every doc survives, even empty
+        # empty / sub-trigram docs: zeros, not nulls
+        for did in (1, 2, 3, 4):
+            assert rows[did]["dup_trigram_frac"] == 0.0
+            assert rows[did]["n_trigrams"] == 0
+        # "one two" has a single bigram -> top_bigram_frac 1.0 but no trigrams
+        assert rows[4]["top_bigram_frac"] == 1.0
+        # "dup dup dup dup": trigrams = [dup dup dup] x2 -> half are dups
+        assert rows[7]["n_trigrams"] == 2
+        assert rows[7]["dup_trigram_frac"] == 0.5
+        assert rows[7]["top_bigram_frac"] == 1.0  # all bigrams identical
+        assert rows[7]["repetitive"] is True
+
+    def test_varied_long_doc_not_repetitive(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            repetition_signals,
+        )
+
+        # top_bigram_frac is only meaningful with enough bigrams; a
+        # varied 13-token doc (12 distinct bigrams) stays under both
+        # thresholds
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over a lazy dog near the old barn")],
+            "doc_id long, text string",
+        )
+        row = repetition_signals(docs).collect()[0]
+        assert row["dup_trigram_frac"] == 0.0
+        assert row["top_bigram_frac"] == pytest.approx(1 / 12, abs=1e-6)
+        assert row["repetitive"] is False
+
+
+class TestNgramContamination:
+    def test_overlap_detection(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import ngram_contamination
+
+        # bench doc (id 7 with mod 101) shares its 4-gram with doc 1 only
+        docs = spark.createDataFrame(
+            [
+                (7, "alpha beta gamma delta"),  # benchmark member
+                (1, "x alpha beta gamma delta y"),  # contaminated
+                (2, "alpha beta gamma other words here"),  # no full 4-gram overlap
+                (3, "totally different content entirely"),  # clean
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in ngram_contamination(docs).collect()}
+        assert set(rows) == {1}  # only the contaminated doc is returned
+        assert rows[1]["n_shared"] == 1
+        assert rows[1]["n_shingles"] == 3
+        assert rows[1]["contam_frac"] == pytest.approx(0.333333)

@@ -85,7 +85,8 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # Queries where a nested-loop join is the documented intent: either the
 # brute-force correctness baseline, or a broadcast cross join against a
 # constant-size side (the 8-row IVF centroid table; the 1-row corpus
-# count in TF-IDF's idf scalar; the k-row centroid set in kmeans).
+# count in TF-IDF's idf scalar; the k-row centroid set in kmeans; the
+# 1-row global-average scalar in the Q22 shape).
 BRUTE_FORCE_OK = {
     "sim_neardup_pairs",
     "sim_topk_bruteforce",
@@ -93,6 +94,7 @@ BRUTE_FORCE_OK = {
     "sim_neardup_bucketed",
     "text_tfidf_topk",
     "kmeans_lite_clusters",
+    "q22_inactive_high_balance",
 }
 
 

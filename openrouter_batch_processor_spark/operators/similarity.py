@@ -344,3 +344,58 @@ def rp_candidate_pairs(
         .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization with per-vector scale (the standard
+    embedding-compression step before shipping vectors to an ANN index:
+    4x smaller, one multiply to dequantize).
+
+    scale = 127/max|x|; q_i = clamp(round(x_i*scale), ±127); reports
+    per-vector reconstruction error (RMS + max abs) so a pipeline can
+    gate on quality. Pure Column program — every stage (double cast,
+    max-abs, scale, quantized array, error fold) is a SEPARATE
+    projection so HOF lambdas reference attributes, not inline
+    expressions (Catalyst re-evaluates inline args per element). Zero
+    shuffle, scales linearly with row count."""
+    x = vectors.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd")
+    )
+    mx = x.select(
+        F.col(id_col), F.col("xd"),
+        F.array_max(F.transform(F.col("xd"), F.abs)).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    sc = mx.select(
+        F.col(id_col), F.col("xd"), (F.lit(127.0) / F.col("mx")).alias("scale")
+    )
+    q = sc.select(
+        F.col(id_col), F.col("xd"), F.col("scale"),
+        F.transform(
+            F.col("xd"),
+            lambda v: F.least(
+                F.greatest(F.round(v * F.col("scale"), 0), F.lit(-127.0)), F.lit(127.0)
+            ),
+        ).alias("q"),
+    )
+    err = q.select(
+        F.col(id_col), F.col("scale"), F.col("q"),
+        F.zip_with(
+            F.col("xd"), F.col("q"), lambda a, b: a - b / F.col("scale")
+        ).alias("diff"),
+    )
+    return err.select(
+        F.col(id_col),
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.size(F.filter(F.col("q"), lambda v: F.abs(v) == 127.0)).cast("long").alias("n_saturated"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("diff"), F.lit(0.0), lambda acc, d: acc + d * d
+                ) / F.size(F.col("diff"))
+            ),
+            6,
+        ).alias("rms_err"),
+        F.round(F.array_max(F.transform(F.col("diff"), F.abs)), 6).alias("max_abs_err"),
+    )

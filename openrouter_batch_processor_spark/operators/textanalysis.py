@@ -241,3 +241,39 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         doc_fingerprint(F.col(text_col)).alias("fp_md5"),
         rolling_hash(F.col(text_col)).alias("fp_rolling"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-design primitive: coverage of a top-k frequency vocab
+    — per doc, what fraction of its tokens would be in-vocab (the
+    complement is the OOV rate a k-entry tokenizer would suffer).
+
+    Two passes over the shared term-frequency base: (1) corpus totals
+    -> top-k vocab (deterministic count-desc/term-asc tiebreak), tiny
+    by construction, BROADCAST; (2) per-doc token streams probe the
+    broadcast set map-side — a doc's coverage never shuffles its
+    tokens, only its (doc_id, count) pair."""
+    tf = term_frequencies(docs, id_col, text_col)
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total"))
+        .orderBy(F.desc("total"), F.asc("term"))
+        .limit(k)
+        .select("term")
+    )
+    per_doc = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tokens"))
+    in_vocab = (
+        tf.join(F.broadcast(vocab), "term", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_in_vocab"))
+    )
+    joined = per_doc.join(in_vocab, id_col, "left")
+    niv = F.coalesce(F.col("n_in_vocab"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        niv.alias("n_in_vocab"),
+        F.round(niv / F.col("n_tokens"), 6).alias("coverage"),
+    )

@@ -77,3 +77,40 @@ def transition_counts(
         pairs.groupBy(F.col("from_state"), F.col(state_col).alias("to_state"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log:
+    collapse consecutive identical states per key into [valid_from,
+    valid_to) intervals, open-ended for the current state.
+
+    Classic two-window gaps-and-islands: lag() marks state *changes*,
+    the filtered change rows get their close timestamp from lead().
+    Both windows share one partitioning (key, ordered by ts+tiebreak
+    for determinism under equal timestamps), so Spark shuffles ONCE on
+    the key and evaluates both functions in the same sort — exactly the
+    shape that scales: no global sort, per-key streams, and the second
+    window runs on the already-thinned change rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = events.select(
+        key_col, state_col, ts_col, tiebreak_col,
+        F.lag(state_col).over(w).alias("prev_state"),
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col(state_col))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead(ts_col).over(w2), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

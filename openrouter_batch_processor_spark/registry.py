@@ -3401,3 +3401,126 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
     )
+
+
+# ===========================================================================
+# EXT-simsearch — int8 embedding quantization with reconstruction error
+# ===========================================================================
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xd FROM embeddings),
+    m AS (SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x),
+    s AS (SELECT vec_id, xd, 127.0 / mx AS scale FROM m WHERE mx > 0),
+    q AS (SELECT vec_id, xd, scale,
+                 list_transform(xd, v -> least(greatest(round(v * scale, 0), -127.0), 127.0)) AS q
+          FROM s),
+    d AS (SELECT vec_id, scale, q,
+                 list_transform(range(1, len(xd) + 1), i -> xd[i] - q[i] / scale) AS diff
+          FROM q)
+    SELECT vec_id, round(scale, 6) AS scale,
+           len(list_filter(q, v -> abs(v) = 127.0)) AS n_saturated,
+           round(sqrt(list_reduce(list_transform(diff, v -> v * v), (a, b) -> a + b)
+                      / len(diff)), 6) AS rms_err,
+           round(list_max(list_transform(diff, v -> abs(v))), 6) AS max_abs_err
+    FROM d
+    """,
+    ops=["EXT-simsearch", "D6", "G2"],
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# EXT-windows — SCD2 dimension build from the event log
+# ===========================================================================
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM ch
+    """,
+    ops=["EXT-windows", "O1", "T1"],
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.timeseries import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# EXT-windows — distribution window functions (ntile / percent_rank /
+# cume_dist), partitioned per key so no global sort exists anywhere
+# ===========================================================================
+
+
+@register(
+    "w_ntile_cumdist",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    ops=["EXT-windows", "O1", "O3"],
+)
+def q_w_ntile_cumdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-distribution ranks. One shuffle on custkey,
+    one per-partition sort shared by all three window functions (same
+    WindowSpec -> single Window physical node); the unique
+    (totalprice, orderkey) ordering makes percent_rank/cume_dist
+    peer-free and deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+# ===========================================================================
+# EXT-tokens — top-k vocabulary coverage / OOV rate
+# ===========================================================================
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+    vocab AS (SELECT term FROM (SELECT term, sum(tf) AS total FROM tf GROUP BY 1)
+              ORDER BY total DESC, term LIMIT 20),
+    pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf GROUP BY 1),
+    iv AS (SELECT tf.doc_id, sum(tf)::BIGINT AS n_in_vocab
+           FROM tf JOIN vocab USING (term) GROUP BY 1)
+    SELECT p.doc_id, n_tokens, coalesce(n_in_vocab, 0) AS n_in_vocab,
+           round(coalesce(n_in_vocab, 0) / n_tokens, 6) AS coverage
+    FROM pd p LEFT JOIN iv ON iv.doc_id = p.doc_id
+    """,
+    ops=["EXT-tokens", "G2", "J2", "O4"],
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.textanalysis import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))

@@ -80,3 +80,26 @@ class TestNearDup:
         for c in range(3):
             ids = [c + 3 * j for j in range(4)]
             assert len({cells[i] for i in ids}) == 1
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_properties(self, spark):
+        from openrouter_batch_processor_spark.operators.similarity import quantize_int8
+
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, -0.5, 0.25, 0.0]),
+                (2, [0.003, 0.001, -0.002, 0.004]),  # tiny magnitudes still span int8
+                (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: dropped (no scale exists)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_int8(vecs).collect()}
+        assert set(rows) == {1, 2}
+        # max element always quantizes exactly to +/-127 -> saturated
+        assert rows[1]["n_saturated"] >= 1
+        assert rows[1]["scale"] == 127.0
+        # reconstruction error is bounded by half a quantization step
+        for r in rows.values():
+            assert r["max_abs_err"] <= 0.5 / r["scale"] + 5e-7  # + 6-dp rounding slop
+            assert 0.0 <= r["rms_err"] <= r["max_abs_err"]

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from openrouter_batch_processor_spark.operators.timeseries import (
     ewma_last,
     transition_counts,
@@ -61,3 +63,34 @@ class TestTransitions:
             ("view", "click"): 1,
             ("view", "purchase"): 1,
         }
+
+
+class TestScd2Intervals:
+    def test_collapses_runs_and_opens_current(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import scd2_intervals
+
+        events = spark.createDataFrame(
+            [
+                # user 1: A A B A  -> intervals A[t1,t3) B[t3,t4) A[t4,∞)
+                (1, "2024-01-01 00:00:01", 1, "A", 0.0, None),
+                (2, "2024-01-01 00:00:02", 1, "A", 0.0, None),
+                (3, "2024-01-01 00:00:03", 1, "B", 0.0, None),
+                (4, "2024-01-01 00:00:04", 1, "A", 0.0, None),
+                # user 2: single event -> one open interval
+                (5, "2024-01-01 00:00:05", 2, "C", 0.0, None),
+            ],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        rows = sorted(
+            scd2_intervals(events).collect(), key=lambda r: (r["user_id"], r["valid_from"])
+        )
+        assert [(r["user_id"], r["state"], r["valid_to"] is None) for r in rows] == [
+            (1, "A", False),
+            (1, "B", False),
+            (1, "A", True),
+            (2, "C", True),
+        ]
+        # the A-run collapses: valid_from is the FIRST A, close at the B
+        assert rows[0]["valid_from"] == "2024-01-01 00:00:01"
+        assert rows[0]["valid_to"] == "2024-01-01 00:00:03"
+        assert [r["is_current"] for r in rows] == [False, False, True, True]

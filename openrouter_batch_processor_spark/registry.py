@@ -3524,3 +3524,138 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.textanalysis import vocab_coverage
 
     return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# T1/EXT-sessions — native streaming session windows, value-checked
+# ===========================================================================
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    m AS (SELECT user_id, ts,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    g AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM m)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    ops=["T1", "EXT-sessions", "EXT-windows"],
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window over the event STREAM, value-checked
+    against the gaps-and-islands batch SQL. Boundary semantics differ
+    from the batch sessionize op on purpose: session_window merges only
+    OVERLAPPING [ts, ts+gap) intervals, so an event landing exactly at
+    the previous session's end starts a new one (oracle: ts-prev >=
+    gap, where the lag-based batch op uses >). Complete output mode so
+    the availableNow run emits every session including those inside the
+    final watermark horizon; a 24/7 deployment would run append mode
+    and let the watermark finalize sessions incrementally."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        session_windows_stream,
+    )
+
+    stream = session_windows_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_sessions", output_mode="complete")
+    return spark.table("registry_stream_sessions")
+
+
+# ===========================================================================
+# TPC-H Q13/Q15 shapes — outer-join distribution and argmax-by-scalar
+# ===========================================================================
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    SELECT c_count, count(*) AS custdist FROM co GROUP BY 1
+    """,
+    ops=["J1", "G2", "G4", "EXT-relational"],
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
+    orders — LEFT OUTER join with a join-side residual predicate (the
+    filter must sit IN the join, not under it, or zero-order customers
+    vanish), then a count-of-counts.
+
+    The outer join shuffles both sides on custkey; the first groupBy
+    rides the SAME partitioning (no second shuffle — Catalyst reuses
+    the hash partitioning), and the count-of-counts shuffles a few
+    hundred distinct c_count rows. count(o_orderkey) ignores the NULLs
+    an unmatched customer row carries, which is exactly the 0-order
+    bucket."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    co = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY 1),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+    FROM supplier JOIN rev ON rev.l_suppkey = s_suppkey JOIN mx ON total_rev = m
+    """,
+    ops=["J2", "J3", "G2", "O4", "EXT-relational"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — argmax implemented as agg -> 1-row max scalar -> equality filter,
+    NOT orderBy().limit(1) (which silently drops ties and forces a
+    global sort; the view-based original keeps ties).
+
+    Revenue sums in DECIMAL so the equality against the max is exact —
+    with double sums, '== max' is a bit-pattern lottery. The per-supp
+    agg is the only shuffle; the max arrives by broadcast cross join
+    and the supplier dim join broadcasts the (tiny) winning set."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    winners = rev.join(F.broadcast(mx), rev.total_rev == F.col("m")).select(
+        "l_suppkey", "total_rev"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(F.broadcast(winners), supp.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+    )

@@ -192,3 +192,54 @@ class TestStreamingDedup:
         run_to_memory(out, "dedup_cross_batch", output_mode="append")
         got = _rows_set(spark.table("dedup_cross_batch"), ["user_id", "event_type"])
         assert got == {(10, "click"), (11, "view"), (12, "click")}
+
+
+class TestForeachBatchSink:
+    def test_idempotent_parquet_upsert(self, spark, tmp_path):
+        """foreachBatch as the arbitrary-sink escape hatch: each
+        micro-batch lands as its own parquet subdir keyed by batch_id
+        (an idempotent 'overwrite my slot' upsert — re-running a batch
+        after a crash replaces, never duplicates), which is the
+        standard exactly-once recipe for sinks without transactional
+        streaming support."""
+        import datetime as dt
+
+        t = dt.datetime(2026, 1, 1, 12, 0, 0)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        src = str(tmp_path / "fb_src")
+        spark.createDataFrame(
+            [(1, t, 10, "click", 1.0, "")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(
+            [(2, t, 11, "view", 2.0, "")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        out_root = str(tmp_path / "fb_out")
+        seen_batches = []
+
+        def sink(batch_df, batch_id):
+            seen_batches.append(batch_id)
+            # deterministic slot per batch: a retry overwrites its own
+            # slot instead of appending duplicates
+            batch_df.write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+        reader = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            reader.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(seen_batches) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+        got = spark.read.parquet(out_root)
+        assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+        # re-running one batch into its slot does not duplicate rows
+        replay = spark.createDataFrame([(2, t, 11, "view", 2.0, "")], schema)
+        replay.write.mode("overwrite").parquet(f"{out_root}/batch_id={seen_batches[-1]}")
+        assert sorted(r["event_id"] for r in spark.read.parquet(out_root).collect()) == [1, 2]

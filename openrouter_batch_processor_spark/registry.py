@@ -3659,3 +3659,250 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(F.broadcast(winners), supp.s_suppkey == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
     )
+
+
+# ===========================================================================
+# TPC-H Q9/Q10/Q11/Q14/Q19 shapes — profit rollup, returned-item top-N,
+# important-part threshold, promo ratio, OR-of-range-predicates
+# ===========================================================================
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    ops=["J1", "J3", "G2", "O3", "EXT-relational"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter (reference's per-group cost ranking generalized to a
+    4-table star join; cf. worker.py:133-176 usage rollup + app.py
+    archive sorting).
+
+    Scale plan: the date filter lands on the orders scan (PushedFilters)
+    and the returnflag filter on the lineitem scan, so the fact-fact
+    shuffle join only moves one quarter of orders. nation is broadcast;
+    customer joins AFTER aggregation would be ideal but the group key
+    needs c_name/c_acctbal, so customer rides the shuffle — at 100 TB
+    you'd pre-bucket orders+lineitem on orderkey and customer+orders on
+    custkey. LIMIT 20 is a TakeOrdered, no global sort."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
+                              ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                   / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE,
+             6) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    ops=["J2", "G2", "P1", "EXT-relational"],
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's discounted revenue that
+    came from PROMO-type parts — conditional aggregation folded into a
+    single pass (no second join or self-union for the numerator).
+
+    part is broadcast (it's a dim); the month filter is pushed to the
+    lineitem scan so the join probe side is ~1/36 of the table. Both
+    sums ride one partial-aggregate; DECIMAL accumulation keeps the
+    ratio deterministic under any partitioning, rounded at the edge."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q19_or_range_predicates",
+    """
+    SELECT sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    ops=["J2", "P1", "P4", "G2", "EXT-relational"],
+)
+def q19_or_range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity range
+    predicates spanning both join sides (the reference's multi-branch
+    file-type routing, worker.py:69-98, as relational OR-predicates).
+
+    Catalyst derives the cross-branch implied filters: quantity in
+    [1,30] prunes lineitem at the scan, brand IN (...) AND size in
+    [1,35] prunes part BEFORE the broadcast, and the residual OR runs
+    as the join condition — .explain shows both PushedFilters. That
+    scan-side derivation is what keeps this viable at 100 TB; the naive
+    plan filters after the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return joined.filter(
+        branch("Brand#12", 15, 1, 11) | branch("Brand#23", 25, 10, 20) | branch("Brand#15", 35, 20, 30)
+    ).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS yr,
+           sum(((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
+                - (0.6 * p.p_retailprice * l.l_quantity)::DECIMAL(18,6)))::DOUBLE AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type IN ('STANDARD', 'ECONOMY')
+    GROUP BY 1, 2
+    """,
+    ops=["J2", "J3", "G2", "F11", "EXT-relational"],
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year. The testdata
+    has no partsupp table, so supply cost is proxied as 60% of retail
+    price — the plan shape (fact + two broadcast dims + snowflaked
+    nation, derived-column group key) is what's under test.
+
+    Both dims broadcast, so the only shuffle is the final (nation ×
+    year) aggregate — 25 × 7 groups — after a map-side partial agg; at
+    100 TB this stays a single wide scan with no fact-fact shuffle.
+    Revenue and cost are separately cast to DECIMAL before the subtract
+    so the sum is order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").isin("STANDARD", "ECONOMY"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    ) - (0.6 * F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1),
+    tot AS (SELECT sum(part_value) AS total FROM val)
+    SELECT v.l_partkey AS partkey, v.part_value::DOUBLE AS part_value
+    FROM val v, tot
+    WHERE (v.part_value * 1000)::DECIMAL(28,6) > tot.total::DECIMAL(28,6)
+    """,
+    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within one region
+    exceeds 0.1% of the region total (partsupp proxied by lineitem
+    value). HAVING-against-scalar-subquery, decorrelated: aggregate
+    once, reduce to a 1-row total, broadcast it back as a cross join.
+
+    The threshold compares DECIMAL*1000 > DECIMAL — exact integer-ish
+    arithmetic on both engines, no double epsilon at the cut line. The
+    snowflake (region->nation->supplier) folds into one broadcast
+    before touching lineitem, so lineitem is scanned once and shuffled
+    once (on partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_supp = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asian_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(
+            (F.col("part_value") * 1000).cast("decimal(28,6)")
+            > F.col("total").cast("decimal(28,6)")
+        )
+        .select(F.col("l_partkey").alias("partkey"), F.col("part_value").cast("double").alias("part_value"))
+    )

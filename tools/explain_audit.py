@@ -86,8 +86,10 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # brute-force correctness baseline, or a broadcast cross join against a
 # constant-size side (the 8-row IVF centroid table; the 1-row corpus
 # count in TF-IDF's idf scalar; the k-row centroid set in kmeans; the
-# 1-row global-average scalar in the Q22 shape).
+# 1-row global-average scalar in the Q22 shape; the 1-row region-total
+# scalar in the Q11 shape).
 BRUTE_FORCE_OK = {
+    "q11_important_parts",
     "sim_neardup_pairs",
     "sim_topk_bruteforce",
     "sim_ivf_topk",

@@ -16,7 +16,7 @@ the 12-dp display precision at the edge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -164,4 +164,41 @@ def anomaly_zscore(
         enriched.withColumn("z", F.round(z, 6))
         .filter((F.col("_std") > 0) & (F.abs(F.col("z")) > threshold))
         .select("event_id", group_col, F.col(y_col).cast("double").alias(y_col), "z")
+    )
+
+
+def pearson_corr(
+    events: DataFrame,
+    group_col: str = "event_type",
+    x_expr: Column | None = None,
+    y_col: str = "value",
+) -> DataFrame:
+    """Per-group Pearson correlation via the same mergeable-moments
+    trick as linear_trend: one pass accumulating (n, sum x, sum x^2,
+    sum y, sum y^2, sum xy) with integer/DECIMAL sums, closed form +
+    round only at the edge. Identical at any partition count; bit-equal
+    to the oracle (a double corr() builtin would drift with the
+    reduction order on both engines).
+
+    Default x is hour-of-day — "does this metric correlate with time
+    of day per event type" — but any integer Column works. Groups with
+    zero variance on either side are filtered (corr undefined)."""
+    x = (x_expr if x_expr is not None else F.hour("ts")).cast("long").alias("x")
+    y = F.col(y_col).cast("double").alias("y")
+    base = events.select(F.col(group_col), x, y)
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,10)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,10)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,10)")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_x = d("n") * d("sxx") - d("sx") * d("sx")
+    var_y = d("n") * d("syy") - d("sy") * d("sy")
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (F.sqrt(var_x) * F.sqrt(var_y))
+    return (
+        agg.filter((var_x > 0) & (var_y > 0))
+        .select(group_col, "n", F.round(corr, 6).alias("corr_x_value"))
     )

@@ -277,3 +277,129 @@ def vocab_coverage(
         niv.alias("n_in_vocab"),
         F.round(niv / F.col("n_tokens"), 6).alias("coverage"),
     )
+
+
+def unigram_nll(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document: average
+    negative log-likelihood avg_nll = sum_t tf_d(t) * ln(T / ctf(t)) /
+    |d| where ctf is the corpus term frequency and T the corpus token
+    count — the classic cheap perplexity proxy for quality filtering
+    (high avg_nll = the doc is full of corpus-rare tokens).
+
+    Plan shape: one (doc, term) tf pass; corpus totals are a tiny
+    per-term aggregate BROADCAST back onto tf (term vocabulary <<
+    corpus); the corpus-size scalar is a 1-row broadcast cross join.
+    Per-term contributions are rounded then summed as DECIMAL so the
+    per-doc reduction is order-independent (bit-stable at any
+    partition count); the division is rounded at the edge."""
+    tf = term_frequencies(docs, id_col, text_col)
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").cast("double").alias("total_tokens"))
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("total_tokens") / F.col("ctf")), 6
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(ctf), "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(contrib).alias("nll_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("nll_sum").cast("double") / F.col("n_tokens"), 6).alias("avg_nll"),
+        )
+    )
+
+
+# BM25 defaults per Robertson/Sparck-Jones literature values.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-k docs for a bag-of-terms query.
+
+    score(d) = sum_{t in q} ln(1 + (N - df + 0.5)/(df + 0.5)) *
+               tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: doc length is a per-row expression (NO shuffle — it
+    never touches the tf table); the tf table is filtered to the query
+    terms BEFORE its groupBy, so the only (doc,term) aggregation that
+    runs is over rows matching the handful of query terms; df counts
+    and the (N, avgdl) scalars broadcast. The final top-k is
+    TakeOrdered, not a global sort. Contributions round->DECIMAL-sum
+    for order independence."""
+    t = F.col(text_col)
+    dl_col = whitespace_token_count(t)
+    with_dl = docs.select(F.col(id_col), dl_col.alias("dl"))
+    scalars = with_dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = term_frequencies(docs, id_col, text_col).filter(F.col("term").isin(*query_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tf_part, 6).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(with_dl, id_col)
+        .join(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib).alias("score_sum"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("score_sum").cast("double").alias("bm25"),
+            F.col("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# Conservative RE2-and-Java-compatible patterns (no lookaround, no
+# backreferences) so the same regex runs on both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redaction(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub for training corpora: count and redact email addresses
+    and phone numbers. Pure per-row Column program — regexp_extract_all
+    for counts, chained regexp_replace for the scrub, md5 of the
+    redacted text as the verifiable output fingerprint. Zero shuffle;
+    at 100 TB this is a map-only pass that rides whatever partitioning
+    the scan produced. Phone redaction runs on the email-redacted text
+    so overlapping matches resolve deterministically (email wins)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -3906,3 +3906,152 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_partkey").alias("partkey"), F.col("part_value").cast("double").alias("part_value"))
     )
+
+
+# ===========================================================================
+# Unigram-LM scoring, BM25 retrieval, PII redaction, Pearson correlation
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
+    bm25_topk,
+    pii_redaction,
+    unigram_nll,
+)
+
+
+@register(
+    "text_unigram_nll",
+    f"""
+    WITH {_TF_SQL},
+    ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+    tot AS (SELECT sum(ctf)::DOUBLE AS total_tokens FROM ctf),
+    c AS (SELECT t.doc_id, t.tf,
+                 round(t.tf * ln(tot.total_tokens / ctf.ctf), 6)::DECIMAL(18,6) AS contrib
+          FROM tf t JOIN ctf USING (term) CROSS JOIN tot)
+    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           round(sum(contrib)::DOUBLE / sum(tf), 6) AS avg_nll
+    FROM c GROUP BY doc_id
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "J2"],
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_nll(_t(spark, sf_dir, "documents"))
+
+
+BM25_QUERY = ["table", "scan", "window", "vector"]
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_TF_SQL},
+    dl AS (SELECT doc_id,
+                  CASE WHEN {_NORM_SQL} = '' THEN 0
+                       ELSE len(string_split({_NORM_SQL}, ' ')) END AS dl
+           FROM documents),
+    s AS (SELECT count(*)::DOUBLE AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('table','scan','window','vector')),
+    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    c AS (SELECT q.doc_id,
+                 round(ln(1::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                       * (q.tf * 2.2::DOUBLE)
+                       / (q.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl)),
+                       6)::DECIMAL(18,6) AS contrib
+          FROM qtf q JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+    SELECT doc_id, sum(contrib)::DOUBLE AS bm25, count(*) AS n_terms_hit
+    FROM c GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    ops=["EXT-tfidf", "EXT-tokens", "G2", "O3", "O4"],
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the shared tf base; k1=1.2, b=0.75 (so the length
+    normalizer is 0.25 + 0.75*dl/avgdl — the oracle pre-folds 1-b)."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
+# Synthetic-PII injection shared by both engines: 2 of every 3 docs get
+# a deterministic email + phone appended, derived from doc_id.
+_PII_TEXT_SQL = """
+      CASE WHEN doc_id % 3 = 0 THEN text
+           ELSE text || ' reach user' || doc_id::VARCHAR || '@mail'
+                || (doc_id % 7)::VARCHAR || '.example.com or 555-'
+                || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      END"""
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+    WITH synth AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                              '<EMAIL>', 'g'),
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))::BIGINT AS n_phones,
+           length(regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                              '<EMAIL>', 'g'),
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'))::BIGINT AS redacted_len,
+           md5(regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                              '<EMAIL>', 'g'),
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    ops=["EXT-quality", "F4", "P1"],
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically PII-injected documents (the raw
+    corpus has none, so the injection IS the fixture; doc_id % 3 == 0
+    rows stay clean to exercise the zero path)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    synth = docs.select(
+        did, F.when(did % 3 == 0, F.col("text")).otherwise(pii).alias("text")
+    )
+    return pii_redaction(synth)
+
+
+from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
+    pearson_corr,
+)
+
+
+@register(
+    "events_corr_hour_value",
+    """
+    WITH b AS (SELECT event_type, extract(hour FROM ts)::BIGINT AS x,
+                      value::DOUBLE AS y
+               FROM events),
+    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+                 sum(x::DECIMAL(38,0) * x) AS sxx,
+                 sum(y::DECIMAL(28,10)) AS sy,
+                 sum((y * y)::DECIMAL(38,10)) AS syy,
+                 sum((x * y)::DECIMAL(38,10)) AS sxy
+          FROM b GROUP BY 1)
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS corr_x_value
+    FROM a
+    WHERE (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+    """,
+    ops=["G2", "EXT-relational", "T1"],
+)
+def q_corr_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pearson_corr(_t(spark, sf_dir, "events"))

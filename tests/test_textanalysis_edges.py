@@ -135,3 +135,99 @@ class TestNgramContamination:
         assert rows[1]["n_shared"] == 1
         assert rows[1]["n_shingles"] == 3
         assert rows[1]["contam_frac"] == pytest.approx(0.333333)
+
+
+class TestUnigramNll:
+    def test_rare_tokens_score_higher(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import unigram_nll
+
+        docs = spark.createDataFrame(
+            [(1, "common common common common"), (2, "common rare"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+        # empty doc contributes no tokens -> no row (undefined avg)
+        assert set(rows) == {1, 2}
+        assert rows[2]["avg_nll"] > rows[1]["avg_nll"]
+        assert rows[1]["n_tokens"] == 4
+        # doc of only the most common token still has nll > 0 (p < 1)
+        assert rows[1]["avg_nll"] > 0
+
+
+class TestBm25:
+    def test_missing_query_term_and_ranking(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark join"),
+                (2, "spark filler filler filler filler filler filler filler"),
+                (3, "nothing relevant here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = bm25_topk(docs, ["spark", "absent_term"], k=10).collect()
+        ids = [r["doc_id"] for r in rows]
+        # doc 3 has no query term -> absent entirely
+        assert 3 not in ids
+        # higher tf + shorter doc outranks the long one-hit doc
+        assert ids[0] == 1
+        assert rows[0]["n_terms_hit"] == 1
+
+    def test_k_truncation(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "term filler") for i in range(20)], "doc_id long, text string"
+        )
+        assert bm25_topk(docs, ["term"], k=5).count() == 5
+
+
+class TestPiiRedaction:
+    def test_counts_and_scrub(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import pii_redaction
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a@b.com and c.d+x@e-f.org call 555-123-4567"),
+                (2, "no pii at all"),
+                (3, "just digits 12-34 and half@mail"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_redaction(docs).collect()}
+        assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+        assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+        # 'half@mail' has no TLD dot -> not an email
+        assert rows[3]["n_emails"] == 0
+
+    def test_phone_inside_email_not_double_counted(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import pii_redaction
+
+        # the digits sit inside the email local part; email redaction
+        # runs first so the phone pass must not see them
+        docs = spark.createDataFrame(
+            [(1, "x555-123-4567@mail.com ok")], "doc_id long, text string"
+        )
+        r = pii_redaction(docs).collect()[0]
+        assert r["n_emails"] == 1 and r["n_phones"] == 0
+
+
+class TestPearsonCorr:
+    def test_perfect_and_degenerate(self, spark):
+        import datetime as dt
+
+        from openrouter_batch_processor_spark.operators.aggregates import pearson_corr
+
+        base = dt.datetime(2025, 1, 1, 0, 0, 0)
+        rows = []
+        for h in range(6):
+            ts = base + dt.timedelta(hours=h)
+            rows.append(("lin", ts, float(h) * 2.0 + 1.0))  # corr == 1
+            rows.append(("anti", ts, -float(h)))  # corr == -1
+            rows.append(("flat", ts, 5.0))  # zero y-variance -> dropped
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        out = {r["event_type"]: r for r in pearson_corr(df).collect()}
+        assert set(out) == {"lin", "anti"}
+        assert out["lin"]["corr_x_value"] == 1.0
+        assert out["anti"]["corr_x_value"] == -1.0

@@ -87,9 +87,12 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # constant-size side (the 8-row IVF centroid table; the 1-row corpus
 # count in TF-IDF's idf scalar; the k-row centroid set in kmeans; the
 # 1-row global-average scalar in the Q22 shape; the 1-row region-total
-# scalar in the Q11 shape).
+# scalar in the Q11 shape; the 1-row corpus-size / avgdl scalars in the
+# unigram-LM and BM25 scorers).
 BRUTE_FORCE_OK = {
     "q11_important_parts",
+    "text_unigram_nll",
+    "text_bm25_topk",
     "sim_neardup_pairs",
     "sim_topk_bruteforce",
     "sim_ivf_topk",

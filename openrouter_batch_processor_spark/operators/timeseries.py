@@ -114,3 +114,88 @@ def scd2_intervals(
         F.date_format(F.lead(ts_col).over(w2), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+FUNNEL_EPOCH0 = "2024-01-01 00:00:00"
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each stage k, how many users
+    performed stage k STRICTLY AFTER their entry into stage k-1 (entry
+    = the earliest qualifying timestamp). Returns (stage_idx, stage,
+    n_users, conv_from_prev) with conversion rounded at the edge.
+
+    Execution: stage 1 is a filtered groupBy(user) min(ts); each later
+    stage filters the raw stream to its event type and joins the
+    (shrinking) previous-stage entry table on user_id before its own
+    min — k-1 joins total, each keyed on the same user_id, so under AQE
+    they reuse one exchange of the event stream per stage and the
+    survivor tables get small enough to broadcast within a few stages.
+    No windows, no per-user sequence materialization: at 100 TB the
+    event stream is never sorted, only filtered + hash-aggregated."""
+    prev_entry: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, stage in enumerate(stages):
+        cur = events.filter(F.col(type_col) == stage)
+        if prev_entry is not None:
+            cur = cur.join(prev_entry, user_col).filter(F.col(ts_col) > F.col("_entry_ts"))
+        entry = cur.groupBy(user_col).agg(F.min(ts_col).alias("_entry_ts"))
+        counts.append(
+            entry.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("n_users"),
+            )
+        )
+        prev_entry = entry
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("stage_idx")
+    prev_n = F.lag("n_users").over(w)
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.when(prev_n.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_users") / prev_n, 6))
+        .alias("conv_from_prev"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    epoch0: str = FUNNEL_EPOCH0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: cohort = the week of a user's first
+    event; a user counts as retained in week_offset w if they have any
+    event in cohort_week + w. Returns (cohort_week, week_offset,
+    n_users).
+
+    Two aggregations and one join: first-event week per user (shuffle
+    on user), then the DISTINCT (user, week) activity pairs join the
+    cohort table on user — same key, same partitioning, AQE coalesces —
+    and the final count groups by the tiny (cohort, offset) pair. The
+    distinct-before-count keeps multi-event weeks from inflating
+    retention, and it's the only dedup the plan needs."""
+    week = lambda c: F.floor(  # noqa: E731
+        (F.unix_timestamp(c) - F.unix_timestamp(F.lit(epoch0).cast("timestamp_ntz")))
+        / 604800
+    ).cast("long")
+    first = events.groupBy(user_col).agg(week(F.min(ts_col)).alias("cohort_week"))
+    active = events.select(F.col(user_col), week(F.col(ts_col)).alias("week")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

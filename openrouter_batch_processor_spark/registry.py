@@ -4055,3 +4055,62 @@ from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E40
 )
 def q_corr_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pearson_corr(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Product-analytics shapes: ordered funnel + weekly retention cohorts
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.timeseries import (  # noqa: E402
+    funnel_counts,
+    retention_cohorts,
+)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+          UNION ALL SELECT 2, 'click', count(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+    SELECT stage_idx, stage, n_users,
+           round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6) AS conv_from_prev
+    FROM c
+    """,
+    ops=["G2", "J2", "O1", "EXT-sessions"],
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel; each stage must happen
+    strictly after the user's ENTRY (first qualifying event) into the
+    previous stage, not merely after any earlier-stage event."""
+    return funnel_counts(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id,
+                      floor((epoch(min(ts))
+                             - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT
+                        AS cohort_week
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id,
+                 floor((epoch(ts)
+                        - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT AS week
+          FROM events)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset, count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    ops=["G2", "J2", "X1", "EXT-sessions"],
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the event log: cohort = first-
+    event week, retained = any event in cohort_week + offset."""
+    return retention_cohorts(_t(spark, sf_dir, "events"))

@@ -94,3 +94,56 @@ class TestScd2Intervals:
         assert rows[0]["valid_from"] == "2024-01-01 00:00:01"
         assert rows[0]["valid_to"] == "2024-01-01 00:00:03"
         assert [r["is_current"] for r in rows] == [False, False, True, True]
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        import datetime as dt
+
+        from openrouter_batch_processor_spark.operators.timeseries import funnel_counts
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            # u1: full ordered funnel
+            (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+            # u2: click BEFORE first view -> stops at stage 1
+            (2, t(1), "view"), (2, t(0), "click"),
+            # u3: purchase before click -> reaches stage 2 only
+            (3, t(0), "view"), (3, t(2), "click"), (3, t(1), "purchase"),
+            # u4: never views -> not even stage 1
+            (4, t(0), "click"), (4, t(1), "purchase"),
+            # u5: click at EXACTLY the first-view instant -> strict > fails
+            (5, t(0), "view"), (5, t(0), "click"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        out = {r["stage_idx"]: r for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+        assert out[1]["n_users"] == 4  # u1 u2 u3 u5
+        assert out[2]["n_users"] == 2  # u1 u3
+        assert out[3]["n_users"] == 1  # u1
+        assert out[1]["conv_from_prev"] is None
+        assert out[2]["conv_from_prev"] == 0.5
+        assert out[3]["conv_from_prev"] == 0.5
+
+
+class TestRetentionCohorts:
+    def test_offsets_and_distinct(self, spark):
+        import datetime as dt
+
+        from openrouter_batch_processor_spark.operators.timeseries import retention_cohorts
+
+        d = lambda days, h=0: dt.datetime(2024, 1, 1 + days, h)  # noqa: E731
+        rows = [
+            # u1: cohort week 0, active weeks 0,1 (two events in w1 count once)
+            (1, d(0)), (1, d(8)), (1, d(9)),
+            # u2: cohort week 1, active week 1 only
+            (2, d(7)),
+            # u3: cohort week 0, active weeks 0 and 2
+            (3, d(3)), (3, d(15)),
+        ]
+        df = spark.createDataFrame(
+            [(u, ts, "view") for u, ts in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+               for r in retention_cohorts(df).collect()}
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}

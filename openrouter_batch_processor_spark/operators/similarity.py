@@ -399,3 +399,99 @@ def quantize_int8(
         ).alias("rms_err"),
         F.round(F.array_max(F.transform(F.col("diff"), F.abs)), 6).alias("max_abs_err"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_mod: int = 100,
+    query_rem: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per query —
+    the quality gauge every ANN deployment needs before trusting the
+    pruned path. Query set = vectors with id % query_mod == query_rem
+    (deterministic ~1% sample), self-matches excluded on both paths.
+
+    Execution: queries and centroids are tiny -> broadcast; the exact
+    path is ONE pass of corpus x queries scored map-side with a
+    per-query row_number top-k (partitioned window, parallel across
+    queries); the IVF path reuses the cell assignment and probes only
+    nprobe cells per query, so its candidate set is ~nprobe/n_centroids
+    of the corpus. Cosine is rounded to 6 dp BEFORE ranking on both
+    engines so the top-k sets are identical under tie-break by id.
+    At 100 TB the exact path is the expensive audit you run on a
+    sample (exactly what query_mod does); the IVF path is production."""
+    from pyspark.sql.window import Window
+
+    e = embeddings
+    # Norms are staged ONCE per side (separate select projections, per
+    # the HOF-lambda re-evaluation pitfall): the per-pair expression is
+    # then a single zip_with/aggregate fold, not three.
+    queries = e.filter((F.col(id_col) % query_mod) == query_rem).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_qq"),
+    )
+    parallelism = e.sparkSession.sparkContext.defaultParallelism
+    corpus = e.repartition(parallelism).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_aa"),
+    )
+
+    def topk_ids(cand: DataFrame) -> DataFrame:
+        cos = _dot(F.col(vec_col), F.col("qv")) / F.sqrt(F.col("_aa") * F.col("_qq"))
+        scored = cand.filter(F.col(id_col) != F.col("query_id")).select(
+            "query_id",
+            F.col(id_col),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", id_col)
+        )
+
+    exact = topk_ids(corpus.crossJoin(F.broadcast(queries)))
+
+    assigned = assign_ivf_cells(e, n_centroids, id_col, vec_col)
+    centroids = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    c = F.col("cvec")
+    qdist = _dot(c, c) - 2 * _dot(c, F.col("qv")) + _dot(F.col("qv"), F.col("qv"))
+    wq = Window.partitionBy("query_id").orderBy("qdist", "centroid_id")
+    probe = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select("query_id", "centroid_id", F.round(qdist, 6).alias("qdist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    staged = assigned.select(
+        "centroid_id", F.col(id_col), F.col(vec_col),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_aa"),
+    )
+    cand = (
+        staged.join(F.broadcast(probe), "centroid_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", F.col(id_col), F.col(vec_col), "_aa", "qv", "_qq")
+    )
+    approx = topk_ids(cand)
+
+    hits = exact.join(approx, ["query_id", id_col]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nh = F.coalesce(F.col("n_hit"), F.lit(0))
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        nh.cast("long").alias("n_hit"),
+        F.round(nh / k, 6).alias("recall_at_k"),
+    )

@@ -4114,3 +4114,68 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle over the event log: cohort = first-
     event week, retained = any event in cohort_week + offset."""
     return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# ANN quality audit: recall@k of the IVF path vs exact brute force
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.similarity import ann_recall  # noqa: E402
+
+
+@register(
+    "sim_ann_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.v, q.qv)
+                          / sqrt(list_dot_product(e.v, e.v)
+                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 5),
+    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                  ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(c.cvec, q.qv)
+                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
+        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
+    approx AS (SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_dot_product(a.v, q.qv)
+                       / sqrt(list_dot_product(a.v, a.v)
+                              * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 a.vec_id) AS rn
+        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+    hits AS (SELECT e.query_id, count(*) AS n_hit
+             FROM exact e JOIN approx x
+               ON x.query_id = e.query_id AND x.vec_id = e.vec_id
+             GROUP BY 1)
+    SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5, 6) AS recall_at_k
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J2", "O3"],
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF(nprobe=2 of 8 cells) vs exact cosine top-5 for a
+    deterministic 1% query sample — the audit that justifies (or
+    indicts) the pruned production path."""
+    return ann_recall(_t(spark, sf_dir, "embeddings"))

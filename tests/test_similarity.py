@@ -103,3 +103,34 @@ class TestQuantizeInt8:
         for r in rows.values():
             assert r["max_abs_err"] <= 0.5 / r["scale"] + 5e-7  # + 6-dp rounding slop
             assert 0.0 <= r["rms_err"] <= r["max_abs_err"]
+
+
+class TestAnnRecall:
+    def test_full_probe_is_exact(self, spark):
+        import random
+
+        from openrouter_batch_processor_spark.operators.similarity import ann_recall
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # probing every cell == brute force -> recall must be exactly 1
+        out = ann_recall(df, k=3, n_centroids=4, nprobe=4, query_mod=10, query_rem=3)
+        rows_out = out.collect()
+        assert len(rows_out) == 6  # ids 3,13,...,53
+        assert all(r["recall_at_k"] == 1.0 and r["n_hit"] == 3 for r in rows_out)
+
+    def test_pruned_probe_bounded(self, spark):
+        import random
+
+        from openrouter_batch_processor_spark.operators.similarity import ann_recall
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["query_id"]: r for r in
+               ann_recall(df, k=3, n_centroids=4, nprobe=1, query_mod=10, query_rem=3).collect()}
+        assert set(out) == {3, 13, 23, 33, 43, 53}
+        for r in out.values():
+            assert 0.0 <= r["recall_at_k"] <= 1.0
+            assert r["n_hit"] == round(r["recall_at_k"] * 3)

@@ -91,6 +91,7 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # unigram-LM and BM25 scorers).
 BRUTE_FORCE_OK = {
     "q11_important_parts",
+    "sim_ann_recall",
     "text_unigram_nll",
     "text_bm25_topk",
     "sim_neardup_pairs",

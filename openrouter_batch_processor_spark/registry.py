@@ -4179,3 +4179,119 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 1% query sample — the audit that justifies (or
     indicts) the pruned production path."""
     return ann_recall(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Grouping sets, range-frame windows, stream-static enrichment
+# ===========================================================================
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           (grouping(event_type) * 2 + grouping(date_trunc('day', ts)))::INTEGER AS gid,
+           count(*) AS n_events,
+           sum(value::DECIMAL(28,10))::DOUBLE AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)),
+                            (event_type, date_trunc('day', ts)), ())
+    """,
+    ops=["G2", "EXT-rollup"],
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not just the rollup/cube lattices):
+    per-type, per-day, per-(type, day), and grand total in ONE pass.
+    Spark expands the sets into a single Expand + hash aggregate — the
+    input is scanned once and each row fans out to its 4 grouping
+    combinations map-side, which is the scalable form of 4 separate
+    GROUP BYs + UNION (4 scans, 4 shuffles). gid is computed from
+    grouping() bits explicitly — grouping_id()'s bit order is an
+    engine-specific detail we don't depend on."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
+    )
+    grouped = ev.groupingSets(
+        [[F.col("event_type")], [F.col("day_ts")], [F.col("event_type"), F.col("day_ts")], []],
+        F.col("event_type"),
+        F.col("day_ts"),
+    ).agg(
+        (F.grouping("event_type") * 2 + F.grouping("day_ts")).cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+    )
+    return grouped.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+        "gid",
+        "n_events",
+        "value_sum",
+    )
+
+
+@register(
+    "events_rolling_hour",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_in_hour,
+           sum(value::DECIMAL(18,6)) OVER w::DOUBLE AS sum_in_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    ops=["O1", "O3", "T1", "EXT-windows"],
+)
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity via a RANGE window frame (value
+    range on event-time seconds, not N rows — the frame an N-rows frame
+    cannot express on irregular streams).
+
+    DECIMAL sums inside the frame: engines implement sliding frames
+    differently (recompute vs segment tree), so double accumulation
+    would differ in addition ORDER; decimal is associative, making the
+    frame sum implementation-independent. One shuffle on user_id; the
+    sort is per-partition."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_in_hour"),
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           n.n_name, count(*) AS n_events,
+           round(sum(e.value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM events e JOIN nation n ON n.n_nationkey = (e.user_id % 25)::INTEGER
+    GROUP BY 1, 2
+    """,
+    ops=["T1", "T2", "J2", "G2", "EXT-windows"],
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (file-source events stream x nation dim) +
+    daily windowed rollup, run with Trigger.AvailableNow in complete
+    mode; the batch join+group is the value oracle. See
+    streaming/windows.static_enrich_stream."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        static_enrich_stream,
+    )
+
+    stream = static_enrich_stream(
+        read_events_stream(spark, sf_dir), _t(spark, sf_dir, "nation")
+    )
+    run_to_memory(stream, "registry_stream_enrich", output_mode="complete")
+    return spark.table("registry_stream_enrich")

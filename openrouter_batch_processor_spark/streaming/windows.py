@@ -224,3 +224,41 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def static_enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+    width: str = "1 day",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event joins
+    a slowly-changing dimension (here: nation, keyed by user_id % 25)
+    BEFORE the stateful aggregation. The static side re-resolves per
+    micro-batch (Spark re-plans the batch side each trigger — that's the
+    stream-static contract) and broadcasts, so the join adds no state
+    and no extra shuffle; the only state is the windowed agg's.
+
+    Decimal value sums make the per-window totals independent of
+    micro-batch slicing — the stream run at ANY trigger cadence equals
+    the one-shot batch plan, which is the oracle."""
+    enriched = (
+        events.withColumn("n_nationkey", (F.col("user_id") % 25).cast("int"))
+        .join(F.broadcast(dim.select("n_nationkey", "n_name")), "n_nationkey")
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), F.col("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "n_name",
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -437,3 +437,57 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
             )
         ).alias("simhash")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    max_df: int = 10,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity join via inverted-index prefix filtering
+    (PPJoin-lite): candidate pairs are docs sharing at least one RARE
+    shingle (2 <= df <= max_df), then exact shingle-set Jaccard.
+
+    The deterministic alternative to MinHash LSH: no hash collisions,
+    no missed true pairs among rare-shingle sharers — the recall
+    contract is explicit ("shares a discriminative shingle") instead of
+    probabilistic. Execution: one inverted index (shingle -> docs),
+    df computed on it, the self-join runs ONLY on postings lists of
+    rare shingles, so candidate volume is bounded by sum(df^2) over
+    rare shingles (max_df caps the worst posting). Common shingles
+    never join — that's what makes this viable where the naive
+    all-pairs O(n^2) is not. Verify stage reuses the same index."""
+    sh = explode_shingles(docs, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")
+    postings = sh.join(F.broadcast(rare), "shingle")
+    cand = (
+        postings.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(postings.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

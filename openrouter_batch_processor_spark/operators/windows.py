@@ -75,3 +75,52 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             (F.max("_ep") - F.min("_ep")).alias("duration_sec"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame, gap_seconds: int = 1800, depth: int = 3, topn: int = 10
+) -> DataFrame:
+    """Top-N session-opening paths: the first ``depth`` event types of
+    each gap-session, joined as 'a>b>c', counted across all sessions.
+
+    Session assignment is the same two-window pattern as sessionize
+    (shared user_id partitioning, one shuffle). The path is built from
+    an array_sort(collect_list(struct(rn, type))) — collect_list order
+    is nondeterministic under parallel merge, so the rn key, not
+    arrival order, defines the sequence. The final top-N is
+    TakeOrdered over the (tiny) distinct-path counts."""
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sid = (
+        events.withColumn("_ep", epoch)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("_ep").over(w).isNull()
+                | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_seconds),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("_new").over(wrun))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(*order)
+    first_k = with_sid.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= depth
+    )
+    paths = first_k.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(topn)
+    )

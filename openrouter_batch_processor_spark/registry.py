@@ -4295,3 +4295,139 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "registry_stream_enrich", output_mode="complete")
     return spark.table("registry_stream_enrich")
+
+
+# ===========================================================================
+# Prefix-filter similarity join, event-type lift, session path analysis
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import prefix_filter_pairs  # noqa: E402
+from openrouter_batch_processor_spark.operators.windows import session_paths  # noqa: E402
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
+    rare AS (SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND 10),
+    postings AS (SELECT p.doc_id, p.shingle FROM sh_set p JOIN rare USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM postings a JOIN postings b ON a.shingle = b.shingle
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh_set x ON x.doc_id = c.id_a
+              JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+              GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+    """,
+    ops=["EXT-jaccard", "EXT-neardup", "J2", "X1"],
+)
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic set-similarity join (inverted-index prefix filter
+    on rare shingles + exact Jaccard) — the exact-recall counterpart to
+    the MinHash-LSH candidate path over the same corpus."""
+    return prefix_filter_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_type_lift",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab::DOUBLE * n.n_users / (ta.n_t::DOUBLE * tb.n_t), 6) AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+    ops=["G2", "J2", "X1", "EXT-relational"],
+)
+def q_events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: P(a,b)/(P(a)P(b)) over
+    per-user distinct type sets. The self-join runs on the DISTINCT
+    (user, type) table — bounded by types-per-user^2 rows per user, not
+    events^2; type counts and the user-count scalar broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_users")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT
+                          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+    ops=["T1", "W2", "O3", "O4", "EXT-sessions"],
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening event-type paths (first 3 events per
+    gap-session) — funnel discovery, the inverse of events_funnel's
+    fixed-stage counting."""
+    return session_paths(_t(spark, sf_dir, "events"))

@@ -93,3 +93,32 @@ class TestChunkingProperties:
         for r in rows:
             start = r["chunk_id"] * stride
             assert r["chunk_text"] == " ".join(toks[start : start + chunk])
+
+
+class TestSessionPaths:
+    def test_path_order_and_topn(self, spark):
+        import datetime as dt
+
+        from openrouter_batch_processor_spark.operators.windows import session_paths
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=1)
+        gap = dt.timedelta(hours=2)
+        rows = [
+            # u1 session 1: view>click>purchase (+ a 4th event beyond depth)
+            (1, 1, t0, "view"), (2, 1, t0 + s, "click"),
+            (3, 1, t0 + 2 * s, "purchase"), (4, 1, t0 + 3 * s, "error"),
+            # u1 session 2 (after gap): view>click
+            (5, 1, t0 + gap, "view"), (6, 1, t0 + gap + s, "click"),
+            # u2: same opening as u1 session 1
+            (7, 2, t0, "view"), (8, 2, t0 + s, "click"), (9, 2, t0 + 2 * s, "purchase"),
+            # tie on ts within u3: event_id breaks it -> a>b not b>a
+            (11, 3, t0, "a_first"), (12, 3, t0, "b_second"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        out = {r["path"]: r["n_sessions"] for r in session_paths(df, depth=3).collect()}
+        assert out["view>click>purchase"] == 2
+        assert out["view>click"] == 1
+        assert out["a_first>b_second"] == 1

@@ -54,3 +54,27 @@ class TestDuplicateClusters:
         sizes = {r["cluster_size"] for r in rows.values()}
         assert sizes == {len(rows)}
         assert set(rows) >= {1, 2}
+
+
+class TestPrefixFilterPairs:
+    def test_rare_shingle_recall_and_common_pruning(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import prefix_filter_pairs
+
+        common = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                # 1 & 2: near-identical -> share RARE shingles -> found
+                (1, common + " unique marker here"),
+                (2, common + " unique marker here extra"),
+                # 3: shares only the common prefix with everyone
+                (3, common + " totally different tail words"),
+                # 4-20: make the common shingles exceed max_df
+                *[(i, common + f" filler{i} fill{i} f{i}") for i in range(4, 21)],
+            ],
+            "doc_id long, text string",
+        )
+        pairs = prefix_filter_pairs(docs, max_df=10, threshold=0.3).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found
+        # doc 3 shares only >max_df shingles -> never a candidate at 0.3
+        assert all(3 not in p for p in found)

@@ -4431,3 +4431,114 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-session) — funnel discovery, the inverse of events_funnel's
     fixed-stage counting."""
     return session_paths(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Sliding distinct cardinality + referential-integrity data-quality audit
+# ===========================================================================
+
+
+@register(
+    "events_rolling_7d_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    offs AS (SELECT unnest(range(7)) AS off),
+    contrib AS (SELECT user_id, day + off::INTEGER AS target_day
+                FROM ud CROSS JOIN offs),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(c.target_day, '%Y-%m-%d') AS day,
+           count(DISTINCT c.user_id) AS users_7d
+    FROM contrib c JOIN days d ON d.day = c.target_day
+    GROUP BY 1
+    """,
+    ops=["G2", "X1", "T1", "EXT-windows", "EXT-sketch"],
+)
+def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) that a RANGE window frame cannot express.
+
+    Shape: dedup to (user, day) FIRST (the only pass over raw events),
+    then each activity day fans out to the <=7 window-end days it
+    contributes to (a 7-row literal explode — narrow), and the distinct
+    count groups by target day. The fan-out bounds work at 7x the
+    deduped (user, day) table regardless of raw event volume — the
+    scalable alternative to re-scanning a 7-day range per day. Days
+    with no activity in the trailing week emit nothing (join against
+    observed days, not a calendar spine)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, off)").alias("target_day"))
+    days = ud.select("day").distinct()
+    return (
+        contrib.join(F.broadcast(days), contrib.target_day == days.day)
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.date_format("target_day", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+@register(
+    "audit_fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', count(*)
+    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region', count(*)
+    FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    """,
+    ops=["J2", "G2", "X3", "P1"],
+)
+def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: orphan counts via LEFT ANTI joins (NOT EXISTS), one row per
+    relationship. The data-quality gate a training pipeline runs before
+    trusting joins — all-zero on healthy data, and each anti join
+    broadcasts when the parent is dim-sized. Child-side scans prune to
+    the FK column only (count needs nothing else)."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+
+    def orphans(child: DataFrame, key, parent: DataFrame, pkey, label: str, bcast: bool):
+        par = parent.select(pkey)
+        if bcast:
+            par = F.broadcast(par)
+        return (
+            child.select(key)
+            .join(par, F.col(key) == F.col(pkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li, o, c, s, n, r, p = (t("lineitem"), t("orders"), t("customer"),
+                            t("supplier"), t("nation"), t("region"), t("part"))
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders", False),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part", True),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier", True),
+        orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer", True),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation", True),
+        orphans(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation", True),
+        orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region", True),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

@@ -80,6 +80,43 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         ("ReadSchema: struct<ts:bigint,event_type:string,value:double>",
          None, "events scan pruned to exactly ts/type/value"),
     ],
+    "q10_returned_items": [
+        ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate", None,
+         "quarter filter reaches the orders scan"),
+        ("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)", None,
+         "returnflag filter reaches the lineitem scan"),
+        ("TakeOrderedAndProject", None, "top-20 is TakeOrdered, not a global sort"),
+    ],
+    "q19_or_range_predicates": [
+        ("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)", None,
+         "per-branch quantity OR-tree pushed to the lineitem scan"),
+        ("GreaterThanOrEqual(p_size,1), IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand,Brand#12)", None,
+         "derived size envelope + brand/size OR-tree pushed to the part scan"),
+        ("BroadcastHashJoin", None, "part side broadcasts"),
+    ],
+    "q9_profit_by_nation_year": [
+        ("BroadcastHashJoin", None, "both dims broadcast — no fact-fact shuffle"),
+        (None, "SortMergeJoin", "no shuffle join anywhere"),
+    ],
+    "text_bm25_topk": [
+        ("TakeOrderedAndProject", None, "final top-k is TakeOrdered"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", None,
+         "documents scan pruned to id+text"),
+    ],
+    "events_grouping_sets": [
+        ("Expand", None, "grouping sets compile to one Expand, not UNION of scans"),
+    ],
+    "events_rolling_hour": [
+        ("RunningWindowFunction", "Window", "range frame runs as a window, single user shuffle"),
+    ],
+    "events_funnel": [
+        ("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)", None,
+         "stage-1 type filter reaches the events scan"),
+    ],
+    "dedup_prefix_filter_pairs": [
+        ("BroadcastHashJoin", None, "rare-shingle set broadcasts onto the index"),
+        (None, "CartesianProduct", "candidates come from the postings equi-join"),
+    ],
 }
 
 # Queries where a nested-loop join is the documented intent: either the
@@ -88,8 +125,10 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # count in TF-IDF's idf scalar; the k-row centroid set in kmeans; the
 # 1-row global-average scalar in the Q22 shape; the 1-row region-total
 # scalar in the Q11 shape; the 1-row corpus-size / avgdl scalars in the
-# unigram-LM and BM25 scorers).
+# unigram-LM and BM25 scorers; the 1-row user-count scalar in the lift
+# query).
 BRUTE_FORCE_OK = {
+    "events_type_lift",
     "q11_important_parts",
     "sim_ann_recall",
     "text_unigram_nll",

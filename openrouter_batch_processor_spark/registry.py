@@ -4542,3 +4542,109 @@ def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+# ===========================================================================
+# Weighted priority sampling + dimension-wise embedding statistics
+# ===========================================================================
+
+
+@register(
+    "sample_weighted_priority",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS hv
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             n_chars::DOUBLE / ((hv + 1)::DOUBLE / 4503599627370496.0) AS priority
+      FROM h)
+    SELECT doc_id, n_chars, round(priority, 6) AS priority
+    FROM keyed
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 50
+    """,
+    ops=["EXT-sampling", "O3", "F4"],
+)
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield-Lund-Thorup): priority = weight / u with u a md5-derived
+    uniform in (0,1], take the top-k priorities. Longer documents are
+    proportionally more likely to be drawn — the quality/length-weighted
+    corpus subsampling step of a training pipeline, but DETERMINISTIC:
+    u comes from a hash, not an RNG, so the sample is reproducible
+    across runs, engines, and partitionings (md5 -> 52-bit dyadic
+    rational -> one IEEE division; no pow/ln whose last-ulp behavior
+    differs between libm implementations).
+
+    Map-only scoring + TakeOrdered top-k: no shuffle before the k-row
+    heap merge. At 100 TB, k-per-stratum variants reuse the same key
+    with a per-group window."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    u = (hv + 1).cast("double") / F.lit(4503599627370496.0)
+    priority = F.col("n_chars").cast("double") / u
+    return (
+        docs.select("doc_id", "n_chars", F.round(priority, 6).alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "emb_dim_stats",
+    """
+    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    d AS (SELECT e.vec_id, o.dim,
+                 (e.embedding::DOUBLE[])[o.dim + 1] AS val
+          FROM embeddings e CROSS JOIN offs o),
+    m AS (SELECT dim, count(*) AS n,
+                 sum(val::DECIMAL(28,10)) AS sx,
+                 sum((val * val)::DECIMAL(38,10)) AS sxx,
+                 min(val) AS min_val, max(val) AS max_val
+          FROM d GROUP BY dim)
+    SELECT dim, n,
+           round(sx::DOUBLE / n, 6) AS mean_val,
+           round(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1))), 6) AS std_val,
+           round(min_val, 6) AS min_val,
+           round(max_val, 6) AS max_val
+    FROM m
+    """,
+    ops=["G2", "EXT-simsearch", "EXT-quality"],
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    feature-scaling statistics pass (and the drift monitor) for vector
+    corpora. posexplode fans each vector into (dim, value) rows
+    map-side; the aggregate carries exact decimal moments, so the
+    64-row result is partition-count-invariant. The shuffle moves one
+    pre-combined row per (partition, dim) — 64 groups regardless of
+    corpus size. Standardizing vectors afterwards is a broadcast of
+    these 64 rows back onto a map-only pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "fval")
+    ).select("dim", F.col("fval").cast("double").alias("val"))
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(28,10)")).alias("sx"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,10)")).alias("sxx"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    std = F.sqrt(
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx")) / (dd("n") * (dd("n") - 1))
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(dd("sx") / dd("n"), 6).alias("mean_val"),
+        F.round(std, 6).alias("std_val"),
+        F.round(F.col("mn"), 6).alias("min_val"),
+        F.round(F.col("mx"), 6).alias("max_val"),
+    )

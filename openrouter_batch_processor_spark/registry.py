@@ -4648,3 +4648,115 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn"), 6).alias("min_val"),
         F.round(F.col("mx"), 6).alias("max_val"),
     )
+
+
+# ===========================================================================
+# TPC-H Q12 shape + single-pass table profiler
+# ===========================================================================
+
+
+@register(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END)::BIGINT AS late_lines,
+           count(*) AS n_lines,
+           round(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS late_ratio
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    ops=["J1", "G2", "F11", "EXT-relational"],
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode recast as priority class, commitdate
+    recast as a 90-day ship SLA): late-shipment rate per urgency class.
+    One fact-fact shuffle join on orderkey, conditional counts folded
+    into a single partial-aggregating pass — the two-branch CASE never
+    re-scans, and the final group count is 2 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+    ).otherwise(0)
+    cls = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(cls.alias("prio_class"))
+        .agg(
+            F.sum(late).cast("long").alias("late_lines"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias("late_ratio"),
+        )
+    )
+
+
+@register(
+    "audit_table_profile",
+    """
+    SELECT 'event_id' AS col, count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           min(event_id)::VARCHAR AS min_str, max(event_id)::VARCHAR AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
+           min(user_id)::VARCHAR, max(user_id)::VARCHAR
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*) - count(value), count(DISTINCT value),
+           printf('%.6f', min(value)), printf('%.6f', max(value))
+    FROM events
+    """,
+    ops=["G2", "X3", "P1", "S8"],
+)
+def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profiling audit over the events table: null count, exact
+    distinct cardinality, and min/max rendered per column — the
+    pre-flight data-quality report. Spark computes ALL columns' metrics
+    in ONE scan + one aggregate row, then unpivots with stack() (the
+    oracle's UNION-of-scans restates semantics, not the plan: 5 scans
+    there vs 1 here — at 100 TB that difference is the operator).
+    Doubles render via printf so both engines format identically."""
+    ev = _t(spark, sf_dir, "events")
+    one = ev.agg(
+        (F.count(F.lit(1)) - F.count("event_id")).alias("n0"),
+        F.count_distinct("event_id").alias("d0"),
+        F.min("event_id").cast("string").alias("mn0"),
+        F.max("event_id").cast("string").alias("mx0"),
+        (F.count(F.lit(1)) - F.count("ts")).alias("n1"),
+        F.count_distinct("ts").alias("d1"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("mn1"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx1"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("n2"),
+        F.count_distinct("user_id").alias("d2"),
+        F.min("user_id").cast("string").alias("mn2"),
+        F.max("user_id").cast("string").alias("mx2"),
+        (F.count(F.lit(1)) - F.count("event_type")).alias("n3"),
+        F.count_distinct("event_type").alias("d3"),
+        F.min("event_type").alias("mn3"),
+        F.max("event_type").alias("mx3"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n4"),
+        F.count_distinct("value").alias("d4"),
+        F.format_string("%.6f", F.min("value")).alias("mn4"),
+        F.format_string("%.6f", F.max("value")).alias("mx4"),
+    )
+    return one.selectExpr(
+        "stack(5, "
+        "'event_id', n0, d0, mn0, mx0, "
+        "'ts', n1, d1, mn1, mx1, "
+        "'user_id', n2, d2, mn2, mx2, "
+        "'event_type', n3, d3, mn3, mx3, "
+        "'value', n4, d4, mn4, mx4) AS (col, n_null, n_distinct, min_str, max_str)"
+    )

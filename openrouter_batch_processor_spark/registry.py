@@ -3025,7 +3025,10 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("n"),
     )
-    return ranked.filter(F.col("rn") == (F.col("n") + 1) / 2).select(
+    # floor((n+1)/2), NOT true division: Column `/` is double division,
+    # and for EVEN n the half-integer rank would match no row at all
+    # (the oracle's `//` floors — parity demands the same here).
+    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
         "source", F.col("n").alias("n_docs"), F.col("n_chars").alias("median_chars")
     )
 

@@ -52,3 +52,23 @@ class TestAnomalyZscore:
             "event_id long, event_type string, value double",
         )
         assert anomaly_zscore(df, threshold=3.0).collect() == []
+
+
+class TestExactMedianEvenGroups:
+    def test_even_group_size_returns_lower_median(self, spark):
+        """Regression: with an EVEN group size the rank filter must
+        still emit a row (floor((n+1)/2), not true division)."""
+        from openrouter_batch_processor_spark.registry import REGISTRY
+        import tempfile, os
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en", "srcE", 10 * (i + 1)) for i in range(4)]
+            + [(10 + i, f"t{i}", "en", "srcO", 100 * (i + 1)) for i in range(3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+            out = {r["source"]: r for r in
+                   REGISTRY["stats_exact_median"].fn(spark, d).collect()}
+        assert out["srcE"]["median_chars"] == 20  # lower median of 10,20,30,40
+        assert out["srcO"]["median_chars"] == 200  # true median of 100,200,300

@@ -4763,3 +4763,166 @@ def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'event_type', n3, d3, mn3, mx3, "
         "'value', n4, d4, mn4, mx4) AS (col, n_null, n_distinct, min_str, max_str)"
     )
+
+
+# ===========================================================================
+# Fuzzy entity matching, time-weighted averages, TPC-H Q20 shape
+# ===========================================================================
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+    WITH clean AS (SELECT p_partkey, p_name FROM part),
+    dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, (p_partkey % 4 + 4)::INTEGER)
+             || substr(p_name, (p_partkey % 4 + 6)::INTEGER) AS dirty_name
+      FROM part WHERE length(p_name) > (p_partkey % 4 + 5)::INTEGER),
+    cand AS (
+      SELECT d.dirty_id, d.dirty_name, c.p_partkey, c.p_name,
+             levenshtein(d.dirty_name, c.p_name) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.dirty_name, 1, 3) = substr(c.p_name, 1, 3)
+      WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
+    SELECT dirty_id, dirty_name,
+           min(dist) AS best_dist,
+           min(CASE WHEN dist = best THEN p_partkey END) AS match_partkey,
+           count(*) AS n_candidates
+    FROM (SELECT *, min(dist) OVER (PARTITION BY dirty_id) AS best FROM cand)
+    GROUP BY 1, 2
+    """,
+    ops=["J2", "G2", "F6", "EXT-neardup"],
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit distance: a deterministically
+    corrupted catalog (one char deleted past the prefix, keyed on
+    partkey) re-matched to the clean catalog. Candidates come ONLY from
+    the 3-char-prefix equi-join block — the standard trick that turns
+    O(n^2) fuzzy matching into per-block work (corruptions inside the
+    block key are unmatchable, which is blocking's documented recall
+    trade-off). Levenshtein is integer-valued, so cross-engine parity
+    is exact; best match = min distance with min-key tiebreak."""
+    part = _t(spark, sf_dir, "part")
+    k = (F.col("p_partkey") % 4 + 4).cast("int")
+    dirty = part.filter(F.length("p_name") > k + 1).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), k),
+            F.col("p_name").substr(k + 2, F.length("p_name")),
+        ).alias("dirty_name"),
+    )
+    clean = part.select("p_partkey", "p_name")
+    cand = (
+        dirty.join(
+            clean,
+            F.substring("dirty_name", 1, 3) == F.substring("p_name", 1, 3),
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "p_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    from pyspark.sql.window import Window
+
+    best = F.min("dist").over(Window.partitionBy("dirty_id"))
+    return (
+        cand.withColumn("best", best)
+        .groupBy("dirty_id", "dirty_name")
+        .agg(
+            F.min("dist").alias("best_dist"),
+            F.min(F.when(F.col("dist") == F.col("best"), F.col("p_partkey"))).alias(
+                "match_partkey"
+            ),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH t AS (SELECT user_id, value, floor(epoch(ts))::BIGINT AS ep,
+                      lead(floor(epoch(ts))::BIGINT)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT user_id, count(*) AS n_intervals,
+           sum(nxt - ep)::BIGINT AS total_sec,
+           round(sum((value * (nxt - ep))::DECIMAL(38,10))::DOUBLE
+                 / sum(nxt - ep), 6) AS twa_value
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+    ops=["O1", "G2", "T1", "EXT-windows"],
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each reading holds until
+    the next one, so it weighs by its holding duration (the correct
+    average for irregularly-sampled gauges; the unweighted mean
+    over-counts bursts). lead() gives the interval, decimal value x
+    integer-seconds products make the reduction exact. One user_id
+    shuffle shared by the window and the aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    t = ev.select(
+        "user_id",
+        "value",
+        ep.alias("ep"),
+        F.lead(ep).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("ep")
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).cast("long").alias("total_sec"),
+        F.round(
+            F.sum((F.col("value") * dt).cast("decimal(38,10)")).cast("double")
+            / F.sum(dt),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity::DECIMAL(18,4)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY 1, 2),
+    excess AS (SELECT DISTINCT l_suppkey FROM sp
+               WHERE qty > 100::DECIMAL(18,4))
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s.s_suppkey)
+    """,
+    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty proxied by shipped quantity): suppliers
+    who moved more than a threshold of any PROMO part — nested
+    aggregate -> DISTINCT supplier set -> semi join into the supplier
+    dim. The part filter broadcasts into the lineitem scan's join; the
+    (supp, part) aggregate is the only big shuffle; the excess set is
+    tiny and broadcasts as a LeftSemi."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    excess = (
+        sp.filter(F.col("qty") > F.lit(100).cast("decimal(18,4)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

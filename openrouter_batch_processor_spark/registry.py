@@ -4926,3 +4926,59 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# ===========================================================================
+# User growth accounting: daily new / returning / cumulative
+# ===========================================================================
+
+
+@register(
+    "events_user_growth",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+    daily AS (
+      SELECT u.day,
+             count(*) AS active_users,
+             sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)::BIGINT AS new_users
+      FROM ud u JOIN f USING (user_id)
+      GROUP BY u.day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users,
+           (active_users - new_users)::BIGINT AS returning_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+    FROM daily
+    """,
+    ops=["G2", "J2", "O1", "X1", "EXT-sessions"],
+)
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience accounting: active, new (first-ever day),
+    returning, and the cumulative user count — the growth dashboard
+    spine. The raw stream is touched once (dedup to (user, day)); the
+    first-day table joins back on user_id reusing that partitioning;
+    the running total windows over the ~days-sized daily table, so the
+    global ordered window is bounded by the calendar, not the corpus."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

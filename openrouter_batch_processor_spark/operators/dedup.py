@@ -491,3 +491,53 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def pagerank_lite(
+    docs: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unnormalized PageRank over the LSH near-duplicate graph — which
+    documents sit at the CENTER of a duplicate neighborhood (the
+    canonical-representative picker that cluster size alone can't give:
+    a hub similar to many near-dups outranks a leaf).
+
+    The iterative-numeric counterpart to connected_components' label
+    propagation: per round, one join of current ranks onto edge sources
+    + one combiner groupBy on destinations — the round body is all
+    equi-join/agg, so each iteration is one shuffle at any scale.
+    Determinism: per-edge contributions are computed in double (same
+    bits on any engine), rounded to 12 dp, and SUMMED AS DECIMAL — the
+    reduction is associative, so ranks are partition-count-invariant
+    and oracle-reproducible; a raw double sum would drift with the
+    merge order. Isolated docs (no candidate edges) are excluded by
+    construction. Fixed iteration count (driver-side unrolled loop,
+    constant plan depth)."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("r") / F.col("deg")).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.round(
+                F.lit(1.0) - F.lit(damping)
+                + F.lit(damping) * F.sum("c").cast("double"),
+                12,
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select(
+        F.col("node").alias(id_col), F.round(F.col("r"), 6).alias("pagerank")
+    )

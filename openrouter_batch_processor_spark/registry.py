@@ -4982,3 +4982,47 @@ def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ===========================================================================
+# PageRank-lite over the near-duplicate graph (iterative numeric op)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import pagerank_lite  # noqa: E402
+
+
+@register(
+    "graph_pagerank_lite",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, 1.0::DOUBLE AS r FROM deg),
+    r1 AS (SELECT e.dst AS node,
+                  round(0.15::DOUBLE + 0.85::DOUBLE
+                        * sum(((r0.r / d.deg))::DECIMAL(28,12))::DOUBLE, 12) AS r
+           FROM edges e JOIN deg d ON d.src = e.src JOIN r0 ON r0.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  round(0.15::DOUBLE + 0.85::DOUBLE
+                        * sum(((r1.r / d.deg))::DECIMAL(28,12))::DOUBLE, 12) AS r
+           FROM edges e JOIN deg d ON d.src = e.src JOIN r1 ON r1.node = e.src
+           GROUP BY e.dst)
+    SELECT node AS doc_id, round(r, 6) AS pagerank FROM r2
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
+)
+def q_graph_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of unnormalized PageRank over the LSH
+    candidate graph — ranks the canonical representative inside each
+    near-duplicate neighborhood. See operators/dedup.pagerank_lite for
+    the determinism contract (per-edge double contribs -> 12-dp round
+    -> decimal sum)."""
+    return pagerank_lite(_t(spark, sf_dir, "documents"))

@@ -78,3 +78,28 @@ class TestPrefixFilterPairs:
         assert (1, 2) in found
         # doc 3 shares only >max_df shingles -> never a candidate at 0.3
         assert all(3 not in p for p in found)
+
+
+class TestPagerankLite:
+    def test_hub_outranks_leaves(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import pagerank_lite
+
+        # star of near-identical docs around doc 1 (all share its text),
+        # plus an isolated pair far away in content
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " two"),
+                (3, base + " three"),
+                (4, base + " four"),
+                (10, "wholly different text entirely separate tokens"),
+                (11, "wholly different text entirely separate tokens plus"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["pagerank"] for r in pagerank_lite(docs).collect()}
+        assert set(out) >= {1, 2, 3, 4}
+        # the hub accumulates rank from every leaf
+        assert out[1] > out[2]
+        assert abs(out[2] - out[3]) < 1e-9  # symmetric leaves tie

@@ -541,3 +541,44 @@ def pagerank_lite(
     return ranks.select(
         F.col("node").alias(id_col), F.round(F.col("r"), 6).alias("pagerank")
     )
+
+
+def triangle_participation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document triangle count over the LSH near-duplicate graph —
+    the clustering-coefficient numerator that separates a doc sitting
+    in a dense duplicate clique (template boilerplate, mirrored spam)
+    from one on a chain of pairwise-similar revisions: chains have
+    edges but zero triangles.
+
+    Standard distributed triangle enumeration: orient every candidate
+    edge low-id -> high-id, self-join on the shared middle vertex to
+    build wedges a<b<c, then semi-check the closing edge (a, c) with a
+    second equi-join. Orientation means each triangle is enumerated
+    exactly once and each wedge is built from its smallest endpoint, so
+    the intermediate is sum(deg_out choose 2), not sum(deg^2) — the
+    skew-vertex blowup of the naive formulation. All joins are
+    equi-joins on ids: shuffle-partitionable at any graph size."""
+    e = minhash_candidate_pairs(docs, id_col, text_col).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )  # already oriented a < b
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).select("a", "b", "c")
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.col("node").alias(id_col), "n_triangles"
+    )

@@ -5026,3 +5026,122 @@ def q_graph_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the determinism contract (per-edge double contribs -> 12-dp round
     -> decimal sum)."""
     return pagerank_lite(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# TPC-H Q21 shape: suppliers who kept orders waiting
+# ===========================================================================
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2)
+    SELECT s.s_name, n.n_name, count(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    ops=["J1", "J2", "G2", "W1", "EXT-relational"],
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commitdate recast as the 90-day ship SLA, all
+    nations kept): in finished multi-supplier orders, the supplier who
+    was the ONLY late one — ranked by how many orders they held up.
+
+    The classic formulation is two correlated self-[anti]joins (EXISTS
+    another supplier / NOT EXISTS another LATE supplier); that is two
+    extra shuffles of the fact table. Here both existence tests
+    collapse into one window over the per-(order, supplier) rollup:
+    count(*) and sum(late) over l_orderkey give "has a co-supplier"
+    (n_supp > 1) and "no other late one" (n_late = 1 and me late) for
+    free — the rollup's (orderkey, suppkey) shuffle then one orderkey
+    window, vs three orderkey-sized shuffles for the textbook plan.
+    The oracle keeps the EXISTS/NOT-EXISTS text to prove equivalence.
+    Top-20 is TakeOrderedAndProject on the (numwait, s_name) total
+    order, so the limit is deterministic under ties in both engines."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Triangle participation over the near-duplicate graph
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
+    triangle_participation,
+)
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH {_SHINGLES_SQL},
+    e AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tri_nodes AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    SELECT node AS doc_id, count(*) AS n_triangles FROM tri_nodes GROUP BY 1
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the LSH candidate graph (dense
+    duplicate cliques vs similarity chains). See
+    operators/dedup.triangle_participation for the oriented-wedge
+    enumeration and its skew bound."""
+    return triangle_participation(_t(spark, sf_dir, "documents"))

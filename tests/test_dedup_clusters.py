@@ -103,3 +103,26 @@ class TestPagerankLite:
         # the hub accumulates rank from every leaf
         assert out[1] > out[2]
         assert abs(out[2] - out[3]) < 1e-9  # symmetric leaves tie
+
+
+class TestTriangleParticipation:
+    def test_clique_vs_pair(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            triangle_participation,
+        )
+
+        # 3-clique of near-identical docs; a similar PAIR has edges but
+        # can't close a triangle and must not appear
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " two"),
+                (3, base + " three"),
+                (10, "wholly different text entirely separate tokens"),
+                (11, "wholly different text entirely separate tokens plus"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.n_triangles for r in triangle_participation(docs).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1}

@@ -113,6 +113,13 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         ("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)", None,
          "stage-1 type filter reaches the events scan"),
     ],
+    "q21_waiting_suppliers": [
+        ("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)", None,
+         "orderstatus filter reaches the orders scan"),
+        ("TakeOrderedAndProject", None, "top-20 is TakeOrdered, not a global sort"),
+        ("BroadcastHashJoin", None, "supplier and nation dims broadcast"),
+        (None, "SortMergeJoin", "no self-join: existence tests are one window"),
+    ],
     "dedup_prefix_filter_pairs": [
         ("BroadcastHashJoin", None, "rare-shingle set broadcasts onto the index"),
         (None, "CartesianProduct", "candidates come from the postings equi-join"),

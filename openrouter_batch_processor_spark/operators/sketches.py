@@ -106,3 +106,72 @@ def kmv_distinct(
         .otherwise(est)
         .alias(estimate_alias),
     )
+
+
+HLL_BUCKETS = 64  # 2^6; bucket = top 6 bits of the 32-bit hash
+HLL_ALPHA_M2 = 2903.04  # alpha_64 * m^2 = 0.709 * 64 * 64
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    estimate_alias: str = "hll_est",
+) -> DataFrame:
+    """Per key group: HyperLogLog estimate of COUNT(DISTINCT value_col),
+    made engine-reproducible so it can sit on the oracle-checked path.
+
+    Why next to KMV: HLL state is 64 six-bit registers — O(1) and
+    trivially mergeable with max(), so at 100 TB the per-partition
+    partial aggregate is bytes, not a value set (KMV's collect_set
+    state grows with distincts until truncation). This is the sketch
+    you'd keep as a mergeable rollup column.
+
+    Determinism contract (every step identical bits on any engine):
+    md5-prefix uint32 hash; bucket = top 6 bits; rank rho = leading-
+    zero count of the low 26 bits + 1, computed as 27 - length(bin(w))
+    — bin() renders the same minimal binary string in Spark and DuckDB,
+    so no libm log2. Register terms 2^-M are exact powers of two from a
+    single IEEE division (1.0 / (1<<M)), accumulated as DECIMAL(38,32)
+    (each term is exact at scale 32 since M <= 27), empty registers
+    contribute exactly 1; the only float rounding is the final
+    alpha*m^2/total division, rounded to 6 dp. No small/large-range
+    correction (it needs ln(); raw estimator is the documented spec).
+
+    Output: keys..., n_buckets (registers touched), exact_distinct
+    (up to md5 collisions), hll_est."""
+    h = _uhash(F.col(value_col))
+    w = h.bitwiseAND(F.lit((1 << 26) - 1))
+    rho = F.when(w == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin(w))
+    )
+    per_bucket = (
+        df.select(
+            *[F.col(c) for c in keys],
+            F.shiftright(h, 26).alias("_bucket"),
+            rho.alias("_rho"),
+            h.alias("_h"),
+        )
+        .groupBy(*keys, "_bucket")
+        .agg(
+            F.max("_rho").alias("_m"),
+            F.count_distinct("_h").alias("_nh"),
+        )
+    )
+    term = (
+        F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), _m)")
+    ).cast("decimal(38,32)")
+    per_group = per_bucket.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(term).alias("_s"),
+        F.sum("_nh").alias("exact_distinct"),
+    )
+    total = (
+        (F.lit(HLL_BUCKETS) - F.col("n_buckets")).cast("decimal(38,32)") + F.col("_s")
+    )
+    return per_group.select(
+        *keys,
+        "n_buckets",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(F.lit(HLL_ALPHA_M2) / total.cast("double"), 6).alias(estimate_alias),
+    )

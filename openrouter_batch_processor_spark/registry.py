@@ -5145,3 +5145,45 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.triangle_participation for the oriented-wedge
     enumeration and its skew bound."""
     return triangle_participation(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# HLL distinct sketch (mergeable O(1) registers, engine-reproducible)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+)
+
+
+@register(
+    "sketch_hll_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events),
+    b AS (SELECT event_type, hv >> 26 AS bucket,
+                 CASE WHEN (hv & 67108863) = 0 THEN 27
+                      ELSE 27 - length(bin(hv & 67108863)) END AS rho
+          FROM h),
+    r AS (SELECT event_type, bucket, max(rho) AS m, count(*) AS nh
+          FROM b GROUP BY 1, 2),
+    g AS (SELECT event_type, count(*) AS n_buckets,
+                 sum((1.0::DOUBLE / (1::BIGINT << m))::DECIMAL(38,32)) AS s,
+                 sum(nh) AS exact_distinct
+          FROM r GROUP BY 1)
+    SELECT event_type, n_buckets, exact_distinct::BIGINT AS exact_distinct,
+           round(2903.04 / ((64 - n_buckets)::DECIMAL(38,32) + s)::DOUBLE, 6) AS hll_est
+    FROM g
+    """,
+    ops=["EXT-sketch", "G2", "X2"],
+)
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate next to the
+    exact count — the O(1)-state mergeable counterpart to the KMV
+    sketch. See operators/sketches.hll_distinct for the cross-engine
+    determinism contract (bin()-derived ranks, DECIMAL register sum,
+    one IEEE division)."""
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")

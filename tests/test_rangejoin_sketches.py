@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from openrouter_batch_processor_spark.operators.rangejoin import banded_range_count
 from openrouter_batch_processor_spark.operators.sketches import (
     binned_quantiles,
+    hll_distinct,
     kmv_distinct,
 )
 
@@ -77,6 +78,35 @@ class TestKMV:
         e1 = kmv_distinct(df, ["g"], "v").head()["distinct_est"]
         e2 = kmv_distinct(df.orderBy(F.rand(seed=1)), ["g"], "v").head()["distinct_est"]
         assert e1 == e2  # order-independent, engine-reproducible
+
+
+class TestHLL:
+    def test_estimate_within_tolerance(self, spark):
+        n = 5000
+        df = spark.createDataFrame(
+            [("a", f"value_{i}") for i in range(n)], "g string, v string"
+        )
+        row = hll_distinct(df, ["g"], "v").head()
+        # HLL std error 1.04/sqrt(m) ≈ 13% at m=64; allow 3 sigma
+        assert abs(row["hll_est"] - n) / n < 0.4
+        assert row["exact_distinct"] == n  # no md5 collisions at this size
+        assert row["n_buckets"] == 64  # all registers touched at n >> m
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"value_{i}") for i in range(1000)], "g string, v string"
+        )
+        e1 = hll_distinct(df, ["g"], "v").head()["hll_est"]
+        e2 = hll_distinct(df.orderBy(F.rand(seed=3)), ["g"], "v").head()["hll_est"]
+        assert e1 == e2  # order-independent, engine-reproducible
+
+    def test_duplicates_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"v{i % 9}") for i in range(500)], "g string, v string"
+        )
+        row = hll_distinct(df, ["g"], "v").head()
+        assert row["exact_distinct"] == 9
+        assert row["n_buckets"] <= 9  # at most one register per distinct
 
 
 class TestBinnedQuantiles:

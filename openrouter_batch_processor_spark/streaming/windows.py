@@ -55,8 +55,13 @@ def read_events_stream(
     # (a literal file path fails at getBatch). "events.*" keeps the
     # source pinned to the events table either way.
     df = reader.parquet(os.path.join(sf_dir, "events.*"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ). The session timezone is
+        # pinned to UTC (session.py), so the cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -80,8 +80,16 @@ def pack_token_counts(
     longs of metadata, not data), partition-local window cumsum +
     broadcast base offsets. No single-task global window."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint: the totals collect below and the final output are
+    # two separate jobs; without materializing, each re-runs
+    # repartitionByRange whose range boundaries come from a per-RDD-seed
+    # SAMPLE — the two jobs can disagree on row->partition assignment,
+    # making the offset map wrong. Checkpointing pins one partitioning
+    # that both jobs read.
+    ranged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = {
         r["_pid"]: r["s"]

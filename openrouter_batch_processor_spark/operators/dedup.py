@@ -300,6 +300,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment over LSH candidates: |A∩B|/|A| and
+    |A∩B|/|B| plus the overlap coefficient |A∩B|/min(|A|,|B|).
+
+    Jaccard misses the doc-inside-doc case that matters for training
+    data (a paragraph quoted whole inside a larger page scores low
+    Jaccard but containment ~1 on the smaller side — the "remove the
+    subsumed copy" signal). Same execution shape as the Jaccard verify:
+    candidates from banded LSH, intersection via a shingle-level
+    equi-join restricted to candidate pairs, never all-pairs. The
+    filter is on the overlap coefficient, the symmetric max of the two
+    containments."""
+    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    sh = explode_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"
+        )
+        .withColumn("cont_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        .withColumn(
+            "overlap", F.round(F.col("n_inter") / F.least("n_a", "n_b"), 6)
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "cont_a", "cont_b", "overlap")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (connected components over candidate pairs)
 # ---------------------------------------------------------------------------

@@ -199,3 +199,59 @@ def retention_cohorts(
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    conversion_type: str = "purchase",
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    equally across the user's touch events in the preceding horizon
+    (strictly before the conversion); conversions with no touches are
+    attributed whole to the '(direct)' channel.
+
+    Execution: one equi-join on user_id carries the time predicate as a
+    residual (never a nested-loop range join), then a count window
+    keyed by the conversion id (second shuffle), then a tiny per-channel
+    rollup. Determinism: the per-touch share value/n is one IEEE
+    division, rounded to 12 dp and summed as DECIMAL so the channel
+    totals are partition-order invariant.
+
+    Output: (channel, n_touches, n_purchases, attributed_value)."""
+    p = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("value"),
+    )
+    t = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    horizon = F.expr(f"INTERVAL {horizon_hours} HOURS")
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tts < p.pts)
+        & (t.tts >= p.pts - horizon),
+        "left",
+    ).select("pid", "value", "tid", "channel")
+    n = F.count("tid").over(Window.partitionBy("pid"))
+    shares = j.select(
+        "pid",
+        F.coalesce("channel", F.lit("(direct)")).alias("channel"),
+        F.round(
+            F.when(n == 0, F.col("value")).otherwise(F.col("value") / n), 12
+        )
+        .cast("decimal(28,12)")
+        .alias("share"),
+    )
+    return shares.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.count_distinct("pid").alias("n_purchases"),
+        F.round(F.sum("share").cast("double"), 6).alias("attributed_value"),
+    )

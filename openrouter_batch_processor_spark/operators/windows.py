@@ -77,6 +77,65 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def peak_concurrency(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Daily peak number of concurrently-open sessions — the classic
+    interval sweep: emit +1 at each session start and -1 at each end,
+    order boundaries by time (starts before ends on ties, so a session
+    ending exactly when another starts counts as overlap), running-sum
+    the deltas, take the max per day.
+
+    The running sum is NOT a global single-task window: it reuses the
+    two-phase distributed prefix sum from the stream packer
+    (range-partition on the boundary key, O(partitions) totals to the
+    driver, partition-local cumsum + broadcast base offsets) — so the
+    sweep scales to any boundary count. Per-day max is tie-order
+    invariant: within an equal (ts, delta) run the prefix values are a
+    fixed multiset regardless of permutation.
+
+    Output: (day, peak_concurrency) measured at boundary instants."""
+    from openrouter_batch_processor_spark.operators.chunking import pack_token_counts
+
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        events.withColumn("_ep", epoch)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("_ep").over(w).isNull()
+                | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_seconds),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("_ep").alias("s_ep"), F.max("_ep").alias("e_ep"))
+    )
+    bounds = sess.select(
+        F.col("s_ep").alias("ep"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sess.select(
+            F.col("e_ep").alias("ep"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    ).withColumn("sk", -F.col("delta"))  # asc sk => starts (+1) first on ties
+    swept = pack_token_counts(
+        bounds, "delta", ["ep", "sk", "user_id", "session_id"], capacity=1 << 40
+    )
+    conc = F.col("start_offset") + F.col("delta")  # inclusive prefix sum
+    day = F.date_add(
+        F.to_date(F.lit("1970-01-01")), F.floor(F.col("ep") / 86400).cast("int")
+    )
+    return (
+        swept.select(
+            F.date_format(day, "yyyy-MM-dd").alias("day"), conc.alias("conc")
+        )
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    )
+
+
 def session_paths(
     events: DataFrame, gap_seconds: int = 1800, depth: int = 3, topn: int = 10
 ) -> DataFrame:

@@ -5187,3 +5187,128 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division)."""
     ev = _t(spark, sf_dir, "events")
     return hll_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")
+
+
+# ===========================================================================
+# Containment / overlap-coefficient near-dup (asymmetric Jaccard)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.dedup import containment_pairs  # noqa: E402
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh_set x ON x.doc_id = c.id_a
+      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / sa.n_sh, 6) AS cont_a,
+           round(n_inter / sb.n_sh, 6) AS cont_b,
+           round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS overlap
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(n_inter / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+    """,
+    ops=["EXT-jaccard", "EXT-minhash", "EXT-dedup-policy", "J2"],
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment + overlap coefficient over LSH candidate
+    pairs — the doc-inside-doc dedup signal Jaccard underweights. See
+    operators/dedup.containment_pairs."""
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Daily peak session concurrency (interval sweep, distributed prefix sum)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.windows import peak_concurrency  # noqa: E402
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ep,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    spans AS (SELECT user_id, session_id, min(ep) AS s_ep, max(ep) AS e_ep
+              FROM sess GROUP BY 1, 2),
+    bounds AS (
+      SELECT s_ep AS ep, 1 AS delta, user_id, session_id FROM spans
+      UNION ALL
+      SELECT e_ep, -1, user_id, session_id FROM spans),
+    swept AS (
+      SELECT ep, sum(delta) OVER (ORDER BY ep, -delta, user_id, session_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bounds)
+    SELECT strftime(DATE '1970-01-01' + (ep // 86400)::INT, '%Y-%m-%d') AS day,
+           max(conc)::BIGINT AS peak_concurrency
+    FROM swept GROUP BY 1
+    """,
+    ops=["EXT-sessions", "EXT-rangejoin", "W1", "O1", "G2"],
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions via the +1/-1 boundary sweep with
+    a two-phase distributed prefix sum (no single-task global window).
+    See operators/windows.peak_concurrency; the oracle restates the
+    sweep as one ordered window over the boundary list."""
+    return peak_concurrency(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Linear multi-touch attribution (conversion value split over touches)
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.timeseries import linear_attribution  # noqa: E402
+
+
+@register(
+    "events_attribution",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view', 'signup')),
+    j AS (SELECT p.pid, p.value, t.tid, t.channel
+          FROM p LEFT JOIN t ON t.user_id = p.user_id
+                            AND t.tts < p.pts
+                            AND t.tts >= p.pts - INTERVAL 24 HOURS),
+    n AS (SELECT pid, count(tid) AS n_touch FROM j GROUP BY pid),
+    shares AS (SELECT j.pid, coalesce(j.channel, '(direct)') AS channel,
+                      round(CASE WHEN n.n_touch = 0 THEN j.value
+                                 ELSE j.value / n.n_touch END, 12)::DECIMAL(28,12) AS share
+               FROM j JOIN n USING (pid))
+    SELECT channel, count(*) AS n_touches, count(DISTINCT pid) AS n_purchases,
+           round(sum(share)::DOUBLE, 6) AS attributed_value
+    FROM shares GROUP BY channel
+    """,
+    ops=["EXT-sessions", "EXT-rangejoin", "J2", "G2"],
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: purchase value split equally
+    over the user's click/view/signup touches in the trailing 24 h
+    (strictly before the purchase); orphan purchases go to '(direct)'.
+    See operators/timeseries.linear_attribution for the join shape and
+    the decimal-sum determinism contract."""
+    return linear_attribution(_t(spark, sf_dir, "events"))

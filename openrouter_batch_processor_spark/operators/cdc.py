@@ -1,0 +1,62 @@
+"""Snapshot diff (CDC-style change detection) between two versions of
+a keyed dataset.
+
+The reference's closest behavior is the ingest registry probe — "is
+this exact content already stored?" (X1, app.py:191-203) — which is a
+whole-dataset membership test. The scale generalization a training-data
+pipeline needs is the per-row version: given yesterday's snapshot and
+today's, emit exactly what was added / removed / changed, so downstream
+stages (dedup registries, embedding indexes, rollups) can be maintained
+incrementally instead of rebuilt.
+
+Execution shape: both sides reduce to (key, row_fingerprint) — one
+narrow projection each, no data movement beyond the single full-outer
+equi-join on the key (shuffle or broadcast, Catalyst/AQE's choice).
+The fingerprint is md5 over unit-separator-joined columns with a NULL
+sentinel, so "changed" is detected on one 32-byte comparison per key
+regardless of row width. Column rendering caveat: only pass compare
+columns whose string form is engine-portable (ints/strings/bools —
+NOT raw doubles or timestamps) when an external oracle must reproduce
+the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = "\x00"
+FIELD_SEP = "\x1f"
+
+
+def row_fingerprint(cols: list[str]) -> F.Column:
+    """md5 of the unit-separator-joined, NULL-sentineled column values."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+    return F.md5(F.concat_ws(FIELD_SEP, *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """(key_cols..., change_type) for every key that differs between
+    snapshots; change_type in {'added', 'removed', 'changed'}.
+
+    Unchanged keys are filtered out before the result ever leaves the
+    join stage — at 100 TB the output is proportional to the churn, not
+    the snapshot."""
+    o = old.select(*key_cols, row_fingerprint(compare_cols).alias("_h_old"))
+    n = new.select(*key_cols, row_fingerprint(compare_cols).alias("_h_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -175,3 +175,69 @@ def hll_distinct(
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         F.round(F.lit(HLL_ALPHA_M2) / total.cast("double"), 6).alias(estimate_alias),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    value_col: str,
+    a_pred: Column,
+    b_pred: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style set algebra from one KMV pass: estimate
+    |A ∪ B| and |A ∩ B| for two subsets of a value domain without ever
+    materializing either distinct set.
+
+    Mechanics: every value hashes to uniform [0,1) (md5 -> uint32); the
+    k smallest distinct hashes of the UNION define theta = k-th hash.
+    Union estimate = (k-1)/theta (KMV). Each retained hash carries two
+    membership bits (seen under A / seen under B); the fraction of
+    retained hashes with both bits set is an unbiased Jaccard-style
+    estimate below theta, so inter_est = n_both * union_est / k. With
+    fewer than k distinct union values everything degrades to exact.
+
+    Why it matters at scale: the retained state is k (hash, bit, bit)
+    tuples per sketch — mergeable by re-truncation — so audience
+    overlap between any two segments is a byte-sized summary problem,
+    not a distinct-join. Deterministic md5 hashing keeps the whole
+    estimator on the oracle-checked path (same contract as kmv_distinct
+    / hll_distinct).
+
+    Output (one row): exact_a, exact_b, exact_union, exact_inter,
+    union_est, inter_est."""
+    m = (
+        df.select(
+            _uhash(F.col(value_col)).alias("_h"),
+            F.when(a_pred, 1).otherwise(0).alias("_a"),
+            F.when(b_pred, 1).otherwise(0).alias("_b"),
+        )
+        .filter((F.col("_a") == 1) | (F.col("_b") == 1))
+        .groupBy("_h")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    agg = m.agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("_h", "_a", "_b"))), 1, k
+        ).alias("_kmin"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum("_a").alias("exact_a"),
+        F.sum("_b").alias("exact_b"),
+        F.sum(F.col("_a") * F.col("_b")).alias("exact_inter"),
+    )
+    kth = F.element_at(F.col("_kmin"), k)["_h"]
+    n_both = F.size(
+        F.filter(F.col("_kmin"), lambda s: (s["_a"] == 1) & (s["_b"] == 1))
+    )
+    union_est = (k - 1) / (kth / F.lit(HASH_SPACE))
+    return agg.select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.when(F.col("exact_union") < k, F.col("exact_union").cast("double"))
+        .otherwise(F.round(union_est, 6))
+        .alias("union_est"),
+        F.when(F.col("exact_union") < k, F.col("exact_inter").cast("double"))
+        .otherwise(F.round(n_both * union_est / k, 6))
+        .alias("inter_est"),
+    )

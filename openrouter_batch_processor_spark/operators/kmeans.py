@@ -99,7 +99,7 @@ def kmeans_lite(
         staged.orderBy(id_col)
         .limit(k)
         .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cluster_id"),
+            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
             F.col("vd").alias("cvec"),
         )
     )

@@ -138,7 +138,7 @@ def topk_per_group_agg(
     )
     return ex.select(
         group_col,
-        (F.col("_pos") + 1).alias("rank"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
         (-F.col("_s._neg")).alias(order_col),
         *[F.col(f"_s._p.{c}").alias(c) for c in payload_cols],
     )

@@ -49,7 +49,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        F.length(t).alias("n_chars_exact"),
+        F.length(t).cast("long").alias("n_chars_exact"),
         whitespace_token_count(t).alias("n_ws_tokens"),
         regex_token_count(t).alias("n_re_tokens"),
     )
@@ -160,7 +160,7 @@ def tfidf_topk(
     )
     win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("rnk", F.row_number().over(win))
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rnk")
     )
@@ -400,6 +400,6 @@ def pii_redaction(
         F.col(id_col),
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
-        F.length(redacted).alias("redacted_len"),
+        F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )

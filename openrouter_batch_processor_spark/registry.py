@@ -13,7 +13,11 @@ Portability rules used throughout (see also tools/check.py):
 - money sums: cast to DECIMAL(18,4)/(18,6) before SUM (exact, order-
   independent), cast the result back to DOUBLE;
 - float ratios: round(x, 6) at the edge;
-- hashes: md5 of strings, hex->int via conv()/'0x'-cast only.
+- hashes: md5 of strings, hex->int via conv()/'0x'-cast only;
+- integer sums: ALWAYS ::BIGINT in the oracle — DuckDB sum(BIGINT)
+  returns HUGEINT, which pandas renders float64 ('655.0' vs Spark's
+  '655') and corrupts the driver's value hash (r01 reds were this);
+  tools/type_audit.py enforces exact dtype parity for every entry.
 """
 
 from __future__ import annotations
@@ -370,10 +374,10 @@ from openrouter_batch_processor_spark.operators.aggregates import usage_summary 
            count(CASE WHEN ok THEN 1 END) AS successful_requests,
            count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
            count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
-           sum(prompt_tokens) AS prompt_tokens_sum,
-           sum(completion_tokens) AS completion_tokens_sum,
-           sum(total_tokens) AS total_tokens_sum,
-           coalesce(sum(reasoning_tokens), 0) AS reasoning_tokens_sum,
+           sum(prompt_tokens)::BIGINT AS prompt_tokens_sum,
+           sum(completion_tokens)::BIGINT AS completion_tokens_sum,
+           sum(total_tokens)::BIGINT AS total_tokens_sum,
+           coalesce(sum(reasoning_tokens), 0)::BIGINT AS reasoning_tokens_sum,
            round(sum(cost::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum
     FROM usage GROUP BY job_id
     """,
@@ -1203,7 +1207,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h CROSS JOIN range(0, 32) r(bit)
       GROUP BY doc_id, r.bit)
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
     FROM votes GROUP BY doc_id
     """,
     ops=["EXT-simhash"],
@@ -1349,7 +1353,7 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
-    SELECT user_id, session_id,
+    SELECT user_id, session_id::BIGINT AS session_id,
            count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
@@ -1860,7 +1864,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
     ).agg(
         F.sum(
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
@@ -1921,7 +1925,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(ns, F.col("s_nationkey") == F.col("s_nk"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
             .cast("decimal(18,6)")
             .alias("volume"),
@@ -2130,11 +2134,13 @@ def q_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation levels in one shuffle (Catalyst expands the grouping
     sets; partial aggregation still applies per set)."""
     docs = _t(spark, sf_dir, "documents")
+    # grouping() is ByteType in Spark but BIGINT in DuckDB — cast to long
+    # for dtype parity (the driver's frame hash is dtype-sensitive).
     return docs.cube("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_sum"),
-        F.grouping("source").alias("g_source"),
-        F.grouping("lang").alias("g_lang"),
+        F.grouping("source").cast("long").alias("g_source"),
+        F.grouping("lang").cast("long").alias("g_lang"),
     ).select("source", "lang", "g_source", "g_lang", "n_docs", "chars_sum")
 
 
@@ -2450,7 +2456,7 @@ def q_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     final AS (SELECT * FROM gated WHERE n_tokens >= 20)
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           sum(n_tokens)::BIGINT AS total_tokens,
            round(sum(n_chars)::DOUBLE / sum(n_tokens), 6) AS chars_per_token
     FROM final
     GROUP BY source, lang
@@ -2570,7 +2576,7 @@ _SIMHASH_CTE = """
                       c.doc_id AS id_b, c.simhash AS sim_b
       FROM bands a JOIN bands c ON a.band = c.band AND a.band_key = c.band_key
       WHERE a.doc_id < c.doc_id)
-    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
     FROM cand
     WHERE bit_count(xor(sim_a, sim_b)) <= 6
     """,
@@ -2605,7 +2611,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "sim_a", "id_b", "sim_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # bit_count is int32 in Spark, TINYINT in DuckDB — long on both sides
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 6
     )
@@ -2644,7 +2651,7 @@ def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w_price).alias("rnk"),
+            F.row_number().over(w_price).cast("long").alias("rnk"),
             F.datediff(
                 F.col("o_orderdate"), F.lag("o_orderdate").over(w_date)
             ).alias("days_since_prev"),
@@ -3091,15 +3098,15 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(CASE WHEN ok THEN 1 END) AS successful_requests,
            count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
            count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
-           sum(coalesce(TRY_CAST(prompt_tokens AS BIGINT), 0)) AS prompt_tokens_sum,
-           sum(coalesce(TRY_CAST(completion_tokens AS BIGINT), 0)) AS completion_tokens_sum,
-           sum(coalesce(TRY_CAST(total_tokens AS BIGINT), 0)) AS total_tokens_sum,
-           sum(coalesce(TRY_CAST(reasoning_tokens AS BIGINT), 0)) AS reasoning_tokens_sum,
-           sum(coalesce(TRY_CAST(cached_tokens AS BIGINT), 0)) AS cached_tokens_sum,
-           sum(coalesce(TRY_CAST(cache_write_tokens AS BIGINT), 0)) AS cache_write_tokens_sum,
-           sum(coalesce(TRY_CAST(audio_tokens AS BIGINT), 0)) AS audio_tokens_sum,
-           sum(coalesce(TRY_CAST(video_tokens AS BIGINT), 0)) AS video_tokens_sum,
-           sum(coalesce(TRY_CAST(image_tokens AS BIGINT), 0)) AS image_tokens_sum,
+           sum(coalesce(TRY_CAST(prompt_tokens AS BIGINT), 0))::BIGINT AS prompt_tokens_sum,
+           sum(coalesce(TRY_CAST(completion_tokens AS BIGINT), 0))::BIGINT AS completion_tokens_sum,
+           sum(coalesce(TRY_CAST(total_tokens AS BIGINT), 0))::BIGINT AS total_tokens_sum,
+           sum(coalesce(TRY_CAST(reasoning_tokens AS BIGINT), 0))::BIGINT AS reasoning_tokens_sum,
+           sum(coalesce(TRY_CAST(cached_tokens AS BIGINT), 0))::BIGINT AS cached_tokens_sum,
+           sum(coalesce(TRY_CAST(cache_write_tokens AS BIGINT), 0))::BIGINT AS cache_write_tokens_sum,
+           sum(coalesce(TRY_CAST(audio_tokens AS BIGINT), 0))::BIGINT AS audio_tokens_sum,
+           sum(coalesce(TRY_CAST(video_tokens AS BIGINT), 0))::BIGINT AS video_tokens_sum,
+           sum(coalesce(TRY_CAST(image_tokens AS BIGINT), 0))::BIGINT AS image_tokens_sum,
            round(sum(coalesce(TRY_CAST(cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum,
            round(sum(coalesce(TRY_CAST(upstream_inference_cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS upstream_inference_cost_sum,
            round(sum(coalesce(TRY_CAST(discount AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS discount_sum,
@@ -3496,7 +3503,7 @@ def q_w_ntile_cumdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
@@ -3847,7 +3854,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("yr"))
         .agg(F.sum(amount).cast("double").alias("profit"))
     )
 
@@ -4828,7 +4835,7 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("best", best)
         .groupBy("dirty_id", "dirty_name")
         .agg(
-            F.min("dist").alias("best_dist"),
+            F.min("dist").cast("long").alias("best_dist"),
             F.min(F.when(F.col("dist") == F.col("best"), F.col("p_partkey"))).alias(
                 "match_partkey"
             ),

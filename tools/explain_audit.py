@@ -77,8 +77,11 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         (None, "SortAggregate", "no sort-based agg fallback"),
     ],
     "events_tumbling": [
-        ("ReadSchema: struct<ts:bigint,event_type:string,value:double>",
-         None, "events scan pruned to exactly ts/type/value"),
+        # ts parquet physical type varies with testdata generation
+        # (nanos-as-long vs native micros) — assert the column set, not
+        # the ts dtype.
+        (",event_type:string,value:double>", "props",
+         "events scan pruned to exactly ts/type/value"),
     ],
     "q10_returned_items": [
         ("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate", None,

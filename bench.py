@@ -61,17 +61,31 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
     total = round(sum(timings.values()), 3)
-    out = {
+    # Compact summary FIRST: r01's single giant line got tail-truncated
+    # by the driver's capture ("parsed": null). The first line is small
+    # enough to always survive; the full per-query map follows on line 2
+    # and is also written to BENCH_DETAIL.json.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_dir,
         "n_queries": len(timings),
+        "n_failures": len(failures),
+        "slowest": slowest,
     }
+    out = dict(summary)
+    out["queries"] = timings
     if failures:
         out["failures"] = failures
+    print(json.dumps(summary))
     print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,21 @@ RESULT_SCHEMA = T.StructType(
 EMPTY_FOLDER = "Empty folder"
 UNSUPPORTED = "Unsupported file type"
 
+# D6 multimodal content column: an ordered array of message parts.
+# ptype 'text' carries the (labeled) text; ptype 'image_url' carries the
+# base64 data-URL (worker.py:69-98). Kept flat (no nested image_url
+# struct) in the DataFrame; transports emit the exact wire shape.
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("ptype", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+# Flat-rate prompt-token charge per image part in the mock accounting
+# (stands in for the provider's per-image billing unit).
+IMAGE_TOKEN_COST = 85
+
 
 @dataclass
 class LLMConfig:
@@ -62,15 +77,30 @@ class MockTransport:
 
     Token accounting mirrors the reference's usage fields: prompt tokens
     = whitespace token count of the prompt, completion = 1 per reply.
+
+    Multimodal (``parts``) calls hash a canonical serialization of the
+    parts array — ``<ptype>|<content>`` joined by blank lines — so the
+    assembled payload (order, labels, data-URLs) is what the DuckDB
+    oracle checks, not just a concatenated text. Image parts charge a
+    flat IMAGE_TOKEN_COST prompt tokens; text parts their whitespace
+    token count.
     """
 
     def __init__(self, config: LLMConfig):
         self.config = config
 
-    def complete(self, prompt: str) -> dict:
-        payload = f"{self.config.system_prompt}\n{prompt}"
+    def complete(self, prompt: str | None, parts: list[dict] | None = None) -> dict:
+        if parts is not None:
+            ser = "\n\n".join(f"{p['ptype']}|{p['content']}" for p in parts)
+            p_tok = sum(
+                len(p["content"].split()) if p["ptype"] == "text" else IMAGE_TOKEN_COST
+                for p in parts
+            )
+            payload = f"{self.config.system_prompt}\n{ser}"
+        else:
+            p_tok = len(prompt.split())
+            payload = f"{self.config.system_prompt}\n{prompt}"
         reply = _md5(payload.encode("utf-8")).hexdigest()
-        p_tok = len(prompt.split())
         return {
             "content": reply,
             "prompt_tokens": p_tok,
@@ -93,17 +123,34 @@ class HttpTransport:
         self.config = config
         self.api_key = api_key
 
-    def complete(self, prompt: str) -> dict:
-        import urllib.request
-        import json as _json
-
+    def build_body(self, prompt: str | None, parts: list[dict] | None = None) -> dict:
+        """Wire-format payload. With ``parts``, user content is the
+        reference's parts array: {type:"text",text} entries and
+        {type:"image_url",image_url:{url}} entries (worker.py:313-319,
+        built at worker.py:69-98)."""
+        if parts is not None:
+            user_content: object = [
+                {"type": "text", "text": p["content"]}
+                if p["ptype"] == "text"
+                else {"type": "image_url", "image_url": {"url": p["content"]}}
+                for p in parts
+            ]
+        else:
+            user_content = prompt
         messages = [
             {"role": "system", "content": self.config.system_prompt},
-            {"role": "user", "content": prompt},
+            {"role": "user", "content": user_content},
         ]
         body: dict = {"model": self.config.model, "messages": messages}
         if self.config.reasoning_mode in ("true", "false"):
             body["reasoning"] = {"enabled": self.config.reasoning_mode == "true"}
+        return body
+
+    def complete(self, prompt: str | None, parts: list[dict] | None = None) -> dict:
+        import urllib.request
+        import json as _json
+
+        body = self.build_body(prompt, parts)
         req = urllib.request.Request(
             self.API_URL,
             data=_json.dumps(body).encode("utf-8"),
@@ -132,6 +179,9 @@ def llm_map(
     """Run the LLM over grouped work units; returns RESULT_SCHEMA rows.
 
     Input needs columns: group_id, prompt (pre-assembled), file_count.
+    An optional ``parts`` column (array<PART_SCHEMA>) carries multimodal
+    content; when present and non-null it takes precedence over
+    ``prompt`` and reaches the transport as a list of part dicts.
     Sentinels (P7 empty / P1 unsupported) are handled by the caller via
     prompt=NULL + a sentinel column; here NULL prompts short-circuit.
     """
@@ -158,7 +208,15 @@ def llm_map(
                     rows.append((rec.group_id, sentinel, True, 0, 0, 0, 0.0))
                     continue
                 try:
-                    r = transport.complete(rec.prompt)
+                    parts = getattr(rec, "parts", None)
+                    if parts is None or isinstance(parts, float):
+                        # no parts column, or a null cell (pandas NaN)
+                        r = transport.complete(rec.prompt)
+                    else:
+                        # Arrow hands array<struct> to pandas as a
+                        # sequence of dicts; normalize + call the
+                        # parts-aware path.
+                        r = transport.complete(None, parts=list(parts))
                     rows.append(
                         (
                             rec.group_id,

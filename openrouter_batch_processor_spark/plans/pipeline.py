@@ -67,6 +67,89 @@ def assemble_prompts(files: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_mixed_files(docs: DataFrame) -> DataFrame:
+    """Multimodal variant of documents_as_files: every 5th document
+    plays an image (.png; payload = base64 data-URL of its text bytes —
+    a deterministic stand-in for real image bytes), the rest text.
+    """
+    is_img = F.col("doc_id") % 5 == 0
+    rel = F.concat(
+        F.col("source"),
+        F.lit("/doc_"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.when(is_img, F.lit(".png")).otherwise(F.lit(".txt")),
+    )
+    return docs.select(
+        F.col("doc_id"),
+        rel.alias("rel_path"),
+        F.concat(F.col("source"), F.lit("/")).alias("group_id"),
+        F.col("text"),
+        is_img.alias("is_image"),
+    )
+
+
+def assemble_multimodal_parts(files: DataFrame) -> DataFrame:
+    """D6/F9/F10 with image support (worker.py:69-98 parity): per file,
+    text -> one labeled text part; image -> a 'Please analyze image:'
+    text part followed by an image_url part whose content is the base64
+    data-URL (F14). Groups are folders, so labeling is always on and
+    image labels are the rel path. Parts keep rel_path member order.
+
+    Output: group_id, parts (array<ptype,content>), file_count.
+    """
+    from openrouter_batch_processor_spark.functions.hashing import data_url as _du
+
+    data_url = _du(F.encode(F.col("text"), "UTF-8"), F.lit("image/png"))
+    file_parts = F.when(
+        F.col("is_image"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("ptype"),
+                F.concat(F.lit("Please analyze image: "), F.col("rel_path")).alias(
+                    "content"
+                ),
+            ),
+            F.struct(F.lit("image_url").alias("ptype"), data_url.alias("content")),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("text").alias("ptype"),
+                F.concat(
+                    F.lit("File: "), F.col("rel_path"), F.lit("\n"), F.col("text")
+                ).alias("content"),
+            )
+        )
+    )
+    grouped = (
+        files.withColumn("file_parts", file_parts)
+        .groupBy("group_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("rel_path"), F.col("file_parts")))
+            ).alias("members")
+        )
+    )
+    return grouped.select(
+        "group_id",
+        F.flatten(F.transform(F.col("members"), lambda m: m["file_parts"])).alias(
+            "parts"
+        ),
+        F.size("members").alias("file_count"),
+    )
+
+
+def run_llm_pipeline_multimodal(
+    spark: SparkSession, sf_dir: str, rate: float = 0.0
+) -> DataFrame:
+    """documents.parquet -> mixed text/image groups -> parts-array
+    prompt assembly -> mock LLM (hashes the full multimodal payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = assemble_multimodal_parts(documents_as_mixed_files(docs))
+    config = LLMConfig(system_prompt=SYSTEM_PROMPT, requests_per_second=rate)
+    return llm_map(groups, config, MockTransport)
+
+
 def run_llm_pipeline(spark: SparkSession, sf_dir: str, rate: float = 0.0) -> DataFrame:
     """documents.parquet -> grouped prompts -> mock LLM -> result rows."""
     docs = load_table(spark, sf_dir, "documents")

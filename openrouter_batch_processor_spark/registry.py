@@ -74,6 +74,61 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_llm_pipeline(spark, sf_dir)
 
 
+@register(
+    "llm_pipeline_multimodal",
+    """
+    WITH files AS (
+        SELECT doc_id, source || '/' AS group_id,
+               doc_id % 5 = 0 AS is_image,
+               source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') ||
+                 CASE WHEN doc_id % 5 = 0 THEN '.png' ELSE '.txt' END AS rel_path,
+               text
+        FROM documents
+    ), frags AS (
+        SELECT group_id, rel_path,
+               CASE WHEN is_image
+                    THEN 'text|Please analyze image: ' || rel_path ||
+                         chr(10) || chr(10) ||
+                         'image_url|data:image/png;base64,' || to_base64(text::BLOB)
+                    ELSE 'text|File: ' || rel_path || chr(10) || text
+               END AS frag,
+               CASE WHEN is_image
+                    THEN len(regexp_extract_all('Please analyze image: ' || rel_path,
+                                                '\\S+')) + 85
+                    ELSE len(regexp_extract_all('File: ' || rel_path || chr(10) || text,
+                                                '\\S+'))
+               END AS p_tok
+        FROM files
+    ), prompts AS (
+        SELECT group_id,
+               string_agg(frag, chr(10) || chr(10) ORDER BY rel_path) AS payload,
+               sum(p_tok)::BIGINT AS prompt_tokens
+        FROM frags GROUP BY group_id
+    )
+    SELECT group_id AS file,
+           md5('You are a batch processor.' || chr(10) || payload) AS output,
+           TRUE AS ok,
+           prompt_tokens,
+           1::BIGINT AS completion_tokens,
+           prompt_tokens + 1 AS total_tokens,
+           round(prompt_tokens * 0.000001, 12) AS cost
+    FROM prompts
+    """,
+    ops=["S4", "S10", "D6", "F9", "F10", "F14", "G1", "T5"],
+)
+def q_llm_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship MARC use case: mixed text+image groups
+    through the LLM map as a {type:text}/{type:image_url} parts array
+    (worker.py:69-98, 313-319). The mock transport hashes the canonical
+    parts serialization, so the oracle pins the exact assembled payload
+    — ordering, labels, data-URLs — not just the concatenated text."""
+    from openrouter_batch_processor_spark.plans.pipeline import (
+        run_llm_pipeline_multimodal,
+    )
+
+    return run_llm_pipeline_multimodal(spark, sf_dir)
+
+
 # ===========================================================================
 # S2 + F1 + F2 + P1 — file inventory scan shape over documents
 # ===========================================================================
@@ -4804,12 +4859,26 @@ def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by blocking + edit distance: a deterministically
     corrupted catalog (one char deleted past the prefix, keyed on
-    partkey) re-matched to the clean catalog. Candidates come ONLY from
-    the 3-char-prefix equi-join block — the standard trick that turns
-    O(n^2) fuzzy matching into per-block work (corruptions inside the
+    partkey) re-matched to the clean catalog (corruptions inside the
     block key are unmatchable, which is blocking's documented recall
     trade-off). Levenshtein is integer-valued, so cross-engine parity
-    is exact; best match = min distance with min-key tiebreak."""
+    is exact; best match = min distance with min-key tiebreak.
+
+    Scale plan (r01 had 42.8 s here — skewed 3-char-prefix blocks times
+    unthresholded levenshtein is quadratic in block size). Three
+    answer-preserving prunes:
+    1. Block key is (prefix3, length-bucket), not prefix alone: edit
+       distance >= |length difference|, so any dist<=2 pair has
+       |len(d)-len(c)| <= 2; with bucket width 3, the clean bucket is
+       within +-1 of the dirty bucket — the dirty side explodes to its
+       3 adjacent buckets (3x rows, but block sizes shrink ~10x and
+       grow sublinearly with data, so pair counts stop detonating).
+    2. |length(d) - length(c)| <= 2 as a join predicate — applied at
+       match time, before any levenshtein evaluation.
+    3. Thresholded levenshtein(d, c, 2): O(len * 2) banded DP with
+       early exit (returns -1 past the bound) instead of O(len^2).
+    Each pair still joins exactly once (the 3 exploded buckets are
+    distinct), so n_candidates is unchanged."""
     part = _t(spark, sf_dir, "part")
     k = (F.col("p_partkey") % 4 + 4).cast("int")
     dirty = part.filter(F.length("p_name") > k + 1).select(
@@ -4819,28 +4888,52 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_name").substr(k + 2, F.length("p_name")),
         ).alias("dirty_name"),
     )
-    clean = part.select("p_partkey", "p_name")
-    cand = (
-        dirty.join(
-            clean,
-            F.substring("dirty_name", 1, 3) == F.substring("p_name", 1, 3),
-        )
-        .withColumn("dist", F.levenshtein("dirty_name", "p_name"))
-        .filter(F.col("dist") <= 2)
+    bucket_w = 3
+    d_len = F.length("dirty_name")
+    d_bucket = (d_len / bucket_w).cast("int")
+    # part is one parquet file -> one input split; without an explicit
+    # round-robin repartition the whole pair-generation + levenshtein
+    # stage runs in a single task after the broadcast join. (At cluster
+    # scale the scan has many splits and this is a no-op cost-wise.)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dirty_b = dirty.repartition(n_part).withColumn("_ld", d_len).withColumn(
+        "_b", F.explode(F.array(d_bucket - 1, d_bucket, d_bucket + 1))
+    ).withColumn("_pfx", F.substring("dirty_name", 1, 3))
+    clean_b = part.select(
+        "p_partkey",
+        "p_name",
+        F.length("p_name").alias("_lc"),
+        (F.length("p_name") / bucket_w).cast("int").alias("_b"),
+        F.substring("p_name", 1, 3).alias("_pfx"),
     )
-    from pyspark.sql.window import Window
-
-    best = F.min("dist").over(Window.partitionBy("dirty_id"))
+    # No filter(dist >= 0) before the agg: Catalyst would inline the
+    # levenshtein into both the filter predicate and the projection,
+    # evaluating it twice per pair. Instead dist flows unfiltered into
+    # conditional aggregates (partial agg combines map-side, so the -1
+    # rows never reach the shuffle), and empty groups drop at the end.
+    # The r01 window-then-groupBy is also gone: the window partition key
+    # equaled the group key, so argmin is just a struct-min.
+    pairs = (
+        dirty_b.join(clean_b, ["_pfx", "_b"])
+        .filter(F.abs(F.col("_ld") - F.col("_lc")) <= 2)
+        .select(
+            "dirty_id",
+            "dirty_name",
+            "p_partkey",
+            F.levenshtein("dirty_name", "p_name", 2).alias("dist"),
+        )
+    )
+    hit = F.col("dist") >= 0
     return (
-        cand.withColumn("best", best)
-        .groupBy("dirty_id", "dirty_name")
+        pairs.groupBy("dirty_id", "dirty_name")
         .agg(
-            F.min("dist").cast("long").alias("best_dist"),
-            F.min(F.when(F.col("dist") == F.col("best"), F.col("p_partkey"))).alias(
+            F.min(F.when(hit, F.col("dist"))).cast("long").alias("best_dist"),
+            F.min(F.when(hit, F.struct("dist", "p_partkey")))["p_partkey"].alias(
                 "match_partkey"
             ),
-            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(hit, 1)).alias("n_candidates"),
         )
+        .filter(F.col("best_dist").isNotNull())
     )
 
 

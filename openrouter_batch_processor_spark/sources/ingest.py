@@ -111,12 +111,12 @@ def image_data_urls(files: DataFrame) -> DataFrame:
     mime = F.lit(None).cast("string")
     for e, m in reversed(list(MIME_BY_EXT.items())):
         mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    from openrouter_batch_processor_spark.functions.hashing import data_url
+
     return files.filter(ext.isin(*IMAGE_EXTENSIONS)).select(
         "rel_path",
         mime.alias("mime"),
-        F.concat(F.lit("data:"), mime, F.lit(";base64,"), F.base64("content")).alias(
-            "data_url"
-        ),
+        data_url(F.col("content"), mime).alias("data_url"),
     )
 
 

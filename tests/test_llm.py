@@ -67,3 +67,68 @@ class TestLLMMap:
         assert rows["empty/"]["ok"] is True
         assert rows["bad/"]["output"] == "Unsupported file type"
         assert rows["ok/"]["ok"] is False  # the real call did fail
+
+
+class TestMultimodalParts:
+    """D6 parts array through the LLM map (worker.py:69-98, 313-319)."""
+
+    PARTS = [
+        {"ptype": "text", "content": "Please analyze image: a/x.png"},
+        {"ptype": "image_url", "content": "data:image/png;base64,QUJD"},
+        {"ptype": "text", "content": "File: a/y.txt\nbody text"},
+    ]
+
+    def test_http_wire_format_parity(self):
+        """build_body must emit the reference's exact parts shape."""
+        from openrouter_batch_processor_spark.operators.llm import HttpTransport
+
+        t = HttpTransport(LLMConfig(system_prompt="sys", model="m"), api_key="k")
+        body = t.build_body(None, parts=self.PARTS)
+        assert body["messages"][0] == {"role": "system", "content": "sys"}
+        user = body["messages"][1]
+        assert user["role"] == "user"
+        assert user["content"] == [
+            {"type": "text", "text": "Please analyze image: a/x.png"},
+            {"type": "image_url", "image_url": {"url": "data:image/png;base64,QUJD"}},
+            {"type": "text", "text": "File: a/y.txt\nbody text"},
+        ]
+        # text-only path keeps the plain-string content form
+        assert t.build_body("plain")["messages"][1]["content"] == "plain"
+
+    def test_mock_hashes_canonical_serialization(self):
+        cfg = LLMConfig(system_prompt="sys")
+        r = MockTransport(cfg).complete(None, parts=self.PARTS)
+        ser = (
+            "text|Please analyze image: a/x.png\n\n"
+            "image_url|data:image/png;base64,QUJD\n\n"
+            "text|File: a/y.txt\nbody text"
+        )
+        assert r["content"] == md5(f"sys\n{ser}".encode()).hexdigest()
+        # image part charges the flat rate, text parts their ws tokens
+        assert r["prompt_tokens"] == 4 + 85 + 4
+
+    def test_llm_map_routes_parts_column(self, spark):
+        from pyspark.sql import types as T
+        from openrouter_batch_processor_spark.operators.llm import PART_SCHEMA
+
+        schema = T.StructType(
+            [
+                T.StructField("group_id", T.StringType()),
+                T.StructField("prompt", T.StringType()),
+                T.StructField("file_count", T.LongType()),
+                T.StructField("sentinel", T.StringType()),
+                T.StructField("parts", T.ArrayType(PART_SCHEMA)),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                ("img/", None, 1, None, [("text", "t1"), ("image_url", "u1")]),
+                ("txt/", "fallback prompt", 1, None, None),
+            ],
+            schema,
+        )
+        rows = {r["file"]: r for r in llm_map(df, LLMConfig(system_prompt="s"), MockTransport).collect()}
+        assert rows["img/"]["output"] == md5(b"s\ntext|t1\n\nimage_url|u1").hexdigest()
+        assert rows["img/"]["prompt_tokens"] == 1 + 85
+        # null parts cell falls back to the prompt string
+        assert rows["txt/"]["output"] == md5(b"s\nfallback prompt").hexdigest()

@@ -44,6 +44,13 @@ def snapshot_diff(
     """(key_cols..., change_type) for every key that differs between
     snapshots; change_type in {'added', 'removed', 'changed'}.
 
+    PRECONDITION: key_cols must be unique within each snapshot (one row
+    per key). Duplicate keys fan out through the full-outer join and
+    emit duplicate — possibly contradictory — change rows; pre-aggregate
+    to one row per key (or assert uniqueness) before calling if the
+    source can carry duplicates. Downstream consumers (registry MERGEs,
+    index maintenance) assume one change row per key.
+
     Unchanged keys are filtered out before the result ever leaves the
     join stage — at 100 TB the output is proportional to the churn, not
     the snapshot."""

@@ -86,6 +86,13 @@ def pack_token_counts(
     # SAMPLE — the two jobs can disagree on row->partition assignment,
     # making the offset map wrong. Checkpointing pins one partitioning
     # that both jobs read.
+    # Tradeoff: localCheckpoint truncates lineage onto executor-local
+    # storage (an executor loss mid-query is unrecoverable) and forces
+    # eager materialization for every caller. If recoverability matters
+    # more than the extra pass at your scale, compute the range split
+    # points once (sampleByKey / approxQuantile on order_cols), pin them
+    # explicitly, and reuse across both jobs — or persist() with a
+    # replicated StorageLevel instead.
     ranged = (
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

@@ -191,10 +191,13 @@ def kmv_set_ops(
     Mechanics: every value hashes to uniform [0,1) (md5 -> uint32); the
     k smallest distinct hashes of the UNION define theta = k-th hash.
     Union estimate = (k-1)/theta (KMV). Each retained hash carries two
-    membership bits (seen under A / seen under B); the fraction of
-    retained hashes with both bits set is an unbiased Jaccard-style
-    estimate below theta, so inter_est = n_both * union_est / k. With
-    fewer than k distinct union values everything degrades to exact.
+    membership bits (seen under A / seen under B). Standard theta-sketch
+    normalization: the k-1 hashes STRICTLY below theta are a uniform
+    sample of the union at rate theta, so inter_est = n_both / theta =
+    n_both * union_est / (k-1), with n_both counted over those k-1
+    entries (the theta entry itself is excluded — it defines the
+    threshold, it isn't part of the sample). With fewer than k distinct
+    union values everything degrades to exact.
 
     Why it matters at scale: the retained state is k (hash, bit, bit)
     tuples per sketch — mergeable by re-truncation — so audience
@@ -226,7 +229,10 @@ def kmv_set_ops(
     )
     kth = F.element_at(F.col("_kmin"), k)["_h"]
     n_both = F.size(
-        F.filter(F.col("_kmin"), lambda s: (s["_a"] == 1) & (s["_b"] == 1))
+        F.filter(
+            F.slice(F.col("_kmin"), 1, k - 1),
+            lambda s: (s["_a"] == 1) & (s["_b"] == 1),
+        )
     )
     union_est = (k - 1) / (kth / F.lit(HASH_SPACE))
     return agg.select(
@@ -238,6 +244,6 @@ def kmv_set_ops(
         .otherwise(F.round(union_est, 6))
         .alias("union_est"),
         F.when(F.col("exact_union") < k, F.col("exact_inter").cast("double"))
-        .otherwise(F.round(n_both * union_est / k, 6))
+        .otherwise(F.round(n_both * union_est / (k - 1), 6))
         .alias("inter_est"),
     )

@@ -219,7 +219,10 @@ def linear_attribution(
     division, rounded to 12 dp and summed as DECIMAL so the channel
     totals are partition-order invariant.
 
-    Output: (channel, n_touches, n_purchases, attributed_value)."""
+    Output: (channel, n_attributions, n_purchases, attributed_value).
+    n_attributions counts attribution ROWS, not touch events: purchases
+    with zero in-horizon touches contribute one '(direct)' row each, so
+    for the '(direct)' channel it counts orphan conversions."""
     p = events.filter(F.col("event_type") == conversion_type).select(
         F.col("event_id").alias("pid"),
         F.col("user_id"),
@@ -251,7 +254,7 @@ def linear_attribution(
         .alias("share"),
     )
     return shares.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_touches"),
+        F.count(F.lit(1)).alias("n_attributions"),
         F.count_distinct("pid").alias("n_purchases"),
         F.round(F.sum("share").cast("double"), 6).alias("attributed_value"),
     )

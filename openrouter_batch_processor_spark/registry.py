@@ -5594,6 +5594,7 @@ _FRONT_50 = [
 ]
 
 _TAIL_ORDER = [
+    "sim_neardup_bucketed",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5602,7 +5603,7 @@ _TAIL_ORDER = [
     "events_anomaly_zscore",
     "topk_suppliers_per_nation",
     "cube_docs_source_lang",
-    "sim_neardup_bucketed",
+    "events_funnel",
     "kmeans_lite_clusters",
     "events_sliding",
     "x1_dedup_keep_first",
@@ -5632,7 +5633,6 @@ _TAIL_ORDER = [
     "q9_profit_by_nation_year",
     "q11_important_parts",
     "events_corr_hour_value",
-    "events_funnel",
     "events_retention_cohorts",
     "events_grouping_sets",
     "events_rolling_hour",

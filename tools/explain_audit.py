@@ -127,6 +127,30 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         ("BroadcastHashJoin", None, "rare-shingle set broadcasts onto the index"),
         (None, "CartesianProduct", "candidates come from the postings equi-join"),
     ],
+    "graph_pagerank_lite": [
+        (None, "CartesianProduct", "rank propagation is an equi-join per iteration, never all-pairs"),
+        (None, "BroadcastNestedLoopJoin", "no BNLJ in the iteration body"),
+        ("HashAggregate", None, "per-node rank combine is a hash agg (map-side partial)"),
+    ],
+    "graph_triangles": [
+        (None, "CartesianProduct", "oriented wedges come from the deg-ordered equi-join"),
+        (None, "BroadcastNestedLoopJoin", "no BNLJ in wedge closure"),
+        ("HashAggregate", None, "triangle counts combine map-side"),
+    ],
+    "dedup_containment": [
+        (None, "CartesianProduct", "shingle joins restricted to LSH candidates"),
+        ("HashAggregate", None, "overlap counts combine map-side"),
+    ],
+    "dedup_multisignal": [
+        (None, "CartesianProduct", "all verify signals ride the candidate equi-join"),
+        (None, "BroadcastNestedLoopJoin", "no BNLJ in the multi-signal verify"),
+    ],
+    "fuzzy_match_parts": [
+        (None, "CartesianProduct", "candidates come from the (prefix, length-bucket) equi-join"),
+        ("RoundRobinPartitioning", None,
+         "explicit round-robin repartition spreads levenshtein work across tasks"),
+        ("BroadcastHashJoin", None, "clean catalog broadcasts onto the exploded dirty side"),
+    ],
 }
 
 # Queries where a nested-loop join is the documented intent: either the

@@ -85,12 +85,15 @@ def shingles_col(toks: "F.Column", n: int = SHINGLE_N) -> "F.Column":
     alias is expensive and multiply-referenced (SPARK-36718).
 
     Empty array when the doc has fewer than n tokens (mirrors the DuckDB
-    oracle's range over len(toks)-n+1 which is empty for short docs)."""
+    oracle's range over len(toks)-n+1 which is empty for short docs).
+
+    Per-shingle construction is array_join(slice(toks, i+1, n)) — two
+    expression nodes per element on the interpreted HOF path, measured
+    ~1.6x faster than the n-ary concat_ws(element_at x n) form (HOF
+    lambdas never enter codegen, so node count is the cost driver)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), cnt - n)  # inclusive stop
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
+    make = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
     return F.when(cnt >= n, F.transform(idx, make)).otherwise(
         F.array().cast("array<string>")
     )
@@ -103,10 +106,28 @@ def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than
+    the session's parallelism.
+
+    Shingling is the most expensive per-row expression chain in the
+    repo, and the local testdata tables are single-file single-row-group
+    parquet — one input split, so without this every shingle consumer
+    runs its normalize/split/shingle work in ONE task. On a real cluster
+    the scan carries many splits (maxPartitionBytes-sized) and this
+    no-ops — the plan stays narrow exactly when narrowness is real."""
+    try:
+        n_in = df.rdd.getNumPartitions()  # unavailable on streaming DFs
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if n_in < target else df
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
     """(id, sh) with sh = array of n-gram shingles, each stage evaluated
     once per row (tokens -> shingles as separate projections)."""
-    return tokenized(docs, id_col, text_col).select(
+    return tokenized(_spread_small_scan(docs), id_col, text_col).select(
         F.col(id_col), shingles_col(F.col("toks"), n).alias("sh")
     )
 
@@ -503,8 +524,27 @@ def prefix_filter_pairs(
     rare shingles, so candidate volume is bounded by sum(df^2) over
     rare shingles (max_df caps the worst posting). Common shingles
     never join — that's what makes this viable where the naive
-    all-pairs O(n^2) is not. Verify stage reuses the same index."""
-    sh = explode_shingles(docs, id_col, text_col)
+    all-pairs O(n^2) is not.
+
+    Plan economics: the shingle chain (normalize + split + n-gram) is
+    the most expensive expression work here, and this operator needs it
+    from five consumers. Catalyst's ReuseExchange can NOT deduplicate it
+    — per-consumer column pruning rewrites each exchange subtree
+    differently, so the chain re-runs per consumer (measured: 12 scans /
+    8 Generates in the plan; this was the #2 bench query). The shingle
+    SET table is therefore pinned once with an eager localCheckpoint
+    (same pattern + executor-loss tradeoff as chunking.py's prefix sum:
+    ~KB/doc of state, recompute-on-loss) and every consumer reads the
+    materialized blocks. The verify stage reads shingle sets per
+    candidate pair (array_intersect on two id-joins) rather than
+    re-joining the exploded index — intermediate volume O(|cand|), not
+    O(|cand| x shingles/doc)."""
+    arrs = (
+        doc_shingles(docs, id_col, text_col)
+        .select(F.col(id_col), F.array_distinct("sh").alias("shset"))
+        .localCheckpoint(eager=True)
+    )
+    sh = arrs.select(F.col(id_col), F.explode("shset").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")
     postings = sh.join(F.broadcast(rare), "shingle")
@@ -515,22 +555,19 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -2933,6 +2933,53 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, new, ["doc_id"], ["lang", "source", "n_chars"])
 
 
+@register(
+    "cdc_incremental_rollup",
+    """
+    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    nxt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars
+      FROM base WHERE doc_id % 17 != 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, n_chars
+      FROM base WHERE doc_id % 19 = 0)
+    SELECT lang, count(*) AS n_rows, sum(n_chars)::BIGINT AS value_sum
+    FROM nxt GROUP BY lang
+    """,
+    ops=["X1", "G2", "J2", "EXT-cdc", "EXT-rollup"],
+)
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the per-lang (n_rows, chars)
+    aggregate of the NEW snapshot computed from the OLD aggregate plus
+    signed deltas over only the churned keys — O(churn) maintenance vs
+    O(snapshot) rebuild. The oracle recomputes the new snapshot's
+    aggregate directly, so a hash match proves the delta math exact."""
+    from openrouter_batch_processor_spark.operators.cdc import (
+        incremental_agg_maintenance,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    new = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 19 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    return incremental_agg_maintenance(
+        base, new, key_cols=["doc_id"], group_cols=["lang"], value_col="n_chars"
+    )
+
+
 from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
     binned_quantiles,
 )

@@ -247,3 +247,62 @@ def kmv_set_ops(
         .otherwise(F.round(n_both * union_est / (k - 1), 6))
         .alias("inter_est"),
     )
+
+
+def bloom_membership(
+    build: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    m: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership sketch: build a m-bit / k-hash filter
+    over the build side's values, probe it with the probe side, and
+    report the confusion counts (including deterministic false
+    positives — md5-derived hash positions, so the SAME values collide
+    on any engine, which is what makes the sketch oracle-checkable).
+
+    Scale story: the filter state is a set of <= m bit positions —
+    mergeable by union across partitions/datasets — so membership
+    prefiltering (e.g. benchmark decontamination over a 100 TB corpus)
+    ships a kilobyte bitmap to every executor instead of a distinct
+    join; the exact semi-join runs only on the candidate survivors.
+    Here the bitmap stays a DataFrame joined via broadcast — the same
+    plan Spark generates for a real bitmap broadcast.
+
+    Output (one row): n_probes, n_members, n_candidates, n_false_pos,
+    bits_set. Candidate = every one of the value's (distinct) hash
+    positions is set; false positive = candidate but not a member.
+    """
+
+    def pos(col: Column, i: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"{i}|"), col.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+    bvals = build.select(F.col(value_col).alias("val")).distinct()
+    bits = bvals.select(
+        F.explode(F.array(*[pos(F.col("val"), i) for i in range(k)])).alias("bit")
+    ).distinct()
+    pvals = probe.select(F.col(value_col).alias("val")).distinct()
+    pbits = pvals.select(
+        "val", F.explode(F.array(*[pos(F.col("val"), i) for i in range(k)])).alias("bit")
+    ).distinct()
+    need = pbits.groupBy("val").agg(F.count(F.lit(1)).alias("n_need"))
+    hit = (
+        pbits.join(F.broadcast(bits), "bit")
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    flags = (
+        need.join(hit, "val", "left")
+        .withColumn("candidate", F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_need"))
+        .join(bvals.withColumn("member", F.lit(True)), "val", "left")
+        .withColumn("member", F.coalesce(F.col("member"), F.lit(False)))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("c"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("member"), 1)).alias("n_members"),
+        F.count(F.when(F.col("candidate"), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("candidate") & ~F.col("member"), 1)).alias("n_false_pos"),
+    ).join(F.broadcast(n_bits.select(F.col("c").alias("bits_set"))))

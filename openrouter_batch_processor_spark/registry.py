@@ -2883,6 +2883,56 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_bloom_decontaminate",
+    """
+    WITH bvals AS (
+      SELECT DISTINCT md5(text) AS val FROM documents WHERE doc_id % 7 = 0),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || '|' || val), 1, 8))::BIGINT % 256 AS bit
+      FROM bvals CROSS JOIN range(0, 3) r(i)),
+    pvals AS (SELECT DISTINCT md5(text) AS val FROM documents),
+    pbits AS (
+      SELECT DISTINCT val,
+             ('0x' || substr(md5(i::VARCHAR || '|' || val), 1, 8))::BIGINT % 256 AS bit
+      FROM pvals CROSS JOIN range(0, 3) r(i)),
+    need AS (SELECT val, count(*) AS n_need FROM pbits GROUP BY val),
+    hit AS (SELECT p.val, count(*) AS n_hit
+            FROM pbits p JOIN bits USING (bit) GROUP BY p.val),
+    flags AS (
+      SELECT n.val,
+             coalesce(h.n_hit, 0) = n.n_need AS candidate,
+             n.val IN (SELECT val FROM bvals) AS member
+      FROM need n LEFT JOIN hit h ON h.val = n.val)
+    SELECT count(*) AS n_probes,
+           count(CASE WHEN member THEN 1 END) AS n_members,
+           count(CASE WHEN candidate THEN 1 END) AS n_candidates,
+           count(CASE WHEN candidate AND NOT member THEN 1 END) AS n_false_pos,
+           (SELECT count(*) FROM bits) AS bits_set
+    FROM flags
+    """,
+    ops=["EXT-sketch", "X1", "P1", "G2"],
+)
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter: every 7th document is
+    'benchmark'; the whole corpus probes a 256-bit / 3-hash filter over
+    the benchmark fingerprints. Deliberately undersized m so false
+    positives OCCUR and are pinned exactly by the oracle (the md5 hash
+    positions collide identically on both engines) — the check proves
+    the bit math, not just the happy path."""
+    from openrouter_batch_processor_spark.operators.sketches import bloom_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("fp"), "doc_id")
+    return bloom_membership(
+        fp.filter(F.col("doc_id") % 7 == 0),
+        fp,
+        value_col="fp",
+        m=256,
+        k=3,
+    )
+
+
+@register(
     "cdc_snapshot_diff",
     """
     WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),

@@ -138,3 +138,18 @@ class TestBinnedQuantiles:
         row = binned_quantiles(df, "v", 10.0).collect()[0]
         assert row["p50_bucket"] == 0
         assert row["p90_bucket"] == 999
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_and_exact_counts(self, spark):
+        from openrouter_batch_processor_spark.operators.sketches import bloom_membership
+
+        build = spark.createDataFrame([(f"v{i}",) for i in range(40)], "v string")
+        probe = spark.createDataFrame([(f"v{i}",) for i in range(200)], "v string")
+        row = bloom_membership(build, probe, "v", m=64, k=3).head()
+        assert row["n_probes"] == 200
+        assert row["n_members"] == 40
+        # a Bloom filter can overshoot but NEVER undershoot membership
+        assert row["n_candidates"] >= row["n_members"]
+        assert row["n_false_pos"] == row["n_candidates"] - row["n_members"]
+        assert 0 < row["bits_set"] <= 64

@@ -2883,6 +2883,44 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT sha256(text) AS media_id, text
+      FROM documents WHERE doc_id % 11 = 0)
+    SELECT media_id,
+           i::INT AS frame_no,
+           (i * 64)::BIGINT AS "offset",
+           substr(sha256(substr(text, i * 64 + 1, 64)), 1, 16) AS frame_checksum
+    FROM m CROSS JOIN range(0, 64) r(i)
+    WHERE i * 64 < len(text)
+    """,
+    ops=["D6", "S4", "EXT-multimodal"],
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (1-in/N-out mapInPandas expansion):
+    every 11th document plays a video whose payload is sampled every 64
+    bytes; each 'frame' is checksummed. The deterministic stub makes the
+    whole UDTF-style expansion value-checkable in SQL (documents text is
+    ASCII, so DuckDB's character substr == the byte slicing the decoder
+    does), same contract as multimodal_features."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    files = docs.select(
+        F.concat(F.lit("vid/doc_"), F.col("doc_id").cast("string"), F.lit(".mp4")).alias(
+            "rel_path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return sample_frames(media_table(files), every_n_bytes=64)
+
+
+@register(
     "sketch_bloom_decontaminate",
     """
     WITH bvals AS (

@@ -28,7 +28,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # exact repr: the driver's value hash is bit-sensitive, so any
+        # tolerance here would hide a driver-visible mismatch
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):

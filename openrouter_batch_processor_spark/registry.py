@@ -4550,7 +4550,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER w AS n_in_hour,
            sum(value::DECIMAL(18,6)) OVER w::DOUBLE AS sum_in_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     ops=["O1", "O3", "T1", "EXT-windows"],

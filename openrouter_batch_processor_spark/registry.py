@@ -1251,6 +1251,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_apply_survivors",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
+    SELECT d.source,
+           count(*) AS n_total,
+           count(CASE WHEN dr.doc_id IS NOT NULL THEN 1 END) AS n_dropped,
+           count(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS n_kept
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    ops=["X1", "J2", "EXT-minhash", "EXT-dedup-policy"],
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the dedup loop: apply the near-dup cluster policy to the
+    corpus. Canonical member = min doc_id per cluster (what cluster_id
+    already encodes); every other cluster member is dropped; per-source
+    keep/drop accounting over the WHOLE corpus (isolated docs survive
+    by construction). The churn-sized anti-join is the shape that
+    applies any dedup registry to a 100 TB corpus: survivors =
+    corpus LEFT ANTI JOIN non-canonical ids."""
+    from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    non_canon = (
+        duplicate_clusters(docs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("_drop", F.lit(True))
+    )
+    flagged = docs.select("doc_id", "source").join(non_canon, "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("_drop"), 1)).alias("n_dropped"),
+        F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_kept"),
+    )
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),

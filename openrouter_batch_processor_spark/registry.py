@@ -4960,6 +4960,57 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                    THEN 'train'
+                  WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents)
+    SELECT lang, split,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars_sum
+    FROM assigned GROUP BY lang, split
+    """,
+    ops=["P1", "G2", "F4", "EXT-sampling"],
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: assignment is a salted
+    hash gate on the document id — reproducible on any engine, any
+    partitioning, any run, and STABLE under corpus growth (a document
+    never migrates between splits when new ones arrive; a rand() or
+    row_number split would reshuffle everything). Per-(lang, split)
+    accounting verifies the stratification proportions. The salt keeps
+    this gate independent of any other hash-sampled subset of the same
+    ids (unsalted gates correlate: doc_id % 100 < 20 and < 90 are
+    nested, not independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(gate < 90, F.lit("train")).when(gate < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_sum"),
+        )
+    )
+
+
+@register(
     "emb_dim_stats",
     """
     WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),

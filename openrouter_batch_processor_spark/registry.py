@@ -1138,6 +1138,53 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_t(spark, sf_dir, "documents"), n=50)
 
 
+@register(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH {_TF_SQL},
+    totals AS (
+      SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+    cells AS (
+      SELECT r.i AS row,
+             ('0x' || substr(md5(r.i::VARCHAR || '|' || term), 1, 8))::BIGINT % 256 AS pos,
+             cnt
+      FROM totals CROSS JOIN range(0, 3) r(i)),
+    counters AS (
+      SELECT row, pos, sum(cnt)::BIGINT AS counter FROM cells GROUP BY row, pos),
+    probes AS (
+      SELECT term, cnt AS true_count FROM totals
+      ORDER BY cnt DESC, term ASC LIMIT 20),
+    probe_cells AS (
+      SELECT p.term, p.true_count, r.i AS row,
+             ('0x' || substr(md5(r.i::VARCHAR || '|' || p.term), 1, 8))::BIGINT % 256 AS pos
+      FROM probes p CROSS JOIN range(0, 3) r(i))
+    SELECT pc.term, pc.true_count, min(c.counter)::BIGINT AS cms_est
+    FROM probe_cells pc JOIN counters c ON c.row = pc.row AND c.pos = pc.pos
+    GROUP BY pc.term, pc.true_count
+    """,
+    ops=["EXT-sketch", "EXT-heavyhitters", "G2", "O4"],
+)
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3x256, md5 positions) over corpus term
+    frequencies, probed with the exact top-20 terms. The undersized
+    width makes collisions — and therefore exact over-estimates — occur
+    and hash-match on both engines: the sketch invariant cms_est >=
+    true_count is verified along with the precise collision sums."""
+    from openrouter_batch_processor_spark.operators.sketches import (
+        cms_heavy_hitter_counts,
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        term_frequencies,
+    )
+
+    totals = (
+        term_frequencies(_t(spark, sf_dir, "documents"))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+    )
+    return cms_heavy_hitter_counts(totals, term_col="term", count_col="cnt")
+
+
 # ===========================================================================
 # Dedup extensions: MinHash-LSH bands, candidate pairs + Jaccard, SimHash
 # ===========================================================================

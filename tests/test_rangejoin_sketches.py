@@ -153,3 +153,18 @@ class TestBloomMembership:
         assert row["n_candidates"] >= row["n_members"]
         assert row["n_false_pos"] == row["n_candidates"] - row["n_members"]
         assert 0 < row["bits_set"] <= 64
+
+
+class TestCountMinSketch:
+    def test_never_underestimates(self, spark):
+        from openrouter_batch_processor_spark.operators.sketches import (
+            cms_heavy_hitter_counts,
+        )
+
+        terms = spark.createDataFrame(
+            [(f"t{i}", (i % 7) + 1) for i in range(300)], "term string, cnt long"
+        )
+        rows = cms_heavy_hitter_counts(terms, w=64, d=3, k=10).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["cms_est"] >= r["true_count"]

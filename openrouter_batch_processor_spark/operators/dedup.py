@@ -285,6 +285,21 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
     )
 
 
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shset) distinct-shingle arrays, materialized ONCE with an
+    eager localCheckpoint and shared by every verify-stage consumer —
+    Catalyst's ReuseExchange cannot deduplicate the shingle chain across
+    differently-pruned subtrees (see prefix_filter_pairs), and the
+    array-intersect verify keeps intermediates at O(|cand|), not
+    O(|cand| x shingles/doc). Same executor-loss tradeoff as the other
+    localCheckpoint users (chunking.py)."""
+    return (
+        doc_shingles(docs, id_col, text_col)
+        .select(F.col(id_col), F.array_distinct("sh").alias("shset"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def incremental_minhash_candidates(
     docs: DataFrame,
     new_ids: DataFrame,
@@ -334,29 +349,25 @@ def ngram_jaccard_pairs(
     |A ∩ B| from a shingle-level self-join restricted to candidate
     pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs."""
     cand = minhash_candidate_pairs(docs, id_col, text_col)
-    sh = explode_shingles(docs, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    bsh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    arrs = shingle_sets(docs, id_col, text_col)
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
         cand.join(a, "id_a")
-        .join(bsh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def containment_pairs(
@@ -377,27 +388,20 @@ def containment_pairs(
     filter is on the overlap coefficient, the symmetric max of the two
     containments."""
     cand = minhash_candidate_pairs(docs, id_col, text_col)
-    sh = explode_shingles(docs, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    arrs = shingle_sets(docs, id_col, text_col)
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(
-            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
-        )
-        .join(
-            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b"
-        )
-        .withColumn("cont_a", F.round(F.col("n_inter") / F.col("n_a"), 6))
-        .withColumn("cont_b", F.round(F.col("n_inter") / F.col("n_b"), 6))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
+        .withColumn("cont_a", F.round(F.col("n_inter") / F.size("sh_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_inter") / F.size("sh_b"), 6))
         .withColumn(
-            "overlap", F.round(F.col("n_inter") / F.least("n_a", "n_b"), 6)
+            "overlap",
+            F.round(F.col("n_inter") / F.least(F.size("sh_a"), F.size("sh_b")), 6),
         )
         .filter(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "cont_a", "cont_b", "overlap")
@@ -577,11 +581,7 @@ def prefix_filter_pairs(
     candidate pair (array_intersect on two id-joins) rather than
     re-joining the exploded index — intermediate volume O(|cand|), not
     O(|cand| x shingles/doc)."""
-    arrs = (
-        doc_shingles(docs, id_col, text_col)
-        .select(F.col(id_col), F.array_distinct("sh").alias("shset"))
-        .localCheckpoint(eager=True)
-    )
+    arrs = shingle_sets(docs, id_col, text_col)
     sh = arrs.select(F.col(id_col), F.explode("shset").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")

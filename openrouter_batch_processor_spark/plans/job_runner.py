@@ -59,12 +59,14 @@ class JobResult:
 def _labeled_prompts(groups: DataFrame, footer: str) -> DataFrame:
     """F9/F10/F8: label members when multi-file/folder, join with blank
     lines, append the configured footer; emit P1/P7 sentinels."""
+    from openrouter_batch_processor_spark.functions.textops import (
+        label_text_for_prompt,
+    )
+
     multi = (F.size("members") > 1) | F.col("is_folder")
     labeled = F.transform(
         F.col("members"),
-        lambda m: F.when(
-            multi, F.concat(F.lit("File: "), m["rel_path"], F.lit("\n"), m["text"])
-        ).otherwise(m["text"]),
+        lambda m: label_text_for_prompt(m["rel_path"], m["text"], multi),
     )
     prompt = F.concat_ws("\n\n", labeled)
     if footer.strip():
@@ -83,13 +85,50 @@ def _labeled_prompts(groups: DataFrame, footer: str) -> DataFrame:
     )
 
 
+def _timing_meta(spark: SparkSession, submitted_unix: int, completed_unix: int) -> dict:
+    """F11/F12 job-level timing (worker.py:403-413): submitted_at /
+    completed_at / elapsed_time rendered through the SAME oracle-checked
+    Column implementations the registry validates (ts_format,
+    elapsed_seconds, format_timedelta), evaluated on a one-row frame —
+    one implementation of the nonstandard str(timedelta) format, no
+    Python duplicate to drift."""
+    from openrouter_batch_processor_spark.functions.timeops import (
+        elapsed_seconds,
+        format_timedelta,
+        ts_format,
+    )
+
+    row = (
+        spark.createDataFrame([(submitted_unix, completed_unix)], "s long, c long")
+        .select(
+            ts_format(F.timestamp_seconds(F.col("s"))).alias("submitted_at"),
+            ts_format(F.timestamp_seconds(F.col("c"))).alias("completed_at"),
+            format_timedelta(
+                elapsed_seconds(
+                    F.timestamp_seconds(F.col("s")), F.timestamp_seconds(F.col("c"))
+                )
+            ).alias("elapsed_time"),
+        )
+        .head()
+    )
+    return {
+        "submitted_at": row["submitted_at"],
+        "completed_at": row["completed_at"],
+        "elapsed_time": row["elapsed_time"],
+    }
+
+
 def run_job(
     spark: SparkSession,
     config: JobConfig,
     job_dir: str,
     transport_factory=MockTransport,
+    submitted_unix: int | None = None,
 ) -> JobResult:
     """Execute one job end-to-end; artifacts land under job_dir."""
+    import time as _time
+
+    t_submitted = int(submitted_unix if submitted_unix is not None else _time.time())
     config.validate()
     kind, ref = config.resolved_input()
 
@@ -174,6 +213,8 @@ def run_job(
             ) as fh:
                 fh.write(concat)
 
+    import time as _time
+
     write_job_meta(
         {
             "api_key": config.api_key,
@@ -184,6 +225,9 @@ def run_job(
             "separate_outputs": config.separate_outputs,
             "input_source": kind,
             "source_route": config.source_route,
+            "total_files": metrics.get("n_groups"),
+            "processed_files": metrics.get("n_groups"),
+            **_timing_meta(spark, t_submitted, int(_time.time())),
         },
         os.path.join(job_dir, "meta.json"),
     )

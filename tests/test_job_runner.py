@@ -129,3 +129,21 @@ class TestSingleMaterialization:
         ).count()
         assert n_calls == n_llm_groups - sentinels > 0
         assert res.metrics["n_ok"] + res.metrics["n_failed"] == n_llm_groups
+
+
+class TestTimingMeta:
+    def test_timing_rendered_via_column_helpers(self, spark):
+        from openrouter_batch_processor_spark.plans.job_runner import _timing_meta
+
+        # 2024-01-02 03:04:05 UTC -> +1 day, 2:03:04
+        s = 1704164645
+        out = _timing_meta(spark, s, s + 86400 + 2 * 3600 + 3 * 60 + 4)
+        assert out["submitted_at"] == "2024-01-02 03:04:05"
+        assert out["completed_at"] == "2024-01-03 05:07:09"
+        assert out["elapsed_time"] == "1 day, 2:03:04"
+
+    def test_sub_day_elapsed_format(self, spark):
+        from openrouter_batch_processor_spark.plans.job_runner import _timing_meta
+
+        out = _timing_meta(spark, 1704164645, 1704164645 + 3723)
+        assert out["elapsed_time"] == "1:02:03"

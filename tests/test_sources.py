@@ -143,3 +143,15 @@ class TestRegexMetacharRoot:
         (root / "sub" / "f.txt").write_text("x", encoding="utf-8")
         rows = scan_files(spark, str(root)).collect()
         assert [r["rel_path"] for r in rows] == ["sub/f.txt"]
+
+
+class TestLoadTables:
+    def test_registers_views_for_sql(self, spark):
+        """load_tables registers every testdata parquet as a temp view —
+        the spark.sql() entry path for users of the engine."""
+        from openrouter_batch_processor_spark.session import load_tables
+
+        tables = load_tables(spark, "/root/testdata/sf0.001")
+        assert "documents" in tables and "lineitem" in tables
+        n = spark.sql("SELECT count(*) AS c FROM documents").head()["c"]
+        assert n > 0

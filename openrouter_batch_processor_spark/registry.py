@@ -4922,6 +4922,68 @@ def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_distribution_drift",
+    """
+    WITH src AS (
+      SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang),
+    src_tot AS (SELECT source, sum(cnt)::BIGINT AS tot FROM src GROUP BY source),
+    corpus AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    corpus_tot AS (SELECT count(*) AS tot FROM documents),
+    grid AS (
+      SELECT st.source, c.lang,
+             coalesce(s.cnt, 0) AS s_cnt, st.tot AS s_tot,
+             c.cnt AS c_cnt, ct.tot AS c_tot
+      FROM src_tot st
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot ct
+      LEFT JOIN src s ON s.source = st.source AND s.lang = c.lang),
+    terms AS (
+      SELECT source,
+             round(abs(s_cnt::DOUBLE / s_tot - c_cnt::DOUBLE / c_tot),
+                   12)::DECIMAL(18,12) AS term
+      FROM grid)
+    SELECT source,
+           round((0.5 * sum(term))::DOUBLE, 6) AS tv_distance
+    FROM terms GROUP BY source
+    """,
+    ops=["G2", "J2", "X3", "EXT-quality"],
+)
+def q_audit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: per-source language mix vs the corpus
+    baseline as total-variation distance — the monitoring gate that
+    catches a crawler or pipeline stage silently changing a source's
+    composition. The language domain is the corpus's (sources missing a
+    language contribute its full corpus mass), and the per-language
+    terms are rounded to 12 dp and summed as DECIMAL so the 5-term sum
+    is addition-order-independent — the same portability rule as every
+    money fold. Two tiny aggregates + a dim-sized grid: at 100 TB the
+    per-(source, lang) counts are the only data-sized pass."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("s_cnt"))
+    src_tot = src.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
+    corpus = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_cnt"))
+    corpus_tot = docs.agg(F.count(F.lit(1)).alias("c_tot"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(src, ["source", "lang"], "left")
+        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(0)))
+    )
+    term = F.round(
+        F.abs(
+            F.col("s_cnt").cast("double") / F.col("s_tot")
+            - F.col("c_cnt").cast("double") / F.col("c_tot")
+        ),
+        12,
+    ).cast("decimal(18,12)")
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round((F.lit(0.5) * F.sum("term")).cast("double"), 6).alias("tv_distance"))
+    )
+
+
+@register(
     "audit_fk_orphans",
     """
     SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans

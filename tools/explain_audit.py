@@ -170,9 +170,11 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # 1-row global-average scalar in the Q22 shape; the 1-row region-total
 # scalar in the Q11 shape; the 1-row corpus-size / avgdl scalars in the
 # unigram-LM and BM25 scorers; the 1-row user-count scalar in the lift
-# query; the 1-row bits_set scalar in the bloom summary).
+# query; the 1-row bits_set scalar in the bloom summary; the
+# langs-x-sources grid in the drift audit — both sides dim-sized).
 BRUTE_FORCE_OK = {
     "sketch_bloom_decontaminate",
+    "audit_distribution_drift",
     "events_type_lift",
     "q11_important_parts",
     "sim_ann_recall",

@@ -75,6 +75,7 @@ def incremental_agg_maintenance(
     key_cols: list[str],
     group_cols: list[str],
     value_col: str,
+    value_type: str = "long",
 ) -> DataFrame:
     """Maintain a per-group (n_rows, value_sum) rollup under a snapshot
     change WITHOUT re-aggregating the new snapshot: combine the old
@@ -104,7 +105,7 @@ def incremental_agg_maintenance(
         .select(
             *group_cols,
             F.lit(-1).cast("long").alias("_dn"),
-            (-F.col(value_col)).cast("long").alias("_dv"),
+            (-F.col(value_col)).cast(value_type).alias("_dv"),
         )
     )
     # added + changed keys contribute their NEW row positively
@@ -115,11 +116,12 @@ def incremental_agg_maintenance(
         .select(
             *group_cols,
             F.lit(1).cast("long").alias("_dn"),
-            F.col(value_col).cast("long").alias("_dv"),
+            F.col(value_col).cast(value_type).alias("_dv"),
         )
     )
     base = old.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_dn"), F.sum(F.col(value_col).cast("long")).alias("_dv")
+        F.count(F.lit(1)).alias("_dn"),
+        F.sum(F.col(value_col).cast(value_type)).alias("_dv"),
     )
     return (
         base.unionByName(neg.unionByName(pos))

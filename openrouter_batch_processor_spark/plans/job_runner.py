@@ -213,8 +213,6 @@ def run_job(
             ) as fh:
                 fh.write(concat)
 
-    import time as _time
-
     write_job_meta(
         {
             "api_key": config.api_key,
@@ -225,8 +223,8 @@ def run_job(
             "separate_outputs": config.separate_outputs,
             "input_source": kind,
             "source_route": config.source_route,
-            "total_files": metrics.get("n_groups"),
-            "processed_files": metrics.get("n_groups"),
+            "total_files": metrics.get("n_groups", 0),
+            "processed_files": metrics.get("n_groups", 0),
             **_timing_meta(spark, t_submitted, int(_time.time())),
         },
         os.path.join(job_dir, "meta.json"),

@@ -2431,6 +2431,110 @@ def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIPROBE_ASG_SQL = """
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, e.v)
+                                - 2 * list_dot_product(e.v, c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN {cent} c) WHERE rn <= {nprobe}"""
+
+
+@register(
+    "sim_neardup_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=2)}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                  AND a.vec_id < b.vec_id),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM cand c
+    JOIN u ua ON ua.vec_id = c.id_a
+    JOIN u ub ON ub.vec_id = c.id_b
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "J2"],
+)
+def q_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe bucketed near-dup (2 nearest of 16 cells): recovers
+    the boundary pairs single-probe misses at comparable candidate
+    volume (operators/similarity.py neardup_pairs_multiprobe)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        neardup_pairs_multiprobe,
+    )
+
+    return neardup_pairs_multiprobe(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=16, nprobe=2
+    )
+
+
+@register(
+    "sim_multiprobe_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    cent8 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 32),
+    asg8 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent8", nprobe=1)}),
+    asg32 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent32", nprobe=2)}),
+    cand8 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg8 a JOIN asg8 b ON a.centroid_id = b.centroid_id
+                                     AND a.vec_id < b.vec_id),
+    cand32 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM asg32 a JOIN asg32 b ON a.centroid_id = b.centroid_id
+                                        AND a.vec_id < b.vec_id),
+    sc8 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+            FROM cand8 c
+            JOIN u ua ON ua.vec_id = c.id_a
+            JOIN u ub ON ub.vec_id = c.id_b),
+    sc32 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+             FROM cand32 c
+             JOIN u ua ON ua.vec_id = c.id_a
+             JOIN u ub ON ub.vec_id = c.id_b),
+    truth AS (SELECT count(*)::BIGINT AS n_true
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
+    stats AS (
+      SELECT 'single_c8' AS mode, 8::BIGINT AS n_centroids, 1::BIGINT AS nprobe,
+             count(*)::BIGINT AS n_cand,
+             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT AS n_pairs
+      FROM sc8
+      UNION ALL
+      SELECT 'multi_c32_p2', 32::BIGINT, 2::BIGINT,
+             count(*)::BIGINT,
+             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT
+      FROM sc32)
+    SELECT mode, n_centroids, nprobe, n_cand, n_pairs, n_true,
+           round(n_pairs / n_true, 6) AS recall
+    FROM stats CROSS JOIN truth
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "EXT-recall", "G2"],
+)
+def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit at equal candidate volume: single-probe/8 cells vs
+    2-probe/16 cells against brute-force truth — the measured proof that
+    multi-probing recovers boundary pairs (operators/similarity.py
+    multiprobe_recall_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        multiprobe_recall_report,
+    )
+
+    return multiprobe_recall_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
     rp_candidate_pairs,
     rp_weights,
@@ -3273,13 +3377,25 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(files))
 
 
-@register("streaming_tumbling_availablenow", None, ops=["T1", "T2", "EXT-windows"])
+@register(
+    "streaming_tumbling_availablenow",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM events GROUP BY window_start, event_type
+    """,
+    ops=["T1", "T2", "EXT-windows"],
+)
 def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution: file-source stream over the
     events parquet, watermarked tumbling aggregation, availableNow
-    trigger into a memory sink — returned as the batch of results. The
-    batch twin (events_tumbling) is the value-checked oracle; equality
-    of the two is asserted in tests/test_streaming.py."""
+    trigger into a memory sink (complete mode) — returned as the batch
+    of results. availableNow over static parquet is deterministic, so
+    the batch tumbling SQL (events_tumbling's oracle) value-checks the
+    streaming run; tests/test_streaming.py additionally asserts
+    stream == batch DataFrame equality."""
     from openrouter_batch_processor_spark.streaming.windows import (
         read_events_stream,
         run_to_memory,
@@ -3410,6 +3526,53 @@ def q_multisignal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.round(_dot(F.col("_ua"), F.col("_ub")), 6).alias("cos_sim"),
         )
+    )
+
+
+@register(
+    "dedup_report",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh_set x ON x.doc_id = c.id_a
+      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT i.id_a, i.id_b, i.n_inter,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+           round(n_inter / sa.n_sh, 6) AS cont_a,
+           round(n_inter / sb.n_sh, 6) AS cont_b,
+           round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS overlap,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    JOIN u ua ON ua.vec_id = i.id_a
+    JOIN u ub ON ub.vec_id = i.id_b
+    """,
+    ops=["EXT-minhash", "EXT-jaccard", "EXT-neardup", "J2", "X1"],
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup verify: ONE candidate join + ONE materialized
+    shingle table scoring Jaccard, both containments, overlap AND
+    embedding cosine per pair — the single-pass production shape the
+    five single-metric queries decompose into (operators/dedup.py
+    dedup_report)."""
+    from openrouter_batch_processor_spark.operators.dedup import dedup_report
+
+    return dedup_report(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
     )
 
 
@@ -5915,7 +6078,81 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds) slot in right after the front-50.
 # ===========================================================================
 
+# The round-3 window: EVERY entry is first-time-driver-checked (the
+# r01/r02-certified queries live in rotation_ledger.DRIVER_CHECKED and
+# back the ops-coverage invariant; tests/test_registry_order.py). The
+# head of _TAIL_ORDER is the round-4 rotation candidate list — the
+# remaining never-driver-checked queries.
 _FRONT_50 = [
+    "sketch_cms_heavy_hitters",
+    "dedup_incremental_candidates",
+    "dedup_apply_survivors",
+    "sim_neardup_multiprobe",
+    "sim_multiprobe_recall",
+    "multimodal_frame_sample",
+    "sketch_bloom_decontaminate",
+    "cdc_incremental_rollup",
+    "dedup_report",
+    "audit_distribution_drift",
+    "sample_train_val_test_split",
+    "sim_neardup_bucketed",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "events_anomaly_zscore",
+    "topk_suppliers_per_nation",
+    "cube_docs_source_lang",
+    "events_funnel",
+    "kmeans_lite_clusters",
+    "events_sliding",
+    "x1_dedup_keep_first",
+    "asof_trade_quote",
+    "w_rank_lag_orders",
+    "g_distinct_users_salted",
+    "range_join_nearby_clicks",
+    "rollup_time_hierarchy",
+    "stats_binned_quantiles",
+    "streaming_interval_join",
+    "stats_length_histogram",
+    "stats_exact_median",
+    "sample_stratified",
+    "q16_supplier_part_breadth",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q22_inactive_high_balance",
+    "emb_quantize_int8",
+    "scd2_user_state",
+    "w_ntile_cumdist",
+    "streaming_session_windows",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_or_range_predicates",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "events_retention_cohorts",
+    "streaming_tumbling_availablenow",
+]
+
+_TAIL_ORDER = [
+    "events_linear_trend",
+    "events_corr_hour_value",
+    "events_grouping_sets",
+    "events_rolling_hour",
+    "events_type_lift",
+    "events_session_paths",
+    "events_rolling_7d_users",
+    "events_time_weighted_avg",
+    "events_user_growth",
+    "events_attribution",
+    "q12_shipping_delay",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "audit_fk_orphans",
+    "sample_weighted_priority",
+    "emb_dim_stats",
     "g2_usage_fold",
     "events_sessionize",
     "dedup_simhash",
@@ -5966,63 +6203,6 @@ _FRONT_50 = [
     "f8_footer",
     "j5_resolution",
     "llm_pipeline_mock",
-]
-
-_TAIL_ORDER = [
-    "sim_neardup_bucketed",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q2_min_cost_supplier",
-    "events_linear_trend",
-    "events_anomaly_zscore",
-    "topk_suppliers_per_nation",
-    "cube_docs_source_lang",
-    "events_funnel",
-    "kmeans_lite_clusters",
-    "events_sliding",
-    "x1_dedup_keep_first",
-    "asof_trade_quote",
-    "w_rank_lag_orders",
-    "g_distinct_users_salted",
-    "range_join_nearby_clicks",
-    "rollup_time_hierarchy",
-    "stats_binned_quantiles",
-    "streaming_interval_join",
-    "stats_length_histogram",
-    "stats_exact_median",
-    "sample_stratified",
-    "q16_supplier_part_breadth",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q22_inactive_high_balance",
-    "emb_quantize_int8",
-    "scd2_user_state",
-    "w_ntile_cumdist",
-    "streaming_session_windows",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_or_range_predicates",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
-    "events_corr_hour_value",
-    "events_retention_cohorts",
-    "events_grouping_sets",
-    "events_rolling_hour",
-    "events_type_lift",
-    "events_session_paths",
-    "events_rolling_7d_users",
-    "audit_fk_orphans",
-    "sample_weighted_priority",
-    "emb_dim_stats",
-    "q12_shipping_delay",
-    "events_time_weighted_avg",
-    "q20_excess_suppliers",
-    "events_user_growth",
-    "q21_waiting_suppliers",
-    "events_attribution",
     "f11_ts_format",
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -6052,11 +6232,15 @@ _TAIL_ORDER = [
     "g4_child_counts",
     "q6_revenue_forecast",
     "q4_priority_check",
-    "streaming_tumbling_availablenow",
 ]
 
 
 def _reorder_registry() -> None:
+    # A typo'd / renamed name in either list would silently demote a
+    # deliberately-chosen query out of the driver's checked window
+    # (ADVICE r02) — fail loudly instead.
+    unknown = (set(_FRONT_50) | set(_TAIL_ORDER)) - set(REGISTRY)
+    assert not unknown, f"ordering lists name unknown queries: {sorted(unknown)}"
     ordered: dict[str, QuerySpec] = {}
     for name in _FRONT_50:
         if name in REGISTRY:

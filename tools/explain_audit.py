@@ -184,6 +184,11 @@ BRUTE_FORCE_OK = {
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_neardup_bucketed",
+    # multiprobe: same bounded C-row centroid broadcast cross join as
+    # sim_neardup_bucketed (+ a 1-row truth aggregate crossJoin in the
+    # recall audit) — volume O(n*C), never O(n^2)
+    "sim_neardup_multiprobe",
+    "sim_multiprobe_recall",
     "text_tfidf_topk",
     "kmeans_lite_clusters",
     "q22_inactive_high_balance",

@@ -1,0 +1,125 @@
+"""Corpus-curation operators: the decisions a pretraining-data pipeline
+makes ABOVE the document level — which n-grams are boilerplate, how to
+weight sources in the training mixture, where to set the quality bar.
+
+All three are classic large-corpus shapes (C4's repeated-line removal,
+temperature-scaled mixture weighting a la multilingual LM training,
+threshold-sweep yield curves) re-expressed as combiner-friendly Spark
+aggregations; every one is oracle-checked in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    min_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate detection adapted to word n-grams: a shingle
+    occurring in >= min_df documents is boilerplate (site chrome, legal
+    footers, templates); emits per-doc distinct-shingle counts and the
+    boilerplate ratio a cleaning pass would gate on.
+
+    Execution: one inverted index (doc, shingle) distinct, one df
+    groupBy, then per-doc counts with the (small, high-df-only)
+    boilerplate set broadcast into the probe — the index is built once
+    and both aggregations are map-side combinable. At 100 TB the
+    boilerplate set stays dimension-sized because min_df caps it to the
+    corpus' most repeated templates, not its vocabulary."""
+    from openrouter_batch_processor_spark.operators.dedup import explode_shingles
+
+    sh = explode_shingles(docs, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfreq.filter(F.col("df") >= min_df).select("shingle")
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    nb = (
+        sh.join(F.broadcast(boiler), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+    return (
+        per_doc.join(nb, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams"),
+            n_boiler.alias("n_boiler"),
+            F.round(n_boiler / F.col("n_ngrams"), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame, temperature: float = 0.5, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_s ∝ n_s^T.
+
+    T=1 reproduces the natural distribution, T→0 approaches uniform —
+    the standard up-weighting of small high-quality sources when
+    composing a training mixture. Emits per source: doc count, mixture
+    weight, expected docs per epoch under the weight, and the sampling
+    rate (expected/actual — >1 means oversample/repeat).
+
+    Execution: one combiner groupBy to source counts (|sources| rows),
+    then a 1-row broadcast of the normalizer. The temperature powers
+    are rounded to 6 dp and DECIMAL-summed so the normalizer — and
+    therefore every weight — is partition-count-invariant."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w_raw = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature))), 6)
+    staged = counts.withColumn("_w", w_raw.cast("decimal(28,10)"))
+    tot = staged.agg(
+        F.sum("_w").alias("_z"), F.sum("n_docs").alias("_n")
+    )
+    weight = F.col("_w").cast("double") / F.col("_z").cast("double")
+    expected = weight * F.col("_n").cast("double")
+    return staged.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.round(weight, 6).alias("weight"),
+        F.round(expected, 6).alias("expected_docs"),
+        F.round(expected / F.col("n_docs").cast("double"), 6).alias("sample_rate"),
+    )
+
+
+def quality_threshold_sweep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Yield curve for the quality gate: for each threshold τ in
+    {0.0 … 0.9}, how many documents (and tokens) survive
+    quality_score >= τ — the table you read before choosing where to
+    cut a 100 TB corpus.
+
+    Execution: per-doc scores bucket into floor(score*10) (narrow), one
+    10-row combiner groupBy, then a cumulative sum over the 10 bucket
+    rows — the sweep costs ONE corpus pass regardless of how many
+    thresholds it reports (not one filter-count per τ)."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+
+    q = quality_scores(docs, id_col, text_col)
+    bucket = F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast("long")
+    agg = (
+        q.select(bucket.alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    spark = docs.sparkSession
+    steps = spark.range(10).select(F.col("id").alias("bucket"))
+    full = (
+        steps.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    return full.select(
+        F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_surviving"),
+        F.sum("n_tokens").over(w).cast("long").alias("n_tokens_surviving"),
+    )

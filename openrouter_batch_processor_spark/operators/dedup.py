@@ -582,6 +582,42 @@ def duplicate_clusters(
     )
 
 
+def canonical_by_quality(
+    docs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST-of-cluster dedup policy: for every duplicate cluster,
+    the canonical survivor is the member with the highest quality score
+    (tie-break: lowest id), not merely the first/lowest-id one.
+
+    This is the policy real pretraining dedup wants — near-dup clusters
+    mix a clean original with mangled copies, and keep-first throws
+    away quality information. Emits one row per cluster: the survivor,
+    its score, the cluster size and how many docs a cleaning pass would
+    drop. Execution: clusters (iterative label propagation) ⋈ per-doc
+    scores on id, then one per-cluster row_number window — the window
+    partitions by cluster_id, so no global sort at any scale."""
+    from pyspark.sql.window import Window
+
+    clusters = duplicate_clusters(docs, id_col)
+    j = clusters.join(quality.select(id_col, "quality_score"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("canonical_doc_id"),
+            "quality_score",
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

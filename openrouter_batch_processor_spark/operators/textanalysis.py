@@ -55,11 +55,18 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / punctuation / stopword / repetition heuristics.
 
     score = clamp(0,1) of a linear combination; every ratio rounded to
-    6 dp so the oracle hash-matches."""
+    6 dp so the oracle hash-matches. ``extra_cols`` pass through
+    untouched (e.g. source/text for streaming gates, where a join back
+    onto the input would be a stream-stream join)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     toks = F.split(normalize_text(t), " ")
@@ -83,6 +90,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_chars.cast("long").alias("n_chars_exact"),
         n_toks.cast("long").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),

@@ -1051,6 +1051,109 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_boilerplate_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+          FROM t WHERE len(toks) >= 3),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
+    boiler AS (SELECT shingle FROM dfreq WHERE df >= 20),
+    per_doc AS (SELECT doc_id, count(*) AS n_ngrams FROM sh_set GROUP BY 1),
+    nb AS (SELECT doc_id, count(*) AS n_boiler
+           FROM sh_set JOIN boiler USING (shingle) GROUP BY doc_id)
+    SELECT p.doc_id, p.n_ngrams,
+           coalesce(nb.n_boiler, 0)::BIGINT AS n_boiler,
+           round(coalesce(nb.n_boiler, 0) / p.n_ngrams, 6) AS boiler_ratio
+    FROM per_doc p LEFT JOIN nb USING (doc_id)
+    """,
+    ops=["EXT-quality", "EXT-boilerplate", "G4", "J2"],
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate: shingles in >= 20 docs are template chrome;
+    per-doc boilerplate ratio for the cleaning gate
+    (operators/curation.py boilerplate_ngrams)."""
+    from openrouter_batch_processor_spark.operators.curation import boilerplate_ngrams
+
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"), min_df=20)
+
+
+@register(
+    "curation_mixture_weights",
+    """
+    WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+    s AS (SELECT source, n_docs,
+                 round(pow(n_docs, 0.5), 6)::DECIMAL(28,10) AS w
+          FROM c),
+    z AS (SELECT sum(w) AS z, sum(n_docs)::BIGINT AS n FROM s)
+    SELECT source, n_docs,
+           round(w::DOUBLE / z::DOUBLE, 6) AS weight,
+           round((w::DOUBLE / z::DOUBLE) * n, 6) AS expected_docs,
+           round((w::DOUBLE / z::DOUBLE) * n / n_docs, 6) AS sample_rate
+    FROM s CROSS JOIN z
+    """,
+    ops=["G2", "EXT-sampling", "EXT-mixture"],
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=0.5) source mixture weights — the standard
+    up-weighting of small sources when composing a training mixture
+    (operators/curation.py source_mixture_weights)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        source_mixture_weights,
+    )
+
+    return source_mixture_weights(_t(spark, sf_dir, "documents"), temperature=0.5)
+
+
+@register(
+    "curation_quality_sweep",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(text)::DOUBLE AS n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+      FROM documents),
+    r AS (
+      SELECT len(toks)::BIGINT AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+             n_punct / greatest(n_chars, 1.0) AS punct_raw
+      FROM base),
+    q AS (
+      SELECT n_tokens,
+             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
+      FROM r),
+    b AS (SELECT least(floor(quality_score * 10), 9)::BIGINT AS bucket, n_tokens FROM q),
+    a AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+          FROM b GROUP BY 1),
+    g AS (SELECT i AS bucket FROM range(0, 10) r(i)),
+    f AS (SELECT g.bucket, coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+                 coalesce(a.n_tokens, 0)::BIGINT AS n_tokens
+          FROM g LEFT JOIN a USING (bucket))
+    SELECT round(bucket / 10.0, 1) AS threshold,
+           (sum(n_docs) OVER (ORDER BY bucket DESC))::BIGINT AS n_docs_surviving,
+           (sum(n_tokens) OVER (ORDER BY bucket DESC))::BIGINT AS n_tokens_surviving
+    FROM f
+    """,
+    ops=["EXT-quality", "G2", "W2"],
+)
+def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate yield curve: docs/tokens surviving each threshold in
+    one corpus pass — bucket + cumulative sum, not one filter per τ
+    (operators/curation.py quality_threshold_sweep)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        quality_threshold_sweep,
+    )
+
+    return quality_threshold_sweep(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_langid",
     f"""
     WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
@@ -1295,6 +1398,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle side: DuckDB recursive CTE computing min reachable id. Same
     semantics, two totally different execution strategies."""
     return duplicate_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_canonical_by_quality",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
+    qb AS (
+      SELECT doc_id, text,
+             len(text)::DOUBLE AS n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+      FROM documents),
+    qr AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+             n_punct / greatest(n_chars, 1.0) AS punct_raw
+      FROM qb),
+    q AS (
+      SELECT doc_id,
+             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
+      FROM qr),
+    jq AS (
+      SELECT l.node AS doc_id, l.cluster_id, s.cluster_size, q.quality_score
+      FROM labels l
+      JOIN sizes s USING (cluster_id)
+      JOIN q ON q.doc_id = l.node),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY quality_score DESC, doc_id) AS rn
+      FROM jq)
+    SELECT cluster_id, doc_id AS canonical_doc_id, quality_score,
+           cluster_size, (cluster_size - 1)::BIGINT AS n_removed
+    FROM r WHERE rn = 1
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "EXT-quality", "X1", "O4"],
+)
+def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-of-cluster: each duplicate cluster survives through its
+    highest-quality member (tie-break lowest id) — the dedup policy that
+    keeps the clean original over mangled copies
+    (operators/dedup.py canonical_by_quality)."""
+    from openrouter_batch_processor_spark.operators.dedup import canonical_by_quality
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return canonical_by_quality(docs, quality_scores(docs))
 
 
 @register(
@@ -2447,7 +2614,7 @@ _MULTIPROBE_ASG_SQL = """
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 16),
+                  FROM embeddings ORDER BY vec_id LIMIT 32),
     asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=2)}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
@@ -2465,15 +2632,16 @@ _MULTIPROBE_ASG_SQL = """
     ops=["EXT-neardup", "EXT-ivf", "J2"],
 )
 def q_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe bucketed near-dup (2 nearest of 16 cells): recovers
-    the boundary pairs single-probe misses at comparable candidate
-    volume (operators/similarity.py neardup_pairs_multiprobe)."""
+    """Multi-probe bucketed near-dup (2 nearest of 32 cells): recovers
+    boundary pairs single-probe misses at EQUAL candidate volume — the
+    (p=2, C=32) config the recall audit certifies
+    (operators/similarity.py neardup_pairs_multiprobe)."""
     from openrouter_batch_processor_spark.operators.similarity import (
         neardup_pairs_multiprobe,
     )
 
     return neardup_pairs_multiprobe(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=16, nprobe=2
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=32, nprobe=2
     )
 
 
@@ -3429,6 +3597,53 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = dedup_events_stream(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "registry_stream_dedup", output_mode="append")
     return spark.table("registry_stream_dedup")
+
+
+@register(
+    "streaming_quality_gate",
+    f"""
+    WITH base AS (
+      SELECT source, text,
+             len(text)::DOUBLE AS n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+      FROM documents),
+    r AS (
+      SELECT source, text,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+             n_punct / greatest(n_chars, 1.0) AS punct_raw
+      FROM base),
+    q AS (
+      SELECT source, md5(text) AS fp
+      FROM r
+      WHERE round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                 + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) >= 0.5)
+    SELECT source, count(DISTINCT fp)::BIGINT AS n_unique_docs
+    FROM q GROUP BY source
+    """,
+    ops=["T1", "X1", "EXT-quality", "EXT-dedup-policy", "G4"],
+)
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest gate, value-checked: documents stream ->
+    in-flight quality scoring -> gate at 0.5 -> streaming exact dedup on
+    (source, fingerprint); the emitted key set equals the batch
+    filter + DISTINCT, rolled up per source
+    (streaming/windows.py quality_gated_dedup_stream)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        quality_gated_dedup_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    stream = quality_gated_dedup_stream(read_documents_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_qgate", output_mode="append")
+    return (
+        spark.table("registry_stream_qgate")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+    )
 
 
 @register(

@@ -112,6 +112,40 @@ def session_windows_stream(
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """File-source stream over the documents parquet — the continuous-
+    corpus-ingest mirror of the batch documents table (one arriving
+    parquet file = one micro-batch unit). Same glob rationale as
+    read_events_stream."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "documents.*"))
+
+
+def quality_gated_dedup_stream(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Streaming corpus-ingest gate: arriving documents are quality-
+    scored (pure per-row expressions — no shuffle, scores in flight),
+    low-quality docs dropped at the gate, survivors exact-deduped on
+    (source, content fingerprint) via streaming dropDuplicates.
+
+    Emits the deterministic (source, fp) key set — survivor doc_ids
+    would be arrival-order-dependent, the key set is not (same contract
+    as dedup_events_stream). Documents carry no event time, so the
+    dedup state is unbounded here; a production ingest adds an arrival
+    timestamp + dropDuplicatesWithinWatermark to bound it (the events
+    twin demonstrates exactly that)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+
+    scored = quality_scores(docs, extra_cols=("source", "text"))
+    return (
+        scored.filter(F.col("quality_score") >= threshold)
+        .select("source", F.md5(F.col("text")).alias("fp"))
+        .dropDuplicates(["source", "fp"])
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type", "event_date"),

@@ -1,0 +1,101 @@
+"""Unit tests for corpus-curation operators (boilerplate detection,
+mixture weighting, quality sweep, keep-best-of-cluster) — edge cases the
+registry oracles don't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.curation import (
+    boilerplate_ngrams,
+    quality_threshold_sweep,
+    source_mixture_weights,
+)
+
+
+class TestBoilerplate:
+    def test_repeated_template_flagged(self, spark):
+        template = "all rights reserved contact us for details"
+        rows = [(i, f"unique words {i} appear here only once {template}") for i in range(25)]
+        rows += [(100 + i, f"totally fresh material number{i} alpha{i} beta{i}") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in boilerplate_ngrams(docs, min_df=20).collect()}
+        # template shingles occur in 25 >= 20 docs -> flagged
+        assert out[0]["n_boiler"] > 0
+        assert 0 < out[0]["boiler_ratio"] <= 1.0
+        # fresh docs share nothing -> zero boilerplate
+        assert out[100]["n_boiler"] == 0
+        assert out[100]["boiler_ratio"] == 0.0
+
+    def test_short_docs_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "this one has enough tokens to shingle")],
+            "doc_id long, text string",
+        )
+        ids = {r["doc_id"] for r in boilerplate_ngrams(docs, min_df=2).collect()}
+        assert ids == {2}  # <3 tokens -> no shingles -> no row
+
+
+class TestMixtureWeights:
+    def test_weights_sum_to_one_and_upweight_small(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 90 else "b") for i in range(100)],
+            "doc_id long, source string",
+        )
+        out = {r["source"]: r for r in source_mixture_weights(docs, 0.5).collect()}
+        assert abs(out["a"]["weight"] + out["b"]["weight"] - 1.0) < 1e-6
+        # T=0.5 up-weights the small source relative to its natural share
+        assert out["b"]["weight"] > 0.10
+        assert out["b"]["sample_rate"] > 1.0 > out["a"]["sample_rate"]
+
+    def test_temperature_one_is_natural(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "a" if i < 75 else "b") for i in range(100)],
+            "doc_id long, source string",
+        )
+        out = {r["source"]: r for r in source_mixture_weights(docs, 1.0).collect()}
+        assert abs(out["a"]["weight"] - 0.75) < 1e-6
+        assert abs(out["a"]["sample_rate"] - 1.0) < 1e-6
+
+
+class TestQualitySweep:
+    def test_monotone_and_complete(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"the value of item {i} is a number and it is fine") for i in range(20)],
+            "doc_id long, text string",
+        )
+        rows = quality_threshold_sweep(docs).orderBy("threshold").collect()
+        assert [r["threshold"] for r in rows] == [x / 10 for x in range(10)]
+        # survivors monotonically non-increasing in threshold
+        surv = [r["n_docs_surviving"] for r in rows]
+        assert surv == sorted(surv, reverse=True)
+        assert surv[0] == 20  # threshold 0.0 keeps everything
+
+
+class TestCanonicalByQuality:
+    def test_best_member_survives(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            canonical_by_quality,
+        )
+
+        # docs 1..3: near-identical cluster; doc 2 is "cleanest" (no punct)
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        docs = spark.createDataFrame(
+            [
+                (1, base + " !!! ??? ;;; ###"),
+                (2, base),
+                (3, base + " ,,, ... !!!"),
+                (9, "entirely different content nothing shared with others here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        quality = spark.createDataFrame(
+            [(1, 0.4), (2, 0.9), (3, 0.6), (9, 0.99)],
+            "doc_id long, quality_score double",
+        )
+        rows = canonical_by_quality(docs, quality).collect()
+        assert len(rows) == 1  # one cluster; doc 9 is a singleton (excluded)
+        r = rows[0]
+        assert r["canonical_doc_id"] == 2
+        assert r["cluster_size"] == 3
+        assert r["n_removed"] == 2

@@ -189,6 +189,8 @@ BRUTE_FORCE_OK = {
     # recall audit) — volume O(n*C), never O(n^2)
     "sim_neardup_multiprobe",
     "sim_multiprobe_recall",
+    # 1-row broadcast of the mixture normalizer (sum over |sources| rows)
+    "curation_mixture_weights",
     "text_tfidf_topk",
     "kmeans_lite_clusters",
     "q22_inactive_high_balance",

@@ -1465,6 +1465,122 @@ def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_dedup_funnel",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    removed AS (SELECT count(*) - count(DISTINCT cluster_id) AS n_removed FROM labels)
+    SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs_surviving FROM documents
+    UNION ALL
+    SELECT 'exact_dedup', count(DISTINCT md5(text))::BIGINT FROM documents
+    UNION ALL
+    SELECT 'neardup_dedup', (SELECT count(*) FROM documents)::BIGINT - n_removed::BIGINT
+    FROM removed
+    """,
+    ops=["X1", "EXT-minhash", "EXT-dedup-policy", "G2"],
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield through the dedup stages in ONE query: raw corpus,
+    exact-content survivors, and keep-first LSH near-dup survivors —
+    the shrinkage report every cleaning run publishes before committing
+    a kill list."""
+    from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.agg(F.count(F.lit(1)).alias("n_docs_surviving")).select(
+        F.lit("raw").alias("stage"), "n_docs_surviving"
+    )
+    exact = (
+        docs.select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs_surviving"))
+        .select(F.lit("exact_dedup").alias("stage"), "n_docs_surviving")
+    )
+    clusters = duplicate_clusters(docs)
+    removed = clusters.agg(
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("_rm")
+    )
+    near = (
+        docs.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(removed))
+        .select(
+            F.lit("neardup_dedup").alias("stage"),
+            (F.col("_n") - F.col("_rm")).cast("long").alias("n_docs_surviving"),
+        )
+    )
+    return raw.unionByName(exact).unionByName(near)
+
+
+@register(
+    "audit_source_overlap",
+    f"""
+    WITH fps AS (SELECT DISTINCT source,
+                        md5(array_to_string(string_split({_NORM_SQL}, ' ')[1:8], ' ')) AS fp
+                 FROM documents),
+    sizes AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, s.n_shared::BIGINT AS n_shared,
+           round(s.n_shared / (sa.n_fp + sb.n_fp - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    """,
+    ops=["X1", "J2", "G4", "EXT-dedup-policy"],
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which sources ship the same
+    content (lead-8-token fingerprint Jaccard per source pair — the
+    partial-content key that catches 'same article, different
+    boilerplate') — the audit that catches a crawler and a curated dump
+    double-counting the same sites. Equi-join on the 32-byte
+    fingerprint, never all-pairs."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    lead = F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " ")
+    fps = docs.select("source", F.md5(lead).alias("fp")).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_fp").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "dedup_incremental_candidates",
     f"""
     WITH {_SHINGLES_SQL},

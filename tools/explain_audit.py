@@ -191,6 +191,8 @@ BRUTE_FORCE_OK = {
     "sim_multiprobe_recall",
     # 1-row broadcast of the mixture normalizer (sum over |sources| rows)
     "curation_mixture_weights",
+    # 1-row broadcast of the removed-count aggregate onto a 1-row total
+    "curation_dedup_funnel",
     "text_tfidf_topk",
     "kmeans_lite_clusters",
     "q22_inactive_high_balance",

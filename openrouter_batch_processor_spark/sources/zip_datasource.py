@@ -23,7 +23,12 @@ mapInPandas path (SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 ZIP_MEMBER_DDL = "zip_path string, rel_path string, length bigint, content binary"
 
@@ -41,6 +46,9 @@ class ZipMembersDataSource(DataSource):
 
     def reader(self, schema) -> "ZipMembersReader":
         return ZipMembersReader(self.options)
+
+    def streamReader(self, schema) -> "ZipMembersStreamReader":
+        return ZipMembersStreamReader(self.options)
 
 
 class _ArchivePartition(InputPartition):
@@ -74,6 +82,55 @@ class ZipMembersReader(DataSourceReader):
                     continue
                 name = info.filename.replace("\\", "/").removeprefix("./")
                 yield (partition.path, name, info.file_size, zf.read(info))
+
+
+class ZipMembersStreamReader(DataSourceStreamReader):
+    """Streaming flavor: archives ARRIVING in a directory are the
+    micro-batch unit — the reference's 'new zip uploaded' ingest trigger
+    as a Structured Streaming source.
+
+    Offsets are the sorted set of archive paths seen so far (tiny,
+    JSON-serialized into the checkpoint); a micro-batch's partitions are
+    the newly-arrived archives, one InputPartition each, and member
+    reads run in EXECUTORS (this is the full DataSourceStreamReader API,
+    not the driver-side Simple variant — the scale path). Exactly-once
+    comes from the engine replaying (start, end] partitions from the
+    checkpoint on failure; archives are immutable once written, so a
+    replay yields identical rows."""
+
+    def __init__(self, options):
+        self._glob = options.get("path")
+        if not self._glob:
+            raise ValueError("zipmembers source requires a path (file or glob)")
+
+    def _list(self):
+        import glob as _glob
+
+        return sorted(_glob.glob(self._glob))
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def latestOffset(self):
+        return {"seen": self._list()}
+
+    def partitions(self, start, end):
+        new = sorted(set(end["seen"]) - set(start.get("seen", [])))
+        return [_ArchivePartition(p) for p in new]
+
+    def read(self, partition: _ArchivePartition):
+        import zipfile
+
+        with zipfile.ZipFile(partition.path) as zf:
+            for info in sorted(zf.infolist(), key=lambda i: i.filename):
+                if info.is_dir():
+                    continue
+                name = info.filename.replace("\\", "/").removeprefix("./")
+                yield (partition.path, name, info.file_size, zf.read(info))
+
+    def commit(self, end):
+        # source-side bookkeeping is the offset itself; nothing to prune
+        pass
 
 
 def register_zip_source(spark) -> None:

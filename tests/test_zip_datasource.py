@@ -54,3 +54,41 @@ def test_missing_glob_fails_fast(spark, tmp_path):
     register_zip_source(spark)
     with pytest.raises(Exception, match="no archives match"):
         spark.read.format("zipmembers").load(str(tmp_path / "nope*.zip")).collect()
+
+
+def test_streaming_incremental_archives(spark, tmp_path):
+    """New archives arriving between runs are the micro-batch unit; the
+    checkpoint makes the second availableNow run process ONLY them."""
+    register_zip_source(spark)
+    glob = str(tmp_path / "in" / "*.zip")
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drop_archive(n: int):
+        with zipfile.ZipFile(tmp_path / "in" / f"a{n}.zip", "w") as zf:
+            zf.writestr(f"doc_{n}.txt", f"content number {n}")
+
+    def run_once():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        q = (
+            spark.readStream.format("zipmembers")
+            .load(glob)
+            .drop("content")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(r["rel_path"] for r in spark.read.parquet(out).collect())
+
+    drop_archive(1)
+    drop_archive(2)
+    assert run_once() == ["doc_1.txt", "doc_2.txt"]
+
+    drop_archive(3)
+    # same checkpoint: the second run appends ONLY the new archive —
+    # a reprocess would show as duplicate rows in the sorted list
+    assert run_once() == ["doc_1.txt", "doc_2.txt", "doc_3.txt"]

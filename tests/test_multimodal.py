@@ -83,3 +83,19 @@ class TestResizeAndFrames:
         assert [f["frame_no"] for f in sorted(frames, key=lambda r: r["offset"])] == list(
             range(len(frames))
         )
+
+    def test_frame_sampling_caps_expansion(self, spark):
+        # a payload far past max_frames*every_n_bytes must stop at the
+        # cap — the output-volume bound that keeps the operator
+        # equivalent to the registry oracle's range(0, 64) at ANY length
+        from openrouter_batch_processor_spark.operators.multimodal import media_table
+
+        from pyspark.sql import functions as F
+
+        big = spark.createDataFrame(
+            [("vid/huge.mp4", b"x" * 10_000, 10_000)],
+            "rel_path string, content binary, length long",
+        ).select("rel_path", "content", F.col("length"))
+        frames = sample_frames(media_table(big), every_n_bytes=64).collect()
+        assert len(frames) == 64  # not ceil(10000/64) = 157
+        assert max(f["frame_no"] for f in frames) == 63

@@ -172,6 +172,26 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
 # unigram-LM and BM25 scorers; the 1-row user-count scalar in the lift
 # query; the 1-row bits_set scalar in the bloom summary; the
 # langs-x-sources grid in the drift audit — both sides dim-sized).
+AUDITS.update(
+    {
+        "curation_boilerplate_ngrams": [
+            ("BroadcastHashJoin", None, "high-df boilerplate set broadcasts into the probe"),
+            (None, "SortMergeJoin", "no shuffle join against the boilerplate dim"),
+        ],
+        "audit_source_overlap": [
+            ("BroadcastHashJoin", None, "per-source size dims broadcast"),
+            (None, "SortMergeJoin", "fingerprint join resolves to broadcast at dim sizes"),
+        ],
+        "curation_quality_sweep": [
+            ("Window", None, "one 10-bucket cumulative window, not one filter per threshold"),
+            (None, "SortMergeJoin", "single corpus pass + tiny left join only"),
+        ],
+        "dedup_canonical_by_quality": [
+            (None, "BroadcastNestedLoopJoin", "clusters ⋈ quality is an equi-join"),
+        ],
+    }
+)
+
 BRUTE_FORCE_OK = {
     "sketch_bloom_decontaminate",
     "audit_distribution_drift",

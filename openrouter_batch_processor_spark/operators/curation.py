@@ -86,6 +86,64 @@ def source_mixture_weights(
     )
 
 
+def corpus_curation_pipeline(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    boiler_max: float = 0.5,
+    min_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full cleaning DAG as ONE plan: quality gate -> boilerplate
+    filter -> exact dedup (keep lowest id per fingerprint) -> LSH
+    near-dup keep-first -> per-source yield (docs + tokens).
+
+    Each stage consumes the previous stage's survivors, exactly as a
+    production corpus run sequences them (cheap row-local gates first,
+    the expensive candidate join last, over the smallest set). The
+    whole thing is declarative — Catalyst sees one tree: gates are
+    pushed into scans, the boilerplate df and cluster joins stay
+    equi/broadcast, and nothing is collected between stages."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+
+    q = quality_scores(docs, id_col, text_col, extra_cols=("source", text_col))
+    gated = q.filter(F.col("quality_score") >= quality_min).select(
+        id_col, "source", text_col, "n_tokens"
+    )
+    ratios = boilerplate_ngrams(gated, min_df, id_col, text_col).select(
+        id_col, "boiler_ratio"
+    )
+    # left join: docs too short to shingle carry no ratio -> keep
+    cleaned = (
+        gated.join(ratios, id_col, "left")
+        .filter(F.coalesce(F.col("boiler_ratio"), F.lit(0.0)) <= boiler_max)
+        .select(id_col, "source", text_col, "n_tokens")
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    # Pin the exact-dedup survivors: the quality+boilerplate+window
+    # prefix feeds BOTH the near-dup cluster build and the final yield
+    # aggregate, and the expression chain above it is the costliest
+    # per-row work in the plan — materialize once (same localCheckpoint
+    # pattern + executor-loss tradeoff as dedup.shingle_sets).
+    exact = (
+        cleaned.withColumn("fp", F.md5(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "source", text_col, "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+    clusters = duplicate_clusters(exact, id_col, text_col)
+    dropped = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    final = exact.join(dropped, id_col, "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def quality_threshold_sweep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Yield curve for the quality gate: for each threshold τ in
     {0.0 … 0.9}, how many documents (and tokens) survive

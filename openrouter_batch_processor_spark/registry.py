@@ -3908,6 +3908,83 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_full_pipeline",
+    f"""
+    WITH RECURSIVE
+    qb AS (
+      SELECT doc_id, source, text,
+             len(text)::DOUBLE AS n_chars,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+      FROM documents),
+    qr AS (
+      SELECT doc_id, source, text, len(toks)::BIGINT AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+             n_punct / greatest(n_chars, 1.0) AS punct_raw
+      FROM qb),
+    gated AS (
+      SELECT doc_id, source, text, n_tokens FROM qr
+      WHERE round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                 + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) >= 0.5),
+    bt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM gated),
+    bs AS (SELECT doc_id,
+                  list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+           FROM bt WHERE len(toks) >= 3),
+    b_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM bs),
+    b_df AS (SELECT shingle, count(*) AS df FROM b_set GROUP BY 1),
+    boiler AS (SELECT shingle FROM b_df WHERE df >= 20),
+    b_pd AS (SELECT doc_id, count(*) AS n_ngrams FROM b_set GROUP BY 1),
+    b_nb AS (SELECT doc_id, count(*) AS n_boiler
+             FROM b_set JOIN boiler USING (shingle) GROUP BY 1),
+    ratios AS (SELECT p.doc_id,
+                      round(coalesce(nb.n_boiler, 0) / p.n_ngrams, 6) AS br
+               FROM b_pd p LEFT JOIN b_nb nb USING (doc_id)),
+    cleaned AS (
+      SELECT g.doc_id, g.source, g.text, g.n_tokens
+      FROM gated g LEFT JOIN ratios r USING (doc_id)
+      WHERE coalesce(r.br, 0.0) <= 0.5),
+    ex AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM cleaned),
+    sv AS (SELECT doc_id, source, text, n_tokens FROM ex WHERE rn = 1),
+    {_SHINGLES_SQL.replace("FROM documents", "FROM sv")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
+    SELECT sv.source, count(*)::BIGINT AS n_docs, sum(sv.n_tokens)::BIGINT AS n_tokens
+    FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
+    WHERE d.doc_id IS NULL
+    GROUP BY sv.source
+    """,
+    ops=["X1", "EXT-quality", "EXT-boilerplate", "EXT-minhash", "EXT-dedup-policy", "G2"],
+)
+def q_curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole cleaning DAG in ONE declarative plan: quality gate ->
+    boilerplate filter -> exact dedup -> LSH near-dup keep-first ->
+    per-source docs/tokens yield — cheap row-local gates first, the
+    expensive candidate join last over the smallest survivor set
+    (operators/curation.py corpus_curation_pipeline)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        corpus_curation_pipeline,
+    )
+
+    return corpus_curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "stats_length_histogram",
     """
     SELECT source,

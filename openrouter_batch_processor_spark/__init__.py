@@ -24,3 +24,33 @@ Design rules (enforced throughout):
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (PEP 562): the package import stays cheap and
+# circular-free; `from openrouter_batch_processor_spark import REGISTRY`
+# (or get_spark, run_llm_pipeline, ...) resolves on first access.
+_API = {
+    "REGISTRY": ("openrouter_batch_processor_spark.registry", "REGISTRY"),
+    "get_spark": ("openrouter_batch_processor_spark.session", "get_spark"),
+    "load_table": ("openrouter_batch_processor_spark.session", "load_table"),
+    "run_llm_pipeline": (
+        "openrouter_batch_processor_spark.plans.pipeline",
+        "run_llm_pipeline",
+    ),
+    "register_zip_source": (
+        "openrouter_batch_processor_spark.sources.zip_datasource",
+        "register_zip_source",
+    ),
+}
+
+
+def __getattr__(name: str):
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))

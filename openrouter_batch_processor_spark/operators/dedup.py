@@ -520,13 +520,16 @@ def connected_components(
     next join reuse the materialized result instead of recomputing the
     whole prefix.
 
-    Scale: per-round cost is a shuffle of |E| on uniformly-hashed ids.
-    For adversarial graphs (long chains, diameter >> log n) swap the
-    propagation body for the large-star/small-star contraction of
-    Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SOCC'14) — same join-shaped primitives, O(log^2 n) rounds. Only
-    nodes that appear in >= 1 pair are emitted (singletons are their own
-    cluster by definition and would dominate output size at scale)."""
+    Scale: per-round cost is a shuffle of |E| (propagation) plus |V|
+    (doubling) on uniformly-hashed ids. Each round combines one hop of
+    neighbor propagation with POINTER DOUBLING (label := min(label,
+    label-of-label)), so convergence is O(log diameter) rounds even on
+    adversarial chain graphs — not O(diameter), which would silently
+    exceed max_iter on a long path. (The large-star/small-star
+    contraction of Kiveris et al., SOCC'14, is the alternative when |V|
+    itself dwarfs memory per round.) Only nodes that appear in >= 1
+    pair are emitted (singletons are their own cluster by definition
+    and would dominate output size at scale)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -539,7 +542,7 @@ def connected_components(
     labels = edges.groupBy("src").agg(F.min("dst").alias("_mn")).select(
         F.col("src").alias("node"), F.least("src", "_mn").alias("label")
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dlbl")),
@@ -555,6 +558,21 @@ def connected_components(
             F.col("label").alias("old_label"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
+        if i > 0:
+            # pointer doubling: jump to the label's own label in the
+            # same round — chains shrink geometrically instead of one
+            # hop/round. Skipped in round 1: LSH near-cliques (the
+            # common case) converge there from the seed alone, so they
+            # never pay the extra |V| join; any graph still unconverged
+            # by round 2 gets the O(log diameter) ladder.
+            ll = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("_ll")
+            )
+            stepped = stepped.join(ll, "label", "left").select(
+                "node",
+                "old_label",
+                F.least("label", F.coalesce("_ll", "label")).alias("label"),
+            )
         stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("label") < F.col("old_label")).limit(1).count()
         labels = stepped.select("node", "label")

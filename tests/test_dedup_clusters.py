@@ -126,3 +126,21 @@ class TestTriangleParticipation:
         )
         rows = {r.doc_id: r.n_triangles for r in triangle_participation(docs).collect()}
         assert rows == {1: 1, 2: 1, 3: 1}
+
+
+class TestAdversarialChain:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """An 80-node path graph has diameter 79 — one-hop-per-round
+        propagation would silently exceed max_iter; pointer doubling
+        must converge it (all labels = 0) well inside 25 rounds."""
+        from openrouter_batch_processor_spark.operators.dedup import (
+            connected_components,
+        )
+
+        n = 80
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        rows = connected_components(pairs).collect()
+        assert len(rows) == n
+        assert {r["cluster_id"] for r in rows} == {0}

@@ -85,10 +85,10 @@ def main() -> None:
         "sf": sf_dir,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        # deliberately NO "queries" key here: the full per-query map
+        # lives on stdout line 1 and in BENCH_DETAIL.json; repeating a
+        # 10-entry subset under the same key invited silent misreads
         "slowest": slowest,
-        # Keep the documented "queries" key in the parsed line, capped to
-        # the slowest-10 so the line stays small; full map in BENCH_DETAIL.
-        "queries": slowest,
     }
     out = dict(summary)
     out["queries"] = timings

@@ -27,13 +27,18 @@ def boilerplate_ngrams(
 
     Execution: one inverted index (doc, shingle) distinct, one df
     groupBy, then per-doc counts with the (small, high-df-only)
-    boilerplate set broadcast into the probe — the index is built once
-    and both aggregations are map-side combinable. At 100 TB the
-    boilerplate set stays dimension-sized because min_df caps it to the
-    corpus' most repeated templates, not its vocabulary."""
+    boilerplate set broadcast into the probe — both aggregations are
+    map-side combinable. The index feeds THREE subtrees (df table,
+    per-doc totals, boilerplate hits) and ReuseExchange cannot dedupe
+    the shingle chain across differently-pruned consumers (the
+    shingle_sets precedent, dedup.py), so it is materialized once with
+    an eager localCheckpoint — "built once" is enforced by the plan,
+    not hoped for. At 100 TB the boilerplate set stays dimension-sized
+    because min_df caps it to the corpus' most repeated templates, not
+    its vocabulary."""
     from openrouter_batch_processor_spark.operators.dedup import explode_shingles
 
-    sh = explode_shingles(docs, id_col, text_col)
+    sh = explode_shingles(docs, id_col, text_col).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     boiler = dfreq.filter(F.col("df") >= min_df).select("shingle")
     per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))

@@ -67,18 +67,23 @@ def topk_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def assign_ivf_cells(
+def _centroid_distances(
     embeddings: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Assign each vector to its nearest (squared-L2) centroid.
+    """(id[, vec], centroid_id, dist) over the broadcast C-row centroid
+    table — THE distance arithmetic every IVF assignment shares, so
+    single- and multi-probe can never diverge on rounding/tie-break.
 
     Centroids = the n_centroids lowest-id vectors (deterministic seed
-    choice). Implemented as a broadcast cross join against C rows + a
-    min-by reduction — one narrow pass over the corpus.
-    """
+    choice). ||a-b||^2 = a.a - 2 a.b + b.b — expressed via three dot
+    products so the DuckDB oracle (list_dot_product) reproduces the same
+    arithmetic. a.a is staged as a per-row column (one fold per row, not
+    per pair); the small scan is repartitioned so the broadcast join
+    parallelizes."""
     centroids = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -87,22 +92,31 @@ def assign_ivf_cells(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    # ||a-b||^2 = a.a - 2 a.b + b.b — expressed via three dot products so
-    # the DuckDB oracle (list_dot_product) reproduces the same arithmetic.
-    # a.a is staged as a per-row column (one fold per row, not per pair);
-    # the small scan is repartitioned so the broadcast join parallelizes.
     parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
     staged = embeddings.repartition(parallelism).select(
         F.col(id_col), F.col(vec_col), _dot(F.col(vec_col), F.col(vec_col)).alias("_aa")
     )
     a, b = F.col(vec_col), F.col("centroid_vec")
     sq = F.col("_aa") - 2 * _dot(a, b) + _dot(b, b)
-    dists = staged.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
+    return staged.crossJoin(F.broadcast(centroids)).select(
+        *cols,
         F.col("centroid_id"),
         F.round(sq, 6).alias("dist"),
     )
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (squared-L2) centroid: one
+    broadcast cross join against C rows + a min-by reduction — one
+    narrow pass over the corpus (distance arithmetic shared via
+    _centroid_distances)."""
+    dists = _centroid_distances(embeddings, n_centroids, id_col, vec_col, keep_vec=True)
     # min_by with (dist, centroid_id) tiebreak, via struct ordering
     best = dists.groupBy(id_col).agg(
         F.min(F.struct("dist", "centroid_id")).alias("_best"),
@@ -224,25 +238,7 @@ def assign_ivf_cells_multiprobe(
     n_centroids scales with nprobe (occupancy n/C halves as C doubles)."""
     from pyspark.sql.window import Window
 
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
-    )
-    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    staged = embeddings.repartition(parallelism).select(
-        F.col(id_col), F.col(vec_col), _dot(F.col(vec_col), F.col(vec_col)).alias("_aa")
-    )
-    a, b = F.col(vec_col), F.col("centroid_vec")
-    sq = F.col("_aa") - 2 * _dot(a, b) + _dot(b, b)
-    dists = staged.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        F.round(sq, 6).alias("dist"),
-    )
+    dists = _centroid_distances(embeddings, n_centroids, id_col, vec_col)
     w = Window.partitionBy(id_col).orderBy("dist", "centroid_id")
     return (
         dists.withColumn("rn", F.row_number().over(w))
@@ -251,20 +247,18 @@ def assign_ivf_cells_multiprobe(
     )
 
 
-def neardup_pairs_multiprobe(
+def _scored_multiprobe_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.95,
-    n_centroids: int = 8,
-    nprobe: int = 2,
+    n_centroids: int,
+    nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs over multi-probe IVF cells: candidates are pairs
-    sharing ANY of their nprobe cells — recovers the boundary pairs
-    single-probe bucketing misses by construction. distinct() before
-    scoring so a pair sharing two cells is scored once; the verify
-    cosine stays exact, so output ⊆ brute-force truth and recall is
-    just |found| / |truth|."""
+    """Unfiltered (id_a, id_b, cos_sim) over multi-probe cell-sharing
+    candidates — the one candidate+verify pipeline both the pair
+    operator and the recall audit consume, so the equal-volume
+    comparison can never drift from the production path. distinct()
+    before scoring so a pair sharing two cells is scored once."""
     assigned = assign_ivf_cells_multiprobe(
         embeddings, n_centroids, nprobe, id_col, vec_col
     )
@@ -279,14 +273,27 @@ def neardup_pairs_multiprobe(
     units = unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
     ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
-    return (
-        cand.join(ua, "id_a")
-        .join(ub, "id_b")
-        .select(
-            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return cand.join(ua, "id_a").join(ub, "id_b").select(
+        "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
     )
+
+
+def neardup_pairs_multiprobe(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs over multi-probe IVF cells: candidates are pairs
+    sharing ANY of their nprobe cells — recovers the boundary pairs
+    single-probe bucketing misses by construction. The verify cosine
+    stays exact, so output ⊆ brute-force truth and recall is just
+    |found| / |truth|."""
+    return _scored_multiprobe_pairs(
+        embeddings, n_centroids, nprobe, id_col, vec_col
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def multiprobe_recall_report(
@@ -308,22 +315,8 @@ def multiprobe_recall_report(
     n_true, recall)."""
 
     def _stats(mode: str, n_centroids: int, nprobe: int) -> DataFrame:
-        assigned = assign_ivf_cells_multiprobe(
+        scored = _scored_multiprobe_pairs(
             embeddings, n_centroids, nprobe, id_col, vec_col
-        )
-        a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"))
-        b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"))
-        cand = (
-            a.join(b, "centroid_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        units = unit_vectors(embeddings, id_col, vec_col)
-        ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
-        ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
-        scored = cand.join(ua, "id_a").join(ub, "id_b").select(
-            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim")
         )
         agg = scored.agg(
             F.count(F.lit(1)).alias("n_cand"),

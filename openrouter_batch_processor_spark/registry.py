@@ -771,6 +771,49 @@ from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def _quality_sql(src: str, cols: str) -> str:
+    """Subquery computing the ONE quality-score formula every quality
+    oracle shares (mirrors operators/textanalysis.quality_scores),
+    emitting ``cols`` + n_tokens + quality_score over table ``src``.
+    text_quality's oracle keeps its own full-ratio SQL; every other
+    consumer MUST use this fragment so a formula change is one edit."""
+    return f"""(
+      SELECT {cols}, n_tokens,
+             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
+                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
+      FROM (
+        SELECT {cols}, len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                     / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
+               len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
+               n_punct / greatest(n_chars, 1.0) AS punct_raw
+        FROM (
+          SELECT {cols}, len(text)::DOUBLE AS n_chars,
+                 string_split({_NORM_SQL}, ' ') AS toks,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+          FROM {src})))"""
+
+
+# Transitive closure of the banded-LSH candidate pairs (requires the
+# `bands` CTE from _SHINGLES_SQL in scope; WITH RECURSIVE on the outer
+# query). Shared by every cluster-consuming oracle so the closure
+# semantics are one edit.
+_CC_SQL = """cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+
+
 @register(
     "text_token_stats",
     f"""
@@ -1110,24 +1153,8 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_quality_sweep",
     f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             len(text)::DOUBLE AS n_chars,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-      FROM documents),
-    r AS (
-      SELECT len(toks)::BIGINT AS n_tokens,
-             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-             n_punct / greatest(n_chars, 1.0) AS punct_raw
-      FROM base),
-    q AS (
-      SELECT n_tokens,
-             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
-      FROM r),
+    WITH q AS (SELECT n_tokens, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
     b AS (SELECT least(floor(quality_score * 10), 9)::BIGINT AS bucket, n_tokens FROM q),
     a AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
           FROM b GROUP BY 1),
@@ -1372,19 +1399,7 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_CC_SQL},
     sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
     SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
     FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
@@ -1404,38 +1419,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical_by_quality",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_CC_SQL},
     sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
-    qb AS (
-      SELECT doc_id, text,
-             len(text)::DOUBLE AS n_chars,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-      FROM documents),
-    qr AS (
-      SELECT doc_id,
-             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-             n_punct / greatest(n_chars, 1.0) AS punct_raw
-      FROM qb),
-    q AS (
-      SELECT doc_id,
-             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
-      FROM qr),
+    q AS (SELECT doc_id, quality_score
+          FROM {_quality_sql("documents", "doc_id")}),
     jq AS (
       SELECT l.node AS doc_id, l.cluster_id, s.cluster_size, q.quality_score
       FROM labels l
@@ -1468,19 +1455,7 @@ def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_dedup_funnel",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_CC_SQL},
     removed AS (SELECT count(*) - count(DISTINCT cluster_id) AS n_removed FROM labels)
     SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs_surviving FROM documents
     UNION ALL
@@ -1612,19 +1587,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_apply_survivors",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_CC_SQL},
     dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
     SELECT d.source,
            count(*) AS n_total,
@@ -2809,7 +2772,8 @@ def q_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit at equal candidate volume: single-probe/8 cells vs
-    2-probe/16 cells against brute-force truth — the measured proof that
+    2-probe/32 cells (pair volume ~ p^2/(2C), so the two configs cost
+    the same) against brute-force truth — the measured proof that
     multi-probing recovers boundary pairs (operators/similarity.py
     multiprobe_recall_report)."""
     from openrouter_batch_processor_spark.operators.similarity import (
@@ -3718,24 +3682,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_quality_gate",
     f"""
-    WITH base AS (
-      SELECT source, text,
-             len(text)::DOUBLE AS n_chars,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-      FROM documents),
-    r AS (
-      SELECT source, text,
-             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-             n_punct / greatest(n_chars, 1.0) AS punct_raw
-      FROM base),
-    q AS (
+    WITH q AS (
       SELECT source, md5(text) AS fp
-      FROM r
-      WHERE round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                 + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) >= 0.5)
+      FROM {_quality_sql("documents", "source, text")}
+      WHERE quality_score >= 0.5)
     SELECT source, count(DISTINCT fp)::BIGINT AS n_unique_docs
     FROM q GROUP BY source
     """,
@@ -3911,23 +3861,10 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_full_pipeline",
     f"""
     WITH RECURSIVE
-    qb AS (
-      SELECT doc_id, source, text,
-             len(text)::DOUBLE AS n_chars,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-      FROM documents),
-    qr AS (
-      SELECT doc_id, source, text, len(toks)::BIGINT AS n_tokens,
-             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-             n_punct / greatest(n_chars, 1.0) AS punct_raw
-      FROM qb),
     gated AS (
-      SELECT doc_id, source, text, n_tokens FROM qr
-      WHERE round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                 + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) >= 0.5),
+      SELECT doc_id, source, text, n_tokens
+      FROM {_quality_sql("documents", "doc_id, source, text")}
+      WHERE quality_score >= 0.5),
     bt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM gated),
     bs AS (SELECT doc_id,
                   list_transform(range(1, len(toks) - 1),
@@ -3950,19 +3887,7 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cleaned),
     sv AS (SELECT doc_id, source, text, n_tokens FROM ex WHERE rn = 1),
     {_SHINGLES_SQL.replace("FROM documents", "FROM sv")},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_CC_SQL},
     dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
     SELECT sv.source, count(*)::BIGINT AS n_docs, sum(sv.n_tokens)::BIGINT AS n_tokens
     FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
@@ -6486,12 +6411,21 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds) slot in right after the front-50.
 # ===========================================================================
 
-# The round-3 window: EVERY entry is first-time-driver-checked (the
-# r01/r02-certified queries live in rotation_ledger.DRIVER_CHECKED and
-# back the ops-coverage invariant; tests/test_registry_order.py). The
+# The round-3 window: 45 first-time-driver-checked queries + the 5
+# whose implementations were REWRITTEN this round (simhash fold,
+# pointer-doubled clusters, _paired_shsets verify repartition) — a
+# certified-in-r01/r02 query whose code just changed needs a fresh
+# driver row more than an untouched TPC-H shape needs its first one.
+# The r01/r02 certifications live in rotation_ledger.DRIVER_CHECKED and
+# back the ops-coverage invariant (tests/test_registry_order.py). The
 # head of _TAIL_ORDER is the round-4 rotation candidate list — the
 # remaining never-driver-checked queries.
 _FRONT_50 = [
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_minhash_jaccard",
+    "dedup_prefix_filter_pairs",
     "sketch_cms_heavy_hitters",
     "dedup_incremental_candidates",
     "dedup_apply_survivors",
@@ -6525,13 +6459,8 @@ _FRONT_50 = [
     "stats_length_histogram",
     "stats_exact_median",
     "sample_stratified",
-    "q16_supplier_part_breadth",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q22_inactive_high_balance",
     "emb_quantize_int8",
     "scd2_user_state",
-    "w_ntile_cumdist",
     "streaming_session_windows",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -6545,6 +6474,11 @@ _FRONT_50 = [
 ]
 
 _TAIL_ORDER = [
+    "q16_supplier_part_breadth",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q22_inactive_high_balance",
+    "w_ntile_cumdist",
     "events_linear_trend",
     "events_corr_hour_value",
     "events_grouping_sets",
@@ -6563,7 +6497,6 @@ _TAIL_ORDER = [
     "emb_dim_stats",
     "g2_usage_fold",
     "events_sessionize",
-    "dedup_simhash",
     "llm_pipeline_multimodal",
     "sketch_kmv_setops",
     "cdc_snapshot_diff",
@@ -6578,9 +6511,7 @@ _TAIL_ORDER = [
     "streaming_dedup_watermark",
     "dedup_containment",
     "dedup_multisignal",
-    "dedup_prefix_filter_pairs",
     "dedup_decontaminate",
-    "dedup_simhash_pairs",
     "sim_rp_lsh_pairs",
     "sim_ann_recall",
     "corpus_prep_pipeline",
@@ -6631,8 +6562,6 @@ _TAIL_ORDER = [
     "text_tfidf_topk",
     "text_heavy_hitters",
     "dedup_minhash_bands",
-    "dedup_minhash_jaccard",
-    "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_neardup_pairs",
@@ -6646,9 +6575,11 @@ _TAIL_ORDER = [
 def _reorder_registry() -> None:
     # A typo'd / renamed name in either list would silently demote a
     # deliberately-chosen query out of the driver's checked window
-    # (ADVICE r02) — fail loudly instead.
+    # (ADVICE r02) — fail loudly instead (raise, not assert: asserts
+    # are stripped under python -O).
     unknown = (set(_FRONT_50) | set(_TAIL_ORDER)) - set(REGISTRY)
-    assert not unknown, f"ordering lists name unknown queries: {sorted(unknown)}"
+    if unknown:
+        raise ValueError(f"ordering lists name unknown queries: {sorted(unknown)}")
     ordered: dict[str, QuerySpec] = {}
     for name in _FRONT_50:
         if name in REGISTRY:

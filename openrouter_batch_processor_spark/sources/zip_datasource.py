@@ -33,6 +33,20 @@ from pyspark.sql.datasource import (
 ZIP_MEMBER_DDL = "zip_path string, rel_path string, length bigint, content binary"
 
 
+def _iter_members(path: str):
+    """Yield (zip_path, rel_path, length, content) rows of one archive —
+    THE member-iteration contract, shared by the batch and streaming
+    readers so normalization/ordering can never diverge between them."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        for info in sorted(zf.infolist(), key=lambda i: i.filename):
+            if info.is_dir():
+                continue
+            name = info.filename.replace("\\", "/").removeprefix("./")
+            yield (path, name, info.file_size, zf.read(info))
+
+
 class ZipMembersDataSource(DataSource):
     """Register once per session:
     ``spark.dataSource.register(ZipMembersDataSource)``."""
@@ -74,14 +88,7 @@ class ZipMembersReader(DataSourceReader):
 
     def read(self, partition: _ArchivePartition):
         # executor-side: stream members of exactly one archive
-        import zipfile
-
-        with zipfile.ZipFile(partition.path) as zf:
-            for info in sorted(zf.infolist(), key=lambda i: i.filename):
-                if info.is_dir():
-                    continue
-                name = info.filename.replace("\\", "/").removeprefix("./")
-                yield (partition.path, name, info.file_size, zf.read(info))
+        yield from _iter_members(partition.path)
 
 
 class ZipMembersStreamReader(DataSourceStreamReader):
@@ -119,14 +126,8 @@ class ZipMembersStreamReader(DataSourceStreamReader):
         return [_ArchivePartition(p) for p in new]
 
     def read(self, partition: _ArchivePartition):
-        import zipfile
-
-        with zipfile.ZipFile(partition.path) as zf:
-            for info in sorted(zf.infolist(), key=lambda i: i.filename):
-                if info.is_dir():
-                    continue
-                name = info.filename.replace("\\", "/").removeprefix("./")
-                yield (partition.path, name, info.file_size, zf.read(info))
+        # executor-side: identical member contract as the batch reader
+        yield from _iter_members(partition.path)
 
     def commit(self, end):
         # source-side bookkeeping is the offset itself; nothing to prune

@@ -72,3 +72,37 @@ class TestIncrementalRollup:
             ).collect()
         }
         assert rows == {"de": (1, 5)}
+
+
+class TestDecimalValueType:
+    def test_decimal_maintenance_matches_direct(self, spark):
+        """value_type='decimal(28,10)' maintains money-like columns
+        exactly: the maintained rollup equals the direct aggregate of
+        the new snapshot, including the union coercion between the
+        widened base sum and the per-delta casts."""
+        from decimal import Decimal as D
+
+        old = spark.createDataFrame(
+            [(1, "en", D("10.25")), (2, "en", D("0.10")), (3, "fr", D("7.07"))],
+            "id long, lang string, v decimal(28,10)",
+        )
+        new = spark.createDataFrame(
+            [(1, "en", D("10.25")), (3, "fr", D("9.99")), (4, "en", D("0.02"))],
+            "id long, lang string, v decimal(28,10)",
+        )
+        maintained = {
+            r["lang"]: (r["n_rows"], r["value_sum"])
+            for r in incremental_agg_maintenance(
+                old, new, ["id"], ["lang"], "v", value_type="decimal(28,10)"
+            ).collect()
+        }
+        direct = {
+            r["lang"]: (r["n_rows"], r["value_sum"])
+            for r in new.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").cast("decimal(28,10)")).alias("value_sum"),
+            )
+            .collect()
+        }
+        assert maintained == direct

@@ -59,6 +59,58 @@ def boilerplate_ngrams(
     )
 
 
+def duplicated_window_fraction(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level dedup signal (the Lee et al. 'Deduplicating
+    Training Data' shape, window-hash approximation): a doc's W-token
+    windows that also occur in ANOTHER doc are duplicated spans; emits
+    per-doc window counts and the duplicated fraction a span-removal
+    pass gates on. Differs from boilerplate_ngrams in both unit (long
+    windows catch copied passages, not template trigrams) and contract
+    (duplicated-ANYWHERE-else, not df >= k).
+
+    Execution: tokenize once, one explode to (doc, window-hash) distinct,
+    df over window hashes, then per-doc counts with the duplicated set
+    join — all combiner-friendly aggregations on 32-byte keys; a suffix
+    array is not needed for the fraction, only for the exact span
+    offsets."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    staged = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    )
+    cnt = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(0), cnt - window_tokens)
+    mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, window_tokens), " "))  # noqa: E731
+    wins = staged.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(cnt >= window_tokens, F.transform(idx, mk)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("wh"),
+    ).filter(F.col("wh").isNotNull()).distinct().localCheckpoint(eager=True)
+    dfreq = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("df"))
+    dup = dfreq.filter(F.col("df") >= 2).select("wh")
+    per_doc = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    nd = (
+        wins.join(F.broadcast(dup), "wh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return per_doc.join(nd, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_windows"),
+        n_dup.alias("n_dup"),
+        F.round(n_dup / F.col("n_windows"), 6).alias("dup_fraction"),
+    )
+
+
 def source_mixture_weights(
     docs: DataFrame, temperature: float = 0.5, source_col: str = "source"
 ) -> DataFrame:

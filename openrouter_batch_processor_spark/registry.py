@@ -1124,6 +1124,39 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_dup_windows",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 list_transform(range(1, len(toks) - 8 + 2),
+                                i -> md5(array_to_string(toks[i:i+7], ' '))) AS whs
+          FROM t WHERE len(toks) >= 8),
+    ws AS (SELECT DISTINCT doc_id, unnest(whs) AS wh FROM w),
+    dfreq AS (SELECT wh, count(*) AS df FROM ws GROUP BY 1),
+    dup AS (SELECT wh FROM dfreq WHERE df >= 2),
+    per_doc AS (SELECT doc_id, count(*) AS n_windows FROM ws GROUP BY 1),
+    nd AS (SELECT doc_id, count(*) AS n_dup
+           FROM ws JOIN dup USING (wh) GROUP BY 1)
+    SELECT p.doc_id, p.n_windows,
+           coalesce(nd.n_dup, 0)::BIGINT AS n_dup,
+           round(coalesce(nd.n_dup, 0) / p.n_windows, 6) AS dup_fraction
+    FROM per_doc p LEFT JOIN nd USING (doc_id)
+    """,
+    ops=["X1", "EXT-dedup-policy", "EXT-boilerplate", "G4"],
+)
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal: fraction of each doc's 8-token
+    windows that occur in another doc — copied-passage detection, the
+    window-hash approximation of suffix-array substring dedup
+    (operators/curation.py duplicated_window_fraction)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        duplicated_window_fraction,
+    )
+
+    return duplicated_window_fraction(_t(spark, sf_dir, "documents"), window_tokens=8)
+
+
+@register(
     "curation_mixture_weights",
     """
     WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),

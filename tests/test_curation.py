@@ -99,3 +99,26 @@ class TestCanonicalByQuality:
         assert r["canonical_doc_id"] == 2
         assert r["cluster_size"] == 3
         assert r["n_removed"] == 2
+
+
+class TestDupWindows:
+    def test_copied_doc_fully_duplicated(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            duplicated_window_fraction,
+        )
+
+        passage = "one two three four five six seven eight nine ten eleven twelve"
+        docs = spark.createDataFrame(
+            [
+                (1, passage),
+                (2, passage),  # exact copy: every window duplicated
+                (3, "totally different words that nobody else repeats anywhere at all today"),
+                (4, "too short"),  # < 8 tokens: no windows, no row
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicated_window_fraction(docs, 8).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["dup_fraction"] == 1.0 == out[2]["dup_fraction"]
+        assert out[3]["dup_fraction"] == 0.0
+        assert out[1]["n_windows"] == 12 - 8 + 1

@@ -57,11 +57,28 @@ def test_front50_all_oracle_checked():
 
 
 def test_front50_rotates_never_checked_queries():
-    # the point of the rotation: ≥90% of the window must be queries the
-    # driver has never hash-checked (r03 target: 100%)
-    window = list(REGISTRY)[:50]
-    first_time = [n for n in window if n not in driver_green()]
-    assert len(first_time) >= 45, (
-        f"only {len(first_time)}/50 window slots are first-time-checked: "
-        f"{sorted(set(window) - set(first_time))}"
+    # Round-4 endgame invariant: FEWER than 50 queries remain without a
+    # driver CORRECTNESS row, so ALL of them must sit inside the window
+    # — after the r04 gate runs, driver coverage is total (154/154).
+    # Spare slots go to re-checks (rewritten queries, oldest evidence),
+    # which is fine; never-checked queries left OUTSIDE the window are
+    # wasted certification opportunities and fail here.
+    window = set(list(REGISTRY)[:50])
+    never_checked = set(REGISTRY) - driver_green()
+    stranded = never_checked - window
+    assert not stranded, (
+        f"never-driver-checked queries outside the front-50 window: "
+        f"{sorted(stranded)}"
+    )
+
+
+def test_readme_query_count_in_sync():
+    # ADVICE r03: README undercounted the registry (150 vs 154). Derive
+    # the check so the doc can never drift silently again.
+    with open("README.md") as fh:
+        readme = fh.read()
+    m = re.search(r"registry\.py\s+(\d+) named queries", readme)
+    assert m, "README no longer states the registry query count"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README says {m.group(1)} queries, registry has {len(REGISTRY)}"
     )

@@ -119,6 +119,36 @@ def main() -> None:
         lines.append(f"| {op} | {queries} | {EXT_DESCRIPTIONS.get(op, '')} |")
     lines.append("")
 
+    # Driver-certification ledger summary — GENERATED from
+    # rotation_ledger.DRIVER_CHECKED so certification claims can never
+    # drift from the evidence (VERDICT r03 item 2: the hand-written
+    # "all 50 first-time" claim was actually 45 first-time + 5 re-checks).
+    from openrouter_batch_processor_spark.rotation_ledger import (
+        DRIVER_CHECKED,
+        driver_green,
+    )
+
+    lines += ["## Driver CORRECTNESS certification (from rotation_ledger)", ""]
+    seen: set[str] = set()
+    for rnd in sorted(DRIVER_CHECKED):
+        names = DRIVER_CHECKED[rnd]
+        first = [n for n in names if n not in seen]
+        lines.append(
+            f"- **{rnd}**: {len(names)} green rows — {len(first)} first-time, "
+            f"{len(names) - len(first)} re-checks"
+        )
+        seen |= set(names)
+    certified = driver_green() & set(REGISTRY)
+    remaining = sorted(set(REGISTRY) - certified)
+    window = list(REGISTRY)[:50]
+    in_window = [n for n in remaining if n in window]
+    lines += [
+        f"- **Total**: {len(certified)}/{len(REGISTRY)} registry queries have a "
+        f"driver row; {len(remaining)} never-checked, of which "
+        f"{len(in_window)} sit in the current front-50 window.",
+        "",
+    ]
+
     with open("/root/repo/COVERAGE.md", "w") as fh:
         fh.write("\n".join(lines))
     n_oracle = sum(1 for s in REGISTRY.values() if s.sql)

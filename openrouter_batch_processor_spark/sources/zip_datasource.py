@@ -96,33 +96,77 @@ class ZipMembersStreamReader(DataSourceStreamReader):
     micro-batch unit — the reference's 'new zip uploaded' ingest trigger
     as a Structured Streaming source.
 
-    Offsets are the sorted set of archive paths seen so far (tiny,
-    JSON-serialized into the checkpoint); a micro-batch's partitions are
-    the newly-arrived archives, one InputPartition each, and member
-    reads run in EXECUTORS (this is the full DataSourceStreamReader API,
-    not the driver-side Simple variant — the scale path). Exactly-once
-    comes from the engine replaying (start, end] partitions from the
-    checkpoint on failure; archives are immutable once written, so a
-    replay yields identical rows."""
+    **Offset compaction** (ADVICE r03: the r03 offset carried every
+    archive ever seen, O(total archives) forever). An offset is now
+
+        {"cursor": [mtime_ns, path],            # high-water mark
+         "recent": [[mtime_ns, path], ...]}     # within the grace window
+
+    ``recent`` holds only archives whose mtime is within ``graceSeconds``
+    (option, default 24 h) of the high-water mark, so steady-state offset
+    size is O(arrivals per grace window), not O(stream lifetime). The
+    contract this buys: an archive that first APPEARS with an mtime more
+    than graceSeconds behind the newest file is assumed already ingested
+    and is skipped — the same late-file bound as Spark's own
+    FileStreamSource ``maxFileAge``. Cold start is a full backfill (the
+    first latestOffset after initialOffset lists everything, regardless
+    of age); after a restart the checkpointed cursor carries over.
+
+    partitions(start, end) is a pure function of the two offset JSONs
+    (set-difference on ``recent`` paths, legacy ``{"seen": [...]}``
+    offsets from pre-r04 checkpoints accepted), so replay from the
+    checkpoint is deterministic; archives are immutable once written, so
+    a replayed (start, end] yields identical rows — exactly-once at the
+    sink. Member reads run in EXECUTORS (full DataSourceStreamReader,
+    not the driver-side Simple variant)."""
 
     def __init__(self, options):
         self._glob = options.get("path")
         if not self._glob:
             raise ValueError("zipmembers source requires a path (file or glob)")
+        self._grace_ns = int(float(options.get("graceSeconds", 86400)) * 1e9)
+        self._cold_start = False  # set by initialOffset (no checkpoint)
 
-    def _list(self):
+    def _snapshot(self):
         import glob as _glob
+        import os
 
-        return sorted(_glob.glob(self._glob))
+        out = []
+        for p in sorted(_glob.glob(self._glob)):
+            try:
+                out.append((os.stat(p).st_mtime_ns, p))
+            except OSError:
+                continue  # listed then deleted: skip, never fail planning
+        return out
 
     def initialOffset(self):
-        return {"seen": []}
+        # only called when NO checkpoint exists -> next latestOffset
+        # must backfill the whole directory, whatever the file ages
+        self._cold_start = True
+        return {"cursor": None, "recent": []}
 
     def latestOffset(self):
-        return {"seen": self._list()}
+        files = self._snapshot()
+        if not files:
+            return {"cursor": None, "recent": []}
+        cursor = max(files)
+        if self._cold_start:
+            recent = files  # one-time full backfill batch
+            self._cold_start = False
+        else:
+            floor = cursor[0] - self._grace_ns
+            recent = [f for f in files if f[0] >= floor]
+        return {"cursor": list(cursor), "recent": [list(f) for f in recent]}
+
+    @staticmethod
+    def _offset_paths(offset) -> set:
+        if "seen" in offset:  # legacy pre-r04 full-list offset
+            return set(offset["seen"])
+        return {p for _, p in offset.get("recent", [])}
 
     def partitions(self, start, end):
-        new = sorted(set(end["seen"]) - set(start.get("seen", [])))
+        done = self._offset_paths(start)
+        new = sorted(p for _, p in end.get("recent", []) if p not in done)
         return [_ArchivePartition(p) for p in new]
 
     def read(self, partition: _ArchivePartition):
@@ -130,7 +174,9 @@ class ZipMembersStreamReader(DataSourceStreamReader):
         yield from _iter_members(partition.path)
 
     def commit(self, end):
-        # source-side bookkeeping is the offset itself; nothing to prune
+        # no source-side state to clean: processed-set membership lives
+        # in the offsets themselves (cursor + grace window), so there is
+        # nothing to prune here — the API requires the method to exist
         pass
 
 

@@ -4,6 +4,7 @@ row-for-row, and its partition planning is one-partition-per-archive."""
 from __future__ import annotations
 
 import os
+import time
 import zipfile
 
 import pytest
@@ -92,3 +93,46 @@ def test_streaming_incremental_archives(spark, tmp_path):
     # same checkpoint: the second run appends ONLY the new archive —
     # a reprocess would show as duplicate rows in the sorted list
     assert run_once() == ["doc_1.txt", "doc_2.txt", "doc_3.txt"]
+
+
+def test_stream_offsets_stay_compact(tmp_path):
+    """ADVICE r03: offsets must not grow O(total archives ever seen).
+    Unit-level (no engine): cold start backfills everything; afterwards
+    `recent` holds only the grace window, legacy offsets still diff."""
+    import os
+
+    from openrouter_batch_processor_spark.sources.zip_datasource import (
+        ZipMembersStreamReader,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def drop(n: int, age_s: float):
+        p = d / f"a{n}.zip"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr(f"doc_{n}.txt", f"content {n}")
+        t = time.time() - age_s
+        os.utime(p, (t, t))
+        return str(p)
+
+    old = drop(1, age_s=3600)  # far beyond the 60 s grace below
+    new1 = drop(2, age_s=10)
+
+    r = ZipMembersStreamReader({"path": str(d / "*.zip"), "graceSeconds": "60"})
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    # cold start: BOTH archives admitted despite the old one's age
+    assert sorted(p.path for p in r.partitions(start, end1)) == [old, new1]
+
+    new2 = drop(3, age_s=0)
+    end2 = r.latestOffset()
+    # steady state: the hour-old archive aged out of `recent` (compact),
+    # and the diff still yields exactly the newly-arrived archive
+    paths2 = {p for _, p in end2["recent"]}
+    assert old not in paths2 and new1 in paths2 and new2 in paths2
+    assert [p.path for p in r.partitions(end1, end2)] == [new2]
+
+    # legacy pre-r04 checkpoint offset format still diffs correctly
+    legacy = {"seen": [old, new1]}
+    assert [p.path for p in r.partitions(legacy, end2)] == [new2]

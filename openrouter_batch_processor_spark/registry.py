@@ -1372,8 +1372,12 @@ _MH_COLS = ",\n".join(
     for i in range(8)
 )
 
-_SHINGLES_SQL = f"""
-    t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+def _shingles_sql(src: str = "documents") -> str:
+    """The shared shingle->minhash->bands oracle fragment, parameterized
+    by its input relation so chained pipelines (curation_dedup_funnel's
+    exact-dedup survivors) reuse the exact same minhash definition."""
+    return f"""
+    t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}),
     s AS (SELECT doc_id,
                  list_transform(range(1, len(toks) - 1),
                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
@@ -1388,6 +1392,9 @@ _SHINGLES_SQL = f"""
       SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM m UNION ALL
       SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM m)
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 @register(
@@ -1487,42 +1494,57 @@ def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_dedup_funnel",
     f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
+    WITH RECURSIVE
+    survivors AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    {_shingles_sql("survivors")},
     {_CC_SQL},
-    removed AS (SELECT count(*) - count(DISTINCT cluster_id) AS n_removed FROM labels)
+    removed AS (SELECT count(*) - count(DISTINCT cluster_id) AS n_removed FROM labels),
+    n_exact AS (SELECT count(*) AS n FROM survivors)
     SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs_surviving FROM documents
     UNION ALL
-    SELECT 'exact_dedup', count(DISTINCT md5(text))::BIGINT FROM documents
+    SELECT 'exact_dedup', n::BIGINT FROM n_exact
     UNION ALL
-    SELECT 'neardup_dedup', (SELECT count(*) FROM documents)::BIGINT - n_removed::BIGINT
-    FROM removed
+    SELECT 'neardup_dedup', n_exact.n::BIGINT - removed.n_removed::BIGINT
+    FROM n_exact, removed
     """,
     ops=["X1", "EXT-minhash", "EXT-dedup-policy", "G2"],
 )
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline yield through the dedup stages in ONE query: raw corpus,
-    exact-content survivors, and keep-first LSH near-dup survivors —
-    the shrinkage report every cleaning run publishes before committing
-    a kill list."""
+    """Pipeline yield through the dedup stages as a SEQUENTIAL funnel:
+    raw corpus -> exact-content keep-first survivors -> keep-first LSH
+    near-dup survivors OF THOSE — so n_docs_surviving is monotone
+    non-increasing down the stages (ADVICE r03: the near-dup stage
+    previously ran over the raw corpus, making the rows independent
+    per-policy yields rather than a funnel). The near-dup stage is the
+    same minhash/CC definition as dedup_clusters, applied to the
+    exact-dedup output; the oracle chains the identical stages."""
     from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
     raw = docs.agg(F.count(F.lit(1)).alias("n_docs_surviving")).select(
         F.lit("raw").alias("stage"), "n_docs_surviving"
     )
-    exact = (
-        docs.select(F.md5(F.col("text")).alias("fp"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_docs_surviving"))
-        .select(F.lit("exact_dedup").alias("stage"), "n_docs_surviving")
+    # exact keep-first on the raw-text fingerprint (min doc_id per
+    # md5(text)); semi-join back keeps all columns for the next stage
+    surv_ids = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    clusters = duplicate_clusters(docs)
+    survivors = docs.join(surv_ids, "doc_id", "leftsemi")
+    n_exact = survivors.agg(F.count(F.lit(1)).alias("_n"))
+    exact = n_exact.select(
+        F.lit("exact_dedup").alias("stage"),
+        F.col("_n").cast("long").alias("n_docs_surviving"),
+    )
+    clusters = duplicate_clusters(survivors)
     removed = clusters.agg(
         (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("_rm")
     )
     near = (
-        docs.agg(F.count(F.lit(1)).alias("_n"))
-        .crossJoin(F.broadcast(removed))
+        n_exact.crossJoin(F.broadcast(removed))
         .select(
             F.lit("neardup_dedup").alias("stage"),
             (F.col("_n") - F.col("_rm")).cast("long").alias("n_docs_surviving"),

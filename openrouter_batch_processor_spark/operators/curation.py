@@ -111,6 +111,114 @@ def duplicated_window_fraction(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The back half of substring-level dedup (Lee et al. 'Deduplicating
+    Training Data'): duplicated_window_fraction REPORTS the duplicated
+    fraction; this operator REMOVES the spans and re-emits cleaned text.
+
+    Policy — keep the global FIRST occurrence of every duplicated
+    window: a W-token window occurrence (doc, pos) is removable when its
+    hash occurs >= 2 times in the corpus (within-doc repeats count, per
+    Lee et al.) and (doc, pos) is not the lexicographically-first
+    (doc_id, pos) occurrence. A doc's removed token set is the union of
+    its removable windows' [pos, pos+W-1] ranges; maximal runs of that
+    set are the spans. Output per doc: n_tokens (normalized), n_removed,
+    n_spans_removed, removed_fraction, cleaned_text (kept tokens
+    re-joined — '' when everything was removed).
+
+    Execution is deliberately token-granular RELATIONAL (explode ->
+    equi-joins -> combiner groupBys) rather than per-doc array lambdas:
+    every stage is a shuffle on (doc_id) or a 32-byte window hash, the
+    first-occurrence pick is one groupBy min(struct), and the token
+    anti-join is linear in corpus size — the same cost class as the
+    suffix-array pass it approximates, with no driver-side state. The
+    only window function is the per-doc run-boundary lag over the
+    (small) covered-token set."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    w = window_tokens
+    staged = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    )
+    cnt = F.size(F.col("toks"))
+    mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, w), " "))  # noqa: E731
+    wins = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(cnt >= w, F.transform(F.sequence(F.lit(0), cnt - w), mk)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "wh"),
+    )
+    # one combiner groupBy gets BOTH the occurrence count and the global
+    # first occurrence (lexicographic min over (doc_id, pos))
+    stats = (
+        wins.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("wh", "first")
+    )
+    removable = (
+        wins.join(stats, "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    covered = removable.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("j"),
+    ).distinct()
+    run_w = Window.partitionBy(id_col).orderBy("j")
+    runs = covered.withColumn(
+        "new_run",
+        F.when(F.col("j") - F.lag("j").over(run_w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    )
+    span_stats = runs.groupBy(id_col).agg(
+        F.sum("new_run").cast("long").alias("n_spans_removed"),
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+    )
+    tokens = staged.select(F.col(id_col), F.posexplode(F.col("toks")).alias("j", "tok"))
+    kept = tokens.join(covered, [id_col, "j"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    n_removed = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return (
+        staged.select(F.col(id_col), cnt.cast("long").alias("n_tokens"))
+        .join(span_stats, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            n_removed.alias("n_removed"),
+            F.coalesce(F.col("n_spans_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_removed"),
+            F.round(n_removed / F.col("n_tokens"), 6).alias("removed_fraction"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def source_mixture_weights(
     docs: DataFrame, temperature: float = 0.5, source_col: str = "source"
 ) -> DataFrame:
@@ -195,9 +303,26 @@ def corpus_curation_pipeline(
     clusters = duplicate_clusters(exact, id_col, text_col)
     dropped = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     final = exact.join(dropped, id_col, "left_anti")
-    return final.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+    # back half of substring dedup (r04): duplicated W-token spans are
+    # REMOVED from the near-dup survivors (keep-first-occurrence), so
+    # the yield reports both document counts and the actual token
+    # volume a tokenizer would see after span removal
+    spans = remove_duplicate_spans(final, id_col=id_col, text_col=text_col).select(
+        id_col,
+        F.col("n_tokens").alias("_norm_toks"),
+        F.col("n_removed").alias("_span_rm"),
+    )
+    return (
+        final.join(spans, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("_span_rm").cast("long").alias("n_span_tokens_removed"),
+            (F.sum("_norm_toks") - F.sum("_span_rm"))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
     )
 
 

@@ -1156,6 +1156,72 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_window_fraction(_t(spark, sf_dir, "documents"), window_tokens=8)
 
 
+def _span_sql(src: str) -> str:
+    """CTE chain for substring SPAN REMOVAL over relation ``src`` (must
+    expose doc_id + text) — mirrors operators/curation.py
+    remove_duplicate_spans stage by stage (8-token windows, the
+    operator's default): window hashes -> occurrence rank (global
+    first-occurrence = min (doc_id, pos)) -> removable occurrences ->
+    covered token set -> run boundaries -> per-doc span stats + cleaned
+    text. Shared by curation_remove_dup_spans and the full-pipeline
+    composite so the two can never diverge."""
+    return f"""
+    spt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}),
+    spw AS (SELECT doc_id, u.i - 1 AS pos,
+                   md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
+            FROM spt, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+            WHERE len(toks) >= 8),
+    spr AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY wh) AS n_occ
+            FROM spw),
+    sprm AS (SELECT doc_id, pos FROM spr WHERE n_occ >= 2 AND rn > 1),
+    spcov AS (SELECT DISTINCT doc_id, pos + u.k AS j
+              FROM sprm, unnest(range(0, 8)) AS u(k)),
+    spruns AS (SELECT doc_id, j,
+                      CASE WHEN j - lag(j) OVER (PARTITION BY doc_id ORDER BY j) = 1
+                           THEN 0 ELSE 1 END AS new_run
+               FROM spcov),
+    spstats AS (SELECT doc_id, sum(new_run)::BIGINT AS n_spans_removed,
+                       count(*)::BIGINT AS n_removed
+                FROM spruns GROUP BY doc_id),
+    sptok AS (SELECT doc_id, u.j - 1 AS j, toks[u.j] AS tok
+              FROM spt, unnest(range(1, len(toks) + 1)) AS u(j)),
+    spkept AS (SELECT k.doc_id, k.j, k.tok
+               FROM sptok k LEFT JOIN spcov c ON c.doc_id = k.doc_id AND c.j = k.j
+               WHERE c.j IS NULL),
+    spclean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned_text
+                FROM spkept GROUP BY doc_id)"""
+
+
+@register(
+    "curation_remove_dup_spans",
+    f"""
+    WITH {_span_sql("documents")}
+    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(s.n_spans_removed, 0)::BIGINT AS n_spans_removed,
+           round(coalesce(s.n_removed, 0) / len(t.toks), 6) AS removed_fraction,
+           coalesce(c.cleaned_text, '') AS cleaned_text
+    FROM spt t
+    LEFT JOIN spstats s USING (doc_id)
+    LEFT JOIN spclean c USING (doc_id)
+    """,
+    ops=["X1", "EXT-dedup-policy", "EXT-boilerplate", "G4", "O1"],
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The back half of substring dedup (VERDICT r03 item 3): REMOVE
+    duplicated 8-token window spans, keeping each window's global first
+    occurrence, and re-emit the cleaned text plus per-doc removal stats
+    (operators/curation.py remove_duplicate_spans). curation_dup_windows
+    is the report; this is the edit."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), window_tokens=8)
+
+
 @register(
     "curation_mixture_weights",
     """
@@ -3941,22 +4007,30 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM cleaned),
     sv AS (SELECT doc_id, source, text, n_tokens FROM ex WHERE rn = 1),
-    {_SHINGLES_SQL.replace("FROM documents", "FROM sv")},
+    {_shingles_sql("sv")},
     {_CC_SQL},
-    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
-    SELECT sv.source, count(*)::BIGINT AS n_docs, sum(sv.n_tokens)::BIGINT AS n_tokens
-    FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
-    WHERE d.doc_id IS NULL
-    GROUP BY sv.source
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id),
+    finaldocs AS (
+      SELECT sv.* FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
+      WHERE d.doc_id IS NULL),
+    {_span_sql("finaldocs")}
+    SELECT f.source, count(*)::BIGINT AS n_docs, sum(f.n_tokens)::BIGINT AS n_tokens,
+           sum(coalesce(s.n_removed, 0))::BIGINT AS n_span_tokens_removed,
+           (sum(len(t.toks)) - sum(coalesce(s.n_removed, 0)))::BIGINT AS n_tokens_clean
+    FROM finaldocs f
+    JOIN spt t USING (doc_id)
+    LEFT JOIN spstats s USING (doc_id)
+    GROUP BY f.source
     """,
     ops=["X1", "EXT-quality", "EXT-boilerplate", "EXT-minhash", "EXT-dedup-policy", "G2"],
 )
 def q_curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole cleaning DAG in ONE declarative plan: quality gate ->
     boilerplate filter -> exact dedup -> LSH near-dup keep-first ->
-    per-source docs/tokens yield — cheap row-local gates first, the
-    expensive candidate join last over the smallest survivor set
-    (operators/curation.py corpus_curation_pipeline)."""
+    duplicated-span removal over the survivors (r04) -> per-source
+    docs/tokens yield incl. the post-span-removal token volume — cheap
+    row-local gates first, the expensive joins last over the smallest
+    survivor set (operators/curation.py corpus_curation_pipeline)."""
     from openrouter_batch_processor_spark.operators.curation import (
         corpus_curation_pipeline,
     )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from openrouter_batch_processor_spark.operators.curation import (
     boilerplate_ngrams,
     quality_threshold_sweep,
+    remove_duplicate_spans,
     source_mixture_weights,
 )
 
@@ -122,3 +123,62 @@ class TestDupWindows:
         assert out[1]["dup_fraction"] == 1.0 == out[2]["dup_fraction"]
         assert out[3]["dup_fraction"] == 0.0
         assert out[1]["n_windows"] == 12 - 8 + 1
+
+
+class TestRemoveDuplicateSpans:
+    def test_planted_duplicate_removed_keep_first(self, spark):
+        """Two docs share a planted 10-token passage; the later doc loses
+        exactly the passage's covered windows, the first keeps it."""
+        passage = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+        a = f"alpha one two three four five six seven {passage}"
+        b = f"{passage} omega nine eight seven six five four three"
+        c = "entirely different words with no overlap whatsoever here at all"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+        # doc 1 holds the global first occurrence of every shared window
+        assert out[1]["n_removed"] == 0
+        assert out[1]["cleaned_text"] == a.lower()
+        # doc 2: the shared windows are w-token runs starting at 0..2
+        # (10-token passage, W=8 -> 3 windows) covering tokens 0..9
+        assert out[2]["n_removed"] == 10
+        assert out[2]["n_spans_removed"] == 1
+        assert out[2]["cleaned_text"] == "omega nine eight seven six five four three"
+        # untouched doc: full text survives, zero spans
+        assert out[3]["n_removed"] == 0
+        assert out[3]["removed_fraction"] == 0.0
+
+    def test_within_doc_repeat_counts_as_duplicate(self, spark):
+        """Lee-et-al contract: a window repeated WITHIN one doc is a
+        duplicate too — the second occurrence is removed."""
+        eight = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, f"{eight} filler alpha beta gamma delta {eight}")],
+            "doc_id long, text string",
+        )
+        row = remove_duplicate_spans(docs).collect()[0]
+        assert row["n_removed"] == 8
+        assert row["n_spans_removed"] == 1
+        assert row["cleaned_text"] == f"{eight} filler alpha beta gamma delta"
+
+    def test_all_unique_corpus_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"document number{i} speaks about topic{i} alone entirely "
+                 f"word{i}a word{i}b word{i}c word{i}d word{i}e word{i}f")
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+        assert all(r["n_spans_removed"] == 0 for r in out)
+
+    def test_short_docs_have_no_windows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same short words"), (2, "same short words")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+        # identical but < 8 tokens: window-level dedup cannot see them
+        assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+        assert out[2]["cleaned_text"] == "same short words"

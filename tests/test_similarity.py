@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from openrouter_batch_processor_spark.operators.similarity import (
     assign_ivf_cells,
     ivf_topk,
+    multiprobe_rerank_report,
     neardup_pairs_bruteforce,
     neardup_pairs_bucketed,
     topk_bruteforce,
@@ -134,3 +135,32 @@ class TestAnnRecall:
         for r in out.values():
             assert 0.0 <= r["recall_at_k"] <= 1.0
             assert r["n_hit"] == round(r["recall_at_k"] * 3)
+
+
+class TestMultiprobeRerank:
+    def test_curve_monotone_and_bounded(self, spark, emb):
+        """Deeper probing can only ADD candidates: n_cand and recall are
+        non-decreasing in p, every config's hits stay within truth, and
+        the baseline row is present for the volume ratio."""
+        out = multiprobe_rerank_report(
+            emb, threshold=0.9, n_centroids=4, max_probe=3
+        ).collect()
+        rows = {r["mode"]: r for r in out}
+        assert set(rows) == {"single_c8", "rerank_c4_p2", "rerank_c4_p3"}
+        p2, p3 = rows["rerank_c4_p2"], rows["rerank_c4_p3"]
+        assert p3["n_cand"] >= p2["n_cand"]
+        assert p3["recall"] >= p2["recall"]
+        n_true = p2["n_true"]
+        assert all(r["n_pairs"] <= n_true for r in out)
+        assert all(r["n_true"] == n_true for r in out)
+        # exact-verify stage: recall is a true fraction
+        assert all(0.0 <= r["recall"] <= 1.0 for r in out)
+
+    def test_deepest_probe_on_tight_clusters_is_complete(self, spark, emb):
+        """With probes covering most cells, the candidate union contains
+        every within-cluster pair -> recall 1.0 after exact rerank."""
+        out = multiprobe_rerank_report(
+            emb, threshold=0.9, n_centroids=3, max_probe=3
+        ).collect()
+        deepest = [r for r in out if r["mode"] == "rerank_c3_p3"][0]
+        assert deepest["recall"] == 1.0

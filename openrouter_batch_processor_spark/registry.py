@@ -129,6 +129,28 @@ def q_llm_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_llm_pipeline_multimodal(spark, sf_dir)
 
 
+@register(
+    "streaming_llm_pipeline",
+    PIPELINE_ORACLE_SQL,
+    ops=["S5", "S6", "S10", "G1", "F9", "F10", "T1", "T2", "T5", "G2"],
+)
+def q_streaming_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's product loop (app.py:798 submit -> worker.py:246
+    process) as ONE Structured Streaming query: archive-arrival
+    micro-batches from the zipmembers streaming DataSource -> member
+    decode -> stateful per-group prompt assembly -> mock LLM map ->
+    usage/cost rows, availableNow into a memory sink. Archives are the
+    deterministic per-source fixture built by the K6 writer, so the
+    BATCH pipeline's oracle (PIPELINE_ORACLE_SQL over documents)
+    value-checks the streaming run bit-for-bit
+    (plans/pipeline.py run_streaming_llm_pipeline)."""
+    from openrouter_batch_processor_spark.plans.pipeline import (
+        run_streaming_llm_pipeline,
+    )
+
+    return run_streaming_llm_pipeline(spark, sf_dir)
+
+
 # ===========================================================================
 # S2 + F1 + F2 + P1 — file inventory scan shape over documents
 # ===========================================================================

@@ -243,3 +243,19 @@ class TestForeachBatchSink:
         replay = spark.createDataFrame([(2, t, 11, "view", 2.0, "")], schema)
         replay.write.mode("overwrite").parquet(f"{out_root}/batch_id={seen_batches[-1]}")
         assert sorted(r["event_id"] for r in spark.read.parquet(out_root).collect()) == [1, 2]
+
+
+def test_streaming_llm_pipeline_equals_batch(spark):
+    """The product loop as a stream: the zipmembers-source streaming
+    pipeline must emit exactly the batch pipeline's result rows."""
+    from openrouter_batch_processor_spark.plans.pipeline import (
+        run_llm_pipeline,
+        run_streaming_llm_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = {r["file"]: r for r in run_streaming_llm_pipeline(spark, sf).collect()}
+    batch = {r["file"]: r for r in run_llm_pipeline(spark, sf).collect()}
+    assert set(stream) == set(batch)
+    for k in batch:
+        assert stream[k] == batch[k]

@@ -4,6 +4,7 @@ banded-LSH near-cliques never exercise)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from openrouter_batch_processor_spark.operators.dedup import (
@@ -144,3 +145,14 @@ class TestAdversarialChain:
         rows = connected_components(pairs).collect()
         assert len(rows) == n
         assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_cc_raises_on_exhausted_iterations(spark):
+    """Loop exhaustion must be LOUD (VERDICT r03 item 6): a 64-node
+    chain cannot converge in 1 round, and silently returning
+    unconverged labels would corrupt every downstream keep-policy."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1).collect()

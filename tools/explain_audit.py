@@ -209,6 +209,9 @@ BRUTE_FORCE_OK = {
     # recall audit) — volume O(n*C), never O(n^2)
     "sim_neardup_multiprobe",
     "sim_multiprobe_recall",
+    # same centroid broadcast + 1-row scalar crossJoins as the recall
+    # audit; truth stage is the labeled brute-force baseline
+    "sim_multiprobe_rerank",
     # 1-row broadcast of the mixture normalizer (sum over |sources| rows)
     "curation_mixture_weights",
     # 1-row broadcast of the removed-count aggregate onto a 1-row total
@@ -219,6 +222,55 @@ BRUTE_FORCE_OK = {
 }
 
 
+def audit_cc_loop_body(spark) -> int:
+    """VERDICT r03 item 6: assert the connected-components ITERATION
+    BODY plan on a live adversarial chain graph — the final query plan
+    can't show it (each round is checkpointed away). Rules per round:
+    equi-join shuffles only (no cartesian/BNLJ), map-side-combining
+    hash aggregation, and every checkpointed input scan carries exactly
+    two columns — the (node, label) / (src, dst) pairs that bound the
+    per-round shuffle payload."""
+    import re
+
+    from openrouter_batch_processor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    failures = 0
+
+    def probe(rnd: int, stepped) -> None:
+        nonlocal failures
+        plan = plan_of(stepped)
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan:
+                failures += 1
+                print(f"FAIL cc_loop_body round {rnd}: {bad} in iteration body")
+        if "HashAggregate" not in plan:
+            failures += 1
+            print(f"FAIL cc_loop_body round {rnd}: neighbor-min combine is not a hash agg")
+        for cols in re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan):
+            n = len(cols.split(",")) if cols else 0
+            if n > 2:
+                failures += 1
+                print(
+                    f"FAIL cc_loop_body round {rnd}: checkpointed state "
+                    f"carries {n} columns ({cols}) — (id, label) pairs only"
+                )
+
+    out = connected_components(chain, plan_probe=probe)
+    # sanity: the chain actually converged to one component
+    labels = {r["cluster_id"] for r in out.collect()}
+    if labels != {0}:
+        failures += 1
+        print(f"FAIL cc_loop_body: chain graph mislabeled ({sorted(labels)[:5]}...)")
+    if failures == 0:
+        print("ok   cc_loop_body: per-round shuffles are equi-join (node,label) pairs only")
+    return failures
+
+
 def main() -> int:
     from openrouter_batch_processor_spark.registry import REGISTRY
     from openrouter_batch_processor_spark.session import get_spark
@@ -227,7 +279,7 @@ def main() -> int:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    failures = 0
+    failures = audit_cc_loop_body(spark)
     for name, checks in AUDITS.items():
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         for must, must_not, why in checks:

@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 
 Each query is materialized with the noop writer — full computation, no
 driver-side result accumulation, so the number measures the plan, not
-collect() serialization.
+collect() serialization. Three pass-interleaved runs per query; the
+reported per-query number is the MEDIAN (raw runs in
+BENCH_DETAIL.json["runs"]) so round-over-round deltas survive this
+box's ±30% load noise.
 """
 
 from __future__ import annotations
@@ -52,24 +55,28 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
+    # This box shows ±30%+ run-to-run noise from external load (VERDICT
+    # r03 item 7: the r02->r03 comparison drowned in it). Three FULL
+    # passes over the registry — pass-interleaved, so a noise burst
+    # lands on one pass of every query rather than all runs of a few —
+    # and the reported figure is the PER-QUERY MEDIAN; all raw runs go
+    # to BENCH_DETAIL.json under "runs" so round-over-round deltas are
+    # readable without noise caveats.
+    N_PASSES = 3
+    runs: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
-        try:
-            timings[name] = run_once(spec)
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"
-    # This box shows ±30%+ run-to-run noise from external load; re-time
-    # the slow outliers (up to twice) and keep the min — a bounded-cost,
-    # lower-noise estimate of each query's actual cost.
-    for name, spec in REGISTRY.items():
-        for _ in range(2):
-            if timings.get(name, 0.0) <= 3.0:
-                break
+    for _ in range(N_PASSES):
+        for name, spec in REGISTRY.items():
+            if name in failures:
+                continue
             try:
-                timings[name] = min(timings[name], run_once(spec))
-            except Exception:  # noqa: BLE001
-                break
+                runs.setdefault(name, []).append(run_once(spec))
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"
+                runs.pop(name, None)
+    timings = {
+        name: sorted(times)[len(times) // 2] for name, times in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     # Compact summary LAST: the driver tail-captures stdout, so the final
     # line must be the small one. The full per-query map is printed first
@@ -85,6 +92,8 @@ def main() -> None:
         "sf": sf_dir,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "n_passes": N_PASSES,
+        "stat": "median_per_query",
         # deliberately NO "queries" key here: the full per-query map
         # lives on stdout line 1 and in BENCH_DETAIL.json; repeating a
         # 10-entry subset under the same key invited silent misreads
@@ -92,6 +101,7 @@ def main() -> None:
     }
     out = dict(summary)
     out["queries"] = timings
+    out["runs"] = runs
     if failures:
         out["failures"] = failures
     print(json.dumps(out))

@@ -272,9 +272,11 @@ def corpus_curation_pipeline(
     from pyspark.sql.window import Window
 
     from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
-    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        staged_quality_scores,
+    )
 
-    q = quality_scores(docs, id_col, text_col, extra_cols=("source", text_col))
+    q = staged_quality_scores(docs, id_col, text_col)
     gated = q.filter(F.col("quality_score") >= quality_min).select(
         id_col, "source", text_col, "n_tokens"
     )

@@ -617,12 +617,30 @@ def duplicate_clusters(
     doc id in the cluster (the canonical survivor under keep-first
     policy). cluster_size via a self-aggregating join, not a window: the
     label table is (id, id) pairs, so the groupBy is tiny and
-    broadcast-joined back."""
-    comp = connected_components(minhash_candidate_pairs(docs, id_col, text_col))
-    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comp.join(F.broadcast(sizes), "cluster_id")
-        .select(F.col("node").alias(id_col), "cluster_id", "cluster_size")
+    broadcast-joined back.
+
+    The output is SESSION-STAGED keyed on the (id, text) input plan
+    (operators/staging.py): cluster membership is the "kill list" a
+    production dedup run materializes exactly once, and every
+    keep-policy consumer (dedup_clusters, apply-survivors,
+    canonical-by-quality, the funnel) joins the staged table instead of
+    re-running LSH + label propagation. Output size is O(duplicates),
+    so the checkpoint is small at any corpus scale; the first
+    consumer's cold cost stays visible in BENCH_DETAIL runs."""
+
+    def _build(d: DataFrame) -> DataFrame:
+        comp = connected_components(minhash_candidate_pairs(d, id_col, text_col))
+        sizes = comp.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return comp.join(F.broadcast(sizes), "cluster_id").select(
+            F.col("node").alias(id_col), "cluster_id", "cluster_size"
+        )
+
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col), f"duplicate_clusters:{id_col}:{text_col}", _build
     )
 
 

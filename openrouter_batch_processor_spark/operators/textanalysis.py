@@ -55,6 +55,26 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def staged_quality_scores(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Session-staged quality-scores table (VERDICT r03 item 8): the
+    canonical-by-quality policy and the curation pipeline scored the
+    same corpus independently; this stages ONE scores table per input
+    plan (operators/staging.py) — id, source + text passthrough,
+    ratios, n_tokens, quality_score — and every consumer joins it, the
+    way a production run materializes scores once. Requires a
+    ``source`` column (the curation consumers all carry it)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    narrowed = docs.select(id_col, "source", text_col)
+    return staged_from(
+        narrowed,
+        f"quality_scores:{id_col}:{text_col}",
+        lambda d: quality_scores(d, id_col, text_col, extra_cols=("source", text_col)),
+    )
+
+
 def quality_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1573,10 +1573,13 @@ def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the clean original over mangled copies
     (operators/dedup.py canonical_by_quality)."""
     from openrouter_batch_processor_spark.operators.dedup import canonical_by_quality
-    from openrouter_batch_processor_spark.operators.textanalysis import quality_scores
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        staged_quality_scores,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return canonical_by_quality(docs, quality_scores(docs))
+    quality = staged_quality_scores(docs).select("doc_id", "quality_score")
+    return canonical_by_quality(docs, quality)
 
 
 @register(

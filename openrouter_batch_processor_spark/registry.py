@@ -6686,6 +6686,11 @@ _FRONT_50 = [
     "emb_dim_stats",
     "dedup_containment",
     "dedup_multisignal",
+    # r04 execution rewrites (session-staged cluster table) of
+    # previously-certified queries: the rotation policy gives changed
+    # code a fresh driver row before untouched queries get re-checks
+    "dedup_clusters",
+    "dedup_apply_survivors",
 ]
 
 _TAIL_ORDER = [

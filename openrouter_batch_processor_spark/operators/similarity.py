@@ -188,6 +188,46 @@ def unit_vectors(
     )
 
 
+def staged_unit_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Session-staged unit-vector table (operators/staging.py): every
+    verify/rerank/truth stage joins the same normalized vectors, and at
+    sf0.1 the heavy sim queries consume it 3-6x per plan — staging it
+    once per input replaces repeated normalize-scan subtrees with one
+    materialized read (the production analog: the normalized embedding
+    table a vector pipeline writes next to the raw one)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"unit_vectors:{id_col}:{vec_col}",
+        lambda d: unit_vectors(d, id_col, vec_col),
+    )
+
+
+def staged_truth_count(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged brute-force truth size (1 row): the O(n^2) exact
+    pair count every recall audit divides by. Computed once per
+    (embeddings plan, threshold) and shared by the single-probe,
+    multi-probe and rerank audits — the audits differ in candidates,
+    never in truth."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"neardup_truth:{threshold}:{id_col}:{vec_col}",
+        lambda d: neardup_pairs_bruteforce(d, threshold, id_col, vec_col).agg(
+            F.count(F.lit(1)).alias("n_true")
+        ),
+    )
+
+
 def neardup_pairs_bucketed(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -270,7 +310,7 @@ def _scored_multiprobe_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    units = unit_vectors(embeddings, id_col, vec_col)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
     ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
     return cand.join(ua, "id_a").join(ub, "id_b").select(
@@ -330,9 +370,7 @@ def multiprobe_recall_report(
             "n_pairs",
         )
 
-    truth = neardup_pairs_bruteforce(embeddings, threshold, id_col, vec_col).agg(
-        F.count(F.lit(1)).alias("n_true")
-    )
+    truth = staged_truth_count(embeddings, threshold, id_col, vec_col)
     rows = _stats("single_c8", 8, 1).unionByName(_stats("multi_c32_p2", 32, 2))
     return rows.crossJoin(F.broadcast(truth)).select(
         "mode",
@@ -376,10 +414,18 @@ def multiprobe_rerank_report(
 
     dists = _centroid_distances(embeddings, n_centroids, id_col, vec_col)
     w = Window.partitionBy(id_col).orderBy("dist", "centroid_id")
+    # Checkpoint the (id, cell, rank) assignment: it feeds BOTH pair
+    # sides (the window would run twice), and — this being the AUDIT
+    # path, already bounded to sample scale by its brute-force truth —
+    # the n x max_probe table is small enough to BROADCAST, which
+    # parallelizes the within-cell pairing across every core instead of
+    # C join keys. The production pair operator (neardup_pairs_
+    # multiprobe) keeps the scale-safe cell equi-join.
     asg = (
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= max_probe)
         .select(id_col, "centroid_id", "rn")
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         "centroid_id", F.col(id_col).alias("id_a"), F.col("rn").alias("ra")
@@ -388,12 +434,12 @@ def multiprobe_rerank_report(
         "centroid_id", F.col(id_col).alias("id_b"), F.col("rn").alias("rb")
     )
     pairs = (
-        a.join(b, "centroid_id")
+        a.join(F.broadcast(b), "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.min(F.greatest("ra", "rb")).alias("m"))
     )
-    units = unit_vectors(embeddings, id_col, vec_col)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
     ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
     scored = pairs.join(ua, "id_a").join(ub, "id_b").select(
@@ -439,9 +485,7 @@ def multiprobe_rerank_report(
         "n_pairs",
     )
     base_vol = base.select(F.col("n_cand").alias("_base_cand"))
-    truth = neardup_pairs_bruteforce(embeddings, threshold, id_col, vec_col).agg(
-        F.count(F.lit(1)).alias("n_true")
-    )
+    truth = staged_truth_count(embeddings, threshold, id_col, vec_col)
     return (
         base_row.unionByName(probe_rows)
         .crossJoin(F.broadcast(base_vol))
@@ -467,7 +511,7 @@ def neardup_pairs_bruteforce(
 ) -> DataFrame:
     """All-pairs cosine >= threshold (a < b). Correctness baseline ONLY —
     O(n^2); at scale, bucket by IVF cell first and join within cells."""
-    units = unit_vectors(embeddings, id_col, vec_col)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
     # A small parquet scan arrives as ONE partition, and the broadcast
     # nested-loop join inherits the streamed side's partitioning — i.e.
     # the whole O(n^2) stage runs in a single task. Repartition the

@@ -590,6 +590,127 @@ def rp_signatures(
     return staged.select(F.col(id_col), sig.alias("rp_sig"))
 
 
+def rp_candidate_set(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = RP_PLANES,
+    bands: int = RP_BANDS,
+    dim: int = 64,
+) -> DataFrame:
+    """Distinct (id_a, id_b) RP-LSH candidates (any-band collision on
+    the banded sign signature) — the unscored candidate set, factored
+    out so the verify operator and the union-candidates audit share ONE
+    band/collision definition."""
+    sigs = rp_signatures(embeddings, id_col, vec_col, planes, dim)
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    pieces = [
+        sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("rp_sig"), b * bits_per_band).bitwiseAND(mask).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def union_candidates_report(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-signal candidate generation (the SCALE.md recall lever,
+    made a first-class audited operator): IVF cells and RP-LSH bucket
+    the SAME vectors by complementary geometry — Voronoi cells miss
+    boundary pairs, angular regions miss near-origin spreads — so the
+    UNION of their candidate sets recovers pairs either signal alone
+    drops. Reports (mode, n_cand, n_pairs, n_true, recall) for
+    ivf_c32_p2, rp_lsh, and their union against brute-force truth.
+
+    Every candidate pair is scored EXACTLY ONCE: the two sets are
+    tagged, merged by max(tag) on the pair key, and the per-mode stats
+    are conditional counts over one scored table — the same
+    one-join-many-signals shape as dedup_report."""
+    asg = assign_ivf_cells_multiprobe(embeddings, 32, 2, id_col, vec_col)
+    a_side = asg.select("centroid_id", F.col(id_col).alias("id_a"))
+    b_side = asg.select("centroid_id", F.col(id_col).alias("id_b"))
+    ca = (
+        a_side.join(b_side, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cb = rp_candidate_set(embeddings, id_col, vec_col)
+    tagged = ca.select(
+        "id_a", "id_b", F.lit(1).alias("in_ivf"), F.lit(0).alias("in_rp")
+    ).unionByName(
+        cb.select("id_a", "id_b", F.lit(0).alias("in_ivf"), F.lit(1).alias("in_rp"))
+    )
+    merged = tagged.groupBy("id_a", "id_b").agg(
+        F.max("in_ivf").alias("in_ivf"), F.max("in_rp").alias("in_rp")
+    )
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
+    ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
+    ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
+    scored = merged.join(ua, "id_a").join(ub, "id_b").select(
+        "in_ivf",
+        "in_rp",
+        F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    hit = F.col("cos_sim") >= threshold
+    ivf, rp = F.col("in_ivf") == 1, F.col("in_rp") == 1
+    counts = scored.agg(
+        F.count(F.when(ivf, 1)).alias("_c_ivf"),
+        F.count(F.when(ivf & hit, 1)).alias("_h_ivf"),
+        F.count(F.when(rp, 1)).alias("_c_rp"),
+        F.count(F.when(rp & hit, 1)).alias("_h_rp"),
+        F.count(F.lit(1)).alias("_c_u"),
+        F.count(F.when(hit, 1)).alias("_h_u"),
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ivf_c32_p2").alias("mode"),
+                    F.col("_c_ivf").alias("n_cand"),
+                    F.col("_h_ivf").alias("n_pairs"),
+                ),
+                F.struct(
+                    F.lit("rp_lsh").alias("mode"),
+                    F.col("_c_rp").alias("n_cand"),
+                    F.col("_h_rp").alias("n_pairs"),
+                ),
+                F.struct(
+                    F.lit("union").alias("mode"),
+                    F.col("_c_u").alias("n_cand"),
+                    F.col("_h_u").alias("n_pairs"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    truth = staged_truth_count(embeddings, threshold, id_col, vec_col)
+    return rows.crossJoin(F.broadcast(truth)).select(
+        "mode",
+        "n_cand",
+        "n_pairs",
+        "n_true",
+        F.round(F.col("n_pairs") / F.col("n_true"), 6).alias("recall"),
+    )
+
+
 def rp_candidate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -607,28 +728,7 @@ def rp_candidate_pairs(
     candidates. A pair colliding on ANY band is a candidate; at
     8 bits/band a collision means the pair agrees on 8 consecutive
     sign bits (similar angular region)."""
-    sigs = rp_signatures(embeddings, id_col, vec_col, planes, dim)
-    bits_per_band = planes // bands
-    mask = (1 << bits_per_band) - 1
-    pieces = [
-        sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("rp_sig"), b * bits_per_band).bitwiseAND(mask).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = rp_candidate_set(embeddings, id_col, vec_col, planes, bands, dim)
     units = unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
     ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))

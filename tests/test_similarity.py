@@ -15,6 +15,7 @@ from openrouter_batch_processor_spark.operators.similarity import (
     neardup_pairs_bruteforce,
     neardup_pairs_bucketed,
     topk_bruteforce,
+    union_candidates_report,
     unit_vectors,
 )
 
@@ -164,3 +165,17 @@ class TestMultiprobeRerank:
         ).collect()
         deepest = [r for r in out if r["mode"] == "rerank_c3_p3"][0]
         assert deepest["recall"] == 1.0
+
+
+class TestUnionCandidates:
+    def test_union_dominates_both_signals(self, spark, emb):
+        """The union's candidate set contains each signal's, so its
+        n_cand and recall are >= both; hits never exceed truth."""
+        out = {r["mode"]: r for r in union_candidates_report(emb, 0.9).collect()}
+        assert set(out) == {"ivf_c32_p2", "rp_lsh", "union"}
+        u = out["union"]
+        for mode in ("ivf_c32_p2", "rp_lsh"):
+            assert u["n_cand"] >= out[mode]["n_cand"]
+            assert u["n_pairs"] >= out[mode]["n_pairs"]
+            assert u["recall"] >= out[mode]["recall"]
+        assert all(r["n_pairs"] <= r["n_true"] for r in out.values())

@@ -155,6 +155,14 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         (None, "CartesianProduct", "all verify signals ride the candidate equi-join"),
         (None, "BroadcastNestedLoopJoin", "no BNLJ in the multi-signal verify"),
     ],
+    "curation_remove_dup_spans": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", None,
+         "documents scan pruned to id+text"),
+        ("HashAggregate", None,
+         "occurrence count + first-occurrence pick combine map-side"),
+        (None, "CartesianProduct", "covered tokens come from equi-joins only"),
+        (None, "BroadcastNestedLoopJoin", "no BNLJ anywhere in span removal"),
+    ],
     "fuzzy_match_parts": [
         (None, "CartesianProduct", "candidates come from the (prefix, length-bucket) equi-join"),
         ("RoundRobinPartitioning", None,
@@ -212,6 +220,7 @@ BRUTE_FORCE_OK = {
     # same centroid broadcast + 1-row scalar crossJoins as the recall
     # audit; truth stage is the labeled brute-force baseline
     "sim_multiprobe_rerank",
+    "sim_union_candidates",
     # 1-row broadcast of the mixture normalizer (sum over |sources| rows)
     "curation_mixture_weights",
     # 1-row broadcast of the removed-count aggregate onto a 1-row total

@@ -1,0 +1,56 @@
+"""Staging-cache contract (operators/staging.py): hits require the SAME
+input plan; different data can never alias; builders run exactly once
+per key."""
+
+from __future__ import annotations
+
+from openrouter_batch_processor_spark.operators.staging import (
+    staged,
+    staged_from,
+)
+
+
+def test_same_plan_hits_cache(spark):
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    a = staged(df, "t1")
+    b = staged(spark.range(10).selectExpr("id", "id * 2 AS v"), "t1")
+    assert a is b  # identical plan -> the SAME materialized table
+
+
+def test_different_data_never_aliases(spark):
+    a = staged(spark.range(5).selectExpr("id"), "t2")
+    b = staged(spark.range(6).selectExpr("id"), "t2")
+    assert a is not b
+    assert a.count() == 5 and b.count() == 6
+
+
+def test_label_namespaces_sites(spark):
+    df = spark.range(3).selectExpr("id")
+    assert staged(df, "site_a") is not staged(df, "site_b")
+
+
+def test_staged_from_builds_once_per_key(spark):
+    calls = []
+
+    def build(d):
+        calls.append(1)
+        return d.selectExpr("id", "id + 1 AS nxt")
+
+    src = spark.range(4).selectExpr("id")
+    out1 = staged_from(src, "b1", build)
+    out2 = staged_from(spark.range(4).selectExpr("id"), "b1", build)
+    assert out1 is out2
+    assert len(calls) == 1
+    assert out1.count() == 4
+
+
+def test_staged_from_rebuilds_for_new_input(spark):
+    calls = []
+
+    def build(d):
+        calls.append(1)
+        return d
+
+    staged_from(spark.range(2), "b2", build)
+    staged_from(spark.range(3), "b2", build)
+    assert len(calls) == 2

@@ -62,10 +62,21 @@ def main() -> None:
     # and the reported figure is the PER-QUERY MEDIAN; all raw runs go
     # to BENCH_DETAIL.json under "runs" so round-over-round deltas are
     # readable without noise caveats.
+    # Wall-clock budget guard: the external driver's bench timeout is
+    # not under our control, so never START a pass that projects past
+    # the budget — a completed-passes median always parses; a killed
+    # process never does. Only whole passes count (a partial pass would
+    # give some queries an extra warm run and skew their median).
     N_PASSES = 3
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     runs: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for _ in range(N_PASSES):
+    passes_done = 0
+    for p in range(N_PASSES):
+        elapsed = time.perf_counter() - t_start
+        if p > 0 and elapsed + elapsed / p > budget_s:
+            break  # projected: this pass would overrun the budget
         for name, spec in REGISTRY.items():
             if name in failures:
                 continue
@@ -74,6 +85,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 failures[name] = f"{type(exc).__name__}: {exc}"
                 runs.pop(name, None)
+        passes_done = p + 1
     timings = {
         name: sorted(times)[len(times) // 2] for name, times in runs.items()
     }
@@ -92,7 +104,7 @@ def main() -> None:
         "sf": sf_dir,
         "n_queries": len(timings),
         "n_failures": len(failures),
-        "n_passes": N_PASSES,
+        "n_passes": passes_done,
         "stat": "median_per_query",
         # deliberately NO "queries" key here: the full per-query map
         # lives on stdout line 1 and in BENCH_DETAIL.json; repeating a

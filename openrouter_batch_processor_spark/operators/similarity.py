@@ -287,6 +287,42 @@ def assign_ivf_cells_multiprobe(
     )
 
 
+def staged_multiprobe_candidates(
+    embeddings: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged distinct (id_a, id_b) multi-probe cell-sharing
+    candidates for one (C, p) config — the candidate-pair table a
+    production ANN run materializes before the verify stage (the
+    embedding-side analog of dedup's incremental candidate table),
+    shared here by the pair operator, the recall audit and the
+    union-candidates audit. Size is O(candidates), bounded by cell
+    occupancy — never all-pairs."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        assigned = assign_ivf_cells_multiprobe(
+            d, n_centroids, nprobe, id_col, vec_col
+        )
+        a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"))
+        b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"))
+        return (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"mp_cand:{n_centroids}:{nprobe}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
 def _scored_multiprobe_pairs(
     embeddings: DataFrame,
     n_centroids: int,
@@ -297,18 +333,10 @@ def _scored_multiprobe_pairs(
     """Unfiltered (id_a, id_b, cos_sim) over multi-probe cell-sharing
     candidates — the one candidate+verify pipeline both the pair
     operator and the recall audit consume, so the equal-volume
-    comparison can never drift from the production path. distinct()
-    before scoring so a pair sharing two cells is scored once."""
-    assigned = assign_ivf_cells_multiprobe(
+    comparison can never drift from the production path (candidates
+    from the staged table; a pair sharing two cells is scored once)."""
+    cand = staged_multiprobe_candidates(
         embeddings, n_centroids, nprobe, id_col, vec_col
-    )
-    a = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_a"))
-    b = assigned.select(F.col("centroid_id"), F.col(id_col).alias("id_b"))
-    cand = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
     units = staged_unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
@@ -644,16 +672,8 @@ def union_candidates_report(
     tagged, merged by max(tag) on the pair key, and the per-mode stats
     are conditional counts over one scored table — the same
     one-join-many-signals shape as dedup_report."""
-    asg = assign_ivf_cells_multiprobe(embeddings, 32, 2, id_col, vec_col)
-    a_side = asg.select("centroid_id", F.col(id_col).alias("id_a"))
-    b_side = asg.select("centroid_id", F.col(id_col).alias("id_b"))
-    ca = (
-        a_side.join(b_side, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    cb = rp_candidate_set(embeddings, id_col, vec_col)
+    ca = staged_multiprobe_candidates(embeddings, 32, 2, id_col, vec_col)
+    cb = staged_rp_candidate_set(embeddings, id_col, vec_col)
     tagged = ca.select(
         "id_a", "id_b", F.lit(1).alias("in_ivf"), F.lit(0).alias("in_rp")
     ).unionByName(
@@ -711,6 +731,26 @@ def union_candidates_report(
     )
 
 
+def staged_rp_candidate_set(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = RP_PLANES,
+    bands: int = RP_BANDS,
+    dim: int = 64,
+) -> DataFrame:
+    """Session-staged RP-LSH candidate set (same artifact-table pattern
+    as staged_multiprobe_candidates), shared by the verify operator and
+    the union-candidates audit."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"rp_cand:{planes}:{bands}:{dim}:{id_col}:{vec_col}",
+        lambda d: rp_candidate_set(d, id_col, vec_col, planes, bands, dim),
+    )
+
+
 def rp_candidate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -728,8 +768,8 @@ def rp_candidate_pairs(
     candidates. A pair colliding on ANY band is a candidate; at
     8 bits/band a collision means the pair agrees on 8 consecutive
     sign bits (similar angular region)."""
-    cand = rp_candidate_set(embeddings, id_col, vec_col, planes, bands, dim)
-    units = unit_vectors(embeddings, id_col, vec_col)
+    cand = staged_rp_candidate_set(embeddings, id_col, vec_col, planes, bands, dim)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
     ua = units.select(F.col(id_col).alias("id_a"), F.col("unit").alias("va"))
     ub = units.select(F.col(id_col).alias("id_b"), F.col("unit").alias("vb"))
     return (

@@ -182,3 +182,64 @@ class TestRemoveDuplicateSpans:
         # identical but < 8 tokens: window-level dedup cannot see them
         assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
         assert out[2]["cleaned_text"] == "same short words"
+
+
+def _py_remove_spans(docs: dict[int, str], w: int = 8):
+    """Independent pure-Python reference for remove_duplicate_spans'
+    spec (third implementation besides Spark and the DuckDB oracle)."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for d, t in docs.items()
+    }
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - w + 1):
+            occ.setdefault(tuple(ts[i : i + w]), []).append((d, i))
+    covered: dict[int, set[int]] = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for d, i in sorted(places)[1:]:  # keep global first occurrence
+            covered[d].update(range(i, i + w))
+    out = {}
+    for d, ts in toks.items():
+        cov = covered[d]
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        spans = sum(1 for j in cov if j - 1 not in cov)
+        out[d] = (len(ts), len(cov), spans, " ".join(kept))
+    return out
+
+
+def test_remove_spans_matches_python_reference(spark):
+    """Randomized corpora with planted repeats: Spark must agree with
+    the pure-Python spec on every field (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> many collisions
+    for trial in range(5):
+        docs = {}
+        shared = " ".join(rng.choices(vocab, k=rng.randint(8, 14)))
+        for d in range(6):
+            body = " ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+            parts = [body]
+            if rng.random() < 0.6:
+                parts.insert(rng.randint(0, 1), shared)
+            docs[d] = " ".join(p for p in parts if p) or "x"
+        expected = _py_remove_spans(docs)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_removed"],
+                r["n_spans_removed"],
+                r["cleaned_text"],
+            )
+            for r in remove_duplicate_spans(df).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"

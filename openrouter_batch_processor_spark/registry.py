@@ -2054,6 +2054,49 @@ def q_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f6_storage_collision_names",
+    """
+    WITH f AS (SELECT doc_id, source || '.zip' AS fname, md5(source) AS chash
+               FROM documents),
+    n AS (SELECT doc_id,
+                 substr(regexp_replace(regexp_replace(fname, '\\.zip$', ''),
+                                       '[^A-Za-z0-9_.-]+', '_', 'g'), 1, 80) AS stem,
+                 chash
+          FROM f),
+    r AS (SELECT doc_id, stem || '_' || substr(chash, 1, 12) AS base,
+                 row_number() OVER (
+                   PARTITION BY stem || '_' || substr(chash, 1, 12)
+                   ORDER BY doc_id) AS rn
+          FROM n)
+    SELECT doc_id, base || '.zip' AS candidate,
+           CASE WHEN rn = 1 THEN base || '.zip'
+                ELSE base || '_' || rn || '.zip' END AS storage_zip_name,
+           rn::BIGINT AS upload_seq
+    FROM r
+    """,
+    ops=["F6", "W1", "O1", "X1"],
+)
+def q_storage_collision_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's storage-name collision-counter loop
+    (app.py:205-226) as a batch window: every doc in a source re-uploads
+    the same content (hash = md5(source)), so candidates collide
+    per-source and the k-th upload gets the '_k' counter exactly as the
+    on-disk while-loop would assign it — in-batch naming is now
+    data-plane, not a driver seam
+    (functions/paths.py storage_names_with_counters)."""
+    from openrouter_batch_processor_spark.functions.paths import (
+        storage_names_with_counters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".zip")).alias("filename"),
+        F.md5(F.col("source")).alias("content_hash"),
+    )
+    return storage_names_with_counters(docs)
+
+
+@register(
     "f8_footer",
     """
     WITH t AS (

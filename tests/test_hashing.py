@@ -66,3 +66,29 @@ class TestFingerprints:
     def test_rolling_hash_in_range(self, spark):
         v = self._fp(spark, rolling_hash, "some longer text with several tokens here")
         assert 0 <= v < 1_000_000_007
+
+
+def test_storage_collision_counters_match_reference_loop(spark):
+    """In-batch analog of app.py:205-226: first upload keeps
+    '<stem>_<hash12>.zip', the k-th colliding upload gets '_k' with the
+    counter starting at 2, non-colliding names untouched."""
+    from openrouter_batch_processor_spark.functions.paths import (
+        storage_names_with_counters,
+    )
+
+    rows = [
+        (1, "report.zip", "a" * 64),
+        (2, "report.zip", "a" * 64),  # same name+content: collides
+        (3, "report.zip", "a" * 64),
+        (4, "report.zip", "b" * 64),  # same name, new content: no collision
+        (5, "other.zip", "a" * 64),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, filename string, content_hash string")
+    out = {r["doc_id"]: r for r in storage_names_with_counters(df).collect()}
+    h12 = "a" * 12
+    assert out[1]["storage_zip_name"] == f"report_{h12}.zip"
+    assert out[2]["storage_zip_name"] == f"report_{h12}_2.zip"
+    assert out[3]["storage_zip_name"] == f"report_{h12}_3.zip"
+    assert out[4]["storage_zip_name"] == f"report_{'b' * 12}.zip"
+    assert out[5]["storage_zip_name"] == f"other_{h12}.zip"
+    assert [out[i]["upload_seq"] for i in (1, 2, 3)] == [1, 2, 3]

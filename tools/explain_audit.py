@@ -155,6 +155,34 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
         (None, "CartesianProduct", "all verify signals ride the candidate equi-join"),
         (None, "BroadcastNestedLoopJoin", "no BNLJ in the multi-signal verify"),
     ],
+    "curation_dup_windows": [
+        ("BroadcastHashJoin", None, "duplicated-window set broadcasts into the probe"),
+        (None, "SortMergeJoin", "no shuffle join against the dup-set dim"),
+    ],
+    "text_quality": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", None,
+         "documents scan pruned to id+text"),
+        (None, "Exchange", "per-doc quality heuristics are fully narrow"),
+    ],
+    "chunk_documents_sliding": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>", None,
+         "documents scan pruned to id+text"),
+        (None, "Exchange", "1-in/N-out chunk explode is narrow — zero shuffles"),
+    ],
+    "f6_storage_collision_names": [
+        ("ReadSchema: struct<doc_id:bigint,source:string>", None,
+         "documents scan pruned to id+source (no text read for naming)"),
+        ("Window", None, "counter assignment is one window, no driver loop"),
+    ],
+    "sketch_kmv_distinct": [
+        (None, "SortAggregate", "KMV sketch folds as hash aggregation"),
+        ("ReadSchema: struct<user_id:bigint,event_type:string>", None,
+         "events scan pruned to the two sketch columns"),
+    ],
+    "scd2_user_state": [
+        ("Window", None, "validity intervals come from windows over one user shuffle"),
+        (None, "SortMergeJoin", "no self-join: lead/lag over the user partition"),
+    ],
     "curation_remove_dup_spans": [
         ("ReadSchema: struct<doc_id:bigint,text:string>", None,
          "documents scan pruned to id+text"),

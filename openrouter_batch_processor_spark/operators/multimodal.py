@@ -196,3 +196,55 @@ def sample_frames(
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         run, schema=schema
     )
+
+
+def window_audio(
+    media: DataFrame,
+    window_bytes: int = 256,
+    hop_bytes: int = 128,
+    max_windows: int = 96,
+) -> DataFrame:
+    """Audio framing stub: OVERLAPPING hop windows (the real audio
+    feature shape — 50% overlap at the defaults — unlike video's
+    disjoint keyframe sampling) with a per-window energy statistic and
+    checksum. A real build decodes PCM with soundfile and computes RMS;
+    the stub derives 'energy' deterministically from the window's md5
+    so the whole 1-in/N-out expansion is value-checkable in SQL. The
+    ``max_windows`` cap bounds output volume per clip exactly like
+    sample_frames' cap (a 3-hour recording is not a million rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("window_no", T.IntegerType()),
+            T.StructField("start_off", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("window_checksum", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                for i in range(max_windows):
+                    start = i * hop_bytes
+                    if start >= len(payload):
+                        break
+                    chunk = payload[start : start + window_bytes]
+                    rows.append(
+                        (
+                            rec.media_id,
+                            i,
+                            start,
+                            len(chunk),
+                            int(hashlib.md5(chunk).hexdigest()[:6], 16) % 10000,
+                            hashlib.sha256(chunk).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )

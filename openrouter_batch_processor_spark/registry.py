@@ -3928,6 +3928,48 @@ def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_windows",
+    """
+    WITH m AS (
+      SELECT sha256(text) AS media_id, text
+      FROM documents WHERE doc_id % 7 = 0)
+    SELECT media_id,
+           i::INT AS window_no,
+           (i * 128)::BIGINT AS start_off,
+           least(256, len(text) - i * 128)::INT AS n_bytes,
+           (('0x' || substr(md5(substr(text, i * 128 + 1, 256)), 1, 6))::BIGINT
+             % 10000)::BIGINT AS energy,
+           substr(sha256(substr(text, i * 128 + 1, 256)), 1, 16) AS window_checksum
+    FROM m CROSS JOIN range(0, 96) r(i)
+    WHERE i * 128 < len(text)
+    """,
+    ops=["D6", "S4", "EXT-multimodal"],
+)
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing: every 7th document plays a clip framed
+    into OVERLAPPING 256-byte windows at a 128-byte hop (50% overlap —
+    the real audio feature shape, vs video's disjoint keyframes), each
+    with a deterministic energy stat + checksum so the expansion is
+    value-checked in SQL (ASCII text: char substr == byte slice, the
+    multimodal_frame_sample precedent)
+    (operators/multimodal.py window_audio)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        window_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    files = docs.select(
+        F.concat(F.lit("aud/doc_"), F.col("doc_id").cast("string"), F.lit(".wav")).alias(
+            "rel_path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return window_audio(media_table(files))
+
+
+@register(
     "multimodal_features",
     """
     WITH m AS (SELECT sha256(text) AS sh FROM documents)

@@ -99,3 +99,32 @@ class TestResizeAndFrames:
         frames = sample_frames(media_table(big), every_n_bytes=64).collect()
         assert len(frames) == 64  # not ceil(10000/64) = 157
         assert max(f["frame_no"] for f in frames) == 63
+
+
+def test_audio_windows_overlap_and_cap(spark):
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        window_audio,
+    )
+
+    payload = bytes(range(256)) * 3  # 768 bytes
+    files = spark.createDataFrame(
+        [("clip/a.wav", payload, len(payload)), ("img/b.png", b"xx", 2)],
+        "rel_path string, content binary, length long",
+    )
+    out = window_audio(media_table(files), window_bytes=256, hop_bytes=128).collect()
+    # only the audio row expands; 768 bytes / 128 hop = 6 windows
+    assert len(out) == 6
+    rows = sorted(out, key=lambda r: r["window_no"])
+    assert [r["start_off"] for r in rows] == [0, 128, 256, 384, 512, 640]
+    # interior windows are full-size; the last is the 128-byte tail
+    assert [r["n_bytes"] for r in rows] == [256] * 5 + [128]
+    # 50% overlap: window i and i+1 share bytes -> different checksums
+    assert len({r["window_checksum"] for r in rows}) > 1
+    assert all(0 <= r["energy"] < 10000 for r in rows)
+
+    # cap bounds the expansion
+    capped = window_audio(
+        media_table(files), window_bytes=256, hop_bytes=128, max_windows=2
+    ).collect()
+    assert len(capped) == 2

@@ -201,7 +201,14 @@ def _ensure_llm_archives(spark: SparkSession, sf_dir: str) -> str:
         write_deterministic_zip,
     )
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # Key on the documents parquet's IDENTITY (path + mtime + size),
+    # not just the path: the external driver regenerates testdata
+    # between rounds, and a stale fixture would silently diverge from
+    # the oracle's view of the table.
+    src_parquet = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src_parquet)
+    ident = f"{src_parquet}:{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"llm_zip_fixture_{key}")
     done = os.path.join(out_dir, "_FIXTURE_READY")
     if os.path.exists(done):

@@ -286,17 +286,26 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shset) distinct-shingle arrays, materialized ONCE with an
-    eager localCheckpoint and shared by every verify-stage consumer —
-    Catalyst's ReuseExchange cannot deduplicate the shingle chain across
-    differently-pruned subtrees (see prefix_filter_pairs), and the
-    array-intersect verify keeps intermediates at O(|cand|), not
-    O(|cand| x shingles/doc). Same executor-loss tradeoff as the other
-    localCheckpoint users (chunking.py)."""
-    return (
-        doc_shingles(docs, id_col, text_col)
-        .select(F.col(id_col), F.array_distinct("sh").alias("shset"))
-        .localCheckpoint(eager=True)
+    """(id, shset) distinct-shingle arrays, materialized ONCE and shared
+    by every verify-stage consumer — Catalyst's ReuseExchange cannot
+    deduplicate the shingle chain across differently-pruned subtrees
+    (see prefix_filter_pairs), and the array-intersect verify keeps
+    intermediates at O(|cand|), not O(|cand| x shingles/doc).
+
+    SESSION-staged since r04 (operators/staging.py, keyed on the
+    (id, text) input plan): the jaccard / containment / multi-signal /
+    report / heavy-hitter queries all verify over the same corpus, and
+    a production run materializes the shingle-set table once for all of
+    them — the text-side analog of staged_unit_vectors. Same
+    executor-loss tradeoff as the other localCheckpoint users."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"shingle_sets:{id_col}:{text_col}",
+        lambda d: doc_shingles(d, id_col, text_col).select(
+            F.col(id_col), F.array_distinct("sh").alias("shset")
+        ),
     )
 
 

@@ -86,9 +86,12 @@ def main() -> None:
                 failures[name] = f"{type(exc).__name__}: {exc}"
                 runs.pop(name, None)
         passes_done = p + 1
-    timings = {
-        name: sorted(times)[len(times) // 2] for name, times in runs.items()
-    }
+    # statistics.median averages the middle two on even counts — with
+    # the budget guard stopped at 2 passes, the upper-middle pick would
+    # have silently reported every query's WORSE run as its "median"
+    from statistics import median
+
+    timings = {name: round(median(times), 3) for name, times in runs.items()}
     total = round(sum(timings.values()), 3)
     # Compact summary LAST: the driver tail-captures stdout, so the final
     # line must be the small one. The full per-query map is printed first

@@ -501,10 +501,14 @@ def multiprobe_rerank_report(
             )
         ).alias("s")
     ).select("s.*")
+    # localCheckpoint the 1-row baseline aggregate: it feeds two
+    # differently-pruned projections (stats row + volume denominator),
+    # and ReuseExchange cannot dedupe differently-pruned subtrees — the
+    # whole baseline scoring pipeline would execute twice
     base = _scored_multiprobe_pairs(embeddings, 8, 1, id_col, vec_col).agg(
         F.count(F.lit(1)).alias("n_cand"),
         F.count(F.when(hit, 1)).alias("n_pairs"),
-    )
+    ).localCheckpoint(eager=True)
     base_row = base.select(
         F.lit("single_c8").alias("mode"),
         F.lit(8).cast("long").alias("n_centroids"),

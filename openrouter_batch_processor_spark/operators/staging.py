@@ -25,9 +25,34 @@ one row per doc.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 
-_CACHE: dict[tuple, DataFrame] = {}
+# Bounded LRU (r04 self-review): an unbounded memo would pin every
+# checkpointed artifact's storage blocks for the application's lifetime
+# — at larger scale factors the ACCUMULATION, not any one table, becomes
+# the memory ceiling. Evicting just drops our reference; Spark's
+# ContextCleaner reclaims the checkpoint blocks once unreferenced. The
+# cap trades re-staging cost for bounded storage; override with
+# SPARK_GRAFT_STAGING_CACHE_MAX.
+_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_STAGING_CACHE_MAX", "64"))
+_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+
+def _cache_put(key: tuple, df: DataFrame) -> None:
+    _CACHE[key] = df
+    _CACHE.move_to_end(key)
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
+
+
+def _cache_get(key: tuple):
+    hit = _CACHE.get(key)
+    if hit is not None:
+        _CACHE.move_to_end(key)
+    return hit
 
 
 def _key(df: DataFrame, label: str) -> tuple:
@@ -44,11 +69,11 @@ def staged(df: DataFrame, label: str) -> DataFrame:
     ``df``. ``label`` namespaces independent staging sites that could
     conceivably produce plan-identical inputs."""
     key = _key(df, label)
-    hit = _CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None:
         return hit
     out = df.localCheckpoint(eager=True)
-    _CACHE[key] = out
+    _cache_put(key, out)
     return out
 
 
@@ -59,9 +84,9 @@ def staged_from(input_df: DataFrame, label: str, build) -> DataFrame:
     duplicate_clusters' output plan differs every run even though the
     computation is the same function of the same input)."""
     key = _key(input_df, label)
-    hit = _CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None:
         return hit
     out = build(input_df).localCheckpoint(eager=True)
-    _CACHE[key] = out
+    _cache_put(key, out)
     return out

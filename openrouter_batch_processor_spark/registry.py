@@ -6879,12 +6879,10 @@ _TAIL_ORDER = [
     "q4_priority_check",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_clusters",
     "dedup_minhash_jaccard",
     "dedup_prefix_filter_pairs",
     "sketch_cms_heavy_hitters",
     "dedup_incremental_candidates",
-    "dedup_apply_survivors",
     "sim_neardup_multiprobe",
     "sim_multiprobe_recall",
     "multimodal_frame_sample",
@@ -6984,6 +6982,12 @@ def _reorder_registry() -> None:
     unknown = (set(_FRONT_50) | set(_TAIL_ORDER)) - set(REGISTRY)
     if unknown:
         raise ValueError(f"ordering lists name unknown queries: {sorted(unknown)}")
+    dup = set(_FRONT_50) & set(_TAIL_ORDER)
+    if dup:
+        # a name in both lists is silently resolved to its front position
+        # by the dict insert below — refuse instead, so a rotation edit
+        # can't leave a dead tail entry that misleads the next edit
+        raise ValueError(f"queries listed in both _FRONT_50 and _TAIL_ORDER: {sorted(dup)}")
     ordered: dict[str, QuerySpec] = {}
     for name in _FRONT_50:
         if name in REGISTRY:

@@ -110,14 +110,29 @@ class ZipMembersStreamReader(DataSourceStreamReader):
     and is skipped — the same late-file bound as Spark's own
     FileStreamSource ``maxFileAge``. Cold start is a full backfill (the
     first latestOffset after initialOffset lists everything, regardless
-    of age); after a restart the checkpointed cursor carries over.
+    of age).
+
+    **Restart/downtime bound, precisely.** latestOffset cannot see the
+    committed offset (the Python DataSource API restores it only into
+    partitions(start, end)), so the very first batch after a restart
+    floors its window at (newest mtime - grace). From the SECOND batch
+    on, the reader has observed ``start``'s cursor via partitions() and
+    extends the floor down to it — files that landed during a long
+    downtime are picked up one trigger later instead of lost. The
+    residual miss is exactly maxFileAge's: a single availableNow run
+    after downtime longer than the grace can skip files older than the
+    grace; size graceSeconds to the longest tolerated outage.
 
     partitions(start, end) is a pure function of the two offset JSONs
-    (set-difference on ``recent`` paths, legacy ``{"seen": [...]}``
-    offsets from pre-r04 checkpoints accepted), so replay from the
-    checkpoint is deterministic; archives are immutable once written, so
-    a replayed (start, end] yields identical rows — exactly-once at the
-    sink. Member reads run in EXECUTORS (full DataSourceStreamReader,
+    (set-difference on paths; legacy ``{"seen": [...]}`` offsets from
+    pre-r04 checkpoints accepted on BOTH sides, so an upgrade replay of
+    a legacy (start, end] still yields its archives), so replay from
+    the checkpoint is deterministic; archives are immutable once
+    written, so a replayed (start, end] yields identical rows —
+    exactly-once at the sink. A transiently-empty directory listing
+    re-issues the previous offset rather than an empty one (an empty
+    END would wipe the done-set and re-ingest everything on the next
+    diff). Member reads run in EXECUTORS (full DataSourceStreamReader,
     not the driver-side Simple variant)."""
 
     def __init__(self, options):
@@ -126,6 +141,9 @@ class ZipMembersStreamReader(DataSourceStreamReader):
             raise ValueError("zipmembers source requires a path (file or glob)")
         self._grace_ns = int(float(options.get("graceSeconds", 86400)) * 1e9)
         self._cold_start = False  # set by initialOffset (no checkpoint)
+        self._floor_ns: int | None = None  # committed cursor seen via partitions()
+        self._committed_paths: set = set()  # that offset's (processed) paths
+        self._last_end = None  # last non-empty offset this instance returned
 
     def _snapshot(self):
         import glob as _glob
@@ -148,7 +166,10 @@ class ZipMembersStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         files = self._snapshot()
         if not files:
-            return {"cursor": None, "recent": []}
+            # transient empty listing: repeat the previous offset so the
+            # done-set survives (an empty END offset would make the next
+            # diff re-ingest every archive still on disk)
+            return self._last_end or {"cursor": None, "recent": []}
         cursor = max(files)
         if self._cold_start:
             recent = files  # one-time full backfill batch
@@ -156,7 +177,27 @@ class ZipMembersStreamReader(DataSourceStreamReader):
         else:
             floor = cursor[0] - self._grace_ns
             recent = [f for f in files if f[0] >= floor]
-        return {"cursor": list(cursor), "recent": [list(f) for f in recent]}
+            if self._floor_ns is not None and self._floor_ns < floor:
+                # extend down to the last committed cursor observed via
+                # partitions() — recovers files that arrived during a
+                # downtime longer than the grace window — but EXCLUDE
+                # the committed offset's own paths: those are processed,
+                # and re-listing them in `recent` would make the next
+                # diff re-ingest them (everything processed earlier than
+                # the committed cursor has mtime below the extension, so
+                # the committed paths are exactly the at-risk set)
+                recent += [
+                    f
+                    for f in files
+                    if self._floor_ns <= f[0] < floor
+                    and f[1] not in self._committed_paths
+                ]
+                recent.sort()
+        self._last_end = {
+            "cursor": list(cursor),
+            "recent": [list(f) for f in recent],
+        }
+        return self._last_end
 
     @staticmethod
     def _offset_paths(offset) -> set:
@@ -166,7 +207,17 @@ class ZipMembersStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         done = self._offset_paths(start)
-        new = sorted(p for _, p in end.get("recent", []) if p not in done)
+        if "seen" in start:
+            # legacy full-list offset: it enumerates everything ever
+            # processed, so recovery can extend all the way down
+            self._floor_ns, self._committed_paths = 0, done
+        else:
+            cur = start.get("cursor")
+            if cur is not None:
+                # remember the committed high-water mark + its paths for
+                # the NEXT latestOffset's floor (docstring: restart bound)
+                self._floor_ns, self._committed_paths = cur[0], done
+        new = sorted(self._offset_paths(end) - done)
         return [_ArchivePartition(p) for p in new]
 
     def read(self, partition: _ArchivePartition):

@@ -54,3 +54,17 @@ def test_staged_from_rebuilds_for_new_input(spark):
     staged_from(spark.range(2), "b2", build)
     staged_from(spark.range(3), "b2", build)
     assert len(calls) == 2
+
+
+def test_cache_is_bounded_lru(spark, monkeypatch):
+    import openrouter_batch_processor_spark.operators.staging as st
+
+    monkeypatch.setattr(st, "_CACHE_MAX", 3)
+    st._CACHE.clear()
+    dfs = [staged(spark.range(10 + i), f"lru{i}") for i in range(5)]
+    assert len(st._CACHE) == 3
+    # oldest entries evicted; re-staging them yields a NEW object
+    assert staged(spark.range(10), "lru0") is not dfs[0]
+    # most-recent entry still cached
+    assert staged(spark.range(14), "lru4") is dfs[4]
+    st._CACHE.clear()

@@ -136,3 +136,64 @@ def test_stream_offsets_stay_compact(tmp_path):
     # legacy pre-r04 checkpoint offset format still diffs correctly
     legacy = {"seen": [old, new1]}
     assert [p.path for p in r.partitions(legacy, end2)] == [new2]
+
+
+def test_stream_offsets_upgrade_and_outage_paths(tmp_path):
+    """The three offset edge paths from the r04 self-review: a legacy
+    END offset still yields its archives on upgrade replay, a transient
+    empty listing re-issues the previous offset (no re-ingest), and the
+    committed cursor observed via partitions() extends the grace floor
+    so downtime arrivals are recovered a trigger later."""
+    import os
+
+    from openrouter_batch_processor_spark.sources.zip_datasource import (
+        ZipMembersStreamReader,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def drop(n: int, age_s: float):
+        p = d / f"a{n}.zip"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr(f"doc_{n}.txt", f"content {n}")
+        t = time.time() - age_s
+        os.utime(p, (t, t))
+        return str(p)
+
+    a1 = drop(1, 5000)
+    a2 = drop(2, 4000)
+
+    r = ZipMembersStreamReader({"path": str(d / "*.zip"), "graceSeconds": "60"})
+    # 1) upgrade replay: BOTH offsets in the legacy format
+    legacy_start = {"seen": [a1]}
+    legacy_end = {"seen": [a1, a2]}
+    assert [p.path for p in r.partitions(legacy_start, legacy_end)] == [a2]
+
+    # 2) outage recovery — FRESH reader models the restarted process.
+    # The committed cursor (a2's mtime, observed via partitions) must
+    # extend the floor past the 60 s grace so a3 — arrived during
+    # downtime, 3000 s older than the newest file — is admitted by the
+    # SECOND post-restart batch, while processed a2/a1 are NOT re-read
+    a3 = drop(3, 3000)
+    a4 = drop(4, 0)
+    committed = {
+        "cursor": [os.stat(a2).st_mtime_ns, a2],
+        "recent": [[os.stat(a2).st_mtime_ns, a2]],
+    }
+    r2 = ZipMembersStreamReader({"path": str(d / "*.zip"), "graceSeconds": "60"})
+    end1 = r2.latestOffset()  # first batch after restart: grace-only floor
+    assert a3 not in {p for _, p in end1["recent"]}  # the documented miss
+    assert [p.path for p in r2.partitions(committed, end1)] == [a4]
+    end2 = r2.latestOffset()
+    got = {p for _, p in end2["recent"]}
+    assert a3 in got and a4 in got  # floor extended to the cursor ...
+    assert a2 not in got and a1 not in got  # ... excluding processed files
+    assert [p.path for p in r2.partitions(end1, end2)] == [a3]
+
+    # 3) transient empty listing: previous offset repeats, done-set kept
+    for f in d.glob("*.zip"):
+        f.rename(tmp_path / f.name)
+    assert r2.latestOffset() == end2
+    for f in tmp_path.glob("*.zip"):
+        f.rename(d / f.name)

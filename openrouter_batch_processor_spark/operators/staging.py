@@ -26,6 +26,7 @@ one row per doc.
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -39,20 +40,28 @@ from pyspark.sql import DataFrame
 # SPARK_GRAFT_STAGING_CACHE_MAX.
 _CACHE_MAX = int(os.environ.get("SPARK_GRAFT_STAGING_CACHE_MAX", "64"))
 _CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+# FAIR-pool jobs (plans/jobs.py, T3) can stage from several threads at
+# once; the lock covers the check/insert/evict steps only — builds run
+# OUTSIDE it, so a duplicate concurrent build is possible and benign
+# (last writer wins, both results are correct), while a half-updated
+# LRU order is not.
+_LOCK = threading.Lock()
 
 
 def _cache_put(key: tuple, df: DataFrame) -> None:
-    _CACHE[key] = df
-    _CACHE.move_to_end(key)
-    while len(_CACHE) > _CACHE_MAX:
-        _CACHE.popitem(last=False)
+    with _LOCK:
+        _CACHE[key] = df
+        _CACHE.move_to_end(key)
+        while len(_CACHE) > _CACHE_MAX:
+            _CACHE.popitem(last=False)
 
 
 def _cache_get(key: tuple):
-    hit = _CACHE.get(key)
-    if hit is not None:
-        _CACHE.move_to_end(key)
-    return hit
+    with _LOCK:
+        hit = _CACHE.get(key)
+        if hit is not None:
+            _CACHE.move_to_end(key)
+        return hit
 
 
 def _key(df: DataFrame, label: str) -> tuple:

@@ -80,6 +80,58 @@ def binned_quantiles(
     return one.select("total", *[F.col(f"p{p}_bucket") for p in percentiles], *vals)
 
 
+def sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group quantiles from a deterministic HASH SAMPLE — the
+    mergeable companion to binned_quantiles (which needs a usable value
+    range) and the exact rank median (which sorts every row).
+
+    The sample is the k rows with the smallest md5(id) per group — a
+    uniform sample that is DETERMINISTIC (no RNG, so the DuckDB oracle
+    reproduces it bit-for-bit) and MERGEABLE (the k smallest hashes of
+    a union are a subset of the union of each part's k smallest, the
+    same property KMV uses): at 100 TB each partition keeps its k
+    smallest locally and the combiner merges, so per-group state is
+    O(k) everywhere. Quantile q is the sorted sample's element at index
+    floor((m-1)*q) — sample-exact, with standard O(1/sqrt(k)) rank
+    error vs the population.
+
+    Here the per-group top-k runs as one window + filter (group sizes
+    at test scale don't warrant the two-phase combine); collect_list
+    only ever sees <= k rows, so driver/executor state stays bounded by
+    construction."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy("_h")
+    sampled = (
+        df.select(
+            F.col(group_col),
+            F.col(value_col).cast("double").alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    sv = sampled.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("_v")).alias("_sv")
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    m = F.size("_sv")
+    cols = [F.col(group_col), F.col("n_rows"), m.cast("long").alias("n_sample")]
+    for q in quantiles:
+        idx = F.floor((m - 1) * F.lit(q)).cast("int") + 1
+        cols.append(
+            F.round(F.element_at(F.col("_sv"), idx), 6).alias(f"q{int(q * 100)}")
+        )
+    return counts.join(sv, group_col).select(*cols)
+
+
 def kmv_distinct(
     df: DataFrame,
     keys: list[str],

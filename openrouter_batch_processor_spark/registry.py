@@ -3896,6 +3896,41 @@ from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
 
 
 @register(
+    "sketch_sample_quantiles",
+    """
+    WITH r AS (SELECT event_type, value::DOUBLE AS v,
+                      md5(event_id::VARCHAR) AS h
+               FROM events),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM r),
+    s AS (SELECT event_type, list_sort(list(v)) AS sv
+          FROM rk WHERE rn <= 256 GROUP BY event_type),
+    n AS (SELECT event_type, count(*)::BIGINT AS n_rows FROM events GROUP BY 1)
+    SELECT n.event_type, n.n_rows, len(s.sv)::BIGINT AS n_sample,
+           round(s.sv[(floor((len(s.sv) - 1) * 0.1))::INT + 1], 6) AS q10,
+           round(s.sv[(floor((len(s.sv) - 1) * 0.25))::INT + 1], 6) AS q25,
+           round(s.sv[(floor((len(s.sv) - 1) * 0.5))::INT + 1], 6) AS q50,
+           round(s.sv[(floor((len(s.sv) - 1) * 0.75))::INT + 1], 6) AS q75,
+           round(s.sv[(floor((len(s.sv) - 1) * 0.9))::INT + 1], 6) AS q90
+    FROM n JOIN s USING (event_type)
+    """,
+    ops=["EXT-sketch", "EXT-sampling", "G4", "O4"],
+)
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable hash-sample quantiles per event type: the k smallest
+    md5(event_id) rows form a deterministic uniform sample (the KMV
+    property makes it combiner-mergeable at 100 TB), and quantiles are
+    sample-exact order statistics — the third quantile strategy next to
+    the exact rank median (full sort) and the binned histogram (needs a
+    value range) (operators/sketches.py sample_quantiles)."""
+    from openrouter_batch_processor_spark.operators.sketches import sample_quantiles
+
+    return sample_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", k=256
+    )
+
+
+@register(
     "stats_binned_quantiles",
     """
     WITH b AS (SELECT floor(l_extendedprice / 500.0)::BIGINT AS bucket FROM lineitem),

@@ -168,3 +168,24 @@ class TestCountMinSketch:
         assert len(rows) == 10
         for r in rows:
             assert r["cms_est"] >= r["true_count"]
+
+
+def test_sample_quantiles_mergeable_and_exact_on_small_groups(spark):
+    """Groups smaller than k: the sample IS the population, so the
+    quantiles are the exact order statistics; larger groups stay
+    bounded at k."""
+    from openrouter_batch_processor_spark.operators.sketches import sample_quantiles
+
+    rows = [(i, "small", float(i)) for i in range(11)]  # 0..10
+    rows += [(100 + i, "big", float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_type"]: r for r in
+           sample_quantiles(df, "event_type", "value", "event_id", k=64).collect()}
+    small = out["small"]
+    assert small["n_sample"] == 11 and small["n_rows"] == 11
+    # exact order statistics of 0..10
+    assert (small["q10"], small["q50"], small["q90"]) == (1.0, 5.0, 9.0)
+    big = out["big"]
+    assert big["n_sample"] == 64 and big["n_rows"] == 500
+    # sample quantiles live inside the population range, ordered
+    assert 0.0 <= big["q10"] <= big["q25"] <= big["q50"] <= big["q75"] <= big["q90"] <= 49.0

@@ -248,3 +248,121 @@ def window_audio(
     return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         run, schema=schema
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("h_hi", T.LongType()),  # bits 0-31 of the 64-bit hash
+        T.StructField("h_lo", T.LongType()),  # bits 32-63
+    ]
+)
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """Perceptual-hash ('pHash-shape') signatures for image payloads via
+    mapInPandas: sample 64 evenly-spaced bytes of the decoded luminance
+    stream (here: the raw payload — the deterministic stand-in for a
+    downscaled 8x8 grayscale plane; a real deployment swaps in
+    library_decoder's pixels, same schema), threshold each sample
+    against the mean, and pack the 64 bits into two 32-bit halves.
+    Locality is the point: a small IN-PLACE edit moves few samples, so
+    near-duplicate images land at small Hamming distance — unlike the
+    avalanche sha256 id. Because the sample grid is length-dependent,
+    only same-length edits are local in this byte-sampling stand-in; a
+    real decoder resamples to a fixed 8x8 plane, which makes the grid
+    length-invariant (the limitation lives in the fake decode, not the
+    LSH machinery). Empty payloads produce no row (nothing to hash). Batch shape: one Arrow batch in, one row per
+    image out; zero driver state."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(rec.payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                pix = [b[(i * n) // 64] for i in range(64)]
+                mu = sum(pix) / 64.0
+                bits = [1 if p > mu else 0 for p in pix]
+                hi = sum(bit << (31 - i) for i, bit in enumerate(bits[:32]))
+                lo = sum(bit << (31 - i) for i, bit in enumerate(bits[32:]))
+                rows.append((rec.media_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["media_id", "h_hi", "h_lo"])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual-hash LSH: the
+    64-bit signature splits into four 16-bit bands; a pair is a
+    candidate iff SOME band matches exactly (guaranteed for Hamming
+    distance <= 3 by pigeonhole — the same banding contract as
+    dedup_simhash_pairs, dedup.py); candidates are verified with the
+    exact Hamming distance (bit_count of xor, JVM-side) and kept at
+    <= max_hamming. Distinct-pair dedup happens BEFORE verification so
+    a pair matching several bands is scored once.
+
+    Scale: candidates come from an equi-self-join on (band, band_val) —
+    bucketed, O(near-dups); the all-pairs product never exists. A viral
+    band value (e.g. flat-color thumbnails) is the AQE skew case."""
+    sig = phash_images(media)
+    bands = sig.select(
+        "media_id",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftrightunsigned("h_hi", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("h_hi").bitwiseAND(F.lit(0xFFFF))).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftrightunsigned("h_lo", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    (F.col("h_lo").bitwiseAND(F.lit(0xFFFF))).alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("media_id", "h_hi", "h_lo", "b.band", "b.band_val")
+    a = bands.select(
+        "band",
+        "band_val",
+        F.col("media_id").alias("id_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("h_lo").alias("lo_a"),
+    )
+    b = bands.select(
+        "band",
+        "band_val",
+        F.col("media_id").alias("id_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("h_lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -933,3 +933,65 @@ def ann_recall(
         nh.cast("long").alias("n_hit"),
         F.round(nh / k, 6).alias("recall_at_k"),
     )
+
+
+def semdedup_report(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means-style clustering of embeddings, then
+    dropping — WITHIN each cluster — every vector whose cosine
+    similarity to a lower-id vector of the same cluster meets the
+    threshold (the paper keeps one representative per semantic
+    duplicate group; lowest id is the deterministic stand-in for its
+    "keep the lowest-perplexity member" policy). Returns the per-cluster
+    prune report: (centroid_id, n_vectors, n_removed, n_kept,
+    removed_frac).
+
+    Training-pipeline extension (reference has no analogue; its exact
+    dedup is `worker.py`-era content hashing — see X1). Scale shape is
+    the bucketed near-dup contract: cluster assignment is one broadcast
+    cross join against C centroid rows + a min-by (no shuffle of the
+    corpus), the pairwise stage is an equi-self-join on centroid_id —
+    C independent O((n/C)^2) problems instead of one O(n^2) — and the
+    report is a combiner-friendly per-cell count. A skewed giant
+    cluster is the AQE skew-join case (same as neardup_pairs_bucketed).
+    The removal predicate is per-pair (a vector is removed iff ANY
+    lower-id same-cell vector is >= threshold), so no iterative
+    chaining is involved and the oracle restates it as an EXISTS."""
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
+    cells = assigned.select(F.col(id_col), "centroid_id").join(units, id_col)
+    a = cells.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col("unit").alias("va")
+    )
+    b = cells.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col("unit").alias("vb")
+    )
+    removed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(_dot(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    n_removed = (
+        assigned.join(removed, id_col, "leftsemi")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    totals = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    nr = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return totals.join(n_removed, "centroid_id", "left").select(
+        "centroid_id",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        nr.alias("n_removed"),
+        (F.col("n_vectors") - nr).cast("long").alias("n_kept"),
+        F.round(nr / F.col("n_vectors"), 6).alias("removed_frac"),
+    )

@@ -423,3 +423,71 @@ def cms_heavy_hitter_counts(
         .groupBy("term", "true_count")
         .agg(F.min("counter").cast("long").alias("cms_est"))
     )
+
+
+# AMS tug-of-war: number of independent estimator rows (median-of-R).
+AMS_ROWS = 9
+
+
+def ams_f2(
+    df: DataFrame,
+    value_col: str,
+    n_rows: int = AMS_ROWS,
+) -> DataFrame:
+    """AMS "tug-of-war" sketch for the second frequency moment F2 =
+    sum_v f(v)^2 (Alon, Matias & Szegedy 1996) — the self-join-size /
+    repeat-rate estimate a cost-based optimizer wants for equi-join
+    cardinality. Each of n_rows estimators draws a deterministic ±1
+    sign per distinct value (md5 of (row, value): bit -> sign), folds
+    Z_r = sum_v sign_r(v) * f(v) over the stream, and estimates F2 as
+    Z_r^2; the output reports each estimator row beside the exact F2
+    plus the mean and median-of-rows combiners (the paper's
+    variance-reduction step).
+
+    Everything is integer arithmetic (signs, counts, squares), so
+    cross-engine parity is exact, and the sketch is MERGEABLE: Z_r of a
+    union is the sum of per-partition Z_r — one combiner-friendly
+    groupBy over (row, value) pre-aggregated counts, a R-row shuffle to
+    merge, and a 1-row exact-F2 broadcast joined for the report. At
+    100 TB the shuffled state is R longs per partition, nothing else."""
+    freqs = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    exact = freqs.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(n_rows)])).alias("r")
+    signed = freqs.select(F.col("v"), F.col("f"), rows).select(
+        "r",
+        (
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.col("r"), F.col("v"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.col("f")
+        ).alias("z"),
+    )
+    ests = (
+        signed.groupBy("r")
+        .agg(F.sum("z").cast("long").alias("z_sum"))
+        .select("r", (F.col("z_sum") * F.col("z_sum")).cast("long").alias("est_f2"))
+    )
+    combined = ests.agg(
+        F.round(F.avg("est_f2"), 6).alias("mean_est"),
+        F.expr("percentile(est_f2, 0.5)").alias("median_est"),
+    )
+    return (
+        ests.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(combined))
+        .select(
+            "r",
+            "est_f2",
+            "exact_f2",
+            F.col("mean_est"),
+            F.round(F.col("median_est"), 6).alias("median_est"),
+        )
+    )

@@ -431,3 +431,162 @@ def pii_redaction(
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# DSIR hashed-feature space: buckets for the unigram importance model.
+DSIR_BUCKETS = 512
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log-likelihood ratio of its hashed
+    unigram features under a target-distribution model vs the raw-corpus
+    model, log w(x) = sum_t tf_x(t) * [ln p_target(b(t)) - ln p_raw(b(t))]
+    with add-one smoothing over B hash buckets. High log_weight = the
+    doc looks like the target domain; the resampling step then keeps
+    the top mass (see sample_weighted_priority for the weighted-sample
+    machinery). The target here is the in-corpus slice lang ==
+    target_lang so the oracle can restate it; production would fit the
+    target counts on a separate target-domain corpus.
+
+    Training-pipeline extension (no reference analogue). Scale shape:
+    ONE explode pass over the corpus feeds three aggregations — the
+    per-(doc,bucket) tf table (shuffles on (doc,bucket), map-side
+    combined) and the two B-row bucket-count tables, which BROADCAST
+    back onto the tf table (B=512 rows regardless of corpus size; the
+    totals are 1-row broadcasts folded into the same lookup table).
+    Per-bucket log-ratios are rounded then decimal-summed so the
+    per-doc reduction is partition-count invariant."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.col(lang_col).alias("_lang"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(F.col(id_col), "_lang", bucket.alias("bucket"))
+    )
+    cb = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cb"))
+    tb = (
+        toks.filter(F.col("_lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = cb.agg(F.sum("cb").cast("double").alias("tc")).crossJoin(
+        tb.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
+    )
+    lr = (
+        cb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + n_buckets))
+                - F.log((F.col("cb") + 1) / (F.col("tc") + n_buckets)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    dfb = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = F.round(F.col("tf") * F.col("lr"), 6).cast("decimal(18,6)")
+    per_doc = (
+        dfb.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(contrib).alias("_lw"),
+        )
+    )
+    return per_doc.join(docs.select(F.col(id_col), F.col(lang_col)), id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.round(F.col("_lw").cast("double"), 6).alias("log_weight"),
+    )
+
+
+# Add-k smoothing constant for the bigram LM (CCNet uses a KenLM 5-gram;
+# the add-k bigram is the SQL-expressible stand-in with the same shape).
+BIGRAM_K = 0.5
+
+
+def bigram_nll(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet-style
+    quality filter (Wenzek et al. 2020: score web text with an LM
+    trained on a clean corpus; docs scoring far above the median are
+    dropped). The LM is an add-k bigram model fit on the corpus itself:
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V) with c(w1) the corpus
+    unigram count and V the unigram vocabulary size; per-doc avg_nll is
+    the mean negative log-prob over the doc's bigrams and ppl =
+    exp(avg_nll). Docs with < 2 tokens have no bigrams and are
+    excluded (same contract as the shingle operators).
+
+    Scale shape: the bigram explode shuffles map-side-combined
+    (doc, bigram) counts; the corpus bigram/unigram count tables join
+    back by equi-key (vocab << corpus, AQE broadcasts them at small
+    scale and hash-joins at 100 TB — either way no skewed all-pairs
+    stage); V is a 1-row broadcast. Per-bigram contributions are
+    rounded then decimal-summed (partition-count invariant); divisions
+    round at the edge."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size("toks")
+    base = docs.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bf = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("bf"))
+    )
+    c12 = bf.groupBy("bigram").agg(F.sum("bf").cast("long").alias("c12"))
+    ctf = (
+        term_frequencies(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("c1"))
+    )
+    v = ctf.agg(F.count(F.lit(1)).cast("double").alias("vsz"))
+    nb = F.round(
+        -F.log(
+            (F.col("c12") + F.lit(BIGRAM_K)) / (F.col("c1") + F.lit(BIGRAM_K) * F.col("vsz"))
+        ),
+        6,
+    )
+    contrib = F.round(F.col("bf") * F.col("nb"), 6).cast("decimal(18,6)")
+    scored = (
+        bf.join(c12, "bigram")
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .join(ctf.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), "bf", nb.alias("nb"))
+    )
+    avg = F.round(F.col("_nll").cast("double") / F.col("n_bigrams"), 6)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("bf").cast("long").alias("n_bigrams"),
+            F.sum(contrib).alias("_nll"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            avg.alias("avg_nll"),
+            F.round(F.exp(avg), 6).alias("ppl"),
+        )
+    )

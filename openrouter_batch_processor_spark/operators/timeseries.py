@@ -258,3 +258,56 @@ def linear_attribution(
         F.count_distinct("pid").alias("n_purchases"),
         F.round(F.sum("share").cast("double"), 6).alias("attributed_value"),
     )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection per event_type (Page 1954): the
+    point where the cumulative deviation from the series mean peaks —
+    the standard drift/level-shift detector for pipeline telemetry
+    (ingest-rate regressions, quality-score drift across a crawl).
+
+    Exactness: cusum_k = prefix_k - k*total/n involves a division, so
+    it is computed SCALED as dev_k = n*prefix_k - k*total entirely in
+    DECIMAL (exact, associative, partition-count invariant); only the
+    final report divides back by n and rounds at the edge. The argmax
+    is a row_number over (|dev| DESC, k ASC) — deterministic tie-break
+    on the earliest peak.
+
+    Scale shape: one window pass partitioned by event_type (series
+    count bounds parallelism; a single monster series is the documented
+    windows.py skew case), then a 1-row-per-type reduction. Nothing
+    driver-side, state = the window frame."""
+    v = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type")
+    scored = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.sum(v).over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    ).select(
+        "event_type",
+        "ts",
+        "k",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("k") * F.col("total")).alias("dev"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev")).desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n"),
+            F.col("k").alias("cp_index"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("cp_ts"),
+            F.round(F.abs(F.col("dev")).cast("double") / F.col("n"), 6).alias(
+                "max_abs_cusum"
+            ),
+        )
+    )

@@ -6827,6 +6827,245 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 curation v2: SemDeDup, DSIR importance weights, bigram-LM
+# perplexity — the published training-data curation methods layered on
+# the existing ivf/tf machinery (each operator's docstring cites its
+# paper and argues the 100 TB shape).
+# ===========================================================================
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=1)}),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    removed AS (SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                     AND a.vec_id < b.vec_id
+                JOIN u ua ON ua.vec_id = a.vec_id
+                JOIN u ub ON ub.vec_id = b.vec_id
+                WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.5)
+    SELECT g.centroid_id, count(*)::BIGINT AS n_vectors,
+           count(r.vec_id)::BIGINT AS n_removed,
+           (count(*) - count(r.vec_id))::BIGINT AS n_kept,
+           round(count(r.vec_id) / count(*)::DOUBLE, 6) AS removed_frac
+    FROM asg g LEFT JOIN removed r ON r.vec_id = g.vec_id
+    GROUP BY 1
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "EXT-dedup-policy", "G2"],
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cluster prune report (τ=0.5, 8 cells): semantic
+    dedup = cluster embeddings, drop within-cluster vectors cosine-≥τ
+    to a lower-id member. operators/similarity.semdedup_report has the
+    paper citation and the C-independent-cells scale argument."""
+    from openrouter_batch_processor_spark.operators.similarity import semdedup_report
+
+    return semdedup_report(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, n_centroids=8
+    )
+
+
+@register(
+    "text_dsir_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+                  FROM documents),
+    tk AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS bucket
+           FROM toks WHERE term != ''),
+    cb AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
+    tb AS (SELECT bucket, count(*)::BIGINT AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cb) FROM cb)::DOUBLE AS tc,
+                   (SELECT coalesce(sum(ct), 0) FROM tb)::DOUBLE AS tt),
+    lr AS (SELECT c.bucket,
+                  round(ln((coalesce(t.ct, 0) + 1) / (tot.tt + 512))
+                        - ln((c.cb + 1) / (tot.tc + 512)), 6) AS lr
+           FROM cb c LEFT JOIN tb t USING (bucket) CROSS JOIN tot),
+    dfb AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+    sc AS (SELECT d.doc_id, d.tf, round(d.tf * l.lr, 6)::DECIMAL(18,6) AS contrib
+           FROM dfb d JOIN lr l USING (bucket))
+    SELECT s.doc_id, any_value(dd.lang) AS lang, sum(s.tf)::BIGINT AS n_tokens,
+           round(sum(s.contrib)::DOUBLE, 6) AS log_weight
+    FROM sc s JOIN documents dd ON dd.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+    ops=["EXT-quality", "EXT-tokens", "EXT-sampling", "G2"],
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance log-weights against the lang='en'
+    target slice (512 buckets, add-one smoothing). High log_weight =
+    target-like; feeds importance resampling (the weighted-sample step
+    sample_weighted_priority already certifies). See
+    operators/textanalysis.dsir_logweights for the broadcast-lookup
+    scale shape."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        dsir_logweights,
+    )
+
+    return dsir_logweights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_perplexity",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bg GROUP BY 1, 2),
+    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
+    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
+    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
+    sc AS (SELECT f.doc_id, f.bf,
+                  round(-ln((c.c12 + 0.5) / (t.c1 + 0.5 * v.vsz)), 6) AS nb
+           FROM bf f JOIN c12 c USING (bigram)
+           JOIN ctf t ON t.term = string_split(f.bigram, ' ')[1]
+           CROSS JOIN v)
+    SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
+           round(sum(round(bf * nb, 6)::DECIMAL(18,6))::DOUBLE / sum(bf), 6) AS avg_nll,
+           round(exp(round(sum(round(bf * nb, 6)::DECIMAL(18,6))::DOUBLE
+                           / sum(bf), 6)), 6) AS ppl
+    FROM sc GROUP BY 1
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2"],
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM perplexity (add-k smoothing, corpus-fit) — the
+    CCNet-style LM quality filter beside the unigram proxy
+    (text_unigram_nll). operators/textanalysis.bigram_nll cites the
+    paper and the vocab-vs-corpus join scale shape."""
+    from openrouter_batch_processor_spark.operators.textanalysis import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sketch_ams_f2",
+    """
+    WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),
+    ex AS (SELECT sum(f * f)::BIGINT AS exact_f2 FROM f),
+    s AS (SELECT r.i AS r,
+                 CASE WHEN ('0x' || substr(md5(r.i::VARCHAR || '|' || f.v::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                      THEN f.f ELSE -f.f END AS z
+          FROM f CROSS JOIN range(0, 9) r(i)),
+    ests AS (SELECT r::INT AS r, (sum(z) * sum(z))::BIGINT AS est_f2 FROM s GROUP BY r),
+    comb AS (SELECT round(avg(est_f2), 6) AS mean_est,
+                    round(quantile_cont(est_f2, 0.5), 6) AS median_est FROM ests)
+    SELECT e.r, e.est_f2, x.exact_f2, c.mean_est, c.median_est
+    FROM ests e CROSS JOIN ex x CROSS JOIN comb c
+    """,
+    ops=["EXT-sketch", "G2"],
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 (self-join size) estimate over events.user_id:
+    9 deterministic ±1-sign estimator rows beside the exact moment and
+    the mean/median combiners. operators/sketches.ams_f2 cites the
+    paper and the R-longs-per-partition mergeability contract."""
+    from openrouter_batch_processor_spark.operators.sketches import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH o AS (SELECT event_type, ts, event_id, value::DECIMAL(18,6) AS v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)::BIGINT AS k,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type
+                                                      ORDER BY ts, event_id
+                                                      ROWS UNBOUNDED PRECEDING) AS prefix,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type) AS total,
+                      count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+               FROM events),
+    d AS (SELECT event_type, ts, k, n, n * prefix - k * total AS dev FROM o),
+    p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(dev) DESC, k ASC) AS rn FROM d)
+    SELECT event_type, n, k AS cp_index,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+           round(abs(dev)::DOUBLE / n, 6) AS max_abs_cusum
+    FROM p WHERE rn = 1
+    """,
+    ops=["EXT-windows", "O3", "G2"],
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event_type: the peak cumulative deviation
+    from the series mean, computed scaled in DECIMAL (exact) with the
+    division rounded only at the report edge — see
+    operators/timeseries.cusum_changepoints."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "multimodal_phash_pairs",
+    """
+    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
+               FROM documents WHERE length(text) > 0),
+    px AS (SELECT media_id,
+                  list_transform(range(0, 64),
+                                 i -> ord(substr(text, ((i * L) // 64)::INT + 1, 1))) AS pix
+           FROM m),
+    mu AS (SELECT media_id, pix, list_sum(pix) / 64.0 AS mu FROM px),
+    sig AS (SELECT media_id,
+                   list_sum(list_transform(range(0, 32),
+                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (31 - i)) ELSE 0 END))::BIGINT AS h_hi,
+                   list_sum(list_transform(range(32, 64),
+                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (63 - i)) ELSE 0 END))::BIGINT AS h_lo
+            FROM mu),
+    bands AS (
+      SELECT media_id, h_hi, h_lo, 0 AS band, h_hi // 65536 AS band_val FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 1, h_hi % 65536 FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 2, h_lo // 65536 FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 3, h_lo % 65536 FROM sig),
+    cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                    a.h_hi AS hi_a, a.h_lo AS lo_a, b.h_hi AS hi_b, b.h_lo AS lo_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                                      AND a.media_id < b.media_id)
+    SELECT id_a, id_b,
+           (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 9
+    """,
+    ops=["D6", "S4", "EXT-multimodal", "EXT-neardup"],
+)
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual-hash LSH over the
+    media table (documents' bytes as image payloads, the
+    multimodal_features construction): a mapInPandas 64-bit
+    mean-threshold signature on sampled payload bytes, 4x16-bit band
+    candidate join, exact-Hamming verify at <= 9 — an exact value
+    oracle over a pandas-UDF hashing stage. See
+    operators/multimodal.phash_images / phash_near_pairs."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        phash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("img/doc_"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".jpg"),
+        ).alias("rel_path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return phash_near_pairs(media_table(files), max_hamming=9)
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

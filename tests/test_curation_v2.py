@@ -1,0 +1,213 @@
+"""Round-4 curation v2 operators: SemDeDup, DSIR importance weights,
+bigram-LM perplexity — semantic properties on constructed corpora (the
+value-parity proof is the registry oracle; these tests pin the
+behavioral contract the papers define)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.similarity import semdedup_report
+from openrouter_batch_processor_spark.operators.textanalysis import (
+    bigram_nll,
+    dsir_logweights,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two orthogonal clusters; vec_ids 0-1 are the centroid seeds (one
+    # per cluster); within cluster 0 the vectors are exact duplicates,
+    # within cluster 1 they are near-orthogonal to each other is false —
+    # jittered copies, so all are near-dups of the seed.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+        (3, [1.0, 0.01, 0.0, 0.0]),  # near dup of 0
+        (4, [0.0, 1.0, 0.02, 0.0]),  # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSemDeDup:
+    def test_duplicates_removed_one_representative_kept(self, spark, emb):
+        rep = {
+            r["centroid_id"]: r
+            for r in semdedup_report(emb, threshold=0.95, n_centroids=2).collect()
+        }
+        # cluster 0 holds {0,2,3}: 2 and 3 are >=0.95-cosine to id 0 ->
+        # removed; the lowest id (the seed) always survives
+        assert rep[0]["n_vectors"] == 3
+        assert rep[0]["n_removed"] == 2
+        assert rep[0]["n_kept"] == 1
+        # cluster 1 holds {1,4}: 4 is a jittered copy of 1 -> removed
+        assert rep[1]["n_vectors"] == 2
+        assert rep[1]["n_removed"] == 1
+
+    def test_counts_are_consistent(self, spark, emb):
+        rows = semdedup_report(emb, threshold=0.5, n_centroids=2).collect()
+        assert sum(r["n_vectors"] for r in rows) == emb.count()
+        for r in rows:
+            assert r["n_kept"] + r["n_removed"] == r["n_vectors"]
+            # removed_frac is rounded to 6 dp at the operator edge
+            assert abs(r["removed_frac"] - r["n_removed"] / r["n_vectors"]) < 5e-7
+
+    def test_threshold_one_removes_only_exact(self, spark, emb):
+        rep = {
+            r["centroid_id"]: r["n_removed"]
+            for r in semdedup_report(emb, threshold=1.0, n_centroids=2).collect()
+        }
+        assert rep[0] == 1  # only the exact duplicate (id 2)
+        assert rep[1] == 0
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    # 'en' docs share a vocabulary; the 'xx' docs use disjoint tokens,
+    # except doc 5 which is written in the en vocabulary.
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "beta gamma delta alpha", "en"),
+        (3, "zork quux blarg zork", "xx"),
+        (4, "quux blarg zork quux blarg", "xx"),
+        (5, "alpha beta gamma delta", "xx"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDsirWeights:
+    def test_target_vocab_scores_higher(self, spark, lang_docs):
+        w = {r["doc_id"]: r["log_weight"] for r in dsir_logweights(lang_docs).collect()}
+        # docs written in the target (en) vocabulary outscore the
+        # disjoint-vocab docs regardless of their own lang label
+        assert min(w[1], w[2], w[5]) > max(w[3], w[4])
+
+    def test_token_counts_match_token_stats(self, spark, lang_docs):
+        w = {r["doc_id"]: r["n_tokens"] for r in dsir_logweights(lang_docs).collect()}
+        ts = {r["doc_id"]: r["n_ws_tokens"] for r in token_stats(lang_docs).collect()}
+        assert w == ts
+
+    def test_lang_passthrough(self, spark, lang_docs):
+        rows = {r["doc_id"]: r["lang"] for r in dsir_logweights(lang_docs).collect()}
+        assert rows == {1: "en", 2: "en", 3: "xx", 4: "xx", 5: "xx"}
+
+
+@pytest.fixture(scope="module")
+def ppl_docs(spark):
+    rows = [
+        (1, "the cat sat the cat sat the cat sat"),  # repeated bigrams
+        (2, "one two three four five six seven"),  # each bigram once
+        (3, "solo"),  # 1 token -> no bigrams -> excluded
+        (4, ""),  # empty -> excluded
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBigramPerplexity:
+    def test_repetitive_doc_has_lower_ppl(self, spark, ppl_docs):
+        rows = {r["doc_id"]: r for r in bigram_nll(ppl_docs).collect()}
+        assert set(rows) == {1, 2}  # <2-token docs excluded
+        assert rows[1]["ppl"] < rows[2]["ppl"]
+
+    def test_bigram_count_is_tokens_minus_one(self, spark, ppl_docs):
+        rows = {r["doc_id"]: r["n_bigrams"] for r in bigram_nll(ppl_docs).collect()}
+        assert rows[1] == 8 and rows[2] == 6
+
+    def test_ppl_is_exp_of_avg_nll(self, spark, ppl_docs):
+        for r in bigram_nll(ppl_docs).collect():
+            assert r["avg_nll"] > 0
+            assert abs(r["ppl"] - round(math.exp(r["avg_nll"]), 6)) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def freq_df(spark):
+    # frequencies: a:3, b:2, c:1 -> exact F2 = 9+4+1 = 14
+    rows = [(x,) for x in ["a"] * 3 + ["b"] * 2 + ["c"]]
+    return spark.createDataFrame(rows, "v string")
+
+
+class TestAmsF2:
+    def test_exact_and_estimator_shape(self, spark, freq_df):
+        from openrouter_batch_processor_spark.operators.sketches import ams_f2
+
+        rows = ams_f2(freq_df, "v").collect()
+        assert len(rows) == 9
+        assert all(r["exact_f2"] == 14 for r in rows)
+        # each estimator is (±3 ±2 ±1)^2 — always one of these squares
+        assert all(r["est_f2"] in {0, 4, 16, 36} for r in rows)
+        # combiners are identical on every row and consistent with ests
+        ests = sorted(r["est_f2"] for r in rows)
+        assert all(abs(r["mean_est"] - sum(ests) / 9) < 5e-7 for r in rows)
+        assert all(r["median_est"] == float(ests[4]) for r in rows)
+
+    def test_mergeability_partition_invariance(self, spark, freq_df):
+        from openrouter_batch_processor_spark.operators.sketches import ams_f2
+
+        one = {r["r"]: r["est_f2"] for r in ams_f2(freq_df.coalesce(1), "v").collect()}
+        many = {r["r"]: r["est_f2"] for r in ams_f2(freq_df.repartition(7), "v").collect()}
+        assert one == many
+
+
+class TestCusumChangepoint:
+    def test_planted_level_shift_is_found(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        # flat 0.0 for 10 points, then flat 10.0 for 10 points: the
+        # cusum |dev| peaks exactly at the shift boundary (k=10)
+        rows = [
+            (i, f"2026-01-01 00:{i:02d}:00", "shift", 0.0 if i < 10 else 10.0)
+            for i in range(20)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+        r = cusum_changepoints(ev).collect()[0]
+        assert r["cp_index"] == 10
+        assert r["n"] == 20
+        # |dev|/n at k=10: |20*0 - 10*100|/20 = 50
+        assert abs(r["max_abs_cusum"] - 50.0) < 1e-6
+
+
+class TestPhash:
+    def _media(self, spark, payloads):
+        from openrouter_batch_processor_spark.operators.multimodal import media_table
+
+        rows = [(f"img/{i}.png", p.encode(), len(p)) for i, p in enumerate(payloads)]
+        files = spark.createDataFrame(
+            rows, "rel_path string, content binary, length long"
+        )
+        return media_table(files)
+
+    def test_identical_payloads_have_zero_hamming(self, spark):
+        from openrouter_batch_processor_spark.operators.multimodal import (
+            phash_images,
+            phash_near_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 4  # 176 chars
+        # edit an UNSAMPLED byte (the 64-sample grid for n=176 tops out
+        # at index (63*176)//64 = 173): the signature is bit-identical,
+        # so the pair surfaces at hamming 0 through every band. An edit
+        # at a sampled position shifts the mean threshold too — locality
+        # holds for off-grid edits; a real decoder's fixed 8x8 resample
+        # makes the grid length-invariant (documented in phash_images).
+        edited = base[:175] + "x"
+        media = self._media(spark, [base, edited, "completely different " * 9])
+        sigs = {r["media_id"]: (r["h_hi"], r["h_lo"]) for r in phash_images(media).collect()}
+        assert len(sigs) == 3
+        assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in sigs.values())
+        pairs = phash_near_pairs(media, max_hamming=0).collect()
+        assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+    def test_empty_payload_is_skipped(self, spark):
+        from openrouter_batch_processor_spark.operators.multimodal import phash_images
+
+        media = self._media(spark, ["abc def ghi jkl", ""])
+        assert phash_images(media).count() == 1

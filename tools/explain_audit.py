@@ -256,6 +256,16 @@ BRUTE_FORCE_OK = {
     "text_tfidf_topk",
     "kmeans_lite_clusters",
     "q22_inactive_high_balance",
+    # r04 curation v2 — each BNLJ is a bounded broadcast, never O(n^2):
+    # semdedup: the C-row centroid broadcast cross join (cell assignment)
+    "dedup_semdedup",
+    # dsir: 1-row corpus/target totals broadcast onto the B=512 lookup
+    "text_dsir_weights",
+    # bigram ppl: 1-row vocabulary-size broadcast onto the scored pairs
+    "text_bigram_perplexity",
+    # ams f2: two 1-row broadcasts (exact moment + combiners) onto the
+    # 9-row estimator table
+    "sketch_ams_f2",
 }
 
 

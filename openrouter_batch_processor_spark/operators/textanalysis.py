@@ -576,12 +576,25 @@ def bigram_nll(
         .crossJoin(F.broadcast(v))
         .select(F.col(id_col), "bf", nb.alias("nb"))
     )
-    avg = F.round(F.col("_nll").cast("double") / F.col("n_bigrams"), 6)
+    # The mean is computed in EXACT integer micro-nats with floor
+    # division: round(sum/n, 6) sits on a .5 boundary whenever n
+    # divides the 6-dp sum into exactly 7 digits (n=10 does it
+    # constantly), and half-up-vs-double-repr rounding then diverges
+    # across engines (caught by the sf0.1 sweep). Integer floor has no
+    # boundary: sm7 = (sum_micros * 10) div n is the same BIGINT on
+    # both engines, and its /1e7 double image is bit-identical.
+    sm = (F.sum(contrib) * F.lit(1000000)).cast("long")
+    avg = F.col("_sm7").cast("double") / F.lit(10000000.0)
     return (
         scored.groupBy(id_col)
         .agg(
             F.sum("bf").cast("long").alias("n_bigrams"),
-            F.sum(contrib).alias("_nll"),
+            sm.alias("_sm"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.expr("(_sm * 10) div n_bigrams").alias("_sm7"),
         )
         .select(
             F.col(id_col),

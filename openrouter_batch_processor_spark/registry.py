@@ -6928,12 +6928,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                   round(-ln((c.c12 + 0.5) / (t.c1 + 0.5 * v.vsz)), 6) AS nb
            FROM bf f JOIN c12 c USING (bigram)
            JOIN ctf t ON t.term = string_split(f.bigram, ' ')[1]
-           CROSS JOIN v)
-    SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
-           round(sum(round(bf * nb, 6)::DECIMAL(18,6))::DOUBLE / sum(bf), 6) AS avg_nll,
-           round(exp(round(sum(round(bf * nb, 6)::DECIMAL(18,6))::DOUBLE
-                           / sum(bf), 6)), 6) AS ppl
-    FROM sc GROUP BY 1
+           CROSS JOIN v),
+    agg AS (SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
+                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
+                     // sum(bf)::BIGINT AS sm7
+            FROM sc GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           sm7 / 10000000.0 AS avg_nll,
+           round(exp(sm7 / 10000000.0), 6) AS ppl
+    FROM agg
     """,
     ops=["EXT-quality", "EXT-tokens", "G2"],
 )

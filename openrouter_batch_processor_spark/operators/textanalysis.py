@@ -603,3 +603,69 @@ def bigram_nll(
             F.round(F.exp(avg), 6).alias("ppl"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    k: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """The DSIR resampling back half: draw a weighted sample of k docs
+    ∝ exp(log_weight) via the Gumbel-top-k trick (Kool et al. 2019) —
+    key = log_w + g with g = -ln(-ln(u)) and u a deterministic
+    md5-derived uniform in (0,1) — then report the per-source yield:
+    (source, n_docs, n_selected, sel_rate, sum_logw_selected). Working
+    in LOG domain sidesteps exp() entirely (weights span hundreds of
+    nats; exp would overflow AND its libm last-ulp behavior is the one
+    arithmetic this repo's oracle contract bans from hashed join keys).
+    Docs with zero tokens have no weight and are excluded (same
+    contract as dsir_logweights).
+
+    Scale: scoring is map-only on top of the dsir_logweights plan; the
+    sample is one TakeOrdered k-row heap merge (no shuffle before the
+    driver's k-row merge); the yield report joins the k-row selection
+    BROADCAST back onto the doc->source map and reduces
+    combiner-friendly. sel_rate uses the exact integer-micros floor
+    (see bigram_nll) — no rounding boundary exists to diverge."""
+    lw = dsir_logweights(docs, target_lang, n_buckets, id_col, text_col, lang_col)
+    hv = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = (hv + F.lit(0.5)) / F.lit(4503599627370496.0)
+    gkey = F.round(F.col("log_weight") + -F.log(-F.log(u)), 6)
+    sel = (
+        lw.select(F.col(id_col), gkey.alias("gkey"))
+        .orderBy(F.desc("gkey"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.lit(True).alias("is_sel"))
+    )
+    cand = (
+        lw.select(F.col(id_col), "log_weight")
+        .join(docs.select(F.col(id_col), F.col(source_col)), id_col)
+        .join(F.broadcast(sel), id_col, "left")
+    )
+    flag = F.coalesce(F.col("is_sel"), F.lit(False))
+    return cand.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(flag, 1)).cast("long").alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(flag, F.col("log_weight").cast("decimal(18,6)"))),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("double")
+        .alias("sum_logw_selected"),
+    ).select(
+        F.col(source_col),
+        "n_docs",
+        "n_selected",
+        (
+            F.expr("(n_selected * 10000000) div n_docs").cast("double")
+            / F.lit(10000000.0)
+        ).alias("sel_rate"),
+        "sum_logw_selected",
+    )

@@ -311,3 +311,68 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def holt_linear(
+    events: DataFrame,
+    group_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    y_col: str = "value",
+    alpha: float = HOLT_ALPHA,
+    beta: float = HOLT_BETA,
+) -> DataFrame:
+    """Holt double-exponential smoothing per group (Holt 1957): level
+    and trend folded over the ordered series —
+      l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1})
+      b_i = g*(l_i - l_{i-1}) + (1-g)*b_{i-1}
+    init l_0 = x_0, b_0 = 0 — plus the one-step-ahead forecast
+    level + trend. The trend-aware sibling of ewma_last for telemetry
+    drift (the reference polls flat progress counters; a trending
+    ingest-rate forecast is what a pipeline scheduler actually wants).
+
+    Same contract as ewma_last: grouped-map applyInPandas, intra-group
+    order pinned by sorting inside the batch, doubly-recursive fold
+    (why no built-in window expresses it), and a true VALUE oracle —
+    DuckDB's list_reduce over {level, trend} structs reproduces the
+    identical IEEE operation order, with the multiply-add sequence
+    written identically on both engines. State per task is one group's
+    rows; parallelism = group count (windows.py skew contract)."""
+    import pandas as pd
+
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    cols = [group_col, *order_cols, y_col]
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order_cols))
+        level = None
+        trend = 0.0
+        for x in pdf[y_col].astype("float64"):
+            if level is None:
+                level = x
+                continue
+            new_level = alpha * x + one_minus_a * (level + trend)
+            trend = beta * (new_level - level) + one_minus_b * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [len(pdf)],
+                "level": [round(level, 6)],
+                "trend": [round(trend, 6)],
+                "forecast_1": [round(level + trend, 6)],
+            }
+        )
+
+    return (
+        events.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(
+            fold,
+            schema=f"{group_col} string, n long, level double, trend double, forecast_1 double",
+        )
+    )

@@ -6871,11 +6871,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_dsir_weights",
-    f"""
-    WITH toks AS (SELECT doc_id, lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
-                  FROM documents),
+# Shared DSIR oracle fragment: ends in the CTE `dsirw(doc_id, lang,
+# n_tokens, log_weight)` — text_dsir_weights reads it out verbatim,
+# curation_dsir_select resamples from it.
+_DSIR_LW_SQL = f"""
+    toks AS (SELECT doc_id, lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
     tk AS (SELECT doc_id, lang,
                   ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS bucket
            FROM toks WHERE term != ''),
@@ -6889,11 +6890,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cb c LEFT JOIN tb t USING (bucket) CROSS JOIN tot),
     dfb AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
     sc AS (SELECT d.doc_id, d.tf, round(d.tf * l.lr, 6)::DECIMAL(18,6) AS contrib
-           FROM dfb d JOIN lr l USING (bucket))
-    SELECT s.doc_id, any_value(dd.lang) AS lang, sum(s.tf)::BIGINT AS n_tokens,
-           round(sum(s.contrib)::DOUBLE, 6) AS log_weight
-    FROM sc s JOIN documents dd ON dd.doc_id = s.doc_id
-    GROUP BY s.doc_id
+           FROM dfb d JOIN lr l USING (bucket)),
+    dsirw AS (SELECT s.doc_id, any_value(dd.lang) AS lang,
+                     sum(s.tf)::BIGINT AS n_tokens,
+                     round(sum(s.contrib)::DOUBLE, 6) AS log_weight
+              FROM sc s JOIN documents dd ON dd.doc_id = s.doc_id
+              GROUP BY s.doc_id)
+"""
+
+
+@register(
+    "text_dsir_weights",
+    f"""
+    WITH {_DSIR_LW_SQL}
+    SELECT doc_id, lang, n_tokens, log_weight FROM dsirw
     """,
     ops=["EXT-quality", "EXT-tokens", "EXT-sampling", "G2"],
 )
@@ -7066,6 +7076,75 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("text")).cast("long").alias("length"),
     )
     return phash_near_pairs(media_table(files), max_hamming=9)
+
+
+@register(
+    "curation_dsir_select",
+    f"""
+    WITH {_DSIR_LW_SQL},
+    keyed AS (SELECT doc_id, log_weight,
+                     round(log_weight
+                           + -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+                                      / 4503599627370496.0)), 6) AS gkey
+              FROM dsirw),
+    sel AS (SELECT doc_id FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 100),
+    c AS (SELECT d.source, w.doc_id, w.log_weight,
+                 s.doc_id IS NOT NULL AS is_sel
+          FROM dsirw w JOIN documents d USING (doc_id)
+          LEFT JOIN sel s ON s.doc_id = w.doc_id)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count(CASE WHEN is_sel THEN 1 END)::BIGINT AS n_selected,
+           ((count(CASE WHEN is_sel THEN 1 END) * 10000000) // count(*))
+             / 10000000.0 AS sel_rate,
+           coalesce(sum(CASE WHEN is_sel THEN log_weight::DECIMAL(18,6) END),
+                    0::DECIMAL(18,6))::DOUBLE AS sum_logw_selected
+    FROM c GROUP BY source
+    """,
+    ops=["EXT-sampling", "EXT-quality", "O4", "G2"],
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING end-to-end: Gumbel-top-k (k=100) over
+    the hashed-unigram log-weights in log domain (no exp anywhere),
+    reported as per-source selection yield — the mixture a DSIR-curated
+    corpus actually ships. See operators/textanalysis.dsir_select."""
+    from openrouter_batch_processor_spark.operators.textanalysis import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "events_holt_forecast",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 -- acc is a [level, trend] LIST, not a struct: DuckDB
+                 -- 1.0's struct-acc list_reduce leaks already-computed
+                 -- fields into later field expressions from the second
+                 -- iteration on (slot reuse); list construction
+                 -- evaluates both elements against the old acc.
+                 list_reduce(list_transform(xs, x -> [x, 0.0::DOUBLE]),
+                   (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                                0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                                + 0.7 * acc[2]]) AS st
+          FROM ordered)
+    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM f
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) smoothing per event type
+    via grouped-map applyInPandas, with the one-step forecast — the
+    doubly-recursive fold no built-in window expresses, value-checked
+    against DuckDB's identical-IEEE list_reduce over {l, b} structs.
+    See operators/timeseries.holt_linear."""
+    from openrouter_batch_processor_spark.operators.timeseries import holt_linear
+
+    return holt_linear(_t(spark, sf_dir, "events"))
 
 
 # ===========================================================================

@@ -211,3 +211,78 @@ class TestPhash:
 
         media = self._media(spark, ["abc def ghi jkl", ""])
         assert phash_images(media).count() == 1
+
+
+class TestDsirSelect:
+    def test_yield_sums_and_rate(self, spark, lang_docs):
+        from openrouter_batch_processor_spark.operators.textanalysis import dsir_select
+
+        rows = dsir_select(lang_docs.withColumn("source", F.lit("s1")), k=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_docs"] == 5 and r["n_selected"] == 3
+        assert abs(r["sel_rate"] - 0.6) < 1e-9
+        assert r["sum_logw_selected"] != 0.0
+
+    def test_k_larger_than_corpus_selects_all(self, spark, lang_docs):
+        from openrouter_batch_processor_spark.operators.textanalysis import dsir_select
+
+        docs = lang_docs.withColumn(
+            "source", F.when(F.col("lang") == "en", "tgt").otherwise("other")
+        )
+        rows = {r["source"]: r for r in dsir_select(docs, k=100).collect()}
+        assert all(r["n_selected"] == r["n_docs"] for r in rows.values())
+        assert all(r["sel_rate"] == 1.0 for r in rows.values())
+
+    def test_weighting_biases_toward_target_vocab(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import dsir_select
+
+        # 30 target-vocab docs vs 30 disjoint-vocab docs; sampling half
+        # the corpus must draw target-vocab docs at a strictly higher
+        # rate (their importance weights dominate the Gumbel keys)
+        rows = [(i, "alpha beta gamma delta " * 5, "en", "tgt") for i in range(30)]
+        rows += [(100 + i, "zork quux blarg frob " * 5, "xx", "other") for i in range(30)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        got = {r["source"]: r for r in dsir_select(docs, k=30).collect()}
+        assert got["tgt"]["n_selected"] > got["other"]["n_selected"]
+
+
+class TestHoltLinear:
+    def test_linear_series_converges_to_trend(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import holt_linear
+
+        # y = 2*i: Holt on a perfectly linear series converges toward
+        # slope 2 and forecast y_{n} + 2
+        rows = [
+            (i, f"2026-01-01 00:{i:02d}:00", "lin", 2.0 * i) for i in range(50)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+        r = holt_linear(ev).collect()[0]
+        assert r["n"] == 50
+        assert abs(r["trend"] - 2.0) < 0.2
+        assert abs(r["forecast_1"] - (r["level"] + r["trend"])) < 2e-6
+
+    def test_matches_reference_fold(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import holt_linear
+
+        xs = [1.0, 2.0, 4.0, 3.0, 10.0]
+        rows = [(i, f"2026-01-01 00:{i:02d}:00", "t", x) for i, x in enumerate(xs)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+        r = holt_linear(ev).collect()[0]
+        level = None
+        trend = 0.0
+        for x in xs:
+            if level is None:
+                level = x
+                continue
+            nl = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.3 * (nl - level) + 0.7 * trend
+            level = nl
+        assert r["level"] == round(level, 6)
+        assert r["trend"] == round(trend, 6)

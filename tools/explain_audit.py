@@ -266,6 +266,9 @@ BRUTE_FORCE_OK = {
     # ams f2: two 1-row broadcasts (exact moment + combiners) onto the
     # 9-row estimator table
     "sketch_ams_f2",
+    # dsir select: inherits the dsir 1-row totals broadcast; the k-row
+    # selection joins back as a broadcast
+    "curation_dsir_select",
 }
 
 

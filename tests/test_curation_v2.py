@@ -286,3 +286,95 @@ class TestHoltLinear:
             level = nl
         assert r["level"] == round(level, 6)
         assert r["trend"] == round(trend, 6)
+
+
+class TestRandomizedReferences:
+    """Randomized corpora checked against independent pure-Python
+    references — a third opinion beside the DuckDB oracle, catching
+    bugs the two query engines might share by construction."""
+
+    def _corpus(self, seed, n_docs=40, vocab=("aa", "bb", "cc", "dd", "ee")):
+        import random
+
+        rng = random.Random(seed)
+        return [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(n_docs)
+        ]
+
+    def test_bigram_nll_matches_pure_python(self, spark):
+        import math as m
+        from collections import Counter
+
+        from openrouter_batch_processor_spark.operators.textanalysis import bigram_nll
+
+        rows = self._corpus(seed=7)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in bigram_nll(docs).collect()}
+
+        uni = Counter()
+        bi = Counter()
+        per_doc = {}
+        for doc_id, text in rows:
+            toks = text.split()
+            uni.update(toks)
+            bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            bi.update(bgs)
+            if bgs:
+                per_doc[doc_id] = Counter(bgs)
+        v = float(len(uni))
+        assert set(got) == set(per_doc)
+        for doc_id, bf in per_doc.items():
+            n = sum(bf.values())
+            sm = 0
+            for bg, c in bf.items():
+                w1 = bg.split(" ")[0]
+                nb = round(-m.log((bi[bg] + 0.5) / (uni[w1] + 0.5 * v)), 6)
+                sm += round(round(c * nb, 6) * 1000000)
+            sm7 = (sm * 10) // n
+            assert got[doc_id]["n_bigrams"] == n
+            assert got[doc_id]["avg_nll"] == sm7 / 10000000.0
+
+    def test_dsir_weights_match_pure_python(self, spark):
+        import hashlib
+        import math as m
+        from collections import Counter
+
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            dsir_logweights,
+        )
+
+        base = self._corpus(seed=11)
+        rows = [(i, t, "en" if i % 3 == 0 else "xx") for i, t in base]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r for r in dsir_logweights(docs).collect()}
+
+        def bucket(term):
+            return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % 512
+
+        cb = Counter()
+        tb = Counter()
+        per_doc = {}
+        for doc_id, text, lang in rows:
+            toks = text.split()
+            bks = [bucket(t) for t in toks]
+            cb.update(bks)
+            if lang == "en":
+                tb.update(bks)
+            if bks:
+                per_doc[doc_id] = Counter(bks)
+        tc, tt = float(sum(cb.values())), float(sum(tb.values()))
+        assert set(got) == set(per_doc)
+        for doc_id, dfb in per_doc.items():
+            from decimal import Decimal
+
+            lw = Decimal(0)
+            for b, tf in dfb.items():
+                lr = round(
+                    m.log((tb.get(b, 0) + 1) / (tt + 512))
+                    - m.log((cb[b] + 1) / (tc + 512)),
+                    6,
+                )
+                lw += Decimal(str(round(tf * lr, 6)))
+            assert got[doc_id]["n_tokens"] == sum(dfb.values())
+            assert got[doc_id]["log_weight"] == round(float(lw), 6)

@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 EWMA_ALPHA = 0.3
 
 
+def _round_away(x: float, nd: int = 6) -> float:
+    """round-half-away-from-zero on the scaled double — the semantics
+    DuckDB's round(DOUBLE, n) and Spark's F.round share at ties.
+    Python's built-in round() is banker's (half-even) and diverges on
+    dyadic values like 1/128 = 0.0078125 (py: 0.007812, engines:
+    0.007813), so pandas-side folds must round with THIS before their
+    values meet an oracle hash."""
+    import math
+
+    s = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
 def ewma_last(
     events: DataFrame,
     group_col: str = "event_type",
@@ -47,7 +60,7 @@ def ewma_last(
         for x in pdf[y_col].astype("float64"):
             e = x if e is None else alpha * x + one_minus * e
         return pd.DataFrame(
-            {group_col: [pdf[group_col].iloc[0]], "n": [len(pdf)], "ewma": [round(e, 6)]}
+            {group_col: [pdf[group_col].iloc[0]], "n": [len(pdf)], "ewma": [_round_away(e)]}
         )
 
     return (
@@ -362,9 +375,9 @@ def holt_linear(
             {
                 group_col: [pdf[group_col].iloc[0]],
                 "n": [len(pdf)],
-                "level": [round(level, 6)],
-                "trend": [round(trend, 6)],
-                "forecast_1": [round(level + trend, 6)],
+                "level": [_round_away(level)],
+                "trend": [_round_away(trend)],
+                "forecast_1": [_round_away(level + trend)],
             }
         )
 

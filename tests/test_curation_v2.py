@@ -21,9 +21,9 @@ from openrouter_batch_processor_spark.operators.textanalysis import (
 @pytest.fixture(scope="module")
 def emb(spark):
     # two orthogonal clusters; vec_ids 0-1 are the centroid seeds (one
-    # per cluster); within cluster 0 the vectors are exact duplicates,
-    # within cluster 1 they are near-orthogonal to each other is false —
-    # jittered copies, so all are near-dups of the seed.
+    # per cluster). Every non-seed vector is an exact or jittered copy
+    # of its seed — i.e. a NEAR-DUPLICATE (cosine ~1) — which is what
+    # the SemDeDup removal assertions below depend on.
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
         (1, [0.0, 1.0, 0.0, 0.0]),
@@ -284,8 +284,10 @@ class TestHoltLinear:
             nl = 0.5 * x + 0.5 * (level + trend)
             trend = 0.3 * (nl - level) + 0.7 * trend
             level = nl
-        assert r["level"] == round(level, 6)
-        assert r["trend"] == round(trend, 6)
+        from openrouter_batch_processor_spark.operators.timeseries import _round_away
+
+        assert r["level"] == _round_away(level)
+        assert r["trend"] == _round_away(trend)
 
 
 class TestRandomizedReferences:

@@ -103,7 +103,11 @@ def main() -> None:
         import re
 
         m = re.match(r"([A-Z]+)-?(\d*)", op)
-        return (m.group(1), int(m.group(2) or 0))
+        # full op string as the final tiebreak: every EXT-* op maps to
+        # ("EXT", 0), and without it their order is set-iteration order
+        # (hash-randomized per process) — COVERAGE.md would churn on
+        # every regeneration
+        return (m.group(1), int(m.group(2) or 0), op)
 
     all_ops = sorted(set(by_op) | set(PYTEST_COVERAGE), key=sort_key)
     core = [o for o in all_ops if not o.startswith("EXT")]

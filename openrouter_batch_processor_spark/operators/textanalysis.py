@@ -669,3 +669,192 @@ def dsir_select(
         ).alias("sel_rate"),
         "sum_logw_selected",
     )
+
+
+# Gopher's stopword-presence rule uses this fixed published set (Rae et
+# al. 2021, Table A1), distinct from the repo's scoring STOPWORDS.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    appendix A1.1), the rule set FineWeb/Dolma re-use, adapted to this
+    corpus's shape (single-line, lowercase, no punctuation — the
+    bullet/ellipsis line rules are vacuous here and omitted):
+
+    - word count within [15, 90] (the corpus spans 10..99);
+    - mean word length within [3, 10] characters;
+    - >= 80% of words contain at least one alphabetic character;
+    - at least 2 distinct stopwords from Gopher's fixed 8-word set;
+    - repetition: character mass of the most repeated 2-gram <= 20% of
+      the text (ties on count are resolved by taking the MAX char mass
+      over all bigrams — deterministic without an argmax tie-break, and
+      an upper bound of Gopher's "fraction of characters in the most
+      frequent 2-gram").
+
+    Every rule is evaluated in INTEGER arithmetic (e.g. mean word
+    length in [3,10] <=> 3*n <= n_chars-(n-1) <= 10*n on the
+    single-space-normalized text), so the oracle comparison has no
+    float edge at all. The only shuffle is the per-doc bigram count
+    (map-side combined, same shape as text_repetition); every rule but
+    repetition is map-only."""
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    base = docs.select(
+        F.col(id_col),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_distinct(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+        )
+        .cast("long")
+        .alias("n_gopher_stops"),
+        toks.alias("_toks"),
+    )
+    n = F.col("n_words")
+    sum_word_chars = F.col("n_norm_chars") - (n - 1)  # single-space normalized
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bg"),
+    )
+    top_mass = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("c") * F.length("bg")).cast("long").alias("top_bigram_mass"))
+    )
+    flags = base.join(top_mass, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words"),
+        ((n >= 15) & (n <= 90)).alias("rule_word_count"),
+        ((sum_word_chars >= 3 * n) & (sum_word_chars <= 10 * n)).alias(
+            "rule_mean_word_len"
+        ),
+        (F.col("n_alpha_words") * 5 >= n * 4).alias("rule_alpha_words"),
+        (F.col("n_gopher_stops") >= 2).alias("rule_stopwords"),
+        (
+            F.coalesce(F.col("top_bigram_mass"), F.lit(0)) * 5
+            <= F.col("n_norm_chars")
+        ).alias("rule_repetition"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_alpha_words")
+            & F.col("rule_stopwords")
+            & F.col("rule_repetition")
+        ).alias("gopher_pass"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic low-entropy gibberish / high-entropy noise quality signal
+    (used by FineWeb-style filter stacks alongside the Gopher rules).
+
+    Entirely map-side: H = log2(n) - (1/n) * sum_c cnt_c*log2(cnt_c)
+    is computed per row by folding over the SORTED distinct characters
+    of the text (array fold, whole-stage codegen, no explode shuffle —
+    an exploded (doc,char) groupBy would shuffle n_chars rows at
+    100 TB for a per-doc-computable quantity). Per-character
+    contributions are rounded to 6 dp and decimal-summed in sorted
+    order so both engines fold the identical sequence."""
+    norm = normalize_text(F.col(text_col))
+    chars = F.split(norm, "")
+    distinct_sorted = F.array_sort(F.array_distinct(chars))
+    n = F.length(norm).cast("double")
+    # sum_c round(cnt_c * log2(cnt_c), 6), folded over sorted chars
+    mass = F.aggregate(
+        distinct_sorted,
+        F.lit(0.0).cast("decimal(18,6)"),
+        lambda acc, c: (
+            acc
+            + F.round(
+                F.size(F.filter(chars, lambda x: x == c)).cast("double")
+                * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
+                6,
+            ).cast("decimal(18,6)")
+        ).cast("decimal(18,6)"),
+    )
+    ent = F.log2(n) - mass.cast("double") / n
+    return docs.select(
+        F.col(id_col),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(distinct_sorted).cast("long").alias("n_distinct_chars"),
+        F.round(ent, 6).alias("char_entropy_bits"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): within each source, rank documents by LM
+    perplexity and split into head/middle/tail terciles — head is the
+    cleanest third a curation run keeps outright, tail the third it
+    drops or down-weights. The LM is this repo's add-k bigram model
+    (bigram_nll), CCNet's KenLM stand-in.
+
+    Report: per (source, bucket) doc count and the bucket's exact
+    avg_nll mean/min/max. ntile(3) over (avg_nll, doc_id) is
+    deterministic because avg_nll is exact by construction
+    (integer-micros floor division in bigram_nll); the bucket mean
+    re-uses the same exact-mean trick — avg_nll values are 7-dp
+    rationals, recovered exactly by a DECIMAL(18,7) cast, summed, and
+    floor-divided in integer tenth-micros. Scale: the window
+    partitions by source (no global sort); everything downstream is a
+    combiner-friendly groupBy."""
+    from pyspark.sql import Window
+
+    nll = bigram_nll(docs, id_col, text_col)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    w = Window.partitionBy(source_col).orderBy(F.col("avg_nll").asc(), F.col(id_col).asc())
+    bucketed = (
+        nll.join(src, id_col)
+        .select(F.col(id_col), F.col(source_col), "avg_nll")
+        .withColumn("tercile", F.ntile(3).over(w))
+    )
+    bucket_name = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    sm = (F.sum(F.col("avg_nll").cast("decimal(18,7)")) * F.lit(10000000)).cast("long")
+    return (
+        bucketed.select(F.col(source_col), bucket_name.alias("bucket"), "avg_nll")
+        .groupBy(source_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            sm.alias("_sm"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+        .select(
+            F.col(source_col),
+            "bucket",
+            "n_docs",
+            (
+                F.expr("(_sm * 10) div n_docs").cast("double") / F.lit(100000000.0)
+            ).alias("mean_nll"),
+            "min_nll",
+            "max_nll",
+        )
+    )

@@ -7148,6 +7148,135 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: published filter stacks (Gopher rules, CCNet
+# perplexity buckets, char entropy) — text curation v3
+# ===========================================================================
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    b AS (SELECT doc_id, len(norm)::BIGINT AS n_norm_chars,
+                 string_split(norm, ' ') AS toks
+          FROM t),
+    base AS (SELECT doc_id, n_norm_chars,
+                    len(toks)::BIGINT AS n_words,
+                    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+                    len(list_distinct(list_filter(toks,
+                        x -> list_contains(['the','be','to','of','and','that','have','with'], x))))::BIGINT AS n_stops,
+                    toks
+             FROM b),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM base WHERE len(toks) >= 2),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    tm AS (SELECT doc_id, max(c * len(bg))::BIGINT AS top_mass FROM bc GROUP BY 1),
+    r AS (SELECT b.doc_id, n_words,
+                 (n_words >= 15 AND n_words <= 90) AS rule_word_count,
+                 (n_norm_chars - (n_words - 1) >= 3 * n_words
+                  AND n_norm_chars - (n_words - 1) <= 10 * n_words) AS rule_mean_word_len,
+                 (n_alpha_words * 5 >= n_words * 4) AS rule_alpha_words,
+                 (n_stops >= 2) AS rule_stopwords,
+                 (coalesce(top_mass, 0) * 5 <= n_norm_chars) AS rule_repetition
+          FROM base b LEFT JOIN tm USING (doc_id))
+    SELECT doc_id, n_words, rule_word_count, rule_mean_word_len,
+           rule_alpha_words, rule_stopwords, rule_repetition,
+           (rule_word_count AND rule_mean_word_len AND rule_alpha_words
+            AND rule_stopwords AND rule_repetition) AS gopher_pass
+    FROM r
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "G4"],
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021) per document, all
+    in integer arithmetic — see operators/textanalysis.gopher_rules."""
+    from openrouter_batch_processor_spark.operators.textanalysis import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_char_entropy",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    b AS (SELECT doc_id, norm, len(norm)::BIGINT AS n,
+                 list_sort(list_distinct(string_split(norm, ''))) AS dchars
+          FROM t),
+    m AS (SELECT doc_id, n, len(dchars)::BIGINT AS n_distinct,
+                 list_aggregate(
+                   list_transform(dchars,
+                     c -> round(len(list_filter(string_split(norm, ''), x -> x = c)) *
+                                log2(len(list_filter(string_split(norm, ''), x -> x = c))),
+                                6)::DECIMAL(18,6)),
+                   'sum') AS mass
+          FROM b)
+    SELECT doc_id, n AS n_chars_norm, n_distinct AS n_distinct_chars,
+           round(log2(n::DOUBLE) - mass::DOUBLE / n::DOUBLE, 6) AS char_entropy_bits
+    FROM m
+    """,
+    ops=["EXT-quality", "EXT-tokens"],
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc, map-side sorted-fold
+    (no explode shuffle) — operators/textanalysis.char_entropy."""
+    from openrouter_batch_processor_spark.operators.textanalysis import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ccnet_buckets",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bg GROUP BY 1, 2),
+    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
+    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
+    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
+    sc AS (SELECT f.doc_id, f.bf,
+                  round(-ln((c.c12 + 0.5) / (t.c1 + 0.5 * v.vsz)), 6) AS nb
+           FROM bf f JOIN c12 c USING (bigram)
+           JOIN ctf t ON t.term = string_split(f.bigram, ' ')[1]
+           CROSS JOIN v),
+    agg AS (SELECT doc_id,
+                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
+                     // sum(bf)::BIGINT AS sm7
+            FROM sc GROUP BY 1),
+    nll AS (SELECT doc_id, sm7 / 10000000.0 AS avg_nll FROM agg),
+    ranked AS (SELECT d.source, n.avg_nll,
+                      ntile(3) OVER (PARTITION BY d.source
+                                     ORDER BY n.avg_nll ASC, n.doc_id ASC) AS tercile
+               FROM nll n JOIN documents d USING (doc_id)),
+    named AS (SELECT source,
+                     CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     avg_nll
+              FROM ranked)
+    SELECT source, bucket, count(*)::BIGINT AS n_docs,
+           (((sum(avg_nll::DECIMAL(18,7)) * 10000000)::BIGINT * 10)
+              // count(*)) / 100000000.0 AS mean_nll,
+           min(avg_nll) AS min_nll,
+           max(avg_nll) AS max_nll
+    FROM named GROUP BY 1, 2
+    """,
+    ops=["EXT-quality", "W1", "O3", "G2"],
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per source (Wenzek
+    et al. 2020) over the add-k bigram LM —
+    operators/textanalysis.ccnet_buckets."""
+    from openrouter_batch_processor_spark.operators.textanalysis import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

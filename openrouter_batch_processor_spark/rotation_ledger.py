@@ -174,6 +174,22 @@ DRIVER_CHECKED: dict[str, list[str]] = {
 }
 
 
+# Window slots deliberately spent on RE-checks of already-green queries
+# (instead of never-checked ones) must be named here with a reason —
+# tests/test_registry_order.py lets never-checked queries wait outside
+# the window ONLY if every window slot is either never-checked or one
+# of these. r04: the four dedup queries rewritten after their last
+# driver row (_paired_shsets verify repartition — ADVICE r03 asked for
+# containment/multisignal fresh rows — and the staged kill-list /
+# iteration-bound rewrites of clusters/apply_survivors).
+DELIBERATE_RECHECKS: set[str] = {
+    "dedup_containment",
+    "dedup_multisignal",
+    "dedup_clusters",
+    "dedup_apply_survivors",
+}
+
+
 def driver_green() -> set[str]:
     """Union of all queries ever green-checked by the driver gate."""
     out: set[str] = set()

@@ -56,19 +56,32 @@ def test_front50_all_oracle_checked():
         assert REGISTRY[n].sql is not None, f"{n} is rows-only but in front-50"
 
 
-def test_front50_rotates_never_checked_queries():
-    # Round-4 endgame invariant: FEWER than 50 queries remain without a
-    # driver CORRECTNESS row, so ALL of them must sit inside the window
-    # — after the r04 gate runs, driver coverage is total (154/154).
-    # Spare slots go to re-checks (rewritten queries, oldest evidence),
-    # which is fine; never-checked queries left OUTSIDE the window are
-    # wasted certification opportunities and fail here.
-    window = set(list(REGISTRY)[:50])
+def test_front50_wastes_no_certification_slot():
+    # Saturation invariant (replaces the round-4 endgame form): a
+    # never-driver-checked query may wait OUTSIDE the window only while
+    # the window is fully saturated — every slot holds either a
+    # never-checked query or a documented deliberate re-check
+    # (rotation_ledger.DELIBERATE_RECHECKS, each with a written
+    # reason). A stale already-green query occupying a slot while new
+    # queries wait in the tail is a wasted certification opportunity
+    # and fails here.
+    from openrouter_batch_processor_spark.rotation_ledger import (
+        DELIBERATE_RECHECKS,
+    )
+
+    window = list(REGISTRY)[:50]
     never_checked = set(REGISTRY) - driver_green()
-    stranded = never_checked - window
-    assert not stranded, (
-        f"never-driver-checked queries outside the front-50 window: "
-        f"{sorted(stranded)}"
+    stranded = never_checked - set(window)
+    if not stranded:
+        return
+    wasted = [
+        n
+        for n in window
+        if n not in never_checked and n not in DELIBERATE_RECHECKS
+    ]
+    assert not wasted, (
+        f"queries wait outside the window ({sorted(stranded)}) while "
+        f"already-certified, non-deliberate entries hold slots: {wasted}"
     )
 
 

@@ -269,6 +269,8 @@ BRUTE_FORCE_OK = {
     # dsir select: inherits the dsir 1-row totals broadcast; the k-row
     # selection joins back as a broadcast
     "curation_dsir_select",
+    # ccnet buckets: inherits bigram ppl's 1-row vocab-size broadcast
+    "text_ccnet_buckets",
 }
 
 

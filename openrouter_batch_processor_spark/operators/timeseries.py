@@ -389,3 +389,186 @@ def holt_linear(
             schema=f"{group_col} string, n long, level double, trend double, forecast_1 double",
         )
     )
+
+
+def _hourly_series(events: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) counts with a contiguous rank index —
+    the shared series frame under ACF / seasonal decomposition. One
+    shuffle on event_type (a handful of small series; each easily fits
+    an executor at any corpus scale because the series length is
+    bounded by the time span, not the event volume)."""
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return hourly.withColumn("rn", F.row_number().over(w))
+
+
+def acf_lags(events: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series per
+    event_type, lags 1..max_lag (Box-Jenkins estimator: full-series
+    mean and variance in the denominator). Missing hours are skipped —
+    the ACF is over the ordered OBSERVED sequence.
+
+    Exactness: counts are integers, so every sum (S = Σx, Q = Σx²,
+    Sxy_k = Σ x_t·x_{t-k}, and the lag-trimmed edge sums) is exact in
+    DECIMAL(38,0); the estimator is algebraically cleared of the
+    rational mean —
+
+        r_k = (n²·Sxy − n·S·(S1k+S2k) + (n−k)·S²) / (n·(n·Q − S²))
+
+    — so num and den are exact integers on both engines, and their
+    nearest-double images (and the final IEEE division) are
+    bit-identical. Shape: one window pass computes all max_lag lag
+    columns, one combiner groupBy folds the sums, the lag unpivot is
+    max_lag rows per type."""
+    ser = _hourly_series(events)
+    w = Window.partitionBy("event_type").orderBy("rn")
+    lagged = ser.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"xl{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    ]
+    for k in range(1, max_lag + 1):
+        xl = F.col(f"xl{k}")
+        aggs += [
+            F.sum(F.col("x") * xl).cast("long").alias(f"sxy{k}"),
+            F.sum(F.when(xl.isNotNull(), F.col("x"))).cast("long").alias(f"s2_{k}"),
+            F.sum(xl).cast("long").alias(f"s1_{k}"),
+        ]
+    folded = lagged.groupBy("event_type").agg(*aggs)
+    per_lag = []
+    for k in range(1, max_lag + 1):
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        num = (
+            dec("n") * dec("n") * dec(f"sxy{k}")
+            - dec("n") * dec("s") * (dec(f"s1_{k}") + dec(f"s2_{k}"))
+            + (dec("n") - F.lit(k)) * dec("s") * dec("s")
+        )
+        den = dec("n") * (dec("n") * dec("q") - dec("s") * dec("s"))
+        per_lag.append(
+            folded.select(
+                "event_type",
+                F.lit(k).cast("long").alias("lag_k"),
+                F.col("n"),
+                F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+            )
+        )
+    out = per_lag[0]
+    for df in per_lag[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def seasonal_decompose_hod(events: DataFrame, window_h: int = 25) -> DataFrame:
+    """Classic additive seasonal decomposition (the moving-average
+    method behind STL's initial pass): per event_type, hourly counts,
+    trend = centered 25-hour moving average (only FULL windows count),
+    seasonal(hour-of-day) = mean of the detrended series grouped by
+    hour-of-day.
+
+    Exactness: detrended values are rationals with denominator 25, so
+    the operator carries d25 = 25·x − sum25 (exact BIGINT) and divides
+    once at the edge with the integer-micros floor (see bigram_nll) —
+    seasonal = ((Σd25 · 10⁷) div (25·cnt)) / 10⁷. Window shuffle on
+    event_type only, then a combiner groupBy on (type, hod)."""
+    ser = _hourly_series(events)
+    half = (window_h - 1) // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-half, half)
+    )
+    d = ser.select(
+        "event_type",
+        F.hour("hour").cast("long").alias("hod"),
+        (
+            F.lit(window_h) * F.col("x") - F.sum("x").over(w)
+        ).alias("d25"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == window_h)
+    return (
+        d.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("d25").cast("long").alias("_sd"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_windows",
+            (
+                F.expr(f"(_sd * 10000000) div ({window_h} * n_windows)").cast("double")
+                / F.lit(10000000.0)
+            ).alias("seasonal"),
+        )
+    )
+
+
+def mad_anomalies(events: DataFrame, k_sigma: float = 3.0) -> DataFrame:
+    """Robust anomaly counts per event_type via the median absolute
+    deviation: med = lower-median of value, mad = lower-median of
+    |value − med|, outlier ⟺ |value − med| > k·1.4826·mad (1.4826
+    scales MAD to σ under normality — Hampel's rule). Lower-medians by
+    rank are order statistics, so every reported number is an element
+    of the data (or an exact |difference| of two doubles) — no
+    interpolation, no float-summation order anywhere; the z-score
+    variant (events_anomaly_zscore) is the non-robust sibling.
+
+    Shape: two rank-median window passes and the final count all
+    shuffle on event_type alone; AQE coalesces the tiny frames."""
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("med"), F.col("n").alias("n_events"))
+    )
+    dev = events.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "n_events",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "dev",
+            F.row_number().over(wd).alias("rn"),
+            F.col("n_events").alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.col("dev") > F.lit(k_sigma) * F.lit(1.4826) * F.col("mad"), 1
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

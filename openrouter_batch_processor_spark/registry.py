@@ -7277,6 +7277,131 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: time-series analytics (ACF, classical seasonal
+# decomposition, MAD-robust anomalies)
+# ===========================================================================
+
+_ACF_ARMS = "\n    UNION ALL\n".join(
+    f"""
+    SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n,
+           round(((n*n*sxy{k} - n*s*(s1_{k}+s2_{k}) + (n-{k})*s*s)::DOUBLE)
+                 / ((n*(n*q - s*s))::DOUBLE), 6) AS acf
+    FROM f"""
+    for k in range(1, 7)
+)
+
+_ACF_LAG_COLS = ",\n".join(
+    f"""           sum(x*xl{k})::HUGEINT AS sxy{k},
+           sum(CASE WHEN xl{k} IS NOT NULL THEN x END)::HUGEINT AS s2_{k},
+           sum(xl{k})::HUGEINT AS s1_{k}"""
+    for k in range(1, 7)
+)
+
+
+@register(
+    "events_acf",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{_ACF_LAG_COLS}
+      FROM lg GROUP BY 1)
+    {_ACF_ARMS}
+    """,
+    ops=["EXT-windows", "G2", "W1", "O3"],
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-6) of the hourly event-count series per
+    type, exact integer Box-Jenkins estimator —
+    operators/timeseries.acf_lags."""
+    from openrouter_batch_processor_spark.operators.timeseries import acf_lags
+
+    return acf_lags(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, hour, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    d AS (
+      SELECT event_type, extract(hour FROM hour)::BIGINT AS hod,
+             25 * x - sum(x) OVER w AS d25,
+             count(*) OVER w AS wn
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+    SELECT event_type, hod, count(*)::BIGINT AS n_windows,
+           ((sum(d25)::BIGINT * 10000000) // (25 * count(*)))::DOUBLE
+             / 10000000.0 AS seasonal
+    FROM d WHERE wn = 25 GROUP BY 1, 2
+    """,
+    ops=["EXT-windows", "G2", "W1"],
+)
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition: centered 25-h moving-average
+    trend, hour-of-day seasonal means, exact ×25 integer carry —
+    operators/timeseries.seasonal_decompose_hod. (Both engines'
+    integer div truncates toward zero, verified — negative detrended
+    sums are safe.)"""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        seasonal_decompose_hod,
+    )
+
+    return seasonal_decompose_hod(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_mad_anomaly",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT event_type, value AS med, n AS n_events
+            FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (SELECT e.event_type, e.event_id, m.n_events, m.med,
+                   abs(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+    r2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+                  n_events AS n
+           FROM dev),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, max(d.n_events)::BIGINT AS n_events,
+           max(d.med) AS med, max(m.mad) AS mad,
+           count(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m USING (event_type) GROUP BY 1
+    """,
+    ops=["EXT-windows", "G2", "O3", "G6"],
+)
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-rule robust anomaly counts (3·1.4826·MAD) per event
+    type, rank-median order statistics only —
+    operators/timeseries.mad_anomalies."""
+    from openrouter_batch_processor_spark.operators.timeseries import mad_anomalies
+
+    return mad_anomalies(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

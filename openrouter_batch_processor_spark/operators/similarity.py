@@ -995,3 +995,71 @@ def semdedup_report(
         (F.col("n_vectors") - nr).cast("long").alias("n_kept"),
         F.round(nr / F.col("n_vectors"), 6).alias("removed_frac"),
     )
+
+
+def prototype_prune_report(
+    embeddings: DataFrame,
+    prune_num: int = 3,
+    prune_den: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022, arXiv:2206.14486
+    "Beyond neural scaling laws"): rank each example by prototypicality
+    — cosine to its cluster centroid — and PRUNE the most prototypical
+    (easiest) fraction, keeping the hard examples that carry the
+    training signal at scale. The companion policy to SemDeDup (which
+    drops near-duplicate pairs; this drops cluster cores), and the D4
+    pipeline (Tirumala et al. 2023) is exactly SemDeDup followed by
+    this.
+
+    The prune fraction is the RATIONAL prune_num/prune_den so the
+    per-cell cut count floor(p·n) = (prune_num·n) div prune_den is
+    exact integer arithmetic on both engines. Returns per-cell
+    (centroid_id, n_vectors, n_pruned, n_kept, cut_cos) with cut_cos
+    the lowest cosine among the pruned (NULL when the cell prunes
+    nothing).
+
+    Scale shape: cell assignment is the shared broadcast-C-row pass
+    (_centroid_distances); prototypicality is one dot product against
+    the broadcast per-cell centroid unit; the rank window shuffles on
+    centroid_id only (C partitions, AQE-coalesced) — no pairwise stage
+    at all, unlike SemDeDup."""
+    from pyspark.sql.window import Window
+
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    units = staged_unit_vectors(embeddings, id_col, vec_col)
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    cunits = unit_vectors(centroids, "_cid", "_cvec").select(
+        F.col("_cid").alias("centroid_id"), F.col("unit").alias("cunit")
+    )
+    cos = (
+        assigned.select(F.col(id_col), "centroid_id")
+        .join(units, id_col)
+        .join(F.broadcast(cunits), "centroid_id")
+        .select(
+            "centroid_id",
+            F.col(id_col),
+            F.round(_dot(F.col("unit"), F.col("cunit")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("cos"), F.asc(id_col))
+    wc = Window.partitionBy("centroid_id")
+    ranked = cos.select(
+        "centroid_id",
+        "cos",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pruned = F.col("rn") <= F.expr(f"({prune_num} * n) div {prune_den}")
+    return ranked.groupBy("centroid_id").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.count(F.when(pruned, 1)).cast("long").alias("n_pruned"),
+        (F.max("n") - F.count(F.when(pruned, 1))).cast("long").alias("n_kept"),
+        F.min(F.when(pruned, F.col("cos"))).alias("cut_cos"),
+    )

@@ -7402,6 +7402,90 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: per-group weighted reservoir sampling +
+# SSL-prototype pruning
+# ===========================================================================
+
+
+@register(
+    "sample_reservoir_group",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS hv
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(-ln((hv + 0.5) / 4503599627370496.0) / n_chars, 6) AS akey
+      FROM h),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY akey ASC, doc_id ASC) AS sel_rank
+          FROM keyed)
+    SELECT doc_id, source, n_chars, sel_rank::BIGINT AS sel_rank
+    FROM r WHERE sel_rank <= 10
+    """,
+    ops=["EXT-sampling", "O3", "F4", "W1"],
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Efraimidis–Spirakis weighted reservoir sample (k=10,
+    weight = n_chars), deterministic hash-uniform keys —
+    operators/sampling.weighted_reservoir_per_group."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return weighted_reservoir_per_group(
+        docs, "source", "n_chars", k=10, id_col="doc_id"
+    ).select(
+        "doc_id", "source", "n_chars", F.col("rank").cast("long").alias("sel_rank")
+    )
+
+
+@register(
+    "curation_prototype_prune",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=1)}),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    cu AS (SELECT centroid_id,
+                  list_transform(cvec, x -> x / sqrt(list_dot_product(cvec, cvec))) AS cunit
+           FROM centroids),
+    cs AS (SELECT a.centroid_id, a.vec_id,
+                  round(list_dot_product(u.unit, cu.cunit), 6) AS cos
+           FROM asg a JOIN u USING (vec_id) JOIN cu USING (centroid_id)),
+    r AS (SELECT centroid_id, cos,
+                 row_number() OVER (PARTITION BY centroid_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY centroid_id) AS n
+          FROM cs)
+    SELECT centroid_id, max(n)::BIGINT AS n_vectors,
+           count(CASE WHEN rn <= (3 * n) // 10 THEN 1 END)::BIGINT AS n_pruned,
+           (max(n) - count(CASE WHEN rn <= (3 * n) // 10 THEN 1 END))::BIGINT AS n_kept,
+           min(CASE WHEN rn <= (3 * n) // 10 THEN cos END) AS cut_cos
+    FROM r GROUP BY 1
+    """,
+    ops=["EXT-ivf", "EXT-dedup-policy", "G2", "W1"],
+)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning report (Sorscher et al. 2022): prune the
+    most prototypical 3/10 of every IVF cell by cosine-to-centroid —
+    operators/similarity.prototype_prune_report."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        prototype_prune_report,
+    )
+
+    return prototype_prune_report(
+        _t(spark, sf_dir, "embeddings"), prune_num=3, prune_den=10, n_centroids=8
+    )
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

@@ -366,3 +366,71 @@ def phash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("tile_row", T.LongType()),
+        T.StructField("tile_col", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("tile_md5", T.StringType()),
+    ]
+)
+
+
+def tile_images(media: DataFrame, img_width: int = 16, tile: int = 8) -> DataFrame:
+    """ViT-style patch grid (Dosovitskiy et al. 2020: an image is
+    worth 16x16 words) over binary payloads via mapInPandas: the
+    payload is interpreted as a row-major byte plane of width
+    img_width (the deterministic stand-in for a decoded luminance
+    plane — a real deployment swaps library_decoder's pixels in, same
+    schema), cropped to the largest tile-multiple, and cut into
+    (tile x tile) patches emitted as (media_id, tile_row, tile_col,
+    byte_sum, tile_md5). Payloads smaller than one tile row produce no
+    rows — the crop-to-multiple contract every patchifier applies.
+
+    This is the 1-in/N-out expansion shape (same as sample_frames):
+    one Arrow batch in, R*C rows per image out, zero driver state; the
+    downstream per-patch pipeline (embed, score, filter) is ordinary
+    DataFrame work keyed by (media_id, tile_row, tile_col)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(rec.payload)
+                n_rows = len(b) // img_width
+                for r in range(n_rows // tile):
+                    for c in range(img_width // tile):
+                        chunk = b"".join(
+                            b[
+                                (r * tile + dy) * img_width
+                                + c * tile : (r * tile + dy) * img_width
+                                + c * tile
+                                + tile
+                            ]
+                            for dy in range(tile)
+                        )
+                        rows.append(
+                            (
+                                rec.media_id,
+                                r,
+                                c,
+                                sum(chunk),
+                                hashlib.md5(chunk).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "tile_row", "tile_col", "byte_sum", "tile_md5"],
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, TILE_SCHEMA)
+    )

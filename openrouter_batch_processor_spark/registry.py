@@ -7486,6 +7486,86 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: ViT patch-grid plumbing + streaming SCD1 upsert
+# ===========================================================================
+
+
+@register(
+    "multimodal_image_tiles",
+    """
+    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
+               FROM documents),
+    g AS (SELECT media_id, text, (L // 16) AS H FROM m WHERE L >= 128),
+    rc AS (SELECT media_id, text,
+                  unnest(flatten(list_transform(range(0, H // 8),
+                         r -> list_transform(range(0, 2), c -> [r, c])))) AS t
+           FROM g),
+    tiles AS (SELECT media_id, t[1] AS tile_row, t[2] AS tile_col,
+                     array_to_string(list_transform(range(0, 8),
+                        dy -> substr(text, ((t[1]*8 + dy)*16 + t[2]*8)::INT + 1, 8)),
+                        '') AS chunk
+              FROM rc)
+    SELECT media_id, tile_row::BIGINT AS tile_row, tile_col::BIGINT AS tile_col,
+           list_sum(list_transform(range(1, 65),
+                    i -> ord(substr(chunk, i::INT, 1))))::BIGINT AS byte_sum,
+           md5(chunk) AS tile_md5
+    FROM tiles
+    """,
+    ops=["S4", "EXT-multimodal", "D6"],
+)
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 8x8 patch grid over binary image payloads (documents'
+    bytes as a 16-wide luminance plane, the media-table construction) —
+    mapInPandas 1-in/N-out expansion, byte-exact vs the substr oracle
+    (ASCII corpus: byte == codepoint). operators/multimodal.tile_images."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        tile_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("img/doc_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+            "rel_path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return tile_images(media_table(files), img_width=16, tile=8)
+
+
+@register(
+    "streaming_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id, value AS last_value,
+           n_events::BIGINT AS n_events
+    FROM latest WHERE rn = 1
+    """,
+    ops=["T1", "T2", "EXT-cdc", "G2", "O3"],
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latest-wins keyed upsert (SCD1 CDC merge) as a Structured
+    Streaming foreachBatch sink over one-file-per-trigger micro-batches;
+    the merge is a commutative monoid (count-sum + max-struct), so the
+    streamed state equals the batch argmax — which is the oracle.
+    streaming/upsert.scd1_upsert_stream."""
+    from openrouter_batch_processor_spark.streaming.upsert import (
+        events_split_fixture,
+        scd1_upsert_stream,
+    )
+
+    events_dir = events_split_fixture(spark, sf_dir, n_splits=3)
+    return scd1_upsert_stream(spark, events_dir)
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

@@ -7566,6 +7566,66 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: product quantization (ADC) recall audit
+# ===========================================================================
+
+
+@register(
+    "sim_pq_adc_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT cid, m, v[m*16+1 : (m+1)*16] AS cw FROM seeds, range(0, 4) t(m)),
+    subs AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sub FROM e, range(0, 4) t(m)),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sub, s.sub)
+                                      - 2*list_dot_product(s.sub, c.cw)
+                                      + list_dot_product(c.cw, c.cw), 6), c.cid) AS rn
+              FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
+    qsubs AS (SELECT qid, m, qv[m*16+1 : (m+1)*16] AS qsub FROM q, range(0, 4) t(m)),
+    dtab AS (SELECT qid, qsubs.m, cid,
+                    round(list_dot_product(qsub, qsub) - 2*list_dot_product(qsub, cw)
+                          + list_dot_product(cw, cw), 6)::DECIMAL(18,6) AS d
+             FROM qsubs JOIN cb ON cb.m = qsubs.m),
+    adc AS (SELECT d.qid, en.vec_id, sum(d.d)::DECIMAL(18,6) AS adc_dist
+            FROM enc en JOIN dtab d ON d.m = en.m AND d.cid = en.code
+            WHERE en.vec_id <> d.qid
+            GROUP BY 1, 2),
+    ta AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc_dist, vec_id) AS rn
+             FROM adc) WHERE rn <= 10),
+    ex AS (SELECT q.qid, e.vec_id,
+                  round(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, e.v)
+                        + list_dot_product(e.v, e.v), 6) AS dist
+           FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+    te AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             FROM ex) WHERE rn <= 10),
+    hits AS (SELECT ta.qid, count(*)::BIGINT AS n_hits
+             FROM ta JOIN te USING (qid, vec_id) GROUP BY 1)
+    SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+    FROM q LEFT JOIN hits h USING (qid)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J2", "G2", "O3"],
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall@10 audit (Jégou et al. 2011):
+    4x16-dim seed codebooks, encode once, sum per-subspace lookup
+    distances in DECIMAL — operators/similarity.pq_adc_recall."""
+    from openrouter_batch_processor_spark.operators.similarity import pq_adc_recall
+
+    return pq_adc_recall(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

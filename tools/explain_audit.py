@@ -274,6 +274,10 @@ BRUTE_FORCE_OK = {
     # prototype prune: the C-row centroid broadcast cross join (cell
     # assignment), same bounded pass as dedup_semdedup
     "curation_prototype_prune",
+    # pq adc: the 10-query exact-truth cross join is the audit's
+    # labeled cost (same contract as sim_ann_recall); the production
+    # path is the broadcast codeword lookup
+    "sim_pq_adc_recall",
 }
 
 

@@ -380,3 +380,77 @@ def quality_threshold_sweep(docs: DataFrame, id_col: str = "doc_id", text_col: s
         F.sum("n_docs").over(w).cast("long").alias("n_docs_surviving"),
         F.sum("n_tokens").over(w).cast("long").alias("n_tokens_surviving"),
     )
+
+
+def fineweb_gate(
+    docs: DataFrame,
+    entropy_min: float = 4.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """FineWeb-style filter stack (Penedo et al. 2024: Gopher rules +
+    per-corpus quality heuristics + LM-perplexity selection, applied as
+    independent AND-ed gates): per source, how many documents pass (a)
+    the Gopher rule set, (b) the character-entropy floor, (c) the
+    CCNet perplexity gate (not in the per-source 'tail' tercile) — and
+    the intersection yield the cleaned corpus would keep.
+
+    Report: (source, n_docs, n_gopher, n_entropy, n_ppl, n_kept,
+    kept_frac) with kept_frac exact via integer-micros floor division.
+    The three gates are independent subtrees over the same scan
+    (row-local Gopher/entropy flags; the perplexity subtree reuses the
+    bigram-LM join shape) joined once by doc id — at 100 TB each gate
+    is a column on the one materialized score table, and the report is
+    a combiner groupBy."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        ccnet_buckets_per_doc,
+        char_entropy,
+        gopher_rules,
+    )
+
+    g = gopher_rules(
+        docs, id_col, text_col, stopwords=("the", "a"), min_stopwords=2
+    ).select(F.col(id_col), "gopher_pass")
+    e = char_entropy(docs, id_col, text_col).select(
+        F.col(id_col), (F.col("char_entropy_bits") >= entropy_min).alias("ent_pass")
+    )
+    b = ccnet_buckets_per_doc(docs, id_col, text_col, source_col).select(
+        F.col(id_col), (F.col("bucket") != "tail").alias("ppl_pass")
+    )
+    base = docs.select(F.col(id_col), F.col(source_col))
+    joined = (
+        base.join(g, id_col, "left")
+        .join(e, id_col, "left")
+        .join(b, id_col, "left")
+        .select(
+            F.col(source_col),
+            F.coalesce("gopher_pass", F.lit(False)).alias("gp"),
+            F.coalesce("ent_pass", F.lit(False)).alias("ep"),
+            F.coalesce("ppl_pass", F.lit(False)).alias("pp"),
+        )
+    )
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("gp"), 1)).cast("long").alias("n_gopher"),
+            F.count(F.when(F.col("ep"), 1)).cast("long").alias("n_entropy"),
+            F.count(F.when(F.col("pp"), 1)).cast("long").alias("n_ppl"),
+            F.count(F.when(F.col("gp") & F.col("ep") & F.col("pp"), 1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_gopher",
+            "n_entropy",
+            "n_ppl",
+            "n_kept",
+            (
+                F.expr("(n_kept * 10000000) div n_docs").cast("double")
+                / F.lit(10000000.0)
+            ).alias("kept_frac"),
+        )
+    )

@@ -677,7 +677,11 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_rules(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] | list[str] = tuple(GOPHER_STOPWORDS),
+    min_stopwords: int = 2,
 ) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
     appendix A1.1), the rule set FineWeb/Dolma re-use, adapted to this
@@ -710,7 +714,7 @@ def gopher_rules(
         .cast("long")
         .alias("n_alpha_words"),
         F.size(
-            F.array_distinct(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+            F.array_distinct(F.filter(toks, lambda x: x.isin(*stopwords)))
         )
         .cast("long")
         .alias("n_gopher_stops"),
@@ -742,7 +746,7 @@ def gopher_rules(
             "rule_mean_word_len"
         ),
         (F.col("n_alpha_words") * 5 >= n * 4).alias("rule_alpha_words"),
-        (F.col("n_gopher_stops") >= 2).alias("rule_stopwords"),
+        (F.col("n_gopher_stops") >= min_stopwords).alias("rule_stopwords"),
         (
             F.coalesce(F.col("top_bigram_mass"), F.lit(0)) * 5
             <= F.col("n_norm_chars")
@@ -822,24 +826,10 @@ def ccnet_buckets(
     floor-divided in integer tenth-micros. Scale: the window
     partitions by source (no global sort); everything downstream is a
     combiner-friendly groupBy."""
-    from pyspark.sql import Window
-
-    nll = bigram_nll(docs, id_col, text_col)
-    src = docs.select(F.col(id_col), F.col(source_col))
-    w = Window.partitionBy(source_col).orderBy(F.col("avg_nll").asc(), F.col(id_col).asc())
-    bucketed = (
-        nll.join(src, id_col)
-        .select(F.col(id_col), F.col(source_col), "avg_nll")
-        .withColumn("tercile", F.ntile(3).over(w))
-    )
-    bucket_name = (
-        F.when(F.col("tercile") == 1, "head")
-        .when(F.col("tercile") == 2, "middle")
-        .otherwise("tail")
-    )
     sm = (F.sum(F.col("avg_nll").cast("decimal(18,7)")) * F.lit(10000000)).cast("long")
     return (
-        bucketed.select(F.col(source_col), bucket_name.alias("bucket"), "avg_nll")
+        ccnet_buckets_per_doc(docs, id_col, text_col, source_col)
+        .select(F.col(source_col), "bucket", "avg_nll")
         .groupBy(source_col, "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -857,4 +847,37 @@ def ccnet_buckets(
             "min_nll",
             "max_nll",
         )
+    )
+
+
+def ccnet_buckets_per_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document CCNet bucket assignment: (id, source, avg_nll,
+    bucket) with bucket = head/middle/tail by ntile(3) over (avg_nll,
+    id) within source — the shared frame under ccnet_buckets (the
+    per-bucket report) and fineweb_gate (the AND-ed filter stack).
+    Deterministic: avg_nll is exact by construction (bigram_nll)."""
+    from pyspark.sql import Window
+
+    nll = bigram_nll(docs, id_col, text_col)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("avg_nll").asc(), F.col(id_col).asc()
+    )
+    bucketed = (
+        nll.join(src, id_col)
+        .select(F.col(id_col), F.col(source_col), "avg_nll")
+        .withColumn("tercile", F.ntile(3).over(w))
+    )
+    bucket_name = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.select(
+        F.col(id_col), F.col(source_col), "avg_nll", bucket_name.alias("bucket")
     )

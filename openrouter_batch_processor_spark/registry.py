@@ -7164,7 +7164,7 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(toks)::BIGINT AS n_words,
                     len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
                     len(list_distinct(list_filter(toks,
-                        x -> list_contains(['the','be','to','of','and','that','have','with'], x))))::BIGINT AS n_stops,
+                        x -> list_contains(['the','a'], x))))::BIGINT AS n_stops,
                     toks
              FROM b),
     bg AS (SELECT doc_id,
@@ -7191,10 +7191,16 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021) per document, all
-    in integer arithmetic — see operators/textanalysis.gopher_rules."""
+    in integer arithmetic — operators/textanalysis.gopher_rules. The
+    stopword-presence set is corpus-adapted to ('the', 'a'): the
+    synthetic closed vocabulary contains no other common stopword, so
+    the published 8-word set (the operator's default) would make the
+    rule constant-false here."""
     from openrouter_batch_processor_spark.operators.textanalysis import gopher_rules
 
-    return gopher_rules(_t(spark, sf_dir, "documents"))
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"), stopwords=("the", "a"), min_stopwords=2
+    )
 
 
 @register(
@@ -7623,6 +7629,99 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.similarity import pq_adc_recall
 
     return pq_adc_recall(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Round-4 second wave: the FineWeb-style AND-ed filter-stack composite
+# ===========================================================================
+
+
+@register(
+    "curation_fineweb_gate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    bse AS (SELECT doc_id, source, norm, len(norm)::BIGINT AS n_norm_chars,
+                   string_split(norm, ' ') AS toks FROM t),
+    gb AS (SELECT doc_id, source, n_norm_chars, toks,
+                  len(toks)::BIGINT AS n_words,
+                  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+                  len(list_distinct(list_filter(toks,
+                      x -> list_contains(['the','a'], x))))::BIGINT AS n_stops
+           FROM bse),
+    bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS bgr
+            FROM gb WHERE len(toks) >= 2),
+    bcx AS (SELECT doc_id, bgr, count(*) AS c FROM bgx GROUP BY 1, 2),
+    tmx AS (SELECT doc_id, max(c * len(bgr))::BIGINT AS top_mass FROM bcx GROUP BY 1),
+    gflag AS (SELECT g.doc_id,
+                     ((n_words >= 15 AND n_words <= 90)
+                      AND (n_norm_chars - (n_words - 1) >= 3 * n_words
+                           AND n_norm_chars - (n_words - 1) <= 10 * n_words)
+                      AND (n_alpha * 5 >= n_words * 4)
+                      AND (n_stops >= 2)
+                      AND (coalesce(top_mass, 0) * 5 <= n_norm_chars)) AS gp
+              FROM gb g LEFT JOIN tmx USING (doc_id)),
+    em AS (SELECT doc_id, len(norm)::BIGINT AS n,
+                  list_aggregate(list_transform(
+                    list_sort(list_distinct(string_split(norm, ''))),
+                    c -> round(len(list_filter(string_split(norm, ''), x -> x = c)) *
+                               log2(len(list_filter(string_split(norm, ''), x -> x = c))),
+                               6)::DECIMAL(18,6)), 'sum') AS mass
+           FROM t),
+    eflag AS (SELECT doc_id,
+                     (round(log2(n::DOUBLE) - mass::DOUBLE / n::DOUBLE, 6) >= 4.0) AS ep
+              FROM em),
+    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    bgm AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM tk WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bgm GROUP BY 1, 2),
+    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
+    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
+    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
+    sc AS (SELECT f.doc_id, f.bf,
+                  round(-ln((c.c12 + 0.5) / (t2.c1 + 0.5 * v.vsz)), 6) AS nb
+           FROM bf f JOIN c12 c USING (bigram)
+           JOIN ctf t2 ON t2.term = string_split(f.bigram, ' ')[1]
+           CROSS JOIN v),
+    agg AS (SELECT doc_id,
+                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
+                     // sum(bf)::BIGINT AS sm7
+            FROM sc GROUP BY 1),
+    nllx AS (SELECT doc_id, sm7 / 10000000.0 AS avg_nll FROM agg),
+    pflag AS (SELECT n.doc_id,
+                     (ntile(3) OVER (PARTITION BY d.source
+                                     ORDER BY n.avg_nll ASC, n.doc_id ASC) != 3) AS pp
+              FROM nllx n JOIN documents d USING (doc_id)),
+    flags AS (SELECT d.source,
+                     coalesce(g.gp, FALSE) AS gp,
+                     coalesce(e.ep, FALSE) AS ep,
+                     coalesce(p.pp, FALSE) AS pp
+              FROM documents d
+              LEFT JOIN gflag g USING (doc_id)
+              LEFT JOIN eflag e USING (doc_id)
+              LEFT JOIN pflag p USING (doc_id)),
+    rep AS (SELECT source, count(*)::BIGINT AS n_docs,
+                   count(CASE WHEN gp THEN 1 END)::BIGINT AS n_gopher,
+                   count(CASE WHEN ep THEN 1 END)::BIGINT AS n_entropy,
+                   count(CASE WHEN pp THEN 1 END)::BIGINT AS n_ppl,
+                   count(CASE WHEN gp AND ep AND pp THEN 1 END)::BIGINT AS n_kept
+            FROM flags GROUP BY 1)
+    SELECT source, n_docs, n_gopher, n_entropy, n_ppl, n_kept,
+           ((n_kept * 10000000) // n_docs)::DOUBLE / 10000000.0 AS kept_frac
+    FROM rep
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "W1", "O3"],
+)
+def q_fineweb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style AND-ed filter stack per source: Gopher rules +
+    char-entropy floor + CCNet not-tail perplexity gate, intersection
+    yield with exact kept_frac — operators/curation.fineweb_gate."""
+    from openrouter_batch_processor_spark.operators.curation import fineweb_gate
+
+    return fineweb_gate(_t(spark, sf_dir, "documents"), entropy_min=4.0)
 
 
 # ===========================================================================

@@ -130,3 +130,20 @@ class TestCcnetBuckets:
         assert got["middle"]["max_nll"] <= got["tail"]["min_nll"]
         for r in got.values():
             assert r["min_nll"] <= r["mean_nll"] <= r["max_nll"]
+
+
+class TestFinewebGate:
+    def test_counts_consistent_and_intersection_bounded(self, spark):
+        from openrouter_batch_processor_spark.session import load_table
+        from openrouter_batch_processor_spark.operators.curation import fineweb_gate
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = fineweb_gate(docs, entropy_min=4.0).collect()
+        assert rows
+        total = sum(r["n_docs"] for r in rows)
+        assert total == docs.count()
+        for r in rows:
+            assert 0 <= r["n_kept"] <= min(r["n_gopher"], r["n_entropy"], r["n_ppl"])
+            assert r["kept_frac"] == (r["n_kept"] * 10000000 // r["n_docs"]) / 1e7
+            # the ccnet gate keeps at most 2/3 (+1 for ntile remainder)
+            assert r["n_ppl"] <= (2 * r["n_docs"]) // 3 + 2

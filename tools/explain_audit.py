@@ -271,6 +271,9 @@ BRUTE_FORCE_OK = {
     "curation_dsir_select",
     # ccnet buckets: inherits bigram ppl's 1-row vocab-size broadcast
     "text_ccnet_buckets",
+    # fineweb gate: same inherited 1-row vocab-size broadcast (its
+    # ppl subtree is the ccnet per-doc bucketing)
+    "curation_fineweb_gate",
     # prototype prune: the C-row centroid broadcast cross join (cell
     # assignment), same bounded pass as dedup_semdedup
     "curation_prototype_prune",

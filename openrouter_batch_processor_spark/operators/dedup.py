@@ -884,3 +884,62 @@ def triangle_participation(
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).select(
         F.col("node").alias(id_col), "n_triangles"
     )
+
+
+def label_propagation(
+    docs: DataFrame,
+    rounds: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    LSH near-duplicate graph: every node starts labeled with its own
+    id; each round, every node adopts the MOST FREQUENT label among
+    its neighbors (ties: smallest label). Community detection
+    complementing connected_components — CC merges everything
+    reachable, LPA keeps weakly-bridged dup neighborhoods apart, which
+    is the right granularity for picking canonical representatives in
+    template-heavy corpora.
+
+    Determinism: synchronous updates (all nodes read the PREVIOUS
+    round's labels) + the total (count desc, label asc) order make
+    every round a pure function of the edge set — async/random-order
+    LPA is not oracle-checkable. Round body = one equi-join of labels
+    onto edge endpoints + a combiner (node, label) count + a min-by —
+    one shuffle per round at any scale, fixed round count (unrolled,
+    constant plan depth). Isolated docs have no edges and drop out,
+    the same contract as pagerank_lite."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return label_propagation_edges(edges, rounds).select(
+        F.col("node").alias(id_col), "community", "community_size"
+    )
+
+
+def label_propagation_edges(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """LPA core over a SYMMETRIC (src, dst) edge set — the graph-only
+    half of label_propagation, shared so tests can drive constructed
+    topologies (bridged cliques) directly."""
+    edges = edges.localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        neigh = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("n2"), "label"
+        )
+        counts = neigh.groupBy("n2", "label").agg(F.count(F.lit(1)).alias("c"))
+        best = counts.groupBy("n2").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b")
+        )
+        labels = best.select(
+            F.col("n2").alias("node"), F.col("b.label").alias("label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )

@@ -7725,6 +7725,54 @@ def q_fineweb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: synchronous label propagation (community
+# detection over the LSH candidate graph)
+# ===========================================================================
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    n1 AS (SELECT e.src AS node, l.label, count(*) AS c
+           FROM edges e JOIN lab0 l ON l.node = e.dst GROUP BY 1, 2),
+    lab1 AS (SELECT node, label FROM (
+              SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM n1) WHERE rn = 1),
+    n2 AS (SELECT e.src AS node, l.label, count(*) AS c
+           FROM edges e JOIN lab1 l ON l.node = e.dst GROUP BY 1, 2),
+    lab2 AS (SELECT node, label FROM (
+              SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM n2) WHERE rn = 1),
+    sz AS (SELECT label, count(*)::BIGINT AS community_size FROM lab2 GROUP BY 1)
+    SELECT l.node AS doc_id, l.label AS community, s.community_size
+    FROM lab2 l JOIN sz s USING (label)
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2", "O4"],
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds (Raghavan et al. 2007)
+    over the LSH near-duplicate graph, (count desc, label asc)
+    deterministic updates — operators/dedup.label_propagation."""
+    from openrouter_batch_processor_spark.operators.dedup import label_propagation
+
+    return label_propagation(_t(spark, sf_dir, "documents"), rounds=2)
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

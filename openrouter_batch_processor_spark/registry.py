@@ -6954,10 +6954,14 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram-LM perplexity (add-k smoothing, corpus-fit) — the
     CCNet-style LM quality filter beside the unigram proxy
     (text_unigram_nll). operators/textanalysis.bigram_nll cites the
-    paper and the vocab-vs-corpus join scale shape."""
-    from openrouter_batch_processor_spark.operators.textanalysis import bigram_nll
+    paper and the vocab-vs-corpus join scale shape; the per-doc score
+    table is session-staged (staged_bigram_nll) and shared with the
+    CCNet bucketing and the FineWeb gate."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        staged_bigram_nll,
+    )
 
-    return bigram_nll(_t(spark, sf_dir, "documents"))
+    return staged_bigram_nll(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -572,3 +572,82 @@ def mad_anomalies(events: DataFrame, k_sigma: float = 3.0) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.5, 0.3, 0.2, 24
+
+
+def holt_winters_additive(
+    events: DataFrame,
+    group_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    y_col: str = "value",
+    alpha: float = HW_ALPHA,
+    beta: float = HW_BETA,
+    gamma: float = HW_GAMMA,
+    period: int = HW_PERIOD,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per group
+    (Winters 1960) — the seasonal third equation on top of
+    holt_linear:
+      l_i = a*(x_i - s_{i-m}) + (1-a)*(l_{i-1} + b_{i-1})
+      b_i = g*(l_i - l_{i-1}) + (1-g)*b_{i-1}
+      s_i = c*(x_i - l_i) + (1-c)*s_{i-m}
+    init l_0 = x_0, b_0 = 0, s = 0 (the first m steps behave like
+    Holt while the seasonal ring warms up — documented simple init so
+    the oracle can reproduce it). Forecast_1 = l + b + s_{next}.
+
+    The seasonal state is a ROTATING ring: s_{i-m} is always the ring
+    head, the update appends at the tail — which is exactly what makes
+    the DuckDB oracle expressible: list_reduce over 2+m-wide list
+    accumulators ([l, b] || acc[4:m+2] || [s_new]), every element
+    evaluated against the OLD accumulator (the struct-accumulator
+    field-leak bug in DuckDB 1.0 does not apply to list construction;
+    see events_holt_forecast). IEEE multiply-add order is written
+    identically in the pandas fold and the SQL lambda — verified
+    bit-identical. Same scale contract as ewma_last/holt_linear:
+    grouped-map applyInPandas, state = one group's series."""
+    import pandas as pd
+
+    cols = [group_col, *order_cols, y_col]
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from collections import deque
+
+        pdf = pdf.sort_values(list(order_cols))
+        level = None
+        trend = 0.0
+        ring: deque = deque([0.0] * period)
+        for x in pdf[y_col].astype("float64"):
+            if level is None:
+                level = x
+                continue
+            s_tm = ring[0]
+            new_level = alpha * (x - s_tm) + (1.0 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1.0 - beta) * trend
+            s_new = gamma * (x - new_level) + (1.0 - gamma) * s_tm
+            ring.popleft()
+            ring.append(s_new)
+            level = new_level
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [len(pdf)],
+                "level": [_round_away(level)],
+                "trend": [_round_away(trend)],
+                "s_next": [_round_away(ring[0])],
+                "forecast_1": [_round_away(level + trend + ring[0])],
+            }
+        )
+
+    return (
+        events.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(
+            fold,
+            schema=(
+                f"{group_col} string, n long, level double, trend double, "
+                "s_next double, forecast_1 double"
+            ),
+        )
+    )

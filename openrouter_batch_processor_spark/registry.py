@@ -7777,6 +7777,54 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-4 second wave: Holt-Winters additive (rotating seasonal ring)
+# ===========================================================================
+
+
+@register(
+    "events_holt_winters",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 -- acc = [l, b] || 24-slot seasonal RING (head = s_{t-m});
+                 -- every element evaluated against the OLD acc (list
+                 -- construction; the DuckDB 1.0 struct-acc field leak
+                 -- does not apply — see events_holt_forecast)
+                 list_reduce(
+                   list_transform(xs, x -> ([x] || list_transform(range(0, 25),
+                                                                  i -> 0.0::DOUBLE))),
+                   (acc, e) ->
+                     [0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                      0.3 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                             - acc[1]) + 0.7 * acc[2]]
+                     || acc[4:26]
+                     || [0.2 * (e[1] - (0.5 * (e[1] - acc[3])
+                                        + 0.5 * (acc[1] + acc[2])))
+                         + 0.8 * acc[3]]) AS st
+          FROM ordered)
+    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[3], 6) AS s_next,
+           round(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM f
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (level+trend+24-slot seasonal ring) per
+    event type via grouped-map applyInPandas, value-checked against a
+    DuckDB list_reduce over rotating 26-wide list accumulators —
+    operators/timeseries.holt_winters_additive."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    return holt_winters_additive(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r03: exactly the first 50 in dict
 # order). Round 4 rotation: the window is the 30 queries that have never

@@ -36,6 +36,7 @@ from openrouter_batch_processor_spark.sinks.artifacts import (
     package_results_zip,
     render_output_json,
     write_group_texts,
+    write_output_json_stream,
     write_inventory_csv,
     write_job_meta,
     write_results_csv,
@@ -46,6 +47,14 @@ from openrouter_batch_processor_spark.sources.ingest import (
     scan_files,
     zip_members,
 )
+
+# Above this many result groups the output.json render switches from the
+# collect()-based fast path to the streaming toLocalIterator writer
+# (sinks/artifacts.py:write_output_json_stream). 100k rows of typical
+# LLM outputs is ~100 MB driver-side — comfortably inside default driver
+# memory; beyond it the single-file reference artifact still renders,
+# just without materializing every row at once.
+JSON_COLLECT_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_JSON_COLLECT_MAX", "100000"))
 
 
 @dataclass
@@ -200,13 +209,25 @@ def run_job(
         write_results_csv(results, job_dir)
         write_inventory_csv(file_inventory(files), job_dir)
     if "json" in formats:
-        rows = [r.asDict() for r in json_rows(results).orderBy("file_name").collect()]
-        with open(os.path.join(job_dir, "output.json"), "w", encoding="utf-8") as fh:
-            fh.write(render_output_json(rows))
+        # Reference parity (worker.py:218): output.json is ONE file. The
+        # collect() render is the small-job fast path; past the guard the
+        # sorted frame streams through toLocalIterator (byte-identical
+        # output, bounded driver memory) so a pathological job can't OOM.
+        sorted_rows = json_rows(results).orderBy("file_name")
+        json_path = os.path.join(job_dir, "output.json")
+        if metrics.get("n_groups", 0) > JSON_COLLECT_MAX_ROWS:
+            write_output_json_stream(sorted_rows, json_path)
+        else:
+            rows = [r.asDict() for r in sorted_rows.collect()]
+            with open(json_path, "w", encoding="utf-8") as fh:
+                fh.write(render_output_json(rows))
     if "text" in formats:
         if config.separate_outputs:
             write_group_texts(flagged, os.path.join(job_dir, "texts"))
         else:
+            # Single-row head(): concatenated_text folds to ONE row whose
+            # size is the whole concat text — bounded by groups-per-job
+            # (a per-job artifact, not a corpus-scale path).
             concat = concatenated_text(results).head()["text"]
             with open(
                 os.path.join(job_dir, "results_concat.txt"), "w", encoding="utf-8"

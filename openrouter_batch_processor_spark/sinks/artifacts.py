@@ -86,6 +86,35 @@ def render_output_json(rows: Iterable[dict]) -> str:
     return json.dumps(payload, indent=2, ensure_ascii=False)
 
 
+def write_output_json_stream(json_rows_sorted: DataFrame, path: str) -> int:
+    """K3 at unbounded size: stream the output.json array to disk via
+    toLocalIterator() — one partition in driver memory at a time — with
+    byte-for-byte the same rendering as render_output_json (indent=2,
+    ensure_ascii=False, parse failure -> literal ``false``). The
+    collect()-based path in plans/job_runner.py is the small-job fast
+    path; this is its size-guard fallback, so a pathological job (many
+    millions of groups) can't OOM the driver. Returns the row count.
+
+    Expects the frame already sorted by file_name (the sort happens in
+    Spark; a driver-side sort would defeat the bound)."""
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        for row in json_rows_sorted.toLocalIterator(prefetchPartitions=True):
+            element = {
+                "file_name": row["file_name"],
+                "raw_output": row["raw_output"],
+                "parsed_json": json.loads(row["parsed_json"])
+                if row["parse_ok"]
+                else False,
+            }
+            body = json.dumps(element, indent=2, ensure_ascii=False)
+            fh.write("[\n" if n == 0 else ",\n")
+            fh.write("  " + body.replace("\n", "\n  "))
+            n += 1
+        fh.write("]" if n == 0 else "\n]")
+    return n
+
+
 def write_group_texts(results: DataFrame, out_dir: str) -> int:
     """K4: one .txt per result row, named by F7. Executor-side writes
     via foreachPartition (no driver collect); returns row count.

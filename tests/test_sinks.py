@@ -53,6 +53,35 @@ class TestJsonSink:
         assert rendered[1]["parsed_json"] is False  # the D5 sentinel
         assert rendered[1]["raw_output"] == "not json"
 
+    def test_stream_writer_byte_parity(self, spark, tmp_path):
+        # The size-guard fallback (job_runner.JSON_COLLECT_MAX_ROWS) must
+        # produce the identical artifact, byte for byte, including the
+        # `false` sentinel and non-ASCII passthrough.
+        from openrouter_batch_processor_spark.sinks.artifacts import (
+            write_output_json_stream,
+        )
+
+        df = spark.createDataFrame(
+            [("a", '{"k": 1}'), ("b", "not json"), ("c", '["ünïcode", 2]')],
+            "file string, output string",
+        )
+        sorted_rows = json_rows(df).orderBy("file_name")
+        collected = render_output_json([r.asDict() for r in sorted_rows.collect()])
+        path = str(tmp_path / "output.json")
+        n = write_output_json_stream(sorted_rows, path)
+        assert n == 3
+        assert open(path, encoding="utf-8").read() == collected
+
+    def test_stream_writer_empty_frame(self, spark, tmp_path):
+        from openrouter_batch_processor_spark.sinks.artifacts import (
+            write_output_json_stream,
+        )
+
+        df = spark.createDataFrame([], "file string, output string")
+        path = str(tmp_path / "output.json")
+        assert write_output_json_stream(json_rows(df), path) == 0
+        assert open(path).read() == render_output_json([]) == "[]"
+
 
 class TestGroupTexts:
     def test_f7_names_and_contents(self, spark, tmp_path):

@@ -111,7 +111,7 @@ def write_output_json_stream(json_rows_sorted: DataFrame, path: str) -> int:
             fh.write("[\n" if n == 0 else ",\n")
             fh.write("  " + body.replace("\n", "\n  "))
             n += 1
-        fh.write("]" if n == 0 else "\n]")
+        fh.write("[]" if n == 0 else "\n]")
     return n
 
 

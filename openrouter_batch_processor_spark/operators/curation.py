@@ -219,6 +219,99 @@ def remove_duplicate_spans(
     )
 
 
+def dup_span_discovery(
+    docs: DataFrame,
+    min_tokens: int = 12,
+    seed_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The FRONT half of substring-level dedup (Lee et al.
+    'Deduplicating Training Data', ExactSubstr): discover every maximal
+    duplicated substring of >= min_tokens tokens, corpus-wide. The
+    reference method builds one suffix array over the concatenated
+    corpus and reads duplicates off adjacent suffixes sharing a long
+    LCP; the distributed equivalent is sorted k-gram rank/adjacency —
+    a position participates in a duplicate iff its k-token seed gram
+    occurs >= 2 times in the corpus (within-doc repeats count), and a
+    maximal duplicated substring of length L is exactly a maximal run
+    of L-k+1 consecutive duplicated seed positions.
+
+    Emits one row per maximal span: (doc_id, span_start, span_len,
+    span_hash, n_span_occ) where span_hash fingerprints the span's
+    token content and n_span_occ counts how many discovered spans share
+    it corpus-wide. remove_duplicate_spans consumes the same seed
+    stream (same k, same hashes) to do the edit; this is the inventory
+    a curation pass audits before editing.
+
+    Execution: one combiner groupBy on 32-byte seed hashes (the 'sort
+    the k-grams' step — Spark's shuffle IS the distributed sort), one
+    equi-join back to positions, then a per-doc lag/sum window for run
+    assembly — partitioned by doc_id, so window state is bounded by
+    document length, never corpus size. Span text re-slice is one
+    equi-join on doc_id against the tokenized staging frame. At 100 TB
+    every stage shuffles on doc_id or a fixed-width hash; the output is
+    duplicate-volume-sized, not corpus-sized."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    k = seed_tokens
+    staged = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    )
+    cnt = F.size(F.col("toks"))
+    mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " "))  # noqa: E731
+    wins = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(cnt >= k, F.transform(F.sequence(F.lit(0), cnt - k), mk)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("wh")
+    )
+    seeds = wins.join(dup, "wh").select(id_col, "pos")
+    run_w = Window.partitionBy(id_col).orderBy("pos")
+    runs = seeds.withColumn(
+        "new_run",
+        F.when(F.col("pos") - F.lag("pos").over(run_w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("new_run").over(run_w))
+    spans = (
+        runs.groupBy(id_col, "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_tokens)
+        .drop("run_id")
+    )
+    hashed = spans.join(staged, id_col).select(
+        F.col(id_col),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("span_start") + 1, F.col("span_len")),
+                " ",
+            )
+        ).alias("span_hash"),
+    )
+    occ = hashed.groupBy("span_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_span_occ")
+    )
+    return hashed.join(occ, "span_hash").select(
+        id_col, "span_start", "span_len", "span_hash", "n_span_occ"
+    )
+
+
 def source_mixture_weights(
     docs: DataFrame, temperature: float = 0.5, source_col: str = "source"
 ) -> DataFrame:

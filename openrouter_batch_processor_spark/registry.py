@@ -1245,6 +1245,52 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_dup_span_discovery",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id, u.i - 1 AS pos,
+                 md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
+          FROM t, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+          WHERE len(toks) >= 8),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    seed AS (SELECT doc_id, pos FROM w JOIN dup USING (wh)),
+    r AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                      THEN 0 ELSE 1 END AS new_run
+          FROM seed),
+    rid AS (SELECT doc_id, pos,
+                   sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+            FROM r),
+    spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+                     (max(pos) - min(pos) + 8)::BIGINT AS span_len
+              FROM rid GROUP BY doc_id, run_id
+              HAVING max(pos) - min(pos) + 8 >= 12),
+    sp AS (SELECT s.doc_id, s.span_start, s.span_len,
+                  md5(array_to_string(
+                      list_slice(t.toks, s.span_start + 1, s.span_start + s.span_len),
+                      ' ')) AS span_hash
+           FROM spans s JOIN t USING (doc_id)),
+    occ AS (SELECT span_hash, count(*)::BIGINT AS n_span_occ FROM sp GROUP BY 1)
+    SELECT sp.doc_id, sp.span_start, sp.span_len, sp.span_hash, occ.n_span_occ
+    FROM sp JOIN occ USING (span_hash)
+    """,
+    ops=["X1", "EXT-dedup-policy", "G4", "W2", "O1"],
+)
+def q_dup_span_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-equivalent duplicate-substring DISCOVERY (Lee et al.
+    ExactSubstr front half, VERDICT r04 item 5): every maximal
+    duplicated substring of >= 12 tokens, found via sorted 8-gram
+    rank/adjacency — maximal runs of consecutive duplicated seed
+    positions. curation_remove_dup_spans is the edit this inventory
+    feeds (operators/curation.py dup_span_discovery)."""
+    from openrouter_batch_processor_spark.operators.curation import dup_span_discovery
+
+    return dup_span_discovery(
+        _t(spark, sf_dir, "documents"), min_tokens=12, seed_tokens=8
+    )
+
+
+@register(
     "curation_mixture_weights",
     """
     WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),

@@ -184,6 +184,96 @@ class TestRemoveDuplicateSpans:
         assert out[2]["cleaned_text"] == "same short words"
 
 
+class TestDupSpanDiscovery:
+    """Front half of ExactSubstr (VERDICT r04 item 5): maximal duplicated
+    substrings via seed-gram rank/adjacency, feeding remove_duplicate_spans."""
+
+    def test_planted_passage_found_maximal(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            dup_span_discovery,
+        )
+
+        passage = (
+            "the quick brown fox jumps over the lazy sleeping dog "
+            "while winter rain falls softly"  # 15 tokens
+        )
+        a = f"alpha one two three four five six seven {passage}"
+        b = f"{passage} omega nine eight grape pear plum peach apple"
+        c = "entirely different words with no overlap whatsoever here at all"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        spans = dup_span_discovery(docs, min_tokens=12, seed_tokens=8).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # both occurrences reported (discovery is occurrence-level; the
+        # removal policy, not discovery, decides which copy to keep)
+        assert set(by_doc) == {1, 2}
+        (s1,), (s2,) = by_doc[1], by_doc[2]
+        # maximal extent: exactly the 15-token passage, nothing more
+        assert s1["span_len"] == 15 and s2["span_len"] == 15
+        assert s1["span_start"] == 8 and s2["span_start"] == 0
+        # identical content -> same hash, occurrence count 2
+        assert s1["span_hash"] == s2["span_hash"]
+        assert s1["n_span_occ"] == 2
+
+    def test_min_tokens_gates_short_duplicates(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            dup_span_discovery,
+        )
+
+        eight = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, f"{eight} unique ending alpha beta"),
+             (2, f"{eight} other closing words gamma")],
+            "doc_id long, text string",
+        )
+        # the shared run is exactly 8 tokens: below min_tokens=12 -> gated
+        assert dup_span_discovery(docs, min_tokens=12, seed_tokens=8).count() == 0
+        # at min_tokens=8 both occurrences surface
+        spans = dup_span_discovery(docs, min_tokens=8, seed_tokens=8).collect()
+        assert sorted((r["doc_id"], r["span_len"]) for r in spans) == [(1, 8), (2, 8)]
+
+    def test_discovery_feeds_removal(self, spark):
+        """Consistency with the back half: the token positions covered by
+        discovered spans (no length gate) are a superset of what
+        remove_duplicate_spans deletes, and the per-doc difference is
+        exactly the kept global-first occurrences — so n_removed is
+        bounded by discovery coverage."""
+        from openrouter_batch_processor_spark.operators.curation import (
+            dup_span_discovery,
+        )
+
+        passage = "the quick brown fox jumps over the lazy sleeping dog"
+        rows = [
+            (1, f"alpha one two three four five six seven {passage}"),
+            (2, f"{passage} omega nine eight grape pear plum peach apple"),
+            (3, f"middle filler words here then {passage} trailing bits"),
+            (4, "entirely different words with no overlap whatsoever here at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = dup_span_discovery(docs, min_tokens=8, seed_tokens=8).collect()
+        covered = {
+            (r["doc_id"], j)
+            for r in spans
+            for j in range(r["span_start"], r["span_start"] + r["span_len"])
+        }
+        removed = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_duplicate_spans(docs, window_tokens=8).collect()
+        }
+        per_doc_cov = {}
+        for d, _ in covered:
+            per_doc_cov[d] = per_doc_cov.get(d, 0) + 1
+        # every removed token lies inside a discovered span
+        for d, n in removed.items():
+            assert n <= per_doc_cov.get(d, 0)
+        # the first occurrence's doc keeps its copy but discovery reports it
+        assert per_doc_cov[1] == 10 and removed[1] == 0
+        assert removed[2] == 10 and removed[3] == 10
+
+
 def _py_remove_spans(docs: dict[int, str], w: int = 8):
     """Independent pure-Python reference for remove_duplicate_spans'
     spec (third implementation besides Spark and the DuckDB oracle)."""

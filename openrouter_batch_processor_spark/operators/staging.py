@@ -99,3 +99,12 @@ def staged_from(input_df: DataFrame, label: str, build) -> DataFrame:
     out = build(input_df).localCheckpoint(eager=True)
     _cache_put(key, out)
     return out
+
+
+def clear() -> None:
+    """Drop every memoized artifact reference (the ContextCleaner then
+    reclaims the checkpoint blocks). For harnesses that sweep multiple
+    datasets in one session (tools/scale_probe.py) — queries never need
+    this; the LRU bound handles steady-state."""
+    with _LOCK:
+        _CACHE.clear()

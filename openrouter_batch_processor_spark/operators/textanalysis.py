@@ -605,6 +605,175 @@ def bigram_nll(
     )
 
 
+SBO_ALPHA = 0.4  # Brants et al.'s fixed backoff multiplier
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    train_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, 'Large
+    Language Models in Machine Translation') — THE distributed-LM
+    method: no discounting, no normalization, just raw corpus counts
+    with a fixed backoff multiplier, which is exactly what makes it
+    MapReduce/Spark-shaped where Kneser-Ney is not.
+
+        S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)        if c3 > 0
+                      = α · c2(w2 w3) / c1(w2)           elif c2(w2 w3) > 0
+                      = α² · (c1(w3) + 1) / (N + V)      otherwise
+
+    with α = 0.4 (the paper's constant). Counts are fit on the
+    ``train_lang`` slice and every doc is scored against them, so
+    off-slice docs genuinely exercise the backoff cascade (a corpus-fit
+    model would never back off: every trigram would be its own
+    evidence). The unigram floor is add-one smoothed so OOV tokens
+    score finitely (the paper scores within a closed vocab; the +1/V
+    floor is the standard open-vocab adaptation).
+
+    Output per doc (≥3 tokens): n_trigrams, the tri/bi/uni backoff-hit
+    counts, and avg_nls = mean −ln S (exact integer-micros floor
+    division — the cross-engine mean pattern from bigram_nll).
+
+    Scale: per-doc trigram counting is one map-side-combined groupBy;
+    the three LM tables are vocabulary-sized (≪ corpus) equi-joins that
+    AQE broadcasts when small and hash-joins at 100 TB; N and V are a
+    1-row broadcast. Nothing is all-pairs, nothing is driver-side."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col), F.col(lang_col), toks.alias("toks")
+    ).filter(F.size("toks") >= 3)
+    n = F.size("toks")
+    tri = F.arrays_zip(
+        F.slice("toks", 1, n - 2).alias("w1"),
+        F.slice(F.col("toks"), 2, n - 2).alias("w2"),
+        F.slice(F.col("toks"), 3, n - 2).alias("w3"),
+    )
+    pos = base.select(
+        F.col(id_col), F.explode(tri).alias("t")
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+    # per-doc distinct-trigram counts: the LM joins run per (doc, tri),
+    # not per position
+    tf3 = pos.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    train = docs.filter(F.col(lang_col) == train_lang)
+    ttoks = F.split(normalize_text(F.col(text_col)), " ")
+    tbase = train.select(ttoks.alias("toks"))
+    tn = F.size("toks")
+    c1 = (
+        tbase.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = F.arrays_zip(
+        F.slice("toks", 1, tn - 1).alias("a"),
+        F.slice(F.col("toks"), 2, tn - 1).alias("b"),
+    )
+    c2 = (
+        tbase.filter(tn >= 2)
+        .select(F.explode(bi).alias("t"))
+        .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    tri_t = F.arrays_zip(
+        F.slice("toks", 1, tn - 2).alias("a"),
+        F.slice(F.col("toks"), 2, tn - 2).alias("b"),
+        F.slice(F.col("toks"), 3, tn - 2).alias("c"),
+    )
+    c3 = (
+        tbase.filter(tn >= 3)
+        .select(F.explode(tri_t).alias("t"))
+        .groupBy(
+            F.col("t.a").alias("a"), F.col("t.b").alias("b"), F.col("t.c").alias("c")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+    nv = c1.agg(
+        F.sum("c1").cast("double").alias("bign"),
+        F.count(F.lit(1)).cast("double").alias("vsz"),
+    )
+
+    j = (
+        tf3.join(
+            c3,
+            (F.col("w1") == c3["a"]) & (F.col("w2") == c3["b"]) & (F.col("w3") == c3["c"]),
+            "left",
+        )
+        .drop("a", "b", "c")
+        .join(
+            c2.select(F.col("a"), F.col("b"), F.col("c2").alias("c2_ctx")),
+            (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")),
+            "left",
+        )
+        .drop("a", "b")
+        .join(
+            c2.select(F.col("a"), F.col("b"), F.col("c2").alias("c2_bi")),
+            (F.col("w2") == F.col("a")) & (F.col("w3") == F.col("b")),
+            "left",
+        )
+        .drop("a", "b")
+        .join(c1.select(F.col("w").alias("w2k"), F.col("c1").alias("c1_w2")),
+              F.col("w2") == F.col("w2k"), "left")
+        .drop("w2k")
+        .join(c1.select(F.col("w").alias("w3k"), F.col("c1").alias("c1_w3")),
+              F.col("w3") == F.col("w3k"), "left")
+        .drop("w3k")
+        .crossJoin(F.broadcast(nv))
+    )
+    is_tri = F.col("c3").isNotNull()
+    is_bi = ~is_tri & F.col("c2_bi").isNotNull()
+    s = (
+        F.when(is_tri, F.col("c3") / F.col("c2_ctx"))
+        .when(is_bi, F.lit(SBO_ALPHA) * F.col("c2_bi") / F.col("c1_w2"))
+        .otherwise(
+            F.lit(SBO_ALPHA * SBO_ALPHA)
+            * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1))
+            / (F.col("bign") + F.col("vsz"))
+        )
+    )
+    contrib = F.round(F.col("tf") * F.round(-F.log(s), 6), 6).cast("decimal(18,6)")
+    scored = j.select(
+        F.col(id_col),
+        F.col("tf"),
+        F.when(is_tri, F.col("tf")).otherwise(F.lit(0)).alias("tri_hit"),
+        F.when(is_bi, F.col("tf")).otherwise(F.lit(0)).alias("bi_hit"),
+        contrib.alias("contrib"),
+    )
+    avg = F.col("_sm7").cast("double") / F.lit(10000000.0)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum("tri_hit").cast("long").alias("n_tri_hits"),
+            F.sum("bi_hit").cast("long").alias("n_bi_hits"),
+            (F.sum("contrib") * F.lit(1000000)).cast("long").alias("_sm"),
+        )
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            "n_tri_hits",
+            "n_bi_hits",
+            (F.col("n_trigrams") - F.col("n_tri_hits") - F.col("n_bi_hits"))
+            .cast("long")
+            .alias("n_uni_backoffs"),
+            F.expr("(_sm * 10) div n_trigrams").alias("_sm7"),
+        )
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            "n_tri_hits",
+            "n_bi_hits",
+            "n_uni_backoffs",
+            avg.alias("avg_nls"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     k: int = 100,

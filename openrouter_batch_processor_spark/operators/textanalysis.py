@@ -731,7 +731,9 @@ def stupid_backoff_scores(
         F.when(is_tri, F.col("c3") / F.col("c2_ctx"))
         .when(is_bi, F.lit(SBO_ALPHA) * F.col("c2_bi") / F.col("c1_w2"))
         .otherwise(
-            F.lit(SBO_ALPHA * SBO_ALPHA)
+            # literal 0.16, NOT SBO_ALPHA**2: 0.4*0.4 rounds to a
+            # different double than the decimal literal both engines parse
+            F.lit(0.16)
             * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1))
             / (F.col("bign") + F.col("vsz"))
         )

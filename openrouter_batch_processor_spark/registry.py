@@ -7011,6 +7011,71 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_stupid_backoff",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2, toks[u.i+2] AS w3
+            FROM tk, unnest(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3),
+    tf3 AS (SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS tf
+            FROM pos GROUP BY 1, 2, 3, 4),
+    ttk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents WHERE lang = 'en'),
+    c1 AS (SELECT u.w, count(*)::BIGINT AS c1
+           FROM ttk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
+    c2 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c2
+           FROM ttk, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2 GROUP BY 1, 2),
+    c3 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, toks[u.i+2] AS c,
+                  count(*)::BIGINT AS c3
+           FROM ttk, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3 GROUP BY 1, 2, 3),
+    nv AS (SELECT sum(c1)::DOUBLE AS bign, count(*)::DOUBLE AS vsz FROM c1),
+    j AS (SELECT f.doc_id, f.tf, t3.c3, cc.c2 AS c2_ctx, cb.c2 AS c2_bi,
+                 u2.c1 AS c1_w2, u3.c1 AS c1_w3, nv.bign, nv.vsz
+          FROM tf3 f
+          LEFT JOIN c3 t3 ON t3.a = f.w1 AND t3.b = f.w2 AND t3.c = f.w3
+          LEFT JOIN c2 cc ON cc.a = f.w1 AND cc.b = f.w2
+          LEFT JOIN c2 cb ON cb.a = f.w2 AND cb.b = f.w3
+          LEFT JOIN c1 u2 ON u2.w = f.w2
+          LEFT JOIN c1 u3 ON u3.w = f.w3
+          CROSS JOIN nv),
+    sc AS (SELECT doc_id, tf,
+                  CASE WHEN c3 IS NOT NULL THEN tf ELSE 0 END AS tri_hit,
+                  CASE WHEN c3 IS NULL AND c2_bi IS NOT NULL THEN tf ELSE 0 END AS bi_hit,
+                  round(tf * round(-ln(
+                      CASE WHEN c3 IS NOT NULL THEN c3 / c2_ctx
+                           WHEN c2_bi IS NOT NULL THEN 0.4::DOUBLE * c2_bi / c1_w2
+                           ELSE 0.16::DOUBLE * (coalesce(c1_w3, 0) + 1) / (bign + vsz)
+                      END), 6), 6)::DECIMAL(18,6) AS contrib
+           FROM j),
+    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+                   sum(tri_hit)::BIGINT AS n_tri_hits,
+                   sum(bi_hit)::BIGINT AS n_bi_hits,
+                   ((sum(contrib) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS sm7
+            FROM sc GROUP BY 1)
+    SELECT doc_id, n_trigrams, n_tri_hits, n_bi_hits,
+           (n_trigrams - n_tri_hits - n_bi_hits)::BIGINT AS n_uni_backoffs,
+           sm7 / 10000000.0 AS avg_nls
+    FROM agg
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
+)
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007): trigram →
+    bigram → smoothed-unigram cascade with α=0.4, LM fit on the
+    lang='en' slice and scored over every doc, so off-slice docs
+    exercise the backoff path. The count-ratio-only formulation is the
+    canonical distributed LM (operators/textanalysis.
+    stupid_backoff_scores has the scale shape)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        stupid_backoff_scores,
+    )
+
+    return stupid_backoff_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

@@ -231,3 +231,51 @@ class TestPearsonCorr:
         assert set(out) == {"lin", "anti"}
         assert out["lin"]["corr_x_value"] == 1.0
         assert out["anti"]["corr_x_value"] == -1.0
+
+
+class TestStupidBackoff:
+    """Brants et al. cascade: each tier must actually fire, with the
+    paper's score at each tier."""
+
+    def test_all_three_tiers(self, spark):
+        import math
+
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            stupid_backoff_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the fast cat runs home", "en"),
+                (2, "a fast cat sleeps well", "en"),
+                # fr doc: '(une fast cat)' -> trigram unseen, bigram
+                # 'fast cat' seen twice, c1(fast)=2 -> bi tier, S=0.4;
+                # '(fast cat belle)' -> bigram 'cat belle' unseen,
+                # 'belle' OOV -> uni tier, S=0.16*(0+1)/(N+V)
+                (3, "une fast cat belle", "fr"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in stupid_backoff_scores(docs).collect()}
+        # en docs are inside the train slice: every trigram self-evident
+        assert out[1]["n_tri_hits"] == out[1]["n_trigrams"] == 3
+        assert out[3]["n_trigrams"] == 2
+        assert out[3]["n_tri_hits"] == 0
+        assert out[3]["n_bi_hits"] == 1
+        assert out[3]["n_uni_backoffs"] == 1
+        n, v = 10.0, 8.0  # two 5-token en docs; 8 distinct en terms
+        expected = (
+            round(-math.log(0.4), 6) + round(-math.log(0.16 * 1 / (n + v)), 6)
+        ) / 2
+        assert abs(out[3]["avg_nls"] - expected) < 1e-6
+
+    def test_short_docs_excluded(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            stupid_backoff_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "two tokens", "en"), (2, "three tokens here", "en")],
+            "doc_id long, text string, lang string",
+        )
+        assert [r["doc_id"] for r in stupid_backoff_scores(docs).collect()] == [2]

@@ -605,6 +605,71 @@ def bigram_nll(
     )
 
 
+def quality_auc(
+    docs: DataFrame,
+    positive_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """AUC of the heuristic quality score as a classifier for the
+    ``positive_lang`` slice — the standard audit of a model-based
+    quality filter (FineWeb-Edu-style classifier gating lives or dies
+    on this number) computed exactly via the Mann-Whitney rank-sum
+    identity: AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg), ties
+    taking average ranks.
+
+    Arithmetic is integer-exact until one final division: per distinct
+    score s with c rows (p positive) occupying ranks cum+1..cum+c, the
+    doubled positive rank-sum contribution is p·(2·cum + c + 1); the
+    division lands as (numer·10^7) floor-div denom so both engines
+    emit the identical 7-dp double (the bigram_nll mean pattern).
+
+    Scale: one combiner groupBy on the score, then ONE unpartitioned
+    cumulative window — bounded by the score's 6-dp resolution (≤ 1e6+1
+    distinct values regardless of corpus size), so the single-task sort
+    is dimension-sized, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    scores = quality_scores(docs, id_col, text_col)
+    labeled = (
+        scores.select(id_col, "quality_score")
+        .join(docs.select(id_col, lang_col), id_col)
+        .select(
+            F.col("quality_score").alias("s"),
+            (F.col(lang_col) == positive_lang).cast("long").alias("y"),
+        )
+    )
+    g = labeled.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    cum_w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "s",
+        "c",
+        "p",
+        F.coalesce(F.sum("c").over(cum_w), F.lit(0)).cast("long").alias("cum"),
+    )
+    a = w.agg(
+        F.sum(F.col("p") * (F.lit(2) * F.col("cum") + F.col("c") + F.lit(1)))
+        .cast("long")
+        .alias("s2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    return a.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        (
+            F.expr(
+                "((s2 - n_pos * (n_pos + 1)) * 10000000) div (2 * n_pos * (n - n_pos))"
+            ).cast("double")
+            / F.lit(10000000.0)
+        ).alias("auc"),
+    )
+
+
 SBO_ALPHA = 0.4  # Brants et al.'s fixed backoff multiplier
 
 

@@ -7011,6 +7011,41 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_quality_auc",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
+    w AS (SELECT s, c, p,
+                 coalesce(sum(c) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS cum
+          FROM g),
+    a AS (SELECT sum(p * (2 * cum + c + 1))::BIGINT AS s2,
+                 sum(p)::BIGINT AS n_pos, sum(c)::BIGINT AS n
+          FROM w)
+    SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
+           (((s2 - n_pos * (n_pos + 1)) * 10000000)
+              // (2 * n_pos * (n - n_pos))) / 10000000.0 AS auc
+    FROM a
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of quality_score predicting lang='en' via the
+    Mann-Whitney rank-sum identity with tie-averaged ranks — the audit
+    a classifier-based quality gate (FineWeb-Edu style) is judged by
+    (operators/textanalysis.quality_auc: distinct-score groupBy + one
+    dimension-bounded cumulative window)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_auc
+
+    return quality_auc(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_stupid_backoff",
     f"""
     WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),

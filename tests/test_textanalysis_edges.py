@@ -279,3 +279,46 @@ class TestStupidBackoff:
             "doc_id long, text string, lang string",
         )
         assert [r["doc_id"] for r in stupid_backoff_scores(docs).collect()] == [2]
+
+
+class TestQualityAuc:
+    def test_matches_bruteforce_pairwise_auc(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            quality_auc,
+            quality_scores,
+        )
+
+        rows = [
+            (1, "the fast cat and the small dog run in the big field", "en"),
+            (2, "xx yy zz xx yy zz xx yy zz !!! ??? ...", "en"),
+            (3, "la casa es grande y el perro es pequeno", "es"),
+            (4, "!!! ??? ### $$$ %%% ^^^ &&&", "es"),
+            (5, "the quick brown fox jumps over the lazy dog", "en"),
+            (6, "der hund ist nicht schnell und die katze ist klein", "de"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = quality_auc(docs, positive_lang="en").head()
+        scores = {
+            r["doc_id"]: r["quality_score"]
+            for r in quality_scores(docs).collect()
+        }
+        pos = [scores[d] for d, _t, l in rows if l == "en"]
+        neg = [scores[d] for d, _t, l in rows if l != "en"]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+        )
+        brute = wins / (len(pos) * len(neg))
+        assert got["n_pos"] == 3 and got["n_neg"] == 3
+        # operator floors at the 7th dp; brute force is exact
+        assert abs(got["auc"] - brute) < 1e-6
+
+    def test_ties_take_average_rank(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import quality_auc
+
+        # identical texts -> identical scores -> every pos/neg pair ties
+        docs = spark.createDataFrame(
+            [(1, "same words here", "en"), (2, "same words here", "es"),
+             (3, "same words here", "en"), (4, "same words here", "de")],
+            "doc_id long, text string, lang string",
+        )
+        assert quality_auc(docs, positive_lang="en").head()["auc"] == 0.5

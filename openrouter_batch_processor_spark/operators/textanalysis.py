@@ -670,6 +670,67 @@ def quality_auc(
     )
 
 
+def pmi_topk(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) over adjacent token pairs: PMI = ln(p(w1,w2) /
+    (p(w1)·p(w2))) with corpus-count estimates, c12 >= min_count to
+    suppress the rare-pair PMI explosion, ranked desc with a
+    deterministic (pmi, w1, w2) tiebreak.
+
+    Scale: two map-side-combined counting groupBys (bigrams, unigrams),
+    two vocabulary-sized equi-joins, a 1-row totals broadcast, and a
+    global top-k — which Spark executes as per-partition TakeOrdered +
+    driver merge of k rows, never a full sort of the pair table."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(toks.alias("toks"))
+    n = F.size("toks")
+    bi = F.arrays_zip(
+        F.slice("toks", 1, n - 1).alias("a"),
+        F.slice(F.col("toks"), 2, n - 1).alias("b"),
+    )
+    c12 = (
+        base.filter(n >= 2)
+        .select(F.explode(bi).alias("t"))
+        .filter((F.col("t.a") != "") & (F.col("t.b") != ""))
+        .groupBy(F.col("t.a").alias("w1"), F.col("t.b").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    c1 = (
+        base.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = base.agg(
+        F.sum(F.greatest(n - 1, F.lit(0))).cast("double").alias("nb"),
+        F.sum(
+            F.size(F.filter(F.col("toks"), lambda x: x != ""))
+        ).cast("double").alias("nu"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("cw1") * F.col("cw2"))
+        ),
+        6,
+    )
+    return (
+        c12.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("cw1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
 SBO_ALPHA = 0.4  # Brants et al.'s fixed backoff multiplier
 
 

@@ -7046,6 +7046,42 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_topk",
+    f"""
+    WITH t AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    bg AS (SELECT toks[u.i] AS w1, toks[u.i+1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+            FROM bg WHERE w1 != '' AND w2 != ''
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+    c1 AS (SELECT u.w, count(*)::BIGINT AS c
+           FROM t, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(greatest(len(toks) - 1, 0)) FROM t)::DOUBLE AS nb,
+                   (SELECT count(*) FROM (SELECT unnest(toks) AS w FROM t) x
+                    WHERE w != '')::DOUBLE AS nu)
+    SELECT b.w1, b.w2, b.c12,
+           round(ln((b.c12::DOUBLE * tot.nu * tot.nu)
+                    / (tot.nb * a1.c * a2.c)), 6) AS pmi
+    FROM c12 b
+    JOIN c1 a1 ON a1.w = b.w1
+    JOIN c1 a2 ON a2.w = b.w2
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    ops=["EXT-tokens", "G2", "O3", "J3"],
+)
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by PMI (Church & Hanks 1990) over adjacent
+    token pairs, c12 >= 5, deterministic (pmi, w1, w2) ordering
+    (operators/textanalysis.pmi_topk: counting groupBys + TakeOrdered
+    top-k, no full pair-table sort)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import pmi_topk
+
+    return pmi_topk(_t(spark, sf_dir, "documents"), k=100, min_count=5)
+
+
+@register(
     "text_stupid_backoff",
     f"""
     WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),

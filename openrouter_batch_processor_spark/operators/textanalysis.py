@@ -731,6 +731,63 @@ def pmi_topk(
     )
 
 
+def zipf_fit(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    corpus vocabulary (freq-desc rank, term-asc tiebreak, terms with
+    freq >= min_count). Natural text sits near slope −1; a corpus whose
+    slope drifts (template spam flattens it, aggressive dedup steepens
+    it) changed composition — the classic corpus-health audit
+    (Zipf 1949; used as a generation-quality diagnostic in modern LM
+    eval).
+
+    Cross-engine exactness: ln values are rounded to 6 dp and summed /
+    multiplied as DECIMAL (order-independent, exact), with the
+    linear_trend closed form evaluated on the exact moment sums.
+
+    Scale: one counting groupBy, then ONE unpartitioned row_number
+    window — vocabulary-sized (dimension table), never corpus-sized —
+    and a 1-row moments fold."""
+    from pyspark.sql.window import Window
+
+    ctf = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    ranked = ctf.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+    )
+    x6 = F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)")
+    y6 = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+    a = ranked.select(x6.alias("x"), y6.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return a.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd, 6
+        ).alias("intercept"),
+    )
+
+
 SBO_ALPHA = 0.4  # Brants et al.'s fixed backoff multiplier
 
 

@@ -7046,6 +7046,42 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_zipf_fit",
+    f"""
+    WITH tf AS (SELECT u.term, count(*)::BIGINT AS c
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != '' GROUP BY 1 HAVING count(*) >= 2),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM tf),
+    m AS (SELECT round(ln(r::DOUBLE), 6)::DECIMAL(18,6) AS x,
+                 round(ln(c::DOUBLE), 6)::DECIMAL(18,6) AS y
+          FROM rk),
+    a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum((x * y)::DECIMAL(38,12)) AS sxy,
+                 sum((x * x)::DECIMAL(38,12)) AS sxx
+          FROM m)
+    SELECT n AS n_terms,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                 / n::DOUBLE, 6) AS intercept
+    FROM a
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the corpus vocabulary (ln-f on
+    ln-rank, freq >= 2): slope drift is the corpus-composition
+    health audit (operators/textanalysis.zipf_fit — vocab-bounded
+    window + exact decimal moment sums)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+@register(
     "text_pmi_topk",
     f"""
     WITH t AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents),

@@ -233,14 +233,23 @@ def dup_span_discovery(
     corpus and reads duplicates off adjacent suffixes sharing a long
     LCP; the distributed equivalent is sorted k-gram rank/adjacency —
     a position participates in a duplicate iff its k-token seed gram
-    occurs >= 2 times in the corpus (within-doc repeats count), and a
-    maximal duplicated substring of length L is exactly a maximal run
-    of L-k+1 consecutive duplicated seed positions.
+    occurs >= 2 times in the corpus (within-doc repeats count).
 
-    Emits one row per maximal span: (doc_id, span_start, span_len,
-    span_hash, n_span_occ) where span_hash fingerprints the span's
-    token content and n_span_occ counts how many discovered spans share
-    it corpus-wide. remove_duplicate_spans consumes the same seed
+    Approximation contract: an emitted span is a MAXIMAL RUN of
+    duplicated seed positions (the ExactSubstr position-merge step),
+    not necessarily a substring whose full text recurs verbatim — a
+    run can merge adjacent positions duplicated against *different*
+    partners, so the merged span's complete text may occur nowhere
+    else (its n_span_occ is then 1); conversely the same duplicated
+    text embedded inside differently-sized runs hashes differently.
+    Every token inside an emitted span IS part of some >= k-token
+    duplicated substring (no false positive tokens); only the span
+    boundaries and occurrence counts are run-granular.
+
+    Emits one row per maximal run: (doc_id, span_start, span_len,
+    span_hash, n_span_occ) where span_hash fingerprints the run's
+    token content and n_span_occ counts matching discovered runs
+    corpus-wide (run-level, not substring-occurrence-level). remove_duplicate_spans consumes the same seed
     stream (same k, same hashes) to do the edit; this is the inventory
     a curation pass audits before editing.
 

@@ -623,7 +623,12 @@ def quality_auc(
     score s with c rows (p positive) occupying ranks cum+1..cum+c, the
     doubled positive rank-sum contribution is p·(2·cum + c + 1); the
     division lands as (numer·10^7) floor-div denom so both engines
-    emit the identical 7-dp double (the bigram_nll mean pattern).
+    emit the identical 7-dp double (the bigram_nll mean pattern). The
+    scaled numerator is quadratic in corpus size, so it is computed in
+    DECIMAL(38,0) (HUGEINT on the DuckDB oracle side) — BIGINT would
+    overflow near 1.4M balanced docs and ANSI Spark throws rather than
+    wraps. A degenerate slice with zero positives or zero negatives
+    yields auc = NULL (nullif-guarded denominator), not an error.
 
     Scale: one combiner groupBy on the score, then ONE unpartitioned
     cumulative window — bounded by the score's 6-dp resolution (≤ 1e6+1
@@ -663,7 +668,9 @@ def quality_auc(
         (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
         (
             F.expr(
-                "((s2 - n_pos * (n_pos + 1)) * 10000000) div (2 * n_pos * (n - n_pos))"
+                "((cast(s2 as decimal(38,0)) - cast(n_pos as decimal(38,0))"
+                " * (n_pos + 1)) * 10000000)"
+                " div nullif(cast(2 as decimal(38,0)) * n_pos * (n - n_pos), 0)"
             ).cast("double")
             / F.lit(10000000.0)
         ).alias("auc"),

@@ -7028,8 +7028,8 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(p)::BIGINT AS n_pos, sum(c)::BIGINT AS n
           FROM w)
     SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
-           (((s2 - n_pos * (n_pos + 1)) * 10000000)
-              // (2 * n_pos * (n - n_pos))) / 10000000.0 AS auc
+           (((s2::HUGEINT - n_pos::HUGEINT * (n_pos + 1)) * 10000000)
+              // nullif(2 * n_pos::HUGEINT * (n - n_pos), 0)) / 10000000.0 AS auc
     FROM a
     """,
     ops=["EXT-quality", "G2", "W2", "O3"],

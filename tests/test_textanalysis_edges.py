@@ -322,3 +322,47 @@ class TestQualityAuc:
             "doc_id long, text string, lang string",
         )
         assert quality_auc(docs, positive_lang="en").head()["auc"] == 0.5
+
+    def test_degenerate_single_class_yields_null_not_error(self, spark):
+        # ADVICE r05: zero positives (or zero negatives) must degrade to
+        # auc=NULL, not an ANSI divide-by-zero.
+        from openrouter_batch_processor_spark.operators.textanalysis import quality_auc
+
+        docs = spark.createDataFrame(
+            [(1, "all the same class", "es"), (2, "still not english", "de")],
+            "doc_id long, text string, lang string",
+        )
+        row = quality_auc(docs, positive_lang="en").head()
+        assert row["n_pos"] == 0 and row["auc"] is None
+
+    def test_scaled_numerator_survives_beyond_int64(self, spark):
+        # ADVICE r05: s2*1e7 is quadratic in n — with BIGINT math a
+        # ~1.4M balanced corpus overflows. Prove the DECIMAL(38,0)
+        # path by checking the exact identity the overflow would break:
+        # perfectly separated classes -> auc exactly 1.0 at a row count
+        # whose scaled numerator exceeds int64 if computed naively.
+        # (We synthesize the post-score distribution shape cheaply: many
+        # distinct scores via distinct texts is too slow, so assert the
+        # expression itself on a crafted aggregate instead.)
+        from pyspark.sql import functions as F
+
+        n_pos = 1_500_000
+        n = 3_000_000
+        # perfectly separated: every positive outranks every negative ->
+        # s2 = sum over positives of 2*rank = 2*sum(n_neg+1 .. n)
+        s2 = 2 * (n * (n + 1) // 2 - (n - n_pos) * (n - n_pos + 1) // 2)
+        assert (s2 - n_pos * (n_pos + 1)) * 10_000_000 > 2**63  # would overflow
+        df = spark.createDataFrame(
+            [(s2, n_pos, n)], "s2 long, n_pos long, n long"
+        )
+        auc = df.select(
+            (
+                F.expr(
+                    "((cast(s2 as decimal(38,0)) - cast(n_pos as decimal(38,0))"
+                    " * (n_pos + 1)) * 10000000)"
+                    " div nullif(cast(2 as decimal(38,0)) * n_pos * (n - n_pos), 0)"
+                ).cast("double")
+                / F.lit(10000000.0)
+            ).alias("auc")
+        ).head()["auc"]
+        assert auc == 1.0

@@ -966,6 +966,154 @@ def stupid_backoff_scores(
     )
 
 
+KN_DISCOUNT = 0.75  # Chen & Goodman's fixed absolute discount
+
+
+def kneser_ney_scores(
+    docs: DataFrame,
+    train_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1998) — the classical smoothing benchmark the distributed
+    Stupid Backoff paper positions itself against. Absolute discount
+    D = 0.75 with the continuation-probability lower order:
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                   + D · N1+(w1,·)/c(w1·) · Pc(w2)     if c(w1·) > 0
+                 = Pc(w2)                               otherwise
+        Pc(w2)   = (N1+(·,w2) + 1) / (B + V + 1)
+
+    where c(w1·) is the context total (Σ_w2 c(w1 w2)), N1+(w1,·) the
+    distinct-continuation count, N1+(·,w2) the distinct-history count,
+    B the number of distinct bigram types and V the vocabulary size.
+    The +1/(B+V+1) floor is the open-vocab adaptation (every seen type
+    plus one OOV class gets add-one mass, so Pc still sums to 1) —
+    same move as stupid_backoff_scores' unigram floor. Counts are fit
+    on the ``train_lang`` slice and every doc is scored, so off-slice
+    docs exercise both the discount interpolation and the
+    unseen-context fallback.
+
+    Output per doc (≥2 tokens): n_bigrams, n_kn_hits (bigram seen:
+    discounted ML mass applies), n_ctx_hits (context seen, bigram not:
+    pure interpolation weight), n_cont_backoffs (unseen context), and
+    avg_nll (exact integer-micros floor division — the bigram_nll
+    cross-engine mean pattern).
+
+    Scale: identical shape to stupid_backoff_scores — one map-side-
+    combined per-doc bigram groupBy, three vocabulary-sized LM tables
+    (bigram counts; per-context totals + distinct continuations; per-
+    word distinct histories) joined by equi-key (AQE broadcasts them
+    small, hash-joins at 100 TB), and a 1-row (B, V) broadcast. This
+    is exactly the sparse-count formulation that makes KN harder than
+    Stupid Backoff in MapReduce folklore — expressed relationally it
+    is three aggregations, no all-pairs stage, nothing driver-side."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bi = F.arrays_zip(
+        F.slice("toks", 1, n - 1).alias("w1"),
+        F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+    )
+    tf2 = (
+        base.select(F.col(id_col), F.explode(bi).alias("t"))
+        .select(id_col, "t.w1", "t.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    ttoks = F.split(normalize_text(F.col(text_col)), " ")
+    tbase = docs.filter(F.col(lang_col) == train_lang).select(
+        ttoks.alias("toks")
+    )
+    tn = F.size("toks")
+    tbi = F.arrays_zip(
+        F.slice("toks", 1, tn - 1).alias("a"),
+        F.slice(F.col("toks"), 2, tn - 1).alias("b"),
+    )
+    c12 = (
+        tbase.filter(tn >= 2)
+        .select(F.explode(tbi).alias("t"))
+        .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    ctx = c12.groupBy("a").agg(
+        F.sum("c12").cast("long").alias("ctx_total"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    hist = c12.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n1_bwd"))
+    vtoks = (
+        tbase.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.count_distinct("w").cast("double").alias("vsz"))
+    )
+    bv = c12.agg(F.count(F.lit(1)).cast("double").alias("btypes")).crossJoin(
+        vtoks
+    )
+
+    j = (
+        tf2.join(c12, (F.col("w1") == c12["a"]) & (F.col("w2") == c12["b"]), "left")
+        .drop("a", "b")
+        .join(ctx.select(F.col("a"), "ctx_total", "n1_fwd"),
+              F.col("w1") == F.col("a"), "left")
+        .drop("a")
+        .join(hist.select(F.col("b"), "n1_bwd"), F.col("w2") == F.col("b"), "left")
+        .drop("b")
+        .crossJoin(F.broadcast(bv))
+    )
+    pc = (F.coalesce(F.col("n1_bwd"), F.lit(0)) + F.lit(1)) / (
+        F.col("btypes") + F.col("vsz") + F.lit(1)
+    )
+    has_ctx = F.col("ctx_total").isNotNull()
+    is_hit = F.col("c12").isNotNull()
+    d = F.lit(KN_DISCOUNT)
+    p = F.when(
+        has_ctx,
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("ctx_total")
+        + d * F.col("n1_fwd") / F.col("ctx_total") * pc,
+    ).otherwise(pc)
+    contrib = F.round(F.col("tf") * F.round(-F.log(p), 6), 6).cast("decimal(18,6)")
+    scored = j.select(
+        F.col(id_col),
+        F.col("tf"),
+        F.when(is_hit, F.col("tf")).otherwise(F.lit(0)).alias("kn_hit"),
+        F.when(has_ctx & ~is_hit, F.col("tf")).otherwise(F.lit(0)).alias("ctx_hit"),
+        contrib.alias("contrib"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum("kn_hit").cast("long").alias("n_kn_hits"),
+            F.sum("ctx_hit").cast("long").alias("n_ctx_hits"),
+            (F.sum("contrib") * F.lit(1000000)).cast("long").alias("_sm"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "n_kn_hits",
+            "n_ctx_hits",
+            (F.col("n_bigrams") - F.col("n_kn_hits") - F.col("n_ctx_hits"))
+            .cast("long")
+            .alias("n_cont_backoffs"),
+            F.expr("(_sm * 10) div n_bigrams").alias("_sm7"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "n_kn_hits",
+            "n_ctx_hits",
+            "n_cont_backoffs",
+            (F.col("_sm7").cast("double") / F.lit(10000000.0)).alias("avg_nll"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     k: int = 100,

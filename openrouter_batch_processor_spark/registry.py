@@ -7183,6 +7183,72 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_kneser_ney",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2
+            FROM tk, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2),
+    tf2 AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+            FROM pos GROUP BY 1, 2, 3),
+    ttk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents WHERE lang = 'en'),
+    c12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c12
+            FROM ttk, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2 GROUP BY 1, 2),
+    ctx AS (SELECT a, sum(c12)::BIGINT AS ctx_total, count(*)::BIGINT AS n1_fwd
+            FROM c12 GROUP BY 1),
+    hist AS (SELECT b, count(*)::BIGINT AS n1_bwd FROM c12 GROUP BY 1),
+    bv AS (SELECT (SELECT count(*) FROM c12)::DOUBLE AS btypes,
+                  (SELECT count(DISTINCT u.w) FROM ttk, unnest(toks) AS u(w)
+                   WHERE u.w != '')::DOUBLE AS vsz),
+    j AS (SELECT f.doc_id, f.tf, g.c12, x.ctx_total, x.n1_fwd, h.n1_bwd,
+                 bv.btypes, bv.vsz
+          FROM tf2 f
+          LEFT JOIN c12 g ON g.a = f.w1 AND g.b = f.w2
+          LEFT JOIN ctx x ON x.a = f.w1
+          LEFT JOIN hist h ON h.b = f.w2
+          CROSS JOIN bv),
+    sc AS (SELECT doc_id, tf,
+                  CASE WHEN c12 IS NOT NULL THEN tf ELSE 0 END AS kn_hit,
+                  CASE WHEN c12 IS NULL AND ctx_total IS NOT NULL THEN tf
+                       ELSE 0 END AS ctx_hit,
+                  round(tf * round(-ln(
+                      CASE WHEN ctx_total IS NOT NULL
+                           THEN greatest(coalesce(c12, 0) - 0.75, 0.0) / ctx_total
+                                + 0.75 * n1_fwd / ctx_total
+                                  * (coalesce(n1_bwd, 0) + 1) / (btypes + vsz + 1)
+                           ELSE (coalesce(n1_bwd, 0) + 1) / (btypes + vsz + 1)
+                      END), 6), 6)::DECIMAL(18,6) AS contrib
+           FROM j),
+    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   sum(kn_hit)::BIGINT AS n_kn_hits,
+                   sum(ctx_hit)::BIGINT AS n_ctx_hits,
+                   ((sum(contrib) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS sm7
+            FROM sc GROUP BY 1)
+    SELECT doc_id, n_bigrams, n_kn_hits, n_ctx_hits,
+           (n_bigrams - n_kn_hits - n_ctx_hits)::BIGINT AS n_cont_backoffs,
+           sm7 / 10000000.0 AS avg_nll
+    FROM agg
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1998): absolute discount D=0.75 interpolated with the
+    continuation probability, LM fit on the lang='en' slice and scored
+    over every doc so the discount/interpolation/unseen-context paths
+    all execute (operators/textanalysis.kneser_ney_scores — the
+    relational three-table formulation of the smoothing MapReduce
+    folklore calls hard to distribute)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        kneser_ney_scores,
+    )
+
+    return kneser_ney_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

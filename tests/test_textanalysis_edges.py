@@ -281,6 +281,97 @@ class TestStupidBackoff:
         assert [r["doc_id"] for r in stupid_backoff_scores(docs).collect()] == [2]
 
 
+class TestKneserNey:
+    """Interpolated KN: discounted ML + continuation interpolation,
+    unseen-context fallback to pure Pc, all with hand-computed values."""
+
+    def test_hit_interpolation_and_backoffs(self, spark):
+        import math
+
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            kneser_ney_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat runs", "en"),
+                (2, "the cat sleeps", "en"),
+                # fr doc: 'chez the' unseen ctx ('chez' OOV) -> Pc path;
+                # 'the cat' seen twice -> discounted hit;
+                # 'cat chez' seen ctx, unseen bigram -> interpolation-only.
+                (3, "chez the cat chez", "fr"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in kneser_ney_scores(docs).collect()}
+        # train slice: bigrams {the cat:2, cat runs:1, cat sleeps:1}
+        # B=3 types, V=4 ('the','cat','runs','sleeps')
+        b, v = 3.0, 4.0
+        pc = lambda n1b: (n1b + 1) / (b + v + 1)
+        # doc 3 bigram tiers
+        assert out[3]["n_bigrams"] == 3
+        assert out[3]["n_kn_hits"] == 1
+        assert out[3]["n_ctx_hits"] == 1
+        assert out[3]["n_cont_backoffs"] == 1
+        # 'the cat': ctx_total(the)=2, n1_fwd(the)=1, n1_bwd(cat)=1
+        p_hit = (2 - 0.75) / 2 + 0.75 * 1 / 2 * pc(1)
+        # 'cat chez': ctx_total(cat)=2, n1_fwd(cat)=2, n1_bwd(chez)=0
+        p_ctx = 0.0 / 2 + 0.75 * 2 / 2 * pc(0)
+        # 'chez the': unseen ctx -> Pc(the), n1_bwd(the)=0
+        p_oov = pc(0)
+        expected = (
+            round(-math.log(p_oov), 6)
+            + round(-math.log(p_hit), 6)
+            + round(-math.log(p_ctx), 6)
+        ) / 3
+        assert abs(out[3]["avg_nll"] - expected) < 1e-6
+        # in-slice doc: every bigram is a hit
+        assert out[1]["n_kn_hits"] == out[1]["n_bigrams"] == 2
+
+    def test_probabilities_sum_to_one_over_closed_vocab(self, spark):
+        # the defining property absolute discounting must preserve:
+        # sum_w2 P(w2|w1) == 1 over the seen vocab + one OOV class
+        import math
+
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            KN_DISCOUNT,
+        )
+
+        train = [["the", "cat", "runs"], ["the", "cat", "sleeps"]]
+        from collections import Counter
+
+        c12 = Counter()
+        for toks in train:
+            for a_, b_ in zip(toks, toks[1:]):
+                c12[(a_, b_)] += 1
+        vocab = sorted({w for t in train for w in t})
+        btypes = len(c12)
+        n1_bwd = Counter(b_ for (_a, b_) in c12)
+        pc = lambda w: (n1_bwd.get(w, 0) + 1) / (btypes + len(vocab) + 1)
+        for w1 in vocab:
+            ctx_total = sum(c for (a_, _b), c in c12.items() if a_ == w1)
+            if ctx_total == 0:
+                continue
+            n1_fwd = sum(1 for (a_, _b) in c12 if a_ == w1)
+            total = sum(
+                max(c12.get((w1, w2), 0) - KN_DISCOUNT, 0) / ctx_total
+                + KN_DISCOUNT * n1_fwd / ctx_total * pc(w2)
+                for w2 in vocab
+            ) + KN_DISCOUNT * n1_fwd / ctx_total * pc("<oov>")
+            assert math.isclose(total, 1.0, rel_tol=1e-12), (w1, total)
+
+    def test_short_docs_excluded(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            kneser_ney_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one", "en"), (2, "two tokens", "en")],
+            "doc_id long, text string, lang string",
+        )
+        assert [r["doc_id"] for r in kneser_ney_scores(docs).collect()] == [2]
+
+
 class TestQualityAuc:
     def test_matches_bruteforce_pairwise_auc(self, spark):
         from openrouter_batch_processor_spark.operators.textanalysis import (

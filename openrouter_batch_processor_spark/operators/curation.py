@@ -556,3 +556,136 @@ def fineweb_gate(
             ).alias("kept_frac"),
         )
     )
+
+
+def moore_lewis_select(
+    docs: DataFrame,
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Cross-entropy difference data selection (Moore & Lewis 2010,
+    'Intelligent Selection of Language Model Training Data'): score
+    every document by H_in(d) − H_gen(d), its per-token cross-entropy
+    under an IN-DOMAIN LM minus under a GENERAL LM, and keep docs
+    scoring below the cut — negative means the doc looks more like the
+    target domain than like the pool average, the paper's selection
+    criterion. The cut here is the natural zero (paper sweeps a
+    threshold; zero is its fixed reproducible instance). Both LMs are
+    add-k bigram models (BIGRAM_K, the bigram_nll stand-in for the
+    paper's n-gram models): in-domain fit on the ``target_lang`` slice,
+    general fit on the whole corpus, so in-domain OOV mass genuinely
+    penalizes off-domain docs.
+
+    Output per doc (≥2 tokens): lang, n_bigrams, ce_in, ce_gen (each
+    an exact integer-micros mean, the bigram_nll pattern), ce_diff,
+    and selected = ce_diff < 0.
+
+    Scale: ONE per-doc bigram groupBy feeds both scorings; each LM is
+    a pair of vocabulary-sized count tables equi-joined back (AQE
+    broadcasts them small, hash-joins at 100 TB) plus a 1-row V
+    broadcast. The selection flag is row-local — no global sort or
+    threshold shuffle anywhere."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+    from openrouter_batch_processor_spark.operators.textanalysis import BIGRAM_K
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), F.col(lang_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bi = F.arrays_zip(
+        F.slice("toks", 1, n - 1).alias("w1"),
+        F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+    )
+    tf2 = (
+        base.select(F.col(id_col), F.explode(bi).alias("t"))
+        .select(id_col, "t.w1", "t.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def _model(slice_df: DataFrame, tag: str):
+        stoks = F.split(normalize_text(F.col(text_col)), " ")
+        sbase = slice_df.select(stoks.alias("toks"))
+        sn = F.size("toks")
+        sbi = F.arrays_zip(
+            F.slice("toks", 1, sn - 1).alias("a"),
+            F.slice(F.col("toks"), 2, sn - 1).alias("b"),
+        )
+        c12 = (
+            sbase.filter(sn >= 2)
+            .select(F.explode(sbi).alias("t"))
+            .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c12_{tag}"))
+        )
+        c1 = (
+            sbase.select(F.explode("toks").alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c1_{tag}"))
+        )
+        v = c1.agg(F.count(F.lit(1)).cast("double").alias(f"vsz_{tag}"))
+        return c12, c1, v
+
+    c12_in, c1_in, v_in = _model(docs.filter(F.col(lang_col) == target_lang), "in")
+    c12_g, c1_g, v_g = _model(docs, "gen")
+
+    j = (
+        tf2.join(
+            c12_in, (F.col("w1") == c12_in["a"]) & (F.col("w2") == c12_in["b"]), "left"
+        )
+        .drop("a", "b")
+        .join(c12_g, (F.col("w1") == c12_g["a"]) & (F.col("w2") == c12_g["b"]), "left")
+        .drop("a", "b")
+        .join(c1_in.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(c1_g.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v_in.crossJoin(v_g)))
+    )
+    k = F.lit(BIGRAM_K)
+
+    def _nb(c12c: str, c1c: str, vc: str):
+        p = (F.coalesce(F.col(c12c), F.lit(0)) + k) / (
+            F.coalesce(F.col(c1c), F.lit(0)) + k * F.col(vc)
+        )
+        return F.round(-F.log(p), 6)
+
+    scored = j.select(
+        F.col(id_col),
+        F.col("tf"),
+        F.round(F.col("tf") * _nb("c12_in", "c1_in", "vsz_in"), 6)
+        .cast("decimal(18,6)")
+        .alias("nb_in"),
+        F.round(F.col("tf") * _nb("c12_gen", "c1_gen", "vsz_gen"), 6)
+        .cast("decimal(18,6)")
+        .alias("nb_gen"),
+    )
+    agg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (F.sum("nb_in") * F.lit(1000000)).cast("long").alias("_smi"),
+            (F.sum("nb_gen") * F.lit(1000000)).cast("long").alias("_smg"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.expr("(_smi * 10) div n_bigrams").alias("_s7i"),
+            F.expr("(_smg * 10) div n_bigrams").alias("_s7g"),
+        )
+    )
+    ce_in = F.col("_s7i").cast("double") / F.lit(10000000.0)
+    ce_gen = F.col("_s7g").cast("double") / F.lit(10000000.0)
+    # difference of two exact 7-dp grid doubles: bit-identical across
+    # engines without another round
+    ce_diff = (F.col("_s7i") - F.col("_s7g")).cast("double") / F.lit(10000000.0)
+    return agg.join(docs.select(F.col(id_col), F.col(lang_col)), id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_bigrams",
+        ce_in.alias("ce_in"),
+        ce_gen.alias("ce_gen"),
+        ce_diff.alias("ce_diff"),
+        (F.col("_s7i") < F.col("_s7g")).alias("selected"),
+    )

@@ -7249,6 +7249,71 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_moore_lewis",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2
+            FROM tk, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2),
+    tf2 AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+            FROM pos GROUP BY 1, 2, 3),
+    itk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents WHERE lang = 'en'),
+    ci12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c
+             FROM itk, unnest(range(1, len(toks))) AS u(i)
+             WHERE len(toks) >= 2 GROUP BY 1, 2),
+    ci1 AS (SELECT u.w, count(*)::BIGINT AS c
+            FROM itk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
+    gt12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c
+             FROM tk, unnest(range(1, len(toks))) AS u(i)
+             WHERE len(toks) >= 2 GROUP BY 1, 2),
+    gt1 AS (SELECT u.w, count(*)::BIGINT AS c
+            FROM tk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
+    vv AS (SELECT (SELECT count(*) FROM ci1)::DOUBLE AS v_in,
+                  (SELECT count(*) FROM gt1)::DOUBLE AS v_gen),
+    j AS (SELECT f.doc_id, f.tf,
+                 coalesce(i2.c, 0) AS c12_in, coalesce(i1.c, 0) AS c1_in,
+                 coalesce(g2.c, 0) AS c12_gen, coalesce(g1.c, 0) AS c1_gen,
+                 vv.v_in, vv.v_gen
+          FROM tf2 f
+          LEFT JOIN ci12 i2 ON i2.a = f.w1 AND i2.b = f.w2
+          LEFT JOIN ci1 i1 ON i1.w = f.w1
+          LEFT JOIN gt12 g2 ON g2.a = f.w1 AND g2.b = f.w2
+          LEFT JOIN gt1 g1 ON g1.w = f.w1
+          CROSS JOIN vv),
+    sc AS (SELECT doc_id, tf,
+                  round(tf * round(-ln((c12_in + 0.5) / (c1_in + 0.5 * v_in)), 6),
+                        6)::DECIMAL(18,6) AS nb_in,
+                  round(tf * round(-ln((c12_gen + 0.5) / (c1_gen + 0.5 * v_gen)), 6),
+                        6)::DECIMAL(18,6) AS nb_gen
+           FROM j),
+    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   ((sum(nb_in) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS s7i,
+                   ((sum(nb_gen) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS s7g
+            FROM sc GROUP BY 1)
+    SELECT a.doc_id, d.lang, a.n_bigrams,
+           s7i / 10000000.0 AS ce_in, s7g / 10000000.0 AS ce_gen,
+           (s7i - s7g) / 10000000.0 AS ce_diff,
+           s7i < s7g AS selected
+    FROM agg a JOIN documents d USING (doc_id)
+    """,
+    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
+)
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy difference selection (Moore & Lewis
+    2010): per-doc H_in − H_gen under an in-domain (lang='en') vs
+    general (whole corpus) add-k bigram LM; selected = negative
+    difference, the paper's keep criterion at the natural zero cut
+    (operators/curation.moore_lewis_select — one bigram pass feeds
+    both scorings, selection flag is row-local)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        moore_lewis_select,
+    )
+
+    return moore_lewis_select(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

@@ -380,3 +380,51 @@ class TestRandomizedReferences:
                 lw += Decimal(str(round(tf * lr, 6)))
             assert got[doc_id]["n_tokens"] == sum(dfb.values())
             assert got[doc_id]["log_weight"] == round(float(lw), 6)
+
+
+class TestMooreLewis:
+    """Moore & Lewis 2010 cross-entropy difference: hand-computed
+    two-doc case exercising both the negative (selected) and the
+    exactly-zero (not selected, strict cut) sides."""
+
+    def test_hand_computed_difference_and_cut(self, spark):
+        import math
+
+        from openrouter_batch_processor_spark.operators.curation import (
+            moore_lewis_select,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "en"), (2, "x y", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in moore_lewis_select(docs).collect()}
+        # in-domain model (doc 1 only): c12(a,b)=1, c1(a)=1, V=2
+        # general model: c12=1 each, c1=1 each, V=4
+        ce_in_1 = round(-math.log(1.5 / 2.0), 6)   # 0.75
+        ce_gen = round(-math.log(1.5 / 3.0), 6)    # 0.5
+        assert abs(out[1]["ce_in"] - ce_in_1) < 1e-6
+        assert abs(out[1]["ce_gen"] - ce_gen) < 1e-6
+        assert out[1]["selected"] is True and out[1]["ce_diff"] < 0
+        # doc 2: OOV under the in-domain model -> p_in = 0.5/1.0 = 0.5
+        # == its general prob exactly -> diff 0, NOT selected (strict <)
+        assert abs(out[2]["ce_diff"]) < 1e-9
+        assert out[2]["selected"] is False
+
+    def test_in_domain_docs_prefer_in_domain_model(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            moore_lewis_select,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat runs fast and the dog runs slow", "en"),
+                (2, "the cat runs slow and the dog runs fast", "en"),
+                (3, "la casa es grande y el perro es lento", "es"),
+                (4, "el perro es rapido y la casa es chica", "es"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r for r in moore_lewis_select(docs).collect()}
+        assert out[1]["selected"] and out[2]["selected"]
+        assert not out[3]["selected"] and not out[4]["selected"]

@@ -943,3 +943,173 @@ def label_propagation_edges(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("community"), "community_size"
     )
+
+
+# Winnowing parameters (Schleimer et al. 2003): noise threshold = gram
+# size K, guarantee threshold t = K + W - 1 (every duplicated substring
+# of >= t tokens is caught). POSCAP bounds the position packed next to
+# the hash in the tie-break key; docs are clipped to their first POSCAP
+# grams (a 1M-token document is beyond any realistic web/doc corpus
+# page — clip, don't overflow).
+WINNOW_K = 4
+WINNOW_W = 4
+_WINNOW_POSCAP = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003, 'Winnowing: Local Algorithms for Document
+    Fingerprinting' — the MOSS algorithm): hash every k-token gram,
+    slide a window of w consecutive hashes, and in each window select
+    the MINIMUM hash, breaking ties by the RIGHTMOST position (the
+    'robust' rule: re-select the same occurrence across overlapping
+    windows so density stays ~2/(w+1)). The selected (hash, pos) set is
+    the document's fingerprint sketch; any shared substring of >=
+    k+w-1 tokens between two docs is guaranteed to surface as a shared
+    fingerprint — the local-guarantee property MinHash lacks.
+
+    Returns one row per SELECTED position: (id, pos, fp) — the sketch
+    table downstream consumers (winnow_overlap_pairs, per-doc density
+    stats) aggregate from.
+
+    Execution: the window minimum is ONE per-doc window frame
+    (rowsBetween(0, w-1) over pos) — partitioned by doc id, so frame
+    state is document-bounded, never corpus-bounded. The rightmost-min
+    tie-break is encoded arithmetically: key = hash·2^20 + (2^20−1−pos)
+    makes min(key) pick (min hash, max pos) in one pass, no struct
+    comparison needed (identical expression on the DuckDB oracle
+    side). No explode beyond the gram stream; nothing driver-side."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    staged = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    ).filter(F.size("toks") >= k + w - 1)
+    cnt = F.size("toks")
+    mk = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.least(cnt - k, F.lit(_WINNOW_POSCAP - 1))), mk
+    )
+    grams = staged.select(
+        F.col(id_col),
+        F.size(hashes).alias("n_grams"),
+        F.posexplode(hashes).alias("pos", "h"),
+    )
+    key = F.col("h") * F.lit(_WINNOW_POSCAP) + (
+        F.lit(_WINNOW_POSCAP - 1) - F.col("pos")
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.col("n_grams"),
+            F.min(key).over(frame).alias("sel_key"),
+        )
+        # window STARTS only: the last w-1 positions have truncated
+        # frames and would re-select with the wrong guarantee
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(
+            F.col(id_col),
+            (F.lit(_WINNOW_POSCAP - 1) - F.col("sel_key") % F.lit(_WINNOW_POSCAP))
+            .cast("long")
+            .alias("pos"),
+            F.expr(f"sel_key div {_WINNOW_POSCAP}").cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_stats(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc winnowing sketch accounting: gram count, window count,
+    selected positions, distinct fingerprints, and observed density —
+    the paper's 2/(w+1) expectation is the number to audit against.
+    Density is exact via integer-micros floor division."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    sel = winnow_fingerprints(docs, k, w, id_col, text_col)
+    per_doc = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.count_distinct("fp").cast("long").alias("n_fp"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    ).filter(F.size("toks") >= k + w - 1)
+    sizes = base.select(
+        F.col(id_col),
+        (F.size("toks") - k + 1).cast("long").alias("n_grams"),
+        (F.size("toks") - k - w + 2).cast("long").alias("n_windows"),
+    )
+    return sizes.join(per_doc, id_col).select(
+        F.col(id_col),
+        "n_grams",
+        "n_windows",
+        "n_selected",
+        "n_fp",
+        (
+            F.expr("(n_selected * 10000000) div n_windows").cast("double")
+            / F.lit(10000000.0)
+        ).alias("density"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs from the winnowing sketch —
+    MOSS's matching stage: docs sharing >= min_shared selected
+    fingerprints, scored by share count. Fingerprints appearing in >
+    max_df documents are dropped BEFORE pairing (the paper's own move
+    against ubiquitous/boilerplate hashes), which is also what keeps
+    the bucket self-join from going quadratic on template chrome at
+    100 TB — same hot-bucket discipline as the MinHash LSH band join;
+    a residual skewed bucket is the AQE skew-join case. The hot set is
+    broadcast as an ANTI-join (it is df-capped-small by construction;
+    the keep side is corpus-sized and must never be the broadcast).
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b."""
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > max_df).select("fp")
+    pruned = fps.join(F.broadcast(hot), "fp", "left_anti")
+    left = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    right = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

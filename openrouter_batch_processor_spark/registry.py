@@ -7313,6 +7313,84 @@ def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moore_lewis_select(_t(spark, sf_dir, "documents"))
 
 
+# Shared CTE chain for the winnowing queries (Schleimer et al. 2003):
+# k=4-gram hashes, w=4 window, robust rightmost-min tie-break encoded
+# as min(h*2^20 + (2^20-1-pos)).
+_WINNOW_SQL = f"""
+    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    el AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 7),
+    g AS (SELECT doc_id, u.i AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[u.i+1:u.i+4], ' ')),
+                                 1, 8))::BIGINT AS h,
+                 least(len(toks) - 4, 1048575) + 1 AS n_grams
+          FROM el, unnest(range(0, least(len(toks) - 4, 1048575) + 1)) AS u(i)),
+    s AS (SELECT doc_id, pos, n_grams,
+                 min(h * 1048576 + (1048575 - pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+          FROM g),
+    sel AS (SELECT DISTINCT doc_id,
+                   (1048575 - (sel_key % 1048576))::BIGINT AS pos,
+                   (sel_key // 1048576)::BIGINT AS fp
+            FROM s WHERE pos <= n_grams - 4)
+"""
+
+
+@register(
+    "text_winnow_stats",
+    f"""
+    WITH {_WINNOW_SQL},
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_selected,
+                   count(DISTINCT fp)::BIGINT AS n_fp
+            FROM sel GROUP BY 1),
+    sz AS (SELECT doc_id, (len(toks) - 3)::BIGINT AS n_grams,
+                  (len(toks) - 6)::BIGINT AS n_windows
+           FROM el)
+    SELECT doc_id, n_grams, n_windows, n_selected, n_fp,
+           ((n_selected * 10000000) // n_windows) / 10000000.0 AS density
+    FROM sz JOIN per USING (doc_id)
+    """,
+    ops=["EXT-dedup", "EXT-tokens", "G2", "W2"],
+)
+def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing sketch accounting (Schleimer, Wilkerson & Aiken
+    2003 / MOSS): per-doc selected-fingerprint counts and observed
+    density vs the paper's 2/(w+1) expectation. The rightmost-min
+    tie-break is one arithmetic key in one per-doc window frame
+    (operators/dedup.winnow_fingerprints)."""
+    from openrouter_batch_processor_spark.operators.dedup import winnow_stats
+
+    return winnow_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH {_WINNOW_SQL},
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+    pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp) WHERE df <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    ops=["EXT-dedup", "J3", "G2", "X1"],
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS matching stage: candidate pairs sharing >= 2 winnowing
+    fingerprints after dropping df>50 boilerplate hashes (the paper's
+    ubiquitous-hash prune = the hot-bucket discipline; the hot set is
+    the broadcast anti-join side — operators/dedup.
+    winnow_overlap_pairs). Guarantees any shared >= k+w-1 = 7-token
+    substring surfaces as a shared fingerprint — the local guarantee
+    MinHash lacks."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "sketch_ams_f2",
     """

@@ -1220,3 +1220,149 @@ def pq_adc_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+PC_POWER_ITERS = 4
+
+
+def top_pc_power(
+    emb: DataFrame,
+    iters: int = PC_POWER_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus via POWER
+    ITERATION on the centered scatter matrix — the first half of
+    'All-but-the-Top' embedding post-processing (Mu & Viswanath 2018:
+    subtract the mean and the top PCs; the dominant directions encode
+    frequency, not meaning) and the D-step of PCA whitening in
+    SemDeDup-style pipelines.
+
+    C = Xc^T Xc is never materialized: each iteration applies it as
+    two corpus passes, z = Xc·v (per-vector dot, combiner groupBy on
+    vec id) then y = Xc^T·z (per-dim fold, combiner groupBy on dim) —
+    O(n·D) rows shuffled into n + D groups per pass, no D×D blowup and
+    no driver-side linear algebra; v lives as a D-row broadcast join,
+    not a collect. Deterministic v0 = 1/sqrt(D) (all-ones normalized),
+    so both engines walk the identical 4-iteration trajectory; every
+    cross-row sum is round-then-DECIMAL (order-independent), every
+    per-row op is pure double, so the result hash-matches the unrolled
+    DuckDB oracle bit-for-bit. The eigenvalue estimate is ||C·v_T||
+    (= Rayleigh quotient in the converged limit, standard power-method
+    readout).
+
+    Output: one row per dimension (dim, mean_val, pc, eigenvalue)."""
+    d0 = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "fval"),
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
+    m = d0.groupBy("dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_val")
+    )
+    d = (
+        d0.join(F.broadcast(m), "dim")
+        .select("vec_id", "dim", (F.col("x") - F.col("mean_val")).alias("xc"))
+        .localCheckpoint(eager=True)
+    )
+    v0 = 1.0 / (dim ** 0.5)
+    v = m.select("dim", F.lit(v0).alias("v"))
+    norm = None
+    for _ in range(iters):
+        z = (
+            d.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("v"), 9).cast("decimal(28,9)"))
+                .cast("double")
+                .alias("z")
+            )
+        )
+        y = (
+            d.join(z, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("z"), 9).cast("decimal(38,9)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("y") * F.col("y"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        norm = nrm
+        v = y.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("y") / F.col("nrm"), 9).alias("v")
+        )
+    return (
+        v.join(F.broadcast(m), "dim")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            F.col("dim"),
+            F.col("mean_val"),
+            F.col("v").alias("pc"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+    )
+
+
+def abtt_residuals(
+    emb: DataFrame,
+    iters: int = PC_POWER_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-Top post-processing applied per vector (Mu &
+    Viswanath 2018): x' = (x − μ) − (pc·(x − μ)) pc. Emits per vector
+    the top-PC projection coefficient and the residual norm — the
+    post-processed magnitude a downstream cosine index would use.
+
+    Scale: the PC is a D-row broadcast from top_pc_power; the removal
+    itself is one map-side pass (per-vec fold + combiner groupBy on
+    vec id), so the whole operator is the PCA cost plus a single
+    corpus scan."""
+    pc = top_pc_power(emb, iters, dim, id_col, vec_col)
+    d0 = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "fval"),
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
+    j = d0.join(F.broadcast(pc), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("x") - F.col("mean_val")).alias("xc"),
+        F.col("pc"),
+    )
+    proj = j.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("xc") * F.col("pc"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("proj")
+    )
+    resid = (
+        j.join(proj, "vec_id")
+        .select(
+            "vec_id",
+            (F.col("xc") - F.col("proj") * F.col("pc")).alias("r"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+            ).alias("resid_norm")
+        )
+    )
+    return proj.join(resid, "vec_id").select(
+        "vec_id",
+        F.round(F.col("proj"), 6).alias("proj"),
+        F.round(F.col("resid_norm"), 6).alias("resid_norm"),
+    )

@@ -7391,6 +7391,81 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _power_sql(iters: int) -> str:
+    """Unrolled power-iteration CTE chain (top_pc_power's oracle): v0 =
+    1/8 (all-ones normalized for D=64), each iteration z = Xc·v,
+    y = Xc^T·z, v = y/||y|| with round-then-DECIMAL cross-row sums so
+    the trajectory is order-independent on both engines."""
+    ctes = [
+        """d0 AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS x
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(range(64))::INTEGER AS dim) o),
+    m AS (SELECT dim, round(sum(x::DECIMAL(28,10))::DOUBLE / count(*), 9) AS mean_val
+          FROM d0 GROUP BY dim),
+    d AS (SELECT vec_id, d0.dim, x - mean_val AS xc FROM d0 JOIN m USING (dim)),
+    v0 AS (SELECT dim, 0.125::DOUBLE AS v FROM m)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""z{t} AS (SELECT vec_id, sum(round(xc * v, 9)::DECIMAL(28,9))::DOUBLE AS z
+           FROM d JOIN v{t-1} USING (dim) GROUP BY vec_id),
+    y{t} AS (SELECT dim, sum(round(xc * z, 9)::DECIMAL(38,9))::DOUBLE AS y
+           FROM d JOIN z{t} USING (vec_id) GROUP BY dim),
+    n{t} AS (SELECT sqrt(sum(round(y * y, 9)::DECIMAL(38,9))::DOUBLE) AS nrm FROM y{t}),
+    v{t} AS (SELECT dim, round(y / nrm, 9) AS v FROM y{t} CROSS JOIN n{t})"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "emb_top_pc_power",
+    f"""
+    WITH {_power_sql(4)}
+    SELECT m.dim, m.mean_val, v.v AS pc, round(n4.nrm, 6) AS eigenvalue
+    FROM v4 v JOIN m USING (dim) CROSS JOIN n4
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding corpus via
+    4-step power iteration (the All-but-the-Top / PCA-whitening
+    D-step, Mu & Viswanath 2018) — C is applied as two corpus passes
+    per iteration (z = Xc·v, y = Xc^T·z), never materialized; v is a
+    64-row broadcast, nothing driver-side
+    (operators/similarity.top_pc_power)."""
+    from openrouter_batch_processor_spark.operators.similarity import top_pc_power
+
+    return top_pc_power(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_abtt_residuals",
+    f"""
+    WITH {_power_sql(4)},
+    pcv AS (SELECT dim, v AS pc FROM v4),
+    jj AS (SELECT d.vec_id, d.dim, d.xc, pcv.pc FROM d JOIN pcv USING (dim)),
+    pj AS (SELECT vec_id, sum(round(xc * pc, 9)::DECIMAL(28,9))::DOUBLE AS proj
+           FROM jj GROUP BY vec_id),
+    rs AS (SELECT jj.vec_id,
+                  sqrt(sum(round((xc - proj * pc) * (xc - proj * pc),
+                                 9)::DECIMAL(38,9))::DOUBLE) AS resid_norm
+           FROM jj JOIN pj USING (vec_id) GROUP BY jj.vec_id)
+    SELECT vec_id, round(proj, 6) AS proj, round(resid_norm, 6) AS resid_norm
+    FROM pj JOIN rs USING (vec_id)
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top applied per vector (Mu & Viswanath 2018):
+    x' = (x−μ) − (pc·(x−μ))pc; emits the top-PC projection coefficient
+    and the post-removal residual norm per vector. One broadcast of
+    the 64-row PC plus a single corpus scan on top of the PCA cost
+    (operators/similarity.abtt_residuals)."""
+    from openrouter_batch_processor_spark.operators.similarity import abtt_residuals
+
+    return abtt_residuals(_t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "sketch_ams_f2",
     """

@@ -1432,3 +1432,257 @@ def staged_bigram_nll(
         f"bigram_nll:{id_col}:{text_col}",
         lambda d: bigram_nll(d, id_col, text_col),
     )
+
+
+def dsir_ess(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Kish effective sample size of the DSIR importance weights —
+    THE diagnostic for importance resampling (Kish 1965; Owen's Monte
+    Carlo text §9.3): ESS = (Σw)² / Σw² with w = exp(log_w − max
+    log_w) (max-shifted so exp never overflows; ESS is shift-
+    invariant). ESS ≪ n means the weights are degenerate and the
+    DSIR-selected sample will be dominated by a few documents — the
+    resample is then variance, not signal.
+
+    Output: one row (n_docs, max_log_weight, ess, ess_frac).
+
+    Scale: the weights table is dsir_logweights' broadcast-lookup
+    shape; on top of it this is one max (combiner-friendly), one
+    broadcast of the 1-row max, and one round-then-DECIMAL sum pair —
+    order-independent, so the ratio hash-matches the oracle."""
+    lw = dsir_logweights(docs, target_lang, n_buckets, id_col, text_col, lang_col)
+    mx = lw.agg(F.max("log_weight").alias("mx"))
+    w = lw.crossJoin(F.broadcast(mx)).select(
+        F.exp(F.col("log_weight") - F.col("mx")).alias("w"), F.col("mx")
+    )
+    a = w.groupBy("mx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.round(F.col("w"), 9).cast("decimal(28,9)")).alias("s1"),
+        F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")).alias("s2"),
+    )
+    ess = (F.col("s1").cast("double") * F.col("s1").cast("double")) / F.col(
+        "s2"
+    ).cast("double")
+    return a.select(
+        "n_docs",
+        F.col("mx").alias("max_log_weight"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_frac"),
+    )
+
+
+def quality_ece(
+    docs: DataFrame,
+    positive_lang: str = "en",
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Reliability diagram + per-bin calibration gaps for the heuristic
+    quality score as a classifier of ``positive_lang`` (Naeini et al.
+    2015's ECE binning; Guo et al. 2017's calibration audit): scores
+    bucketed into n_bins equal-width bins; per bin the mean confidence
+    and the empirical positive rate. The weighted |conf − acc| column
+    is the bin's ECE contribution (ECE = Σ n_b/N · |acc_b − conf_b|).
+
+    Bin edges are floor(score·n_bins) on the raw double — the same
+    IEEE arithmetic on both engines, so boundary scores land in the
+    same bin even where score·10 is not exactly representable. Means
+    are exact integer-micros floor divisions; the gap is a BIGINT
+    difference on the 7-dp grid.
+
+    Scale: one score pass + one n_bins-group combiner aggregate."""
+    scores = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    labeled = scores.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    ).select(
+        F.least(
+            F.floor(F.col("quality_score") * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin_id"),
+        F.col("quality_score").alias("s"),
+        (F.col(lang_col) == positive_lang).cast("long").alias("y"),
+    )
+    g = labeled.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.round(F.col("s"), 6).cast("decimal(18,6)")).alias("ssum"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    conf7 = F.expr("(cast(ssum * 1000000 as bigint) * 10) div n_docs")
+    acc7 = F.expr("(n_pos * 10000000) div n_docs")
+    return g.select(
+        "bin_id",
+        "n_docs",
+        "n_pos",
+        (conf7.cast("double") / F.lit(10000000.0)).alias("conf"),
+        (acc7.cast("double") / F.lit(10000000.0)).alias("acc"),
+        (
+            F.abs(conf7 - acc7).cast("double") / F.lit(10000000.0)
+        ).alias("abs_gap"),
+    )
+
+
+def good_turing(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    Turing estimator as presented by Gale & Sampson 1995): N_r = how
+    many vocabulary types occur exactly r times; the adjusted count
+    r* = (r+1)·N_{r+1}/N_r (NULL where N_{r+1} = 0 — raw Turing,
+    no smoothing fit), and each r's share of the corpus mass. The
+    r = 1 row's mass share is the famous missing-mass estimate
+    P0 = N_1/N.
+
+    Scale: two combiner groupBys (term counts, then count-of-counts —
+    the second is at most max-frequency groups) and one self-join on
+    r+1 over that tiny table."""
+    ctf = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fof = ctf.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("c") * F.col("n_r")).cast("long").alias("n_tokens")
+    )
+    nxt = fof.select(
+        (F.col("c") - 1).alias("c"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        fof.join(nxt, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("r"),
+            F.col("n_r"),
+            F.round(
+                (F.col("c") + 1) * F.col("n_r_next") / F.col("n_r"), 6
+            ).alias("r_star"),
+            (
+                F.expr("(c * n_r * 10000000) div n_tokens").cast("double")
+                / F.lit(10000000.0)
+            ).alias("mass_frac"),
+        )
+    )
+
+
+HEAPS_J0 = 6  # first checkpoint = 2^6 = 64 tokens
+
+
+def heaps_fit(
+    docs: DataFrame,
+    j0: int = HEAPS_J0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law fit (Heaps 1978; Herdan 1960): vocabulary growth
+    V(n) ≈ K·n^β, estimated by OLS of ln V(2^j) on ln 2^j at the
+    power-of-two checkpoints 2^j0 .. 2^Jmax (Jmax = ⌊log2 N⌋). The
+    exponent β is the companion corpus-health audit to the Zipf slope
+    (template spam and dedup both move it); natural text sits near
+    0.4–0.6.
+
+    V(n) needs each type's FIRST OCCURRENCE position in the
+    doc_id-ordered token stream. Global positions use the renumber
+    discipline (renumber.py): range-partition per-doc token counts by
+    doc id, per-partition cumulative sums, broadcast O(partitions)
+    offsets — no corpus-sized single-task window. Checkpoint counts
+    come from a histogram of j_min = ⌈log2 fp⌉ per type, computed
+    INTEGER-exactly as length(bin(fp−1)) (float log2 misclassifies
+    exact powers), then a ≤64-row cumulative join; the OLS moment fold
+    is the zipf_fit round-then-DECIMAL pattern.
+
+    Output: one row (n_tokens, vocab_size, n_points, beta, k)."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    ).filter((F.size("toks") >= 1) & (F.col("toks")[0] != ""))
+    per_doc = toks.select(F.col(id_col), F.size("toks").cast("long").alias("nt"))
+    parts = spark.sparkContext.defaultParallelism
+    ranged = per_doc.repartitionByRange(parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # O(num_partitions) longs to the driver — metadata, not data
+    psums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("nt").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = ranged.select(
+        F.col(id_col),
+        (omap[F.col("_pid")] + F.coalesce(F.sum("nt").over(win), F.lit(0))).alias(
+            "doc_start"
+        ),
+    )
+    fo = (
+        toks.join(starts, id_col)
+        .select(
+            F.posexplode("toks").alias("pos", "term"),
+            F.col("doc_start"),
+        )
+        .select(F.col("term"), (F.col("doc_start") + F.col("pos") + 1).alias("gpos"))
+        .groupBy("term")
+        .agg(F.min("gpos").alias("fp"))
+    )
+    jmin = F.when(F.col("fp") <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("fp") - 1))
+    )
+    hist = fo.groupBy(jmin.cast("long").alias("j_min")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_total = acc
+    jmax = max(j0, n_total.bit_length() - 1) if n_total > 0 else j0
+    js = spark.range(j0, jmax + 1).select(F.col("id").alias("j"))
+    vj = (
+        js.join(hist, hist["j_min"] <= js["j"])
+        .groupBy("j")
+        .agg(F.sum("cnt").cast("long").alias("v"))
+        .filter(F.col("v") >= 1)
+    )
+    ln2 = 0.6931471805599453
+    x6 = F.round(F.col("j") * F.lit(ln2), 6).cast("decimal(18,6)")
+    y6 = F.round(F.log(F.col("v").cast("double")), 6).cast("decimal(18,6)")
+    a = vj.select(x6.alias("x"), y6.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    tots = hist.agg(F.sum("cnt").cast("long").alias("vocab_size"))
+    nd = F.col("n_points").cast("double")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (nd * dd("sxy") - dd("sx") * dd("sy")) / (
+        nd * dd("sxx") - dd("sx") * dd("sx")
+    )
+    return (
+        a.crossJoin(F.broadcast(tots))
+        .select(
+            F.lit(n_total).cast("long").alias("n_tokens"),
+            F.col("vocab_size"),
+            F.col("n_points"),
+            F.round(slope, 6).alias("beta"),
+            F.round(F.exp((dd("sy") - slope * dd("sx")) / nd), 6).alias("k"),
+        )
+    )

@@ -7467,6 +7467,156 @@ def q_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_dsir_ess",
+    f"""
+    WITH {_DSIR_LW_SQL},
+    mx AS (SELECT max(log_weight) AS mx FROM dsirw),
+    w AS (SELECT exp(log_weight - mx.mx) AS w, mx.mx AS mx
+          FROM dsirw CROSS JOIN mx),
+    a AS (SELECT mx, count(*)::BIGINT AS n_docs,
+                 sum(round(w, 9)::DECIMAL(28,9))::DOUBLE AS s1,
+                 sum(round(w * w, 9)::DECIMAL(28,9))::DOUBLE AS s2
+          FROM w GROUP BY mx)
+    SELECT n_docs, mx AS max_log_weight,
+           round(s1 * s1 / s2, 6) AS ess,
+           round(s1 * s1 / s2 / n_docs, 6) AS ess_frac
+    FROM a
+    """,
+    ops=["EXT-sampling", "EXT-quality", "G2"],
+)
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the DSIR importance weights
+    (Kish 1965) — ESS = (Σw)²/Σw² with max-shifted w = exp(log_w −
+    max): the degeneracy diagnostic importance resampling is judged
+    by; ESS ≪ n means the selected sample is a few documents repeated
+    (operators/textanalysis.dsir_ess)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import dsir_ess
+
+    return dsir_ess(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_quality_ece",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT least(floor(q.quality_score * 10), 9)::BIGINT AS bin_id,
+                 q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT bin_id, count(*)::BIGINT AS n_docs,
+                 sum(round(s, 6)::DECIMAL(18,6)) AS ssum,
+                 sum(y)::BIGINT AS n_pos
+          FROM l GROUP BY 1),
+    c AS (SELECT bin_id, n_docs, n_pos,
+                 ((ssum * 1000000)::BIGINT * 10) // n_docs AS conf7,
+                 (n_pos * 10000000) // n_docs AS acc7
+          FROM g)
+    SELECT bin_id, n_docs, n_pos,
+           conf7 / 10000000.0 AS conf,
+           acc7 / 10000000.0 AS acc,
+           abs(conf7 - acc7) / 10000000.0 AS abs_gap
+    FROM c
+    """,
+    ops=["EXT-quality", "G2", "J3"],
+)
+def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality score as a lang='en'
+    classifier (Naeini et al. 2015 ECE binning; Guo et al. 2017):
+    10 equal-width bins, per-bin mean confidence vs empirical positive
+    rate, weighted gap = the bin's ECE contribution. Means are exact
+    integer-micros; the gap is a BIGINT difference on the 7-dp grid
+    (operators/textanalysis.quality_ece)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_ece
+
+    return quality_ece(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_good_turing",
+    f"""
+    WITH tf AS (SELECT u.term, count(*)::BIGINT AS c
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != '' GROUP BY 1),
+    fof AS (SELECT c, count(*)::BIGINT AS n_r FROM tf GROUP BY 1),
+    tot AS (SELECT sum(c * n_r)::BIGINT AS n_tokens FROM fof),
+    nxt AS (SELECT c - 1 AS c, n_r AS n_r_next FROM fof)
+    SELECT f.c AS r, f.n_r,
+           round((f.c + 1) * nxt.n_r_next / f.n_r, 6) AS r_star,
+           ((f.c * f.n_r * 10000000) // tot.n_tokens) / 10000000.0 AS mass_frac
+    FROM fof f LEFT JOIN nxt ON nxt.c = f.c CROSS JOIN tot
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2"],
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies (Good 1953; Gale & Sampson
+    1995): N_r per occurrence count r, raw Turing adjusted counts
+    r* = (r+1)N_{{r+1}}/N_r, and per-r corpus mass share — the r=1 row
+    is the missing-mass estimate P0 = N_1/N
+    (operators/textanalysis.good_turing)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_heaps_fit",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents WHERE {_NORM_SQL} != ''),
+    pd AS (SELECT doc_id, len(toks)::BIGINT AS nt FROM tk),
+    st AS (SELECT doc_id, coalesce(sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_start
+           FROM pd),
+    fo AS (SELECT toks[u.i] AS term, min(st.doc_start + u.i)::BIGINT AS fp
+           FROM tk JOIN st USING (doc_id),
+                unnest(range(1, len(toks) + 1)) AS u(i)
+           GROUP BY 1),
+    hist AS (SELECT (CASE WHEN fp <= 1 THEN 0
+                          ELSE length(bin(fp - 1)) END)::BIGINT AS j_min,
+                    count(*)::BIGINT AS cnt
+             FROM fo GROUP BY 1),
+    nt AS (SELECT sum(nt)::BIGINT AS n_total FROM pd),
+    jm AS (SELECT greatest(6, length(bin(n_total)) - 1)::BIGINT AS jmax FROM nt),
+    js AS (SELECT unnest(range(6, jmax + 1))::BIGINT AS j FROM jm),
+    vj AS (SELECT j, sum(cnt)::BIGINT AS v
+           FROM js JOIN hist ON hist.j_min <= js.j
+           GROUP BY j HAVING sum(cnt) >= 1),
+    pts AS (SELECT round(j * 0.6931471805599453, 6)::DECIMAL(18,6) AS x,
+                   round(ln(v::DOUBLE), 6)::DECIMAL(18,6) AS y
+            FROM vj),
+    a AS (SELECT count(*)::BIGINT AS n_points, sum(x) AS sx, sum(y) AS sy,
+                 sum((x * y)::DECIMAL(38,12)) AS sxy,
+                 sum((x * x)::DECIMAL(38,12)) AS sxx
+          FROM pts),
+    vs AS (SELECT sum(cnt)::BIGINT AS vocab_size FROM hist)
+    SELECT nt.n_total AS n_tokens, vs.vocab_size, a.n_points,
+           round((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
+           round(exp((sy::DOUBLE
+                      - ((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                        * sx::DOUBLE) / a.n_points), 6) AS k
+    FROM a CROSS JOIN nt CROSS JOIN vs
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "W1"],
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): OLS of ln V(2^j)
+    on ln 2^j at power-of-two checkpoints over the doc_id-ordered
+    token stream — the companion corpus-health audit to audit_zipf_fit.
+    First-occurrence positions use the renumber discipline (range
+    partition + broadcast O(partitions) offsets, no corpus-sized
+    single-task window); ⌈log2 fp⌉ is integer-exact via
+    length(bin(fp−1)) (operators/textanalysis.heaps_fit)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

@@ -1113,3 +1113,46 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def kcore_peel(
+    docs: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-core peeling over the LSH candidate graph (Seidman 1983,
+    'Network structure and minimum degree'; distributed peel as in
+    Montresor et al. 2013): repeatedly delete nodes of degree < k
+    until fixpoint — survivors are the k-core, the dense near-
+    duplicate neighborhoods worth a cluster-level keep decision
+    (versus the stray pairwise matches the peel strips away).
+
+    ``rounds`` bounds the peel (plan depth = O(rounds), the same
+    bounded-iteration contract as label_propagation; a fixpoint
+    reached earlier just makes later rounds no-ops). Each round is one
+    degree groupBy + two semi-joins, with a localCheckpoint truncating
+    lineage so round r+1's plan does not re-derive rounds 1..r.
+
+    Output: (doc_id, degree) for nodes surviving all rounds, with
+    their degree in the final peeled graph."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").alias(id_col), "degree")
+    )

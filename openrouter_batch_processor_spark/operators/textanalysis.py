@@ -1686,3 +1686,203 @@ def heaps_fit(
             F.round(F.exp((dd("sy") - slope * dd("sx")) / nd), 6).alias("k"),
         )
     )
+
+
+def source_kl(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture-drift audit behind domain-weight tuning (the
+    distributional-shift check DoReMi/DSIR-style pipelines run per
+    domain): KL(p_s ‖ p_corpus) over hashed unigram buckets with
+    add-one smoothing (same 512-bucket feature space as
+    dsir_logweights, so the two audits are comparable). A source whose
+    KL drifts release-over-release changed its crawler or its filter
+    stack.
+
+    KL sums over the FULL B-bucket grid — absent buckets still carry
+    p_s = 1/(tot_s + B) and p_c = 1/(tot_c + B) mass under add-one, so
+    both sides are proper distributions and KL >= 0 holds even for a
+    corpus that occupies few buckets — via a (sources × B) grid join
+    that is dimension-sized (#sources · 512 rows) regardless of corpus
+    size. Contributions are rounded then decimal-summed.
+
+    Output per source: (source, n_tokens, kl)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = (
+        docs.select(
+            F.col(source_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(F.col(source_col), bucket.alias("bucket"))
+    )
+    obs = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    allb = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    cb = allb.join(obs, "bucket", "left").select(
+        "bucket", F.coalesce("cb", F.lit(0)).cast("long").alias("cb")
+    )
+    sb = toks.groupBy(source_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    stot = toks.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("ts")
+    )
+    ctot = cb.agg(F.sum("cb").cast("double").alias("tc"))
+    grid = (
+        stot.crossJoin(F.broadcast(cb))
+        .join(sb, [source_col, "bucket"], "left")
+        .crossJoin(F.broadcast(ctot))
+    )
+    ps = (F.coalesce(F.col("cs"), F.lit(0)) + 1) / (
+        F.col("ts") + F.lit(float(n_buckets))
+    )
+    pc = (F.col("cb") + 1) / (F.col("tc") + F.lit(float(n_buckets)))
+    contrib = F.round(ps * F.log(ps / pc), 9).cast("decimal(28,9)")
+    return (
+        grid.select(F.col(source_col), F.col("ts"), contrib.alias("contrib"))
+        .groupBy(source_col, "ts")
+        .agg(F.round(F.sum("contrib").cast("double"), 6).alias("kl"))
+        .select(F.col(source_col), F.col("ts").alias("n_tokens"), "kl")
+    )
+
+
+def quality_youden(
+    docs: DataFrame,
+    positive_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Optimal quality-score threshold by Youden's J (Youden 1950):
+    over every candidate cut t (each distinct observed score,
+    predicting positive when score >= t), J(t) = TPR(t) − FPR(t);
+    report the maximizing cut (ties -> lowest cut, so the most
+    inclusive equally-good gate wins). This is the threshold-picking
+    step a quality gate runs after audit_quality_auc says the score
+    ranks and audit_quality_ece says how honestly.
+
+    Arithmetic is integer-exact: descending-cumulative tp/fp per
+    distinct score, TPR/FPR as (x·10^7) div total on the 7-dp grid,
+    J as their BIGINT difference; single-class corpora degrade to
+    NULL rates (nullif), not an error.
+
+    Scale: same shape as quality_auc — a distinct-score combiner
+    groupBy, ONE dimension-bounded cumulative window (<= 1e6+1 groups
+    at the score's 6-dp resolution), then a 1-row TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    scores = quality_scores(docs, id_col, text_col)
+    labeled = (
+        scores.select(id_col, "quality_score")
+        .join(docs.select(id_col, lang_col), id_col)
+        .select(
+            F.col("quality_score").alias("s"),
+            (F.col(lang_col) == positive_lang).cast("long").alias("y"),
+        )
+    )
+    g = labeled.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    cum_w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).cast("long").alias("n_neg"),
+    )
+    w = g.select(
+        "s",
+        F.sum("p").over(cum_w).cast("long").alias("tp"),
+        (F.sum("c").over(cum_w) - F.sum("p").over(cum_w)).cast("long").alias("fp"),
+    ).crossJoin(F.broadcast(tot))
+    scored = w.select(
+        "s",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        F.expr("(tp * 10000000) div nullif(n_pos, 0)").alias("tpr7"),
+        F.expr("(fp * 10000000) div nullif(n_neg, 0)").alias("fpr7"),
+    ).select(
+        "s",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        "tpr7",
+        "fpr7",
+        (F.col("tpr7") - F.col("fpr7")).alias("j7"),
+    )
+    return (
+        scored.orderBy(F.desc_nulls_last("j7"), F.asc("s"))
+        .limit(1)
+        .select(
+            F.col("s").alias("cut"),
+            "tp",
+            "fp",
+            (F.col("tpr7").cast("double") / F.lit(10000000.0)).alias("tpr"),
+            (F.col("fpr7").cast("double") / F.lit(10000000.0)).alias("fpr"),
+            (F.col("j7").cast("double") / F.lit(10000000.0)).alias("youden_j"),
+        )
+    )
+
+
+def burstiness_topk(
+    docs: DataFrame,
+    k: int = 50,
+    min_tf: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bursty terms by the index of dispersion (variance-to-mean
+    ratio of per-document counts, zeros included — Church & Gale 1995,
+    'Poisson Mixtures'): VMR = s2/tf − tf/N (population variance over
+    mean, algebraically exact from the three count sums). VMR ≈ 1 is
+    Poisson background vocabulary; VMR ≫ 1 is contagious/topical
+    usage — and in a training corpus the extreme tail is template
+    chrome repeating inside a few documents, which is why burstiness
+    is a boilerplate finder. min_tf suppresses the rare-term noise
+    floor; ties break term-asc.
+
+    Scale: one (doc, term) combiner groupBy, one vocabulary-sized
+    moment groupBy, a 1-row N broadcast, and a global top-k that
+    executes as TakeOrdered — never a full vocabulary sort."""
+    per = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mom = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    vmr = F.col("s2") / F.col("tf") - F.col("tf") / F.col("n_docs")
+    return (
+        mom.filter(F.col("tf") >= min_tf)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), F.asc("term"))
+        .limit(k)
+    )

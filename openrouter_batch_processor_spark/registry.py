@@ -7617,6 +7617,163 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_source_kl",
+    f"""
+    WITH tk AS (SELECT source,
+                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != ''),
+    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
+    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
+           FROM (SELECT unnest(range(512))::BIGINT AS b) r
+           LEFT JOIN obs ON obs.bucket = r.b),
+    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
+    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
+    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
+    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
+             FROM st CROSS JOIN cb
+             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+             CROSS JOIN ct),
+    sc AS (SELECT source, ts,
+                  round(((coalesce(cs, 0) + 1) / (ts + 512.0))
+                        * ln(((coalesce(cs, 0) + 1) / (ts + 512.0))
+                             / ((cb + 1) / (tc + 512.0))), 9)::DECIMAL(28,9) AS contrib
+           FROM grid)
+    SELECT source, ts AS n_tokens, round(sum(contrib)::DOUBLE, 6) AS kl
+    FROM sc GROUP BY 1, 2
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    over the DSIR 512-bucket hashed feature space (add-one smoothed,
+    full-grid sum) — the mixture-drift audit a DoReMi/DSIR-style
+    domain-weighting pass runs per source
+    (operators/textanalysis.source_kl)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import source_kl
+
+    return source_kl(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_quality_youden",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
+    t AS (SELECT sum(p)::BIGINT AS n_pos, (sum(c) - sum(p))::BIGINT AS n_neg FROM g),
+    w AS (SELECT s,
+                 sum(p) OVER (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+                 (sum(c) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - sum(p) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fp
+          FROM g),
+    sc AS (SELECT s, tp, fp,
+                  (tp * 10000000) // nullif(n_pos, 0) AS tpr7,
+                  (fp * 10000000) // nullif(n_neg, 0) AS fpr7
+           FROM w CROSS JOIN t)
+    SELECT s AS cut, tp, fp,
+           tpr7 / 10000000.0 AS tpr, fpr7 / 10000000.0 AS fpr,
+           (tpr7 - fpr7) / 10000000.0 AS youden_j
+    FROM sc ORDER BY (tpr7 - fpr7) DESC NULLS LAST, s ASC LIMIT 1
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_quality_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal quality-gate threshold by Youden's J (Youden 1950):
+    max TPR − FPR over all distinct-score cuts, ties to the lowest
+    (most inclusive) cut — integer-exact 7-dp rates, dimension-bounded
+    cumulative window, 1-row TakeOrdered
+    (operators/textanalysis.quality_youden)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        quality_youden,
+    )
+
+    return quality_youden(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_burstiness",
+    f"""
+    WITH per AS (SELECT doc_id, u.term, count(*)::BIGINT AS c
+                 FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                       FROM documents) t,
+                      unnest(toks) AS u(term)
+                 WHERE u.term != '' GROUP BY 1, 2),
+    mom AS (SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf,
+                   sum(c * c)::BIGINT AS s2
+            FROM per GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+    SELECT term, df, tf, round(s2 / tf - tf / n_docs, 6) AS vmr
+    FROM mom CROSS JOIN n WHERE tf >= 10
+    ORDER BY vmr DESC, term ASC LIMIT 50
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "O3"],
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bursty terms by index of dispersion over per-doc counts,
+    zeros included (Church & Gale 1995): VMR = s2/tf − tf/N exactly
+    from three count sums; the extreme tail is template chrome — the
+    boilerplate finder (operators/textanalysis.burstiness_topk)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        burstiness_topk,
+    )
+
+    return burstiness_topk(_t(spark, sf_dir, "documents"))
+
+
+def _kcore_sql(rounds: int, k: int) -> str:
+    """Unrolled k-core peel CTEs over the LSH candidate graph (needs
+    the `bands` CTE from _SHINGLES_SQL in scope)."""
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, so
+    # an unrolled peel would re-derive the whole shingle/band chain
+    # O(3^rounds) times without it
+    ctes = [
+        """cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand
+           UNION ALL SELECT id_b AS src, id_a AS dst FROM cand)"""
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""k{t} AS MATERIALIZED (SELECT src FROM e{t-1}
+           GROUP BY src HAVING count(*) >= {k}),
+    e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t-1} e
+           JOIN k{t} a ON a.src = e.src JOIN k{t} b ON b.src = e.dst)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+    WITH {_SHINGLES_SQL},
+    {_kcore_sql(6, 2)}
+    SELECT src AS doc_id, count(*)::BIGINT AS degree FROM e6 GROUP BY 1
+    """,
+    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-round k-core peel (k=2) over the LSH candidate graph (Seidman
+    1983; distributed peel a la Montresor et al. 2013): survivors are
+    the dense near-duplicate neighborhoods, stray pairwise matches
+    peel away. Bounded rounds = bounded plan depth, localCheckpoint
+    per round (operators/dedup.kcore_peel)."""
+    from openrouter_batch_processor_spark.operators.dedup import kcore_peel
+
+    return kcore_peel(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

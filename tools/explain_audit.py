@@ -281,6 +281,36 @@ BRUTE_FORCE_OK = {
     # labeled cost (same contract as sim_ann_recall); the production
     # path is the broadcast codeword lookup
     "sim_pq_adc_recall",
+    # r05 LM/collocation queries (missed at r05 close): each BNLJ is a
+    # 1-row scalar broadcast — PMI's corpus totals, Stupid Backoff's
+    # (N, V) floor
+    "text_pmi_topk",
+    "text_stupid_backoff",
+    # r06 — every flagged join is a bounded broadcast, never O(n^2):
+    # kneser-ney: 1-row (B, V) broadcast onto the scored bigrams
+    "text_kneser_ney",
+    # moore-lewis: 1-row (V_in, V_gen) broadcast
+    "curation_moore_lewis",
+    # power iteration / abtt: 1-row norm broadcast per unrolled step
+    # (v itself joins equi on dim)
+    "emb_top_pc_power",
+    "emb_abtt_residuals",
+    # ess: 1-row max-log-weight broadcast (on top of dsir's totals)
+    "audit_dsir_ess",
+    # good-turing: 1-row token-total broadcast onto the <=max-freq fof
+    # table
+    "text_good_turing",
+    # heaps: 1-row n_total broadcast + the <=64-row checkpoint x
+    # histogram theta join (both sides dimension-bounded by log2 N)
+    "audit_heaps_fit",
+    # source-kl: the sources x 512-bucket grid cross join — both sides
+    # dimension-sized — plus 1-row corpus-total broadcast
+    "audit_source_kl",
+    # youden: 1-row (n_pos, n_neg) totals broadcast onto the
+    # distinct-score table
+    "audit_quality_youden",
+    # burstiness: 1-row doc-count broadcast onto the vocab moments
+    "text_burstiness",
 }
 
 

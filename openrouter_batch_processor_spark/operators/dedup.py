@@ -987,26 +987,31 @@ def winnow_fingerprints(
     side). No explode beyond the gram stream; nothing driver-side."""
     from pyspark.sql.window import Window
 
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-
-    staged = docs.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
-    ).filter(F.size("toks") >= k + w - 1)
+    staged = tokenized(_spread_small_scan(docs), id_col, text_col).filter(
+        F.size("toks") >= k + w - 1
+    )
     cnt = F.size("toks")
     mk = lambda i: F.conv(  # noqa: E731
         F.substring(F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")), 1, 8),
         16,
         10,
     ).cast("long")
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.least(cnt - k, F.lit(_WINNOW_POSCAP - 1))), mk
-    )
-    grams = staged.select(
+    # materialize the hash array ONCE as an attribute: size() and the
+    # explode would otherwise each re-run the md5 transform chain, and
+    # plain posexplode would let Catalyst infer a size()>0 filter that
+    # re-inlines the chain below the staging projection (the
+    # explode_shingles lesson — 10x+ measured blowup)
+    hashed = staged.select(
         F.col(id_col),
-        F.size(hashes).alias("n_grams"),
-        F.posexplode(hashes).alias("pos", "h"),
+        F.transform(
+            F.sequence(F.lit(0), F.least(cnt - k, F.lit(_WINNOW_POSCAP - 1))), mk
+        ).alias("hs"),
     )
+    grams = hashed.select(
+        F.col(id_col),
+        F.size("hs").alias("n_grams"),
+        F.posexplode_outer("hs").alias("pos", "h"),
+    ).filter(F.col("h").isNotNull())
     key = F.col("h") * F.lit(_WINNOW_POSCAP) + (
         F.lit(_WINNOW_POSCAP - 1) - F.col("pos")
     )
@@ -1046,17 +1051,14 @@ def winnow_stats(
     selected positions, distinct fingerprints, and observed density —
     the paper's 2/(w+1) expectation is the number to audit against.
     Density is exact via integer-micros floor division."""
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-
     sel = winnow_fingerprints(docs, k, w, id_col, text_col)
     per_doc = sel.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_selected"),
         F.count_distinct("fp").cast("long").alias("n_fp"),
     )
-    base = docs.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
-    ).filter(F.size("toks") >= k + w - 1)
+    base = tokenized(docs, id_col, text_col).filter(
+        F.size("toks") >= k + w - 1
+    )
     sizes = base.select(
         F.col(id_col),
         (F.size("toks") - k + 1).cast("long").alias("n_grams"),

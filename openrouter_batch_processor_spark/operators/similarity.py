@@ -1335,12 +1335,16 @@ def abtt_residuals(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("dim", "fval"),
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
+    # j feeds BOTH the projection and the residual aggregations —
+    # checkpoint it once (same staging discipline as top_pc_power's d);
+    # without this the explode+broadcast-join chain executes twice and
+    # the power iteration's plan is re-planned under each consumer
     j = d0.join(F.broadcast(pc), "dim").select(
         "vec_id",
         "dim",
         (F.col("x") - F.col("mean_val")).alias("xc"),
         F.col("pc"),
-    )
+    ).localCheckpoint(eager=True)
     proj = j.groupBy("vec_id").agg(
         F.sum(F.round(F.col("xc") * F.col("pc"), 9).cast("decimal(28,9)"))
         .cast("double")

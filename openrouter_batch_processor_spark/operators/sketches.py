@@ -491,3 +491,107 @@ def ams_f2(
             F.round(F.col("median_est"), 6).alias("median_est"),
         )
     )
+
+
+# Cumulative Poisson(1) CDF: P(X <= k) for k = 0..6; u >= the last
+# entry maps to weight 7 (P beyond is ~1e-5 of mass). Literal strings
+# are identical in both engines, so the thresholds are the same doubles.
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+BOOTSTRAP_B = 32
+
+
+def poisson_bootstrap_ci(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    b: int = BOOTSTRAP_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for a corpus mean
+    (Chamandy, Muralidharan, Najmi & Naidu 2012, 'Estimating
+    Uncertainty for Massive Data Streams' — Google's one-pass
+    bootstrap): instead of resampling n draws (impossible in one
+    pass), give every row an independent Poisson(1) weight per
+    replicate; replicate means then distribute like classical
+    bootstrap means. The weight is the inverse-CDF of a deterministic
+    per-(row, replicate) md5 uniform, so both engines draw the
+    identical resample.
+
+    Output: one row (n_docs, mean, boot_lo, boot_hi, n_replicates)
+    with boot_lo/hi the ceil(0.05·B)/ceil(0.95·B) order statistics of
+    the B replicate means — a ~90% percentile interval. The corpus
+    mean and every replicate mean are exact integer-micros floor
+    divisions (value_col is integral).
+
+    Scale: ONE corpus pass exploded ×B with map-side combine into B
+    groups — the shuffle carries B partial rows per partition, and the
+    order-statistic window runs over B rows total. No second pass, no
+    driver-side resampling."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.col("r").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(POISSON1_CDF[k])), F.lit(k)).otherwise(w)
+    rep = docs.select(
+        F.col(id_col),
+        F.col(value_col).cast("long").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+    ).select("r", (w * F.col("x")).cast("long").alias("wx"), w.cast("long").alias("w"))
+    means = (
+        rep.groupBy("r")
+        .agg(F.sum("wx").alias("swx"), F.sum("w").alias("sw"))
+        .select(
+            F.col("r"),
+            F.expr("(swx * 10000000) div nullif(sw, 0)").alias("m7"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # tiebreak on replicate id: equal means must rank identically on
+    # both engines
+    ranked = means.select(
+        "m7", F.row_number().over(Window.orderBy("m7", "r")).alias("rk")
+    )
+    import math as _math
+
+    lo_rk = _math.ceil(0.05 * b)
+    hi_rk = _math.ceil(0.95 * b)
+    picks = ranked.filter(F.col("rk").isin(lo_rk, hi_rk)).groupBy().agg(
+        F.min(F.when(F.col("rk") == lo_rk, F.col("m7"))).alias("lo7"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("m7"))).alias("hi7"),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(value_col).cast("long")).alias("sx"),
+    ).select(
+        "n_docs",
+        F.expr("(sx * 10000000) div nullif(n_docs, 0)").alias("mean7"),
+    )
+    return base.crossJoin(F.broadcast(picks)).select(
+        "n_docs",
+        (F.col("mean7").cast("double") / F.lit(10000000.0)).alias("mean"),
+        (F.col("lo7").cast("double") / F.lit(10000000.0)).alias("boot_lo"),
+        (F.col("hi7").cast("double") / F.lit(10000000.0)).alias("boot_hi"),
+        F.lit(b).cast("long").alias("n_replicates"),
+    )

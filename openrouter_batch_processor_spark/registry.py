@@ -7774,6 +7774,56 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_bootstrap_ci",
+    """
+    WITH rep AS (SELECT d.doc_id, d.n_chars::BIGINT AS x, r.r
+                 FROM documents d
+                 CROSS JOIN (SELECT unnest(range(0, 32))::BIGINT AS r) r),
+    u AS (SELECT x, r,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '|' || r::VARCHAR),
+                                 1, 8))::BIGINT / 4294967296.0 AS u
+          FROM rep),
+    w AS (SELECT x, r,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238463 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      WHEN u < 0.999916758850712 THEN 6
+                      ELSE 7 END AS w
+          FROM u),
+    m AS (SELECT r, (sum(w * x) * 10000000) // nullif(sum(w), 0) AS m7
+          FROM w GROUP BY r),
+    rk AS (SELECT m7, row_number() OVER (ORDER BY m7, r) AS rk FROM m),
+    p AS (SELECT min(CASE WHEN rk = 2 THEN m7 END) AS lo7,
+                 min(CASE WHEN rk = 31 THEN m7 END) AS hi7
+          FROM rk),
+    b AS (SELECT count(*)::BIGINT AS n_docs,
+                 (sum(n_chars::BIGINT) * 10000000) // nullif(count(*), 0) AS mean7
+          FROM documents)
+    SELECT n_docs, mean7 / 10000000.0 AS mean,
+           lo7 / 10000000.0 AS boot_lo, hi7 / 10000000.0 AS boot_hi,
+           32::BIGINT AS n_replicates
+    FROM b CROSS JOIN p
+    """,
+    ops=["EXT-sampling", "EXT-sketch", "G2", "W2"],
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ~90% CI for the corpus mean doc length
+    (Chamandy et al. 2012, the one-pass massive-data bootstrap):
+    deterministic per-(row, replicate) md5 uniforms through the
+    Poisson(1) inverse CDF, 32 replicate means in ONE exploded
+    map-side-combined pass, order-statistic interval over the B-row
+    replicate table (operators/sketches.poisson_bootstrap_ci)."""
+    from openrouter_batch_processor_spark.operators.sketches import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "sketch_ams_f2",
     """
     WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),

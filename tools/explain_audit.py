@@ -311,6 +311,9 @@ BRUTE_FORCE_OK = {
     "audit_quality_youden",
     # burstiness: 1-row doc-count broadcast onto the vocab moments
     "text_burstiness",
+    # poisson bootstrap: 1-row corpus mean crossJoined with the 1-row
+    # order-statistic picks over the 32-row replicate table
+    "audit_bootstrap_ci",
 }
 
 

@@ -651,3 +651,107 @@ def holt_winters_additive(
             ),
         )
     )
+
+
+def mann_kendall_sen(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per event-type daily
+    series (Mann 1945; Kendall 1975; Sen 1968) — the nonparametric
+    trend audit for metric series (no normality assumption, robust to
+    outliers, the standard for monitoring drift in operational
+    counts): S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-
+    corrected Z, and Sen's slope = median of all pairwise slopes.
+
+    Exactness: daily values are order-independent DECIMAL sums, so
+    sign comparisons and tie groups are integer-exact cross-engine; S,
+    the tie term and Var's numerator are BIGINTs; only Z and the slope
+    touch doubles (identical per-row IEEE ops). The pairwise median
+    picks order statistics by row_number — slope ties straddling the
+    middle ranks yield equal values, so tie order cannot change the
+    result.
+
+    Scale: the daily aggregate is ONE combiner groupBy (the only
+    corpus-sized pass); everything after runs on the dimension-sized
+    (type × day) table — the O(n²) pair join is n = days-per-series,
+    bounded by the calendar, never by event volume. Windows partition
+    by event_type, so frame state is series-bounded."""
+    daily = (
+        events.select(
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    sgn = (
+        F.when(F.col("x2") > F.col("x1"), F.lit(1))
+        .when(F.col("x2") < F.col("x1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    slope = (F.col("x2") - F.col("x1")).cast("double") / F.datediff(
+        F.col("d2"), F.col("d1")
+    )
+    p = pairs.select("event_type", sgn.alias("sg"), slope.alias("slope"))
+    s_stat = p.groupBy("event_type").agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    mw = Window.partitionBy("event_type").orderBy("slope")
+    ranked = p.select(
+        "event_type", "slope", F.row_number().over(mw).alias("rk")
+    ).join(s_stat.select("event_type", "m"), "event_type")
+    lo = (F.col("m") + 1) / 2
+    sen = (
+        ranked.filter(
+            (F.col("rk") == F.floor(lo)) | (F.col("rk") == F.ceil(lo))
+        )
+        .groupBy("event_type")
+        .agg((F.sum("slope") / F.count(F.lit(1))).alias("sen_raw"))
+    )
+    j = (
+        s_stat.join(nd, "event_type")
+        .join(ties, "event_type")
+        .join(sen, "event_type")
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(F.col("sen_raw"), 6).alias("sen_slope"),
+        F.when(z > 1.959964, F.lit("increasing"))
+        .when(z < -1.959964, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

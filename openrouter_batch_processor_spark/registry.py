@@ -7823,6 +7823,66 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(_t(spark, sf_dir, "documents"))
 
 
+_MK_Z_SQL = """CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0.0 END"""
+
+
+@register(
+    "events_mann_kendall",
+    f"""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                          sum(round(value, 6)::DECIMAL(18,6)) AS x
+                   FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
+                 (b.x - a.x)::DOUBLE / date_diff('day', a.day, b.day) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day),
+    s AS (SELECT event_type, sum(sg)::BIGINT AS s_stat,
+                 count(*)::BIGINT AS m FROM p GROUP BY 1),
+    nd AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+    ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+             FROM (SELECT event_type, x, count(*)::BIGINT AS t
+                   FROM daily GROUP BY 1, 2) GROUP BY 1),
+    rk AS (SELECT p.event_type, slope,
+                  row_number() OVER (PARTITION BY p.event_type
+                                     ORDER BY slope) AS rk, s.m
+           FROM p JOIN s USING (event_type)),
+    sen AS (SELECT event_type, sum(slope) / count(*) AS sen_raw
+            FROM rk
+            WHERE rk = floor((m + 1) / 2.0) OR rk = ceil((m + 1) / 2.0)
+            GROUP BY 1),
+    j AS (SELECT s.event_type, s.s_stat, nd.n, sen.sen_raw,
+                 (n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0 AS var_s
+          FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+          JOIN sen USING (event_type))
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s, 6) AS var_s,
+           round({_MK_Z_SQL}, 6) AS z,
+           round(sen_raw, 6) AS sen_slope,
+           CASE WHEN ({_MK_Z_SQL}) > 1.959964 THEN 'increasing'
+                WHEN ({_MK_Z_SQL}) < -1.959964 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM j
+    """,
+    ops=["EXT-timeseries", "G2", "J3", "W2"],
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per event-type daily
+    series (Mann 1945; Sen 1968): integer-exact S and tie-corrected
+    variance over DECIMAL daily sums, continuity-corrected Z, median
+    pairwise slope — the only corpus-sized pass is the daily combiner
+    groupBy; the O(n²) pair join is calendar-bounded
+    (operators/timeseries.mann_kendall_sen)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        mann_kendall_sen,
+    )
+
+    return mann_kendall_sen(_t(spark, sf_dir, "events"))
+
+
 @register(
     "sketch_ams_f2",
     """

@@ -137,3 +137,82 @@ class TestHeapsFit:
         docs = spark.createDataFrame(texts, "doc_id long, text string")
         row = heaps_fit(docs).head()
         assert row["beta"] == pytest.approx(0.5, abs=0.06)
+
+
+class TestMannKendall:
+    def _events(self, spark, series):
+        # series: {etype: [daily_value,...]} -> one event per day
+        from datetime import datetime
+
+        rows = []
+        for et, vals in series.items():
+            for i, v in enumerate(vals):
+                rows.append(
+                    (len(rows), datetime(2024, 1, i + 1, 12, 0, 0), 1, et, float(v), "{}")
+                )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    def test_monotone_series_detected_with_exact_s_and_sen(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            mann_kendall_sen,
+        )
+
+        n = 20
+        ev = self._events(
+            spark,
+            {
+                "up": [10 + 2 * i for i in range(n)],      # slope exactly 2
+                "down": [100 - 3 * i for i in range(n)],   # slope exactly -3
+                "flat": [7] * n,
+            },
+        )
+        out = {r["event_type"]: r for r in mann_kendall_sen(ev).collect()}
+        m = n * (n - 1) // 2
+        assert out["up"]["s_stat"] == m and out["down"]["s_stat"] == -m
+        assert out["up"]["trend"] == "increasing"
+        assert out["down"]["trend"] == "decreasing"
+        assert out["up"]["sen_slope"] == pytest.approx(2.0, abs=1e-9)
+        assert out["down"]["sen_slope"] == pytest.approx(-3.0, abs=1e-9)
+        # exact no-tie variance and continuity-corrected z
+        var = n * (n - 1) * (2 * n + 5) / 18.0
+        assert out["up"]["var_s"] == pytest.approx(var, abs=1e-6)
+        assert out["up"]["z"] == pytest.approx((m - 1) / math.sqrt(var), abs=1e-6)
+
+    def test_constant_series_is_no_trend_with_zero_variance_path(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            mann_kendall_sen,
+        )
+
+        ev = self._events(spark, {"const": [5] * 10})
+        row = mann_kendall_sen(ev).head()
+        # all ties: S=0, tie term cancels the variance, z hits the
+        # S=0 branch (no divide-by-zero)
+        assert row["s_stat"] == 0
+        assert row["var_s"] == 0.0
+        assert row["z"] == 0.0 and row["trend"] == "no_trend"
+
+    def test_matches_pure_python_on_noisy_series(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            mann_kendall_sen,
+        )
+
+        vals = [((i * 7919) % 23) + 0.1 * i for i in range(25)]
+        ev = self._events(spark, {"noisy": vals})
+        row = mann_kendall_sen(ev).head()
+        s = sum(
+            (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        slopes = sorted(
+            (vals[j] - vals[i]) / (j - i)
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        )
+        mid = (len(slopes) + 1) / 2
+        lo, hi = slopes[math.floor(mid) - 1], slopes[math.ceil(mid) - 1]
+        assert row["s_stat"] == s
+        assert row["sen_slope"] == pytest.approx((lo + hi) / 2, abs=1e-6)

@@ -1225,34 +1225,8 @@ def pq_adc_recall(
 PC_POWER_ITERS = 4
 
 
-def top_pc_power(
-    emb: DataFrame,
-    iters: int = PC_POWER_ITERS,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Top principal component of the embedding corpus via POWER
-    ITERATION on the centered scatter matrix — the first half of
-    'All-but-the-Top' embedding post-processing (Mu & Viswanath 2018:
-    subtract the mean and the top PCs; the dominant directions encode
-    frequency, not meaning) and the D-step of PCA whitening in
-    SemDeDup-style pipelines.
-
-    C = Xc^T Xc is never materialized: each iteration applies it as
-    two corpus passes, z = Xc·v (per-vector dot, combiner groupBy on
-    vec id) then y = Xc^T·z (per-dim fold, combiner groupBy on dim) —
-    O(n·D) rows shuffled into n + D groups per pass, no D×D blowup and
-    no driver-side linear algebra; v lives as a D-row broadcast join,
-    not a collect. Deterministic v0 = 1/sqrt(D) (all-ones normalized),
-    so both engines walk the identical 4-iteration trajectory; every
-    cross-row sum is round-then-DECIMAL (order-independent), every
-    per-row op is pure double, so the result hash-matches the unrolled
-    DuckDB oracle bit-for-bit. The eigenvalue estimate is ||C·v_T||
-    (= Rayleigh quotient in the converged limit, standard power-method
-    readout).
-
-    Output: one row per dimension (dim, mean_val, pc, eigenvalue)."""
+def _centered_long(emb, id_col: str, vec_col: str):
+    """(d0 raw long table, m per-dim means, d centered+checkpointed)."""
     d0 = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("dim", "fval"),
@@ -1269,8 +1243,16 @@ def top_pc_power(
         .select("vec_id", "dim", (F.col("x") - F.col("mean_val")).alias("xc"))
         .localCheckpoint(eager=True)
     )
-    v0 = 1.0 / (dim ** 0.5)
-    v = m.select("dim", F.lit(v0).alias("v"))
+    return d0, m, d
+
+
+def _power_iterate(d, dims, iters: int, v0: float):
+    """The shared power-method loop over a centered long table
+    (vec_id, dim, xc): returns (v, norm) DataFrames after ``iters``
+    rounds of z = X·v, y = X^T·z, v = y/||y|| with round-then-DECIMAL
+    cross-row sums (the order-independence contract every consumer's
+    oracle unrolls)."""
+    v = dims.select("dim", F.lit(v0).alias("v"))
     norm = None
     for _ in range(iters):
         z = (
@@ -1302,6 +1284,40 @@ def top_pc_power(
         v = y.crossJoin(F.broadcast(nrm)).select(
             "dim", F.round(F.col("y") / F.col("nrm"), 9).alias("v")
         )
+    return v, norm
+
+
+
+def top_pc_power(
+    emb: DataFrame,
+    iters: int = PC_POWER_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus via POWER
+    ITERATION on the centered scatter matrix — the first half of
+    'All-but-the-Top' embedding post-processing (Mu & Viswanath 2018:
+    subtract the mean and the top PCs; the dominant directions encode
+    frequency, not meaning) and the D-step of PCA whitening in
+    SemDeDup-style pipelines.
+
+    C = Xc^T Xc is never materialized: each iteration applies it as
+    two corpus passes, z = Xc·v (per-vector dot, combiner groupBy on
+    vec id) then y = Xc^T·z (per-dim fold, combiner groupBy on dim) —
+    O(n·D) rows shuffled into n + D groups per pass, no D×D blowup and
+    no driver-side linear algebra; v lives as a D-row broadcast join,
+    not a collect. Deterministic v0 = 1/sqrt(D) (all-ones normalized),
+    so both engines walk the identical 4-iteration trajectory; every
+    cross-row sum is round-then-DECIMAL (order-independent), every
+    per-row op is pure double, so the result hash-matches the unrolled
+    DuckDB oracle bit-for-bit. The eigenvalue estimate is ||C·v_T||
+    (= Rayleigh quotient in the converged limit, standard power-method
+    readout).
+
+    Output: one row per dimension (dim, mean_val, pc, eigenvalue)."""
+    _d0, m, d = _centered_long(emb, id_col, vec_col)
+    v, norm = _power_iterate(d, m.select("dim"), iters, 1.0 / (dim ** 0.5))
     return (
         v.join(F.broadcast(m), "dim")
         .crossJoin(F.broadcast(norm))
@@ -1369,4 +1385,65 @@ def abtt_residuals(
         "vec_id",
         F.round(F.col("proj"), 6).alias("proj"),
         F.round(F.col("resid_norm"), 6).alias("resid_norm"),
+    )
+
+
+def top2_pc_deflate(
+    emb: DataFrame,
+    iters: int = PC_POWER_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top TWO principal components by Hotelling deflation (Hotelling
+    1933; the orthogonal-iteration step of every classical PCA): run
+    the power method for pc1, project it out of every centered row
+    (r = xc − (xc·pc1)·pc1 — exactly the All-but-the-Top residual,
+    kept in long form), and power-iterate again on the deflated table;
+    the second chain's fixed point is the second eigenvector because
+    deflation zeroes pc1's eigenvalue. This is the D-step a 2-PC
+    All-but-the-Top or a whitening pass needs beyond top_pc_power.
+
+    Scale: the deflated table is ONE extra broadcast-join pass over
+    the staged centered table (checkpointed, same discipline as d);
+    both chains are the shared _power_iterate loop — two corpus passes
+    per iteration, D-row broadcasts, nothing driver-side. Cross-engine
+    exactness inherits the round-then-DECIMAL contract, so the doubled
+    chain still hash-matches the unrolled oracle bit-for-bit.
+
+    Output: one row per dimension
+    (dim, mean_val, pc1, pc2, eig1, eig2)."""
+    _d0, m, d = _centered_long(emb, id_col, vec_col)
+    dims = m.select("dim")
+    v0 = 1.0 / (dim ** 0.5)
+    v1, n1 = _power_iterate(d, dims, iters, v0)
+    pc1 = v1.select("dim", F.col("v").alias("pc1"))
+    proj = (
+        d.join(F.broadcast(pc1), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("xc") * F.col("pc1"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("proj")
+        )
+    )
+    r = (
+        d.join(F.broadcast(pc1), "dim")
+        .join(proj, "vec_id")
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("xc") - F.col("proj") * F.col("pc1")).alias("xc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v2, n2 = _power_iterate(r, dims, iters, v0)
+    e1 = n1.select(F.round(F.col("nrm"), 6).alias("eig1"))
+    e2 = n2.select(F.round(F.col("nrm"), 6).alias("eig2"))
+    return (
+        pc1.join(v2.select("dim", F.col("v").alias("pc2")), "dim")
+        .join(F.broadcast(m), "dim")
+        .crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(e2))
+        .select("dim", "mean_val", "pc1", "pc2", "eig1", "eig2")
     )

@@ -7391,30 +7391,44 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _power_sql(iters: int) -> str:
-    """Unrolled power-iteration CTE chain (top_pc_power's oracle): v0 =
-    1/8 (all-ones normalized for D=64), each iteration z = Xc·v,
-    y = Xc^T·z, v = y/||y|| with round-then-DECIMAL cross-row sums so
-    the trajectory is order-independent on both engines."""
-    ctes = [
-        """d0 AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS x
+def _power_prelude_sql() -> str:
+    """Shared centered-long-table CTEs for every power-iteration
+    oracle. d is MATERIALIZED: the chains reference it 2x per
+    iteration and DuckDB inlines plain CTEs."""
+    return """d0 AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS x
            FROM embeddings e
            CROSS JOIN (SELECT unnest(range(64))::INTEGER AS dim) o),
     m AS (SELECT dim, round(sum(x::DECIMAL(28,10))::DOUBLE / count(*), 9) AS mean_val
           FROM d0 GROUP BY dim),
-    d AS (SELECT vec_id, d0.dim, x - mean_val AS xc FROM d0 JOIN m USING (dim)),
+    d AS MATERIALIZED (SELECT vec_id, d0.dim, x - mean_val AS xc
+         FROM d0 JOIN m USING (dim)),
     v0 AS (SELECT dim, 0.125::DOUBLE AS v FROM m)"""
-    ]
+
+
+def _power_chain_sql(src: str, sfx: str, iters: int) -> str:
+    """Unrolled power-iteration CTE chain over centered long table
+    ``src`` (vec_id, dim, xc), CTE names suffixed ``sfx``: v0 = 1/8
+    (all-ones normalized for D=64), each iteration z = X·v, y = X^T·z,
+    v = y/||y|| with round-then-DECIMAL cross-row sums so the
+    trajectory is order-independent on both engines."""
+    ctes = []
     for t in range(1, iters + 1):
+        prev = "v0" if t == 1 else f"v{sfx}{t-1}"
         ctes.append(
-            f"""z{t} AS (SELECT vec_id, sum(round(xc * v, 9)::DECIMAL(28,9))::DOUBLE AS z
-           FROM d JOIN v{t-1} USING (dim) GROUP BY vec_id),
-    y{t} AS (SELECT dim, sum(round(xc * z, 9)::DECIMAL(38,9))::DOUBLE AS y
-           FROM d JOIN z{t} USING (vec_id) GROUP BY dim),
-    n{t} AS (SELECT sqrt(sum(round(y * y, 9)::DECIMAL(38,9))::DOUBLE) AS nrm FROM y{t}),
-    v{t} AS (SELECT dim, round(y / nrm, 9) AS v FROM y{t} CROSS JOIN n{t})"""
+            f"""z{sfx}{t} AS (SELECT vec_id, sum(round(xc * v, 9)::DECIMAL(28,9))::DOUBLE AS z
+           FROM {src} JOIN {prev} USING (dim) GROUP BY vec_id),
+    y{sfx}{t} AS (SELECT dim, sum(round(xc * z, 9)::DECIMAL(38,9))::DOUBLE AS y
+           FROM {src} JOIN z{sfx}{t} USING (vec_id) GROUP BY dim),
+    n{sfx}{t} AS (SELECT sqrt(sum(round(y * y, 9)::DECIMAL(38,9))::DOUBLE) AS nrm
+           FROM y{sfx}{t}),
+    v{sfx}{t} AS (SELECT dim, round(y / nrm, 9) AS v
+           FROM y{sfx}{t} CROSS JOIN n{sfx}{t})"""
         )
     return ",\n    ".join(ctes)
+
+
+def _power_sql(iters: int) -> str:
+    return _power_prelude_sql() + ",\n    " + _power_chain_sql("d", "", iters)
 
 
 @register(
@@ -7464,6 +7478,37 @@ def q_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.similarity import abtt_residuals
 
     return abtt_residuals(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_top2_pc_deflate",
+    f"""
+    WITH {_power_sql(4)},
+    pc1t AS (SELECT dim, v AS pc1 FROM v4),
+    pj2 AS (SELECT vec_id, sum(round(xc * pc1, 9)::DECIMAL(28,9))::DOUBLE AS proj
+            FROM d JOIN pc1t USING (dim) GROUP BY vec_id),
+    r AS MATERIALIZED (SELECT d.vec_id, d.dim, (xc - proj * pc1) AS xc
+         FROM d JOIN pc1t USING (dim) JOIN pj2 USING (vec_id)),
+    {_power_chain_sql("r", "b", 4)}
+    SELECT m.dim, m.mean_val, pc1t.pc1, vb4.v AS pc2,
+           round(n4.nrm, 6) AS eig1, round(nb4.nrm, 6) AS eig2
+    FROM pc1t JOIN vb4 USING (dim) JOIN m USING (dim)
+    CROSS JOIN n4 CROSS JOIN nb4
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_top2_pc_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top two principal components by Hotelling deflation: power-
+    iterate for pc1, project it out of every centered row (the ABTT
+    residual kept in long form), power-iterate the deflated table for
+    pc2 — one extra broadcast pass over the staged centered table,
+    both chains bit-matching the unrolled oracle
+    (operators/similarity.top2_pc_deflate)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        top2_pc_deflate,
+    )
+
+    return top2_pc_deflate(_t(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -72,3 +72,34 @@ class TestAbttResiduals:
             # removal really removed the dominant direction
             assert abs(float(resid @ pc)) < 1e-6
             assert out[i]["resid_norm"] <= float(np.linalg.norm(xc[i])) + 1e-9
+
+
+class TestTop2PcDeflate:
+    def test_recovers_two_planted_directions(self, spark):
+        rng = np.random.RandomState(11)
+        d = 16
+        q1 = rng.randn(d); q1 /= np.linalg.norm(q1)
+        q2 = rng.randn(d); q2 -= (q2 @ q1) * q1; q2 /= np.linalg.norm(q2)
+        n = 300
+        x = (
+            rng.randn(n, 1) * 6.0 @ q1[None, :]
+            + rng.randn(n, 1) * 3.0 @ q2[None, :]
+            + rng.randn(n, d) * 0.05
+        ).astype(np.float32)
+        from openrouter_batch_processor_spark.operators.similarity import (
+            top2_pc_deflate,
+        )
+
+        rows = sorted(top2_pc_deflate(_df(spark, x), dim=d).collect(),
+                      key=lambda r: r["dim"])
+        pc1 = np.array([r["pc1"] for r in rows])
+        pc2 = np.array([r["pc2"] for r in rows])
+        xc = x.astype(np.float64) - x.astype(np.float64).mean(axis=0)
+        w, vmat = np.linalg.eigh(xc.T @ xc)
+        assert abs(float(pc1 @ vmat[:, -1])) > 0.999
+        assert abs(float(pc2 @ vmat[:, -2])) > 0.99
+        # deflation orthogonality
+        assert abs(float(pc1 @ pc2)) < 1e-3
+        assert rows[0]["eig1"] == pytest.approx(w[-1], rel=0.02)
+        assert rows[0]["eig2"] == pytest.approx(w[-2], rel=0.05)
+        assert rows[0]["eig1"] > rows[0]["eig2"]

@@ -314,6 +314,9 @@ BRUTE_FORCE_OK = {
     # poisson bootstrap: 1-row corpus mean crossJoined with the 1-row
     # order-statistic picks over the 32-row replicate table
     "audit_bootstrap_ci",
+    # deflated 2-PC: same 1-row norm broadcasts as emb_top_pc_power,
+    # twice (one per chain)
+    "emb_top2_pc_deflate",
 }
 
 

@@ -1886,3 +1886,119 @@ def burstiness_topk(
         .orderBy(F.desc("vmr"), F.asc("term"))
         .limit(k)
     )
+
+
+def jelinek_mercer_em(
+    docs: DataFrame,
+    holdout_mod: int = 10,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deleted-interpolation weight estimation (Jelinek & Mercer 1980;
+    the EM recipe as in Chen & Goodman 1998 §2.4): fit ML bigram and
+    unigram models on the TRAIN split (doc_id % holdout_mod != 0),
+    then learn the interpolation weight λ of
+    p(w2|w1) = λ·p_bi + (1−λ)·p_uni on the HELD-OUT split by EM —
+    E-step: per held-out bigram, the posterior weight
+    w = λp_bi/(λp_bi+(1−λ)p_uni); M-step: λ' = Σ tf·w / Σ tf.
+    Held-out bigrams whose w2 is out-of-vocabulary are excluded
+    (standard in-vocab restriction; p_uni = 0 would make the posterior
+    undefined), and an unseen CONTEXT makes p_bi = 0 so the bigram
+    pushes λ down — exactly the evidence EM should see. λ0 = 0.5.
+
+    Output: one row per EM iteration (em_iter, lam, n_bigrams) — the
+    λ trajectory, converging toward the corpus' bigram reliability.
+
+    Scale: counts are the usual vocabulary-sized tables; the held-out
+    bigram table aggregates ONCE (no doc dimension — λ is global), and
+    λ itself lives as a 1-row DataFrame crossJoined through each
+    unrolled E/M round — no driver-side scalar, no collect. Sums are
+    round-then-DECIMAL; λ is re-rounded to the 9-dp grid each round so
+    both engines walk the identical trajectory."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    train = docs.filter(F.col(id_col) % holdout_mod != 0)
+    held = docs.filter(F.col(id_col) % holdout_mod == 0)
+
+    tbase = train.select(toks.alias("toks"))
+    tn = F.size("toks")
+    tbi = F.arrays_zip(
+        F.slice("toks", 1, tn - 1).alias("a"),
+        F.slice(F.col("toks"), 2, tn - 1).alias("b"),
+    )
+    c12 = (
+        tbase.filter(tn >= 2)
+        .select(F.explode(tbi).alias("t"))
+        .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    c1 = (
+        tbase.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    ntot = c1.agg(F.sum("c1").cast("double").alias("bign"))
+
+    hbase = held.select(toks.alias("toks"))
+    hn = F.size("toks")
+    hbi = F.arrays_zip(
+        F.slice("toks", 1, hn - 1).alias("a"),
+        F.slice(F.col("toks"), 2, hn - 1).alias("b"),
+    )
+    hf = (
+        hbase.filter(hn >= 2)
+        .select(F.explode(hbi).alias("t"))
+        .groupBy(F.col("t.a").alias("w1"), F.col("t.b").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    j = (
+        hf.join(c12, (F.col("w1") == c12["a"]) & (F.col("w2") == c12["b"]), "left")
+        .drop("a", "b")
+        .join(
+            c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2"
+        )  # inner: in-vocab w2 only
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "tf",
+            F.when(
+                F.col("c1_w1").isNotNull(),
+                F.coalesce(F.col("c12"), F.lit(0)) / F.col("c1_w1"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pb"),
+            (F.col("c1_w2") / F.col("bign")).alias("pu"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    lam = spark.range(1).select(F.lit(0.5).alias("lam"))
+    out = None
+    for it in range(1, iters + 1):
+        w = F.col("lam") * F.col("pb") / (
+            F.col("lam") * F.col("pb") + (F.lit(1.0) - F.col("lam")) * F.col("pu")
+        )
+        step = (
+            j.crossJoin(F.broadcast(lam))
+            .select(
+                "tf",
+                F.round(F.col("tf") * w, 9).cast("decimal(28,9)").alias("num"),
+            )
+            .agg(
+                F.sum("tf").cast("long").alias("n_bigrams"),
+                F.sum("num").cast("double").alias("s"),
+            )
+            .select(
+                F.lit(it).cast("long").alias("em_iter"),
+                F.round(F.col("s") / F.col("n_bigrams"), 9).alias("lam"),
+                F.col("n_bigrams"),
+            )
+        )
+        lam = step.select("lam")
+        out = step if out is None else out.unionByName(step)
+    return out

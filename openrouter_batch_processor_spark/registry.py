@@ -7661,6 +7661,67 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+def _jm_em_sql(iters: int) -> str:
+    """Unrolled Jelinek-Mercer EM rounds: λ as a 1-row CTE per round."""
+    parts = ["l0 AS (SELECT 0.5::DOUBLE AS lam)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""s{t} AS (SELECT sum(tf)::BIGINT AS n_bigrams,
+               sum(round(tf * (lam * pb / (lam * pb + (1 - lam) * pu)),
+                         9)::DECIMAL(28,9))::DOUBLE AS s
+         FROM j CROSS JOIN l{t-1}),
+    l{t} AS (SELECT round(s / n_bigrams, 9) AS lam, n_bigrams FROM s{t})"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_jelinek_mercer_em",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+    ttk AS (SELECT toks FROM tk WHERE doc_id % 10 != 0),
+    htk AS (SELECT toks FROM tk WHERE doc_id % 10 = 0),
+    c12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c12
+            FROM ttk, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2 GROUP BY 1, 2),
+    c1 AS (SELECT u.w, count(*)::BIGINT AS c1
+           FROM ttk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
+    nt AS (SELECT sum(c1)::DOUBLE AS bign FROM c1),
+    hf AS (SELECT toks[u.i] AS w1, toks[u.i+1] AS w2, count(*)::BIGINT AS tf
+           FROM htk, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2 GROUP BY 1, 2),
+    j AS MATERIALIZED (
+      SELECT hf.tf,
+             CASE WHEN u1.c1 IS NOT NULL
+                  THEN coalesce(g.c12, 0) / u1.c1 ELSE 0.0 END AS pb,
+             u2.c1 / nt.bign AS pu
+      FROM hf
+      LEFT JOIN c12 g ON g.a = hf.w1 AND g.b = hf.w2
+      LEFT JOIN c1 u1 ON u1.w = hf.w1
+      JOIN c1 u2 ON u2.w = hf.w2
+      CROSS JOIN nt),
+    {_jm_em_sql(3)}
+    SELECT 1::BIGINT AS em_iter, lam, n_bigrams FROM l1
+    UNION ALL SELECT 2::BIGINT, lam, n_bigrams FROM l2
+    UNION ALL SELECT 3::BIGINT, lam, n_bigrams FROM l3
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
+)
+def q_jelinek_mercer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-interpolation λ by EM on a held-out split (Jelinek &
+    Mercer 1980; Chen & Goodman 1998 §2.4): ML bigram/unigram on
+    doc_id%10!=0, three E/M rounds on the held-out bigrams with λ as
+    a 1-row crossJoined DataFrame — no driver scalar, 9-dp grid
+    re-rounding each round
+    (operators/textanalysis.jelinek_mercer_em)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        jelinek_mercer_em,
+    )
+
+    return jelinek_mercer_em(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "audit_source_kl",
     f"""

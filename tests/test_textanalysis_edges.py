@@ -457,3 +457,78 @@ class TestQualityAuc:
             ).alias("auc")
         ).head()["auc"]
         assert auc == 1.0
+
+
+class TestJelinekMercerEm:
+    def test_lambda_rises_when_bigrams_generalize(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            jelinek_mercer_em,
+        )
+
+        # train (ids 1-9) and held-out (id 10, 20) share the same bigrams
+        # -> bigram model predicts held-out perfectly -> lambda -> 1
+        docs = spark.createDataFrame(
+            [(i, "the cat runs fast") for i in range(1, 10)]
+            + [(10, "the cat runs fast"), (20, "the cat runs fast")],
+            "doc_id long, text string",
+        )
+        rows = sorted(jelinek_mercer_em(docs).collect(), key=lambda r: r["em_iter"])
+        assert [r["em_iter"] for r in rows] == [1, 2, 3]
+        assert rows[0]["lam"] > 0.5
+        assert rows[2]["lam"] > rows[0]["lam"] > 0.5
+        assert rows[2]["lam"] > 0.95
+
+    def test_lambda_falls_when_bigrams_are_novel(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            jelinek_mercer_em,
+        )
+
+        # held-out doc uses train VOCAB but entirely novel bigram order
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "aa bb cc dd ee"),
+             (10, "ee dd cc bb aa")],
+            "doc_id long, text string",
+        )
+        rows = sorted(jelinek_mercer_em(docs).collect(), key=lambda r: r["em_iter"])
+        # every held-out bigram has p_bi = 0 -> every posterior weight
+        # is 0 -> EM collapses to the boundary in ONE step and stays
+        assert rows[0]["lam"] == 0.0
+        assert rows[2]["lam"] == 0.0
+
+    def test_matches_pure_python_em(self, spark):
+        from collections import Counter
+
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            jelinek_mercer_em,
+        )
+
+        texts = {1: "a b a c", 2: "b a c c", 3: "a b c a", 10: "a c b a", 20: "c c a b"}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        train = [texts[i].split() for i in (1, 2, 3)]
+        held = [texts[i].split() for i in (10, 20)]
+        c12, c1 = Counter(), Counter()
+        for t in train:
+            c1.update(t)
+            c12.update(zip(t, t[1:]))
+        bign = sum(c1.values())
+        hf = Counter()
+        for t in held:
+            hf.update(zip(t, t[1:]))
+        lam, out = 0.5, []
+        for _ in range(3):
+            num, den = 0.0, 0
+            for (w1, w2), tf in hf.items():
+                if w2 not in c1:
+                    continue
+                pb = c12.get((w1, w2), 0) / c1[w1] if w1 in c1 else 0.0
+                pu = c1[w2] / bign
+                w = lam * pb / (lam * pb + (1 - lam) * pu)
+                num += round(tf * w, 9)
+                den += tf
+            lam = round(num / den, 9)
+            out.append(lam)
+        rows = sorted(jelinek_mercer_em(docs).collect(), key=lambda r: r["em_iter"])
+        for r, want in zip(rows, out):
+            assert r["lam"] == pytest.approx(want, abs=1e-9)

@@ -317,6 +317,9 @@ BRUTE_FORCE_OK = {
     # deflated 2-PC: same 1-row norm broadcasts as emb_top_pc_power,
     # twice (one per chain)
     "emb_top2_pc_deflate",
+    # jelinek-mercer EM: 1-row N broadcast + 1-row lambda crossJoin
+    # per unrolled round
+    "text_jelinek_mercer_em",
 }
 
 

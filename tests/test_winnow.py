@@ -102,3 +102,33 @@ class TestWinnowFingerprints:
         )
         pairs = winnow_overlap_pairs(docs, min_shared=1, max_df=3).collect()
         assert pairs == []
+
+
+# hypothesis model check: arbitrary token streams vs the pure-Python
+# reference (the same contract the DuckDB oracle relies on)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]),  # small vocab forces ties
+    min_size=0,
+    max_size=40,
+)
+
+
+class TestWinnowHypothesis:
+    @settings(max_examples=20, deadline=None)
+    @given(docs_toks=st.lists(WORDS, min_size=1, max_size=4))
+    def test_random_docs_match_reference(self, spark, docs_toks):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints(docs).collect()
+        }
+        expected = {
+            (i, pos, h)
+            for i, text in rows
+            for (pos, h) in _reference_winnow(text)
+        }
+        assert got == expected

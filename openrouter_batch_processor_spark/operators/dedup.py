@@ -1158,3 +1158,34 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .select(F.col("src").alias(id_col), "degree")
     )
+
+
+def winnow_keys_col(toks, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowing as ONE pure array Column over a materialized token-
+    array attribute: per-window rightmost-minimum selection computed
+    entirely inside the row (gram-hash keys -> array_min over each
+    w-slice -> array_distinct), no per-doc window function and
+    therefore NO shuffle at all — the formulation Structured Streaming
+    requires (window functions are unsupported on streams) and the
+    cheapest batch plan when the sketch feeds a map-side join. Each
+    element encodes (hash, pos) as hash·2^20 + (2^20−1−pos), identical
+    to winnow_fingerprints' key; equivalence of the two formulations
+    is pinned by tests/test_winnow.py.
+
+    Empty array for docs shorter than k+w−1 tokens."""
+    n = F.size(toks)
+    mk = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 8),
+        16,
+        10,
+    ).cast("long") * F.lit(_WINNOW_POSCAP) + (F.lit(_WINNOW_POSCAP - 1) - i)
+    keys = F.transform(
+        F.sequence(F.lit(0), F.least(n - k, F.lit(_WINNOW_POSCAP - 1))), mk
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), n - k - w + 1),
+        lambda q: F.array_min(F.slice(keys, q + 1, w)),
+    )
+    return F.when(n >= k + w - 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )

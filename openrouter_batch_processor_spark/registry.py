@@ -7391,6 +7391,55 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "streaming_winnow_decontaminate",
+    f"""
+    WITH {_WINNOW_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    bfp AS (SELECT DISTINCT fp FROM sel JOIN src USING (doc_id)
+            WHERE source = 'src0'),
+    tfp AS (SELECT DISTINCT sel.doc_id, fp FROM sel JOIN src USING (doc_id)
+            WHERE source != 'src0'),
+    hits AS (SELECT doc_id, fp FROM tfp WHERE fp IN (SELECT fp FROM bfp))
+    SELECT doc_id, count(*)::BIGINT AS n_contam_fps FROM hits GROUP BY 1
+    """,
+    ops=["T1", "EXT-dedup", "EXT-dedup-policy", "J2", "G2"],
+)
+def q_streaming_winnow_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination, value-checked: arriving
+    documents are winnow-sketched with the pure-ARRAY formulation
+    (legal on streams — no window function, no shuffle;
+    dedup.winnow_keys_col, equivalence to the batch window form pinned
+    by test) and semi-joined stream-static against the src0 benchmark
+    fingerprint index; the per-doc contaminated-fingerprint counts
+    equal the batch winnowing SQL exactly
+    (streaming/windows.winnow_decontaminate_stream)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from openrouter_batch_processor_spark.streaming.windows import (
+        read_documents_stream,
+        run_to_memory,
+        winnow_decontaminate_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = (
+        winnow_fingerprints(docs.filter(F.col("source") == "src0"))
+        .select("fp")
+        .distinct()
+    )
+    stream = winnow_decontaminate_stream(
+        read_documents_stream(spark, sf_dir), bench
+    )
+    run_to_memory(stream, "registry_stream_winnow", output_mode="append")
+    return (
+        spark.table("registry_stream_winnow")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").alias("n_contam_fps"))
+    )
+
+
 def _power_prelude_sql() -> str:
     """Shared centered-long-table CTEs for every power-iteration
     oracle. d is MATERIALIZED: the chains reference it 2x per

@@ -301,3 +301,44 @@ def static_enrich_stream(
             "value_sum",
         )
     )
+
+
+def winnow_decontaminate_stream(
+    docs: DataFrame, bench_fps: DataFrame, bench_source: str = "src0"
+) -> DataFrame:
+    """Streaming benchmark decontamination by winnowing fingerprints
+    (the GPT-3 n-gram contamination check upgraded to the Schleimer
+    local-guarantee sketch, running IN FLIGHT): arriving documents are
+    sketched with the pure-array winnowing column (dedup.
+    winnow_keys_col — no window function, so it is legal and
+    shuffle-free on a stream), fingerprints explode, and a
+    STREAM-STATIC semi join against the benchmark's fingerprint index
+    keeps only contaminated (doc, fp) pairs. Stream-static joins are
+    stateless — state is O(0), the static side broadcasts — so this
+    gate runs at ingest rate at any corpus size; any shared
+    >= k+w-1-token run with the benchmark is guaranteed to surface.
+
+    Emits (doc_id, source, fp) per contaminated fingerprint,
+    append-mode; the consumer rolls up per doc."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        _WINNOW_POSCAP,
+        winnow_keys_col,
+    )
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    toked = docs.filter(F.col("source") != bench_source).select(
+        "doc_id",
+        "source",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    sel = toked.select(
+        "doc_id", "source", F.explode(winnow_keys_col(F.col("toks"))).alias("key")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"key div {_WINNOW_POSCAP}").cast("long").alias("fp"),
+    )
+    return sel.join(bench_fps.select("fp"), "fp", "leftsemi").select(
+        "doc_id", "source", "fp"
+    )

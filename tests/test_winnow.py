@@ -132,3 +132,83 @@ class TestWinnowHypothesis:
             for (pos, h) in _reference_winnow(text)
         }
         assert got == expected
+
+
+class TestArrayFormulationEquivalence:
+    """The streaming-safe pure-array winnowing must select EXACTLY the
+    same (pos, fp) set as the batch window-function formulation — the
+    contract streaming_winnow_decontaminate's oracle rests on."""
+
+    def test_array_equals_window_formulation(self, spark):
+        import pyspark.sql.functions as F
+
+        from openrouter_batch_processor_spark.operators.dedup import (
+            _WINNOW_POSCAP,
+            winnow_keys_col,
+        )
+        from openrouter_batch_processor_spark.functions.hashing import (
+            normalize_text,
+        )
+
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        toked = docs.select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+        )
+        arr = (
+            toked.select(
+                "doc_id", F.explode(winnow_keys_col(F.col("toks"))).alias("key")
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(_WINNOW_POSCAP - 1) - F.col("key") % F.lit(_WINNOW_POSCAP)
+                ).alias("pos"),
+                F.expr(f"key div {_WINNOW_POSCAP}").alias("fp"),
+            )
+        )
+        got = {(r["doc_id"], r["pos"], r["fp"]) for r in arr.collect()}
+        win = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints(docs).collect()
+        }
+        assert got == win
+
+    def test_hypothesis_array_equals_reference(self, spark):
+        # reuse the random-docs generator against the ARRAY form
+        import pyspark.sql.functions as F
+
+        from openrouter_batch_processor_spark.operators.dedup import (
+            _WINNOW_POSCAP,
+            winnow_keys_col,
+        )
+        from openrouter_batch_processor_spark.functions.hashing import (
+            normalize_text,
+        )
+
+        rows = [
+            (1, "w1 w2 w1 w2 w1 w2 w1 w2 w1"),   # heavy ties
+            (2, "a b c d e f g"),                 # exactly k+w-1
+            (3, "short one"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        arr = (
+            docs.select(
+                "doc_id",
+                F.split(normalize_text(F.col("text")), " ").alias("toks"),
+            )
+            .select(
+                "doc_id", F.explode(winnow_keys_col(F.col("toks"))).alias("key")
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(_WINNOW_POSCAP - 1) - F.col("key") % F.lit(_WINNOW_POSCAP)
+                ).alias("pos"),
+                F.expr(f"key div {_WINNOW_POSCAP}").alias("fp"),
+            )
+        )
+        got = {(r["doc_id"], r["pos"], r["fp"]) for r in arr.collect()}
+        expected = {
+            (i, pos, h) for i, text in rows for (pos, h) in _reference_winnow(text)
+        }
+        assert got == expected

@@ -1,0 +1,453 @@
+"""Statistical corpus audits for training-data pipelines: distribution
+drift (KS / Jensen-Shannon), inequality (Gini), rank correlation
+(Spearman), calibration (Brier decomposition), and privacy
+(k-anonymity / l-diversity).
+
+Every operator follows the repo's cross-engine exactness discipline
+(see operators/textanalysis.py): integer/decimal arithmetic end-to-end
+where possible, per-row double ops only from already-agreed values,
+and every cross-row double sum rounded to a fixed decimal grid before
+the DECIMAL aggregation. Windows are value-histogram-sized (distinct
+values), never corpus-row-sized, so each plan survives a 100 TB
+corpus: the heavy passes are combiner group-bys; the windows and
+grids run over bounded dimension tables.
+
+These extend the reference's audit surface (counting/profiling in
+/root/reference/app.py:229-260 job summaries) with the statistical
+checks a large-scale curation pipeline runs between pipeline stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openrouter_batch_processor_spark.operators.textanalysis import (
+    quality_scores,
+    whitespace_token_count,
+)
+
+
+def ks_drift(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the quality-score
+    distributions of two source cohorts (sources src0-9 = cohort a,
+    src10-19 = cohort b — the "old crawl vs new crawl" drift gate a
+    curation pipeline runs before mixing releases).
+
+    D is found EXACTLY: per distinct score the two empirical CDFs are
+    compared on the common denominator — |cum_a·n_b − cum_b·n_a| in
+    DECIMAL(38,0), so no float CDF ever exists and the maximizing cut
+    (ties → lowest score) is engine-independent. The asymptotic
+    p-value (Kolmogorov distribution, Stephens' small-sample
+    correction, 3 series terms) is a single-row double computation
+    from the already-agreed integers.
+
+    Scale: one score pass, one distinct-score combiner groupBy, a
+    cumulative window over the distinct-score histogram (bounded by
+    the 6-dp score grid, ≤1e6 rows regardless of corpus size), a
+    1-row totals broadcast, and a 1-row TakeOrdered."""
+    from pyspark.sql import Window
+
+    scores = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    labeled = scores.join(
+        docs.select(F.col(id_col), F.col(source_col)), id_col
+    ).select(
+        F.col("quality_score").alias("s"),
+        (F.substring(F.col(source_col), 4, 10).cast("int") < 10)
+        .cast("long")
+        .alias("in_a"),
+    )
+    g = labeled.groupBy("s").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "s",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    tot = labeled.agg(
+        F.sum("in_a").cast("long").alias("na"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    top = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma").cast(dec) * F.col("nb").cast(dec)
+                - F.col("cumb").cast(dec) * F.col("na").cast(dec)
+            ).alias("dnum"),
+        )
+        .orderBy(F.col("dnum").desc(), F.col("s").asc())
+        .limit(1)
+    )
+    d = F.col("dnum").cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    en = F.sqrt(
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * d
+    p = (
+        F.lit(2.0)
+        * (
+            F.exp(F.lit(-2.0) * lam * lam)
+            - F.exp(F.lit(-8.0) * lam * lam)
+            + F.exp(F.lit(-18.0) * lam * lam)
+        )
+    )
+    return top.select(
+        "na",
+        "nb",
+        F.col("s").alias("cut"),
+        F.round(d, 9).alias("d_stat"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def token_gini(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gini coefficient of the per-document token-count distribution —
+    the length-inequality audit (a corpus whose token mass concentrates
+    in few giant documents packs/shards badly and skews per-doc loss
+    weighting).
+
+    Computed EXACTLY from the token-count histogram: for distinct
+    count v with multiplicity c after cumulative count f, the sorted
+    rank-weighted mass Σ i·x over the tied block is
+    v·(c·f + c(c+1)/2) — integer algebra in DECIMAL(38,0), so
+    G = (2·Σi·x − (n+1)·Σx) / (n·Σx) involves exactly one final
+    double division. Tie order never matters (equal x within a block).
+
+    Scale: one token-count pass, one distinct-count combiner groupBy,
+    a cumulative window over the count histogram (bounded by distinct
+    document lengths, not corpus rows), one global 1-row aggregate."""
+    from pyspark.sql import Window
+
+    x = docs.select(whitespace_token_count(F.col(text_col)).alias("x"))
+    h = x.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    cum = h.select(
+        "x",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("f"),
+    )
+    # 2·Σ i·x over a tied block = x·c·(2f + c + 1): stays in integer
+    # algebra (the /2 of the rank-sum formula cancels), so no decimal
+    # scale ever appears
+    contrib2 = (
+        F.col("x").cast(dec)
+        * F.col("c").cast(dec)
+        * (F.lit(2).cast(dec) * F.col("f").cast(dec) + F.col("c").cast(dec) + 1)
+    )
+    agg = cum.agg(
+        F.sum("c").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec) * F.col("c").cast(dec)).alias("sx"),
+        F.sum(contrib2).alias("six2"),
+    )
+    gini = (
+        (F.col("six2") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sx").cast("long").alias("total_tokens"),
+        F.round(gini, 9).alias("gini"),
+    )
+
+
+def source_js(
+    docs: DataFrame,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution over the same 512-bucket hashed feature space as
+    source_kl / dsir_logweights — the bounded (≤ ln 2), symmetric
+    drift score that stays finite even for disjoint vocabularies, so
+    it ranks sources comparably where KL saturates.
+
+    Same add-one smoothing and full-grid contract as source_kl
+    (operators/textanalysis.source_kl): absent buckets still carry
+    mass, contributions are rounded to 9 dp then decimal-summed.
+    js_dist = sqrt(js / ln 2) is the normalized metric form
+    (Endres & Schindelin 2003), a per-row double from the agreed sum.
+
+    Scale: one token pass, two combiner group-bys, a
+    (sources × 512)-row dimension grid — corpus-size-independent."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = (
+        docs.select(
+            F.col(source_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(F.col(source_col), bucket.alias("bucket"))
+    )
+    obs = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    allb = docs.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    cb = allb.join(obs, "bucket", "left").select(
+        "bucket", F.coalesce("cb", F.lit(0)).cast("long").alias("cb")
+    )
+    sb = toks.groupBy(source_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    stot = toks.groupBy(source_col).agg(F.count(F.lit(1)).cast("long").alias("ts"))
+    ctot = cb.agg(F.sum("cb").cast("double").alias("tc"))
+    grid = (
+        stot.crossJoin(F.broadcast(cb))
+        .join(sb, [source_col, "bucket"], "left")
+        .crossJoin(F.broadcast(ctot))
+    )
+    ps = (F.coalesce(F.col("cs"), F.lit(0)) + 1) / (
+        F.col("ts") + F.lit(float(n_buckets))
+    )
+    pc = (F.col("cb") + 1) / (F.col("tc") + F.lit(float(n_buckets)))
+    m = (ps + pc) / 2
+    contrib = F.round(
+        F.lit(0.5) * ps * F.log(ps / m) + F.lit(0.5) * pc * F.log(pc / m), 9
+    ).cast("decimal(28,9)")
+    out = (
+        grid.select(F.col(source_col), F.col("ts"), contrib.alias("contrib"))
+        .groupBy(source_col, "ts")
+        .agg(F.round(F.sum("contrib").cast("double"), 6).alias("js"))
+    )
+    return out.select(
+        F.col(source_col),
+        F.col("ts").alias("n_tokens"),
+        "js",
+        F.round(
+            F.sqrt(F.greatest(F.col("js"), F.lit(0.0)) / F.lit(0.6931471805599453)), 6
+        ).alias("js_dist"),
+    )
+
+
+def k_anonymity(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier
+    (source, lang, 256-char length bucket) with the decile quality
+    bucket as the sensitive attribute (Sweeney 2002; Machanavajjhala
+    et al. 2007): the release-safety profile a pipeline checks before
+    publishing per-document metadata.
+
+    Output (one row): number of QI equivalence classes, the corpus
+    k-anonymity (min class size), how many classes and documents fall
+    below k, and the corpus l-diversity (min distinct sensitive values
+    per class). All counts — exact by construction.
+
+    Scale: one combiner groupBy onto the bounded QI space
+    (sources × langs × length buckets), one 1-row aggregate."""
+    scores = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    labeled = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("lang"),
+        F.expr("n_chars div 256").alias("len_bucket"),
+    ).join(scores, id_col)
+    g = labeled.groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct(
+            F.least(F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9))
+        )
+        .cast("long")
+        .alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.sum((F.col("sz") < k).cast("long")).cast("long").alias("n_groups_below_k"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_docs_below_k"),
+        F.min("l").cast("long").alias("l_diversity"),
+    )
+
+
+def spearman_quality_len(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Spearman rank correlation between the heuristic quality score
+    and document token count — the "is my quality filter just a length
+    filter?" audit every curation stack owes its users (tie-averaged
+    ranks, i.e. Pearson on midranks, the standard tied form).
+
+    Ranks are EXACT integers: midrank·2 = 2·(preceding count) +
+    (tie count) + 1, computed on the distinct-value histogram of each
+    variable and joined back, so no float rank ever exists. All six
+    Pearson sums accumulate in DECIMAL(38,0) (exact to corpora of
+    ~1e9 docs; the docstring bound, not a silent overflow — ANSI mode
+    raises beyond it) and rho is one final double expression.
+
+    Scale: two histogram group-bys + histogram-sized windows, two
+    value equi-joins back, one 1-row aggregate. No corpus-row-sized
+    window anywhere."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = quality_scores(docs, id_col, text_col).select(
+        id_col, "quality_score", F.col("n_tokens").alias("y_val")
+    )
+
+    def midranks(df: DataFrame, col: str) -> DataFrame:
+        h = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return h.select(
+            col,
+            (
+                F.lit(2) * (F.sum("c").over(w) - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(f"r2_{col}"),
+        )
+
+    rx = midranks(base.select("quality_score"), "quality_score")
+    ry = midranks(base.select("y_val"), "y_val")
+    ranked = (
+        base.join(rx, "quality_score")
+        .join(ry, "y_val")
+        .select(
+            F.col("r2_quality_score").cast(dec).alias("rx"),
+            F.col("r2_y_val").cast(dec).alias("ry"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(num / F.sqrt(d1 * d2), 9).alias("rho"),
+    )
+
+
+def brier_decomposition(
+    docs: DataFrame,
+    positive_lang: str = "en",
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the quality
+    score as a classifier of ``positive_lang``: BS, reliability,
+    resolution, uncertainty — the companion audit to quality_ece
+    (same equal-width bins), separating "miscalibrated" from
+    "uninformative".
+
+    The Brier score itself is EXACT: scores live on the 6-dp grid, so
+    Σ(p6 − y·1e6)² accumulates in DECIMAL(38,0) with one final double
+    division. Reliability/resolution/uncertainty use the repo's
+    integer-micros convention — per-bin confidence and accuracy as
+    7-dp floor divisions (identical to quality_ece), squared gaps in
+    DECIMAL — so the decomposition is deterministic cross-engine.
+    Note rel − res + unc equals BS only up to the within-bin forecast
+    variance (Murphy's identity assumes constant forecasts per bin);
+    the components are reported as defined, the residual is expected.
+
+    Scale: one score pass, one n_bins combiner aggregate, 1-row
+    broadcasts of the corpus base rate."""
+    dec = "decimal(38,0)"
+    scores = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    labeled = scores.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    ).select(
+        F.round(F.col("quality_score") * 1000000, 0).cast("long").alias("p6"),
+        F.least(
+            F.floor(F.col("quality_score") * n_bins).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin_id"),
+        (F.col(lang_col) == positive_lang).cast("long").alias("y"),
+    )
+    bins = labeled.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("p6").cast(dec).alias("sp6"),
+        F.sum("y").cast("long").alias("pb"),
+        F.sum(
+            (F.col("p6").cast(dec) - F.col("y").cast(dec) * 1000000)
+            * (F.col("p6").cast(dec) - F.col("y").cast(dec) * 1000000)
+        ).alias("bnum"),
+    )
+    tot = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    # conf7/acc7/base7 live on the 7-dp grid as BIGINT floor
+    # divisions (same convention as quality_ece); numerators stay
+    # under int64 up to ~9e11 docs — document the bound, ANSI raises
+    # past it rather than wrapping
+    per = bins.crossJoin(F.broadcast(tot)).select(
+        "nb",
+        "bnum",
+        F.expr("(cast(sp6 as bigint) * 10) div nb").alias("conf7"),
+        F.expr("(pb * 10000000) div nb").alias("acc7"),
+        F.expr("(p * 10000000) div n").alias("base7"),
+        "n",
+        "p",
+    )
+    agg = per.agg(
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+        F.sum("bnum").alias("brier_num"),
+        F.sum(
+            F.col("nb").cast(dec)
+            * (F.col("conf7") - F.col("acc7"))
+            * (F.col("conf7") - F.col("acc7"))
+        ).alias("rel_num"),
+        F.sum(
+            F.col("nb").cast(dec)
+            * (F.col("acc7") - F.col("base7"))
+            * (F.col("acc7") - F.col("base7"))
+        ).alias("res_num"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.col("brier_num").cast("double") / (nd * F.lit(1e12)), 9
+        ).alias("brier"),
+        F.round(
+            F.col("rel_num").cast("double") / (nd * F.lit(1e14)), 9
+        ).alias("reliability"),
+        F.round(
+            F.col("res_num").cast("double") / (nd * F.lit(1e14)), 9
+        ).alias("resolution"),
+        F.round(
+            F.col("p").cast("double")
+            * (nd - F.col("p").cast("double"))
+            / (nd * nd),
+            9,
+        ).alias("uncertainty"),
+    )

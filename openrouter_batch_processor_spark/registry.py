@@ -8898,6 +8898,254 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_additive(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "audit_ks_drift",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN CAST(substr(d.source, 4) AS INT) < 10
+                      THEN 1 ELSE 0 END::BIGINT AS in_a
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, sum(in_a)::BIGINT AS ca, sum(1 - in_a)::BIGINT AS cb
+          FROM l GROUP BY 1),
+    w AS (SELECT s,
+                 sum(ca) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
+                 sum(cb) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumb
+          FROM g),
+    t AS (SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb FROM l),
+    top AS (SELECT s, na, nb,
+                   abs(cuma::DECIMAL(38,0) * nb::DECIMAL(38,0)
+                       - cumb::DECIMAL(38,0) * na::DECIMAL(38,0)) AS dnum
+            FROM w CROSS JOIN t
+            ORDER BY dnum DESC, s ASC LIMIT 1),
+    sc AS (SELECT na, nb, s,
+                  dnum::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS d,
+                  sqrt(na::DOUBLE * nb::DOUBLE / (na + nb)::DOUBLE) AS en
+           FROM top),
+    sl AS (SELECT na, nb, s, d, (en + 0.12 + 0.11 / en) * d AS lam FROM sc)
+    SELECT na, nb, s AS cut, round(d, 9) AS d_stat,
+           round(least(greatest(2.0 * (exp(-2.0 * lam * lam)
+                                       - exp(-8.0 * lam * lam)
+                                       + exp(-18.0 * lam * lam)), 0.0), 1.0),
+                 6) AS p_value
+    FROM sl
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift test between source cohorts src0-9 and
+    src10-19 on the quality-score distribution: D maximized on the
+    common integer denominator (DECIMAL(38,0) cross products, no float
+    CDF), Kolmogorov asymptotic p with Stephens' correction
+    (operators/corpusaudit.ks_drift)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_token_gini",
+    f"""
+    WITH x AS (SELECT (CASE WHEN {_NORM_SQL} = '' THEN 0
+                            ELSE len(string_split({_NORM_SQL}, ' ')) END)::BIGINT AS x
+               FROM documents),
+    h AS (SELECT x, count(*)::BIGINT AS c FROM x GROUP BY 1),
+    cum AS (SELECT x, c,
+                   (sum(c) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - c)::BIGINT AS f
+            FROM h),
+    a AS (SELECT sum(c)::DECIMAL(38,0) AS n,
+                 sum(x::DECIMAL(38,0) * c) AS sx,
+                 sum(x::DECIMAL(38,0) * c
+                     * (2 * f::DECIMAL(38,0) + c + 1)) AS six2
+          FROM cum)
+    SELECT n::BIGINT AS n_docs, sx::BIGINT AS total_tokens,
+           round((six2 - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE, 9) AS gini
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "W2"],
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts, exact from the
+    length histogram (tied-block rank algebra in DECIMAL(38,0), one
+    final double division) — the length-inequality audit for packing
+    and loss weighting (operators/corpusaudit.token_gini)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import token_gini
+
+    return token_gini(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_source_js",
+    f"""
+    WITH tk AS (SELECT source,
+                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != ''),
+    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
+    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
+           FROM (SELECT unnest(range(512))::BIGINT AS b) r
+           LEFT JOIN obs ON obs.bucket = r.b),
+    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
+    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
+    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
+    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
+             FROM st CROSS JOIN cb
+             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+             CROSS JOIN ct),
+    pp AS (SELECT source, ts,
+                  (coalesce(cs, 0) + 1) / (ts + 512.0) AS ps,
+                  (cb + 1) / (tc + 512.0) AS pc
+           FROM grid),
+    sc AS (SELECT source, ts,
+                  round(0.5 * ps * ln(ps / ((ps + pc) / 2))
+                        + 0.5 * pc * ln(pc / ((ps + pc) / 2)),
+                        9)::DECIMAL(28,9) AS contrib
+           FROM pp),
+    agg AS (SELECT source, ts, round(sum(contrib)::DOUBLE, 6) AS js
+            FROM sc GROUP BY 1, 2)
+    SELECT source, ts AS n_tokens, js,
+           round(sqrt(greatest(js, 0.0) / 0.6931471805599453), 6) AS js_dist
+    FROM agg
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution over the DSIR 512-bucket space (add-one smoothed,
+    full grid, bounded by ln 2) plus the Endres-Schindelin metric form
+    sqrt(JS/ln 2) — the drift score that stays comparable where KL
+    saturates (operators/corpusaudit.source_js)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import source_js
+
+    return source_js(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_k_anonymity",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT d.source, d.lang, d.n_chars // 256 AS len_bucket,
+                 least(floor(q.quality_score * 10)::BIGINT, 9) AS qb
+          FROM documents d JOIN q USING (doc_id)),
+    g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS sz,
+                 count(DISTINCT qb)::BIGINT AS ldiv
+          FROM l GROUP BY 1, 2, 3)
+    SELECT count(*)::BIGINT AS n_groups,
+           min(sz)::BIGINT AS k_anonymity,
+           sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_below_k,
+           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_docs_below_k,
+           min(ldiv)::BIGINT AS l_diversity
+    FROM g
+    """,
+    ops=["EXT-quality", "G2"],
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over the
+    (source, lang, 256-char length bucket) quasi-identifier with the
+    quality decile as sensitive attribute — pure counting, exact by
+    construction (operators/corpusaudit.k_anonymity)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import k_anonymity
+
+    return k_anonymity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_spearman_quality_len",
+    f"""
+    WITH q AS (SELECT doc_id, n_tokens AS y_val, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    hx AS (SELECT quality_score, count(*)::BIGINT AS c FROM q GROUP BY 1),
+    rx AS (SELECT quality_score,
+                  (2 * (sum(c) OVER (ORDER BY quality_score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1)::BIGINT AS r2x
+           FROM hx),
+    hy AS (SELECT y_val, count(*)::BIGINT AS c FROM q GROUP BY 1),
+    ry AS (SELECT y_val,
+                  (2 * (sum(c) OVER (ORDER BY y_val
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1)::BIGINT AS r2y
+           FROM hy),
+    j AS (SELECT rx.r2x::HUGEINT AS rxv, ry.r2y::HUGEINT AS ryv
+          FROM q JOIN rx USING (quality_score) JOIN ry USING (y_val)),
+    a AS (SELECT count(*)::HUGEINT AS n, sum(rxv)::HUGEINT AS sx,
+                 sum(ryv)::HUGEINT AS sy, sum(rxv * rxv)::HUGEINT AS sxx,
+                 sum(ryv * ryv)::HUGEINT AS syy, sum(rxv * ryv)::HUGEINT AS sxy
+          FROM j)
+    SELECT n::BIGINT AS n_docs,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE), 9) AS rho
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "W2", "J3"],
+)
+def q_spearman_quality_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-averaged midranks, Pearson on
+    ranks) between quality score and token count — integer 2×midranks
+    from value histograms, DECIMAL/HUGEINT moment sums, one final
+    double expression (operators/corpusaudit.spearman_quality_len)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        spearman_quality_len,
+    )
+
+    return spearman_quality_len(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_brier_decomp",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS p6,
+                 least(floor(q.quality_score * 10)::BIGINT, 9) AS bin_id,
+                 (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+          FROM q JOIN documents d USING (doc_id)),
+    b AS (SELECT bin_id, count(*)::BIGINT AS nb, sum(p6)::HUGEINT AS sp6,
+                 sum(y)::BIGINT AS pb,
+                 sum((p6 - y * 1000000)::HUGEINT
+                     * (p6 - y * 1000000)::HUGEINT) AS bnum
+          FROM l GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM l),
+    per AS (SELECT nb, bnum, (sp6::BIGINT * 10) // nb AS conf7,
+                   (pb * 10000000) // nb AS acc7,
+                   (p * 10000000) // n AS base7, n, p
+            FROM b CROSS JOIN t),
+    a AS (SELECT max(n) AS n, max(p) AS p, sum(bnum)::HUGEINT AS brier_num,
+                 sum(nb::HUGEINT * (conf7 - acc7) * (conf7 - acc7)) AS rel_num,
+                 sum(nb::HUGEINT * (acc7 - base7) * (acc7 - base7)) AS res_num
+          FROM per)
+    SELECT n::BIGINT AS n_docs,
+           round(brier_num::DOUBLE / (n::DOUBLE * 1e12), 9) AS brier,
+           round(rel_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS reliability,
+           round(res_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS resolution,
+           round(p::DOUBLE * (n::DOUBLE - p::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE), 9) AS uncertainty
+    FROM a
+    """,
+    ops=["EXT-quality", "G2"],
+)
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition of the quality score as
+    an en-classifier: exact 6-dp-grid Brier sum, reliability and
+    resolution on the 7-dp integer-micros grid (quality_ece bins),
+    uncertainty from the base rate
+    (operators/corpusaudit.brier_decomposition)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r05: exactly the first 50 in dict

@@ -320,6 +320,14 @@ BRUTE_FORCE_OK = {
     # jelinek-mercer EM: 1-row N broadcast + 1-row lambda crossJoin
     # per unrolled round
     "text_jelinek_mercer_em",
+    # r06 batch 3 corpus audits — all 1-row scalar broadcasts:
+    # ks: 1-row (na, nb) totals onto the distinct-score CDF table
+    "audit_ks_drift",
+    # js: the sources x 512-bucket grid (dimension-sized both sides)
+    # + 1-row corpus-total broadcast — same shape as audit_source_kl
+    "audit_source_js",
+    # brier: 1-row (n, p) base-rate broadcast onto the 10-bin table
+    "audit_brier_decomp",
 }
 
 

@@ -2002,3 +2002,110 @@ def jelinek_mercer_em(
         lam = step.select("lam")
         out = step if out is None else out.unionByName(step)
     return out
+
+
+def nb_langid_confusion(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes language identifier trained on the
+    corpus's own labels over the 512-bucket hashed unigram space
+    (add-one smoothing, log-domain), evaluated by resubstitution —
+    the confusion matrix (true lang × predicted lang → doc count)
+    that audits how separable the corpus's languages are in the same
+    feature space DSIR/source-KL use. McCallum & Nigam 1998's
+    multinomial event model; hashing trick per Weinberger et al. 2009.
+
+    Exactness: all counts integer; log p(bucket|lang) and log priors
+    are per-row doubles from agreed integers, rounded to 9 dp and
+    decimal-summed per (doc, lang); argmax ties break lang-asc on the
+    DECIMAL scores, so prediction is engine-exact.
+
+    Scale: one token pass, one (lang × bucket) combiner groupBy onto
+    a ≤ langs·B dimension table (broadcast), per-doc likelihoods as
+    an equi-join + combiner sum, and a langs-sized broadcast grid for
+    the prior-only fallback of token-less docs. The only window is
+    partitioned per doc over ≤|langs| rows."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(F.col(id_col), F.col(lang_col), bucket.alias("bucket"))
+    )
+    lb = toks.groupBy(lang_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lt = toks.groupBy(lang_col).agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    langs = docs.groupBy(lang_col).agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # model = every (lang, observed bucket) cell with add-one mass;
+    # grid is ≤ langs·B rows — dimension-sized, broadcast
+    obs_buckets = toks.select("bucket").distinct()
+    model = (
+        lt.crossJoin(obs_buckets)
+        .join(lb, [lang_col, "bucket"], "left")
+        .select(
+            F.col(lang_col).alias("m_lang"),
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("tot") + F.lit(float(n_buckets)))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("lnp"),
+        )
+    )
+    dt = toks.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lik = (
+        dt.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "m_lang")
+        # c as DECIMAL(10,0): the product stays within DECIMAL(38,9)
+        # on BOTH engines (DuckDB silently falls back to DOUBLE past
+        # width 38, which would break exactness)
+        .agg(F.sum(F.col("c").cast("decimal(10,0)") * F.col("lnp")).alias("ll"))
+    )
+    priors = langs.crossJoin(F.broadcast(n)).select(
+        F.col(lang_col).alias("m_lang"),
+        F.round(F.log(F.col("nl") / F.col("n_all").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("lnprior"),
+    )
+    scored = (
+        docs.select(F.col(id_col), F.col(lang_col).alias("true_lang"))
+        .crossJoin(F.broadcast(priors))
+        .join(lik, [id_col, "m_lang"], "left")
+        .select(
+            id_col,
+            "true_lang",
+            F.col("m_lang"),
+            (F.col("lnprior") + F.coalesce(F.col("ll"), F.lit(0).cast("decimal(28,9)"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("m_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "true_lang", F.col("m_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -755,3 +755,62 @@ def mann_kendall_sen(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def pacf_lags(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Partial autocorrelation (lags 1..max_lag) of the hourly
+    event-count series per event type, via the Durbin-Levinson
+    recursion (Box-Jenkins 1970 §3.2.36) unrolled over the ACF values
+    — the AR-order diagnostic that complements acf_lags (an AR(p)
+    series shows PACF cut-off after lag p where the ACF only decays).
+
+    Exactness: inputs are the 6-dp-rounded ACF values (already
+    engine-agreed by acf_lags' integer estimator), and the recursion
+    is pure per-row double arithmetic on one dimension-sized row per
+    event type with every sum written in fixed left-to-right order —
+    deterministic cross-engine per the repo's float-parity recipe.
+
+    Shape: acf_lags' one window pass + one combiner groupBy, then a
+    |event_types|-row pivot and an unpivot back to max_lag rows per
+    type. No corpus-sized operation beyond the ACF's own."""
+    if not (1 <= max_lag <= 5):
+        raise ValueError("pacf_lags supports max_lag in 1..5 (unrolled)")
+    acf = acf_lags(events, max_lag)
+    piv = acf.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("lag_k") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    # Durbin-Levinson, unrolled: phi[k][j] columns named p{k}{j}
+    cur = piv.withColumn("p11", F.col("r1"))
+    phis = {(1, 1): "p11"}
+    for k in range(2, max_lag + 1):
+        num = F.col(f"r{k}")
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - F.col(phis[(k - 1, j)]) * F.col(f"r{k - j}")
+            den = den - F.col(phis[(k - 1, j)]) * F.col(f"r{j}")
+        cur = cur.withColumn(f"p{k}{k}", num / den)
+        phis[(k, k)] = f"p{k}{k}"
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"p{k}{j}",
+                F.col(phis[(k - 1, j)])
+                - F.col(f"p{k}{k}") * F.col(phis[(k - 1, k - j)]),
+            )
+            phis[(k, j)] = f"p{k}{j}"
+    arms = [
+        cur.select(
+            "event_type",
+            F.lit(k).cast("long").alias("lag_k"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col(phis[(k, k)]), 6).alias("pacf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    out = arms[0]
+    for df in arms[1:]:
+        out = out.unionByName(df)
+    return out

@@ -9146,6 +9146,206 @@ def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_decomposition(_t(spark, sf_dir, "documents"))
 
 
+def _pacf_sql(max_lag: int = 5) -> str:
+    """Durbin-Levinson CTE chain over the pivoted ACF values (needs the
+    `f` CTE from the events_acf oracle in scope). Expressions are
+    generated LEFT-ASSOCIATIVELY — ((r3 - p21*r2) - p22*r1) — to match
+    the Spark loop's accumulation order term for term, so both engines
+    run the identical IEEE operation sequence."""
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n,
+           round((((n*n*sxy{k} - n*s*(s1_{k}+s2_{k}) + (n-{k})*s*s)::DOUBLE)
+                 / ((n*(n*q - s*s))::DOUBLE)), 6) AS acf
+    FROM f"""
+        for k in range(1, max_lag + 1)
+    )
+    rcols = ",\n           ".join(
+        f"max(CASE WHEN lag_k = {k} THEN acf END) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    ctes = [
+        f"acfv AS ({arms})",
+        f"piv AS (SELECT event_type, max(n) AS n,\n           {rcols}\n    FROM acfv GROUP BY 1)",
+        "s1 AS (SELECT *, r1 AS p11 FROM piv)",
+    ]
+    prev = "s1"
+    step = 1
+    for k in range(2, max_lag + 1):
+        num = f"r{k}"
+        den = "1.0"
+        for j in range(1, k):
+            num = f"({num} - p{k-1}{j}*r{k-j})"
+            den = f"({den} - p{k-1}{j}*r{j})"
+        step += 1
+        ctes.append(f"s{step} AS (SELECT *, {num} / {den} AS p{k}{k} FROM {prev})")
+        prev = f"s{step}"
+        if k < max_lag:
+            cols = ", ".join(
+                f"p{k-1}{j} - p{k}{k}*p{k-1}{k-j} AS p{k}{j}" for j in range(1, k)
+            )
+            step += 1
+            ctes.append(f"s{step} AS (SELECT *, {cols} FROM {prev})")
+            prev = f"s{step}"
+    out_arms = "\n    UNION ALL\n".join(
+        f"SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n, round(p{k}{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1)
+    )
+    return ",\n    ".join(ctes) + f"\n    {out_arms}"
+
+
+@register(
+    "events_pacf",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 6))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{",".join(chr(10) + f'''           sum(x*xl{k})::HUGEINT AS sxy{k},
+           sum(CASE WHEN xl{k} IS NOT NULL THEN x END)::HUGEINT AS s2_{k},
+           sum(xl{k})::HUGEINT AS s1_{k}''' for k in range(1, 6))}
+      FROM lg GROUP BY 1),
+    {_pacf_sql(5)}
+    """,
+    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
+)
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-5) of the hourly event-count
+    series per type: Durbin-Levinson recursion unrolled over the
+    integer-exact ACF values, every accumulation left-associative on
+    both engines (operators/timeseries.pacf_lags)."""
+    from openrouter_batch_processor_spark.operators.timeseries import pacf_lags
+
+    return pacf_lags(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sim_ndcg_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.v, q.qv)
+                          / sqrt(list_dot_product(e.v, e.v)
+                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 5),
+    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                  ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(c.cvec, q.qv)
+                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
+        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
+    approx AS (SELECT query_id, vec_id, rn FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_dot_product(a.v, q.qv)
+                       / sqrt(list_dot_product(a.v, a.v)
+                              * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 a.vec_id) AS rn
+        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+    gains AS (SELECT x.query_id,
+                     round(1.0 / log2(x.rn + 1), 9)::DECIMAL(18,9) AS gain
+              FROM approx x JOIN exact e
+                ON e.query_id = x.query_id AND e.vec_id = x.vec_id),
+    per_q AS (SELECT query_id, count(*)::BIGINT AS n_hit, sum(gain) AS dcg
+              FROM gains GROUP BY 1)
+    SELECT q.query_id, coalesce(p.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(p.dcg, 0)::DOUBLE, 6) AS dcg,
+           round(coalesce(p.dcg, 0)::DOUBLE / 2.948459119, 6) AS ndcg
+    FROM q LEFT JOIN per_q p USING (query_id)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-recall", "J2", "O3"],
+)
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF(nprobe=2/8) ranking vs exact cosine top-5 with
+    binary relevance and log2 discount (Järvelin & Kekäläinen 2002) —
+    rank-aware where recall@k is position-blind. IDCG@5 = 2.948459119
+    is the shared 9-dp closed-form literal
+    (operators/similarity.ndcg_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import ndcg_report
+
+    return ndcg_report(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_nb_langid",
+    f"""
+    WITH tk AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+                FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != ''),
+    lb AS (SELECT lang, bucket, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
+    lt AS (SELECT lang, count(*)::BIGINT AS tot FROM tk GROUP BY 1),
+    langs AS (SELECT lang, count(*)::BIGINT AS nl FROM documents GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+    ob AS (SELECT DISTINCT bucket FROM tk),
+    model AS (SELECT lt.lang AS m_lang, ob.bucket,
+                     round(ln((coalesce(lb.cnt, 0) + 1) / (lt.tot + 512.0)),
+                           9)::DECIMAL(28,9) AS lnp
+              FROM lt CROSS JOIN ob
+              LEFT JOIN lb ON lb.lang = lt.lang AND lb.bucket = ob.bucket),
+    dt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+    lik AS (SELECT dt.doc_id, m.m_lang,
+                   sum(dt.c::DECIMAL(10,0) * m.lnp) AS ll
+            FROM dt JOIN model m USING (bucket) GROUP BY 1, 2),
+    pri AS (SELECT l.lang AS m_lang,
+                   round(ln(l.nl / n_all::DOUBLE), 9)::DECIMAL(28,9) AS lnprior
+            FROM langs l CROSS JOIN nn),
+    sc AS (SELECT d.doc_id, d.lang AS true_lang, p.m_lang,
+                  p.lnprior + coalesce(k.ll, 0::DECIMAL(28,9)) AS score
+           FROM documents d CROSS JOIN pri p
+           LEFT JOIN lik k ON k.doc_id = d.doc_id AND k.m_lang = p.m_lang),
+    pred AS (SELECT doc_id, true_lang, m_lang AS pred_lang FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, m_lang ASC) AS rn
+               FROM sc) WHERE rn = 1)
+    SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    ops=["EXT-langid", "EXT-quality", "G2", "J3", "W2"],
+)
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identifier over the 512-bucket
+    hashed unigram space (add-one, log-domain, resubstitution
+    confusion matrix) — how separable the corpus's languages are in
+    the DSIR feature space; decimal-summed 9-dp log scores make the
+    argmax engine-exact (operators/textanalysis.nb_langid_confusion)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        nb_langid_confusion,
+    )
+
+    return nb_langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r05: exactly the first 50 in dict

@@ -328,6 +328,13 @@ BRUTE_FORCE_OK = {
     "audit_source_js",
     # brier: 1-row (n, p) base-rate broadcast onto the 10-bin table
     "audit_brier_decomp",
+    # ndcg: the ~1%-query exact-truth cross join is the audit's
+    # labeled cost (identical contract to sim_ann_recall); production
+    # path keeps the probed equi-join
+    "sim_ndcg_audit",
+    # nb langid: |langs|-row prior broadcast onto docs (the prior-only
+    # fallback for token-less docs) + 1-row N broadcast
+    "text_nb_langid",
 }
 
 

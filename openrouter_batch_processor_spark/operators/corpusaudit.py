@@ -451,3 +451,109 @@ def brier_decomposition(
             9,
         ).alias("uncertainty"),
     )
+
+
+def cramers_v(docs: DataFrame, row_col: str = "source", col_col: str = "lang") -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (default source × lang) via the exact chi-square statistic — the
+    "are my sources language-balanced?" audit. Zero cells CONTRIBUTE
+    (o=0 ⇒ (o−e)²/e = e), so the grid is the full R×C cross of the
+    observed margins.
+
+    Exactness: per-cell contribution is ((o·n − r·c)²) / (n·r·c) with
+    both sides exact in DECIMAL(38,0) (safe to ~1e9 rows; ANSI raises
+    past it), the quotient a per-row double rounded to 9 dp and
+    decimal-summed. V = sqrt(chi2 / (n·(min(R,C)−1))).
+
+    Scale: one combiner groupBy onto the R×C contingency (dimension-
+    sized), margins as two more tiny aggregates, an R×C grid join."""
+    dec = "decimal(38,0)"
+    cells = docs.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy(row_col).agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy(col_col).agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct(row_col).cast("long").alias("n_rows"),
+        F.countDistinct(col_col).cast("long").alias("n_cols"),
+    )
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, [row_col, col_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+            "r",
+            "c",
+        )
+    )
+    num = (
+        F.col("o").cast(dec) * F.col("n").cast(dec)
+        - F.col("r").cast(dec) * F.col("c").cast(dec)
+    )
+    den = F.col("n").cast(dec) * F.col("r").cast(dec) * F.col("c").cast(dec)
+    contrib = F.round((num * num).cast("double") / den.cast("double"), 9).cast(
+        "decimal(28,9)"
+    )
+    agg = grid.groupBy("n", "n_rows", "n_cols").agg(
+        F.sum(contrib).alias("chi2d")
+    )
+    chi2 = F.col("chi2d").cast("double")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n").cast("double")
+            * (F.least(F.col("n_rows"), F.col("n_cols")) - 1).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def chao1_vocab(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Chao1 lower-bound estimate of the UNSEEN vocabulary size
+    (Chao 1984, bias-corrected form): chao1 = V + f1(f1−1)/(2(f2+1))
+    from the frequency-of-frequencies — the "how much vocabulary does
+    another crawl buy?" companion to good_turing/heaps_fit. Pure
+    integer counts, one final double division.
+
+    Scale: one (term) combiner groupBy, one 1-row aggregate."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    tf = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    agg = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("tf") == 2).cast("long")).cast("long").alias("f2"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    extra = (
+        (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (2 * (F.col("f2") + 1)).cast("double")
+    )
+    return agg.select(
+        "n_tokens",
+        "v_obs",
+        "f1",
+        "f2",
+        F.round(F.col("v_obs") + extra, 6).alias("chao1"),
+    )

@@ -1566,3 +1566,59 @@ def ndcg_report(
             ).alias("ndcg"),
         )
     )
+
+
+def mahalanobis_outliers(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal-covariance Mahalanobis
+    distance (each dimension standardized by its own population
+    mean/variance, distances summed across dims) — the cheap
+    global-outlier sweep a vector corpus gets before SemDeDup/IVF
+    train, catching corrupt encodes and off-manifold junk without a
+    covariance inverse.
+
+    Exactness: per-dim moments accumulate as DECIMAL casts of the raw
+    doubles (same recipe as emb_dim_stats); mean/variance are then
+    per-row doubles computed identically on both engines, every
+    per-(vec,dim) contribution (x−μ)²/σ² is rounded to 9 dp and
+    decimal-summed per vector, and the top-k orders on the exact
+    DECIMAL sum (ties → vec_id asc).
+
+    Scale: posexplode fan-out (dim-bounded), one 64-row moment
+    aggregate broadcast back, one per-vector combiner sum, and a
+    global TakeOrdered(k) — no full sort, no corpus-sized window."""
+    d = embeddings.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("dim", "fval")
+    ).select(id_col, "dim", F.col("fval").cast("double").alias("val"))
+    stats = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("val").cast("decimal(28,10)")).alias("sx"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,10)")).alias("sxx"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = dd("sx") / dd("n")
+    var = dd("sxx") / dd("n") - mu * mu
+    dimstats = stats.select("dim", mu.alias("mu"), var.alias("var"))
+    contrib = F.round(
+        (F.col("val") - F.col("mu"))
+        * (F.col("val") - F.col("mu"))
+        / F.col("var"),
+        9,
+    ).cast("decimal(28,9)")
+    per_vec = (
+        d.join(F.broadcast(dimstats), "dim")
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("md2d"))
+    )
+    return (
+        per_vec.orderBy(F.col("md2d").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.round(F.col("md2d").cast("double"), 6).alias("md2"),
+        )
+    )

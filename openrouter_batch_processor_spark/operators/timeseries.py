@@ -814,3 +814,48 @@ def pacf_lags(events: DataFrame, max_lag: int = 5) -> DataFrame:
     for df in arms[1:]:
         out = out.unionByName(df)
     return out
+
+
+def ljung_box(events: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test per event type over the
+    hourly count series (Ljung & Box 1978): Q = n(n+2)·Σ r_k²/(n−k)
+    from the integer-exact ACF values, plus the Wilson-Hilferty
+    normal approximation of the chi-square tail as a closed-form
+    z-score (no incomplete-gamma needed — deterministic cross-engine).
+
+    Exactness: r_k are acf_lags' 6-dp-agreed doubles; each summand
+    r_k²/(n−k) is rounded to 12 dp and decimal-summed, the n(n+2)
+    scaling stays in DECIMAL, and the z transform is per-row double
+    arithmetic from the agreed Q.
+
+    Shape: acf_lags' passes + a max_lag-row-per-type pivot sum."""
+    acf = acf_lags(events, max_lag)
+    contrib = F.round(
+        (F.col("acf") * F.col("acf"))
+        / (F.col("n") - F.col("lag_k")).cast("double"),
+        12,
+    ).cast("decimal(28,12)")
+    agg = acf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(contrib).alias("ssum"),
+    )
+    # n(n+2) stays in BIGINT (exact to n ~ 3e9, ANSI raises past it);
+    # the product with the agreed decimal sum is ONE double multiply —
+    # chained decimal multiplication would hit Spark's precision-cap
+    # scale reduction, which silently rounds and breaks oracle parity
+    q = (F.col("n") * (F.col("n") + 2)).cast("double") * F.col("ssum").cast(
+        "double"
+    )
+    m = float(max_lag)
+    # Wilson-Hilferty: ((Q/m)^(1/3) − (1 − 2/(9m))) / sqrt(2/(9m))
+    z = (
+        F.pow(q / F.lit(m), F.lit(1.0 / 3.0))
+        - F.lit(1.0 - 2.0 / (9.0 * m))
+    ) / F.lit((2.0 / (9.0 * m)) ** 0.5)
+    return agg.select(
+        "event_type",
+        "n",
+        F.lit(max_lag).cast("long").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(z, 6).alias("z_wh"),
+    )

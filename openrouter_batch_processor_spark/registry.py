@@ -9346,6 +9346,158 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_langid_confusion(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "audit_cramers_v",
+    """
+    WITH cells AS (SELECT source, lang, count(*)::BIGINT AS o
+                   FROM documents GROUP BY 1, 2),
+    rm AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+    cm AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+    t AS (SELECT sum(o)::BIGINT AS n,
+                 count(DISTINCT source)::BIGINT AS n_rows,
+                 count(DISTINCT lang)::BIGINT AS n_cols
+          FROM cells),
+    grid AS (SELECT t.n, t.n_rows, t.n_cols,
+                    coalesce(cells.o, 0)::BIGINT AS o, rm.r, cm.c
+             FROM rm CROSS JOIN cm
+             LEFT JOIN cells ON cells.source = rm.source AND cells.lang = cm.lang
+             CROSS JOIN t),
+    sc AS (SELECT n, n_rows, n_cols,
+                  round(((o::HUGEINT * n - r::HUGEINT * c)
+                         * (o::HUGEINT * n - r::HUGEINT * c))::DOUBLE
+                        / (n::HUGEINT * r * c)::DOUBLE, 9)::DECIMAL(28,9) AS contrib
+           FROM grid),
+    a AS (SELECT n, n_rows, n_cols, sum(contrib) AS chi2d
+          FROM sc GROUP BY 1, 2, 3)
+    SELECT n AS n_docs, n_rows, n_cols,
+           ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
+           round(chi2d::DOUBLE, 6) AS chi2,
+           round(sqrt(chi2d::DOUBLE
+                      / (n::DOUBLE * (least(n_rows, n_cols) - 1)::DOUBLE)),
+                 6) AS cramers_v
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between source and lang via the exact
+    chi-square over the full R×C grid (zero cells contribute e) —
+    integer cross-products in DECIMAL/HUGEINT, 9-dp decimal-summed
+    contributions (operators/corpusaudit.cramers_v)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_chao1_vocab",
+    f"""
+    WITH tf AS (SELECT u.term, count(*)::BIGINT AS tf
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != '' GROUP BY 1),
+    a AS (SELECT count(*)::BIGINT AS v_obs,
+                 sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                 sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+                 sum(tf)::BIGINT AS n_tokens
+          FROM tf)
+    SELECT n_tokens, v_obs, f1, f2,
+           round(v_obs + (f1 * (f1 - 1))::DOUBLE
+                         / (2 * (f2 + 1))::DOUBLE, 6) AS chao1
+    FROM a
+    """,
+    ops=["EXT-tokens", "EXT-sketch", "G2"],
+)
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 bias-corrected lower bound on unseen vocabulary from the
+    frequency-of-frequencies (Chao 1984) — companion to
+    text_good_turing / audit_heaps_fit; pure integer counts, one final
+    double division (operators/corpusaudit.chao1_vocab)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import chao1_vocab
+
+    return chao1_vocab(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_ljung_box",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{_ACF_LAG_COLS}
+      FROM lg GROUP BY 1),
+    acfv AS ({_ACF_ARMS}),
+    a AS (SELECT event_type, max(n)::BIGINT AS n,
+                 sum(round((acf * acf) / (n - lag_k)::DOUBLE,
+                           12)::DECIMAL(28,12)) AS ssum
+          FROM acfv GROUP BY 1),
+    qq AS (SELECT event_type, n,
+                  (n * (n + 2))::DOUBLE * ssum::DOUBLE AS q_raw
+           FROM a)
+    SELECT event_type, n, 6::BIGINT AS df,
+           round(q_raw, 6) AS q_stat,
+           round((pow(q_raw / 6.0, 1.0/3.0) - {1.0 - 2.0 / 54.0!r})
+                 / {(2.0 / 54.0) ** 0.5!r}, 6) AS z_wh
+    FROM qq
+    """,
+    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
+)
+def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise Q (lags 1-6) per event type
+    over the hourly count series, with the Wilson-Hilferty chi-square
+    z approximation — 12-dp decimal-summed summands over the
+    integer-exact ACF (operators/timeseries.ljung_box)."""
+    from openrouter_batch_processor_spark.operators.timeseries import ljung_box
+
+    return ljung_box(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "emb_mahalanobis_outliers",
+    """
+    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    d AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS val
+          FROM embeddings e CROSS JOIN offs o),
+    m AS (SELECT dim, count(*)::BIGINT AS n, sum(val::DECIMAL(28,10)) AS sx,
+                 sum((val * val)::DECIMAL(38,10)) AS sxx
+          FROM d GROUP BY 1),
+    st AS (SELECT dim, sx::DOUBLE / n AS mu,
+                  sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS var
+           FROM m),
+    sc AS (SELECT d.vec_id,
+                  round((d.val - st.mu) * (d.val - st.mu) / st.var,
+                        9)::DECIMAL(28,9) AS contrib
+           FROM d JOIN st USING (dim)),
+    pv AS (SELECT vec_id, sum(contrib) AS md2d FROM sc GROUP BY 1)
+    SELECT vec_id, round(md2d::DOUBLE, 6) AS md2
+    FROM pv ORDER BY md2d DESC, vec_id ASC LIMIT 20
+    """,
+    ops=["EXT-simsearch", "EXT-quality", "G2", "O3"],
+)
+def q_emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by diagonal Mahalanobis distance:
+    per-dim decimal moments (emb_dim_stats recipe) broadcast back onto
+    the posexplode fan-out, 9-dp decimal-summed per-vector distances,
+    TakeOrdered top-k (operators/similarity.mahalanobis_outliers)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    return mahalanobis_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r05: exactly the first 50 in dict

@@ -335,6 +335,9 @@ BRUTE_FORCE_OK = {
     # nb langid: |langs|-row prior broadcast onto docs (the prior-only
     # fallback for token-less docs) + 1-row N broadcast
     "text_nb_langid",
+    # cramers v: the R×C margin grid cross join (both sides dimension-
+    # sized contingency margins) + 1-row totals broadcast
+    "audit_cramers_v",
 }
 
 

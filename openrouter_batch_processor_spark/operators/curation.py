@@ -689,3 +689,229 @@ def moore_lewis_select(
         ce_diff.alias("ce_diff"),
         (F.col("_s7i") < F.col("_s7g")).alias("selected"),
     )
+
+
+DEFAULT_BLOCKLIST = ("dup", "crash", "bad")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist gating (Raffel et al. 2020 §2.2 dropped any
+    page containing a word from the 'List of Dirty, Naughty, Obscene'
+    blocklist; every web-corpus pipeline since — Gopher, FineWeb,
+    Dolma — carries the same token-membership gate): flag a document
+    iff any normalized token is in the blocklist, and report what
+    matched so the gate is auditable.
+
+    Emits one row per FLAGGED doc: (id, source, n_blocked_tokens,
+    n_distinct_blocked, blocked_csv) with blocked_csv the sorted
+    distinct matches — the removal set a cleaning pass anti-joins, the
+    audit columns a reviewer samples.
+
+    Execution: the blocklist is a LITERAL array inside the row
+    expression (production: a broadcast dim table) — membership is
+    array_intersect/filter on the token array, pure whole-stage
+    codegen, no join and no shuffle; the scan prunes to (id, source,
+    text) and a 100 TB corpus gates in one map-only pass."""
+    bl = F.array(*[F.lit(w) for w in sorted(blocklist)])
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        F.filter(toks, lambda t: F.array_contains(bl, t)).alias("hits"),
+    )
+    return staged.filter(F.size("hits") > 0).select(
+        F.col(id_col),
+        F.col("source"),
+        F.size("hits").cast("long").alias("n_blocked_tokens"),
+        F.size(F.array_distinct(F.col("hits"))).cast("long").alias("n_distinct_blocked"),
+        F.array_join(F.array_sort(F.array_distinct(F.col("hits"))), ",").alias(
+            "blocked_csv"
+        ),
+    )
+
+
+LOGREG_STEPS = 6
+LOGREG_LR = 1.0
+
+
+def quality_logreg(
+    docs: DataFrame,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Train the quality-classifier of the GPT-3/PaLM data pipeline in
+    miniature (Brown et al. 2020 trained a logistic classifier to
+    score web pages against a high-quality reference; fastText-style
+    linear gates are still the standard cheap corpus filter) — full-
+    batch gradient descent on logistic loss, entirely as dataflow:
+    features and labels never leave the cluster, the weight vector is
+    a 1-row broadcast, one aggregation per step.
+
+    Features per doc (fixed expression order, pure double):
+    x0 = 1 (bias), x1 = n_tokens/100, x2 = stopword ratio ('a'/'the'),
+    x3 = mean token length/10. Label y = 1 iff lang = 'en' — the
+    classifier learns to recognize the in-domain language/quality
+    class, the same contract as Moore-Lewis but discriminative.
+
+    Update: w_j <- round(w_j - lr * G_j / n, 9) with per-row
+    contributions round((p - y)·x_j, 9) decimal-summed — every
+    cross-row reduction is order-independent, every w lives on the
+    9-dp grid, so the T-step trajectory is bit-identical to the
+    unrolled oracle. sigmoid's exp() follows the ppl-query precedent
+    (JVM Math.exp == libm exp on grid inputs, validated at all SFs).
+
+    Scale: the per-step cost is ONE map-side-combinable aggregation
+    over the feature table (checkpointed once); the weight row
+    broadcasts. T steps = T passes — the textbook distributed
+    full-batch GD plan. Output: (feature, weight) — 4 rows."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    staged = docs.select(
+        (F.col(lang_col) == "en").cast("double").alias("y"),
+        toks.alias("toks"),
+    )
+    n_toks = F.size("toks").cast("double")
+    stop = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin("a", "the"))
+    ).cast("double")
+    sumlen = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    feats = staged.select(
+        "y",
+        F.lit(1.0).alias("x0"),
+        (n_toks / F.lit(100.0)).alias("x1"),
+        (stop / n_toks).alias("x2"),
+        (sumlen / n_toks / F.lit(10.0)).alias("x3"),
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    )
+    for _ in range(steps):
+        z = (
+            F.col("x0") * F.col("w0")
+            + F.col("x1") * F.col("w1")
+            + F.col("x2") * F.col("w2")
+            + F.col("x3") * F.col("w3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
+        j = feats.crossJoin(F.broadcast(w))
+        aggs = [
+            F.sum(
+                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).alias(f"g{k}")
+            for k in range(4)
+        ] + [F.count(F.lit(1)).cast("double").alias("n")]
+        g = j.agg(*aggs)
+        w = (
+            g.crossJoin(F.broadcast(w))
+            .select(
+                *[
+                    F.round(
+                        F.col(f"w{k}")
+                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
+                        9,
+                    ).alias(f"w{k}")
+                    for k in range(4)
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    rows = [
+        w.select(F.lit(f"x{k}").alias("feature"), F.col(f"w{k}").alias("weight"))
+        for k in range(4)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def doremi_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """DoReMi-style domain reweighting, unigram-proxy edition (Xie et
+    al. 2023: upweight domains where the proxy model's excess loss
+    over a domain-tuned reference is largest; with unigram LMs as
+    both proxy and reference the per-domain excess loss is exactly
+    KL(p_domain || p_corpus) in nats): domain weight
+    w_d ∝ exp(excess_d), normalized over domains — the training
+    mixture a data scheduler would sample from.
+
+    Float discipline: both cross-entropy sums are per-token
+    contributions rounded to 9 dp and decimal-summed per domain, so
+    excess_d = (S_corpus − S_own)/N_d is an exact-decimal difference
+    over one double division; exp() follows the ppl precedent; the
+    softmax normalizer is a 9-dp decimal sum over |domains| rows.
+
+    Execution: one (domain, token) count table feeds everything; the
+    corpus-token side joins equi on token (vocabulary-sized, stays
+    partitioned at 100 TB), domain totals join equi on domain, the
+    corpus total and the normalizer are 1-row broadcasts. Output:
+    (source, excess_kl, weight) — one row per domain."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    tf = (
+        docs.select(F.col(domain_col).alias("source"), F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cw = tf.groupBy("tok").agg(F.sum("cnt").cast("long").alias("cw"))
+    ns = tf.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    nn = tf.agg(F.sum("cnt").cast("long").alias("n"))
+    j = (
+        tf.join(cw, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nn))
+    )
+    sc = j.groupBy("source").agg(
+        F.min("n_s").alias("n_s"),
+        F.sum(
+            F.round(
+                F.col("cnt") * -F.log(F.col("cw") / F.col("n")), 9
+            ).cast("decimal(28,9)")
+        ).alias("s_corpus"),
+        F.sum(
+            F.round(
+                F.col("cnt") * -F.log(F.col("cnt") / F.col("n_s")), 9
+            ).cast("decimal(28,9)")
+        ).alias("s_own"),
+    )
+    ex = sc.select(
+        "source",
+        (
+            (F.col("s_corpus") - F.col("s_own")).cast("double") / F.col("n_s")
+        ).alias("excess"),
+    )
+    wr = ex.select("source", "excess", F.exp(F.col("excess")).alias("w_raw"))
+    norm = wr.agg(
+        F.sum(F.round(F.col("w_raw"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("norm")
+    )
+    return wr.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.round(F.col("excess"), 9).alias("excess_kl"),
+        F.round(F.col("w_raw") / F.col("norm"), 6).alias("weight"),
+    )

@@ -1189,3 +1189,172 @@ def winnow_keys_col(toks, k: int = WINNOW_K, w: int = WINNOW_W):
     return F.when(n >= k + w - 1, F.array_distinct(mins)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def winnow_keys_long(
+    df: DataFrame,
+    toks_col: str = "toks",
+    out_col: str = "key",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing keys as a LONG table: df's columns (minus toks) plus
+    one row per selected hash·2^20+(2^20−1−pos) key. Value-identical
+    key set to exploding winnow_keys_col, but ~45x faster measured —
+    the naive explode form hits two Catalyst traps at once:
+
+    1. In the one-Column form the sliding-min transform's lambda
+       references the gram-hash transform, and codegen re-evaluates
+       the WHOLE md5 gram chain for every one of the n windows —
+       O(n²·k) hashing per doc. Two chained projections do NOT fix
+       this: CollapseProject re-inlines the gram array into the mins
+       lambda (single static reference = collapsible). What does fix
+       it: materialize the gram array in a Project and consume it from
+       the GENERATOR expression of the explode — Generate-over-Project
+       is never collapsed (same reason winnow_fingerprints stages its
+       hash array before posexplode).
+    2. A bare F.explode makes InferFiltersFromGenerate add a
+       size(arr)>0 guard that pushes BELOW the staging projection,
+       re-inlining the entire nested chain into a per-row Filter over
+       the raw text — the whole sketch computed twice (the
+       explode_shingles lesson). explode_outer infers nothing; the
+       empty-array docs surface as one null-key row dropped by the
+       post-Generate filter.
+
+    No window function, no shuffle — legal on a stream."""
+    n = F.size(F.col(toks_col))
+    mk = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice(F.col(toks_col), i + 1, k), " ")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") * F.lit(_WINNOW_POSCAP) + (F.lit(_WINNOW_POSCAP - 1) - i)
+    gram_col = "__winnow_grams"
+    # the staged projection runs UNGUARDED for every row (unlike the
+    # one-Column form, where laziness under the when() skips short
+    # docs), so clamp the sequence bound at 0: a doc under k tokens
+    # gets one junk gram that the n >= k+w-1 guard below discards —
+    # without the clamp the sequence descends and slice(toks, 0, k)
+    # raises
+    staged = df.withColumn(
+        gram_col,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.least(n - k, F.lit(_WINNOW_POSCAP - 1)), F.lit(0)),
+            ),
+            mk,
+        ),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), n - k - w + 1),
+        lambda q: F.array_min(F.slice(F.col(gram_col), q + 1, w)),
+    )
+    keep = [c for c in df.columns if c != toks_col]
+    return (
+        staged.select(
+            *keep,
+            F.explode_outer(
+                F.when(n >= k + w - 1, F.array_distinct(mins))
+            ).alias(out_col),
+        )
+        .filter(F.col(out_col).isNotNull())
+    )
+
+
+def lsh_s_curve(
+    docs: DataFrame,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Empirical validation of the MinHash-LSH banding S-curve
+    (Leskovec, Rajaraman & Ullman, MMDS ch. 3: with b bands of r rows,
+    P(candidate | J) = 1 − (1 − J^r)^b): bucket true-Jaccard pairs
+    into deciles and compare the OBSERVED candidate rate of the
+    production banding (lsh_bands over minhash_signatures — b=4, r=2)
+    against the theoretical curve at each bucket midpoint. This is
+    the audit that tells an operator whether the deployed (b, r)
+    actually delivers the designed recall/precision tradeoff on THEIR
+    corpus, not the textbook's.
+
+    Truth-pair universe: pairs sharing >= 1 shingle with document
+    frequency <= df_cap — the same boilerplate-pruned inverted-index
+    discipline as winnow_overlap_pairs (unprunable hot shingles would
+    make the truth join quadratic); each surviving pair's Jaccard is
+    exact, computed over the FULL staged shingle sets. Candidate flags
+    come from the banding equi-join, never all-pairs.
+
+    Output: (bucket, n_pairs, n_candidates, observed_rate,
+    theoretical_rate) — one row per non-empty Jaccard decile."""
+    ss = shingle_sets(docs, id_col, text_col)
+    ex = ss.select(F.col(id_col), F.explode("shset").alias("shingle")).distinct()
+    dfq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pr = ex.join(dfq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "leftsemi")
+    pairs = (
+        pr.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pr.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = (
+        pairs.join(
+            ss.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa")),
+            "id_a",
+        )
+        .join(
+            ss.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+            (F.size("sa") + F.size("sb")).alias("n_sum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_sum") - F.col("n_inter")), 6
+            ).alias("jac"),
+        )
+    )
+    b = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+    cands = (
+        b.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        .join(
+            b.select(F.col(id_col).alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    flagged = j.join(cands, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("long").alias("bucket"),
+        F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+    )
+    mid = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    # explicit multiply chain (no pow): u = 1 - m^2, theo = 1 - u^4
+    u = F.lit(1.0) - mid * mid
+    theo = F.lit(1.0) - (u * u) * (u * u)
+    return (
+        flagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_cand").cast("long").alias("n_candidates"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_candidates",
+            F.round(F.col("n_candidates") / F.col("n_pairs"), 6).alias(
+                "observed_rate"
+            ),
+            F.round(theo, 6).alias("theoretical_rate"),
+        )
+    )

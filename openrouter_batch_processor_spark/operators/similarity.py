@@ -1226,8 +1226,19 @@ PC_POWER_ITERS = 4
 
 
 def _centered_long(emb, id_col: str, vec_col: str):
-    """(d0 raw long table, m per-dim means, d centered+checkpointed)."""
-    d0 = emb.select(
+    """(d0 raw long table, m per-dim means, d centered+checkpointed).
+
+    The raw vectors are hash-partitioned by vec_id BEFORE the
+    posexplode: the single-file local scan would otherwise explode and
+    center the whole corpus in ONE task, and — because explode and the
+    broadcast mean-join both preserve the child's distribution — the
+    hash(vec_id) clustering survives through the checkpoint, so the
+    power loop's per-iteration groupBy(vec_id) and join(z, vec_id)
+    need no further full-table shuffle (only the D-row v/y sides and
+    the per-dim combiner partials move). Values are unaffected — every
+    cross-row sum is round-then-DECIMAL, order-independent by
+    construction."""
+    d0 = emb.repartition(F.col(id_col)).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("dim", "fval"),
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
@@ -1347,7 +1358,10 @@ def abtt_residuals(
     vec id), so the whole operator is the PCA cost plus a single
     corpus scan."""
     pc = top_pc_power(emb, iters, dim, id_col, vec_col)
-    d0 = emb.select(
+    # same pre-explode hash(vec_id) spread as _centered_long: the
+    # clustering survives the broadcast join below, so the proj
+    # groupBy and the proj⋈j re-join are both shuffle-free
+    d0 = emb.repartition(F.col(id_col)).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("dim", "fval"),
     ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
@@ -1620,5 +1634,72 @@ def mahalanobis_outliers(
         .select(
             id_col,
             F.round(F.col("md2d").cast("double"), 6).alias("md2"),
+        )
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    query_rem: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negative selection step: the most USEFUL negatives are
+    the ones the current embedding space ranks closest to the anchor
+    while carrying a DIFFERENT label — random negatives are too easy
+    and contribute no gradient): for each anchor in the deterministic
+    ~1% sample, the top-k most-cosine-similar vectors whose label
+    differs.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — k rows per
+    anchor, rank 1 = hardest.
+
+    Execution mirrors the recall audits' exact arm: the anchor sample
+    broadcasts (dimension-sized by construction), the corpus side
+    stays partitioned and carries its self-dot once, the label filter
+    rides the join condition so mismatched pairs never materialize,
+    and the per-anchor top-k is one window over ~corpus/|sample| rows
+    per group. At production scale the brute-force arm is replaced by
+    the IVF candidate generator (ivf_topk) with the same label-!= join
+    predicate; rounding cos to 6 dp before ranking keeps the
+    cross-engine order tie-stable."""
+    from pyspark.sql.window import Window
+
+    queries = emb.filter((F.col(id_col) % query_mod) == query_rem).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_qq"),
+    )
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.repartition(parallelism).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_aa"),
+    )
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("qv"))
+        / F.sqrt(F.col("_aa") * F.col("_qq")),
+        6,
+    )
+    cand = corpus.join(
+        F.broadcast(queries), F.col(label_col) != F.col("qlabel")
+    ).select("query_id", F.col(id_col), cos.alias("cos_sim"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
         )
     )

@@ -2109,3 +2109,167 @@ def nb_langid_confusion(
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+BPE_ROUNDS = 4
+
+
+def bpe_merges(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich, Haddow & Birch
+    2016, 'Neural Machine Translation of Rare Words with Subword
+    Units' — the tokenizer-training loop behind GPT-2/RoBERTa vocab
+    construction) expressed as relational dataflow: start from the
+    corpus vocabulary as character-symbol sequences, and for each of
+    ``rounds`` iterations count adjacent symbol pairs weighted by word
+    frequency, pick the most frequent pair (lexicographic tiebreak),
+    and merge every occurrence into one symbol.
+
+    Output: one row per learned merge (merge_rank, sym_a, sym_b,
+    pair_count) — merge_rank 1 is the first rule of the vocab.
+
+    Representation: a word's symbol sequence lives as a delimited
+    STRING ('|a||b||c|', every symbol wrapped in '|'), so applying a
+    merge is one replace('|a||b|' -> '|ab|') — both engines replace
+    left-to-right non-overlapping, which is exactly BPE's greedy
+    within-word merge order, and the double delimiter keeps adjacent
+    occurrences independently mergeable ('|a||a||a|' -> '|aa||a|').
+
+    Execution: the loop state is the VOCAB table (word, freq,
+    symbols), corpus-vocabulary-sized, never the corpus itself — the
+    corpus is read once for frequencies. Per round: pair extraction
+    is two staged projections (split materialized as an attribute —
+    referenced twice per pair, so CollapseProject keeps the barrier —
+    then the pair array, explode_outer to dodge the inferred
+    size()>0 re-inline), one combiner-friendly groupBy(a, b), a
+    1-row global top-1, and a 1-row broadcast crossJoin to apply the
+    replace. localCheckpoint per round pins lineage depth constant —
+    the same discipline as the connected-components loop. At 100 TB
+    the vocab is millions of rows and every step stays distributed;
+    nothing but the single best-pair row ever sits on the driver."""
+    merges, _states = _bpe_loop(docs, rounds, text_col)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "merge_rank",
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.col("cnt").alias("pair_count"),
+    )
+
+
+def _bpe_loop(
+    docs: DataFrame, rounds: int, text_col: str = "text"
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The shared BPE training loop: returns ([best-pair 1-row DF per
+    round], [vocab state DF per round 0..rounds]). Each state is
+    (tok, freq, s) with s the '|'-wrapped symbol string; all states
+    and bests are eagerly checkpointed so lineage stays constant."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = vocab.select(
+        "tok",
+        "freq",
+        F.concat(
+            F.lit("|"), F.array_join(F.split(F.col("tok"), ""), "||"), F.lit("|")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[DataFrame] = []
+    states: list[DataFrame] = [w]
+    for r in range(1, rounds + 1):
+        sy = w.select(
+            "freq",
+            F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|").alias("syms"),
+        )
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i + 1).alias("a"),
+                    F.element_at(F.col("syms"), i + 2).alias("b"),
+                ),
+            ),
+        )
+        pr = sy.select("freq", pair_arr.alias("pairs"))
+        ex = (
+            pr.select("freq", F.explode_outer("pairs").alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        cnt = ex.groupBy("a", "b").agg(F.sum("freq").cast("long").alias("cnt"))
+        best = (
+            cnt.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("merge_rank"), "a", "b", "cnt")
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        w = (
+            w.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "tok",
+                "freq",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        states.append(w)
+    return merges, states
+
+
+def bpe_compression(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer compression curve: total corpus token count after
+    each BPE merge round (round 0 = characters) and the cumulative
+    compression ratio — the fertility/compression diagnostic every
+    tokenizer-training run plots to pick its vocab size (Sennrich et
+    al. 2016 report exactly this curve; modern pipelines gate vocab
+    growth on its flattening).
+
+    Per-word symbol count is derived from the delimited string
+    arithmetically — n_syms = (len(s) − len(strip '|')) / 2, exact
+    integers — and corpus totals are freq-weighted BIGINT sums, so
+    the curve is integer-exact; only the final ratio divides.
+
+    Output: (round, total_symbols, compression_ratio) — rounds+1
+    rows, ratio = chars/total on a 6-dp grid."""
+    _merges, states = _bpe_loop(docs, rounds, text_col)
+    n_syms = F.expr("(length(s) - length(replace(s, '|', ''))) div 2")
+    per_round = [
+        st.agg(
+            F.sum(F.col("freq") * n_syms).cast("long").alias("total_symbols")
+        ).select(F.lit(r).cast("long").alias("round"), "total_symbols")
+        for r, st in enumerate(states)
+    ]
+    out = per_round[0]
+    for p in per_round[1:]:
+        out = out.unionByName(p)
+    base = out.filter(F.col("round") == 0).select(
+        F.col("total_symbols").alias("chars")
+    )
+    return out.crossJoin(F.broadcast(base)).select(
+        "round",
+        "total_symbols",
+        F.round(F.col("chars") / F.col("total_symbols"), 6).alias(
+            "compression_ratio"
+        ),
+    )

@@ -9498,6 +9498,340 @@ def q_emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mahalanobis_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "curation_blocklist_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+    hits AS (SELECT doc_id, source, t.tok
+             FROM toks, unnest(toks.toks) AS t(tok)
+             WHERE t.tok IN ('bad', 'crash', 'dup'))
+    SELECT doc_id, source,
+           count(*)::BIGINT AS n_blocked_tokens,
+           count(DISTINCT tok)::BIGINT AS n_distinct_blocked,
+           string_agg(DISTINCT tok, ',' ORDER BY tok) AS blocked_csv
+    FROM hits GROUP BY 1, 2
+    """,
+    ops=["EXT-curation", "P1", "F1", "G2"],
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2): flag docs
+    whose normalized tokens hit the blocklist, with the matched-word
+    audit trail. Membership is a literal-array filter inside one
+    map-only pass — no join, no shuffle before the final row set
+    (operators/curation.blocklist_filter)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    return blocklist_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sim_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id % 100 = 7),
+    cand AS (SELECT q.query_id, e.vec_id,
+                    round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')},
+                          6) AS cos_sim
+             FROM embeddings e JOIN q ON e.label != q.qlabel),
+    rk AS (SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+           FROM cand)
+    SELECT query_id, vec_id AS neighbor_id, rn::BIGINT AS rank, cos_sim
+    FROM rk WHERE rn <= 5
+    """,
+    ops=["EXT-simsearch", "EXT-curation", "J3", "O3", "W2"],
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor in
+    the deterministic ~1% sample, the top-5 most-similar vectors with
+    a DIFFERENT label — broadcast anchors, label-mismatch join
+    predicate, 6-dp-rounded cosine ranking
+    (operators/similarity.hard_negatives)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+def _bpe_ctes(rounds: int, last_w: bool) -> list[str]:
+    """Shared unrolled-BPE CTE chain: per round, adjacent-pair counts
+    over the delimited symbol strings, top-1 with lexicographic
+    tiebreak, greedy replace. Round CTEs are MATERIALIZED — DuckDB
+    inlines plain CTEs and each w{r} references w{r-1} once per pair
+    column, so the chain would otherwise re-derive the whole corpus
+    vocabulary O(3^rounds) times (the k-core lesson). ``last_w``
+    materializes w{rounds} too (the compression curve reads it; the
+    merge list doesn't need it)."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT tok, count(*)::BIGINT AS freq,
+             '|' || array_to_string(string_split(tok, ''), '||') || '|' AS s
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+      GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""pairs{r} AS (
+      SELECT freq, syms[i] AS a, syms[i + 1] AS b
+      FROM (SELECT freq, string_split(trim(s, '|'), '||') AS syms FROM w{r - 1}),
+           unnest(range(1, len(syms))) AS t(i))"""
+        )
+        ctes.append(
+            f"""best{r} AS MATERIALIZED (
+      SELECT {r}::BIGINT AS merge_rank, a, b, sum(freq)::BIGINT AS cnt
+      FROM pairs{r} GROUP BY 2, 3 ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        if r < rounds or last_w:
+            ctes.append(
+                f"""w{r} AS MATERIALIZED (
+      SELECT tok, freq,
+             replace(s, '|' || best{r}.a || '||' || best{r}.b || '|',
+                     '|' || best{r}.a || best{r}.b || '|') AS s
+      FROM w{r - 1}, best{r})"""
+            )
+    return ctes
+
+
+def _bpe_sql(rounds: int = 4) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(rounds, last_w=False))
+        + f"""
+    SELECT merge_rank, a AS sym_a, b AS sym_b, cnt AS pair_count
+    FROM ({union})"""
+    )
+
+
+def _bpe_compression_sql(rounds: int = 4) -> str:
+    per_round = " UNION ALL ".join(
+        f"""SELECT {r}::BIGINT AS round,
+               sum(freq * ((length(s) - length(replace(s, '|', ''))) // 2))::BIGINT
+                 AS total_symbols
+        FROM w{r}"""
+        for r in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(rounds, last_w=True))
+        + f""",
+    stats AS ({per_round}),
+    base AS (SELECT total_symbols AS chars FROM stats WHERE round = 0)
+    SELECT round, total_symbols,
+           round(chars::DOUBLE / total_symbols, 6) AS compression_ratio
+    FROM stats, base"""
+    )
+
+
+@register(
+    "text_bpe_merges",
+    _bpe_sql(4),
+    ops=["EXT-tokens", "EXT-curation", "G2", "O3", "X2"],
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges learned from the corpus vocabulary (Sennrich
+    et al. 2016): per round, frequency-weighted adjacent-symbol pair
+    counts, lexicographic-tiebreak top-1, greedy delimited-string
+    replace; loop state is the vocab table, lineage pinned per round
+    (operators/textanalysis.bpe_merges)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        bpe_merges,
+    )
+
+    return bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_compression",
+    _bpe_compression_sql(4),
+    ops=["EXT-tokens", "EXT-curation", "G2"],
+)
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression curve over the 4 learned BPE merges:
+    integer-exact corpus symbol totals per round (n_syms derived
+    arithmetically from the delimited string) and the cumulative
+    chars-per-token ratio (operators/textanalysis.bpe_compression)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        bpe_compression,
+    )
+
+    return bpe_compression(_t(spark, sf_dir, "documents"))
+
+
+def _logreg_sql(steps: int = 6) -> str:
+    """Unrolled full-batch logistic-GD oracle: per step one sigmoid
+    scan + decimal-summed gradient + 9-dp weight update. Step CTEs
+    MATERIALIZED (each wt{t} is referenced 4x by wt{t+1}'s columns —
+    plain CTEs would re-derive the chain exponentially)."""
+    ctes = [
+        f"""feats AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             len(toks)::DOUBLE / 100.0 AS x1,
+             len(list_filter(toks, t -> t IN ('a', 'the')))::DOUBLE
+               / len(toks)::DOUBLE AS x2,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / len(toks)::DOUBLE / 10.0 AS x3
+      FROM (SELECT lang, string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents))""",
+        "wt0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)",
+    ]
+    for t in range(1, steps + 1):
+        grads = ", ".join(
+            f"sum(round((p - y) * x{k}, 9)::DECIMAL(28,9)) AS g{k}"
+            for k in range(4)
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT {grads}, count(*)::DOUBLE AS n
+      FROM (SELECT y, x0, x1, x2, x3,
+                   1.0 / (1.0 + exp(-round(x0 * a0 + x1 * a1 + x2 * a2
+                                           + x3 * a3, 9))) AS p
+            FROM feats, wt{t - 1}))"""
+        )
+        ws = ", ".join(
+            f"round(a{k} - 1.0 * g{k}::DOUBLE / n, 9) AS a{k}" for k in range(4)
+        )
+        ctes.append(
+            f"wt{t} AS MATERIALIZED (SELECT {ws} FROM wt{t - 1}, s{t})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT 'x{k}' AS feature, a{k} AS weight FROM wt{steps}"
+        for k in range(4)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+
+
+@register(
+    "curation_quality_logreg",
+    _logreg_sql(6),
+    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
+)
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality classifier trained in-engine: 6 steps of
+    full-batch logistic gradient descent on (bias, token count,
+    stopword ratio, mean word length) with label lang='en' — weight
+    vector as a 1-row broadcast, one combiner aggregation per step,
+    9-dp-grid trajectory bit-identical to the unrolled oracle
+    (operators/curation.quality_logreg)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        quality_logreg,
+    )
+
+    return quality_logreg(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_doremi_weights",
+    f"""
+    WITH tf AS (
+      SELECT source, tok, count(*)::BIGINT AS cnt
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    cw AS (SELECT tok, sum(cnt)::BIGINT AS cw FROM tf GROUP BY 1),
+    ns AS (SELECT source, sum(cnt)::BIGINT AS n_s FROM tf GROUP BY 1),
+    nn AS (SELECT sum(cnt)::BIGINT AS n FROM tf),
+    sc AS (
+      SELECT tf.source, min(ns.n_s) AS n_s,
+             sum(round(cnt * -ln(cw.cw::DOUBLE / nn.n), 9)::DECIMAL(28,9))
+               AS s_corpus,
+             sum(round(cnt * -ln(cnt::DOUBLE / ns.n_s), 9)::DECIMAL(28,9))
+               AS s_own
+      FROM tf JOIN cw USING (tok) JOIN ns USING (source), nn
+      GROUP BY 1),
+    ex AS (SELECT source,
+                  (s_corpus - s_own)::DOUBLE / n_s AS excess
+           FROM sc),
+    wr AS (SELECT source, excess, exp(excess) AS w_raw FROM ex),
+    nrm AS (SELECT sum(round(w_raw, 9)::DECIMAL(28,9))::DOUBLE AS norm
+            FROM wr)
+    SELECT source, round(excess, 9) AS excess_kl,
+           round(w_raw / nrm.norm, 6) AS weight
+    FROM wr, nrm
+    """,
+    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. 2023 with unigram
+    proxy/reference LMs — per-domain excess loss = KL(p_d || p_corpus)
+    in nats): exp-excess softmax over domains, decimal-summed
+    cross-entropies, 1-row total/normalizer broadcasts
+    (operators/curation.doremi_weights)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        doremi_weights,
+    )
+
+    return doremi_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_lsh_s_curve",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    dfq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
+    pr AS (SELECT f.doc_id, f.shingle FROM sh_set f JOIN dfq USING (shingle)
+           WHERE df <= 50),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pr a JOIN pr b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY 1),
+    inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh_set x ON x.doc_id = p.id_a
+              JOIN sh_set y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    jac AS (SELECT i.id_a, i.id_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
+             FROM bands a JOIN bands b ON a.band = b.band
+                                      AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id),
+    fl AS (SELECT least(floor(j.jac * 10), 9)::BIGINT AS bucket,
+                  coalesce(c.is_cand, 0) AS is_cand
+           FROM jac j LEFT JOIN cand c USING (id_a, id_b)),
+    agg AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
+                   sum(is_cand)::BIGINT AS n_candidates
+            FROM fl GROUP BY 1)
+    SELECT bucket, n_pairs, n_candidates,
+           round(n_candidates / n_pairs, 6) AS observed_rate,
+           round(1.0 - ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                               * ((bucket::DOUBLE + 0.5) / 10.0))
+                        * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                 * ((bucket::DOUBLE + 0.5) / 10.0)))
+                       * ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                 * ((bucket::DOUBLE + 0.5) / 10.0))
+                          * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                   * ((bucket::DOUBLE + 0.5) / 10.0))),
+                 6) AS theoretical_rate
+    FROM agg
+    """,
+    ops=["EXT-minhash", "EXT-jaccard", "EXT-quality", "G2", "J2"],
+)
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash-banding S-curve audit (MMDS ch. 3): observed
+    candidate rate per true-Jaccard decile vs the 1−(1−J²)⁴ theory at
+    bucket midpoints — truth pairs from the df-capped inverted index,
+    exact Jaccard over the staged shingle sets, candidates from the
+    production banding (operators/dedup.lsh_s_curve)."""
+    from openrouter_batch_processor_spark.operators.dedup import lsh_s_curve
+
+    return lsh_s_curve(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

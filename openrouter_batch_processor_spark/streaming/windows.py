@@ -309,10 +309,11 @@ def winnow_decontaminate_stream(
     """Streaming benchmark decontamination by winnowing fingerprints
     (the GPT-3 n-gram contamination check upgraded to the Schleimer
     local-guarantee sketch, running IN FLIGHT): arriving documents are
-    sketched with the pure-array winnowing column (dedup.
-    winnow_keys_col — no window function, so it is legal and
-    shuffle-free on a stream), fingerprints explode, and a
-    STREAM-STATIC semi join against the benchmark's fingerprint index
+    sketched with the pure-array winnowing form (dedup.
+    winnow_keys_long — no window function, so it is legal on a
+    stream; gram array staged under the explode_outer Generate so each
+    gram hashes once and no size()>0 filter re-inlines the chain), and
+    a STREAM-STATIC semi join against the benchmark's fingerprint index
     keeps only contaminated (doc, fp) pairs. Stream-static joins are
     stateless — state is O(0), the static side broadcasts — so this
     gate runs at ingest rate at any corpus size; any shared
@@ -322,19 +323,27 @@ def winnow_decontaminate_stream(
     append-mode; the consumer rolls up per doc."""
     from openrouter_batch_processor_spark.operators.dedup import (
         _WINNOW_POSCAP,
-        winnow_keys_col,
+        winnow_keys_long,
     )
 
     from openrouter_batch_processor_spark.functions.hashing import normalize_text
 
-    toked = docs.filter(F.col("source") != bench_source).select(
-        "doc_id",
-        "source",
-        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+    # Explicit round-robin spread: the file source hands one task per
+    # arriving file, and the winnowing chain is the most expensive
+    # per-row expression in the repo — without this a single-file
+    # micro-batch sketches its whole batch on ONE core (measured 8x on
+    # local[32]). Stateless narrow-ish shuffle, legal on streams.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toked = (
+        docs.filter(F.col("source") != bench_source)
+        .repartition(par)
+        .select(
+            "doc_id",
+            "source",
+            F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        )
     )
-    sel = toked.select(
-        "doc_id", "source", F.explode(winnow_keys_col(F.col("toks"))).alias("key")
-    ).select(
+    sel = winnow_keys_long(toked).select(
         "doc_id",
         "source",
         F.expr(f"key div {_WINNOW_POSCAP}").cast("long").alias("fp"),

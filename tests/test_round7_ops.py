@@ -1,0 +1,195 @@
+"""Round-7 operators: C4 blocklist gate, BPE merge learning,
+in-engine logistic regression, hard-negative mining.
+
+Each test pins the operator against a hand-computed or pure-Python
+reference on a corpus small enough to verify by eye — the registry
+oracle covers the cross-engine contract, these cover the semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from openrouter_batch_processor_spark.session import get_spark
+
+    return get_spark("test_round7_ops")
+
+
+class TestBlocklistFilter:
+    def test_flags_and_counts(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "clean text only here", "s1"),
+                (2, "a dup in the middle", "s1"),
+                (3, "dup dup crash Dup", "s2"),  # case-normalized
+                (4, "BAD start", "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_blocked_tokens"],
+                r["n_distinct_blocked"],
+                r["blocked_csv"],
+            )
+            for r in blocklist_filter(docs).collect()
+        }
+        assert 1 not in got
+        assert got[2] == (1, 1, "dup")
+        assert got[3] == (4, 2, "crash,dup")  # 'Dup' lowercased
+        assert got[4] == (1, 1, "bad")
+
+
+class TestBpeMerges:
+    def test_known_trajectory(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            bpe_merges,
+        )
+
+        # corpus: 'abab' x3, 'ab' x2, 'ba' x1 (as repeated tokens)
+        text = " ".join(["abab"] * 3 + ["ab"] * 2 + ["ba"])
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {
+            r["merge_rank"]: (r["sym_a"], r["sym_b"], r["pair_count"])
+            for r in bpe_merges(docs, rounds=2).collect()
+        }
+        # round 1 pairs: abab:(a,b)x2,(b,a)x1 each x3; ab:(a,b)x2; ba:(b,a)x1
+        # (a,b)=3*2+2=8, (b,a)=3+1=4 -> merge (a,b)
+        assert got[1] == ("a", "b", 8)
+        # round 2: abab='ab ab' -> (ab,ab)x3; ab='ab'; ba='b a' -> (b,a)x1
+        assert got[2] == ("ab", "ab", 3)
+
+    def test_adjacent_occurrences_both_merge(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            bpe_merges,
+        )
+
+        # 'aaaa': round-1 pairs (a,a)x3 -> merge -> greedy left-to-right
+        # gives 'aa aa' (both pairs merged), so round 2 sees (aa,aa)
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa")], "doc_id long, text string"
+        )
+        got = {
+            r["merge_rank"]: (r["sym_a"], r["sym_b"], r["pair_count"])
+            for r in bpe_merges(docs, rounds=2).collect()
+        }
+        assert got[1] == ("a", "a", 6)
+        assert got[2] == ("aa", "aa", 2)
+
+
+def _py_logreg(rows: list[tuple[float, list[float]]], steps: int) -> list[float]:
+    """Pure-Python mirror of quality_logreg's 9-dp-grid trajectory."""
+    w = [0.0] * 4
+    for _ in range(steps):
+        g = [0.0] * 4  # float sum stands in for the decimal sum (few rows)
+        n = float(len(rows))
+        for y, x in rows:
+            z = round(sum(x[j] * w[j] for j in range(4)), 9)
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j in range(4):
+                g[j] += round((p - y) * x[j], 9)
+        w = [round(w[j] - 1.0 * g[j] / n, 9) for j in range(4)]
+    return w
+
+
+class TestQualityLogreg:
+    def test_matches_python_reference(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            quality_logreg,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox", "en"),
+                (2, "a b c d e f", "en"),
+                (3, "uno dos tres cuatro cinco", "es"),
+                (4, "ein zwei drei", "de"),
+                (5, "the a the a the", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["feature"]: r["weight"]
+            for r in quality_logreg(docs, steps=3).collect()
+        }
+
+        def feats(text: str, lang: str) -> tuple[float, list[float]]:
+            toks = text.split()
+            n = float(len(toks))
+            stop = float(sum(1 for t in toks if t in ("a", "the")))
+            sl = float(sum(len(t) for t in toks))
+            return (
+                1.0 if lang == "en" else 0.0,
+                [1.0, n / 100.0, stop / n, sl / n / 10.0],
+            )
+
+        rows = [
+            feats(t, lg)
+            for t, lg in [
+                ("the quick brown fox", "en"),
+                ("a b c d e f", "en"),
+                ("uno dos tres cuatro cinco", "es"),
+                ("ein zwei drei", "de"),
+                ("the a the a the", "en"),
+            ]
+        ]
+        want = _py_logreg(rows, steps=3)
+        for j in range(4):
+            assert got[f"x{j}"] == pytest.approx(want[j], abs=2e-9), (
+                f"x{j}: {got[f'x{j}']} vs {want[j]}"
+            )
+
+    def test_separates_on_stopword_feature(self, spark):
+        # en docs are stopword-heavy here; the x2 weight must go
+        # positive and the model must rank an en-like doc above a
+        # non-en-like one
+        from openrouter_batch_processor_spark.operators.curation import (
+            quality_logreg,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the a the word", "en") for i in range(10)]
+            + [(100 + i, "uno dos tres cuatro", "es") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["feature"]: r["weight"] for r in quality_logreg(docs).collect()
+        }
+        assert got["x2"] > 0.0
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        from openrouter_batch_processor_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        # anchor id=7 (7 % 100 == 7), label 0; candidates labels 0/1
+        rows = [
+            (7, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),      # same label: excluded despite cos=1
+            (2, [0.9, 0.1], 1),      # closest different-label
+            (3, [0.0, 1.0], 1),
+            (4, [0.5, 0.5], 1),
+            (5, [1.0, 0.1], 0),      # same label: excluded
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        got = hard_negatives(emb, k=3).orderBy("rank").collect()
+        assert [r["query_id"] for r in got] == [7, 7, 7]
+        ids = [r["neighbor_id"] for r in got]
+        assert ids[0] == 2          # hardest negative first
+        assert set(ids).isdisjoint({1, 5, 7})
+        sims = [r["cos_sim"] for r in got]
+        assert sims == sorted(sims, reverse=True)

@@ -212,3 +212,41 @@ class TestArrayFormulationEquivalence:
             (i, pos, h) for i, text in rows for (pos, h) in _reference_winnow(text)
         }
         assert got == expected
+
+    def test_long_form_equals_single_column_form(self, spark):
+        # winnow_keys_long (the production staged-Generate form — each
+        # gram hashed once, no inferred size()>0 filter) must emit
+        # exactly the exploded key multiset of winnow_keys_col on
+        # every doc, with short docs absent (their array is empty).
+        import pyspark.sql.functions as F
+
+        from openrouter_batch_processor_spark.operators.dedup import (
+            winnow_keys_col,
+            winnow_keys_long,
+        )
+        from openrouter_batch_processor_spark.functions.hashing import (
+            normalize_text,
+        )
+
+        rows = DOCS + [
+            (101, "w1 w2 w1 w2 w1 w2 w1 w2 w1"),
+            (102, "a b c d e f g"),
+            (103, "too short"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        toked = docs.select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("toks")
+        )
+        long_form = sorted(
+            (r["doc_id"], r["key"])
+            for r in winnow_keys_long(toked).collect()
+        )
+        one_col = sorted(
+            (r["doc_id"], k)
+            for r in toked.select(
+                "doc_id", winnow_keys_col(F.col("toks")).alias("ks")
+            ).collect()
+            for k in r["ks"]
+        )
+        assert long_form == one_col
+        assert 103 not in {d for d, _ in long_form}  # short doc dropped

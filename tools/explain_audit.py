@@ -338,6 +338,23 @@ BRUTE_FORCE_OK = {
     # cramers v: the R×C margin grid cross join (both sides dimension-
     # sized contingency margins) + 1-row totals broadcast
     "audit_cramers_v",
+    # r07 — bounded broadcasts only:
+    # bpe: 1-row best-pair broadcast crossJoin per merge round onto
+    # the vocab table (the loop applies one rule corpus-vocab-wide)
+    "text_bpe_merges",
+    # logreg: 1-row weight-vector broadcast per GD step (feature table
+    # x 1-row w), plus the 1-row gradient x 1-row w update join
+    "curation_quality_logreg",
+    # hard negatives: the ~1%-anchor broadcast theta join (label !=) —
+    # identical contract to sim_ann_recall's exact arm; a production
+    # run swaps in the IVF candidate equi-join
+    "sim_hard_negatives",
+    # doremi: 1-row corpus-total and 1-row softmax-normalizer
+    # broadcasts; the vocabulary side joins equi on token
+    "curation_doremi_weights",
+    # bpe compression: 1-row round-0 baseline broadcast onto the
+    # (rounds+1)-row curve
+    "text_bpe_compression",
 }
 
 

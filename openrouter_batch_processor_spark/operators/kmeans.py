@@ -111,3 +111,95 @@ def kmeans_lite(
     return assigned.join(F.broadcast(sizes), "cluster_id").select(
         id_col, "cluster_id", "cluster_size"
     )
+
+
+def davies_bouldin(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality index (Davies & Bouldin 1979)
+    over the deterministic Lloyd clustering — the internal validity
+    score a pipeline uses to pick k or to reject a degenerate
+    clustering before SemDeDup/prototype pruning trusts the cells:
+    DB = mean_i max_{j != i} (S_i + S_j) / M_ij with S_i the mean
+    member-to-centroid distance and M_ij the centroid separation
+    (lower = tighter, better-separated clusters).
+
+    Float discipline: distances reuse the clustering's round-6
+    squared-L2 convention (sqrt'd, clamped at 0 against fp negatives);
+    S_i is a 9-dp decimal sum over members / n; R_ij and the max are
+    pure double ops on those deterministic values; the final index is
+    a 9-dp decimal mean over k rows.
+
+    Scale: S_i is one combiner groupBy over the corpus (k groups);
+    everything after operates on k-row / k²-row centroid tables —
+    broadcast-sized by construction. Output: one row per cluster
+    (cluster_id, cluster_size, s_intra, r_max, db_index)."""
+    from pyspark.sql.window import Window
+
+    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    cents = (
+        staged.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
+            F.col("vd").alias("cvec"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(staged, cents, id_col)
+        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+
+    vd, cv = F.col("vd"), F.col("cvec")
+    d2 = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)
+    member = (
+        assigned.join(staged, id_col)
+        .join(F.broadcast(cents), "cluster_id")
+        .select("cluster_id", F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"))
+    )
+    s = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        (
+            F.sum(F.round(F.col("dist"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s_intra"),
+    )
+    ca = cents.select(F.col("cluster_id").alias("ca"), F.col("cvec").alias("va"))
+    cb = cents.select(F.col("cluster_id").alias("cb"), F.col("cvec").alias("vb"))
+    va, vb = F.col("va"), F.col("vb")
+    m2 = F.round(_dot(va, va) - 2 * _dot(va, vb) + _dot(vb, vb), 6)
+    m = (
+        ca.join(F.broadcast(cb), F.col("ca") != F.col("cb"))
+        .select("ca", "cb", F.sqrt(F.greatest(m2, F.lit(0.0))).alias("mij"))
+    )
+    r = (
+        m.join(
+            F.broadcast(s.select(F.col("cluster_id").alias("ca"),
+                                 F.col("s_intra").alias("sa"))), "ca")
+        .join(
+            F.broadcast(s.select(F.col("cluster_id").alias("cb"),
+                                 F.col("s_intra").alias("sb"))), "cb")
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.max((F.col("sa") + F.col("sb")) / F.col("mij")).alias("r_max"))
+    )
+    db = r.agg(
+        (
+            F.sum(F.round(F.col("r_max"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dbi")
+    )
+    return (
+        s.join(r, "cluster_id")
+        .crossJoin(F.broadcast(db))
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.round(F.col("s_intra"), 6).alias("s_intra"),
+            F.round(F.col("r_max"), 6).alias("r_max"),
+            F.round(F.col("dbi"), 6).alias("db_index"),
+        )
+    )

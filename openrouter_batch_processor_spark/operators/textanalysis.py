@@ -2273,3 +2273,85 @@ def bpe_compression(
             "compression_ratio"
         ),
     )
+
+
+RAKE_STOPWORDS = ("a", "the")
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    topk: int = 15,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    'Automatic Keyword Extraction from Individual Documents'):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores deg(w)/freq(w) where deg(w) sums the lengths of every
+    phrase containing w (co-occurrence degree) and freq(w) its
+    occurrence count; a phrase scores the sum of its word scores.
+    Corpus-level: phrases aggregate across documents and the top-k by
+    score surface as the corpus' characteristic multi-word terms.
+
+    Execution: phrase segmentation is ONE cumulative-count window per
+    doc (run id = stopwords seen so far), phrase assembly and the
+    word-score dimension are combiner groupBys, and the per-occurrence
+    score join hits the word dimension equi on token. Word scores are
+    double (deg/freq); per-phrase sums are 9-dp decimal — the
+    cross-engine contract. Top-k orders by (score DESC, phrase ASC) on
+    the decimal grid. Output: (phrase, n_words, n_occurrences,
+    score)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tk = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).withColumn("is_stop", F.col("tok").isin(*stopwords))
+    runw = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tk.withColumn(
+        "run_id", F.sum(F.col("is_stop").cast("int")).over(runw)
+    ).filter(~F.col("is_stop"))
+    wlen = Window.partitionBy(id_col, "run_id")
+    words = marked.withColumn("plen", F.count(F.lit(1)).over(wlen))
+    wdim = words.groupBy("tok").agg(
+        (
+            F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("wscore")
+    )
+    occ = (
+        words.join(wdim, "tok")
+        .groupBy(id_col, "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.round(F.col("wscore"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    agg = occ.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score").alias("score"),
+    )
+    return (
+        agg.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(topk)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("score"), 6).alias("score"),
+        )
+    )

@@ -9832,6 +9832,100 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_s_curve(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "audit_davies_bouldin",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_recompute_sql('a2', 'c2')},
+    d AS (SELECT a.cluster_id,
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.c)
+                       + list_dot_product(c.c, c.c), 6) AS d2
+          FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cluster_id),
+    s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+                 sum(round(sqrt(greatest(d2, 0.0)), 9)::DECIMAL(28,9))::DOUBLE
+                   / count(*) AS s_intra
+          FROM d GROUP BY 1),
+    m AS (SELECT ca.cid AS ca, cb.cid AS cb,
+                 sqrt(greatest(round(list_dot_product(ca.c, ca.c)
+                                     - 2 * list_dot_product(ca.c, cb.c)
+                                     + list_dot_product(cb.c, cb.c), 6),
+                               0.0)) AS mij
+          FROM c2 ca JOIN c2 cb ON ca.cid != cb.cid),
+    r AS (SELECT m.ca AS cluster_id,
+                 max((sa.s_intra + sb.s_intra) / m.mij) AS r_max
+          FROM m JOIN s sa ON sa.cluster_id = m.ca
+                 JOIN s sb ON sb.cluster_id = m.cb
+          GROUP BY 1),
+    db AS (SELECT sum(round(r_max, 9)::DECIMAL(28,9))::DOUBLE / count(*) AS dbi
+           FROM r)
+    SELECT s.cluster_id, s.cluster_size, round(s.s_intra, 6) AS s_intra,
+           round(r.r_max, 6) AS r_max, round(db.dbi, 6) AS db_index
+    FROM s JOIN r USING (cluster_id), db
+    """,
+    ops=["EXT-ivf", "EXT-quality", "EXT-simsearch", "G2", "J3"],
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin validity index over the deterministic k=8 Lloyd
+    clustering: per-cluster mean member-to-centroid distance, max
+    similarity ratio to any other cluster, and the corpus index —
+    centroid tables broadcast, one combiner pass over members
+    (operators/kmeans.davies_bouldin)."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        davies_bouldin,
+    )
+
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_rake_keyphrases",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok,
+             toks[u.i + 1] IN ('a', 'the') AS is_stop
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents),
+           unnest(range(0, len(toks))) AS u(i)),
+    runs AS (SELECT doc_id, pos, tok, is_stop,
+                    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+             FROM tk),
+    w AS (SELECT doc_id, run_id, pos, tok,
+                 count(*) OVER (PARTITION BY doc_id, run_id) AS plen
+          FROM runs WHERE NOT is_stop),
+    wdim AS (SELECT tok, sum(plen)::DOUBLE / count(*)::DOUBLE AS wscore
+             FROM w GROUP BY 1),
+    occ AS (SELECT doc_id, run_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   count(*)::BIGINT AS n_words,
+                   sum(round(wscore, 9)::DECIMAL(28,9))::DOUBLE AS score
+            FROM w JOIN wdim USING (tok) GROUP BY 1, 2),
+    agg AS (SELECT phrase, max(n_words) AS n_words,
+                   count(*)::BIGINT AS n_occurrences, max(score) AS score
+            FROM occ GROUP BY 1)
+    SELECT phrase, n_words, n_occurrences, round(score, 6) AS score
+    FROM agg ORDER BY score DESC, phrase LIMIT 15
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "W2", "O3"],
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): stopword-run
+    segmentation by one cumulative window per doc, deg/freq word
+    scores, decimal-summed phrase scores, corpus top-15
+    (operators/textanalysis.rake_keyphrases)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -193,3 +193,93 @@ class TestHardNegatives:
         assert set(ids).isdisjoint({1, 5, 7})
         sims = [r["cos_sim"] for r in got]
         assert sims == sorted(sims, reverse=True)
+
+
+class TestDaviesBouldin:
+    def test_two_obvious_clusters(self, spark):
+        from openrouter_batch_processor_spark.operators.kmeans import (
+            davies_bouldin,
+        )
+
+        # two tight, well-separated blobs -> low DB index; k=2
+        rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)] + [
+            (10 + i, [10.0 + 0.01 * i, 10.0]) for i in range(4)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = davies_bouldin(emb, k=2, iters=2).collect()
+        assert len(got) == 2
+        assert all(r["cluster_size"] == 4 for r in got)
+        assert all(r["db_index"] < 0.1 for r in got)
+        assert len({r["db_index"] for r in got}) == 1  # one corpus scalar
+
+
+class TestRakeKeyphrases:
+    def test_hand_computed_scores(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            rake_keyphrases,
+        )
+
+        # one doc: "deep learning the deep net" ->
+        # phrases: "deep learning" (len2), "deep net" (len2)
+        # freq: deep=2, learning=1, net=1; deg: deep=4, learning=2, net=2
+        # wscore: deep=2, learning=2, net=2; both phrases score 4.0
+        docs = spark.createDataFrame(
+            [(1, "deep learning the deep net")], "doc_id long, text string"
+        )
+        got = {r["phrase"]: r for r in rake_keyphrases(docs, topk=10).collect()}
+        assert set(got) == {"deep learning", "deep net"}
+        assert got["deep learning"]["score"] == pytest.approx(4.0)
+        assert got["deep net"]["score"] == pytest.approx(4.0)
+        assert got["deep net"]["n_words"] == 2
+
+    def test_cross_doc_aggregation(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            rake_keyphrases,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "red fox the red fox"), (2, "red fox")],
+            "doc_id long, text string",
+        )
+        got = {r["phrase"]: r for r in rake_keyphrases(docs, topk=10).collect()}
+        assert got["red fox"]["n_occurrences"] == 3
+
+
+class TestDoremiWeights:
+    def test_divergent_domain_upweighted(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            doremi_weights,
+        )
+
+        # srcA matches the corpus distribution, srcB is skewed ->
+        # KL(B || corpus) > KL(A || corpus) -> weight(B) > weight(A)
+        rows = (
+            [(i, "x y z w", "srcA") for i in range(8)]
+            + [(100 + i, "x x x x", "srcB") for i in range(2)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["source"]: r for r in doremi_weights(docs).collect()}
+        assert got["srcB"]["excess_kl"] > got["srcA"]["excess_kl"] >= 0.0
+        assert got["srcB"]["weight"] > got["srcA"]["weight"]
+        assert sum(r["weight"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestBpeCompression:
+    def test_curve_monotone_and_exact(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            bpe_compression,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abab abab ab")], "doc_id long, text string"
+        )
+        got = {r["round"]: r for r in bpe_compression(docs, rounds=2).collect()}
+        # round 0: vocab {abab: freq2(4 chars), ab: freq1(2 chars)} ->
+        # 2*4 + 1*2 = 10 symbols
+        assert got[0]["total_symbols"] == 10
+        # merge (a,b): abab -> 'ab ab' (2 syms), ab -> 1 sym -> 2*2+1 = 5
+        assert got[1]["total_symbols"] == 5
+        # merge (ab,ab): abab -> 1 sym -> 2*1+1 = 3
+        assert got[2]["total_symbols"] == 3
+        assert got[0]["compression_ratio"] == 1.0
+        assert got[2]["compression_ratio"] == pytest.approx(10 / 3, abs=1e-6)

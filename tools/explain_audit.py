@@ -355,6 +355,10 @@ BRUTE_FORCE_OK = {
     # bpe compression: 1-row round-0 baseline broadcast onto the
     # (rounds+1)-row curve
     "text_bpe_compression",
+    # davies-bouldin: the k-row centroid broadcast cross joins (cell
+    # assignment + k^2 separation grid) + 1-row index broadcast —
+    # same bounded shapes as kmeans_lite_clusters
+    "audit_davies_bouldin",
 }
 
 

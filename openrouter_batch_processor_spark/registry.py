@@ -10071,6 +10071,60 @@ def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_proj_sql() -> str:
+    """The 16 JL projection components as literal-weight folds —
+    identical fold order to Spark's aggregate(zip_with(...)) (the
+    rp_signatures parity precedent)."""
+    comps = []
+    for row in rp_weights():
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        comps.append(
+            f"list_reduce(list_transform(range(1, 65), i -> ({lit})[i] * v[i]),"
+            " (a, b) -> a + b)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+@register(
+    "audit_jl_distortion",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 20 = 3),
+    proj AS (SELECT vec_id, v, {_jl_proj_sql()} AS y FROM e),
+    pairs AS (SELECT a.v AS va, b.v AS vb, a.y AS ya, b.y AS yb
+              FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
+    d AS (SELECT
+            list_reduce(list_transform(range(1, 65),
+                                        i -> (va[i] - vb[i]) * (va[i] - vb[i])),
+                        (a, b) -> a + b) AS dv2,
+            list_reduce(list_transform(range(1, 17),
+                                        i -> (ya[i] - yb[i]) * (ya[i] - yb[i])),
+                        (a, b) -> a + b) AS dy2
+          FROM pairs),
+    r AS (SELECT round(3.0 * dy2 / (16.0 * dv2), 6) AS ratio
+          FROM d WHERE dv2 > 0),
+    mean AS (SELECT sum(round(ratio, 9)::DECIMAL(28,9))::DOUBLE / count(*)
+               AS mean_ratio FROM r)
+    SELECT least(floor(ratio * 10), 19)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_pairs,
+           round(mean.mean_ratio, 6) AS mean_ratio
+    FROM r, mean GROUP BY 1, 3
+    """,
+    ops=["EXT-simsearch", "EXT-quality", "EXT-recall", "G2"],
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the 64→16 rp_weights
+    projection: projected/original squared-distance ratio histogram
+    over the ~5% sample pairs, 3/k-normalized for the [-1,1)-uniform
+    entries — validates running the RP family on projected vectors
+    (operators/similarity.jl_distortion)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        jl_distortion,
+    )
+
+    return jl_distortion(_t(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

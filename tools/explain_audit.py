@@ -359,6 +359,10 @@ BRUTE_FORCE_OK = {
     # assignment + k^2 separation grid) + 1-row index broadcast —
     # same bounded shapes as kmeans_lite_clusters
     "audit_davies_bouldin",
+    # jl distortion: the ~5%-sample pair cross join is the audit's
+    # labeled cost (sample x sample, never the corpus) + 1-row mean
+    # broadcast — same contract as sim_ann_recall's truth stage
+    "audit_jl_distortion",
 }
 
 

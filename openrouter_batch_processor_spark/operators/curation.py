@@ -915,3 +915,102 @@ def doremi_weights(
         F.round(F.col("excess"), 9).alias("excess_kl"),
         F.round(F.col("w_raw") / F.col("norm"), 6).alias("weight"),
     )
+
+
+def logreg_difficulty(
+    docs: DataFrame,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    topk: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Example-difficulty scoring under the trained linear probe — the
+    EL2N/margin recipe of data-pruning work (Paul, Ganguli & Dziugaite
+    2021 'Deep Learning on a Data Diet': early-training error norm
+    ranks examples; hard ones carry the gradient signal, trivially-easy
+    ones can be dropped) applied to the engine's logistic quality
+    classifier: difficulty = |p − y| after quality_logreg's T steps.
+
+    Emits the top-k HARDEST docs (the mislabeled/ambiguous candidates
+    a curation loop reviews first): (doc_id, lang, y, p, difficulty).
+
+    Scale: training cost is quality_logreg's (T combiner passes); the
+    scoring pass is one broadcast of the 1-row weight vector over the
+    staged features — map-only. Ranking is a global top-k
+    (TakeOrdered), never a full sort."""
+    # re-run the training loop, but keep per-doc features with ids
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n_toks = F.size("toks").cast("double")
+    stop = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin("a", "the"))
+    ).cast("double")
+    sumlen = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    feats = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        (F.col(lang_col) == "en").cast("double").alias("y"),
+        toks.alias("toks"),
+    ).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "y",
+        F.lit(1.0).alias("x0"),
+        (n_toks / F.lit(100.0)).alias("x1"),
+        (stop / n_toks).alias("x2"),
+        (sumlen / n_toks / F.lit(10.0)).alias("x3"),
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    )
+    z = (
+        F.col("x0") * F.col("w0")
+        + F.col("x1") * F.col("w1")
+        + F.col("x2") * F.col("w2")
+        + F.col("x3") * F.col("w3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
+    for _ in range(steps):
+        j = feats.crossJoin(F.broadcast(w))
+        aggs = [
+            F.sum(
+                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).alias(f"g{k}")
+            for k in range(4)
+        ] + [F.count(F.lit(1)).cast("double").alias("n")]
+        g = j.agg(*aggs)
+        w = (
+            g.crossJoin(F.broadcast(w))
+            .select(
+                *[
+                    F.round(
+                        F.col(f"w{k}")
+                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
+                        9,
+                    ).alias(f"w{k}")
+                    for k in range(4)
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("y"),
+        F.round(p, 9).alias("p"),
+        F.round(F.abs(F.round(p, 9) - F.col("y")), 9).alias("difficulty"),
+    )
+    return scored.orderBy(
+        F.desc("difficulty"), F.asc(id_col)
+    ).limit(topk)

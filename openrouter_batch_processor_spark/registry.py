@@ -9667,21 +9667,24 @@ def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_compression(_t(spark, sf_dir, "documents"))
 
 
-def _logreg_sql(steps: int = 6) -> str:
+def _logreg_ctes(steps: int = 6, with_ids: bool = False) -> list[str]:
     """Unrolled full-batch logistic-GD oracle: per step one sigmoid
     scan + decimal-summed gradient + 9-dp weight update. Step CTEs
     MATERIALIZED (each wt{t} is referenced 4x by wt{t+1}'s columns —
-    plain CTEs would re-derive the chain exponentially)."""
+    plain CTEs would re-derive the chain exponentially). ``with_ids``
+    carries (doc_id, lang) through feats for per-doc scoring
+    consumers."""
+    idc = "doc_id, lang, " if with_ids else ""
     ctes = [
         f"""feats AS MATERIALIZED (
-      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      SELECT {idc}CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              1.0 AS x0,
              len(toks)::DOUBLE / 100.0 AS x1,
              len(list_filter(toks, t -> t IN ('a', 'the')))::DOUBLE
                / len(toks)::DOUBLE AS x2,
              list_sum(list_transform(toks, t -> length(t)))::DOUBLE
                / len(toks)::DOUBLE / 10.0 AS x3
-      FROM (SELECT lang, string_split({_NORM_SQL}, ' ') AS toks
+      FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
             FROM documents))""",
         "wt0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)",
     ]
@@ -9704,11 +9707,30 @@ def _logreg_sql(steps: int = 6) -> str:
         ctes.append(
             f"wt{t} AS MATERIALIZED (SELECT {ws} FROM wt{t - 1}, s{t})"
         )
+    return ctes
+
+
+def _logreg_sql(steps: int = 6) -> str:
     union = " UNION ALL ".join(
         f"SELECT 'x{k}' AS feature, a{k} AS weight FROM wt{steps}"
         for k in range(4)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+    return "WITH " + ",\n    ".join(_logreg_ctes(steps)) + f"\n    {union}"
+
+
+def _logreg_difficulty_sql(steps: int = 6, topk: int = 25) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_logreg_ctes(steps, with_ids=True))
+        + f""",
+    scored AS (
+      SELECT doc_id, lang, y,
+             round(1.0 / (1.0 + exp(-round(x0 * a0 + x1 * a1 + x2 * a2
+                                           + x3 * a3, 9))), 9) AS p
+      FROM feats, wt{steps})
+    SELECT doc_id, lang, y, p, round(abs(p - y), 9) AS difficulty
+    FROM scored ORDER BY round(abs(p - y), 9) DESC, doc_id LIMIT {topk}"""
+    )
 
 
 @register(
@@ -10123,6 +10145,25 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jl_distortion(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "curation_difficulty_topk",
+    _logreg_difficulty_sql(6, 25),
+    ops=["EXT-curation", "EXT-quality", "G2", "O3"],
+)
+def q_logreg_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-difficulty ranking under the trained linear probe
+    (EL2N/margin recipe, Paul et al. 2021): |p − y| after the 6-step
+    logistic GD, top-25 hardest docs — the mislabeled/ambiguous
+    review queue of a data-pruning loop; scoring is one weight-row
+    broadcast over the staged features
+    (operators/curation.logreg_difficulty)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        logreg_difficulty,
+    )
+
+    return logreg_difficulty(_t(spark, sf_dir, "documents"))
 
 
 # ===========================================================================

@@ -363,6 +363,9 @@ BRUTE_FORCE_OK = {
     # labeled cost (sample x sample, never the corpus) + 1-row mean
     # broadcast — same contract as sim_ann_recall's truth stage
     "audit_jl_distortion",
+    # difficulty ranking: the 1-row trained-weight broadcast over the
+    # staged features (the logreg scoring pass)
+    "curation_difficulty_topk",
 }
 
 

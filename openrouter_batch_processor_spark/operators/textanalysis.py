@@ -2355,3 +2355,71 @@ def rake_keyphrases(
             F.round(F.col("score"), 6).alias("score"),
         )
     )
+
+
+TOPP_TARGETS = (0.5, 0.9, 0.95, 0.99)
+
+
+def topp_vocab_coverage(
+    docs: DataFrame,
+    targets: tuple[float, ...] = TOPP_TARGETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Nucleus (top-p) vocabulary coverage curve — the tokenizer-design
+    statistic behind vocab-size selection (Holtzman et al. 2020's
+    nucleus over the corpus unigram distribution): for each coverage
+    target p, the minimum number of most-frequent types whose
+    cumulative frequency reaches p·N, and the coverage actually
+    achieved there. A heavy-tailed corpus shows n_types exploding
+    between 0.95 and 0.99 — the knee every vocab budget negotiates.
+
+    Execution: one counting groupBy, then ONE unpartitioned
+    row_number + running sum over the VOCAB (vocabulary-sized, the
+    audit_zipf_fit precedent — types, not tokens, cross the single
+    partition), then a 4-row target join taking min(rank) past each
+    threshold. Integer-exact: cumulative counts are BIGINT sums;
+    coverage re-divides once at the end. Output: (p_target, n_types,
+    coverage)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = tf.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.select(
+        "c",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+    )
+    tgt = None
+    spark = docs.sparkSession
+    for p in targets:
+        row = spark.range(1).select(F.lit(float(p)).alias("p_target"))
+        tgt = row if tgt is None else tgt.unionByName(row)
+    # min rank whose cumulative count reaches ceil(p * N) exactly:
+    # integer threshold = smallest integer >= p*N via decimal ceil
+    j = (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tgt))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("p_target") * F.col("n").cast("double")).cast("long")
+        )
+        .groupBy("p_target")
+        .agg(F.min("r").alias("n_types"))
+    )
+    return (
+        j.join(ranked.select(F.col("r").alias("n_types"), "cum"), "n_types")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_target",
+            "n_types",
+            F.round(F.col("cum") / F.col("n"), 6).alias("coverage"),
+        )
+    )

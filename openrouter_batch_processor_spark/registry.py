@@ -10166,6 +10166,45 @@ def q_logreg_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_difficulty(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_topp_vocab",
+    f"""
+    WITH tf AS (
+      SELECT term, count(*)::BIGINT AS c
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      GROUP BY 1),
+    nn AS (SELECT sum(c)::BIGINT AS n FROM tf),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, term)::BIGINT AS r,
+             sum(c) OVER (ORDER BY c DESC, term
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM tf),
+    tgt AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                           0.95::DOUBLE, 0.99::DOUBLE]) AS p_target),
+    j AS (SELECT p_target, min(r) AS n_types
+          FROM ranked, nn, tgt
+          WHERE cum >= ceil(p_target * nn.n::DOUBLE)::BIGINT
+          GROUP BY 1)
+    SELECT j.p_target, j.n_types, round(ranked.cum / nn.n, 6) AS coverage
+    FROM j JOIN ranked ON ranked.r = j.n_types, nn
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "W2", "O3"],
+)
+def q_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary coverage: minimum type count
+    reaching each coverage target over the corpus unigram
+    distribution — integer-exact running sums, one vocabulary-sized
+    global window (the zipf-fit precedent)
+    (operators/textanalysis.topp_vocab_coverage)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        topp_vocab_coverage,
+    )
+
+    return topp_vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -366,6 +366,9 @@ BRUTE_FORCE_OK = {
     # difficulty ranking: the 1-row trained-weight broadcast over the
     # staged features (the logreg scoring pass)
     "curation_difficulty_topk",
+    # top-p vocab: 1-row corpus-total and 4-row target broadcasts
+    # onto the vocabulary-sized ranked table
+    "text_topp_vocab",
 }
 
 

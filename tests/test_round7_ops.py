@@ -315,3 +315,92 @@ class TestPqTrain:
         }
         assert all(r["n_members"] == 3 for r in got)
         assert all(r["mse"] < 0.01 for r in got)
+
+
+class TestJlDistortion:
+    def test_identity_like_sample_concentrates(self, spark):
+        from openrouter_batch_processor_spark.operators.similarity import (
+            jl_distortion,
+        )
+
+        # deterministic vectors; ratios must be finite, positive, and
+        # the mean must sit near 1 (JL with 3/k normalization)
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(0, 200)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = jl_distortion(emb).collect()
+        assert got, "sample produced no pairs"
+        total = sum(r["n_pairs"] for r in got)
+        assert total == 45  # C(10,2) pairs from ids % 20 == 3
+        mean = got[0]["mean_ratio"]
+        assert 0.5 < mean < 1.5
+
+
+class TestToppVocab:
+    def test_hand_computed_curve(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            topp_vocab_coverage,
+        )
+
+        # freqs: a=5, b=3, c=1, d=1 (N=10); ranked a,b,c,d cum 5,8,9,10
+        docs = spark.createDataFrame(
+            [(1, "a a a a a b b b c d")], "doc_id long, text string"
+        )
+        got = {
+            r["p_target"]: (r["n_types"], r["coverage"])
+            for r in topp_vocab_coverage(docs).collect()
+        }
+        assert got[0.5] == (1, 0.5)    # a alone covers 5/10
+        assert got[0.9] == (3, 0.9)    # a,b,c cover 9/10
+        assert got[0.95] == (4, 1.0)   # need all four
+        assert got[0.99] == (4, 1.0)
+
+
+class TestLogregDifficulty:
+    def test_hardest_is_minority_pattern(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            logreg_difficulty,
+        )
+
+        # 19 stopword-heavy en docs + 1 en doc that LOOKS es (no
+        # stopwords) -> the atypical en doc must rank hardest
+        docs = spark.createDataFrame(
+            [(i, "the a the word here", "en") for i in range(19)]
+            + [(100, "uno dos tres cuatro", "en")]
+            + [(200 + i, "uno dos tres cuatro", "es") for i in range(20)],
+            "doc_id long, text string, lang string",
+        )
+        got = logreg_difficulty(docs, topk=5).collect()
+        assert got[0]["doc_id"] == 100
+        assert got[0]["difficulty"] >= got[-1]["difficulty"]
+
+
+class TestLshSCurve:
+    def test_buckets_and_rates_are_sane(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            lsh_s_curve,
+        )
+
+        # near-identical docs (high jaccard, should be candidates) +
+        # unrelated docs (low jaccard)
+        base = "w%d " * 30
+        docs = spark.createDataFrame(
+            [
+                (1, ("alpha beta gamma delta " * 8).strip()),
+                (2, ("alpha beta gamma delta " * 8).strip() + " tail"),
+                (3, (base % tuple(range(30))).strip()),
+                (4, (base % tuple(range(100, 130))).strip()),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["bucket"]: r for r in lsh_s_curve(docs).collect()}
+        assert got, "no truth pairs found"
+        hi = max(got)
+        assert got[hi]["observed_rate"] == 1.0  # near-dups are candidates
+        for r in got.values():
+            assert 0.0 <= r["observed_rate"] <= 1.0
+            assert 0.0 <= r["theoretical_rate"] <= 1.0

@@ -1911,3 +1911,65 @@ def jl_distortion(
         .crossJoin(F.broadcast(mean))
         .select("bucket", "n_pairs", F.round(F.col("mean_ratio"), 6).alias("mean_ratio"))
     )
+
+
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    bench_source: str = "src0",
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    companion to the n-gram/winnowing gates (paraphrased or translated
+    benchmark leakage shares no n-grams; it does share a neighborhood
+    in embedding space — the Phi/SemDeDup-era decontamination
+    argument): flag every corpus document whose best cosine against
+    the benchmark side reaches the threshold, with the witness.
+
+    Execution is the production IVF shape, not all-pairs: one shared
+    cell assignment over ALL vectors (broadcast C-row centroids), then
+    corpus×bench candidates ONLY within the same cell (equi-join on
+    centroid_id), exact cosine on candidates, per-doc argmax with
+    (cos DESC, bench id ASC) determinism. A paraphrase that lands in a
+    neighboring cell is the recall cost every IVF index trades — the
+    multiprobe variant widens it (same lever as sim_neardup_multiprobe).
+
+    Output: (doc_id, source, bench_id, cos_sim) — one row per flagged
+    doc."""
+    from pyspark.sql.window import Window
+
+    src = docs.select(F.col("doc_id").alias(id_col), "source")
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col).join(
+        src, id_col
+    )
+    staged = assigned.select(
+        id_col,
+        "source",
+        "centroid_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("_aa"),
+    )
+    bench = staged.filter(F.col("source") == bench_source).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("centroid_id"),
+        F.col("vd").alias("bv"),
+        F.col("_aa").alias("_bb"),
+    )
+    corp = staged.filter(F.col("source") != bench_source)
+    cos = F.round(
+        _dot(F.col("vd"), F.col("bv"))
+        / F.sqrt(F.col("_aa") * F.col("_bb")),
+        6,
+    )
+    cand = corp.join(bench, "centroid_id").select(
+        id_col, "source", "bench_id", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("bench_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos_sim") >= threshold))
+        .select(F.col(id_col).alias("doc_id"), "source", "bench_id", "cos_sim")
+    )

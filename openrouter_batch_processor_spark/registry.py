@@ -10205,6 +10205,57 @@ def q_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topp_vocab_coverage(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "sim_embedding_decontaminate",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, e.v)
+                              - 2 * list_dot_product(e.v, c.cvec)
+                              + list_dot_product(c.cvec, c.cvec), 6),
+                        c.centroid_id) AS rn
+      FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    j AS (SELECT a.vec_id, d.source, a.v, a.centroid_id
+          FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+    bench AS (SELECT vec_id AS bench_id, centroid_id, v AS bv
+              FROM j WHERE source = 'src0'),
+    corp AS (SELECT vec_id, source, centroid_id, v
+             FROM j WHERE source != 'src0'),
+    cand AS (SELECT c.vec_id, c.source, b.bench_id,
+                    round(list_dot_product(c.v, b.bv)
+                          / sqrt(list_dot_product(c.v, c.v)
+                                 * list_dot_product(b.bv, b.bv)),
+                          6) AS cos_sim
+             FROM corp c JOIN bench b USING (centroid_id)),
+    rk AS (SELECT vec_id, source, bench_id, cos_sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, bench_id) AS rn
+           FROM cand)
+    SELECT vec_id AS doc_id, source, bench_id, cos_sim
+    FROM rk WHERE rn = 1 AND cos_sim >= 0.4
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-dedup-policy", "J3", "O4"],
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: corpus docs whose best
+    IVF-cell-bucketed cosine against the src0 benchmark vectors
+    reaches 0.4, with the witness — the embedding-space companion to
+    the n-gram/winnowing gates for paraphrased leakage
+    (operators/similarity.embedding_decontaminate)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    return embedding_decontaminate(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

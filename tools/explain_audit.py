@@ -369,6 +369,10 @@ BRUTE_FORCE_OK = {
     # top-p vocab: 1-row corpus-total and 4-row target broadcasts
     # onto the vocabulary-sized ranked table
     "text_topp_vocab",
+    # embedding decontamination: the C-row centroid broadcast cross
+    # join (cell assignment, same bounded pass as dedup_semdedup);
+    # corpus x bench stays an equi-join on centroid_id
+    "sim_embedding_decontaminate",
 }
 
 

@@ -1383,3 +1383,34 @@ def softdedup_weights(
         size.alias("cluster_size"),
         F.round(F.lit(1.0) / size, 6).alias("weight"),
     )
+
+
+def winnow_clusters(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clone CLUSTERS from the winnowing sketch — MOSS's grouping
+    stage: transitive closure over the fingerprint-overlap pairs, so a
+    family of documents sharing >= k+w−1-token runs collapses to one
+    cluster even when no single pair connects them all directly. The
+    local-guarantee counterpart of dedup_clusters (whose MinHash
+    candidates are probabilistic): any surviving shared substring IS
+    in the sketch, so cluster membership here certifies overlap.
+
+    Pipeline: winnow_overlap_pairs (df-capped inverted index) →
+    connected_components (pointer-free min-label propagation, O(V)
+    state, lineage-pinned rounds). Output: (doc_id, cluster_id,
+    cluster_size) for clustered docs only."""
+    pairs = winnow_overlap_pairs(
+        docs, min_shared, max_df, id_col=id_col, text_col=text_col
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(F.broadcast(sizes), "cluster_id").select(
+        F.col("node").alias(id_col), "cluster_id", "cluster_size"
+    )

@@ -2423,3 +2423,68 @@ def topp_vocab_coverage(
             F.round(F.col("cum") / F.col("n"), 6).alias("coverage"),
         )
     )
+
+
+FW_ALPHA0 = 100.0
+
+
+def fightin_words(
+    docs: DataFrame,
+    topk: int = 5,
+    alpha0: float = FW_ALPHA0,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Log-odds with informative Dirichlet prior (Monroe, Colaresi &
+    Quinn 2008, 'Fightin' Words') — THE principled per-group keyness
+    statistic: for every (group, token), the z-scored log-odds of the
+    token in the group vs the rest of the corpus, with the corpus
+    distribution itself as the smoothing prior (raw log-odds overstate
+    rare words; prior mass α_w = α0·y_w/n shrinks exactly them).
+    Emits the top-k most characteristic tokens per group — the
+    per-language / per-domain signature vocabulary a curation review
+    reads first.
+
+    All arithmetic is per-row double over BIGINT counts (one fixed
+    expression order mirrored by the oracle); ranking is on the 6-dp z
+    grid with token tiebreak. One (group, token) combiner groupBy, a
+    token-keyed equi-join for corpus counts, a group-keyed equi-join
+    for group totals, 1-row corpus-total broadcast; the per-group
+    top-k is a window over group-local rows. Output: (group, token,
+    n_in_group, z_score)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("ylw"))
+    )
+    yw = tf.groupBy("tok").agg(F.sum("ylw").cast("long").alias("yw"))
+    nl = tf.groupBy("grp").agg(F.sum("ylw").cast("long").alias("nl"))
+    nn = tf.agg(F.sum("ylw").cast("long").alias("n"))
+    j = tf.join(yw, "tok").join(nl, "grp").crossJoin(F.broadcast(nn))
+    a0 = F.lit(alpha0)
+    aw = a0 * F.col("yw") / F.col("n")
+    ylw, ywc, nlc, n = F.col("ylw"), F.col("yw"), F.col("nl"), F.col("n")
+    yrest = ywc - ylw
+    nrest = n - nlc
+    d1 = F.log((ylw + aw) / (nlc + a0 - ylw - aw))
+    d2 = F.log((yrest + aw) / (nrest + a0 - yrest - aw))
+    z = (d1 - d2) / F.sqrt(
+        F.lit(1.0) / (ylw + aw) + F.lit(1.0) / (yrest + aw)
+    )
+    scored = j.select(
+        F.col("grp").alias(group_col),
+        F.col("tok").alias("token"),
+        ylw.alias("n_in_group"),
+        F.round(z, 6).alias("z_score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("z_score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )

@@ -10256,6 +10256,90 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_winnow_clusters",
+    f"""
+    WITH RECURSIVE {_WINNOW_SQL},
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+    pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp)
+           WHERE df <= 50),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+    sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM labels GROUP BY 1)
+    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+    FROM labels l JOIN sizes s USING (cluster_id)
+    """,
+    ops=["EXT-dedup", "EXT-dedup-policy", "X1", "J2", "G2"],
+)
+def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS grouping stage: transitive closure over the winnowing
+    fingerprint-overlap pairs — local-guarantee clone clusters
+    (certified shared runs, unlike the probabilistic MinHash
+    clusters); min-label propagation vs the oracle's recursive CTE
+    (operators/dedup.winnow_clusters)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        winnow_clusters,
+    )
+
+    return winnow_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fightin_words",
+    f"""
+    WITH tf AS (
+      SELECT lang AS grp, tok, count(*)::BIGINT AS ylw
+      FROM (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    yw AS (SELECT tok, sum(ylw)::BIGINT AS yw FROM tf GROUP BY 1),
+    nl AS (SELECT grp, sum(ylw)::BIGINT AS nl FROM tf GROUP BY 1),
+    nn AS (SELECT sum(ylw)::BIGINT AS n FROM tf),
+    sc AS (
+      SELECT grp AS lang, tok AS token, ylw AS n_in_group,
+             round(
+               (ln((ylw + 100.0 * yw.yw / nn.n)
+                   / (nl.nl + 100.0 - ylw - 100.0 * yw.yw / nn.n))
+                - ln(((yw.yw - ylw) + 100.0 * yw.yw / nn.n)
+                     / ((nn.n - nl.nl) + 100.0 - (yw.yw - ylw)
+                        - 100.0 * yw.yw / nn.n)))
+               / sqrt(1.0 / (ylw + 100.0 * yw.yw / nn.n)
+                      + 1.0 / ((yw.yw - ylw) + 100.0 * yw.yw / nn.n)),
+               6) AS z_score
+      FROM tf JOIN yw USING (tok) JOIN nl USING (grp), nn),
+    rk AS (SELECT lang, token, n_in_group, z_score,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY z_score DESC, token) AS rn
+           FROM sc)
+    SELECT lang, token, n_in_group, z_score FROM rk WHERE rn <= 5
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "J3", "O3", "W2"],
+)
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language signature vocabulary by log-odds with informative
+    Dirichlet prior (Monroe et al. 2008 'Fightin' Words'): z-scored
+    group-vs-rest log-odds with corpus-proportional prior mass, top-5
+    per language — the principled keyness statistic over raw TF-IDF
+    (operators/textanalysis.fightin_words)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        fightin_words,
+    )
+
+    return fightin_words(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -404,3 +404,74 @@ class TestLshSCurve:
         for r in got.values():
             assert 0.0 <= r["observed_rate"] <= 1.0
             assert 0.0 <= r["theoretical_rate"] <= 1.0
+
+
+class TestWinnowClusters:
+    def test_transitive_closure(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            winnow_clusters,
+        )
+
+        shared = " ".join(f"tok{i}" for i in range(24))  # >= 2 fingerprints
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " one two three"),
+                (2, shared + " four five six"),      # overlaps 1 via shared
+                (3, "totally different words here now okay fine yes"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in winnow_clusters(docs).collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+        assert got[1]["cluster_size"] == 2
+
+
+class TestFightinWords:
+    def test_group_exclusive_token_tops(self, spark):
+        from openrouter_batch_processor_spark.operators.textanalysis import (
+            fightin_words,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "shared words plus groupaword", "A") for i in range(10)]
+            + [(100 + i, "shared words plus groupbword", "B") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            (r["lang"], r["rnk"] if "rnk" in r else None): r
+            for r in fightin_words(docs, topk=1).collect()
+        }
+        rows = fightin_words(docs, topk=1).collect()
+        by_lang = {r["lang"]: r for r in rows}
+        assert by_lang["A"]["token"] == "groupaword"
+        assert by_lang["B"]["token"] == "groupbword"
+        assert by_lang["A"]["z_score"] > 0
+
+
+class TestEmbeddingDecontaminate:
+    def test_flags_only_near_benchmark(self, spark):
+        from openrouter_batch_processor_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        # bench (src0): one direction; corpus: one near-copy (flag),
+        # one orthogonal (no flag). Centroids = 8 lowest ids; keep all
+        # vectors in one cell by making them near-parallel except the
+        # orthogonal one.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], "src0"),
+            (1, [0.99, 0.1, 0.0, 0.0], "src1"),   # near bench -> flag
+            (2, [0.0, 0.0, 1.0, 0.0], "src1"),    # far -> maybe no flag
+        ]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+        )
+        docs = spark.createDataFrame(
+            [(i, s) for i, _, s in rows], "doc_id long, source string"
+        )
+        got = {r["doc_id"]: r for r in embedding_decontaminate(
+            emb, docs, n_centroids=1, threshold=0.9
+        ).collect()}
+        assert 1 in got and got[1]["bench_id"] == 0
+        assert 2 not in got

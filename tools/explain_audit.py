@@ -373,6 +373,9 @@ BRUTE_FORCE_OK = {
     # join (cell assignment, same bounded pass as dedup_semdedup);
     # corpus x bench stays an equi-join on centroid_id
     "sim_embedding_decontaminate",
+    # fightin' words: 1-row corpus-total broadcast onto the
+    # (group, token) count table; everything else joins equi
+    "text_fightin_words",
 }
 
 

@@ -10340,6 +10340,60 @@ def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fightin_words(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "multimodal_tile_dedup",
+    """
+    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
+               FROM documents),
+    g AS (SELECT media_id, text, (L // 16) AS H FROM m WHERE L >= 128),
+    rc AS (SELECT media_id, text,
+                  unnest(flatten(list_transform(range(0, H // 8),
+                         r -> list_transform(range(0, 2), c -> [r, c])))) AS t
+           FROM g),
+    tiles AS (SELECT media_id,
+                     md5(array_to_string(list_transform(range(0, 8),
+                        dy -> substr(text, ((t[1]*8 + dy)*16 + t[2]*8)::INT + 1, 8)),
+                        '')) AS tile_md5
+              FROM rc)
+    SELECT tile_md5,
+           count(DISTINCT media_id)::BIGINT AS n_images,
+           count(*)::BIGINT AS n_occurrences
+    FROM tiles GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
+    """,
+    ops=["S4", "EXT-multimodal", "EXT-dedup", "X1", "G2", "D6"],
+)
+def q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-image duplicate PATCH detection — the watermark/logo/
+    template-chrome finder of an image-curation pipeline: exact dedup
+    (X1) at tile granularity over the ViT patch grid; tiles recurring
+    across >= 2 distinct images surface with their spread. Composition
+    of the tested tile expansion (mapInPandas) and a hash-key combiner
+    groupBy — at 100 TB the patch table shuffles on tile_md5, never
+    pixels (operators/multimodal.tile_images + hash rollup)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        tile_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("img/doc_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+            "rel_path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    tiles = tile_images(media_table(files), img_width=16, tile=8)
+    return (
+        tiles.groupBy("tile_md5")
+        .agg(
+            F.count_distinct("media_id").cast("long").alias("n_images"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -859,3 +859,80 @@ def ljung_box(events: DataFrame, max_lag: int = 6) -> DataFrame:
         F.round(q, 6).alias("q_stat"),
         F.round(z, 6).alias("z_wh"),
     )
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test per event-type daily series (Wald &
+    Wolfowitz 1940) — the nonparametric randomness check that
+    complements Mann-Kendall (trend) and Ljung-Box (autocorrelation):
+    too FEW runs of above/below-median days means clustering/regimes,
+    too many means negative serial dependence. The monitoring question
+    it answers: "is this metric stream exchangeable, or does it have
+    structure my sampler should know about?"
+
+    Construction: daily DECIMAL sums (integer-exact cross-engine);
+    the reference cut is the LOWER MEDIAN by (value, day) row_number —
+    deterministic under ties; days equal to the median value drop
+    (the classical treatment). R = 1 + sign changes over day order;
+    E[R] = 2·n1·n2/(n1+n2) + 1 and Var[R] =
+    2·n1·n2·(2·n1·n2 − n1 − n2) / ((n1+n2)² · (n1+n2−1)) are exact
+    integer arithmetic until the final division; z touches doubles
+    once. Scale: one combiner groupBy to days, then everything is
+    calendar-bounded; windows partition per series.
+
+    Output: (event_type, n_days, n_above, n_below, n_runs, z)."""
+    daily = (
+        events.select(
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    wv = Window.partitionBy("event_type").orderBy(F.asc("x"), F.asc("day"))
+    ranked = daily.withColumn("rnk", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(
+        F.col("rnk") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("x").alias("med"))
+    lab = (
+        daily.join(med, "event_type")
+        .filter(F.col("x") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("x") > F.col("med")).cast("int").alias("s"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    runs = lab.withColumn(
+        "chg",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.col("s") != F.lag("s").over(wd)),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    nn = n1 + n2
+    two = F.lit(2.0)
+    mean_r = two * n1 * n2 / nn + F.lit(1.0)
+    var_r = (
+        two * n1 * n2 * (two * n1 * n2 - n1 - n2)
+        / (nn.cast("double") * nn.cast("double") * (nn - F.lit(1)))
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round((r - mean_r) / F.sqrt(var_r), 6).alias("z"),
+    )

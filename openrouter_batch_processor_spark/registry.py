@@ -10394,6 +10394,62 @@ def q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_runs_test",
+    """
+    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                          sum(round(value, 6)::DECIMAL(18,6)) AS x
+                   FROM events GROUP BY 1, 2),
+    rk AS (SELECT event_type, day, x,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY x, day) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+    med AS (SELECT event_type, x AS med FROM rk
+            WHERE rnk = floor((n + 1) / 2)),
+    lab AS (SELECT d.event_type, d.day,
+                   CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS s
+            FROM daily d JOIN med m USING (event_type)
+            WHERE d.x != m.med),
+    runs AS (SELECT event_type, s,
+                    CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                           ORDER BY day) IS NULL
+                              OR s != lag(s) OVER (PARTITION BY event_type
+                                                   ORDER BY day)
+                         THEN 1 ELSE 0 END AS chg
+             FROM lab),
+    agg AS (SELECT event_type,
+                   count(*)::BIGINT AS n_days,
+                   sum(s)::BIGINT AS n_above,
+                   (count(*) - sum(s))::BIGINT AS n_below,
+                   sum(chg)::BIGINT AS n_runs
+            FROM runs GROUP BY 1)
+    SELECT event_type, n_days, n_above, n_below, n_runs,
+           round((n_runs - (2.0 * n_above * n_below
+                            / (n_above + n_below) + 1.0))
+                 / sqrt(2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below - n_above - n_below)
+                        / ((n_above + n_below)::DOUBLE
+                           * (n_above + n_below)::DOUBLE
+                           * ((n_above + n_below) - 1))),
+                 6) AS z
+    FROM agg
+    """,
+    ops=["EXT-timeseries", "G2", "W2", "J3"],
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event-type daily series:
+    above/below-lower-median labeling (deterministic tie cut), runs
+    counted by one lag window, exact-integer moments, one double z —
+    the exchangeability audit beside Mann-Kendall and Ljung-Box
+    (operators/timeseries.runs_test)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    return runs_test(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries of queries() (observed r01-r06: exactly the first 50 in dict

@@ -1288,51 +1288,59 @@ def lsh_s_curve(
 
     Output: (bucket, n_pairs, n_candidates, observed_rate,
     theoretical_rate) — one row per non-empty Jaccard decile."""
-    ss = shingle_sets(docs, id_col, text_col)
-    ex = ss.select(F.col(id_col), F.explode("shset").alias("shingle")).distinct()
-    dfq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    pr = ex.join(dfq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "leftsemi")
-    pairs = (
-        pr.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pr.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build_truth(_in: DataFrame) -> DataFrame:
+        ss = shingle_sets(docs, id_col, text_col)
+        # shset is array_distinct per doc, so explode already yields
+        # unique (id, shingle) rows — no distinct() shuffle needed
+        ex = ss.select(F.col(id_col), F.explode("shset").alias("shingle"))
+        dfq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        pr = ex.join(
+            dfq.filter(F.col("df") <= df_cap).select("shingle"), "shingle", "leftsemi"
+        )
+        pairs = (
+            pr.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(pr.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return (
+            pairs.join(
+                ss.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa")),
+                "id_a",
+            )
+            .join(
+                ss.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
+                (F.size("sa") + F.size("sb")).alias("n_sum"),
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("n_inter") / (F.col("n_sum") - F.col("n_inter")), 6
+                ).alias("jac"),
+            )
+        )
+
+    # The exact-Jaccard truth table is the audit's honest cost — stage
+    # it (keyed on the corpus plan) so it is paid once per session, the
+    # same discipline as duplicate_clusters; O(df-capped pairs) rows
+    # (VERDICT r07 #4).
+    j = staged_from(
+        docs.select(id_col, text_col),
+        f"lsh_truth_pairs:{df_cap}:{id_col}:{text_col}",
+        _build_truth,
     )
-    j = (
-        pairs.join(
-            ss.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa")),
-            "id_a",
-        )
-        .join(
-            ss.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sa", "sb")).alias("n_inter"),
-            (F.size("sa") + F.size("sb")).alias("n_sum"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_sum") - F.col("n_inter")), 6
-            ).alias("jac"),
-        )
-    )
-    b = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
-    cands = (
-        b.select(F.col(id_col).alias("id_a"), "band", "band_key")
-        .join(
-            b.select(F.col(id_col).alias("id_b"), "band", "band_key"),
-            ["band", "band_key"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .withColumn("is_cand", F.lit(1))
+    cands = minhash_candidate_pairs(docs, id_col, text_col).withColumn(
+        "is_cand", F.lit(1)
     )
     flagged = j.join(cands, ["id_a", "id_b"], "left").select(
         F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("long").alias("bucket"),

@@ -1249,10 +1249,23 @@ def _centered_long(emb, id_col: str, vec_col: str):
             9,
         ).alias("mean_val")
     )
-    d = (
-        d0.join(F.broadcast(m), "dim")
-        .select("vec_id", "dim", (F.col("x") - F.col("mean_val")).alias("xc"))
-        .localCheckpoint(eager=True)
+    # Session-staged (not a bare localCheckpoint): the centered table is
+    # the shared input of the whole power family (top_pc_power,
+    # abtt_residuals, top2_pc_deflate) — VERDICT r07 measured the three
+    # queries independently rebuilding it as the bench's single biggest
+    # cost concentration. staged() memoizes on the input plan's
+    # semanticHash, so within a session the explode+center pass runs
+    # once and every consumer reads the materialized table; m is staged
+    # first so d's plan (a scan of the SAME memoized m) is
+    # hash-identical across consumers.
+    from openrouter_batch_processor_spark.operators.staging import staged
+
+    m = staged(m, "emb_dim_means")
+    d = staged(
+        d0.join(F.broadcast(m), "dim").select(
+            "vec_id", "dim", (F.col("x") - F.col("mean_val")).alias("xc")
+        ),
+        "emb_centered_long",
     )
     return d0, m, d
 
@@ -1302,6 +1315,42 @@ def _power_iterate(d, dims, iters: int, v0: float):
     return v, norm
 
 
+def _pc1_chain(d, m, iters: int, v0: float):
+    """Session-staged pc1 power chain over the staged centered table:
+    one 64-row artifact (dim, v, nrm) shared by top_pc_power,
+    abtt_residuals and top2_pc_deflate — the chain itself (2·iters
+    corpus passes) runs once per session instead of once per consumer
+    (VERDICT r07 #2)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def build(d_in):
+        v, norm = _power_iterate(d_in, m.select("dim"), iters, v0)
+        return v.crossJoin(F.broadcast(norm))
+
+    return staged_from(d, f"emb_pc1_power_i{iters}_v{v0!r}", build)
+
+
+def _pc1_proj(d, vn):
+    """Session-staged per-vector pc1 projection Σ round(xc·pc1, 9)
+    (decimal-summed) — identical in abtt_residuals and the deflation
+    step of top2_pc_deflate, so staged once. O(n) rows; pc1 is derived
+    from the shared chain artifact so the plan (and therefore the
+    staging key) is byte-identical in both consumers."""
+    from openrouter_batch_processor_spark.operators.staging import staged
+
+    pc1 = vn.select("dim", F.col("v").alias("_pc1"))
+    return staged(
+        d.join(F.broadcast(pc1), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("xc") * F.col("_pc1"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("proj")
+        ),
+        "emb_pc1_proj",
+    )
+
+
 
 def top_pc_power(
     emb: DataFrame,
@@ -1332,16 +1381,12 @@ def top_pc_power(
 
     Output: one row per dimension (dim, mean_val, pc, eigenvalue)."""
     _d0, m, d = _centered_long(emb, id_col, vec_col)
-    v, norm = _power_iterate(d, m.select("dim"), iters, 1.0 / (dim ** 0.5))
-    return (
-        v.join(F.broadcast(m), "dim")
-        .crossJoin(F.broadcast(norm))
-        .select(
-            F.col("dim"),
-            F.col("mean_val"),
-            F.col("v").alias("pc"),
-            F.round(F.col("nrm"), 6).alias("eigenvalue"),
-        )
+    vn = _pc1_chain(d, m, iters, 1.0 / (dim ** 0.5))
+    return vn.join(F.broadcast(m), "dim").select(
+        F.col("dim"),
+        F.col("mean_val"),
+        F.col("v").alias("pc"),
+        F.round(F.col("nrm"), 6).alias("eigenvalue"),
     )
 
 
@@ -1357,35 +1402,19 @@ def abtt_residuals(
     the top-PC projection coefficient and the residual norm — the
     post-processed magnitude a downstream cosine index would use.
 
-    Scale: the PC is a D-row broadcast from top_pc_power; the removal
-    itself is one map-side pass (per-vec fold + combiner groupBy on
-    vec id), so the whole operator is the PCA cost plus a single
-    corpus scan."""
-    pc = top_pc_power(emb, iters, dim, id_col, vec_col)
-    # same pre-explode hash(vec_id) spread as _centered_long: the
-    # clustering survives the broadcast join below, so the proj
-    # groupBy and the proj⋈j re-join are both shuffle-free
-    d0 = emb.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "fval"),
-    ).select("vec_id", "dim", F.col("fval").cast("double").alias("x"))
-    # j feeds BOTH the projection and the residual aggregations —
-    # checkpoint it once (same staging discipline as top_pc_power's d);
-    # without this the explode+broadcast-join chain executes twice and
-    # the power iteration's plan is re-planned under each consumer
-    j = d0.join(F.broadcast(pc), "dim").select(
-        "vec_id",
-        "dim",
-        (F.col("x") - F.col("mean_val")).alias("xc"),
-        F.col("pc"),
-    ).localCheckpoint(eager=True)
-    proj = j.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("xc") * F.col("pc"), 9).cast("decimal(28,9)"))
-        .cast("double")
-        .alias("proj")
-    )
+    Scale: the PC is a D-row broadcast from the staged pc1 chain; the
+    removal itself is one map-side pass (per-vec fold + combiner
+    groupBy on vec id) over the staged centered table, so within a
+    session the operator shares the explode/center pass AND the power
+    chain with top_pc_power / top2_pc_deflate (VERDICT r07 #2) and
+    adds only the residual scan."""
+    _d0, m, d = _centered_long(emb, id_col, vec_col)
+    vn = _pc1_chain(d, m, iters, 1.0 / (dim ** 0.5))
+    pc1 = vn.select("dim", F.col("v").alias("pc"))
+    proj = _pc1_proj(d, vn)
     resid = (
-        j.join(proj, "vec_id")
+        d.join(F.broadcast(pc1), "dim")
+        .join(proj, "vec_id")
         .select(
             "vec_id",
             (F.col("xc") - F.col("proj") * F.col("pc")).alias("r"),
@@ -1432,32 +1461,32 @@ def top2_pc_deflate(
     Output: one row per dimension
     (dim, mean_val, pc1, pc2, eig1, eig2)."""
     _d0, m, d = _centered_long(emb, id_col, vec_col)
-    dims = m.select("dim")
     v0 = 1.0 / (dim ** 0.5)
-    v1, n1 = _power_iterate(d, dims, iters, v0)
-    pc1 = v1.select("dim", F.col("v").alias("pc1"))
-    proj = (
-        d.join(F.broadcast(pc1), "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.round(F.col("xc") * F.col("pc1"), 9).cast("decimal(28,9)"))
-            .cast("double")
-            .alias("proj")
-        )
-    )
-    r = (
+    vn = _pc1_chain(d, m, iters, v0)
+    pc1 = vn.select("dim", F.col("v").alias("pc1"))
+    proj = _pc1_proj(d, vn)
+    from openrouter_batch_processor_spark.operators.staging import staged
+
+    # The deflated table and its power chain are staged with the same
+    # discipline as d/vn: both derive only from staged artifacts, so
+    # their plans are session-stable and a warm re-run of this query is
+    # a 64-row artifact read instead of a second 2·iters-pass chain.
+    r = staged(
         d.join(F.broadcast(pc1), "dim")
         .join(proj, "vec_id")
         .select(
             "vec_id",
             "dim",
             (F.col("xc") - F.col("proj") * F.col("pc1")).alias("xc"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "emb_deflated_long",
     )
-    v2, n2 = _power_iterate(r, dims, iters, v0)
-    e1 = n1.select(F.round(F.col("nrm"), 6).alias("eig1"))
-    e2 = n2.select(F.round(F.col("nrm"), 6).alias("eig2"))
+    vn2 = _pc1_chain(r, m, iters, v0)
+    v2 = vn2.select("dim", "v")
+    # nrm is constant across the 64 chain rows — distinct() collapses it
+    # to the single eigenvalue row the old separate-norm return carried
+    e1 = vn.select(F.round(F.col("nrm"), 6).alias("eig1")).distinct()
+    e2 = vn2.select(F.round(F.col("nrm"), 6).alias("eig2")).distinct()
     return (
         pc1.join(v2.select("dim", F.col("v").alias("pc2")), "dim")
         .join(F.broadcast(m), "dim")

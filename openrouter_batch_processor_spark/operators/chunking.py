@@ -136,3 +136,32 @@ def pack_documents(
     return packed.select(
         id_col, "n_tokens", "start_offset", "bin_id", "offset_in_bin"
     )
+
+
+def pack_documents_bpe(
+    docs: DataFrame,
+    capacity: int = 512,
+    rounds: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pack_documents with REAL subword counts: the packing offsets are
+    computed over each document's BPE token count (bpe_encode — the
+    learned-merge apply join), not its whitespace word count, so a
+    context window holds exactly ``capacity`` model tokens. Same
+    distributed prefix-sum; only the count column changes.
+
+    Output: (id, n_tokens, start_offset, bin_id, offset_in_bin)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        BPE_ROUNDS,
+        bpe_encode,
+    )
+
+    base = bpe_encode(
+        docs, rounds if rounds is not None else BPE_ROUNDS, id_col, text_col
+    ).select(id_col, "n_tokens")
+    packed = pack_token_counts(base, "n_tokens", [id_col], capacity, num_partitions)
+    return packed.select(
+        id_col, "n_tokens", "start_offset", "bin_id", "offset_in_bin"
+    )

@@ -434,3 +434,163 @@ def tile_images(media: DataFrame, img_width: int = 16, tile: int = 8) -> DataFra
         .select("media_id", "payload")
         .mapInPandas(run, TILE_SCHEMA)
     )
+
+
+TILE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("tile_row", T.LongType()),
+        T.StructField("tile_col", T.LongType()),
+        T.StructField("h_hi", T.LongType()),
+        T.StructField("h_lo", T.LongType()),
+    ]
+)
+
+
+def tile_phash(media: DataFrame, img_width: int = 16, tile: int = 8) -> DataFrame:
+    """Per-TILE perceptual hash: the ViT patch grid of tile_images, but
+    each (tile x tile) patch emits the 64-bit mean-threshold signature
+    of its byte plane instead of an exact md5 — for tile=8 the patch IS
+    64 bytes, so this is the full-resolution analog of phash_images'
+    sampled variant. A re-encoded/brightness-shifted watermark moves a
+    few bits of its tile's signature, not the exact hash — which is
+    exactly what multimodal_tile_dedup (md5 equality) cannot see.
+
+    Output: (media_id, tile_row, tile_col, h_hi, h_lo). Same
+    1-in/N-out mapInPandas expansion shape as tile_images."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(rec.payload)
+                n_rows = len(b) // img_width
+                for r in range(n_rows // tile):
+                    for c in range(img_width // tile):
+                        chunk = b"".join(
+                            b[
+                                (r * tile + dy) * img_width
+                                + c * tile : (r * tile + dy) * img_width
+                                + c * tile
+                                + tile
+                            ]
+                            for dy in range(tile)
+                        )
+                        n = len(chunk)
+                        pix = [chunk[(i * n) // 64] for i in range(64)]
+                        mu = sum(pix) / 64.0
+                        bits = [1 if p > mu else 0 for p in pix]
+                        hi = sum(bit << (31 - i) for i, bit in enumerate(bits[:32]))
+                        lo = sum(bit << (31 - i) for i, bit in enumerate(bits[32:]))
+                        rows.append((rec.media_id, r, c, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "tile_row", "tile_col", "h_hi", "h_lo"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, TILE_PHASH_SCHEMA)
+    )
+
+
+def tile_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    bucket_cap: int = 64,
+    img_width: int = 16,
+    tile: int = 8,
+) -> DataFrame:
+    """Perceptual cross-image duplicate-PATCH pairs (VERDICT r07 #7):
+    the watermark/logo finder robust to re-encoding. Each tile's 64-bit
+    pHash splits into four 16-bit bands; tile pairs from different
+    images sharing a band value are candidates (pigeonhole-complete for
+    Hamming <= 3, same contract as phash_near_pairs), verified with the
+    exact JVM-side bit_count Hamming and rolled up per image pair.
+
+    Scale guards: band buckets holding > bucket_cap tiles are pruned
+    before the self-join — the df-cap discipline of the text inverted
+    index; a flat-color/boilerplate patch shared by thousands of images
+    would otherwise square the candidate volume. The pruned buckets are
+    by construction the patches multimodal_tile_dedup already reports
+    as mass duplicates; this operator exists for the RARE recurring
+    near-identical patch.
+
+    Output: (id_a, id_b, n_tile_pairs, min_hamming) per image pair with
+    at least one verified near-duplicate tile."""
+    sig = tile_phash(media, img_width, tile)
+    bands = sig.select(
+        "media_id",
+        "tile_row",
+        "tile_col",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftrightunsigned("h_hi", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("h_hi").bitwiseAND(F.lit(0xFFFF))).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftrightunsigned("h_lo", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    (F.col("h_lo").bitwiseAND(F.lit(0xFFFF))).alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("media_id", "tile_row", "tile_col", "h_hi", "h_lo", "b.band", "b.band_val")
+    hot = (
+        bands.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "band_val")
+    )
+    pruned = bands.join(hot, ["band", "band_val"], "left_anti")
+    a = pruned.select(
+        "band",
+        "band_val",
+        F.col("media_id").alias("id_a"),
+        F.col("tile_row").alias("row_a"),
+        F.col("tile_col").alias("col_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("h_lo").alias("lo_a"),
+    )
+    bb = pruned.select(
+        "band",
+        "band_val",
+        F.col("media_id").alias("id_b"),
+        F.col("tile_row").alias("row_b"),
+        F.col("tile_col").alias("col_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("h_lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(bb, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "row_a", "col_a", "id_b", "row_b", "col_b",
+            "hi_a", "lo_a", "hi_b", "lo_b",
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    verified = cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+    return verified.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tile_pairs"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )

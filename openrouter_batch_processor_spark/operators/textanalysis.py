@@ -2275,6 +2275,110 @@ def bpe_compression(
     )
 
 
+def _bpe_vocab_encoded(docs: DataFrame, rounds: int, text_col: str) -> DataFrame:
+    """Session-staged encoded vocabulary: the final BPE state table
+    (tok, wenc, n_syms) with wenc the subwords joined by '+' and n_syms
+    their exact count — the apply-time artifact a tokenizer ships. The
+    training loop (_bpe_loop) runs once per session; encode/fertility/
+    packing consumers all join this table."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def build(_in: DataFrame) -> DataFrame:
+        _merges, states = _bpe_loop(docs, rounds, text_col)
+        return states[-1].select(
+            "tok",
+            F.replace(
+                F.expr("trim(BOTH '|' FROM s)"), F.lit("||"), F.lit("+")
+            ).alias("wenc"),
+            F.expr("(length(s) - length(replace(s, '|', ''))) div 2")
+            .cast("long")
+            .alias("n_syms"),
+        )
+
+    return staged_from(
+        docs.select(text_col), f"bpe_vocab_encoded:{rounds}:{text_col}", build
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the learned BPE merges to every document — the ENCODE step
+    a training pipeline actually ships (Sennrich et al. 2016 §3: learn
+    merges once, apply greedily per word at corpus scale). Because BPE
+    merges never cross word boundaries, encoding factors through the
+    vocabulary: the corpus' distinct words are encoded ONCE by the
+    training loop's final state table, and per-document encoding is an
+    equi-join of the word stream against that table — at 100 TB the
+    vocab join is a shuffle join on tok (or a broadcast when the vocab
+    fits), never a per-document re-run of the merge rules.
+
+    Output: one row per document — (id, n_tokens, n_words, encoded)
+    with n_tokens the exact subword count, and encoded the full subword
+    stream ('+' joins subwords within a word, ' ' joins words)."""
+    enc = _bpe_vocab_encoded(docs, rounds, text_col)
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    return (
+        words.join(enc, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "wenc"))),
+                    lambda s: s["wenc"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility audit per language: subword tokens emitted
+    per word (the metric multilingual tokenizer papers report to show
+    which languages a vocab under-serves — fertility ≫ 1 means the
+    merges were learned on someone else's script). One word-stream scan
+    joined against the staged encoded vocabulary, one combiner groupBy.
+
+    Output: (lang, n_words, n_tokens, fertility) — fertility on the
+    6-dp grid."""
+    enc = _bpe_vocab_encoded(docs, rounds, text_col)
+    words = docs.select(
+        F.col(lang_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    return (
+        words.join(enc, "tok")
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .select(
+            lang_col,
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+        )
+    )
+
+
 RAKE_STOPWORDS = ("a", "the")
 
 

@@ -1,0 +1,1081 @@
+"""Corpus-audit queries: distribution drift, calibration, diversity,
+privacy and index-quality audits.
+
+Split from registry.py (r08); queries are verbatim. The shared SQL
+builders live in registries.common (star-imported: its __all__ is the
+explicit export list)."""
+
+from __future__ import annotations
+
+from openrouter_batch_processor_spark.registries.common import *  # noqa: F401,F403
+
+
+
+@register(
+    "audit_source_overlap",
+    f"""
+    WITH fps AS (SELECT DISTINCT source,
+                        md5(array_to_string(string_split({_NORM_SQL}, ' ')[1:8], ' ')) AS fp
+                 FROM documents),
+    sizes AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, s.n_shared::BIGINT AS n_shared,
+           round(s.n_shared / (sa.n_fp + sb.n_fp - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    """,
+    ops=["X1", "J2", "G4", "EXT-dedup-policy"],
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which sources ship the same
+    content (lead-8-token fingerprint Jaccard per source pair — the
+    partial-content key that catches 'same article, different
+    boilerplate') — the audit that catches a crawler and a curated dump
+    double-counting the same sites. Equi-join on the 32-byte
+    fingerprint, never all-pairs."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    lead = F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " ")
+    fps = docs.select("source", F.md5(lead).alias("fp")).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_fp").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "audit_distribution_drift",
+    """
+    WITH src AS (
+      SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang),
+    src_tot AS (SELECT source, sum(cnt)::BIGINT AS tot FROM src GROUP BY source),
+    corpus AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    corpus_tot AS (SELECT count(*) AS tot FROM documents),
+    grid AS (
+      SELECT st.source, c.lang,
+             coalesce(s.cnt, 0) AS s_cnt, st.tot AS s_tot,
+             c.cnt AS c_cnt, ct.tot AS c_tot
+      FROM src_tot st
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot ct
+      LEFT JOIN src s ON s.source = st.source AND s.lang = c.lang),
+    terms AS (
+      SELECT source,
+             round(abs(s_cnt::DOUBLE / s_tot - c_cnt::DOUBLE / c_tot),
+                   12)::DECIMAL(18,12) AS term
+      FROM grid)
+    SELECT source,
+           round((0.5 * sum(term))::DOUBLE, 6) AS tv_distance
+    FROM terms GROUP BY source
+    """,
+    ops=["G2", "J2", "X3", "EXT-quality"],
+)
+def q_audit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: per-source language mix vs the corpus
+    baseline as total-variation distance — the monitoring gate that
+    catches a crawler or pipeline stage silently changing a source's
+    composition. The language domain is the corpus's (sources missing a
+    language contribute its full corpus mass), and the per-language
+    terms are rounded to 12 dp and summed as DECIMAL so the 5-term sum
+    is addition-order-independent — the same portability rule as every
+    money fold. Two tiny aggregates + a dim-sized grid: at 100 TB the
+    per-(source, lang) counts are the only data-sized pass."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("s_cnt"))
+    src_tot = src.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
+    corpus = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_cnt"))
+    corpus_tot = docs.agg(F.count(F.lit(1)).alias("c_tot"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(src, ["source", "lang"], "left")
+        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(0)))
+    )
+    term = F.round(
+        F.abs(
+            F.col("s_cnt").cast("double") / F.col("s_tot")
+            - F.col("c_cnt").cast("double") / F.col("c_tot")
+        ),
+        12,
+    ).cast("decimal(18,12)")
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round((F.lit(0.5) * F.sum("term")).cast("double"), 6).alias("tv_distance"))
+    )
+
+
+@register(
+    "audit_fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', count(*)
+    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region', count(*)
+    FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    """,
+    ops=["J2", "G2", "X3", "P1"],
+)
+def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: orphan counts via LEFT ANTI joins (NOT EXISTS), one row per
+    relationship. The data-quality gate a training pipeline runs before
+    trusting joins — all-zero on healthy data, and each anti join
+    broadcasts when the parent is dim-sized. Child-side scans prune to
+    the FK column only (count needs nothing else)."""
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+
+    def orphans(child: DataFrame, key, parent: DataFrame, pkey, label: str, bcast: bool):
+        par = parent.select(pkey)
+        if bcast:
+            par = F.broadcast(par)
+        return (
+            child.select(key)
+            .join(par, F.col(key) == F.col(pkey), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li, o, c, s, n, r, p = (t("lineitem"), t("orders"), t("customer"),
+                            t("supplier"), t("nation"), t("region"), t("part"))
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders", False),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part", True),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier", True),
+        orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer", True),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation", True),
+        orphans(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation", True),
+        orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region", True),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+@register(
+    "audit_table_profile",
+    """
+    SELECT 'event_id' AS col, count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           min(event_id)::VARCHAR AS min_str, max(event_id)::VARCHAR AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
+           min(user_id)::VARCHAR, max(user_id)::VARCHAR
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*) - count(value), count(DISTINCT value),
+           printf('%.6f', min(value)), printf('%.6f', max(value))
+    FROM events
+    """,
+    ops=["G2", "X3", "P1", "S8"],
+)
+def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profiling audit over the events table: null count, exact
+    distinct cardinality, and min/max rendered per column — the
+    pre-flight data-quality report. Spark computes ALL columns' metrics
+    in ONE scan + one aggregate row, then unpivots with stack() (the
+    oracle's UNION-of-scans restates semantics, not the plan: 5 scans
+    there vs 1 here — at 100 TB that difference is the operator).
+    Doubles render via printf so both engines format identically."""
+    ev = _t(spark, sf_dir, "events")
+    one = ev.agg(
+        (F.count(F.lit(1)) - F.count("event_id")).alias("n0"),
+        F.count_distinct("event_id").alias("d0"),
+        F.min("event_id").cast("string").alias("mn0"),
+        F.max("event_id").cast("string").alias("mx0"),
+        (F.count(F.lit(1)) - F.count("ts")).alias("n1"),
+        F.count_distinct("ts").alias("d1"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("mn1"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx1"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("n2"),
+        F.count_distinct("user_id").alias("d2"),
+        F.min("user_id").cast("string").alias("mn2"),
+        F.max("user_id").cast("string").alias("mx2"),
+        (F.count(F.lit(1)) - F.count("event_type")).alias("n3"),
+        F.count_distinct("event_type").alias("d3"),
+        F.min("event_type").alias("mn3"),
+        F.max("event_type").alias("mx3"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n4"),
+        F.count_distinct("value").alias("d4"),
+        F.format_string("%.6f", F.min("value")).alias("mn4"),
+        F.format_string("%.6f", F.max("value")).alias("mx4"),
+    )
+    return one.selectExpr(
+        "stack(5, "
+        "'event_id', n0, d0, mn0, mx0, "
+        "'ts', n1, d1, mn1, mx1, "
+        "'user_id', n2, d2, mn2, mx2, "
+        "'event_type', n3, d3, mn3, mx3, "
+        "'value', n4, d4, mn4, mx4) AS (col, n_null, n_distinct, min_str, max_str)"
+    )
+
+
+@register(
+    "audit_quality_auc",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
+    w AS (SELECT s, c, p,
+                 coalesce(sum(c) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS cum
+          FROM g),
+    a AS (SELECT sum(p * (2 * cum + c + 1))::BIGINT AS s2,
+                 sum(p)::BIGINT AS n_pos, sum(c)::BIGINT AS n
+          FROM w)
+    SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
+           (((s2::HUGEINT - n_pos::HUGEINT * (n_pos + 1)) * 10000000)
+              // nullif(2 * n_pos::HUGEINT * (n - n_pos), 0)) / 10000000.0 AS auc
+    FROM a
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of quality_score predicting lang='en' via the
+    Mann-Whitney rank-sum identity with tie-averaged ranks — the audit
+    a classifier-based quality gate (FineWeb-Edu style) is judged by
+    (operators/textanalysis.quality_auc: distinct-score groupBy + one
+    dimension-bounded cumulative window)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_auc
+
+    return quality_auc(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_zipf_fit",
+    f"""
+    WITH tf AS (SELECT u.term, count(*)::BIGINT AS c
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != '' GROUP BY 1 HAVING count(*) >= 2),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM tf),
+    m AS (SELECT round(ln(r::DOUBLE), 6)::DECIMAL(18,6) AS x,
+                 round(ln(c::DOUBLE), 6)::DECIMAL(18,6) AS y
+          FROM rk),
+    a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum((x * y)::DECIMAL(38,12)) AS sxy,
+                 sum((x * x)::DECIMAL(38,12)) AS sxx
+          FROM m)
+    SELECT n AS n_terms,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                 / n::DOUBLE, 6) AS intercept
+    FROM a
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the corpus vocabulary (ln-f on
+    ln-rank, freq >= 2): slope drift is the corpus-composition
+    health audit (operators/textanalysis.zipf_fit — vocab-bounded
+    window + exact decimal moment sums)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+@register(
+    "audit_dsir_ess",
+    f"""
+    WITH {_DSIR_LW_SQL},
+    mx AS (SELECT max(log_weight) AS mx FROM dsirw),
+    w AS (SELECT exp(log_weight - mx.mx) AS w, mx.mx AS mx
+          FROM dsirw CROSS JOIN mx),
+    a AS (SELECT mx, count(*)::BIGINT AS n_docs,
+                 sum(round(w, 9)::DECIMAL(28,9))::DOUBLE AS s1,
+                 sum(round(w * w, 9)::DECIMAL(28,9))::DOUBLE AS s2
+          FROM w GROUP BY mx)
+    SELECT n_docs, mx AS max_log_weight,
+           round(s1 * s1 / s2, 6) AS ess,
+           round(s1 * s1 / s2 / n_docs, 6) AS ess_frac
+    FROM a
+    """,
+    ops=["EXT-sampling", "EXT-quality", "G2"],
+)
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the DSIR importance weights
+    (Kish 1965) — ESS = (Σw)²/Σw² with max-shifted w = exp(log_w −
+    max): the degeneracy diagnostic importance resampling is judged
+    by; ESS ≪ n means the selected sample is a few documents repeated
+    (operators/textanalysis.dsir_ess)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import dsir_ess
+
+    return dsir_ess(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_quality_ece",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT least(floor(q.quality_score * 10), 9)::BIGINT AS bin_id,
+                 q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT bin_id, count(*)::BIGINT AS n_docs,
+                 sum(round(s, 6)::DECIMAL(18,6)) AS ssum,
+                 sum(y)::BIGINT AS n_pos
+          FROM l GROUP BY 1),
+    c AS (SELECT bin_id, n_docs, n_pos,
+                 ((ssum * 1000000)::BIGINT * 10) // n_docs AS conf7,
+                 (n_pos * 10000000) // n_docs AS acc7
+          FROM g)
+    SELECT bin_id, n_docs, n_pos,
+           conf7 / 10000000.0 AS conf,
+           acc7 / 10000000.0 AS acc,
+           abs(conf7 - acc7) / 10000000.0 AS abs_gap
+    FROM c
+    """,
+    ops=["EXT-quality", "G2", "J3"],
+)
+def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality score as a lang='en'
+    classifier (Naeini et al. 2015 ECE binning; Guo et al. 2017):
+    10 equal-width bins, per-bin mean confidence vs empirical positive
+    rate, weighted gap = the bin's ECE contribution. Means are exact
+    integer-micros; the gap is a BIGINT difference on the 7-dp grid
+    (operators/textanalysis.quality_ece)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import quality_ece
+
+    return quality_ece(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_heaps_fit",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents WHERE {_NORM_SQL} != ''),
+    pd AS (SELECT doc_id, len(toks)::BIGINT AS nt FROM tk),
+    st AS (SELECT doc_id, coalesce(sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_start
+           FROM pd),
+    fo AS (SELECT toks[u.i] AS term, min(st.doc_start + u.i)::BIGINT AS fp
+           FROM tk JOIN st USING (doc_id),
+                unnest(range(1, len(toks) + 1)) AS u(i)
+           GROUP BY 1),
+    hist AS (SELECT (CASE WHEN fp <= 1 THEN 0
+                          ELSE length(bin(fp - 1)) END)::BIGINT AS j_min,
+                    count(*)::BIGINT AS cnt
+             FROM fo GROUP BY 1),
+    nt AS (SELECT sum(nt)::BIGINT AS n_total FROM pd),
+    jm AS (SELECT greatest(6, length(bin(n_total)) - 1)::BIGINT AS jmax FROM nt),
+    js AS (SELECT unnest(range(6, jmax + 1))::BIGINT AS j FROM jm),
+    vj AS (SELECT j, sum(cnt)::BIGINT AS v
+           FROM js JOIN hist ON hist.j_min <= js.j
+           GROUP BY j HAVING sum(cnt) >= 1),
+    pts AS (SELECT round(j * 0.6931471805599453, 6)::DECIMAL(18,6) AS x,
+                   round(ln(v::DOUBLE), 6)::DECIMAL(18,6) AS y
+            FROM vj),
+    a AS (SELECT count(*)::BIGINT AS n_points, sum(x) AS sx, sum(y) AS sy,
+                 sum((x * y)::DECIMAL(38,12)) AS sxy,
+                 sum((x * x)::DECIMAL(38,12)) AS sxx
+          FROM pts),
+    vs AS (SELECT sum(cnt)::BIGINT AS vocab_size FROM hist)
+    SELECT nt.n_total AS n_tokens, vs.vocab_size, a.n_points,
+           round((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
+           round(exp((sy::DOUBLE
+                      - ((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                        * sx::DOUBLE) / a.n_points), 6) AS k
+    FROM a CROSS JOIN nt CROSS JOIN vs
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "W1"],
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): OLS of ln V(2^j)
+    on ln 2^j at power-of-two checkpoints over the doc_id-ordered
+    token stream — the companion corpus-health audit to audit_zipf_fit.
+    First-occurrence positions use the renumber discipline (range
+    partition + broadcast O(partitions) offsets, no corpus-sized
+    single-task window); ⌈log2 fp⌉ is integer-exact via
+    length(bin(fp−1)) (operators/textanalysis.heaps_fit)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_source_kl",
+    f"""
+    WITH tk AS (SELECT source,
+                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != ''),
+    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
+    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
+           FROM (SELECT unnest(range(512))::BIGINT AS b) r
+           LEFT JOIN obs ON obs.bucket = r.b),
+    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
+    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
+    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
+    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
+             FROM st CROSS JOIN cb
+             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+             CROSS JOIN ct),
+    sc AS (SELECT source, ts,
+                  round(((coalesce(cs, 0) + 1) / (ts + 512.0))
+                        * ln(((coalesce(cs, 0) + 1) / (ts + 512.0))
+                             / ((cb + 1) / (tc + 512.0))), 9)::DECIMAL(28,9) AS contrib
+           FROM grid)
+    SELECT source, ts AS n_tokens, round(sum(contrib)::DOUBLE, 6) AS kl
+    FROM sc GROUP BY 1, 2
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    over the DSIR 512-bucket hashed feature space (add-one smoothed,
+    full-grid sum) — the mixture-drift audit a DoReMi/DSIR-style
+    domain-weighting pass runs per source
+    (operators/textanalysis.source_kl)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import source_kl
+
+    return source_kl(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_quality_youden",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
+    t AS (SELECT sum(p)::BIGINT AS n_pos, (sum(c) - sum(p))::BIGINT AS n_neg FROM g),
+    w AS (SELECT s,
+                 sum(p) OVER (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+                 (sum(c) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - sum(p) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fp
+          FROM g),
+    sc AS (SELECT s, tp, fp,
+                  (tp * 10000000) // nullif(n_pos, 0) AS tpr7,
+                  (fp * 10000000) // nullif(n_neg, 0) AS fpr7
+           FROM w CROSS JOIN t)
+    SELECT s AS cut, tp, fp,
+           tpr7 / 10000000.0 AS tpr, fpr7 / 10000000.0 AS fpr,
+           (tpr7 - fpr7) / 10000000.0 AS youden_j
+    FROM sc ORDER BY (tpr7 - fpr7) DESC NULLS LAST, s ASC LIMIT 1
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_quality_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal quality-gate threshold by Youden's J (Youden 1950):
+    max TPR − FPR over all distinct-score cuts, ties to the lowest
+    (most inclusive) cut — integer-exact 7-dp rates, dimension-bounded
+    cumulative window, 1-row TakeOrdered
+    (operators/textanalysis.quality_youden)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        quality_youden,
+    )
+
+    return quality_youden(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_bootstrap_ci",
+    """
+    WITH rep AS (SELECT d.doc_id, d.n_chars::BIGINT AS x, r.r
+                 FROM documents d
+                 CROSS JOIN (SELECT unnest(range(0, 32))::BIGINT AS r) r),
+    u AS (SELECT x, r,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '|' || r::VARCHAR),
+                                 1, 8))::BIGINT / 4294967296.0 AS u
+          FROM rep),
+    w AS (SELECT x, r,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238463 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      WHEN u < 0.999916758850712 THEN 6
+                      ELSE 7 END AS w
+          FROM u),
+    m AS (SELECT r, (sum(w * x) * 10000000) // nullif(sum(w), 0) AS m7
+          FROM w GROUP BY r),
+    rk AS (SELECT m7, row_number() OVER (ORDER BY m7, r) AS rk FROM m),
+    p AS (SELECT min(CASE WHEN rk = 2 THEN m7 END) AS lo7,
+                 min(CASE WHEN rk = 31 THEN m7 END) AS hi7
+          FROM rk),
+    b AS (SELECT count(*)::BIGINT AS n_docs,
+                 (sum(n_chars::BIGINT) * 10000000) // nullif(count(*), 0) AS mean7
+          FROM documents)
+    SELECT n_docs, mean7 / 10000000.0 AS mean,
+           lo7 / 10000000.0 AS boot_lo, hi7 / 10000000.0 AS boot_hi,
+           32::BIGINT AS n_replicates
+    FROM b CROSS JOIN p
+    """,
+    ops=["EXT-sampling", "EXT-sketch", "G2", "W2"],
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ~90% CI for the corpus mean doc length
+    (Chamandy et al. 2012, the one-pass massive-data bootstrap):
+    deterministic per-(row, replicate) md5 uniforms through the
+    Poisson(1) inverse CDF, 32 replicate means in ONE exploded
+    map-side-combined pass, order-statistic interval over the B-row
+    replicate table (operators/sketches.poisson_bootstrap_ci)."""
+    from openrouter_batch_processor_spark.operators.sketches import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_ks_drift",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT q.quality_score AS s,
+                 CASE WHEN CAST(substr(d.source, 4) AS INT) < 10
+                      THEN 1 ELSE 0 END::BIGINT AS in_a
+          FROM q JOIN documents d USING (doc_id)),
+    g AS (SELECT s, sum(in_a)::BIGINT AS ca, sum(1 - in_a)::BIGINT AS cb
+          FROM l GROUP BY 1),
+    w AS (SELECT s,
+                 sum(ca) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
+                 sum(cb) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumb
+          FROM g),
+    t AS (SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb FROM l),
+    top AS (SELECT s, na, nb,
+                   abs(cuma::DECIMAL(38,0) * nb::DECIMAL(38,0)
+                       - cumb::DECIMAL(38,0) * na::DECIMAL(38,0)) AS dnum
+            FROM w CROSS JOIN t
+            ORDER BY dnum DESC, s ASC LIMIT 1),
+    sc AS (SELECT na, nb, s,
+                  dnum::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS d,
+                  sqrt(na::DOUBLE * nb::DOUBLE / (na + nb)::DOUBLE) AS en
+           FROM top),
+    sl AS (SELECT na, nb, s, d, (en + 0.12 + 0.11 / en) * d AS lam FROM sc)
+    SELECT na, nb, s AS cut, round(d, 9) AS d_stat,
+           round(least(greatest(2.0 * (exp(-2.0 * lam * lam)
+                                       - exp(-8.0 * lam * lam)
+                                       + exp(-18.0 * lam * lam)), 0.0), 1.0),
+                 6) AS p_value
+    FROM sl
+    """,
+    ops=["EXT-quality", "G2", "W2", "O3"],
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift test between source cohorts src0-9 and
+    src10-19 on the quality-score distribution: D maximized on the
+    common integer denominator (DECIMAL(38,0) cross products, no float
+    CDF), Kolmogorov asymptotic p with Stephens' correction
+    (operators/corpusaudit.ks_drift)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_token_gini",
+    f"""
+    WITH x AS (SELECT (CASE WHEN {_NORM_SQL} = '' THEN 0
+                            ELSE len(string_split({_NORM_SQL}, ' ')) END)::BIGINT AS x
+               FROM documents),
+    h AS (SELECT x, count(*)::BIGINT AS c FROM x GROUP BY 1),
+    cum AS (SELECT x, c,
+                   (sum(c) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - c)::BIGINT AS f
+            FROM h),
+    a AS (SELECT sum(c)::DECIMAL(38,0) AS n,
+                 sum(x::DECIMAL(38,0) * c) AS sx,
+                 sum(x::DECIMAL(38,0) * c
+                     * (2 * f::DECIMAL(38,0) + c + 1)) AS six2
+          FROM cum)
+    SELECT n::BIGINT AS n_docs, sx::BIGINT AS total_tokens,
+           round((six2 - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE, 9) AS gini
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "W2"],
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts, exact from the
+    length histogram (tied-block rank algebra in DECIMAL(38,0), one
+    final double division) — the length-inequality audit for packing
+    and loss weighting (operators/corpusaudit.token_gini)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import token_gini
+
+    return token_gini(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_source_js",
+    f"""
+    WITH tk AS (SELECT source,
+                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != ''),
+    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
+    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
+           FROM (SELECT unnest(range(512))::BIGINT AS b) r
+           LEFT JOIN obs ON obs.bucket = r.b),
+    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
+    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
+    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
+    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
+             FROM st CROSS JOIN cb
+             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+             CROSS JOIN ct),
+    pp AS (SELECT source, ts,
+                  (coalesce(cs, 0) + 1) / (ts + 512.0) AS ps,
+                  (cb + 1) / (tc + 512.0) AS pc
+           FROM grid),
+    sc AS (SELECT source, ts,
+                  round(0.5 * ps * ln(ps / ((ps + pc) / 2))
+                        + 0.5 * pc * ln(pc / ((ps + pc) / 2)),
+                        9)::DECIMAL(28,9) AS contrib
+           FROM pp),
+    agg AS (SELECT source, ts, round(sum(contrib)::DOUBLE, 6) AS js
+            FROM sc GROUP BY 1, 2)
+    SELECT source, ts AS n_tokens, js,
+           round(sqrt(greatest(js, 0.0) / 0.6931471805599453), 6) AS js_dist
+    FROM agg
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution over the DSIR 512-bucket space (add-one smoothed,
+    full grid, bounded by ln 2) plus the Endres-Schindelin metric form
+    sqrt(JS/ln 2) — the drift score that stays comparable where KL
+    saturates (operators/corpusaudit.source_js)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import source_js
+
+    return source_js(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_k_anonymity",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT d.source, d.lang, d.n_chars // 256 AS len_bucket,
+                 least(floor(q.quality_score * 10)::BIGINT, 9) AS qb
+          FROM documents d JOIN q USING (doc_id)),
+    g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS sz,
+                 count(DISTINCT qb)::BIGINT AS ldiv
+          FROM l GROUP BY 1, 2, 3)
+    SELECT count(*)::BIGINT AS n_groups,
+           min(sz)::BIGINT AS k_anonymity,
+           sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_below_k,
+           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_docs_below_k,
+           min(ldiv)::BIGINT AS l_diversity
+    FROM g
+    """,
+    ops=["EXT-quality", "G2"],
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over the
+    (source, lang, 256-char length bucket) quasi-identifier with the
+    quality decile as sensitive attribute — pure counting, exact by
+    construction (operators/corpusaudit.k_anonymity)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import k_anonymity
+
+    return k_anonymity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_spearman_quality_len",
+    f"""
+    WITH q AS (SELECT doc_id, n_tokens AS y_val, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    hx AS (SELECT quality_score, count(*)::BIGINT AS c FROM q GROUP BY 1),
+    rx AS (SELECT quality_score,
+                  (2 * (sum(c) OVER (ORDER BY quality_score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1)::BIGINT AS r2x
+           FROM hx),
+    hy AS (SELECT y_val, count(*)::BIGINT AS c FROM q GROUP BY 1),
+    ry AS (SELECT y_val,
+                  (2 * (sum(c) OVER (ORDER BY y_val
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1)::BIGINT AS r2y
+           FROM hy),
+    j AS (SELECT rx.r2x::HUGEINT AS rxv, ry.r2y::HUGEINT AS ryv
+          FROM q JOIN rx USING (quality_score) JOIN ry USING (y_val)),
+    a AS (SELECT count(*)::HUGEINT AS n, sum(rxv)::HUGEINT AS sx,
+                 sum(ryv)::HUGEINT AS sy, sum(rxv * rxv)::HUGEINT AS sxx,
+                 sum(ryv * ryv)::HUGEINT AS syy, sum(rxv * ryv)::HUGEINT AS sxy
+          FROM j)
+    SELECT n::BIGINT AS n_docs,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE), 9) AS rho
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "W2", "J3"],
+)
+def q_spearman_quality_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-averaged midranks, Pearson on
+    ranks) between quality score and token count — integer 2×midranks
+    from value histograms, DECIMAL/HUGEINT moment sums, one final
+    double expression (operators/corpusaudit.spearman_quality_len)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        spearman_quality_len,
+    )
+
+    return spearman_quality_len(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_brier_decomp",
+    f"""
+    WITH q AS (SELECT doc_id, quality_score
+               FROM {_quality_sql("documents", "doc_id")}),
+    l AS (SELECT CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS p6,
+                 least(floor(q.quality_score * 10)::BIGINT, 9) AS bin_id,
+                 (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+          FROM q JOIN documents d USING (doc_id)),
+    b AS (SELECT bin_id, count(*)::BIGINT AS nb, sum(p6)::HUGEINT AS sp6,
+                 sum(y)::BIGINT AS pb,
+                 sum((p6 - y * 1000000)::HUGEINT
+                     * (p6 - y * 1000000)::HUGEINT) AS bnum
+          FROM l GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM l),
+    per AS (SELECT nb, bnum, (sp6::BIGINT * 10) // nb AS conf7,
+                   (pb * 10000000) // nb AS acc7,
+                   (p * 10000000) // n AS base7, n, p
+            FROM b CROSS JOIN t),
+    a AS (SELECT max(n) AS n, max(p) AS p, sum(bnum)::HUGEINT AS brier_num,
+                 sum(nb::HUGEINT * (conf7 - acc7) * (conf7 - acc7)) AS rel_num,
+                 sum(nb::HUGEINT * (acc7 - base7) * (acc7 - base7)) AS res_num
+          FROM per)
+    SELECT n::BIGINT AS n_docs,
+           round(brier_num::DOUBLE / (n::DOUBLE * 1e12), 9) AS brier,
+           round(rel_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS reliability,
+           round(res_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS resolution,
+           round(p::DOUBLE * (n::DOUBLE - p::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE), 9) AS uncertainty
+    FROM a
+    """,
+    ops=["EXT-quality", "G2"],
+)
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition of the quality score as
+    an en-classifier: exact 6-dp-grid Brier sum, reliability and
+    resolution on the 7-dp integer-micros grid (quality_ece bins),
+    uncertainty from the base rate
+    (operators/corpusaudit.brier_decomposition)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_cramers_v",
+    """
+    WITH cells AS (SELECT source, lang, count(*)::BIGINT AS o
+                   FROM documents GROUP BY 1, 2),
+    rm AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+    cm AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+    t AS (SELECT sum(o)::BIGINT AS n,
+                 count(DISTINCT source)::BIGINT AS n_rows,
+                 count(DISTINCT lang)::BIGINT AS n_cols
+          FROM cells),
+    grid AS (SELECT t.n, t.n_rows, t.n_cols,
+                    coalesce(cells.o, 0)::BIGINT AS o, rm.r, cm.c
+             FROM rm CROSS JOIN cm
+             LEFT JOIN cells ON cells.source = rm.source AND cells.lang = cm.lang
+             CROSS JOIN t),
+    sc AS (SELECT n, n_rows, n_cols,
+                  round(((o::HUGEINT * n - r::HUGEINT * c)
+                         * (o::HUGEINT * n - r::HUGEINT * c))::DOUBLE
+                        / (n::HUGEINT * r * c)::DOUBLE, 9)::DECIMAL(28,9) AS contrib
+           FROM grid),
+    a AS (SELECT n, n_rows, n_cols, sum(contrib) AS chi2d
+          FROM sc GROUP BY 1, 2, 3)
+    SELECT n AS n_docs, n_rows, n_cols,
+           ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
+           round(chi2d::DOUBLE, 6) AS chi2,
+           round(sqrt(chi2d::DOUBLE
+                      / (n::DOUBLE * (least(n_rows, n_cols) - 1)::DOUBLE)),
+                 6) AS cramers_v
+    FROM a
+    """,
+    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between source and lang via the exact
+    chi-square over the full R×C grid (zero cells contribute e) —
+    integer cross-products in DECIMAL/HUGEINT, 9-dp decimal-summed
+    contributions (operators/corpusaudit.cramers_v)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_chao1_vocab",
+    f"""
+    WITH tf AS (SELECT u.term, count(*)::BIGINT AS tf
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term)
+                WHERE u.term != '' GROUP BY 1),
+    a AS (SELECT count(*)::BIGINT AS v_obs,
+                 sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                 sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+                 sum(tf)::BIGINT AS n_tokens
+          FROM tf)
+    SELECT n_tokens, v_obs, f1, f2,
+           round(v_obs + (f1 * (f1 - 1))::DOUBLE
+                         / (2 * (f2 + 1))::DOUBLE, 6) AS chao1
+    FROM a
+    """,
+    ops=["EXT-tokens", "EXT-sketch", "G2"],
+)
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 bias-corrected lower bound on unseen vocabulary from the
+    frequency-of-frequencies (Chao 1984) — companion to
+    text_good_turing / audit_heaps_fit; pure integer counts, one final
+    double division (operators/corpusaudit.chao1_vocab)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import chao1_vocab
+
+    return chao1_vocab(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_lsh_s_curve",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    dfq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
+    pr AS (SELECT f.doc_id, f.shingle FROM sh_set f JOIN dfq USING (shingle)
+           WHERE df <= 50),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pr a JOIN pr b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY 1),
+    inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh_set x ON x.doc_id = p.id_a
+              JOIN sh_set y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    jac AS (SELECT i.id_a, i.id_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
+             FROM bands a JOIN bands b ON a.band = b.band
+                                      AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id),
+    fl AS (SELECT least(floor(j.jac * 10), 9)::BIGINT AS bucket,
+                  coalesce(c.is_cand, 0) AS is_cand
+           FROM jac j LEFT JOIN cand c USING (id_a, id_b)),
+    agg AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
+                   sum(is_cand)::BIGINT AS n_candidates
+            FROM fl GROUP BY 1)
+    SELECT bucket, n_pairs, n_candidates,
+           round(n_candidates / n_pairs, 6) AS observed_rate,
+           round(1.0 - ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                               * ((bucket::DOUBLE + 0.5) / 10.0))
+                        * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                 * ((bucket::DOUBLE + 0.5) / 10.0)))
+                       * ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                 * ((bucket::DOUBLE + 0.5) / 10.0))
+                          * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
+                                   * ((bucket::DOUBLE + 0.5) / 10.0))),
+                 6) AS theoretical_rate
+    FROM agg
+    """,
+    ops=["EXT-minhash", "EXT-jaccard", "EXT-quality", "G2", "J2"],
+)
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash-banding S-curve audit (MMDS ch. 3): observed
+    candidate rate per true-Jaccard decile vs the 1−(1−J²)⁴ theory at
+    bucket midpoints — truth pairs from the df-capped inverted index,
+    exact Jaccard over the staged shingle sets, candidates from the
+    production banding (operators/dedup.lsh_s_curve)."""
+    from openrouter_batch_processor_spark.operators.dedup import lsh_s_curve
+
+    return lsh_s_curve(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_davies_bouldin",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_recompute_sql('a2', 'c2')},
+    d AS (SELECT a.cluster_id,
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.c)
+                       + list_dot_product(c.c, c.c), 6) AS d2
+          FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cluster_id),
+    s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+                 sum(round(sqrt(greatest(d2, 0.0)), 9)::DECIMAL(28,9))::DOUBLE
+                   / count(*) AS s_intra
+          FROM d GROUP BY 1),
+    m AS (SELECT ca.cid AS ca, cb.cid AS cb,
+                 sqrt(greatest(round(list_dot_product(ca.c, ca.c)
+                                     - 2 * list_dot_product(ca.c, cb.c)
+                                     + list_dot_product(cb.c, cb.c), 6),
+                               0.0)) AS mij
+          FROM c2 ca JOIN c2 cb ON ca.cid != cb.cid),
+    r AS (SELECT m.ca AS cluster_id,
+                 max((sa.s_intra + sb.s_intra) / m.mij) AS r_max
+          FROM m JOIN s sa ON sa.cluster_id = m.ca
+                 JOIN s sb ON sb.cluster_id = m.cb
+          GROUP BY 1),
+    db AS (SELECT sum(round(r_max, 9)::DECIMAL(28,9))::DOUBLE / count(*) AS dbi
+           FROM r)
+    SELECT s.cluster_id, s.cluster_size, round(s.s_intra, 6) AS s_intra,
+           round(r.r_max, 6) AS r_max, round(db.dbi, 6) AS db_index
+    FROM s JOIN r USING (cluster_id), db
+    """,
+    ops=["EXT-ivf", "EXT-quality", "EXT-simsearch", "G2", "J3"],
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin validity index over the deterministic k=8 Lloyd
+    clustering: per-cluster mean member-to-centroid distance, max
+    similarity ratio to any other cluster, and the corpus index —
+    centroid tables broadcast, one combiner pass over members
+    (operators/kmeans.davies_bouldin)."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        davies_bouldin,
+    )
+
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_jl_distortion",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 20 = 3),
+    proj AS (SELECT vec_id, v, {_jl_proj_sql()} AS y FROM e),
+    pairs AS (SELECT a.v AS va, b.v AS vb, a.y AS ya, b.y AS yb
+              FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
+    d AS (SELECT
+            list_reduce(list_transform(range(1, 65),
+                                        i -> (va[i] - vb[i]) * (va[i] - vb[i])),
+                        (a, b) -> a + b) AS dv2,
+            list_reduce(list_transform(range(1, 17),
+                                        i -> (ya[i] - yb[i]) * (ya[i] - yb[i])),
+                        (a, b) -> a + b) AS dy2
+          FROM pairs),
+    r AS (SELECT round(3.0 * dy2 / (16.0 * dv2), 6) AS ratio
+          FROM d WHERE dv2 > 0),
+    mean AS (SELECT sum(round(ratio, 9)::DECIMAL(28,9))::DOUBLE / count(*)
+               AS mean_ratio FROM r)
+    SELECT least(floor(ratio * 10), 19)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_pairs,
+           round(mean.mean_ratio, 6) AS mean_ratio
+    FROM r, mean GROUP BY 1, 3
+    """,
+    ops=["EXT-simsearch", "EXT-quality", "EXT-recall", "G2"],
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the 64→16 rp_weights
+    projection: projected/original squared-distance ratio histogram
+    over the ~5% sample pairs, 3/k-normalized for the [-1,1)-uniform
+    entries — validates running the RP family on projected vectors
+    (operators/similarity.jl_distortion)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        jl_distortion,
+    )
+
+    return jl_distortion(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_bpe_fertility",
+    "WITH "
+    + ",\n    ".join(_bpe_encode_ctes())
+    + """
+    SELECT lang,
+           count(*)::BIGINT AS n_words,
+           sum(n_syms)::BIGINT AS n_tokens,
+           round(sum(n_syms)::DOUBLE / count(*), 6) AS fertility
+    FROM wrd JOIN enc USING (tok)
+    GROUP BY lang
+    """,
+    ops=["EXT-tokens", "EXT-audit", "G2", "J3"],
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens per word
+    under the learned BPE merges; the audit that shows which languages
+    the vocabulary under-serves
+    (operators/textanalysis.bpe_fertility)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        bpe_fertility,
+    )
+
+    return bpe_fertility(_t(spark, sf_dir, "documents"))

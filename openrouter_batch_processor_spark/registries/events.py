@@ -1,0 +1,1127 @@
+"""Event time-series queries: windows, sessionization, forecasting,
+statistical tests (ACF/PACF, Mann-Kendall, Ljung-Box, runs test).
+
+Split from registry.py (r08); queries are verbatim. The shared SQL
+builders live in registries.common (star-imported: its __all__ is the
+explicit export list)."""
+
+from __future__ import annotations
+
+from openrouter_batch_processor_spark.registries.common import *  # noqa: F401,F403
+
+
+
+@register(
+    "events_ewma",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs, count(*) AS n
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ordered
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-recursive EWMA per event type via grouped-map
+    applyInPandas — a pandas-UDF operator with a true VALUE oracle
+    (identical IEEE fold order in DuckDB's list_reduce)."""
+    return ewma_last(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_transitions",
+    """
+    WITH p AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state
+      FROM events)
+    SELECT from_state, event_type AS to_state, count(*) AS n_transitions
+    FROM p WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+    """,
+    ops=["O3", "G2", "EXT-sessions"],
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences."""
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_json",
+    """
+    WITH x AS (SELECT event_type,
+                      json_extract_string(props, '$.k')::BIGINT AS k
+               FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE k IS NULL) AS n_unparsed,
+           sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max
+    FROM x GROUP BY event_type
+    """,
+    ops=["F13", "D5", "G2", "EXT-quality"],
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column: from_json
+    with an explicit schema (PERMISSIVE — malformed rows surface as
+    nulls, counted, never failing the job: the engine's errors-as-data
+    rule applied to JSON parsing)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "events_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM events GROUP BY window_start, event_type
+    """,
+    ops=["T1", "T2", "EXT-windows"],
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, ep,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           max(ep) - min(ep) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+    ops=["T1", "W2", "EXT-sessions"],
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_linear_trend",
+    f"""
+    WITH b AS (SELECT event_type,
+                      floor(epoch(ts))::BIGINT - {TREND_EPOCH0} AS x,
+                      value::DOUBLE AS y
+               FROM events),
+    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+                 sum(y::DECIMAL(28,10)) AS sy,
+                 sum((x * y)::DECIMAL(38,10)) AS sxy,
+                 sum(x::DECIMAL(38,0) * x) AS sxx
+          FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+                 / n::DOUBLE, 6) AS intercept
+    FROM a
+    """,
+    ops=["EXT-relational", "G2", "T1"],
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-group OLS via exact decimal moment sums — identical
+    result at any partition count (associative accumulation), bit-equal
+    to the oracle."""
+    return linear_trend(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_anomaly_zscore",
+    f"""
+    WITH s AS (SELECT event_type, count(*) AS n,
+                      sum((value::DOUBLE)::DECIMAL(28,10)) AS sy,
+                      sum((value::DOUBLE * value::DOUBLE)::DECIMAL(38,10)) AS syy
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value::DOUBLE AS value,
+           round({_Z_SQL}, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * (n::DOUBLE - 1))) > 0
+      AND abs(round({_Z_SQL}, 6)) > 3.0
+    """,
+    ops=["EXT-quality", "G2", "J3", "P1"],
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: moments pass + broadcast stats join
+    back — never a window over the raw stream."""
+    return anomaly_zscore(_t(spark, sf_dir, "events"), threshold=3.0)
+
+
+@register(
+    "events_pivot_daily",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY day
+    """,
+    ops=["EXT-relational", "G2", "F11"],
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted to one column per event type. Explicit pivot
+    values keep the schema static (no extra distinct pass); absent
+    combinations filled to 0 to match conditional-count semantics."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.groupBy("day").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+    )
+
+
+@register(
+    "events_sliding",
+    # A sliding window (2h width, 1h slide) is the union of 2 shifted
+    # tumbling assignments — each event belongs to exactly 2 windows.
+    """
+    WITH assigned AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('hour', ts - INTERVAL 1 HOUR), '%Y-%m-%d %H:%M:%S'),
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+    ops=["EXT-windows", "T1"],
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "events_corr_hour_value",
+    """
+    WITH b AS (SELECT event_type, extract(hour FROM ts)::BIGINT AS x,
+                      value::DOUBLE AS y
+               FROM events),
+    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+                 sum(x::DECIMAL(38,0) * x) AS sxx,
+                 sum(y::DECIMAL(28,10)) AS sy,
+                 sum((y * y)::DECIMAL(38,10)) AS syy,
+                 sum((x * y)::DECIMAL(38,10)) AS sxy
+          FROM b GROUP BY 1)
+    SELECT event_type, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS corr_x_value
+    FROM a
+    WHERE (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+    """,
+    ops=["G2", "EXT-relational", "T1"],
+)
+def q_corr_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pearson_corr(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+    c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+          UNION ALL SELECT 2, 'click', count(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+    SELECT stage_idx, stage, n_users,
+           round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6) AS conv_from_prev
+    FROM c
+    """,
+    ops=["G2", "J2", "O1", "EXT-sessions"],
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel; each stage must happen
+    strictly after the user's ENTRY (first qualifying event) into the
+    previous stage, not merely after any earlier-stage event."""
+    return funnel_counts(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id,
+                      floor((epoch(min(ts))
+                             - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT
+                        AS cohort_week
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id,
+                 floor((epoch(ts)
+                        - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT AS week
+          FROM events)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset, count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    ops=["G2", "J2", "X1", "EXT-sessions"],
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the event log: cohort = first-
+    event week, retained = any event in cohort_week + offset."""
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Grouping sets, range-frame windows, stream-static enrichment
+# ===========================================================================
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           (grouping(event_type) * 2 + grouping(date_trunc('day', ts)))::INTEGER AS gid,
+           count(*) AS n_events,
+           sum(value::DECIMAL(28,10))::DOUBLE AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)),
+                            (event_type, date_trunc('day', ts)), ())
+    """,
+    ops=["G2", "EXT-rollup"],
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not just the rollup/cube lattices):
+    per-type, per-day, per-(type, day), and grand total in ONE pass.
+    Spark expands the sets into a single Expand + hash aggregate — the
+    input is scanned once and each row fans out to its 4 grouping
+    combinations map-side, which is the scalable form of 4 separate
+    GROUP BYs + UNION (4 scans, 4 shuffles). gid is computed from
+    grouping() bits explicitly — grouping_id()'s bit order is an
+    engine-specific detail we don't depend on."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
+    )
+    grouped = ev.groupingSets(
+        [[F.col("event_type")], [F.col("day_ts")], [F.col("event_type"), F.col("day_ts")], []],
+        F.col("event_type"),
+        F.col("day_ts"),
+    ).agg(
+        (F.grouping("event_type") * 2 + F.grouping("day_ts")).cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+    )
+    return grouped.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+        "gid",
+        "n_events",
+        "value_sum",
+    )
+
+
+@register(
+    "events_rolling_hour",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_in_hour,
+           sum(value::DECIMAL(18,6)) OVER w::DOUBLE AS sum_in_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    ops=["O1", "O3", "T1", "EXT-windows"],
+)
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity via a RANGE window frame (value
+    range on event-time seconds, not N rows — the frame an N-rows frame
+    cannot express on irregular streams).
+
+    DECIMAL sums inside the frame: engines implement sliding frames
+    differently (recompute vs segment tree), so double accumulation
+    would differ in addition ORDER; decimal is associative, making the
+    frame sum implementation-independent. One shuffle on user_id; the
+    sort is per-partition."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_in_hour"),
+    )
+
+
+@register(
+    "events_type_lift",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab::DOUBLE * n.n_users / (ta.n_t::DOUBLE * tb.n_t), 6) AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+    ops=["G2", "J2", "X1", "EXT-relational"],
+)
+def q_events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: P(a,b)/(P(a)P(b)) over
+    per-user distinct type sets. The self-join runs on the DISTINCT
+    (user, type) table — bounded by types-per-user^2 rows per user, not
+    events^2; type counts and the user-count scalar broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_users")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT
+                          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+    ops=["T1", "W2", "O3", "O4", "EXT-sessions"],
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening event-type paths (first 3 events per
+    gap-session) — funnel discovery, the inverse of events_funnel's
+    fixed-stage counting."""
+    return session_paths(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Sliding distinct cardinality + referential-integrity data-quality audit
+# ===========================================================================
+
+
+@register(
+    "events_rolling_7d_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    offs AS (SELECT unnest(range(7)) AS off),
+    contrib AS (SELECT user_id, day + off::INTEGER AS target_day
+                FROM ud CROSS JOIN offs),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(c.target_day, '%Y-%m-%d') AS day,
+           count(DISTINCT c.user_id) AS users_7d
+    FROM contrib c JOIN days d ON d.day = c.target_day
+    GROUP BY 1
+    """,
+    ops=["G2", "X1", "T1", "EXT-windows", "EXT-sketch"],
+)
+def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) that a RANGE window frame cannot express.
+
+    Shape: dedup to (user, day) FIRST (the only pass over raw events),
+    then each activity day fans out to the <=7 window-end days it
+    contributes to (a 7-row literal explode — narrow), and the distinct
+    count groups by target day. The fan-out bounds work at 7x the
+    deduped (user, day) table regardless of raw event volume — the
+    scalable alternative to re-scanning a 7-day range per day. Days
+    with no activity in the trailing week emit nothing (join against
+    observed days, not a calendar spine)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, off)").alias("target_day"))
+    days = ud.select("day").distinct()
+    return (
+        contrib.join(F.broadcast(days), contrib.target_day == days.day)
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.date_format("target_day", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH t AS (SELECT user_id, value, floor(epoch(ts))::BIGINT AS ep,
+                      lead(floor(epoch(ts))::BIGINT)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT user_id, count(*) AS n_intervals,
+           sum(nxt - ep)::BIGINT AS total_sec,
+           round(sum((value * (nxt - ep))::DECIMAL(38,10))::DOUBLE
+                 / sum(nxt - ep), 6) AS twa_value
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+    ops=["O1", "G2", "T1", "EXT-windows"],
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each reading holds until
+    the next one, so it weighs by its holding duration (the correct
+    average for irregularly-sampled gauges; the unweighted mean
+    over-counts bursts). lead() gives the interval, decimal value x
+    integer-seconds products make the reduction exact. One user_id
+    shuffle shared by the window and the aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    t = ev.select(
+        "user_id",
+        "value",
+        ep.alias("ep"),
+        F.lead(ep).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("ep")
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).cast("long").alias("total_sec"),
+        F.round(
+            F.sum((F.col("value") * dt).cast("decimal(38,10)")).cast("double")
+            / F.sum(dt),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+# ===========================================================================
+# User growth accounting: daily new / returning / cumulative
+# ===========================================================================
+
+
+@register(
+    "events_user_growth",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+    daily AS (
+      SELECT u.day,
+             count(*) AS active_users,
+             sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)::BIGINT AS new_users
+      FROM ud u JOIN f USING (user_id)
+      GROUP BY u.day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users,
+           (active_users - new_users)::BIGINT AS returning_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+    FROM daily
+    """,
+    ops=["G2", "J2", "O1", "X1", "EXT-sessions"],
+)
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience accounting: active, new (first-ever day),
+    returning, and the cumulative user count — the growth dashboard
+    spine. The raw stream is touched once (dedup to (user, day)); the
+    first-day table joins back on user_id reusing that partitioning;
+    the running total windows over the ~days-sized daily table, so the
+    global ordered window is bounded by the calendar, not the corpus."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ep,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    spans AS (SELECT user_id, session_id, min(ep) AS s_ep, max(ep) AS e_ep
+              FROM sess GROUP BY 1, 2),
+    bounds AS (
+      SELECT s_ep AS ep, 1 AS delta, user_id, session_id FROM spans
+      UNION ALL
+      SELECT e_ep, -1, user_id, session_id FROM spans),
+    swept AS (
+      SELECT ep, sum(delta) OVER (ORDER BY ep, -delta, user_id, session_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bounds)
+    SELECT strftime(DATE '1970-01-01' + (ep // 86400)::INT, '%Y-%m-%d') AS day,
+           max(conc)::BIGINT AS peak_concurrency
+    FROM swept GROUP BY 1
+    """,
+    ops=["EXT-sessions", "EXT-rangejoin", "W1", "O1", "G2"],
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions via the +1/-1 boundary sweep with
+    a two-phase distributed prefix sum (no single-task global window).
+    See operators/windows.peak_concurrency; the oracle restates the
+    sweep as one ordered window over the boundary list."""
+    return peak_concurrency(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_attribution",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+          FROM events WHERE event_type IN ('click', 'view', 'signup')),
+    j AS (SELECT p.pid, p.value, t.tid, t.channel
+          FROM p LEFT JOIN t ON t.user_id = p.user_id
+                            AND t.tts < p.pts
+                            AND t.tts >= p.pts - INTERVAL 24 HOURS),
+    n AS (SELECT pid, count(tid) AS n_touch FROM j GROUP BY pid),
+    shares AS (SELECT j.pid, coalesce(j.channel, '(direct)') AS channel,
+                      round(CASE WHEN n.n_touch = 0 THEN j.value
+                                 ELSE j.value / n.n_touch END, 12)::DECIMAL(28,12) AS share
+               FROM j JOIN n USING (pid))
+    SELECT channel, count(*) AS n_attributions, count(DISTINCT pid) AS n_purchases,
+           round(sum(share)::DOUBLE, 6) AS attributed_value
+    FROM shares GROUP BY channel
+    """,
+    ops=["EXT-sessions", "EXT-rangejoin", "J2", "G2"],
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: purchase value split equally
+    over the user's click/view/signup touches in the trailing 24 h
+    (strictly before the purchase); orphan purchases go to '(direct)'.
+    See operators/timeseries.linear_attribution for the join shape and
+    the decimal-sum determinism contract."""
+    return linear_attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_mann_kendall",
+    f"""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                          sum(round(value, 6)::DECIMAL(18,6)) AS x
+                   FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
+                 (b.x - a.x)::DOUBLE / date_diff('day', a.day, b.day) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day),
+    s AS (SELECT event_type, sum(sg)::BIGINT AS s_stat,
+                 count(*)::BIGINT AS m FROM p GROUP BY 1),
+    nd AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+    ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+             FROM (SELECT event_type, x, count(*)::BIGINT AS t
+                   FROM daily GROUP BY 1, 2) GROUP BY 1),
+    rk AS (SELECT p.event_type, slope,
+                  row_number() OVER (PARTITION BY p.event_type
+                                     ORDER BY slope) AS rk, s.m
+           FROM p JOIN s USING (event_type)),
+    sen AS (SELECT event_type, sum(slope) / count(*) AS sen_raw
+            FROM rk
+            WHERE rk = floor((m + 1) / 2.0) OR rk = ceil((m + 1) / 2.0)
+            GROUP BY 1),
+    j AS (SELECT s.event_type, s.s_stat, nd.n, sen.sen_raw,
+                 (n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0 AS var_s
+          FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+          JOIN sen USING (event_type))
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s, 6) AS var_s,
+           round({_MK_Z_SQL}, 6) AS z,
+           round(sen_raw, 6) AS sen_slope,
+           CASE WHEN ({_MK_Z_SQL}) > 1.959964 THEN 'increasing'
+                WHEN ({_MK_Z_SQL}) < -1.959964 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM j
+    """,
+    ops=["EXT-timeseries", "G2", "J3", "W2"],
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope per event-type daily
+    series (Mann 1945; Sen 1968): integer-exact S and tie-corrected
+    variance over DECIMAL daily sums, continuity-corrected Z, median
+    pairwise slope — the only corpus-sized pass is the daily combiner
+    groupBy; the O(n²) pair join is calendar-bounded
+    (operators/timeseries.mann_kendall_sen)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        mann_kendall_sen,
+    )
+
+    return mann_kendall_sen(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH o AS (SELECT event_type, ts, event_id, value::DECIMAL(18,6) AS v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)::BIGINT AS k,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type
+                                                      ORDER BY ts, event_id
+                                                      ROWS UNBOUNDED PRECEDING) AS prefix,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type) AS total,
+                      count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+               FROM events),
+    d AS (SELECT event_type, ts, k, n, n * prefix - k * total AS dev FROM o),
+    p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(dev) DESC, k ASC) AS rn FROM d)
+    SELECT event_type, n, k AS cp_index,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+           round(abs(dev)::DOUBLE / n, 6) AS max_abs_cusum
+    FROM p WHERE rn = 1
+    """,
+    ops=["EXT-windows", "O3", "G2"],
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event_type: the peak cumulative deviation
+    from the series mean, computed scaled in DECIMAL (exact) with the
+    division rounded only at the report edge — see
+    operators/timeseries.cusum_changepoints."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_holt_forecast",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 -- acc is a [level, trend] LIST, not a struct: DuckDB
+                 -- 1.0's struct-acc list_reduce leaks already-computed
+                 -- fields into later field expressions from the second
+                 -- iteration on (slot reuse); list construction
+                 -- evaluates both elements against the old acc.
+                 list_reduce(list_transform(xs, x -> [x, 0.0::DOUBLE]),
+                   (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                                0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                                + 0.7 * acc[2]]) AS st
+          FROM ordered)
+    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM f
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level+trend) smoothing per event type
+    via grouped-map applyInPandas, with the one-step forecast — the
+    doubly-recursive fold no built-in window expresses, value-checked
+    against DuckDB's identical-IEEE list_reduce over {l, b} structs.
+    See operators/timeseries.holt_linear."""
+    from openrouter_batch_processor_spark.operators.timeseries import holt_linear
+
+    return holt_linear(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_acf",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{_ACF_LAG_COLS}
+      FROM lg GROUP BY 1)
+    {_ACF_ARMS}
+    """,
+    ops=["EXT-windows", "G2", "W1", "O3"],
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-6) of the hourly event-count series per
+    type, exact integer Box-Jenkins estimator —
+    operators/timeseries.acf_lags."""
+    from openrouter_batch_processor_spark.operators.timeseries import acf_lags
+
+    return acf_lags(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, hour, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    d AS (
+      SELECT event_type, extract(hour FROM hour)::BIGINT AS hod,
+             25 * x - sum(x) OVER w AS d25,
+             count(*) OVER w AS wn
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+    SELECT event_type, hod, count(*)::BIGINT AS n_windows,
+           ((sum(d25)::BIGINT * 10000000) // (25 * count(*)))::DOUBLE
+             / 10000000.0 AS seasonal
+    FROM d WHERE wn = 25 GROUP BY 1, 2
+    """,
+    ops=["EXT-windows", "G2", "W1"],
+)
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition: centered 25-h moving-average
+    trend, hour-of-day seasonal means, exact ×25 integer carry —
+    operators/timeseries.seasonal_decompose_hod. (Both engines'
+    integer div truncates toward zero, verified — negative detrended
+    sums are safe.)"""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        seasonal_decompose_hod,
+    )
+
+    return seasonal_decompose_hod(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_mad_anomaly",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT event_type, value AS med, n AS n_events
+            FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (SELECT e.event_type, e.event_id, m.n_events, m.med,
+                   abs(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+    r2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+                  n_events AS n
+           FROM dev),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, max(d.n_events)::BIGINT AS n_events,
+           max(d.med) AS med, max(m.mad) AS mad,
+           count(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m USING (event_type) GROUP BY 1
+    """,
+    ops=["EXT-windows", "G2", "O3", "G6"],
+)
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-rule robust anomaly counts (3·1.4826·MAD) per event
+    type, rank-median order statistics only —
+    operators/timeseries.mad_anomalies."""
+    from openrouter_batch_processor_spark.operators.timeseries import mad_anomalies
+
+    return mad_anomalies(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Round-4 second wave: Holt-Winters additive (rotating seasonal ring)
+# ===========================================================================
+
+
+@register(
+    "events_holt_winters",
+    """
+    WITH ordered AS (
+      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
+             count(*) AS n
+      FROM events GROUP BY event_type),
+    f AS (SELECT event_type, n,
+                 -- acc = [l, b] || 24-slot seasonal RING (head = s_{t-m});
+                 -- every element evaluated against the OLD acc (list
+                 -- construction; the DuckDB 1.0 struct-acc field leak
+                 -- does not apply — see events_holt_forecast)
+                 list_reduce(
+                   list_transform(xs, x -> ([x] || list_transform(range(0, 25),
+                                                                  i -> 0.0::DOUBLE))),
+                   (acc, e) ->
+                     [0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                      0.3 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                             - acc[1]) + 0.7 * acc[2]]
+                     || acc[4:26]
+                     || [0.2 * (e[1] - (0.5 * (e[1] - acc[3])
+                                        + 0.5 * (acc[1] + acc[2])))
+                         + 0.8 * acc[3]]) AS st
+          FROM ordered)
+    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[3], 6) AS s_next,
+           round(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM f
+    """,
+    ops=["S10", "T5", "G2", "EXT-windows"],
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (level+trend+24-slot seasonal ring) per
+    event type via grouped-map applyInPandas, value-checked against a
+    DuckDB list_reduce over rotating 26-wide list accumulators —
+    operators/timeseries.holt_winters_additive."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    return holt_winters_additive(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_pacf",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 6))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{",".join(chr(10) + f'''           sum(x*xl{k})::HUGEINT AS sxy{k},
+           sum(CASE WHEN xl{k} IS NOT NULL THEN x END)::HUGEINT AS s2_{k},
+           sum(xl{k})::HUGEINT AS s1_{k}''' for k in range(1, 6))}
+      FROM lg GROUP BY 1),
+    {_pacf_sql(5)}
+    """,
+    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
+)
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-5) of the hourly event-count
+    series per type: Durbin-Levinson recursion unrolled over the
+    integer-exact ACF values, every accumulation left-associative on
+    both engines (operators/timeseries.pacf_lags)."""
+    from openrouter_batch_processor_spark.operators.timeseries import pacf_lags
+
+    return pacf_lags(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_ljung_box",
+    f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    lg AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
+      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    f AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x*x)::HUGEINT AS q,
+{_ACF_LAG_COLS}
+      FROM lg GROUP BY 1),
+    acfv AS ({_ACF_ARMS}),
+    a AS (SELECT event_type, max(n)::BIGINT AS n,
+                 sum(round((acf * acf) / (n - lag_k)::DOUBLE,
+                           12)::DECIMAL(28,12)) AS ssum
+          FROM acfv GROUP BY 1),
+    qq AS (SELECT event_type, n,
+                  (n * (n + 2))::DOUBLE * ssum::DOUBLE AS q_raw
+           FROM a)
+    SELECT event_type, n, 6::BIGINT AS df,
+           round(q_raw, 6) AS q_stat,
+           round((pow(q_raw / 6.0, 1.0/3.0) - {1.0 - 2.0 / 54.0!r})
+                 / {(2.0 / 54.0) ** 0.5!r}, 6) AS z_wh
+    FROM qq
+    """,
+    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
+)
+def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise Q (lags 1-6) per event type
+    over the hourly count series, with the Wilson-Hilferty chi-square
+    z approximation — 12-dp decimal-summed summands over the
+    integer-exact ACF (operators/timeseries.ljung_box)."""
+    from openrouter_batch_processor_spark.operators.timeseries import ljung_box
+
+    return ljung_box(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_runs_test",
+    """
+    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                          sum(round(value, 6)::DECIMAL(18,6)) AS x
+                   FROM events GROUP BY 1, 2),
+    rk AS (SELECT event_type, day, x,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY x, day) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+    med AS (SELECT event_type, x AS med FROM rk
+            WHERE rnk = floor((n + 1) / 2)),
+    lab AS (SELECT d.event_type, d.day,
+                   CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS s
+            FROM daily d JOIN med m USING (event_type)
+            WHERE d.x != m.med),
+    runs AS (SELECT event_type, s,
+                    CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                           ORDER BY day) IS NULL
+                              OR s != lag(s) OVER (PARTITION BY event_type
+                                                   ORDER BY day)
+                         THEN 1 ELSE 0 END AS chg
+             FROM lab),
+    agg AS (SELECT event_type,
+                   count(*)::BIGINT AS n_days,
+                   sum(s)::BIGINT AS n_above,
+                   (count(*) - sum(s))::BIGINT AS n_below,
+                   sum(chg)::BIGINT AS n_runs
+            FROM runs GROUP BY 1)
+    SELECT event_type, n_days, n_above, n_below, n_runs,
+           round((n_runs - (2.0 * n_above * n_below
+                            / (n_above + n_below) + 1.0))
+                 / sqrt(2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below - n_above - n_below)
+                        / ((n_above + n_below)::DOUBLE
+                           * (n_above + n_below)::DOUBLE
+                           * ((n_above + n_below) - 1))),
+                 6) AS z
+    FROM agg
+    """,
+    ops=["EXT-timeseries", "G2", "W2", "J3"],
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event-type daily series:
+    above/below-lower-median labeling (deterministic tie cut), runs
+    counted by one lag window, exact-integer moments, one double z —
+    the exchangeability audit beside Mann-Kendall and Ljung-Box
+    (operators/timeseries.runs_test)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    return runs_test(_t(spark, sf_dir, "events"))

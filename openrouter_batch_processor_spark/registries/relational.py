@@ -1,0 +1,1578 @@
+"""Relational/TPC-H-shaped analytics: the q1–q22 suite plus windowing,
+as-of/range joins, SCD2, rollup/cube and exact-stats queries.
+
+Split from registry.py (r08); queries are verbatim. The shared SQL
+builders live in registries.common (star-imported: its __all__ is the
+explicit export list)."""
+
+from __future__ import annotations
+
+from openrouter_batch_processor_spark.registries.common import *  # noqa: F401,F403
+
+
+
+# ===========================================================================
+# TPC-H-shaped analytics (scan -> filter -> agg; the bench headliners)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS sum_disc_price,
+           sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
+           round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_qty,
+           round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ops=["G2", "P1", "O1"],
+)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 4)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 4)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity", 4)).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_discount", 6)).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue",
+    """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o.o_orderpriority,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    ops=["J1", "G2", "O3", "G5"],
+)
+def q3_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Relational headliners: filter-pushdown agg (q6 shape) and semi-join
+# priority check (q4 shape) — the scan-efficiency showcases
+# ===========================================================================
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,6))::DOUBLE AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    ops=["P1", "G2", "EXT-relational"],
+)
+def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    ops=["J2", "G2", "EXT-relational"],
+)
+def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
+             AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the classic star strategy.
+
+    nation x region collapse to a broadcast dim before touching facts, so
+    the only shuffles are the orders->lineitem and customer equi-joins;
+    the date filter sits directly on the orders scan (pushed to parquet).
+    The c_nationkey = s_nationkey cycle edge rides the supplier join as a
+    residual condition instead of forcing an extra shuffle."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        nr, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "F11"],
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; the OR-of-pairs predicate is applied
+    after the cheap dim joins, never as a join condition (which would
+    force a nested loop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey)
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                 / sum(volume)::DOUBLE, 6) AS mkt_share,
+           count(*) AS n_items
+    FROM vol GROUP BY o_year
+    """,
+    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    trade — conditional decimal aggregation over a 7-way star join; the
+    region filter collapses into the broadcast customer-nation dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH best AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+      FROM lineitem)
+    SELECT p.p_partkey, p.p_name, s.s_name AS best_supplier,
+           b.l_extendedprice AS min_price
+    FROM best b
+    JOIN part p     ON p.p_partkey = b.l_partkey AND p.p_retailprice > 950
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1
+    """,
+    ops=["EXT-relational", "J1", "O3", "W1"],
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min-per-group subquery) as a ranked
+    window: one shuffle on l_partkey, rank-1 filter, then a broadcast
+    supplier join; the p_retailprice predicate is pushed to the part
+    scan before the join."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey")
+    )
+    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("best_supplier"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "topk_suppliers_per_nation",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+                          AS revenue
+                 FROM lineitem GROUP BY l_suppkey),
+    j AS (SELECT s.s_nationkey, s.s_suppkey, s.s_name, r.revenue
+          FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                        ORDER BY revenue DESC, s_suppkey ASC) AS rank
+           FROM j)
+    SELECT s_nationkey, rank, revenue, s_suppkey, s_name FROM rk WHERE rank <= 3
+    """,
+    ops=["EXT-skew", "O3", "G2", "J2"],
+)
+def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue suppliers per nation via the window-FREE top-k
+    (collect/sort_array/slice per group) — the skew-safe alternative to
+    row_number, checked against the window-form oracle for equivalence."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    j = rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey).select(
+        "s_nationkey", "s_suppkey", "s_name", "revenue"
+    )
+    return topk_per_group_agg(j, "s_nationkey", "revenue", 3, ["s_suppkey", "s_name"])
+
+
+@register(
+    "cube_docs_source_lang",
+    """
+    SELECT source, lang, grouping(source) AS g_source, grouping(lang) AS g_lang,
+           count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum
+    FROM documents GROUP BY CUBE (source, lang)
+    """,
+    ops=["EXT-rollup", "G2"],
+)
+def q_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (source, lang) with grouping indicators — all four
+    aggregation levels in one shuffle (Catalyst expands the grouping
+    sets; partial aggregation still applies per set)."""
+    docs = _t(spark, sf_dir, "documents")
+    # grouping() is ByteType in Spark but BIGINT in DuckDB — cast to long
+    # for dtype parity (the driver's frame hash is dtype-sensitive).
+    return docs.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.grouping("source").cast("long").alias("g_source"),
+        F.grouping("lang").cast("long").alias("g_lang"),
+    ).select("source", "lang", "g_source", "g_lang", "n_docs", "chars_sum")
+
+
+@register(
+    "asof_trade_quote",
+    """
+    WITH q AS (
+      SELECT user_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1),
+    t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT t.event_id, t.user_id,
+           strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS trade_ts,
+           strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS quote_ts,
+           round(q.value::DOUBLE, 6) AS quote_value
+    FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+    ops=["EXT-asof", "J2", "O1"],
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest click at or before each purchase' per user — the as-of
+    join, checked against DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    quotes = latest_per_ts(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id"),
+        ["user_id"], "ts", "event_id",
+    ).drop("event_id")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(trades, quotes, keys=["user_id"], ts_col="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("trade_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("quote_ts"),
+        F.round(F.col("asof_value").cast("double"), 6).alias("quote_value"),
+    )
+
+
+@register(
+    "w_rank_lag_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             o_orderdate
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk,
+           date_diff('day', prev_date, o_orderdate) AS days_since_prev
+    FROM ranked WHERE rnk <= 3
+    """,
+    ops=["O3", "W1", "EXT-relational"],
+)
+def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price + days since previous order —
+    ranking and lag windows (one shuffle on o_custkey, shared by both
+    windows)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_price).cast("long").alias("rnk"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w_date)
+            ).alias("days_since_prev"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "g_distinct_users_salted",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    ops=["G2", "EXT-skew"],
+)
+def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via the two-phase salted aggregation
+    (operators/skew.py) — identical results to a plain COUNT(DISTINCT),
+    but a hot key's distinct-set never sits in one task."""
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev.select("event_type", "user_id"), ["event_type"], "user_id")
+
+
+@register(
+    "range_join_nearby_clicks",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           count(c.ts) AS n_in_range
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    ops=["EXT-rangejoin", "J2"],
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±30 min of each purchase (same user) — banded
+    range join vs DuckDB's native IEJoin range join as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = banded_range_count(
+        purchases, clicks, keys=["user_id"], ts_col="ts", window_seconds=1800
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "n_in_range",
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    """
+    WITH e AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             extract(hour FROM ts) AS hour, value
+      FROM events)
+    SELECT day, hour,
+           GROUPING(day) AS g_day, GROUPING(hour) AS g_hour,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
+    FROM e
+    GROUP BY ROLLUP(day, hour)
+    """,
+    ops=["EXT-rollup", "G2", "EXT-windows"],
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: (day, hour) -> day -> grand
+    total in ONE pass (Spark expands grouping sets with partial aggs —
+    no per-level rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        "value",
+    )
+    return e.rollup("day", "hour").agg(
+        F.grouping("day").cast("long").alias("g_day"),
+        F.grouping("hour").cast("long").alias("g_hour"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6).alias(
+            "value_sum"
+        ),
+    )
+
+
+@register(
+    "stats_binned_quantiles",
+    """
+    WITH b AS (SELECT floor(l_extendedprice / 500.0)::BIGINT AS bucket FROM lineitem),
+    hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    c AS (SELECT bucket,
+                 (sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                 (sum(cnt) OVER ())::BIGINT AS total
+          FROM hist)
+    SELECT max(total) AS total,
+           min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) AS p50_bucket,
+           min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) AS p90_bucket,
+           min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) AS p99_bucket,
+           ((min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p50_value,
+           ((min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p90_value,
+           ((min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p99_value
+    FROM c
+    """,
+    ops=["EXT-sketch", "EXT-quality", "G2", "O3"],
+)
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles of l_extendedprice (bucket width 500): the
+    shuffle-one-row-per-bucket scale path vs the exact rank median."""
+    return binned_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 500.0)
+
+
+@register(
+    "stats_length_histogram",
+    """
+    SELECT source,
+           least((n_chars // 100), 9) AS bucket,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source, least((n_chars // 100), 9)
+    """,
+    ops=["G4", "EXT-quality"],
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per source: fixed 100-char buckets,
+    top-capped — the distribution profile a corpus QA step produces."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
+    return docs.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "stats_exact_median",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source, n AS n_docs, n_chars AS median_chars
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    ops=["G2", "O3", "EXT-quality"],
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median by rank — engine-portable (interpolating
+    percentile implementations differ; the rank formulation doesn't).
+    One shuffle on source shared by both windows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    # floor((n+1)/2), NOT true division: Column `/` is double division,
+    # and for EVEN n the half-integer rank would match no row at all
+    # (the oracle's `//` floors — parity demands the same here).
+    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "source", F.col("n").alias("n_docs"), F.col("n_chars").alias("median_chars")
+    )
+
+
+# ===========================================================================
+# TPC-H Q16/Q17/Q18/Q22 shapes — the remaining classic join strategies:
+# NOT-IN anti-join, correlated scalar avg, HAVING semi-join, scalar
+# subquery + no-orders anti-join
+# ===========================================================================
+
+
+@register(
+    "q16_supplier_part_breadth",
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pf AS (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size IN (1, 4, 9, 16, 25, 36))
+    SELECT p_brand, p_type,
+           count(DISTINCT l_suppkey) AS supplier_cnt,
+           count(DISTINCT l_partkey) AS part_cnt
+    FROM pairs
+    JOIN pf ON pf.p_partkey = pairs.l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type
+    """,
+    ops=["J2", "G2", "EXT-relational"],
+)
+def q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by distinct lineitem pairs):
+    supplier breadth per (brand, type) excluding blacklisted suppliers.
+
+    Plan: the (partkey, suppkey) DISTINCT is the one real shuffle and
+    arrives pre-combined map-side; the supplier blacklist and the
+    size-filtered part dim both broadcast, so the anti-join and the dim
+    join are map-side probes. count(DISTINCT) re-shuffles on the group
+    keys — (brand, type) cardinality is tiny, AQE coalesces."""
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 4, 9, 16, 25, 36))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pf AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#12', 'Brand#23')),
+    lf AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN pf ON pf.p_partkey = lineitem.l_partkey),
+    st AS (SELECT l_partkey, sum(l_quantity::DECIMAL(18,6)) AS sq, count(*) AS cq
+           FROM lf GROUP BY 1)
+    SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 6) AS avg_weekly_revenue,
+           count(*) AS n_rows
+    FROM lf l JOIN st ON st.l_partkey = l.l_partkey
+    WHERE 2 * cq * l.l_quantity::DECIMAL(18,6) < sq
+    """,
+    ops=["J2", "J3", "G2", "EXT-relational"],
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below half their part's
+    average quantity (the correlated scalar-average subquery).
+
+    Decorrelated the way Catalyst would: per-part (sum, count) agg on
+    the brand-filtered fact slice, broadcast back onto the same slice.
+    The half-average comparison is cross-multiplied into exact integer/
+    decimal arithmetic (2*count*qty < sum) so the oracle can't diverge
+    on float division. Only the per-part agg shuffles; both joins are
+    broadcasts of brand-sized dims."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).drop("p_partkey")
+    st = lf.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+        F.count(F.lit(1)).alias("cq"),
+    )
+    joined = lf.withColumnRenamed("l_partkey", "lp").join(
+        F.broadcast(st), F.col("lp") == st.l_partkey
+    )
+    small = joined.filter(
+        F.lit(2) * F.col("cq") * F.col("l_quantity").cast("decimal(18,6)") < F.col("sq")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 6
+        ).alias("avg_weekly_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,6)) AS tq
+                 FROM lineitem GROUP BY 1
+                 HAVING sum(l_quantity::DECIMAL(18,6)) > 250)
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o.o_totalprice, tq::DOUBLE AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    ops=["G2", "J1", "J2", "G6", "EXT-relational"],
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    with their customers (GROUP BY + HAVING driving a join).
+
+    The per-order agg is the only wide shuffle; the HAVING filter
+    shrinks it to a few hundred rows, which then BROADCAST through both
+    remaining joins — orders and customer are probed map-side, never
+    shuffled. At 100 TB that ordering (reduce first, then join the
+    survivors) is the difference between broadcasting kilobytes and
+    shuffling the two biggest tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("tq"))
+        .filter(F.col("tq") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    wide = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "tq"
+    )
+    out = cust.join(F.broadcast(wide), cust.c_custkey == wide.o_custkey)
+    return out.select(
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+        "o_totalprice",
+        F.col("tq").cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "q22_inactive_high_balance",
+    """
+    WITH pos AS (SELECT sum(c_acctbal::DECIMAL(18,6)) AS sb, count(*) AS nb
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS n_cust,
+           sum(c_acctbal::DECIMAL(18,6))::DOUBLE AS total_bal
+    FROM customer c, pos
+    WHERE c.c_acctbal::DECIMAL(18,6) * nb > sb
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    ops=["J2", "J3", "P1", "G2", "EXT-relational"],
+)
+def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (global scalar subquery + anti-join).
+
+    The global average arrives as a broadcast one-row cross join; the
+    above-average comparison is cross-multiplied into decimal
+    (acctbal*count > sum) so no float-division boundary can flip a row.
+    The lapsed-customer check is a shuffle anti-join on custkey —
+    orders is too big to broadcast at scale, but its date predicate
+    pushes to the parquet scan and the customer side is already thinned
+    by the balance predicate before it shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    high = cust.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("nb") > F.col("sb")
+    )
+    inactive = high.join(orders, high.c_custkey == orders.o_custkey, "leftanti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
+    )
+
+
+# ===========================================================================
+# EXT-windows — SCD2 dimension build from the event log
+# ===========================================================================
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM ch
+    """,
+    ops=["EXT-windows", "O1", "T1"],
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.timeseries import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# EXT-windows — distribution window functions (ntile / percent_rank /
+# cume_dist), partitioned per key so no global sort exists anywhere
+# ===========================================================================
+
+
+@register(
+    "w_ntile_cumdist",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    ops=["EXT-windows", "O1", "O3"],
+)
+def q_w_ntile_cumdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-distribution ranks. One shuffle on custkey,
+    one per-partition sort shared by all three window functions (same
+    WindowSpec -> single Window physical node); the unique
+    (totalprice, orderkey) ordering makes percent_rank/cume_dist
+    peer-free and deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q13/Q15 shapes — outer-join distribution and argmax-by-scalar
+# ===========================================================================
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    SELECT c_count, count(*) AS custdist FROM co GROUP BY 1
+    """,
+    ops=["J1", "G2", "G4", "EXT-relational"],
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
+    orders — LEFT OUTER join with a join-side residual predicate (the
+    filter must sit IN the join, not under it, or zero-order customers
+    vanish), then a count-of-counts.
+
+    The outer join shuffles both sides on custkey; the first groupBy
+    rides the SAME partitioning (no second shuffle — Catalyst reuses
+    the hash partitioning), and the count-of-counts shuffles a few
+    hundred distinct c_count rows. count(o_orderkey) ignores the NULLs
+    an unmatched customer row carries, which is exactly the 0-order
+    bucket."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    co = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY 1),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+    FROM supplier JOIN rev ON rev.l_suppkey = s_suppkey JOIN mx ON total_rev = m
+    """,
+    ops=["J2", "J3", "G2", "O4", "EXT-relational"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — argmax implemented as agg -> 1-row max scalar -> equality filter,
+    NOT orderBy().limit(1) (which silently drops ties and forces a
+    global sort; the view-based original keeps ties).
+
+    Revenue sums in DECIMAL so the equality against the max is exact —
+    with double sums, '== max' is a bit-pattern lottery. The per-supp
+    agg is the only shuffle; the max arrives by broadcast cross join
+    and the supplier dim join broadcasts the (tiny) winning set."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    winners = rev.join(F.broadcast(mx), rev.total_rev == F.col("m")).select(
+        "l_suppkey", "total_rev"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(F.broadcast(winners), supp.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+    )
+
+
+# ===========================================================================
+# TPC-H Q9/Q10/Q11/Q14/Q19 shapes — profit rollup, returned-item top-N,
+# important-part threshold, promo ratio, OR-of-range-predicates
+# ===========================================================================
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    ops=["J1", "J3", "G2", "O3", "EXT-relational"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter (reference's per-group cost ranking generalized to a
+    4-table star join; cf. worker.py:133-176 usage rollup + app.py
+    archive sorting).
+
+    Scale plan: the date filter lands on the orders scan (PushedFilters)
+    and the returnflag filter on the lineitem scan, so the fact-fact
+    shuffle join only moves one quarter of orders. nation is broadcast;
+    customer joins AFTER aggregation would be ideal but the group key
+    needs c_name/c_acctbal, so customer rides the shuffle — at 100 TB
+    you'd pre-bucket orders+lineitem on orderkey and customer+orders on
+    custkey. LIMIT 20 is a TakeOrdered, no global sort."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
+                              ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                   / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE,
+             6) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    ops=["J2", "G2", "P1", "EXT-relational"],
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's discounted revenue that
+    came from PROMO-type parts — conditional aggregation folded into a
+    single pass (no second join or self-union for the numerator).
+
+    part is broadcast (it's a dim); the month filter is pushed to the
+    lineitem scan so the join probe side is ~1/36 of the table. Both
+    sums ride one partial-aggregate; DECIMAL accumulation keeps the
+    ratio deterministic under any partitioning, rounded at the edge."""
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q19_or_range_predicates",
+    """
+    SELECT sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    ops=["J2", "P1", "P4", "G2", "EXT-relational"],
+)
+def q19_or_range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity range
+    predicates spanning both join sides (the reference's multi-branch
+    file-type routing, worker.py:69-98, as relational OR-predicates).
+
+    Catalyst derives the cross-branch implied filters: quantity in
+    [1,30] prunes lineitem at the scan, brand IN (...) AND size in
+    [1,35] prunes part BEFORE the broadcast, and the residual OR runs
+    as the join condition — .explain shows both PushedFilters. That
+    scan-side derivation is what keeps this viable at 100 TB; the naive
+    plan filters after the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return joined.filter(
+        branch("Brand#12", 15, 1, 11) | branch("Brand#23", 25, 10, 20) | branch("Brand#15", 35, 20, 30)
+    ).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS yr,
+           sum(((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
+                - (0.6 * p.p_retailprice * l.l_quantity)::DECIMAL(18,6)))::DOUBLE AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type IN ('STANDARD', 'ECONOMY')
+    GROUP BY 1, 2
+    """,
+    ops=["J2", "J3", "G2", "F11", "EXT-relational"],
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year. The testdata
+    has no partsupp table, so supply cost is proxied as 60% of retail
+    price — the plan shape (fact + two broadcast dims + snowflaked
+    nation, derived-column group key) is what's under test.
+
+    Both dims broadcast, so the only shuffle is the final (nation ×
+    year) aggregate — 25 × 7 groups — after a map-side partial agg; at
+    100 TB this stays a single wide scan with no fact-fact shuffle.
+    Revenue and cost are separately cast to DECIMAL before the subtract
+    so the sum is order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").isin("STANDARD", "ECONOMY"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    ) - (0.6 * F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1),
+    tot AS (SELECT sum(part_value) AS total FROM val)
+    SELECT v.l_partkey AS partkey, v.part_value::DOUBLE AS part_value
+    FROM val v, tot
+    WHERE (v.part_value * 1000)::DECIMAL(28,6) > tot.total::DECIMAL(28,6)
+    """,
+    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within one region
+    exceeds 0.1% of the region total (partsupp proxied by lineitem
+    value). HAVING-against-scalar-subquery, decorrelated: aggregate
+    once, reduce to a 1-row total, broadcast it back as a cross join.
+
+    The threshold compares DECIMAL*1000 > DECIMAL — exact integer-ish
+    arithmetic on both engines, no double epsilon at the cut line. The
+    snowflake (region->nation->supplier) folds into one broadcast
+    before touching lineitem, so lineitem is scanned once and shuffled
+    once (on partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_supp = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asian_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(
+            (F.col("part_value") * 1000).cast("decimal(28,6)")
+            > F.col("total").cast("decimal(28,6)")
+        )
+        .select(F.col("l_partkey").alias("partkey"), F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q12 shape + single-pass table profiler
+# ===========================================================================
+
+
+@register(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END)::BIGINT AS late_lines,
+           count(*) AS n_lines,
+           round(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS late_ratio
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    ops=["J1", "G2", "F11", "EXT-relational"],
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode recast as priority class, commitdate
+    recast as a 90-day ship SLA): late-shipment rate per urgency class.
+    One fact-fact shuffle join on orderkey, conditional counts folded
+    into a single partial-aggregating pass — the two-branch CASE never
+    re-scans, and the final group count is 2 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+    ).otherwise(0)
+    cls = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(cls.alias("prio_class"))
+        .agg(
+            F.sum(late).cast("long").alias("late_lines"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias("late_ratio"),
+        )
+    )
+
+
+# ===========================================================================
+# Fuzzy entity matching, time-weighted averages, TPC-H Q20 shape
+# ===========================================================================
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+    WITH clean AS (SELECT p_partkey, p_name FROM part),
+    dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, (p_partkey % 4 + 4)::INTEGER)
+             || substr(p_name, (p_partkey % 4 + 6)::INTEGER) AS dirty_name
+      FROM part WHERE length(p_name) > (p_partkey % 4 + 5)::INTEGER),
+    cand AS (
+      SELECT d.dirty_id, d.dirty_name, c.p_partkey, c.p_name,
+             levenshtein(d.dirty_name, c.p_name) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.dirty_name, 1, 3) = substr(c.p_name, 1, 3)
+      WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
+    SELECT dirty_id, dirty_name,
+           min(dist) AS best_dist,
+           min(CASE WHEN dist = best THEN p_partkey END) AS match_partkey,
+           count(*) AS n_candidates
+    FROM (SELECT *, min(dist) OVER (PARTITION BY dirty_id) AS best FROM cand)
+    GROUP BY 1, 2
+    """,
+    ops=["J2", "G2", "F6", "EXT-neardup"],
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit distance: a deterministically
+    corrupted catalog (one char deleted past the prefix, keyed on
+    partkey) re-matched to the clean catalog (corruptions inside the
+    block key are unmatchable, which is blocking's documented recall
+    trade-off). Levenshtein is integer-valued, so cross-engine parity
+    is exact; best match = min distance with min-key tiebreak.
+
+    Scale plan (r01 had 42.8 s here — skewed 3-char-prefix blocks times
+    unthresholded levenshtein is quadratic in block size). Three
+    answer-preserving prunes:
+    1. Block key is (prefix3, length-bucket), not prefix alone: edit
+       distance >= |length difference|, so any dist<=2 pair has
+       |len(d)-len(c)| <= 2; with bucket width 3, the clean bucket is
+       within +-1 of the dirty bucket — the dirty side explodes to its
+       3 adjacent buckets (3x rows, but block sizes shrink ~10x and
+       grow sublinearly with data, so pair counts stop detonating).
+    2. |length(d) - length(c)| <= 2 as a join predicate — applied at
+       match time, before any levenshtein evaluation.
+    3. Thresholded levenshtein(d, c, 2): O(len * 2) banded DP with
+       early exit (returns -1 past the bound) instead of O(len^2).
+    Each pair still joins exactly once (the 3 exploded buckets are
+    distinct), so n_candidates is unchanged."""
+    part = _t(spark, sf_dir, "part")
+    k = (F.col("p_partkey") % 4 + 4).cast("int")
+    dirty = part.filter(F.length("p_name") > k + 1).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), k),
+            F.col("p_name").substr(k + 2, F.length("p_name")),
+        ).alias("dirty_name"),
+    )
+    bucket_w = 3
+    d_len = F.length("dirty_name")
+    d_bucket = (d_len / bucket_w).cast("int")
+    # part is one parquet file -> one input split; without an explicit
+    # round-robin repartition the whole pair-generation + levenshtein
+    # stage runs in a single task after the broadcast join. (At cluster
+    # scale the scan has many splits and this is a no-op cost-wise.)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dirty_b = dirty.repartition(n_part).withColumn("_ld", d_len).withColumn(
+        "_b", F.explode(F.array(d_bucket - 1, d_bucket, d_bucket + 1))
+    ).withColumn("_pfx", F.substring("dirty_name", 1, 3))
+    clean_b = part.select(
+        "p_partkey",
+        "p_name",
+        F.length("p_name").alias("_lc"),
+        (F.length("p_name") / bucket_w).cast("int").alias("_b"),
+        F.substring("p_name", 1, 3).alias("_pfx"),
+    )
+    # No filter(dist >= 0) before the agg: Catalyst would inline the
+    # levenshtein into both the filter predicate and the projection,
+    # evaluating it twice per pair. Instead dist flows unfiltered into
+    # conditional aggregates (partial agg combines map-side, so the -1
+    # rows never reach the shuffle), and empty groups drop at the end.
+    # The r01 window-then-groupBy is also gone: the window partition key
+    # equaled the group key, so argmin is just a struct-min.
+    pairs = (
+        dirty_b.join(clean_b, ["_pfx", "_b"])
+        .filter(F.abs(F.col("_ld") - F.col("_lc")) <= 2)
+        .select(
+            "dirty_id",
+            "dirty_name",
+            "p_partkey",
+            F.levenshtein("dirty_name", "p_name", 2).alias("dist"),
+        )
+    )
+    hit = F.col("dist") >= 0
+    return (
+        pairs.groupBy("dirty_id", "dirty_name")
+        .agg(
+            F.min(F.when(hit, F.col("dist"))).cast("long").alias("best_dist"),
+            F.min(F.when(hit, F.struct("dist", "p_partkey")))["p_partkey"].alias(
+                "match_partkey"
+            ),
+            F.count(F.when(hit, 1)).alias("n_candidates"),
+        )
+        .filter(F.col("best_dist").isNotNull())
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity::DECIMAL(18,4)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY 1, 2),
+    excess AS (SELECT DISTINCT l_suppkey FROM sp
+               WHERE qty > 100::DECIMAL(18,4))
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s.s_suppkey)
+    """,
+    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty proxied by shipped quantity): suppliers
+    who moved more than a threshold of any PROMO part — nested
+    aggregate -> DISTINCT supplier set -> semi join into the supplier
+    dim. The part filter broadcasts into the lineitem scan's join; the
+    (supp, part) aggregate is the only big shuffle; the excess set is
+    tiny and broadcasts as a LeftSemi."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+    )
+    excess = (
+        sp.filter(F.col("qty") > F.lit(100).cast("decimal(18,4)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ===========================================================================
+# TPC-H Q21 shape: suppliers who kept orders waiting
+# ===========================================================================
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2)
+    SELECT s.s_name, n.n_name, count(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    ops=["J1", "J2", "G2", "W1", "EXT-relational"],
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commitdate recast as the 90-day ship SLA, all
+    nations kept): in finished multi-supplier orders, the supplier who
+    was the ONLY late one — ranked by how many orders they held up.
+
+    The classic formulation is two correlated self-[anti]joins (EXISTS
+    another supplier / NOT EXISTS another LATE supplier); that is two
+    extra shuffles of the fact table. Here both existence tests
+    collapse into one window over the per-(order, supplier) rollup:
+    count(*) and sum(late) over l_orderkey give "has a co-supplier"
+    (n_supp > 1) and "no other late one" (n_late = 1 and me late) for
+    free — the rollup's (orderkey, suppkey) shuffle then one orderkey
+    window, vs three orderkey-sized shuffles for the textbook plan.
+    The oracle keeps the EXISTS/NOT-EXISTS text to prove equivalence.
+    Top-20 is TakeOrderedAndProject on the (numwait, s_name) total
+    order, so the limit is deterministic under ties in both engines."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

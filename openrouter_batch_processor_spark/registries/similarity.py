@@ -1,0 +1,902 @@
+"""Embedding similarity queries: brute-force/IVF/PQ ANN, recall/NDCG
+audits, embedding post-processing (power PC, ABTT, Mahalanobis).
+
+Split from registry.py (r08); queries are verbatim. The shared SQL
+builders live in registries.common (star-imported: its __all__ is the
+explicit export list)."""
+
+from __future__ import annotations
+
+from openrouter_batch_processor_spark.registries.common import *  # noqa: F401,F403
+
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT e.vec_id,
+           round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')}, 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    ops=["EXT-simsearch"],
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_bruteforce(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                                - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               round(list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(c.cvec, q.qv)
+                     + list_dot_product(q.qv, q.qv), 6) AS qdist
+        FROM centroids c, q)
+      ORDER BY qdist, centroid_id LIMIT 2)
+    SELECT a.vec_id,
+           round({_COS_SQL.format(a='a.v', b='q.qv')}, 6) AS cos_sim
+    FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+    ops=["EXT-simsearch", "EXT-ivf"],
+)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
+
+
+@register(
+    "sim_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.unit, b.unit), 6) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup"],
+)
+def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairsbf(spark, sf_dir)
+
+
+@register(
+    "sim_neardup_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, e.v)
+                                - 2 * list_dot_product(e.v, c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM assigned a
+    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN u ua ON ua.vec_id = a.vec_id
+    JOIN u ub ON ub.vec_id = b.vec_id
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "J2"],
+)
+def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "sim_neardup_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 32),
+    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=2)}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                  AND a.vec_id < b.vec_id),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM cand c
+    JOIN u ua ON ua.vec_id = c.id_a
+    JOIN u ub ON ub.vec_id = c.id_b
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "J2"],
+)
+def q_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe bucketed near-dup (2 nearest of 32 cells): recovers
+    boundary pairs single-probe misses at EQUAL candidate volume — the
+    (p=2, C=32) config the recall audit certifies
+    (operators/similarity.py neardup_pairs_multiprobe)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        neardup_pairs_multiprobe,
+    )
+
+    return neardup_pairs_multiprobe(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=32, nprobe=2
+    )
+
+
+@register(
+    "sim_multiprobe_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    cent8 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 32),
+    asg8 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent8", nprobe=1)}),
+    asg32 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent32", nprobe=2)}),
+    cand8 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg8 a JOIN asg8 b ON a.centroid_id = b.centroid_id
+                                     AND a.vec_id < b.vec_id),
+    cand32 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM asg32 a JOIN asg32 b ON a.centroid_id = b.centroid_id
+                                        AND a.vec_id < b.vec_id),
+    sc8 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+            FROM cand8 c
+            JOIN u ua ON ua.vec_id = c.id_a
+            JOIN u ub ON ub.vec_id = c.id_b),
+    sc32 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+             FROM cand32 c
+             JOIN u ua ON ua.vec_id = c.id_a
+             JOIN u ub ON ub.vec_id = c.id_b),
+    truth AS (SELECT count(*)::BIGINT AS n_true
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
+    stats AS (
+      SELECT 'single_c8' AS mode, 8::BIGINT AS n_centroids, 1::BIGINT AS nprobe,
+             count(*)::BIGINT AS n_cand,
+             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT AS n_pairs
+      FROM sc8
+      UNION ALL
+      SELECT 'multi_c32_p2', 32::BIGINT, 2::BIGINT,
+             count(*)::BIGINT,
+             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT
+      FROM sc32)
+    SELECT mode, n_centroids, nprobe, n_cand, n_pairs, n_true,
+           round(n_pairs / n_true, 6) AS recall
+    FROM stats CROSS JOIN truth
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "EXT-recall", "G2"],
+)
+def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit at equal candidate volume: single-probe/8 cells vs
+    2-probe/32 cells (pair volume ~ p^2/(2C), so the two configs cost
+    the same) against brute-force truth — the measured proof that
+    multi-probing recovers boundary pairs (operators/similarity.py
+    multiprobe_recall_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        multiprobe_recall_report,
+    )
+
+    return multiprobe_recall_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "sim_multiprobe_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    cent8 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 32),
+    asg8 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent8", nprobe=1)}),
+    asgr AS (
+      SELECT vec_id, centroid_id, rn FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, e.v)
+                                - 2 * list_dot_product(e.v, c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN cent32 c) WHERE rn <= 4),
+    prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   min(greatest(a.rn, b.rn)) AS m
+            FROM asgr a JOIN asgr b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+    sc AS (SELECT p.m, round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+           FROM prs p
+           JOIN u ua ON ua.vec_id = p.id_a
+           JOIN u ub ON ub.vec_id = p.id_b),
+    bcand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg8 a JOIN asg8 b ON a.centroid_id = b.centroid_id
+                                     AND a.vec_id < b.vec_id),
+    bsc AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+            FROM bcand c
+            JOIN u ua ON ua.vec_id = c.id_a
+            JOIN u ub ON ub.vec_id = c.id_b),
+    bstats AS (SELECT count(*)::BIGINT AS n_cand,
+                      count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT AS n_pairs
+               FROM bsc),
+    truth AS (SELECT count(*)::BIGINT AS n_true
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
+    stats AS (
+      SELECT 'single_c8' AS mode, 8::BIGINT AS n_centroids, 1::BIGINT AS nprobe,
+             n_cand, n_pairs
+      FROM bstats
+      UNION ALL
+      SELECT 'rerank_c32_p2', 32::BIGINT, 2::BIGINT,
+             count(*) FILTER (WHERE m <= 2)::BIGINT,
+             count(*) FILTER (WHERE m <= 2 AND cos_sim >= 0.4)::BIGINT FROM sc
+      UNION ALL
+      SELECT 'rerank_c32_p3', 32::BIGINT, 3::BIGINT,
+             count(*) FILTER (WHERE m <= 3)::BIGINT,
+             count(*) FILTER (WHERE m <= 3 AND cos_sim >= 0.4)::BIGINT FROM sc
+      UNION ALL
+      SELECT 'rerank_c32_p4', 32::BIGINT, 4::BIGINT,
+             count(*) FILTER (WHERE m <= 4)::BIGINT,
+             count(*) FILTER (WHERE m <= 4 AND cos_sim >= 0.4)::BIGINT FROM sc)
+    SELECT s.mode, s.n_centroids, s.nprobe, s.n_cand,
+           round(s.n_cand / bb.base_cand, 6) AS volume_ratio,
+           s.n_pairs, t.n_true,
+           round(s.n_pairs / t.n_true, 6) AS recall
+    FROM stats s
+    CROSS JOIN truth t
+    CROSS JOIN (SELECT n_cand AS base_cand FROM bstats) bb
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "EXT-recall", "G2"],
+)
+def q_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine RERANK of the deepened multi-probe candidate union
+    (p = 2..4 over one 32-cell index) with the recall/candidate-volume
+    curve vs brute-force truth: sf0.01 measures recall 0.42 -> 0.63 ->
+    0.80 at 1.0x / 2.1x / 3.4x the single-probe baseline volume — the
+    VERDICT r03 spec (>= 0.6 at <= 4x) met by the p=3 row already
+    (operators/similarity.py multiprobe_rerank_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        multiprobe_rerank_report,
+    )
+
+    return multiprobe_rerank_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "sim_rp_lsh_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, ({_rp_sig_sql()}) AS rp_sig FROM e),
+    banded AS (
+      SELECT vec_id, 0 AS band, rp_sig & 255 AS band_key FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band, (rp_sig >> 8) & 255 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id),
+    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e)
+    SELECT c.id_a, c.id_b, round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+    FROM cand c
+    JOIN u ua ON ua.vec_id = c.id_a
+    JOIN u ub ON ub.vec_id = c.id_b
+    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
+    """,
+    ops=["EXT-neardup", "EXT-simsearch", "J2"],
+)
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar sign-bit LSH over embeddings: banded signature equi-join
+    for candidates, exact cosine verify — the angular-region counterpart
+    to IVF-cell bucketing. The hyperplane normals come from the md5
+    portable-hash family, so the oracle reproduces them exactly."""
+    return rp_candidate_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "sim_union_candidates",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
+          FROM e),
+    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 32),
+    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="cent32", nprobe=2)}),
+    ca AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                AND a.vec_id < b.vec_id),
+    sig AS (SELECT vec_id, ({_rp_sig_sql()}) AS rp_sig FROM e),
+    banded AS (
+      SELECT vec_id, 0 AS band, rp_sig & 255 AS band_key FROM sig
+      UNION ALL
+      SELECT vec_id, 1 AS band, (rp_sig >> 8) & 255 FROM sig),
+    cb AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM banded a JOIN banded b ON a.band = b.band
+                                      AND a.band_key = b.band_key
+           WHERE a.vec_id < b.vec_id),
+    merged AS (
+      SELECT id_a, id_b, max(in_ivf) AS in_ivf, max(in_rp) AS in_rp FROM (
+        SELECT id_a, id_b, 1 AS in_ivf, 0 AS in_rp FROM ca
+        UNION ALL
+        SELECT id_a, id_b, 0, 1 FROM cb)
+      GROUP BY 1, 2),
+    sc AS (SELECT m.in_ivf, m.in_rp,
+                  round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
+           FROM merged m
+           JOIN u ua ON ua.vec_id = m.id_a
+           JOIN u ub ON ub.vec_id = m.id_b),
+    truth AS (SELECT count(*)::BIGINT AS n_true
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
+    stats AS (
+      SELECT 'ivf_c32_p2' AS mode,
+             count(*) FILTER (WHERE in_ivf = 1)::BIGINT AS n_cand,
+             count(*) FILTER (WHERE in_ivf = 1 AND cos_sim >= 0.4)::BIGINT AS n_pairs
+      FROM sc
+      UNION ALL
+      SELECT 'rp_lsh',
+             count(*) FILTER (WHERE in_rp = 1)::BIGINT,
+             count(*) FILTER (WHERE in_rp = 1 AND cos_sim >= 0.4)::BIGINT FROM sc
+      UNION ALL
+      SELECT 'union', count(*)::BIGINT,
+             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT FROM sc)
+    SELECT s.mode, s.n_cand, s.n_pairs, t.n_true,
+           round(s.n_pairs / t.n_true, 6) AS recall
+    FROM stats s CROSS JOIN truth t
+    """,
+    ops=["EXT-neardup", "EXT-ivf", "EXT-simsearch", "EXT-recall", "G2"],
+)
+def q_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal ANN candidate generation: IVF cells (Voronoi) and
+    RP-LSH (angular regions) have complementary blind spots, so the
+    UNION of their candidate sets recovers pairs either signal alone
+    drops — the SCALE.md recall lever as a first-class audited query.
+    Measured at sf0.01: union recall 0.47 vs 0.42 (IVF alone) at +6%
+    candidate volume — RP-LSH contributes 3 truth pairs the cells
+    miss for 1.1k extra candidates. One scored table, conditional
+    per-mode counts, brute-force truth
+    (operators/similarity.py union_candidates_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        union_candidates_report,
+    )
+
+    return union_candidates_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "kmeans_lite_clusters",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')}
+    SELECT a2.vec_id, a2.cluster_id, s.cluster_size
+    FROM a2 JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM a2 GROUP BY cluster_id) s USING (cluster_id)
+    """,
+    ops=["EXT-ivf", "EXT-simsearch", "G2", "J2"],
+)
+def q_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations (k=8) on the embeddings table,
+    checked against a fully unrolled SQL oracle — iterative algorithm
+    parity, not just single-pass parity."""
+    return kmeans_lite(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+# ===========================================================================
+# EXT-simsearch — int8 embedding quantization with reconstruction error
+# ===========================================================================
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xd FROM embeddings),
+    m AS (SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x),
+    s AS (SELECT vec_id, xd, 127.0 / mx AS scale FROM m WHERE mx > 0),
+    q AS (SELECT vec_id, xd, scale,
+                 list_transform(xd, v -> least(greatest(round(v * scale, 0), -127.0), 127.0)) AS q
+          FROM s),
+    d AS (SELECT vec_id, scale, q,
+                 list_transform(range(1, len(xd) + 1), i -> xd[i] - q[i] / scale) AS diff
+          FROM q)
+    SELECT vec_id, round(scale, 6) AS scale,
+           len(list_filter(q, v -> abs(v) = 127.0)) AS n_saturated,
+           round(sqrt(list_reduce(list_transform(diff, v -> v * v), (a, b) -> a + b)
+                      / len(diff)), 6) AS rms_err,
+           round(list_max(list_transform(diff, v -> abs(v))), 6) AS max_abs_err
+    FROM d
+    """,
+    ops=["EXT-simsearch", "D6", "G2"],
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ann_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.v, q.qv)
+                          / sqrt(list_dot_product(e.v, e.v)
+                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 5),
+    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                  ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(c.cvec, q.qv)
+                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
+        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
+    approx AS (SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_dot_product(a.v, q.qv)
+                       / sqrt(list_dot_product(a.v, a.v)
+                              * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 a.vec_id) AS rn
+        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+    hits AS (SELECT e.query_id, count(*) AS n_hit
+             FROM exact e JOIN approx x
+               ON x.query_id = e.query_id AND x.vec_id = e.vec_id
+             GROUP BY 1)
+    SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5, 6) AS recall_at_k
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J2", "O3"],
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF(nprobe=2 of 8 cells) vs exact cosine top-5 for a
+    deterministic 1% query sample — the audit that justifies (or
+    indicts) the pruned production path."""
+    return ann_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_dim_stats",
+    """
+    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    d AS (SELECT e.vec_id, o.dim,
+                 (e.embedding::DOUBLE[])[o.dim + 1] AS val
+          FROM embeddings e CROSS JOIN offs o),
+    m AS (SELECT dim, count(*) AS n,
+                 sum(val::DECIMAL(28,10)) AS sx,
+                 sum((val * val)::DECIMAL(38,10)) AS sxx,
+                 min(val) AS min_val, max(val) AS max_val
+          FROM d GROUP BY dim)
+    SELECT dim, n,
+           round(sx::DOUBLE / n, 6) AS mean_val,
+           round(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1))), 6) AS std_val,
+           round(min_val, 6) AS min_val,
+           round(max_val, 6) AS max_val
+    FROM m
+    """,
+    ops=["G2", "EXT-simsearch", "EXT-quality"],
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    feature-scaling statistics pass (and the drift monitor) for vector
+    corpora. posexplode fans each vector into (dim, value) rows
+    map-side; the aggregate carries exact decimal moments, so the
+    64-row result is partition-count-invariant. The shuffle moves one
+    pre-combined row per (partition, dim) — 64 groups regardless of
+    corpus size. Standardizing vectors afterwards is a broadcast of
+    these 64 rows back onto a map-only pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "fval")
+    ).select("dim", F.col("fval").cast("double").alias("val"))
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(28,10)")).alias("sx"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(38,10)")).alias("sxx"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    std = F.sqrt(
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx")) / (dd("n") * (dd("n") - 1))
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(dd("sx") / dd("n"), 6).alias("mean_val"),
+        F.round(std, 6).alias("std_val"),
+        F.round(F.col("mn"), 6).alias("min_val"),
+        F.round(F.col("mx"), 6).alias("max_val"),
+    )
+
+
+@register(
+    "emb_top_pc_power",
+    f"""
+    WITH {_power_sql(4)}
+    SELECT m.dim, m.mean_val, v.v AS pc, round(n4.nrm, 6) AS eigenvalue
+    FROM v4 v JOIN m USING (dim) CROSS JOIN n4
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding corpus via
+    4-step power iteration (the All-but-the-Top / PCA-whitening
+    D-step, Mu & Viswanath 2018) — C is applied as two corpus passes
+    per iteration (z = Xc·v, y = Xc^T·z), never materialized; v is a
+    64-row broadcast, nothing driver-side
+    (operators/similarity.top_pc_power)."""
+    from openrouter_batch_processor_spark.operators.similarity import top_pc_power
+
+    return top_pc_power(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_abtt_residuals",
+    f"""
+    WITH {_power_sql(4)},
+    pcv AS (SELECT dim, v AS pc FROM v4),
+    jj AS (SELECT d.vec_id, d.dim, d.xc, pcv.pc FROM d JOIN pcv USING (dim)),
+    pj AS (SELECT vec_id, sum(round(xc * pc, 9)::DECIMAL(28,9))::DOUBLE AS proj
+           FROM jj GROUP BY vec_id),
+    rs AS (SELECT jj.vec_id,
+                  sqrt(sum(round((xc - proj * pc) * (xc - proj * pc),
+                                 9)::DECIMAL(38,9))::DOUBLE) AS resid_norm
+           FROM jj JOIN pj USING (vec_id) GROUP BY jj.vec_id)
+    SELECT vec_id, round(proj, 6) AS proj, round(resid_norm, 6) AS resid_norm
+    FROM pj JOIN rs USING (vec_id)
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top applied per vector (Mu & Viswanath 2018):
+    x' = (x−μ) − (pc·(x−μ))pc; emits the top-PC projection coefficient
+    and the post-removal residual norm per vector. One broadcast of
+    the 64-row PC plus a single corpus scan on top of the PCA cost
+    (operators/similarity.abtt_residuals)."""
+    from openrouter_batch_processor_spark.operators.similarity import abtt_residuals
+
+    return abtt_residuals(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_top2_pc_deflate",
+    f"""
+    WITH {_power_sql(4)},
+    pc1t AS (SELECT dim, v AS pc1 FROM v4),
+    pj2 AS (SELECT vec_id, sum(round(xc * pc1, 9)::DECIMAL(28,9))::DOUBLE AS proj
+            FROM d JOIN pc1t USING (dim) GROUP BY vec_id),
+    r AS MATERIALIZED (SELECT d.vec_id, d.dim, (xc - proj * pc1) AS xc
+         FROM d JOIN pc1t USING (dim) JOIN pj2 USING (vec_id)),
+    {_power_chain_sql("r", "b", 4)}
+    SELECT m.dim, m.mean_val, pc1t.pc1, vb4.v AS pc2,
+           round(n4.nrm, 6) AS eig1, round(nb4.nrm, 6) AS eig2
+    FROM pc1t JOIN vb4 USING (dim) JOIN m USING (dim)
+    CROSS JOIN n4 CROSS JOIN nb4
+    """,
+    ops=["EXT-simsearch", "G2", "J3"],
+)
+def q_top2_pc_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top two principal components by Hotelling deflation: power-
+    iterate for pc1, project it out of every centered row (the ABTT
+    residual kept in long form), power-iterate the deflated table for
+    pc2 — one extra broadcast pass over the staged centered table,
+    both chains bit-matching the unrolled oracle
+    (operators/similarity.top2_pc_deflate)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        top2_pc_deflate,
+    )
+
+    return top2_pc_deflate(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Round-4 second wave: product quantization (ADC) recall audit
+# ===========================================================================
+
+
+@register(
+    "sim_pq_adc_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT cid, m, v[m*16+1 : (m+1)*16] AS cw FROM seeds, range(0, 4) t(m)),
+    subs AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sub FROM e, range(0, 4) t(m)),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sub, s.sub)
+                                      - 2*list_dot_product(s.sub, c.cw)
+                                      + list_dot_product(c.cw, c.cw), 6), c.cid) AS rn
+              FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
+    qsubs AS (SELECT qid, m, qv[m*16+1 : (m+1)*16] AS qsub FROM q, range(0, 4) t(m)),
+    dtab AS (SELECT qid, qsubs.m, cid,
+                    round(list_dot_product(qsub, qsub) - 2*list_dot_product(qsub, cw)
+                          + list_dot_product(cw, cw), 6)::DECIMAL(18,6) AS d
+             FROM qsubs JOIN cb ON cb.m = qsubs.m),
+    adc AS (SELECT d.qid, en.vec_id, sum(d.d)::DECIMAL(18,6) AS adc_dist
+            FROM enc en JOIN dtab d ON d.m = en.m AND d.cid = en.code
+            WHERE en.vec_id <> d.qid
+            GROUP BY 1, 2),
+    ta AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc_dist, vec_id) AS rn
+             FROM adc) WHERE rn <= 10),
+    ex AS (SELECT q.qid, e.vec_id,
+                  round(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, e.v)
+                        + list_dot_product(e.v, e.v), 6) AS dist
+           FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+    te AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             FROM ex) WHERE rn <= 10),
+    hits AS (SELECT ta.qid, count(*)::BIGINT AS n_hits
+             FROM ta JOIN te USING (qid, vec_id) GROUP BY 1)
+    SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+    FROM q LEFT JOIN hits h USING (qid)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J2", "G2", "O3"],
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall@10 audit (Jégou et al. 2011):
+    4x16-dim seed codebooks, encode once, sum per-subspace lookup
+    distances in DECIMAL — operators/similarity.pq_adc_recall."""
+    from openrouter_batch_processor_spark.operators.similarity import pq_adc_recall
+
+    return pq_adc_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ndcg_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.v, q.qv)
+                          / sqrt(list_dot_product(e.v, e.v)
+                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 5),
+    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                  ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    probe AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(c.cvec, q.qv)
+                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
+        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
+    approx AS (SELECT query_id, vec_id, rn FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_dot_product(a.v, q.qv)
+                       / sqrt(list_dot_product(a.v, a.v)
+                              * list_dot_product(q.qv, q.qv)), 6) DESC,
+                 a.vec_id) AS rn
+        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+    gains AS (SELECT x.query_id,
+                     round(1.0 / log2(x.rn + 1), 9)::DECIMAL(18,9) AS gain
+              FROM approx x JOIN exact e
+                ON e.query_id = x.query_id AND e.vec_id = x.vec_id),
+    per_q AS (SELECT query_id, count(*)::BIGINT AS n_hit, sum(gain) AS dcg
+              FROM gains GROUP BY 1)
+    SELECT q.query_id, coalesce(p.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(p.dcg, 0)::DOUBLE, 6) AS dcg,
+           round(coalesce(p.dcg, 0)::DOUBLE / 2.948459119, 6) AS ndcg
+    FROM q LEFT JOIN per_q p USING (query_id)
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-recall", "J2", "O3"],
+)
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF(nprobe=2/8) ranking vs exact cosine top-5 with
+    binary relevance and log2 discount (Järvelin & Kekäläinen 2002) —
+    rank-aware where recall@k is position-blind. IDCG@5 = 2.948459119
+    is the shared 9-dp closed-form literal
+    (operators/similarity.ndcg_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import ndcg_report
+
+    return ndcg_report(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_mahalanobis_outliers",
+    """
+    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    d AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS val
+          FROM embeddings e CROSS JOIN offs o),
+    m AS (SELECT dim, count(*)::BIGINT AS n, sum(val::DECIMAL(28,10)) AS sx,
+                 sum((val * val)::DECIMAL(38,10)) AS sxx
+          FROM d GROUP BY 1),
+    st AS (SELECT dim, sx::DOUBLE / n AS mu,
+                  sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS var
+           FROM m),
+    sc AS (SELECT d.vec_id,
+                  round((d.val - st.mu) * (d.val - st.mu) / st.var,
+                        9)::DECIMAL(28,9) AS contrib
+           FROM d JOIN st USING (dim)),
+    pv AS (SELECT vec_id, sum(contrib) AS md2d FROM sc GROUP BY 1)
+    SELECT vec_id, round(md2d::DOUBLE, 6) AS md2
+    FROM pv ORDER BY md2d DESC, vec_id ASC LIMIT 20
+    """,
+    ops=["EXT-simsearch", "EXT-quality", "G2", "O3"],
+)
+def q_emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by diagonal Mahalanobis distance:
+    per-dim decimal moments (emb_dim_stats recipe) broadcast back onto
+    the posexplode fan-out, 9-dp decimal-summed per-vector distances,
+    TakeOrdered top-k (operators/similarity.mahalanobis_outliers)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    return mahalanobis_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id % 100 = 7),
+    cand AS (SELECT q.query_id, e.vec_id,
+                    round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')},
+                          6) AS cos_sim
+             FROM embeddings e JOIN q ON e.label != q.qlabel),
+    rk AS (SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+           FROM cand)
+    SELECT query_id, vec_id AS neighbor_id, rn::BIGINT AS rank, cos_sim
+    FROM rk WHERE rn <= 5
+    """,
+    ops=["EXT-simsearch", "EXT-curation", "J3", "O3", "W2"],
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor in
+    the deterministic ~1% sample, the top-5 most-similar vectors with
+    a DIFFERENT label — broadcast anchors, label-mismatch join
+    predicate, 6-dp-rounded cosine ranking
+    (operators/similarity.hard_negatives)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    return hard_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_pq_train",
+    _pq_train_sql(2),
+    ops=["EXT-ivf", "EXT-simsearch", "G2", "J3"],
+)
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (Jégou et al. 2011 §III): per-subspace
+    Lloyd as ONE joint loop — subspace id in every group key, one
+    corpus pass per iteration trains all 4 codebooks; emits the
+    per-codeword member counts and round-6 quantization distortion
+    under the trained books (operators/similarity.pq_train)."""
+    from openrouter_batch_processor_spark.operators.similarity import pq_train
+
+    return pq_train(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_embedding_decontaminate",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, v, centroid_id FROM (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, e.v)
+                              - 2 * list_dot_product(e.v, c.cvec)
+                              + list_dot_product(c.cvec, c.cvec), 6),
+                        c.centroid_id) AS rn
+      FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    j AS (SELECT a.vec_id, d.source, a.v, a.centroid_id
+          FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+    bench AS (SELECT vec_id AS bench_id, centroid_id, v AS bv
+              FROM j WHERE source = 'src0'),
+    corp AS (SELECT vec_id, source, centroid_id, v
+             FROM j WHERE source != 'src0'),
+    cand AS (SELECT c.vec_id, c.source, b.bench_id,
+                    round(list_dot_product(c.v, b.bv)
+                          / sqrt(list_dot_product(c.v, c.v)
+                                 * list_dot_product(b.bv, b.bv)),
+                          6) AS cos_sim
+             FROM corp c JOIN bench b USING (centroid_id)),
+    rk AS (SELECT vec_id, source, bench_id, cos_sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, bench_id) AS rn
+           FROM cand)
+    SELECT vec_id AS doc_id, source, bench_id, cos_sim
+    FROM rk WHERE rn = 1 AND cos_sim >= 0.4
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-dedup-policy", "J3", "O4"],
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: corpus docs whose best
+    IVF-cell-bucketed cosine against the src0 benchmark vectors
+    reaches 0.4, with the witness — the embedding-space companion to
+    the n-gram/winnowing gates for paraphrased leakage
+    (operators/similarity.embedding_decontaminate)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    return embedding_decontaminate(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )

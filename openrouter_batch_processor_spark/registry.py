@@ -22,10432 +22,29 @@ Portability rules used throughout (see also tools/check.py):
 
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None -> non-SQL-expressible, rows-only check
-    ops: list[str] = field(default_factory=list)  # SURVEY §2 op ids
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, sql: str | None, ops: list[str]):
-    def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, ops=ops)
-        return fn
-
-    return deco
-
-
-from openrouter_batch_processor_spark.session import load_table  # noqa: E402
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-# ===========================================================================
-# Flagship: the whole LLM batch pipeline, mock transport (S10,G1,F9,F10,D4,T5)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.plans.pipeline import (  # noqa: E402
-    PIPELINE_ORACLE_SQL,
-    run_llm_pipeline,
-)
-
-
-@register(
-    "llm_pipeline_mock",
-    PIPELINE_ORACLE_SQL,
-    ops=["S10", "G1", "F9", "F10", "D4", "D6", "T5", "G2"],
-)
-def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_llm_pipeline(spark, sf_dir)
-
-
-@register(
-    "llm_pipeline_multimodal",
-    """
-    WITH files AS (
-        SELECT doc_id, source || '/' AS group_id,
-               doc_id % 5 = 0 AS is_image,
-               source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') ||
-                 CASE WHEN doc_id % 5 = 0 THEN '.png' ELSE '.txt' END AS rel_path,
-               text
-        FROM documents
-    ), frags AS (
-        SELECT group_id, rel_path,
-               CASE WHEN is_image
-                    THEN 'text|Please analyze image: ' || rel_path ||
-                         chr(10) || chr(10) ||
-                         'image_url|data:image/png;base64,' || to_base64(text::BLOB)
-                    ELSE 'text|File: ' || rel_path || chr(10) || text
-               END AS frag,
-               CASE WHEN is_image
-                    THEN len(regexp_extract_all('Please analyze image: ' || rel_path,
-                                                '\\S+')) + 85
-                    ELSE len(regexp_extract_all('File: ' || rel_path || chr(10) || text,
-                                                '\\S+'))
-               END AS p_tok
-        FROM files
-    ), prompts AS (
-        SELECT group_id,
-               string_agg(frag, chr(10) || chr(10) ORDER BY rel_path) AS payload,
-               sum(p_tok)::BIGINT AS prompt_tokens
-        FROM frags GROUP BY group_id
-    )
-    SELECT group_id AS file,
-           md5('You are a batch processor.' || chr(10) || payload) AS output,
-           TRUE AS ok,
-           prompt_tokens,
-           1::BIGINT AS completion_tokens,
-           prompt_tokens + 1 AS total_tokens,
-           round(prompt_tokens * 0.000001, 12) AS cost
-    FROM prompts
-    """,
-    ops=["S4", "S10", "D6", "F9", "F10", "F14", "G1", "T5"],
-)
-def q_llm_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's flagship MARC use case: mixed text+image groups
-    through the LLM map as a {type:text}/{type:image_url} parts array
-    (worker.py:69-98, 313-319). The mock transport hashes the canonical
-    parts serialization, so the oracle pins the exact assembled payload
-    — ordering, labels, data-URLs — not just the concatenated text."""
-    from openrouter_batch_processor_spark.plans.pipeline import (
-        run_llm_pipeline_multimodal,
-    )
-
-    return run_llm_pipeline_multimodal(spark, sf_dir)
-
-
-@register(
-    "streaming_llm_pipeline",
-    PIPELINE_ORACLE_SQL,
-    ops=["S5", "S6", "S10", "G1", "F9", "F10", "T1", "T2", "T5", "G2"],
-)
-def q_streaming_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's product loop (app.py:798 submit -> worker.py:246
-    process) as ONE Structured Streaming query: archive-arrival
-    micro-batches from the zipmembers streaming DataSource -> member
-    decode -> stateful per-group prompt assembly -> mock LLM map ->
-    usage/cost rows, availableNow into a memory sink. Archives are the
-    deterministic per-source fixture built by the K6 writer, so the
-    BATCH pipeline's oracle (PIPELINE_ORACLE_SQL over documents)
-    value-checks the streaming run bit-for-bit
-    (plans/pipeline.py run_streaming_llm_pipeline)."""
-    from openrouter_batch_processor_spark.plans.pipeline import (
-        run_streaming_llm_pipeline,
-    )
-
-    return run_streaming_llm_pipeline(spark, sf_dir)
-
-
-# ===========================================================================
-# S2 + F1 + F2 + P1 — file inventory scan shape over documents
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.paths import file_extension  # noqa: E402
-
-
-@register(
-    "s2_file_inventory",
-    """
-    WITH inv AS (
-      SELECT doc_id,
-             'doc_' || lpad(doc_id::VARCHAR, 6, '0') ||
-               CASE doc_id % 7 WHEN 0 THEN '.md' WHEN 5 THEN '.PNG' WHEN 6 THEN ''
-                               ELSE '.txt' END AS file_name,
-             'input/' || source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') ||
-               CASE doc_id % 7 WHEN 0 THEN '.md' WHEN 5 THEN '.PNG' WHEN 6 THEN ''
-                               ELSE '.txt' END AS full_path,
-             n_chars AS file_size
-      FROM documents)
-    SELECT file_name, full_path,
-           CASE WHEN regexp_extract(full_path, '(\\.[^./\\\\]+)$', 1) = '' THEN 'unknown'
-                ELSE lower(regexp_extract(full_path, '(\\.[^./\\\\]+)$', 1)) END AS file_type,
-           file_size
-    FROM inv
-    """,
-    ops=["S2", "F1", "F2"],
-)
-def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    ext = (
-        F.when(F.col("doc_id") % 7 == 0, ".md")
-        .when(F.col("doc_id") % 7 == 5, ".PNG")
-        .when(F.col("doc_id") % 7 == 6, "")
-        .otherwise(".txt")
-    )
-    file_name = F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 6, "0"), ext)
-    full_path = F.concat(F.lit("input/"), F.col("source"), F.lit("/"), file_name)
-    return docs.select(
-        file_name.alias("file_name"),
-        full_path.alias("full_path"),
-        file_extension(full_path).alias("file_type"),
-        F.col("n_chars").alias("file_size"),
-    ).orderBy("full_path")
-
-
-# ===========================================================================
-# F3 — human file size ladder
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.sizes import human_file_size  # noqa: E402
-
-
-@register(
-    "f3_human_size",
-    """
-    WITH sized AS (
-      SELECT l_orderkey, l_linenumber,
-             floor(l_extendedprice * power(10.0, (l_linenumber % 5)::DOUBLE))::BIGINT AS size_bytes
-      FROM lineitem)
-    SELECT l_orderkey, l_linenumber, size_bytes,
-           CASE WHEN size_bytes < 1024 THEN size_bytes::VARCHAR || ' B'
-                WHEN size_bytes < 1048576 THEN printf('%.2f KB', round(size_bytes / 1024.0, 2))
-                WHEN size_bytes < 1073741824 THEN printf('%.2f MB', round(size_bytes / 1048576.0, 2))
-                WHEN size_bytes < 1099511627776 THEN printf('%.2f GB', round(size_bytes / 1073741824.0, 2))
-                ELSE printf('%.2f TB', round(size_bytes / 1099511627776.0, 2)) END AS size_label
-    FROM sized
-    """,
-    ops=["F3"],
-)
-def q_human_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    size_bytes = F.floor(
-        F.col("l_extendedprice") * F.pow(F.lit(10.0), (F.col("l_linenumber") % 5).cast("double"))
-    ).cast("long")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        size_bytes.alias("size_bytes"),
-        human_file_size(size_bytes).alias("size_label"),
-    )
-
-
-# ===========================================================================
-# F17 + F18 — status derivation / route label (when-otherwise chains)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.status import (  # noqa: E402
-    derive_status,
-    route_label,
-)
-
-
-@register(
-    "f17_status_route",
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_orderstatus = 'O' THEN 'Running'
-                WHEN o_orderstatus = 'P' THEN 'Failed'
-                WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 'Finished'
-                WHEN o_totalprice > 100000 THEN 'Running'
-                ELSE 'Unknown' END AS status,
-           CASE WHEN coalesce(CASE WHEN o_custkey % 3 = 0 THEN 'marc'
-                                   WHEN o_custkey % 3 = 1 THEN 'main' END,
-                              CASE WHEN o_custkey % 2 = 0 THEN 'marc' ELSE 'main' END) = 'marc'
-                THEN 'marc' ELSE 'main' END AS route
-    FROM orders
-    """,
-    ops=["F17", "F18"],
-)
-def q_status_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    future_state = (
-        F.when(F.col("o_orderstatus") == "O", "running")
-        .when(F.col("o_orderstatus") == "P", "failed")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    has_results = F.col("o_orderpriority").startswith("1-") | F.col(
-        "o_orderpriority"
-    ).startswith("2-")
-    has_meta = F.col("o_totalprice") > 100000
-    source_route = F.when(F.col("o_custkey") % 3 == 0, "marc").when(
-        F.col("o_custkey") % 3 == 1, "main"
-    )
-    return o.select(
-        "o_orderkey",
-        derive_status(future_state, has_meta, has_results).alias("status"),
-        route_label(source_route, F.col("o_custkey") % 2 == 0).alias("route"),
-    )
-
-
-# ===========================================================================
-# F12 — elapsed-time compute + str(timedelta) render + parse round-trip
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.timeops import (  # noqa: E402
-    format_timedelta,
-    parse_timedelta,
-)
-
-
-@register(
-    "f12_elapsed",
-    """
-    WITH e AS (
-      SELECT l.l_orderkey, l.l_linenumber,
-             date_diff('second', o.o_orderdate, l.l_shipdate) AS elapsed_sec
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    fmt AS (
-      SELECT *, elapsed_sec // 86400 AS d,
-             (elapsed_sec - (elapsed_sec // 86400) * 86400) AS rem
-      FROM e)
-    SELECT l_orderkey, l_linenumber, elapsed_sec,
-           CASE WHEN d = 0 THEN printf('%d:%02d:%02d', rem // 3600, (rem % 3600) // 60, rem % 60)
-                ELSE d::VARCHAR || (CASE WHEN abs(d) = 1 THEN ' day, ' ELSE ' days, ' END) ||
-                     printf('%d:%02d:%02d', rem // 3600, (rem % 3600) // 60, rem % 60)
-           END AS elapsed_str,
-           elapsed_sec::DOUBLE AS elapsed_rt
-    FROM fmt
-    """,
-    ops=["F12", "J1"],
-)
-def q_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    # NTZ timestamps need an intermediate cast to TIMESTAMP (session TZ is
-    # pinned to UTC by load_table, so the wall time is preserved exactly).
-    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
-    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_linenumber",
-        (epoch("l_shipdate") - epoch("o_orderdate")).alias("elapsed_sec"),
-    )
-    out = joined.withColumn("elapsed_str", format_timedelta(F.col("elapsed_sec")))
-    # round-trip through the parser (F12 inverse, app.py:1038-1057)
-    return out.withColumn("elapsed_rt", parse_timedelta(F.col("elapsed_str")))
-
-
-# ===========================================================================
-# F11 — timestamp format patterns (meta / zip / results)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.timeops import ts_format  # noqa: E402
-
-
-@register(
-    "f11_ts_format",
-    """
-    SELECT event_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_meta,
-           strftime(ts, '%Y_%m_%d_%H_%M_%S') AS ts_zip,
-           'results_' || strftime(ts, '%Y%m%d_%H%M%S') || '.txt' AS results_name
-    FROM events
-    """,
-    ops=["F11"],
-)
-def q_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        ts_format(F.col("ts"), "meta").alias("ts_meta"),
-        ts_format(F.col("ts"), "zip").alias("ts_zip"),
-        F.concat(F.lit("results_"), ts_format(F.col("ts"), "results"), F.lit(".txt")).alias(
-            "results_name"
-        ),
-    )
-
-
-# ===========================================================================
-# W1/K5 — global sequence renumbering (distributed, no single-task window)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.renumber import renumber  # noqa: E402
-
-
-@register(
-    "w1_renumber",
-    """
-    SELECT doc_id,
-           lpad((row_number() OVER (ORDER BY doc_id))::VARCHAR, 9, '0') AS seq,
-           replace('record 000000001 from ' || source, '000000001',
-                   lpad((row_number() OVER (ORDER BY doc_id))::VARCHAR, 9, '0')) AS output
-    FROM documents
-    """,
-    ops=["W1", "K5"],
-)
-def q_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.lit("record 000000001 from "), F.col("source")).alias("output"),
-    )
-    return renumber(docs, "doc_id")
-
-
-# ===========================================================================
-# G1 + F5 + G4 + G5 — per-source grouping, set-hash fingerprint, listing
-# ===========================================================================
-
-
-@register(
-    "g1_group_hash",
-    """
-    WITH files AS (
-      SELECT source || '/' AS group_id,
-             source || '/doc_' || lpad(doc_id::VARCHAR, 6, '0') || '.txt' AS rel_path,
-             text
-      FROM documents)
-    SELECT group_id,
-           count(*) AS file_count,
-           count(*)::VARCHAR || CASE WHEN count(*) = 1 THEN ' item' ELSE ' items' END AS items_label,
-           max(rel_path) AS latest_file,
-           md5(string_agg(md5(rel_path || ' ' || text), '' ORDER BY md5(rel_path || ' ' || text))) AS content_hash
-    FROM files GROUP BY group_id
-    """,
-    ops=["G1", "F5", "G4", "G5", "O1"],
-)
-def q_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.plans.pipeline import documents_as_files
-
-    files = documents_as_files(_t(spark, sf_dir, "documents"))
-    per_file = F.md5(F.concat_ws(" ", F.col("rel_path"), F.col("text")))
-    cnt = F.count(F.lit(1))
-    return files.groupBy("group_id").agg(
-        cnt.alias("file_count"),
-        F.concat(
-            cnt.cast("string"),
-            F.when(cnt == 1, F.lit(" item")).otherwise(F.lit(" items")),
-        ).alias("items_label"),
-        F.max("rel_path").alias("latest_file"),
-        F.md5(F.concat_ws("", F.sort_array(F.collect_list(per_file)))).alias(
-            "content_hash"
-        ),
-    )
-
-
-# ===========================================================================
-# G2 + G6 — usage/cost fold with per-field tolerance and 12-dp costs
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.aggregates import usage_summary  # noqa: E402
-
-
-@register(
-    "g2_usage_fold",
-    """
-    WITH usage AS (
-      SELECT user_id % 10 AS job_id,
-             event_type != 'error' AS ok,
-             user_id % 5 = 0 AS is_byok,
-             floor(value * 10)::BIGINT AS prompt_tokens,
-             floor(value * 3)::BIGINT AS completion_tokens,
-             floor(value * 10)::BIGINT + floor(value * 3)::BIGINT AS total_tokens,
-             CASE WHEN event_type = 'purchase' THEN floor(value)::BIGINT END AS reasoning_tokens,
-             value * 0.0001 AS cost
-      FROM events)
-    SELECT job_id,
-           count(*) AS api_requests,
-           count(CASE WHEN ok THEN 1 END) AS successful_requests,
-           count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
-           count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
-           sum(prompt_tokens)::BIGINT AS prompt_tokens_sum,
-           sum(completion_tokens)::BIGINT AS completion_tokens_sum,
-           sum(total_tokens)::BIGINT AS total_tokens_sum,
-           coalesce(sum(reasoning_tokens), 0)::BIGINT AS reasoning_tokens_sum,
-           round(sum(cost::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum
-    FROM usage GROUP BY job_id
-    """,
-    ops=["G2", "G6", "G3"],
-)
-def q_usage_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    usage = e.select(
-        (F.col("user_id") % 10).alias("job_id"),
-        (F.col("event_type") != "error").alias("ok"),
-        (F.col("user_id") % 5 == 0).alias("is_byok"),
-        F.floor(F.col("value") * 10).cast("long").alias("prompt_tokens"),
-        F.floor(F.col("value") * 3).cast("long").alias("completion_tokens"),
-        (F.floor(F.col("value") * 10) + F.floor(F.col("value") * 3))
-        .cast("long")
-        .alias("total_tokens"),
-        F.when(F.col("event_type") == "purchase", F.floor(F.col("value")).cast("long")).alias(
-            "reasoning_tokens"
-        ),
-        (F.col("value") * 0.0001).alias("cost"),
-    )
-    out = usage_summary(usage, ["job_id"])
-    # reference treats absent/bad values as 0 per field (worker.py:153-159)
-    return out.withColumn(
-        "reasoning_tokens_sum", F.coalesce(F.col("reasoning_tokens_sum"), F.lit(0))
-    )
-
-
-# ===========================================================================
-# TPC-H-shaped analytics (scan -> filter -> agg; the bench headliners)
-# ===========================================================================
-
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
-           sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
-           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS sum_disc_price,
-           sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
-           round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_qty,
-           round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    ops=["G2", "P1", "O1"],
-)
-def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
-    cnt = F.count(F.lit(1))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity", 4)).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice", 4)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity", 4)).cast("double") / cnt, 6).alias("avg_qty"),
-            F.round(F.sum(dec("l_discount", 6)).cast("double") / cnt, 6).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
-    )
-
-
-@register(
-    "q3_top_revenue",
-    """
-    SELECT o.o_orderkey,
-           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
-           o.o_orderpriority,
-           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderkey
-    LIMIT 10
-    """,
-    ops=["J1", "G2", "O3", "G5"],
-)
-def q3_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-# ===========================================================================
-# J2 — OR-of-two-keys probe (union of semi-joins)
-# ===========================================================================
-
-
-@register(
-    "j2_hash_probe",
-    """
-    SELECT DISTINCT l.l_orderkey, l.l_linenumber FROM lineitem l
-    WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 5 = 0)
-       OR EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey % 2 = 0)
-    """,
-    ops=["J2", "X1"],
-)
-def q_hash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    part_keys = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
-    supp_keys = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
-    by_part = li.join(
-        F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey, "leftsemi"
-    )
-    by_supp = li.join(
-        F.broadcast(supp_keys), li.l_suppkey == supp_keys.s_suppkey, "leftsemi"
-    )
-    return (
-        by_part.select("l_orderkey", "l_linenumber")
-        .unionByName(by_supp.select("l_orderkey", "l_linenumber"))
-        .distinct()
-    )
-
-
-# ===========================================================================
-# J5 — priority-ordered resolution chain (coalesce over left joins)
-# ===========================================================================
-
-
-@register(
-    "j5_resolution",
-    """
-    SELECT o.o_orderkey,
-           coalesce(CASE WHEN c.c_acctbal > 5000 THEN c.c_name END,
-                    n.n_name, 'unknown') AS resolved
-    FROM orders o
-    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    """,
-    ops=["J5", "J1", "F18"],
-)
-def q_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .select(
-            "o_orderkey",
-            F.coalesce(
-                F.when(F.col("c_acctbal") > 5000, F.col("c_name")),
-                F.col("n_name"),
-                F.lit("unknown"),
-            ).alias("resolved"),
-        )
-    )
-
-
-# ===========================================================================
-# O3 — multi-key sort with nulls-last + top-k
-# ===========================================================================
-
-
-@register(
-    "o3_sort_topk",
-    """
-    SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS priority, o_totalprice
-    FROM orders
-    ORDER BY priority ASC NULLS LAST, o_totalprice DESC, o_orderkey
-    LIMIT 50
-    """,
-    ops=["O3", "O2", "O4"],
-)
-def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("priority"),
-            "o_totalprice",
-        )
-        .orderBy(
-            F.asc_nulls_last("priority"), F.desc("o_totalprice"), F.asc("o_orderkey")
-        )
-        .limit(50)
-    )
-
-
-# ===========================================================================
-# P1-P4 — predicate family (whitelist, prefix, range, exclusion)
-# ===========================================================================
-
-
-@register(
-    "p_filters",
-    """
-    SELECT doc_id, lang, source, n_chars
-    FROM documents
-    WHERE lang IN ('en', 'de')
-      AND source LIKE 'src1%'
-      AND n_chars BETWEEN 100 AND 400
-      AND source NOT IN ('src13')
-    """,
-    ops=["P1", "P2", "P3", "P4"],
-)
-def q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.filter(
-        F.col("lang").isin("en", "de")
-        & F.col("source").startswith("src1")
-        & F.col("n_chars").between(100, 400)
-        & ~F.col("source").isin("src13")
-    ).select("doc_id", "lang", "source", "n_chars")
-
-
-# ===========================================================================
-# X1 — exact dedup machinery on a boilerplate-prefix key
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import exact_duplicates  # noqa: E402
-
-
-@register(
-    "x1_exact_dedup",
-    """
-    WITH keyed AS (
-      SELECT doc_id,
-             md5(array_to_string(list_slice(
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                 1, 2), ' ')) AS fingerprint
-      FROM documents)
-    SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS dup_count
-    FROM keyed GROUP BY fingerprint HAVING count(*) > 1
-    """,
-    ops=["X1", "F4"],
-)
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    # boilerplate key: first two normalized tokens (guarantees real dup
-    # groups on the synthetic corpus; same machinery as full-text X1)
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-
-    prefix = F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 2), " ")
-    keyed = d.select("doc_id", prefix.alias("text2"))
-    return exact_duplicates(keyed, id_col="doc_id", text_col="text2")
-
-
-# ===========================================================================
-# X2 + F16 — order-preserving dedup + format normalization over events
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.textops import normalize_formats  # noqa: E402
-
-
-@register(
-    "f16_formats",
-    """
-    WITH m AS (
-      SELECT user_id, event_id, ts,
-             CASE event_type WHEN 'click' THEN ' CSV' WHEN 'view' THEN 'text'
-                             WHEN 'purchase' THEN 'json' WHEN 'signup' THEN 'Text'
-                             ELSE 'bogus' END AS raw
-      FROM events),
-    o AS (
-      SELECT user_id, trim(lower(raw)) AS fmt,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord
-      FROM m),
-    f AS (
-      SELECT user_id, fmt, min(ord) AS ford FROM o
-      WHERE fmt IN ('text', 'csv', 'json') GROUP BY user_id, fmt),
-    agg AS (
-      SELECT user_id, string_agg(fmt, ',' ORDER BY ford) AS formats FROM f GROUP BY user_id)
-    SELECT u.user_id,
-           coalesce(a.formats, CASE WHEN u.user_id % 2 = 0 THEN 'text' ELSE 'csv' END) AS formats
-    FROM (SELECT DISTINCT user_id FROM events) u
-    LEFT JOIN agg a ON u.user_id = a.user_id
-    """,
-    ops=["X2", "F16"],
-)
-def q_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    mapped = (
-        F.when(F.col("event_type") == "click", " CSV")
-        .when(F.col("event_type") == "view", "text")
-        .when(F.col("event_type") == "purchase", "json")
-        .when(F.col("event_type") == "signup", "Text")
-        .otherwise("bogus")
-    )
-    per_user = (
-        e.select("user_id", F.struct(F.col("ts"), F.col("event_id"), mapped.alias("raw")).alias("s"))
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("ordered"))
-        .select(
-            "user_id",
-            F.transform(F.col("ordered"), lambda s: s["raw"]).alias("raws"),
-        )
-    )
-    formats = normalize_formats(F.col("raws"), F.col("user_id") % 2 == 0)
-    return per_user.select(
-        "user_id", F.array_join(formats, ",").alias("formats")
-    )
-
-
-# ===========================================================================
-# Text analysis extensions: token stats, quality, langid, fingerprints
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
-    fingerprints,
-    heavy_hitters,
-    language_id,
-    quality_scores,
-    tfidf_topk,
-    token_stats,
-)
-
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _quality_sql(src: str, cols: str) -> str:
-    """Subquery computing the ONE quality-score formula every quality
-    oracle shares (mirrors operators/textanalysis.quality_scores),
-    emitting ``cols`` + n_tokens + quality_score over table ``src``.
-    text_quality's oracle keeps its own full-ratio SQL; every other
-    consumer MUST use this fragment so a formula change is one edit."""
-    return f"""(
-      SELECT {cols}, n_tokens,
-             round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                  + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
-      FROM (
-        SELECT {cols}, len(toks)::BIGINT AS n_tokens,
-               len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                     / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-               len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-               n_punct / greatest(n_chars, 1.0) AS punct_raw
-        FROM (
-          SELECT {cols}, len(text)::DOUBLE AS n_chars,
-                 string_split({_NORM_SQL}, ' ') AS toks,
-                 len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-          FROM {src})))"""
-
-
-# Transitive closure of the banded-LSH candidate pairs (requires the
-# `bands` CTE from _SHINGLES_SQL in scope; WITH RECURSIVE on the outer
-# query). Shared by every cluster-consuming oracle so the closure
-# semantics are one edit.
-_CC_SQL = """cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
-
-
-
-@register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           len(text) AS n_chars_exact,
-           CASE WHEN {_NORM_SQL} = '' THEN 0
-                ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_re_tokens
-    FROM documents
-    """,
-    ops=["EXT-tokens"],
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(_t(spark, sf_dir, "documents"))
-
-
-from openrouter_batch_processor_spark.operators.chunking import (  # noqa: E402
-    chunk_documents,
-    pack_documents,
-)
-from openrouter_batch_processor_spark.operators.timeseries import (  # noqa: E402
-    ewma_last,
-    transition_counts,
-)
-
-
-@register(
-    "events_ewma",
-    """
-    WITH ordered AS (
-      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs, count(*) AS n
-      FROM events GROUP BY event_type)
-    SELECT event_type, n,
-           round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
-    FROM ordered
-    """,
-    ops=["S10", "T5", "G2", "EXT-windows"],
-)
-def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-recursive EWMA per event type via grouped-map
-    applyInPandas — a pandas-UDF operator with a true VALUE oracle
-    (identical IEEE fold order in DuckDB's list_reduce)."""
-    return ewma_last(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "events_transitions",
-    """
-    WITH p AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS from_state
-      FROM events)
-    SELECT from_state, event_type AS to_state, count(*) AS n_transitions
-    FROM p WHERE from_state IS NOT NULL
-    GROUP BY from_state, to_state
-    """,
-    ops=["O3", "G2", "EXT-sessions"],
-)
-def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of user event sequences."""
-    return transition_counts(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "sources_fingerprint_setops",
-    f"""
-    WITH fp AS (SELECT source, md5({_NORM_SQL}) AS f FROM documents),
-    a AS (SELECT DISTINCT f FROM fp WHERE source IN ('src0','src1','src2')),
-    b AS (SELECT DISTINCT f FROM fp WHERE source IN ('src2','src3','src4'))
-    SELECT 'in_both' AS bucket, count(*) AS n
-    FROM (SELECT f FROM a INTERSECT SELECT f FROM b)
-    UNION ALL
-    SELECT 'only_first', count(*) FROM (SELECT f FROM a EXCEPT SELECT f FROM b)
-    UNION ALL
-    SELECT 'only_second', count(*) FROM (SELECT f FROM b EXCEPT SELECT f FROM a)
-    """,
-    ops=["X1", "X3", "F4", "EXT-dedup-policy"],
-)
-def q_fingerprint_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set algebra between two source groups' content-fingerprint sets:
-    intersect = content shared across crawls, except = exclusive
-    content. Spark executes both as hash joins on the 32-byte
-    fingerprint (leftsemi/leftanti under the hood) — the contamination /
-    overlap-audit primitive for corpus curation."""
-    from openrouter_batch_processor_spark.functions.hashing import doc_fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("source", doc_fingerprint(F.col("text")).alias("f"))
-    a = fp.filter(F.col("source").isin("src0", "src1", "src2")).select("f").distinct()
-    b = fp.filter(F.col("source").isin("src2", "src3", "src4")).select("f").distinct()
-    pieces = [
-        a.intersect(b).agg(F.lit("in_both").alias("bucket"), F.count(F.lit(1)).alias("n")),
-        a.exceptAll(b).agg(F.lit("only_first").alias("bucket"), F.count(F.lit(1)).alias("n")),
-        b.exceptAll(a).agg(F.lit("only_second").alias("bucket"), F.count(F.lit(1)).alias("n")),
-    ]
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@register(
-    "events_props_json",
-    """
-    WITH x AS (SELECT event_type,
-                      json_extract_string(props, '$.k')::BIGINT AS k
-               FROM events)
-    SELECT event_type,
-           count(*) AS n,
-           count(*) FILTER (WHERE k IS NULL) AS n_unparsed,
-           sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max
-    FROM x GROUP BY event_type
-    """,
-    ops=["F13", "D5", "G2", "EXT-quality"],
-)
-def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read over the semi-structured props column: from_json
-    with an explicit schema (PERMISSIVE — malformed rows surface as
-    nulls, counted, never failing the job: the engine's errors-as-data
-    rule applied to JSON parsing)."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = ev.select(
-        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
-        F.sum("k").alias("k_sum"),
-        F.min("k").alias("k_min"),
-        F.max("k").alias("k_max"),
-    )
-
-_TOKS_N_SQL = f"""
-    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
-                  CASE WHEN {_NORM_SQL} = '' THEN 0
-                       ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens
-           FROM documents)
-"""
-
-
-@register(
-    "chunk_documents_sliding",
-    f"""
-    WITH {_TOKS_N_SQL},
-    c AS (SELECT doc_id, toks, n_tokens,
-                 unnest(range(0, (n_tokens + 29) // 30)) AS chunk_id
-          FROM tk WHERE n_tokens >= 1)
-    SELECT doc_id, chunk_id,
-           array_to_string(list_slice(toks, chunk_id * 30 + 1,
-                                      least(chunk_id * 30 + 40, n_tokens)), ' ')
-             AS chunk_text,
-           least(chunk_id * 30 + 40, n_tokens) - chunk_id * 30 AS n_chunk_tokens
-    FROM c
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G1"],
-)
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window token chunking (width 40, overlap 10): the
-    corpus->training-sequence explode."""
-    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=10)
-
-
-@register(
-    "pack_documents_stream",
-    f"""
-    WITH {_TOKS_N_SQL},
-    c AS (SELECT doc_id, n_tokens,
-                 (sum(n_tokens) OVER (ORDER BY doc_id
-                                      ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
-                   AS start_offset
-          FROM tk)
-    SELECT doc_id, n_tokens, start_offset,
-           floor(start_offset / 512.0)::BIGINT AS bin_id,
-           start_offset % 512 AS offset_in_bin
-    FROM c
-    """,
-    ops=["EXT-tokens", "W1", "W2"],
-)
-def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contiguous token-stream packing into 512-token context windows
-    via the distributed prefix-sum (range partition + broadcast offsets,
-    no single-task global window) — same scale pattern as renumber."""
-    return pack_documents(_t(spark, sf_dir, "documents"), capacity=512)
-
-
-@register(
-    "corpus_to_training_stream",
-    f"""
-    WITH norm AS (SELECT doc_id, lang, source, n_chars, {_NORM_SQL} AS nt
-                  FROM documents),
-    fp AS (SELECT *, md5(nt) AS f FROM norm),
-    sv AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
-    dd AS (SELECT fp.* FROM fp JOIN sv ON sv.doc_id = fp.doc_id AND sv.f = fp.f),
-    g AS (SELECT doc_id, nt FROM dd
-          WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 100),
-    tk AS (SELECT doc_id, string_split(nt, ' ') AS toks,
-                  CASE WHEN nt = '' THEN 0
-                       ELSE len(string_split(nt, ' ')) END AS n
-           FROM g),
-    c AS (SELECT doc_id, unnest(range(0, (n + 29) // 30)) AS chunk_id, n
-          FROM tk WHERE n >= 1),
-    cc AS (SELECT doc_id, chunk_id,
-                  least(chunk_id * 30 + 40, n) - chunk_id * 30 AS nct
-           FROM c),
-    p AS (SELECT doc_id, chunk_id, nct,
-                 (sum(nct) OVER (ORDER BY doc_id, chunk_id
-                                 ROWS UNBOUNDED PRECEDING))::BIGINT - nct AS so
-          FROM cc)
-    SELECT floor(so / 512.0)::BIGINT AS bin_id, count(*) AS n_chunks,
-           sum(nct)::BIGINT AS bin_tokens, count(DISTINCT doc_id) AS n_docs
-    FROM p GROUP BY 1
-    """,
-    ops=["X1", "P1", "G2", "EXT-tokens", "EXT-dedup-policy", "EXT-quality", "W1"],
-)
-def q_corpus_to_training_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end corpus->model-input pipeline as ONE plan: exact
-    dedup (keep-first) -> language/length quality gate -> sliding-window
-    chunking -> contiguous packing into 512-token context windows ->
-    per-window accounting. Composes four operator families; every stage
-    is the same implementation the standalone queries check."""
-    from openrouter_batch_processor_spark.operators.chunking import (
-        pack_token_counts,
-    )
-    from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first
-
-    docs = _t(spark, sf_dir, "documents")
-    deduped = dedup_keep_first(docs)
-    gated = deduped.filter(
-        F.col("lang").isin("en", "fr", "de") & (F.col("n_chars") >= 100)
-    )
-    chunks = chunk_documents(gated, chunk_tokens=40, overlap=10)
-    packed = pack_token_counts(
-        chunks.select("doc_id", "chunk_id", "n_chunk_tokens"),
-        "n_chunk_tokens",
-        ["doc_id", "chunk_id"],
-        capacity=512,
-    )
-    return packed.groupBy("bin_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_chunk_tokens").alias("bin_tokens"),
-        F.count_distinct(F.col("doc_id")).alias("n_docs"),
-    )
-
-
-@register(
-    "text_quality",
-    f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             len(text)::DOUBLE AS n_chars,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
-      FROM documents),
-    r AS (
-      SELECT doc_id,
-             n_chars::BIGINT AS n_chars_exact,
-             len(toks)::BIGINT AS n_tokens,
-             n_punct / greatest(n_chars, 1.0) AS punct_raw,
-             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                   / greatest(len(toks)::DOUBLE, 1.0) AS stop_raw,
-             len(list_distinct(toks))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) AS uniq_raw,
-             round(n_chars / greatest(len(toks)::DOUBLE, 1.0), 6) AS mean_token_len
-      FROM base)
-    SELECT doc_id, n_chars_exact, n_tokens,
-           round(punct_raw, 6) AS punct_ratio,
-           round(stop_raw, 6) AS stopword_ratio,
-           round(uniq_raw, 6) AS unique_ratio,
-           mean_token_len,
-           round(least(greatest(0.3*stop_raw + 0.4*uniq_raw
-                                + 0.3*(1.0 - least(punct_raw*4, 1.0)), 0.0), 1.0), 6) AS quality_score
-    FROM r
-    """,
-    ops=["EXT-quality"],
-)
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "curation_boilerplate_ngrams",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    s AS (SELECT doc_id,
-                 list_transform(range(1, len(toks) - 1),
-                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
-          FROM t WHERE len(toks) >= 3),
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    dfreq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
-    boiler AS (SELECT shingle FROM dfreq WHERE df >= 20),
-    per_doc AS (SELECT doc_id, count(*) AS n_ngrams FROM sh_set GROUP BY 1),
-    nb AS (SELECT doc_id, count(*) AS n_boiler
-           FROM sh_set JOIN boiler USING (shingle) GROUP BY doc_id)
-    SELECT p.doc_id, p.n_ngrams,
-           coalesce(nb.n_boiler, 0)::BIGINT AS n_boiler,
-           round(coalesce(nb.n_boiler, 0) / p.n_ngrams, 6) AS boiler_ratio
-    FROM per_doc p LEFT JOIN nb USING (doc_id)
-    """,
-    ops=["EXT-quality", "EXT-boilerplate", "G4", "J2"],
-)
-def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style boilerplate: shingles in >= 20 docs are template chrome;
-    per-doc boilerplate ratio for the cleaning gate
-    (operators/curation.py boilerplate_ngrams)."""
-    from openrouter_batch_processor_spark.operators.curation import boilerplate_ngrams
-
-    return boilerplate_ngrams(_t(spark, sf_dir, "documents"), min_df=20)
-
-
-@register(
-    "curation_dup_windows",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    w AS (SELECT doc_id,
-                 list_transform(range(1, len(toks) - 8 + 2),
-                                i -> md5(array_to_string(toks[i:i+7], ' '))) AS whs
-          FROM t WHERE len(toks) >= 8),
-    ws AS (SELECT DISTINCT doc_id, unnest(whs) AS wh FROM w),
-    dfreq AS (SELECT wh, count(*) AS df FROM ws GROUP BY 1),
-    dup AS (SELECT wh FROM dfreq WHERE df >= 2),
-    per_doc AS (SELECT doc_id, count(*) AS n_windows FROM ws GROUP BY 1),
-    nd AS (SELECT doc_id, count(*) AS n_dup
-           FROM ws JOIN dup USING (wh) GROUP BY 1)
-    SELECT p.doc_id, p.n_windows,
-           coalesce(nd.n_dup, 0)::BIGINT AS n_dup,
-           round(coalesce(nd.n_dup, 0) / p.n_windows, 6) AS dup_fraction
-    FROM per_doc p LEFT JOIN nd USING (doc_id)
-    """,
-    ops=["X1", "EXT-dedup-policy", "EXT-boilerplate", "G4"],
-)
-def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level dedup signal: fraction of each doc's 8-token
-    windows that occur in another doc — copied-passage detection, the
-    window-hash approximation of suffix-array substring dedup
-    (operators/curation.py duplicated_window_fraction)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        duplicated_window_fraction,
-    )
-
-    return duplicated_window_fraction(_t(spark, sf_dir, "documents"), window_tokens=8)
-
-
-def _span_sql(src: str) -> str:
-    """CTE chain for substring SPAN REMOVAL over relation ``src`` (must
-    expose doc_id + text) — mirrors operators/curation.py
-    remove_duplicate_spans stage by stage (8-token windows, the
-    operator's default): window hashes -> occurrence rank (global
-    first-occurrence = min (doc_id, pos)) -> removable occurrences ->
-    covered token set -> run boundaries -> per-doc span stats + cleaned
-    text. Shared by curation_remove_dup_spans and the full-pipeline
-    composite so the two can never diverge."""
-    return f"""
-    spt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}),
-    spw AS (SELECT doc_id, u.i - 1 AS pos,
-                   md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
-            FROM spt, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
-            WHERE len(toks) >= 8),
-    spr AS (SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
-                   count(*) OVER (PARTITION BY wh) AS n_occ
-            FROM spw),
-    sprm AS (SELECT doc_id, pos FROM spr WHERE n_occ >= 2 AND rn > 1),
-    spcov AS (SELECT DISTINCT doc_id, pos + u.k AS j
-              FROM sprm, unnest(range(0, 8)) AS u(k)),
-    spruns AS (SELECT doc_id, j,
-                      CASE WHEN j - lag(j) OVER (PARTITION BY doc_id ORDER BY j) = 1
-                           THEN 0 ELSE 1 END AS new_run
-               FROM spcov),
-    spstats AS (SELECT doc_id, sum(new_run)::BIGINT AS n_spans_removed,
-                       count(*)::BIGINT AS n_removed
-                FROM spruns GROUP BY doc_id),
-    sptok AS (SELECT doc_id, u.j - 1 AS j, toks[u.j] AS tok
-              FROM spt, unnest(range(1, len(toks) + 1)) AS u(j)),
-    spkept AS (SELECT k.doc_id, k.j, k.tok
-               FROM sptok k LEFT JOIN spcov c ON c.doc_id = k.doc_id AND c.j = k.j
-               WHERE c.j IS NULL),
-    spclean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned_text
-                FROM spkept GROUP BY doc_id)"""
-
-
-@register(
-    "curation_remove_dup_spans",
-    f"""
-    WITH {_span_sql("documents")}
-    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
-           coalesce(s.n_removed, 0)::BIGINT AS n_removed,
-           coalesce(s.n_spans_removed, 0)::BIGINT AS n_spans_removed,
-           round(coalesce(s.n_removed, 0) / len(t.toks), 6) AS removed_fraction,
-           coalesce(c.cleaned_text, '') AS cleaned_text
-    FROM spt t
-    LEFT JOIN spstats s USING (doc_id)
-    LEFT JOIN spclean c USING (doc_id)
-    """,
-    ops=["X1", "EXT-dedup-policy", "EXT-boilerplate", "G4", "O1"],
-)
-def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The back half of substring dedup (VERDICT r03 item 3): REMOVE
-    duplicated 8-token window spans, keeping each window's global first
-    occurrence, and re-emit the cleaned text plus per-doc removal stats
-    (operators/curation.py remove_duplicate_spans). curation_dup_windows
-    is the report; this is the edit."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        remove_duplicate_spans,
-    )
-
-    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), window_tokens=8)
-
-
-@register(
-    "curation_dup_span_discovery",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    w AS (SELECT doc_id, u.i - 1 AS pos,
-                 md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
-          FROM t, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
-          WHERE len(toks) >= 8),
-    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
-    seed AS (SELECT doc_id, pos FROM w JOIN dup USING (wh)),
-    r AS (SELECT doc_id, pos,
-                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
-                      THEN 0 ELSE 1 END AS new_run
-          FROM seed),
-    rid AS (SELECT doc_id, pos,
-                   sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
-            FROM r),
-    spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
-                     (max(pos) - min(pos) + 8)::BIGINT AS span_len
-              FROM rid GROUP BY doc_id, run_id
-              HAVING max(pos) - min(pos) + 8 >= 12),
-    sp AS (SELECT s.doc_id, s.span_start, s.span_len,
-                  md5(array_to_string(
-                      list_slice(t.toks, s.span_start + 1, s.span_start + s.span_len),
-                      ' ')) AS span_hash
-           FROM spans s JOIN t USING (doc_id)),
-    occ AS (SELECT span_hash, count(*)::BIGINT AS n_span_occ FROM sp GROUP BY 1)
-    SELECT sp.doc_id, sp.span_start, sp.span_len, sp.span_hash, occ.n_span_occ
-    FROM sp JOIN occ USING (span_hash)
-    """,
-    ops=["X1", "EXT-dedup-policy", "G4", "W2", "O1"],
-)
-def q_dup_span_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-array-equivalent duplicate-substring DISCOVERY (Lee et al.
-    ExactSubstr front half, VERDICT r04 item 5): every maximal
-    duplicated substring of >= 12 tokens, found via sorted 8-gram
-    rank/adjacency — maximal runs of consecutive duplicated seed
-    positions. curation_remove_dup_spans is the edit this inventory
-    feeds (operators/curation.py dup_span_discovery)."""
-    from openrouter_batch_processor_spark.operators.curation import dup_span_discovery
-
-    return dup_span_discovery(
-        _t(spark, sf_dir, "documents"), min_tokens=12, seed_tokens=8
-    )
-
-
-@register(
-    "curation_mixture_weights",
-    """
-    WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
-    s AS (SELECT source, n_docs,
-                 round(pow(n_docs, 0.5), 6)::DECIMAL(28,10) AS w
-          FROM c),
-    z AS (SELECT sum(w) AS z, sum(n_docs)::BIGINT AS n FROM s)
-    SELECT source, n_docs,
-           round(w::DOUBLE / z::DOUBLE, 6) AS weight,
-           round((w::DOUBLE / z::DOUBLE) * n, 6) AS expected_docs,
-           round((w::DOUBLE / z::DOUBLE) * n / n_docs, 6) AS sample_rate
-    FROM s CROSS JOIN z
-    """,
-    ops=["G2", "EXT-sampling", "EXT-mixture"],
-)
-def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled (T=0.5) source mixture weights — the standard
-    up-weighting of small sources when composing a training mixture
-    (operators/curation.py source_mixture_weights)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        source_mixture_weights,
-    )
-
-    return source_mixture_weights(_t(spark, sf_dir, "documents"), temperature=0.5)
-
-
-@register(
-    "curation_quality_sweep",
-    f"""
-    WITH q AS (SELECT n_tokens, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    b AS (SELECT least(floor(quality_score * 10), 9)::BIGINT AS bucket, n_tokens FROM q),
-    a AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
-          FROM b GROUP BY 1),
-    g AS (SELECT i AS bucket FROM range(0, 10) r(i)),
-    f AS (SELECT g.bucket, coalesce(a.n_docs, 0)::BIGINT AS n_docs,
-                 coalesce(a.n_tokens, 0)::BIGINT AS n_tokens
-          FROM g LEFT JOIN a USING (bucket))
-    SELECT round(bucket / 10.0, 1) AS threshold,
-           (sum(n_docs) OVER (ORDER BY bucket DESC))::BIGINT AS n_docs_surviving,
-           (sum(n_tokens) OVER (ORDER BY bucket DESC))::BIGINT AS n_tokens_surviving
-    FROM f
-    """,
-    ops=["EXT-quality", "G2", "W2"],
-)
-def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-gate yield curve: docs/tokens surviving each threshold in
-    one corpus pass — bucket + cumulative sum, not one filter per τ
-    (operators/curation.py quality_threshold_sweep)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        quality_threshold_sweep,
-    )
-
-    return quality_threshold_sweep(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_langid",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    s AS (
-      SELECT doc_id,
-             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
-             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
-             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
-             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
-      FROM t)
-    SELECT doc_id, score_de, score_en, score_es, score_zh,
-           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_zh THEN 'de'
-                WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
-                WHEN score_es > score_de AND score_es > score_en AND score_es >= score_zh THEN 'es'
-                WHEN score_zh > score_de AND score_zh > score_en AND score_zh > score_es THEN 'zh'
-                ELSE 'und' END AS pred_lang
-    FROM s
-    """,
-    ops=["EXT-langid"],
-)
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_fingerprints",
-    f"""
-    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
-    SELECT doc_id,
-           md5(norm) AS fp_md5,
-           list_reduce(
-             list_transform(string_split(norm, ' '),
-                            tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000000007),
-             (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_rolling
-    FROM t
-    """,
-    ops=["EXT-fingerprint", "F4", "F5"],
-)
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(_t(spark, sf_dir, "documents"))
-
-
-_TF_SQL = f"""
-    toks AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
-             FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM toks WHERE term != '' GROUP BY doc_id, term)
-"""
-
-
-@register(
-    "text_tfidf_topk",
-    f"""
-    WITH {_TF_SQL},
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT t.doc_id, t.term, t.tf, d.df,
-             round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
-      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
-    ranked AS (
-      SELECT doc_id, term, tf, df, tfidf,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY tfidf DESC, term ASC) AS rnk
-      FROM scored)
-    SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5
-    """,
-    ops=["EXT-tfidf", "EXT-tokens", "G2", "O3"],
-)
-def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
-
-
-@register(
-    "text_heavy_hitters",
-    f"""
-    WITH {_TF_SQL}
-    SELECT term, sum(tf)::BIGINT AS total_count, count(*) AS doc_freq
-    FROM tf GROUP BY term
-    ORDER BY total_count DESC, term ASC LIMIT 50
-    """,
-    ops=["EXT-heavyhitters", "EXT-tokens", "G2", "O4"],
-)
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return heavy_hitters(_t(spark, sf_dir, "documents"), n=50)
-
-
-@register(
-    "sketch_cms_heavy_hitters",
-    f"""
-    WITH {_TF_SQL},
-    totals AS (
-      SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
-    cells AS (
-      SELECT r.i AS row,
-             ('0x' || substr(md5(r.i::VARCHAR || '|' || term), 1, 8))::BIGINT % 256 AS pos,
-             cnt
-      FROM totals CROSS JOIN range(0, 3) r(i)),
-    counters AS (
-      SELECT row, pos, sum(cnt)::BIGINT AS counter FROM cells GROUP BY row, pos),
-    probes AS (
-      SELECT term, cnt AS true_count FROM totals
-      ORDER BY cnt DESC, term ASC LIMIT 20),
-    probe_cells AS (
-      SELECT p.term, p.true_count, r.i AS row,
-             ('0x' || substr(md5(r.i::VARCHAR || '|' || p.term), 1, 8))::BIGINT % 256 AS pos
-      FROM probes p CROSS JOIN range(0, 3) r(i))
-    SELECT pc.term, pc.true_count, min(c.counter)::BIGINT AS cms_est
-    FROM probe_cells pc JOIN counters c ON c.row = pc.row AND c.pos = pc.pos
-    GROUP BY pc.term, pc.true_count
-    """,
-    ops=["EXT-sketch", "EXT-heavyhitters", "G2", "O4"],
-)
-def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch (3x256, md5 positions) over corpus term
-    frequencies, probed with the exact top-20 terms. The undersized
-    width makes collisions — and therefore exact over-estimates — occur
-    and hash-match on both engines: the sketch invariant cms_est >=
-    true_count is verified along with the precise collision sums."""
-    from openrouter_batch_processor_spark.operators.sketches import (
-        cms_heavy_hitter_counts,
-    )
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        term_frequencies,
-    )
-
-    totals = (
-        term_frequencies(_t(spark, sf_dir, "documents"))
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("cnt"))
-    )
-    return cms_heavy_hitter_counts(totals, term_col="term", count_col="cnt")
-
-
-# ===========================================================================
-# Dedup extensions: MinHash-LSH bands, candidate pairs + Jaccard, SimHash
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
-    duplicate_clusters,
-    lsh_bands,
-    minhash_signatures,
-    ngram_jaccard_pairs,
-    simhash,
-)
-
-# Minhash oracle mirrors operators/dedup.py: one md5->uint32 per shingle,
-# k affine permutations (A[i]*h + B[i]) % 1e9+7, min per permutation.
-from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
-    MINHASH_A,
-    MINHASH_B,
-)
-
-_MH_COLS = ",\n".join(
-    f"                 list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % 1000000007)) AS mh{i}"
-    for i in range(8)
-)
-
-def _shingles_sql(src: str = "documents") -> str:
-    """The shared shingle->minhash->bands oracle fragment, parameterized
-    by its input relation so chained pipelines (curation_dedup_funnel's
-    exact-dedup survivors) reuse the exact same minhash definition."""
-    return f"""
-    t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}),
-    s AS (SELECT doc_id,
-                 list_transform(range(1, len(toks) - 1),
-                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
-          FROM t WHERE len(toks) >= 3),
-    m AS (SELECT doc_id,
-                 list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs,
-{_MH_COLS}
-          FROM s),
-    bands AS (
-      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '|' || mh1::VARCHAR) AS band_key FROM m UNION ALL
-      SELECT doc_id, 1, md5(mh2::VARCHAR || '|' || mh3::VARCHAR) FROM m UNION ALL
-      SELECT doc_id, 2, md5(mh4::VARCHAR || '|' || mh5::VARCHAR) FROM m UNION ALL
-      SELECT doc_id, 3, md5(mh6::VARCHAR || '|' || mh7::VARCHAR) FROM m)
-"""
-
-
-_SHINGLES_SQL = _shingles_sql()
-
-
-@register(
-    "dedup_minhash_bands",
-    f"WITH {_SHINGLES_SQL} SELECT doc_id, band, band_key FROM bands",
-    ops=["EXT-minhash", "X1"],
-)
-def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_bands(minhash_signatures(_t(spark, sf_dir, "documents")))
-
-
-@register(
-    "dedup_minhash_jaccard",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh_set x ON x.doc_id = c.id_a
-      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-      GROUP BY c.id_a, c.id_b)
-    SELECT i.id_a, i.id_b,
-           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
-    """,
-    ops=["EXT-minhash", "EXT-jaccard"],
-)
-def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
-
-
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    {_CC_SQL},
-    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
-    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
-    FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "X1", "J2"],
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive closure of LSH candidate pairs -> duplicate clusters.
-
-    Spark side: iterative min-label propagation (connected components);
-    oracle side: DuckDB recursive CTE computing min reachable id. Same
-    semantics, two totally different execution strategies."""
-    return duplicate_clusters(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_canonical_by_quality",
-    f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    {_CC_SQL},
-    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id),
-    q AS (SELECT doc_id, quality_score
-          FROM {_quality_sql("documents", "doc_id")}),
-    jq AS (
-      SELECT l.node AS doc_id, l.cluster_id, s.cluster_size, q.quality_score
-      FROM labels l
-      JOIN sizes s USING (cluster_id)
-      JOIN q ON q.doc_id = l.node),
-    r AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY cluster_id
-               ORDER BY quality_score DESC, doc_id) AS rn
-      FROM jq)
-    SELECT cluster_id, doc_id AS canonical_doc_id, quality_score,
-           cluster_size, (cluster_size - 1)::BIGINT AS n_removed
-    FROM r WHERE rn = 1
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "EXT-quality", "X1", "O4"],
-)
-def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-BEST-of-cluster: each duplicate cluster survives through its
-    highest-quality member (tie-break lowest id) — the dedup policy that
-    keeps the clean original over mangled copies
-    (operators/dedup.py canonical_by_quality)."""
-    from openrouter_batch_processor_spark.operators.dedup import canonical_by_quality
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        staged_quality_scores,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    quality = staged_quality_scores(docs).select("doc_id", "quality_score")
-    return canonical_by_quality(docs, quality)
-
-
-@register(
-    "curation_dedup_funnel",
-    f"""
-    WITH RECURSIVE
-    survivors AS (
-      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-    {_shingles_sql("survivors")},
-    {_CC_SQL},
-    removed AS (SELECT count(*) - count(DISTINCT cluster_id) AS n_removed FROM labels),
-    n_exact AS (SELECT count(*) AS n FROM survivors)
-    SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs_surviving FROM documents
-    UNION ALL
-    SELECT 'exact_dedup', n::BIGINT FROM n_exact
-    UNION ALL
-    SELECT 'neardup_dedup', n_exact.n::BIGINT - removed.n_removed::BIGINT
-    FROM n_exact, removed
-    """,
-    ops=["X1", "EXT-minhash", "EXT-dedup-policy", "G2"],
-)
-def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline yield through the dedup stages as a SEQUENTIAL funnel:
-    raw corpus -> exact-content keep-first survivors -> keep-first LSH
-    near-dup survivors OF THOSE — so n_docs_surviving is monotone
-    non-increasing down the stages (ADVICE r03: the near-dup stage
-    previously ran over the raw corpus, making the rows independent
-    per-policy yields rather than a funnel). The near-dup stage is the
-    same minhash/CC definition as dedup_clusters, applied to the
-    exact-dedup output; the oracle chains the identical stages."""
-    from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
-
-    docs = _t(spark, sf_dir, "documents")
-    raw = docs.agg(F.count(F.lit(1)).alias("n_docs_surviving")).select(
-        F.lit("raw").alias("stage"), "n_docs_surviving"
-    )
-    # exact keep-first on the raw-text fingerprint (min doc_id per
-    # md5(text)); semi-join back keeps all columns for the next stage
-    surv_ids = (
-        docs.select("doc_id", F.md5(F.col("text")).alias("_fp"))
-        .groupBy("_fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    survivors = docs.join(surv_ids, "doc_id", "leftsemi")
-    n_exact = survivors.agg(F.count(F.lit(1)).alias("_n"))
-    exact = n_exact.select(
-        F.lit("exact_dedup").alias("stage"),
-        F.col("_n").cast("long").alias("n_docs_surviving"),
-    )
-    clusters = duplicate_clusters(survivors)
-    removed = clusters.agg(
-        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("_rm")
-    )
-    near = (
-        n_exact.crossJoin(F.broadcast(removed))
-        .select(
-            F.lit("neardup_dedup").alias("stage"),
-            (F.col("_n") - F.col("_rm")).cast("long").alias("n_docs_surviving"),
-        )
-    )
-    return raw.unionByName(exact).unionByName(near)
-
-
-@register(
-    "audit_source_overlap",
-    f"""
-    WITH fps AS (SELECT DISTINCT source,
-                        md5(array_to_string(string_split({_NORM_SQL}, ' ')[1:8], ' ')) AS fp
-                 FROM documents),
-    sizes AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
-    shared AS (
-      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
-      GROUP BY 1, 2)
-    SELECT s.source_a, s.source_b, s.n_shared::BIGINT AS n_shared,
-           round(s.n_shared / (sa.n_fp + sb.n_fp - s.n_shared), 6) AS jaccard
-    FROM shared s
-    JOIN sizes sa ON sa.source = s.source_a
-    JOIN sizes sb ON sb.source = s.source_b
-    """,
-    ops=["X1", "J2", "G4", "EXT-dedup-policy"],
-)
-def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source contamination matrix: which sources ship the same
-    content (lead-8-token fingerprint Jaccard per source pair — the
-    partial-content key that catches 'same article, different
-    boilerplate') — the audit that catches a crawler and a curated dump
-    double-counting the same sites. Equi-join on the 32-byte
-    fingerprint, never all-pairs."""
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-
-    docs = _t(spark, sf_dir, "documents")
-    lead = F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8), " ")
-    fps = docs.select("source", F.md5(lead).alias("fp")).distinct()
-    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.select(F.col("source").alias("source_a"), "fp")
-    b = fps.select(F.col("source").alias("source_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_fp").alias("_na"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_fp").alias("_nb"))
-    return (
-        shared.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.round(
-                F.col("n_shared") / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-@register(
-    "dedup_incremental_candidates",
-    f"""
-    WITH {_SHINGLES_SQL},
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id)
-    SELECT id_a, id_b FROM pairs
-    WHERE id_a % 10 = 9 OR id_b % 10 = 9
-    """,
-    ops=["X1", "J2", "EXT-minhash", "EXT-cdc"],
-)
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest LSH dedup: docs with doc_id % 10 == 9 play the new
-    batch; candidates come from bands(new) x bands(corpus) only — never
-    a full self-join. The oracle runs the FULL recompute and restricts
-    to pairs touching the new batch: a hash match proves the incremental
-    path emits exactly the full path's answer for the new data."""
-    from openrouter_batch_processor_spark.operators.dedup import (
-        incremental_minhash_candidates,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    new_ids = docs.filter(F.col("doc_id") % 10 == 9).select("doc_id")
-    return incremental_minhash_candidates(docs, new_ids)
-
-
-@register(
-    "dedup_apply_survivors",
-    f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    {_CC_SQL},
-    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id)
-    SELECT d.source,
-           count(*) AS n_total,
-           count(CASE WHEN dr.doc_id IS NOT NULL THEN 1 END) AS n_dropped,
-           count(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS n_kept
-    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
-    GROUP BY d.source
-    """,
-    ops=["X1", "J2", "EXT-minhash", "EXT-dedup-policy"],
-)
-def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Close the dedup loop: apply the near-dup cluster policy to the
-    corpus. Canonical member = min doc_id per cluster (what cluster_id
-    already encodes); every other cluster member is dropped; per-source
-    keep/drop accounting over the WHOLE corpus (isolated docs survive
-    by construction). The churn-sized anti-join is the shape that
-    applies any dedup registry to a 100 TB corpus: survivors =
-    corpus LEFT ANTI JOIN non-canonical ids."""
-    from openrouter_batch_processor_spark.operators.dedup import duplicate_clusters
-
-    docs = _t(spark, sf_dir, "documents")
-    non_canon = (
-        duplicate_clusters(docs)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
-        .withColumn("_drop", F.lit(True))
-    )
-    flagged = docs.select("doc_id", "source").join(non_canon, "doc_id", "left")
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(F.col("_drop"), 1)).alias("n_dropped"),
-        F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_kept"),
-    )
-
-
-@register(
-    "dedup_simhash",
-    f"""
-    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
-    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
-    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok != '' GROUP BY doc_id, tok),
-    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM cnts),
-    votes AS (
-      SELECT doc_id, r.bit, sum(cnt * (((hv >> r.bit) & 1) * 2 - 1)) AS v
-      FROM h CROSS JOIN range(0, 32) r(bit)
-      GROUP BY doc_id, r.bit)
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
-    FROM votes GROUP BY doc_id
-    """,
-    ops=["EXT-simhash"],
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# Similarity search: brute-force top-k, IVF top-k, near-dup pairs
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
-    ivf_topk,
-    neardup_pairs_bruteforce,
-    topk_bruteforce,
-)
-
-_COS_SQL = (
-    "list_dot_product({a}, {b}) / "
-    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
-)
-
-
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = _t(spark, sf_dir, "embeddings")
-    row = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0]
-    return [float(x) for x in row["embedding"]]
-
-
-@register(
-    "sim_topk_bruteforce",
-    f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
-    SELECT e.vec_id,
-           round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')}, 6) AS cos_sim
-    FROM embeddings e, q
-    ORDER BY cos_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-    ops=["EXT-simsearch"],
-)
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return topk_bruteforce(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
-
-
-@register(
-    "sim_ivf_topk",
-    f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 8),
-    assigned AS (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-                                - 2 * list_dot_product(e.embedding::DOUBLE[], c.cvec)
-                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
-    probe AS (
-      SELECT centroid_id FROM (
-        SELECT c.centroid_id,
-               round(list_dot_product(c.cvec, c.cvec)
-                     - 2 * list_dot_product(c.cvec, q.qv)
-                     + list_dot_product(q.qv, q.qv), 6) AS qdist
-        FROM centroids c, q)
-      ORDER BY qdist, centroid_id LIMIT 2)
-    SELECT a.vec_id,
-           round({_COS_SQL.format(a='a.v', b='q.qv')}, 6) AS cos_sim
-    FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
-    ORDER BY cos_sim DESC, a.vec_id
-    LIMIT 10
-    """,
-    ops=["EXT-simsearch", "EXT-ivf"],
-)
-def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir))
-
-
-@register(
-    "sim_neardup_pairs",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.unit, b.unit), 6) AS cos_sim
-    FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4
-    """,
-    ops=["EXT-neardup"],
-)
-def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_pairsbf(spark, sf_dir)
-
-
-def neardup_pairsbf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_pairs_bruteforce(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-# ===========================================================================
-# Event-time windows: tumbling aggregation + gap sessionization
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.windows import (  # noqa: E402
-    sessionize,
-    tumbling_counts,
-)
-
-
-@register(
-    "events_tumbling",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
-    FROM events GROUP BY window_start, event_type
-    """,
-    ops=["T1", "T2", "EXT-windows"],
-)
-def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_counts(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "events_sessionize",
-    """
-    WITH flagged AS (
-      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    sess AS (
-      SELECT user_id, ts, ep,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged)
-    SELECT user_id, session_id::BIGINT AS session_id,
-           count(*) AS n_events,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           max(ep) - min(ep) AS duration_sec
-    FROM sess GROUP BY user_id, session_id
-    """,
-    ops=["T1", "W2", "EXT-sessions"],
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# F13 json repair, F14/F15 encoding+redaction, F6/F7 naming, F8 footer
-# ===========================================================================
-
-from openrouter_batch_processor_spark.functions.hashing import data_url  # noqa: E402
-from openrouter_batch_processor_spark.functions.paths import (  # noqa: E402
-    output_filename,
-    storage_name,
-)
-from openrouter_batch_processor_spark.functions.textops import (  # noqa: E402
-    append_footer,
-    json_repair_parse,
-)
-
-
-@register(
-    "f13_json_repair",
-    # The oracle states the ground-truth OUTCOME per constructed case
-    # (trailing-comma object -> repaired; fenced -> sliced; prose ->
-    # sentinel; array -> parses, no $.lang), rather than re-implementing
-    # the repair algorithm in SQL — a semantic oracle for a UDF op.
-    """
-    SELECT doc_id,
-           CASE doc_id % 4 WHEN 2 THEN FALSE ELSE TRUE END AS parse_ok,
-           CASE doc_id % 4 WHEN 0 THEN lang WHEN 1 THEN lang ELSE NULL END AS lang_out
-    FROM documents
-    """,
-    ops=["F13", "D5", "K3"],
-)
-def q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    obj = F.concat(F.lit('{"id": '), i, F.lit(', "lang": "'), F.col("lang"), F.lit('",}'))
-    fenced = F.concat(
-        F.lit('Here you go:\n```json\n{"id": '), i,
-        F.lit(', "lang": "'), F.col("lang"), F.lit('"}\n```'),
-    )
-    arr = F.concat(F.lit("[1, 2, "), i, F.lit("]"))
-    raw = (
-        F.when(i % 4 == 0, obj)
-        .when(i % 4 == 1, fenced)
-        .when(i % 4 == 2, F.lit("no json at all"))
-        .otherwise(arr)
-    )
-    return docs.select(i, json_repair_parse(raw).alias("_r")).select(
-        "doc_id",
-        F.col("_r.parse_ok").alias("parse_ok"),
-        F.get_json_object(F.col("_r.parsed_json"), "$.lang").alias("lang_out"),
-    )
-
-
-@register(
-    "f14_f15_encoding",
-    """
-    SELECT doc_id,
-           'data:text/plain;base64,' || to_base64(encode(text)) AS data_url,
-           sha256(text) AS content_sha,
-           right('sk-or-v1-' || md5(doc_id::VARCHAR), 8) AS api_key_last8
-    FROM documents
-    """,
-    ops=["F14", "F15", "F4", "D6"],
-)
-def q_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    content = F.encode(F.col("text"), "UTF-8")
-    api_key = F.concat(F.lit("sk-or-v1-"), F.md5(F.col("doc_id").cast("string")))
-    from openrouter_batch_processor_spark.functions.hashing import redact_api_key
-
-    return docs.select(
-        "doc_id",
-        data_url(content, F.lit("text/plain")).alias("data_url"),
-        F.sha2(content, 256).alias("content_sha"),
-        redact_api_key(api_key).alias("api_key_last8"),
-    )
-
-
-@register(
-    "f6_f7_filenames",
-    """
-    WITH g AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN source || '/'
-                  ELSE 'doc_' || doc_id::VARCHAR || '.txt' END AS group_id,
-             doc_id % 3 = 0 AS is_folder,
-             'upload ' || source || '!.zip' AS upload_name,
-             md5(source) AS content_hash
-      FROM documents)
-    SELECT doc_id,
-           CASE WHEN is_folder
-                THEN regexp_replace(group_id, '/$', '') || '_folder_output.txt'
-                ELSE regexp_replace(group_id, '\\.[^./]+$', '') || '.txt'
-           END AS out_name,
-           substr(regexp_replace(regexp_replace(upload_name, '\\.zip$', ''),
-                                 '[^A-Za-z0-9_.-]+', '_', 'g'), 1, 80)
-             || '_' || substr(content_hash, 1, 12) || '.zip' AS storage
-    FROM g
-    """,
-    ops=["F6", "F7", "K4"],
-)
-def q_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    group_id = F.when(i % 3 == 0, F.concat(F.col("source"), F.lit("/"))).otherwise(
-        F.concat(F.lit("doc_"), i.cast("string"), F.lit(".txt"))
-    )
-    upload = F.concat(F.lit("upload "), F.col("source"), F.lit("!.zip"))
-    return docs.select(
-        "doc_id",
-        output_filename(group_id, i % 3 == 0).alias("out_name"),
-        storage_name(upload, F.md5(F.col("source"))).alias("storage"),
-    )
-
-
-@register(
-    "f6_storage_collision_names",
-    """
-    WITH f AS (SELECT doc_id, source || '.zip' AS fname, md5(source) AS chash
-               FROM documents),
-    n AS (SELECT doc_id,
-                 substr(regexp_replace(regexp_replace(fname, '\\.zip$', ''),
-                                       '[^A-Za-z0-9_.-]+', '_', 'g'), 1, 80) AS stem,
-                 chash
-          FROM f),
-    r AS (SELECT doc_id, stem || '_' || substr(chash, 1, 12) AS base,
-                 row_number() OVER (
-                   PARTITION BY stem || '_' || substr(chash, 1, 12)
-                   ORDER BY doc_id) AS rn
-          FROM n)
-    SELECT doc_id, base || '.zip' AS candidate,
-           CASE WHEN rn = 1 THEN base || '.zip'
-                ELSE base || '_' || rn || '.zip' END AS storage_zip_name,
-           rn::BIGINT AS upload_seq
-    FROM r
-    """,
-    ops=["F6", "W1", "O1", "X1"],
-)
-def q_storage_collision_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's storage-name collision-counter loop
-    (app.py:205-226) as a batch window: every doc in a source re-uploads
-    the same content (hash = md5(source)), so candidates collide
-    per-source and the k-th upload gets the '_k' counter exactly as the
-    on-disk while-loop would assign it — in-batch naming is now
-    data-plane, not a driver seam
-    (functions/paths.py storage_names_with_counters)."""
-    from openrouter_batch_processor_spark.functions.paths import (
-        storage_names_with_counters,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.col("source"), F.lit(".zip")).alias("filename"),
-        F.md5(F.col("source")).alias("content_hash"),
-    )
-    return storage_names_with_counters(docs)
-
-
-@register(
-    "f8_footer",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             substr(text, 1, 40) ||
-               CASE doc_id % 3 WHEN 1 THEN chr(10) WHEN 2 THEN chr(13) ELSE '' END AS body,
-             CASE WHEN doc_id % 2 = 0 THEN '-- processed --' ELSE '   ' END AS footer
-      FROM documents)
-    SELECT doc_id,
-           CASE WHEN trim(footer) = '' THEN body
-                WHEN ends_with(body, chr(10)) OR ends_with(body, chr(13)) THEN body || footer
-                ELSE body || chr(10) || footer
-           END AS final_text
-    FROM t
-    """,
-    ops=["F8"],
-)
-def q_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    body = F.concat(
-        F.substring(F.col("text"), 1, 40),
-        F.when(i % 3 == 1, F.lit("\n")).when(i % 3 == 2, F.lit("\r")).otherwise(F.lit("")),
-    )
-    footer = F.when(i % 2 == 0, F.lit("-- processed --")).otherwise(F.lit("   "))
-    return docs.select("doc_id", append_footer(body, footer).alias("final_text"))
-
-
-# ===========================================================================
-# G4 child counts, O2 newest-first listing, X3 artifact union,
-# P5/P6 path guards + registry prune, J3/J4 broadcast dimension join
-# ===========================================================================
-
-
-@register(
-    "g4_child_counts",
-    """
-    SELECT source,
-           count(*) AS n_children,
-           count(*)::VARCHAR || ' item' || CASE WHEN count(*) = 1 THEN '' ELSE 's' END AS label
-    FROM documents GROUP BY source
-    """,
-    ops=["G4", "S9"],
-)
-def q_child_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    n = F.count(F.lit(1))
-    return docs.groupBy("source").agg(
-        n.alias("n_children"),
-        F.concat(
-            n.cast("string"), F.lit(" item"), F.when(n == 1, F.lit("")).otherwise(F.lit("s"))
-        ).alias("label"),
-    )
-
-
-@register(
-    "o2_newest_listing",
-    """
-    SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS modified_at
-    FROM events
-    ORDER BY ts DESC, event_id
-    LIMIT 20
-    """,
-    ops=["O2", "S9", "O4"],
-)
-def q_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("modified_at"),
-        )
-        .orderBy(F.desc(F.col("modified_at")), F.asc("event_id"))
-        .limit(20)
-    )
-
-
-@register(
-    "x3_artifact_union",
-    """
-    SELECT DISTINCT artifact FROM (
-      SELECT 'texts/doc_' || doc_id::VARCHAR || '.txt' AS artifact
-      FROM documents WHERE doc_id % 2 = 0
-      UNION ALL
-      SELECT 'output_' || source || '.csv' FROM documents
-      WHERE CASE WHEN length(source) % 2 = 0 THEN TRUE ELSE FALSE END
-      UNION ALL
-      SELECT 'output_' || source || '.json' FROM documents
-      WHERE CASE WHEN length(source) % 2 = 1 THEN TRUE ELSE FALSE END
-      UNION ALL
-      SELECT 'meta.json' FROM documents)
-    """,
-    ops=["X3", "K7"],
-)
-def q_artifact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    texts = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.concat(F.lit("texts/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
-            "artifact"
-        )
-    )
-    csvs = docs.filter(F.length("source") % 2 == 0).select(
-        F.concat(F.lit("output_"), F.col("source"), F.lit(".csv")).alias("artifact")
-    )
-    jsons = docs.filter(F.length("source") % 2 == 1).select(
-        F.concat(F.lit("output_"), F.col("source"), F.lit(".json")).alias("artifact")
-    )
-    metas = docs.select(F.lit("meta.json").alias("artifact"))
-    return texts.unionByName(csvs).unionByName(jsons).unionByName(metas).distinct()
-
-
-@register(
-    "p5_p6_path_guards",
-    """
-    WITH candidates AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN '../escape/doc_' || doc_id::VARCHAR
-                  WHEN doc_id % 5 = 1 THEN 'input/' || source || '/../../etc/passwd'
-                  ELSE 'input/' || source || '/doc_' || doc_id::VARCHAR || '.txt'
-             END AS path
-      FROM documents),
-    safe AS (
-      SELECT * FROM candidates
-      WHERE path NOT LIKE '..%' AND path NOT LIKE '%/../%' AND path LIKE 'input/%'),
-    on_disk AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
-    SELECT s.doc_id, s.path FROM safe s
-    WHERE s.doc_id IN (SELECT doc_id FROM on_disk)
-    """,
-    ops=["P5", "P6", "J2"],
-)
-def q_path_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    path = (
-        F.when(i % 5 == 0, F.concat(F.lit("../escape/doc_"), i.cast("string")))
-        .when(i % 5 == 1, F.concat(F.lit("input/"), F.col("source"), F.lit("/../../etc/passwd")))
-        .otherwise(
-            F.concat(F.lit("input/"), F.col("source"), F.lit("/doc_"), i.cast("string"), F.lit(".txt"))
-        )
-    )
-    cand = docs.select(i, path.alias("path"))
-    safe = cand.filter(
-        ~F.col("path").startswith("..")
-        & ~F.col("path").contains("/../")
-        & F.col("path").startswith("input/")
-    )
-    on_disk = docs.filter(i % 2 == 0).select("doc_id")
-    return safe.join(on_disk, "doc_id", "leftsemi")
-
-
-# D10/J3/J4: the model-catalog dimension — a tiny static table broadcast
-# against fact rows (the reference renders it as a grouped dropdown and
-# probes it per job; app.py:24-71, templates/_model_dropdown.html:1-11).
-MODEL_CATALOG = [
-    (0, "openai/gpt-4o", "GPT-4o", "OpenAI"),
-    (1, "anthropic/claude-sonnet", "Claude Sonnet", "Anthropic"),
-    (2, "google/gemini-pro", "Gemini Pro", "Google"),
-    (3, "meta-llama/llama-3", "Llama 3", "Meta"),
-    (4, "mistralai/mistral-large", "Mistral Large", "Mistral"),
-]
-
-
-@register(
-    "j3_j4_model_dim_join",
-    """
-    WITH dim(idx, model_id, label, grp) AS (
-      VALUES (0, 'openai/gpt-4o', 'GPT-4o', 'OpenAI'),
-             (1, 'anthropic/claude-sonnet', 'Claude Sonnet', 'Anthropic'),
-             (2, 'google/gemini-pro', 'Gemini Pro', 'Google'),
-             (3, 'meta-llama/llama-3', 'Llama 3', 'Meta'),
-             (4, 'mistralai/mistral-large', 'Mistral Large', 'Mistral'))
-    SELECT d.grp, d.label,
-           count(*) AS n_jobs,
-           sum(o.o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price
-    FROM orders o JOIN dim d ON o.o_orderkey % 5 = d.idx
-    GROUP BY d.grp, d.label
-    """,
-    ops=["J3", "J4", "D10", "G2"],
-)
-def q_model_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    # VALUES literal, not createDataFrame: the dim is plan-embedded (no
-    # Py4J/RDD roundtrip, no extra job) and still broadcast.
-    values = ", ".join(
-        f"({i}, '{m}', '{lb}', '{g}')" for i, m, lb, g in MODEL_CATALOG
-    )
-    dim = spark.sql(
-        f"SELECT * FROM (VALUES {values}) AS t(idx, model_id, label, grp)"
-    )
-    return (
-        orders.withColumn("idx", F.col("o_orderkey") % 5)
-        .join(F.broadcast(dim), "idx")
-        .groupBy("grp", "label")
-        .agg(
-            F.count(F.lit(1)).alias("n_jobs"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
-                "total_price"
-            ),
-        )
-    )
-
-
-# ===========================================================================
-# Relational headliners: filter-pushdown agg (q6 shape) and semi-join
-# priority check (q4 shape) — the scan-efficiency showcases
-# ===========================================================================
-
-
-@register(
-    "q6_revenue_forecast",
-    """
-    SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,6))::DOUBLE AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    ops=["P1", "G2", "EXT-relational"],
-)
-def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
-            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@register(
-    "q4_priority_check",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-                  AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-    ops=["J2", "G2", "EXT-relational"],
-)
-def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    joined = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-        "leftsemi",
-    )
-    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
-
-
-@register(
-    "q5_local_supplier_volume",
-    """
-    SELECT n.n_name,
-           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
-             AS revenue,
-           count(*) AS n_items
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-                   AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
-)
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with the classic star strategy.
-
-    nation x region collapse to a broadcast dim before touching facts, so
-    the only shuffles are the orders->lineitem and customer equi-joins;
-    the date filter sits directly on the orders scan (pushed to parquet).
-    The c_nationkey = s_nationkey cycle edge rides the supplier join as a
-    residual condition instead of forcing an extra shuffle."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nr = F.broadcast(
-        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
-            "n_nationkey", "n_name"
-        )
-    )
-    supp = _t(spark, sf_dir, "supplier").join(
-        nr, F.col("s_nationkey") == F.col("n_nationkey")
-    )
-    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
-        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    li = _t(spark, sf_dir, "lineitem")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-    )
-    return joined.groupBy("n_name").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@register(
-    "q7_volume_shipping",
-    """
-    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
-           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE
-             AS revenue,
-           count(*) AS n_items
-    FROM lineitem l
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
-    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
-    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    ops=["EXT-relational", "J1", "J2", "G2", "F11"],
-)
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
-    Both nation dims broadcast; the OR-of-pairs predicate is applied
-    after the cheap dim joins, never as a join condition (which would
-    force a nested loop)."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    ns = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    nc = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
-    )
-    return j.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@register(
-    "q8_market_share",
-    """
-    WITH vol AS (
-      SELECT year(o.o_orderdate) AS o_year,
-             (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6) AS volume,
-             ns.n_name AS supp_nation
-      FROM lineitem l
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
-      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey)
-    SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                          ELSE 0::DECIMAL(18,6) END)::DOUBLE
-                 / sum(volume)::DOUBLE, 6) AS mkt_share,
-           count(*) AS n_items
-    FROM vol GROUP BY o_year
-    """,
-    ops=["EXT-relational", "J1", "J2", "G2", "P1"],
-)
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
-    trade — conditional decimal aggregation over a 7-way star join; the
-    region filter collapses into the broadcast customer-nation dim."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nc = F.broadcast(
-        n.join(r, n.n_regionkey == r.r_regionkey).select(
-            F.col("n_nationkey").alias("c_nk")
-        )
-    )
-    ns = F.broadcast(
-        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    )
-    vol = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-            .cast("decimal(18,6)")
-            .alias("volume"),
-            "supp_nation",
-        )
-    )
-    zero = F.lit(0).cast("decimal(18,6)")
-    return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
-        ).alias("mkt_share"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@register(
-    "q2_min_cost_supplier",
-    """
-    WITH best AS (
-      SELECT l_partkey, l_suppkey, l_extendedprice,
-             row_number() OVER (PARTITION BY l_partkey
-                                ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
-      FROM lineitem)
-    SELECT p.p_partkey, p.p_name, s.s_name AS best_supplier,
-           b.l_extendedprice AS min_price
-    FROM best b
-    JOIN part p     ON p.p_partkey = b.l_partkey AND p.p_retailprice > 950
-    JOIN supplier s ON s.s_suppkey = b.l_suppkey
-    WHERE b.rn = 1
-    """,
-    ops=["EXT-relational", "J1", "O3", "W1"],
-)
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (correlated min-per-group subquery) as a ranked
-    window: one shuffle on l_partkey, rank-1 filter, then a broadcast
-    supplier join; the p_retailprice predicate is pushed to the part
-    scan before the join."""
-    from pyspark.sql.window import Window
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.asc("l_extendedprice"), F.asc("l_suppkey")
-    )
-    best = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
-    supp = _t(spark, sf_dir, "supplier")
-    return (
-        best.join(part, best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
-        .select(
-            "p_partkey",
-            "p_name",
-            F.col("s_name").alias("best_supplier"),
-            F.col("l_extendedprice").alias("min_price"),
-        )
-    )
-
-
-from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
-    TREND_EPOCH0,
-    linear_trend,
-)
-
-
-@register(
-    "events_linear_trend",
-    f"""
-    WITH b AS (SELECT event_type,
-                      floor(epoch(ts))::BIGINT - {TREND_EPOCH0} AS x,
-                      value::DOUBLE AS y
-               FROM events),
-    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
-                 sum(y::DECIMAL(28,10)) AS sy,
-                 sum((x * y)::DECIMAL(38,10)) AS sxy,
-                 sum(x::DECIMAL(38,0) * x) AS sxx
-          FROM b GROUP BY event_type)
-    SELECT event_type, n,
-           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
-           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
-                 / n::DOUBLE, 6) AS intercept
-    FROM a
-    """,
-    ops=["EXT-relational", "G2", "T1"],
-)
-def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass per-group OLS via exact decimal moment sums — identical
-    result at any partition count (associative accumulation), bit-equal
-    to the oracle."""
-    return linear_trend(_t(spark, sf_dir, "events"))
-
-
-from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
-    anomaly_zscore,
-)
-
-_Z_SQL = """(e.value::DOUBLE - sy::DOUBLE / n::DOUBLE)
-             / sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
-                    / (n::DOUBLE * (n::DOUBLE - 1)))"""
-
-
-@register(
-    "events_anomaly_zscore",
-    f"""
-    WITH s AS (SELECT event_type, count(*) AS n,
-                      sum((value::DOUBLE)::DECIMAL(28,10)) AS sy,
-                      sum((value::DOUBLE * value::DOUBLE)::DECIMAL(38,10)) AS syy
-               FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type, e.value::DOUBLE AS value,
-           round({_Z_SQL}, 6) AS z
-    FROM events e JOIN s USING (event_type)
-    WHERE sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
-               / (n::DOUBLE * (n::DOUBLE - 1))) > 0
-      AND abs(round({_Z_SQL}, 6)) > 3.0
-    """,
-    ops=["EXT-quality", "G2", "J3", "P1"],
-)
-def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group z-score outliers: moments pass + broadcast stats join
-    back — never a window over the raw stream."""
-    return anomaly_zscore(_t(spark, sf_dir, "events"), threshold=3.0)
-
-
-from openrouter_batch_processor_spark.operators.skew import (  # noqa: E402
-    topk_per_group_agg,
-)
-
-
-@register(
-    "topk_suppliers_per_nation",
-    """
-    WITH rev AS (SELECT l_suppkey,
-                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
-                          AS revenue
-                 FROM lineitem GROUP BY l_suppkey),
-    j AS (SELECT s.s_nationkey, s.s_suppkey, s.s_name, r.revenue
-          FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
-    rk AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
-                                        ORDER BY revenue DESC, s_suppkey ASC) AS rank
-           FROM j)
-    SELECT s_nationkey, rank, revenue, s_suppkey, s_name FROM rk WHERE rank <= 3
-    """,
-    ops=["EXT-skew", "O3", "G2", "J2"],
-)
-def q_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 revenue suppliers per nation via the window-FREE top-k
-    (collect/sort_array/slice per group) — the skew-safe alternative to
-    row_number, checked against the window-form oracle for equivalence."""
-    li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        )
-        .cast("double")
-        .alias("revenue")
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    j = rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey).select(
-        "s_nationkey", "s_suppkey", "s_name", "revenue"
-    )
-    return topk_per_group_agg(j, "s_nationkey", "revenue", 3, ["s_suppkey", "s_name"])
-
-
-EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-@register(
-    "events_pivot_daily",
-    f"""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
-    FROM events GROUP BY day
-    """,
-    ops=["EXT-relational", "G2", "F11"],
-)
-def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily counts pivoted to one column per event type. Explicit pivot
-    values keep the schema static (no extra distinct pass); absent
-    combinations filled to 0 to match conditional-count semantics."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    return (
-        ev.groupBy("day").pivot("event_type", EVENT_TYPES).count().na.fill(0)
-    )
-
-
-@register(
-    "cube_docs_source_lang",
-    """
-    SELECT source, lang, grouping(source) AS g_source, grouping(lang) AS g_lang,
-           count(*) AS n_docs, sum(n_chars)::BIGINT AS chars_sum
-    FROM documents GROUP BY CUBE (source, lang)
-    """,
-    ops=["EXT-rollup", "G2"],
-)
-def q_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CUBE over (source, lang) with grouping indicators — all four
-    aggregation levels in one shuffle (Catalyst expands the grouping
-    sets; partial aggregation still applies per set)."""
-    docs = _t(spark, sf_dir, "documents")
-    # grouping() is ByteType in Spark but BIGINT in DuckDB — cast to long
-    # for dtype parity (the driver's frame hash is dtype-sensitive).
-    return docs.cube("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("chars_sum"),
-        F.grouping("source").cast("long").alias("g_source"),
-        F.grouping("lang").cast("long").alias("g_lang"),
-    ).select("source", "lang", "g_source", "g_lang", "n_docs", "chars_sum")
-
-
-# ===========================================================================
-# P1/P7 sentinels through the LLM map: empty groups and unsupported-only
-# groups short-circuit to data rows, never reaching the transport
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.llm import (  # noqa: E402
-    EMPTY_FOLDER,
-    UNSUPPORTED,
-    LLMConfig,
-    MockTransport,
-    llm_map,
-)
-
-
-@register(
-    "p7_sentinel_groups",
-    """
-    WITH g AS (
-      SELECT source AS group_id,
-             count(*) FILTER (WHERE doc_id % 3 != 0) AS n_supported,
-             count(*) AS n_total
-      FROM documents GROUP BY source)
-    SELECT group_id || '/' AS file,
-           CASE WHEN n_total = 0 THEN 'Empty folder'
-                WHEN n_supported = 0 THEN 'Unsupported file type'
-                ELSE md5('\n' || group_id || ':' || n_supported::VARCHAR)
-           END AS output,
-           TRUE AS ok
-    FROM g
-    """,
-    ops=["P1", "P7", "S10", "T5"],
-)
-def q_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Groups whose files are all filtered by the P1 extension whitelist
-    (simulated: doc_id % 3 == 0 is 'unsupported') yield the sentinel row;
-    groups with support run the mock transport (worker.py:299-310)."""
-    docs = _t(spark, sf_dir, "documents")
-    groups = (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.when(F.col("doc_id") % 3 != 0, 1)).alias("n_supported"),
-            F.count(F.lit(1)).alias("n_total"),
-        )
-        .select(
-            F.concat(F.col("source"), F.lit("/")).alias("group_id"),
-            F.when(F.col("n_total") == 0, F.lit(EMPTY_FOLDER))
-            .when(F.col("n_supported") == 0, F.lit(UNSUPPORTED))
-            .otherwise(F.lit(None))
-            .alias("sentinel"),
-            F.concat(
-                F.regexp_replace(F.col("group_id"), "/$", ""),
-                F.lit(":"),
-                F.col("n_supported").cast("string"),
-            ).alias("prompt"),
-            F.col("n_supported").alias("file_count"),
-        )
-    )
-    out = llm_map(groups, LLMConfig(system_prompt=""), MockTransport)
-    return out.select("file", "output", "ok")
-
-
-# ===========================================================================
-# Scale-path near-dedup: IVF-bucketed within-cell pairs (the shape that
-# replaces sim_neardup_pairs' cross join on a cluster)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
-    neardup_pairs_bucketed,
-)
-
-
-@register(
-    "sim_neardup_bucketed",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 8),
-    assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, e.v)
-                                - 2 * list_dot_product(e.v, c.cvec)
-                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM e CROSS JOIN centroids c) WHERE rn = 1),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-    FROM assigned a
-    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    JOIN u ua ON ua.vec_id = a.vec_id
-    JOIN u ub ON ub.vec_id = b.vec_id
-    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "J2"],
-)
-def q_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_pairs_bucketed(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
-    )
-
-
-_MULTIPROBE_ASG_SQL = """
-      SELECT vec_id, centroid_id FROM (
-        SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, e.v)
-                                - 2 * list_dot_product(e.v, c.cvec)
-                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM e CROSS JOIN {cent} c) WHERE rn <= {nprobe}"""
-
-
-@register(
-    "sim_neardup_multiprobe",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 32),
-    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=2)}),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
-                                  AND a.vec_id < b.vec_id),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT c.id_a, c.id_b,
-           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-    FROM cand c
-    JOIN u ua ON ua.vec_id = c.id_a
-    JOIN u ub ON ub.vec_id = c.id_b
-    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "J2"],
-)
-def q_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe bucketed near-dup (2 nearest of 32 cells): recovers
-    boundary pairs single-probe misses at EQUAL candidate volume — the
-    (p=2, C=32) config the recall audit certifies
-    (operators/similarity.py neardup_pairs_multiprobe)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        neardup_pairs_multiprobe,
-    )
-
-    return neardup_pairs_multiprobe(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=32, nprobe=2
-    )
-
-
-@register(
-    "sim_multiprobe_recall",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e),
-    cent8 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-              FROM embeddings ORDER BY vec_id LIMIT 8),
-    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-               FROM embeddings ORDER BY vec_id LIMIT 32),
-    asg8 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent8", nprobe=1)}),
-    asg32 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent32", nprobe=2)}),
-    cand8 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM asg8 a JOIN asg8 b ON a.centroid_id = b.centroid_id
-                                     AND a.vec_id < b.vec_id),
-    cand32 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM asg32 a JOIN asg32 b ON a.centroid_id = b.centroid_id
-                                        AND a.vec_id < b.vec_id),
-    sc8 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-            FROM cand8 c
-            JOIN u ua ON ua.vec_id = c.id_a
-            JOIN u ub ON ub.vec_id = c.id_b),
-    sc32 AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-             FROM cand32 c
-             JOIN u ua ON ua.vec_id = c.id_a
-             JOIN u ub ON ub.vec_id = c.id_b),
-    truth AS (SELECT count(*)::BIGINT AS n_true
-              FROM u a JOIN u b ON a.vec_id < b.vec_id
-              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
-    stats AS (
-      SELECT 'single_c8' AS mode, 8::BIGINT AS n_centroids, 1::BIGINT AS nprobe,
-             count(*)::BIGINT AS n_cand,
-             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT AS n_pairs
-      FROM sc8
-      UNION ALL
-      SELECT 'multi_c32_p2', 32::BIGINT, 2::BIGINT,
-             count(*)::BIGINT,
-             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT
-      FROM sc32)
-    SELECT mode, n_centroids, nprobe, n_cand, n_pairs, n_true,
-           round(n_pairs / n_true, 6) AS recall
-    FROM stats CROSS JOIN truth
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "EXT-recall", "G2"],
-)
-def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall audit at equal candidate volume: single-probe/8 cells vs
-    2-probe/32 cells (pair volume ~ p^2/(2C), so the two configs cost
-    the same) against brute-force truth — the measured proof that
-    multi-probing recovers boundary pairs (operators/similarity.py
-    multiprobe_recall_report)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        multiprobe_recall_report,
-    )
-
-    return multiprobe_recall_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-@register(
-    "sim_multiprobe_rerank",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e),
-    cent8 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-              FROM embeddings ORDER BY vec_id LIMIT 8),
-    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-               FROM embeddings ORDER BY vec_id LIMIT 32),
-    asg8 AS ({_MULTIPROBE_ASG_SQL.format(cent="cent8", nprobe=1)}),
-    asgr AS (
-      SELECT vec_id, centroid_id, rn FROM (
-        SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, e.v)
-                                - 2 * list_dot_product(e.v, c.cvec)
-                                + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM e CROSS JOIN cent32 c) WHERE rn <= 4),
-    prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   min(greatest(a.rn, b.rn)) AS m
-            FROM asgr a JOIN asgr b ON a.centroid_id = b.centroid_id
-                                   AND a.vec_id < b.vec_id
-            GROUP BY 1, 2),
-    sc AS (SELECT p.m, round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-           FROM prs p
-           JOIN u ua ON ua.vec_id = p.id_a
-           JOIN u ub ON ub.vec_id = p.id_b),
-    bcand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM asg8 a JOIN asg8 b ON a.centroid_id = b.centroid_id
-                                     AND a.vec_id < b.vec_id),
-    bsc AS (SELECT round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-            FROM bcand c
-            JOIN u ua ON ua.vec_id = c.id_a
-            JOIN u ub ON ub.vec_id = c.id_b),
-    bstats AS (SELECT count(*)::BIGINT AS n_cand,
-                      count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT AS n_pairs
-               FROM bsc),
-    truth AS (SELECT count(*)::BIGINT AS n_true
-              FROM u a JOIN u b ON a.vec_id < b.vec_id
-              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
-    stats AS (
-      SELECT 'single_c8' AS mode, 8::BIGINT AS n_centroids, 1::BIGINT AS nprobe,
-             n_cand, n_pairs
-      FROM bstats
-      UNION ALL
-      SELECT 'rerank_c32_p2', 32::BIGINT, 2::BIGINT,
-             count(*) FILTER (WHERE m <= 2)::BIGINT,
-             count(*) FILTER (WHERE m <= 2 AND cos_sim >= 0.4)::BIGINT FROM sc
-      UNION ALL
-      SELECT 'rerank_c32_p3', 32::BIGINT, 3::BIGINT,
-             count(*) FILTER (WHERE m <= 3)::BIGINT,
-             count(*) FILTER (WHERE m <= 3 AND cos_sim >= 0.4)::BIGINT FROM sc
-      UNION ALL
-      SELECT 'rerank_c32_p4', 32::BIGINT, 4::BIGINT,
-             count(*) FILTER (WHERE m <= 4)::BIGINT,
-             count(*) FILTER (WHERE m <= 4 AND cos_sim >= 0.4)::BIGINT FROM sc)
-    SELECT s.mode, s.n_centroids, s.nprobe, s.n_cand,
-           round(s.n_cand / bb.base_cand, 6) AS volume_ratio,
-           s.n_pairs, t.n_true,
-           round(s.n_pairs / t.n_true, 6) AS recall
-    FROM stats s
-    CROSS JOIN truth t
-    CROSS JOIN (SELECT n_cand AS base_cand FROM bstats) bb
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "EXT-recall", "G2"],
-)
-def q_multiprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-cosine RERANK of the deepened multi-probe candidate union
-    (p = 2..4 over one 32-cell index) with the recall/candidate-volume
-    curve vs brute-force truth: sf0.01 measures recall 0.42 -> 0.63 ->
-    0.80 at 1.0x / 2.1x / 3.4x the single-probe baseline volume — the
-    VERDICT r03 spec (>= 0.6 at <= 4x) met by the p=3 row already
-    (operators/similarity.py multiprobe_rerank_report)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        multiprobe_rerank_report,
-    )
-
-    return multiprobe_rerank_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-from openrouter_batch_processor_spark.operators.similarity import (  # noqa: E402
-    rp_candidate_pairs,
-    rp_weights,
-)
-
-
-def _rp_sig_sql() -> str:
-    cases = []
-    for p, row in enumerate(rp_weights()):
-        lit = "[" + ", ".join(repr(w) for w in row) + "]"
-        dot = (
-            f"list_reduce(list_transform(range(1, 65), i -> ({lit})[i] * v[i]),"
-            " (a, b) -> a + b)"
-        )
-        cases.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(cases)
-
-
-@register(
-    "sim_rp_lsh_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    sig AS (SELECT vec_id, ({_rp_sig_sql()}) AS rp_sig FROM e),
-    banded AS (
-      SELECT vec_id, 0 AS band, rp_sig & 255 AS band_key FROM sig
-      UNION ALL
-      SELECT vec_id, 1 AS band, (rp_sig >> 8) & 255 FROM sig),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.vec_id < b.vec_id),
-    u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT c.id_a, c.id_b, round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-    FROM cand c
-    JOIN u ua ON ua.vec_id = c.id_a
-    JOIN u ub ON ub.vec_id = c.id_b
-    WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.4
-    """,
-    ops=["EXT-neardup", "EXT-simsearch", "J2"],
-)
-def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charikar sign-bit LSH over embeddings: banded signature equi-join
-    for candidates, exact cosine verify — the angular-region counterpart
-    to IVF-cell bucketing. The hyperplane normals come from the md5
-    portable-hash family, so the oracle reproduces them exactly."""
-    return rp_candidate_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-@register(
-    "sim_union_candidates",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e),
-    cent32 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-               FROM embeddings ORDER BY vec_id LIMIT 32),
-    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="cent32", nprobe=2)}),
-    ca AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
-                                AND a.vec_id < b.vec_id),
-    sig AS (SELECT vec_id, ({_rp_sig_sql()}) AS rp_sig FROM e),
-    banded AS (
-      SELECT vec_id, 0 AS band, rp_sig & 255 AS band_key FROM sig
-      UNION ALL
-      SELECT vec_id, 1 AS band, (rp_sig >> 8) & 255 FROM sig),
-    cb AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM banded a JOIN banded b ON a.band = b.band
-                                      AND a.band_key = b.band_key
-           WHERE a.vec_id < b.vec_id),
-    merged AS (
-      SELECT id_a, id_b, max(in_ivf) AS in_ivf, max(in_rp) AS in_rp FROM (
-        SELECT id_a, id_b, 1 AS in_ivf, 0 AS in_rp FROM ca
-        UNION ALL
-        SELECT id_a, id_b, 0, 1 FROM cb)
-      GROUP BY 1, 2),
-    sc AS (SELECT m.in_ivf, m.in_rp,
-                  round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-           FROM merged m
-           JOIN u ua ON ua.vec_id = m.id_a
-           JOIN u ub ON ub.vec_id = m.id_b),
-    truth AS (SELECT count(*)::BIGINT AS n_true
-              FROM u a JOIN u b ON a.vec_id < b.vec_id
-              WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.4),
-    stats AS (
-      SELECT 'ivf_c32_p2' AS mode,
-             count(*) FILTER (WHERE in_ivf = 1)::BIGINT AS n_cand,
-             count(*) FILTER (WHERE in_ivf = 1 AND cos_sim >= 0.4)::BIGINT AS n_pairs
-      FROM sc
-      UNION ALL
-      SELECT 'rp_lsh',
-             count(*) FILTER (WHERE in_rp = 1)::BIGINT,
-             count(*) FILTER (WHERE in_rp = 1 AND cos_sim >= 0.4)::BIGINT FROM sc
-      UNION ALL
-      SELECT 'union', count(*)::BIGINT,
-             count(*) FILTER (WHERE cos_sim >= 0.4)::BIGINT FROM sc)
-    SELECT s.mode, s.n_cand, s.n_pairs, t.n_true,
-           round(s.n_pairs / t.n_true, 6) AS recall
-    FROM stats s CROSS JOIN truth t
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "EXT-simsearch", "EXT-recall", "G2"],
-)
-def q_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-signal ANN candidate generation: IVF cells (Voronoi) and
-    RP-LSH (angular regions) have complementary blind spots, so the
-    UNION of their candidate sets recovers pairs either signal alone
-    drops — the SCALE.md recall lever as a first-class audited query.
-    Measured at sf0.01: union recall 0.47 vs 0.42 (IVF alone) at +6%
-    candidate volume — RP-LSH contributes 3 truth pairs the cells
-    miss for 1.1k extra candidates. One scored table, conditional
-    per-mode counts, brute-force truth
-    (operators/similarity.py union_candidates_report)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        union_candidates_report,
-    )
-
-    return union_candidates_report(_t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-from openrouter_batch_processor_spark.operators.kmeans import kmeans_lite  # noqa: E402
-
-
-def _km_assign_sql(cent_cte: str, name: str) -> str:
-    return f"""
-    {name} AS (
-      SELECT vec_id, cid AS cluster_id FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, e.v)
-                                - 2 * list_dot_product(e.v, c.c)
-                                + list_dot_product(c.c, c.c), 6), c.cid) AS rn
-        FROM e CROSS JOIN {cent_cte} c) WHERE rn = 1)"""
-
-
-def _km_recompute_sql(assign_cte: str, name: str) -> str:
-    return f"""
-    {name}_m AS (
-      SELECT a.cluster_id AS cid, u.pos,
-             (sum(u.x::DECIMAL(38,12))::DOUBLE / count(*)) AS m
-      FROM {assign_cte} a JOIN (
-        SELECT vec_id,
-               unnest(list_transform(range(1, 65),
-                                     i -> struct_pack(pos := i, x := v[i]))) AS u
-        FROM e) t ON t.vec_id = a.vec_id
-      GROUP BY a.cluster_id, u.pos),
-    {name} AS (SELECT cid, array_agg(m ORDER BY pos) AS c FROM {name}_m GROUP BY cid)"""
-
-
-@register(
-    "kmeans_lite_clusters",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-    {_km_assign_sql('c0', 'a1')},
-    {_km_recompute_sql('a1', 'c1')},
-    {_km_assign_sql('c1', 'a2')}
-    SELECT a2.vec_id, a2.cluster_id, s.cluster_size
-    FROM a2 JOIN (SELECT cluster_id, count(*) AS cluster_size
-                  FROM a2 GROUP BY cluster_id) s USING (cluster_id)
-    """,
-    ops=["EXT-ivf", "EXT-simsearch", "G2", "J2"],
-)
-def q_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two deterministic Lloyd iterations (k=8) on the embeddings table,
-    checked against a fully unrolled SQL oracle — iterative algorithm
-    parity, not just single-pass parity."""
-    return kmeans_lite(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
-
-
-# ===========================================================================
-# Sliding event-time windows + keep-first dedup policy
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first  # noqa: E402
-
-
-@register(
-    "events_sliding",
-    # A sliding window (2h width, 1h slide) is the union of 2 shifted
-    # tumbling assignments — each event belongs to exactly 2 windows.
-    """
-    WITH assigned AS (
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-             event_type, value
-      FROM events
-      UNION ALL
-      SELECT strftime(date_trunc('hour', ts - INTERVAL 1 HOUR), '%Y-%m-%d %H:%M:%S'),
-             event_type, value
-      FROM events)
-    SELECT window_start, event_type,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
-    FROM assigned
-    GROUP BY window_start, event_type
-    """,
-    ops=["EXT-windows", "T1"],
-)
-def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"), F.col("event_type")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
-            ).alias("value_sum"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "value_sum",
-        )
-    )
-
-
-@register(
-    "x1_dedup_keep_first",
-    # Fingerprint = first 5 normalized tokens (boilerplate prefix), so
-    # the keep-policy actually collapses rows at test scale.
-    """
-    WITH fp AS (
-      SELECT *, md5(array_to_string(list_slice(
-                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                 1, 5), ' ')) AS fingerprint
-      FROM documents),
-    survivors AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
-    SELECT f.doc_id, f.lang, f.source, f.n_chars
-    FROM fp f JOIN survivors s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint
-    """,
-    ops=["X1", "X2", "EXT-dedup-policy"],
-)
-def q_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-
-    docs = _t(spark, sf_dir, "documents")
-    prefix = F.concat_ws(
-        " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5)
-    )
-    keyed = docs.withColumn("_k", prefix)
-    out = dedup_keep_first(keyed, id_col="doc_id", text_col="_k")
-    return out.select("doc_id", "lang", "source", "n_chars")
-
-
-# ===========================================================================
-# Composite training-corpus preparation: dedup -> language filter ->
-# quality gate -> per-source stats (the end-to-end LLM-data-prep chain)
-# ===========================================================================
-
-
-@register(
-    "corpus_prep_pipeline",
-    """
-    WITH norm AS (
-      SELECT doc_id, lang, source, n_chars,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
-      FROM documents),
-    fp AS (
-      SELECT *, md5(array_to_string(list_slice(string_split(norm_text, ' '), 1, 5), ' ')) AS fingerprint
-      FROM norm),
-    survivors AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
-    deduped AS (
-      SELECT f.* FROM fp f
-      JOIN survivors s ON f.doc_id = s.doc_id AND f.fingerprint = s.fingerprint),
-    gated AS (
-      SELECT *,
-             CASE WHEN norm_text = '' THEN 0
-                  ELSE len(string_split(norm_text, ' ')) END AS n_tokens
-      FROM deduped
-      WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 100),
-    final AS (SELECT * FROM gated WHERE n_tokens >= 20)
-    SELECT source, lang,
-           count(*) AS n_docs,
-           sum(n_tokens)::BIGINT AS total_tokens,
-           round(sum(n_chars)::DOUBLE / sum(n_tokens), 6) AS chars_per_token
-    FROM final
-    GROUP BY source, lang
-    """,
-    ops=["X1", "P1", "G2", "EXT-tokens", "EXT-quality", "EXT-dedup-policy"],
-)
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The chain every pretraining-data pipeline runs: exact-dedup (keep
-    first by boilerplate-prefix fingerprint), language whitelist, length
-    quality gates, then per-(source, lang) token accounting. One Spark
-    plan: narrow fingerprint -> one dedup shuffle -> pushed-down filters
-    -> one agg shuffle."""
-    from openrouter_batch_processor_spark.functions.hashing import normalize_text
-    from openrouter_batch_processor_spark.operators.dedup import dedup_keep_first
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "_norm", normalize_text(F.col("text"))
-    )
-    keyed = docs.withColumn(
-        "_k", F.concat_ws(" ", F.slice(F.split(F.col("_norm"), " "), 1, 5))
-    )
-    deduped = dedup_keep_first(keyed, id_col="doc_id", text_col="_k")
-    gated = deduped.filter(
-        F.col("lang").isin("en", "fr", "de") & (F.col("n_chars") >= 100)
-    ).withColumn(
-        "n_tokens",
-        F.when(F.col("_norm") == "", F.lit(0)).otherwise(
-            F.size(F.split(F.col("_norm"), " "))
-        ),
-    )
-    final = gated.filter(F.col("n_tokens") >= 20)
-    return final.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
-        ).alias("chars_per_token"),
-    )
-
-
-# ===========================================================================
-# As-of join, SimHash hamming candidate pairs, window ranking/lag,
-# skew-safe exact distinct — extension operators round 2
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.asof import (  # noqa: E402
-    asof_join,
-    latest_per_ts,
-)
-from openrouter_batch_processor_spark.operators.skew import (  # noqa: E402
-    salted_distinct_count,
-)
-
-
-@register(
-    "asof_trade_quote",
-    """
-    WITH q AS (
-      SELECT user_id, ts, value FROM (
-        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'click') WHERE rn = 1),
-    t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-    SELECT t.event_id, t.user_id,
-           strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS trade_ts,
-           strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS quote_ts,
-           round(q.value::DOUBLE, 6) AS quote_value
-    FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
-    """,
-    ops=["EXT-asof", "J2", "O1"],
-)
-def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Latest click at or before each purchase' per user — the as-of
-    join, checked against DuckDB's native ASOF JOIN."""
-    ev = _t(spark, sf_dir, "events")
-    quotes = latest_per_ts(
-        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id"),
-        ["user_id"], "ts", "event_id",
-    ).drop("event_id")
-    trades = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    out = asof_join(trades, quotes, keys=["user_id"], ts_col="ts", value_cols=["value"])
-    return out.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("trade_ts"),
-        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("quote_ts"),
-        F.round(F.col("asof_value").cast("double"), 6).alias("quote_value"),
-    )
-
-
-_SIMHASH_CTE = """
-    t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
-    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM t),
-    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok != '' GROUP BY doc_id, tok),
-    h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM cnts),
-    votes AS (
-      SELECT doc_id, r.bit, sum(cnt * (((hv >> r.bit) & 1) * 2 - 1)) AS v
-      FROM h CROSS JOIN range(0, 32) r(bit)
-      GROUP BY doc_id, r.bit),
-    sh AS (
-      SELECT doc_id,
-             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS simhash
-      FROM votes GROUP BY doc_id)
-"""
-
-
-@register(
-    "dedup_simhash_pairs",
-    f"""
-    WITH {_SIMHASH_CTE},
-    bands AS (
-      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_key
-      FROM sh CROSS JOIN range(0, 4) b(band)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
-                      c.doc_id AS id_b, c.simhash AS sim_b
-      FROM bands a JOIN bands c ON a.band = c.band AND a.band_key = c.band_key
-      WHERE a.doc_id < c.doc_id)
-    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
-    FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= 6
-    """,
-    ops=["EXT-simhash", "EXT-neardup", "J2"],
-)
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup candidates: 4 bands of 8 bits; docs
-    sharing any band bucket are candidates, verified by full hamming
-    distance (<= 6 of 32 bits). Same LSH join shape as minhash —
-    candidate generation is O(near-dups), never all-pairs."""
-    from openrouter_batch_processor_spark.operators.dedup import simhash
-
-    sh = simhash(_t(spark, sf_dir, "documents"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        # SQL form: the PySpark shiftright() only takes literal shifts
-        "band_key",
-        F.expr("shiftright(simhash, band * 8) & 255"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "sim_a", "id_b", "sim_b")
-        .distinct()
-    )
-    # bit_count is int32 in Spark, TINYINT in DuckDB — long on both sides
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
-    )
-
-
-@register(
-    "w_rank_lag_orders",
-    """
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-             lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS prev_date,
-             o_orderdate
-      FROM orders)
-    SELECT o_custkey, o_orderkey, o_totalprice, rnk,
-           date_diff('day', prev_date, o_orderdate) AS days_since_prev
-    FROM ranked WHERE rnk <= 3
-    """,
-    ops=["O3", "W1", "EXT-relational"],
-)
-def q_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price + days since previous order —
-    ranking and lag windows (one shuffle on o_custkey, shared by both
-    windows)."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w_price = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w_price).cast("long").alias("rnk"),
-            F.datediff(
-                F.col("o_orderdate"), F.lag("o_orderdate").over(w_date)
-            ).alias("days_since_prev"),
-        )
-        .filter(F.col("rnk") <= 3)
-    )
-
-
-@register(
-    "g_distinct_users_salted",
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_distinct
-    FROM events GROUP BY event_type
-    """,
-    ops=["G2", "EXT-skew"],
-)
-def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count via the two-phase salted aggregation
-    (operators/skew.py) — identical results to a plain COUNT(DISTINCT),
-    but a hot key's distinct-set never sits in one task."""
-    ev = _t(spark, sf_dir, "events")
-    return salted_distinct_count(ev.select("event_type", "user_id"), ["event_type"], "user_id")
-
-
-# ===========================================================================
-# Range join (banded), time-hierarchy rollup, KMV distinct sketch
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.rangejoin import (  # noqa: E402
-    banded_range_count,
-)
-from openrouter_batch_processor_spark.operators.sketches import kmv_distinct  # noqa: E402
-
-
-@register(
-    "range_join_nearby_clicks",
-    """
-    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-    SELECT p.event_id, p.user_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           count(c.ts) AS n_in_range
-    FROM p LEFT JOIN c
-      ON p.user_id = c.user_id
-     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
-    GROUP BY p.event_id, p.user_id, p.ts
-    """,
-    ops=["EXT-rangejoin", "J2"],
-)
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clicks within ±30 min of each purchase (same user) — banded
-    range join vs DuckDB's native IEJoin range join as the oracle."""
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    out = banded_range_count(
-        purchases, clicks, keys=["user_id"], ts_col="ts", window_seconds=1800
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        "n_in_range",
-    )
-
-
-@register(
-    "rollup_time_hierarchy",
-    """
-    WITH e AS (
-      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             extract(hour FROM ts) AS hour, value
-      FROM events)
-    SELECT day, hour,
-           GROUPING(day) AS g_day, GROUPING(hour) AS g_hour,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
-    FROM e
-    GROUP BY ROLLUP(day, hour)
-    """,
-    ops=["EXT-rollup", "G2", "EXT-windows"],
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style hierarchical rollup: (day, hour) -> day -> grand
-    total in ONE pass (Spark expands grouping sets with partial aggs —
-    no per-level rescan)."""
-    ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
-        F.hour("ts").cast("long").alias("hour"),
-        "value",
-    )
-    return e.rollup("day", "hour").agg(
-        F.grouping("day").cast("long").alias("g_day"),
-        F.grouping("hour").cast("long").alias("g_hour"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6).alias(
-            "value_sum"
-        ),
-    )
-
-
-@register(
-    "sketch_kmv_distinct",
-    """
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
-      FROM events),
-    r AS (SELECT event_type, hv,
-                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-          FROM h),
-    s AS (SELECT event_type,
-                 count(*) AS n_hashes,
-                 max(CASE WHEN rn = 16 THEN hv END) AS kth
-          FROM r GROUP BY event_type)
-    SELECT event_type, n_hashes,
-           CASE WHEN n_hashes < 16 THEN n_hashes::DOUBLE
-                ELSE round(15 / (kth / 4294967296.0), 6)
-           END AS distinct_est
-    FROM s
-    """,
-    ops=["EXT-sketch", "G2"],
-)
-def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return kmv_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")
-
-
-@register(
-    "sketch_kmv_setops",
-    """
-    WITH m AS (
-      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv,
-             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
-      FROM events WHERE event_type IN ('click', 'purchase')
-      GROUP BY hv),
-    r AS (SELECT *, row_number() OVER (ORDER BY hv) AS rn FROM m),
-    s AS (SELECT count(*) AS exact_union,
-                 sum(a)::BIGINT AS exact_a,
-                 sum(b)::BIGINT AS exact_b,
-                 sum(a * b)::BIGINT AS exact_inter,
-                 max(CASE WHEN rn = 64 THEN hv END) AS kth,
-                 sum(CASE WHEN rn < 64 AND a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_both
-          FROM r)
-    SELECT exact_a, exact_b, exact_union, exact_inter,
-           CASE WHEN exact_union < 64 THEN exact_union::DOUBLE
-                ELSE round(63 / (kth / 4294967296.0), 6) END AS union_est,
-           CASE WHEN exact_union < 64 THEN exact_inter::DOUBLE
-                ELSE round(n_both * (63 / (kth / 4294967296.0)) / 63, 6)
-           END AS inter_est
-    FROM s
-    """,
-    ops=["EXT-sketch", "X1", "G2"],
-)
-def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch audience overlap: |clickers ∪ purchasers| and
-    |clickers ∩ purchasers| over user_id from ONE KMV pass (k=64),
-    theta-normalized (n_both/theta over the k-1 sub-theta sample —
-    the ADVICE-flagged estimator, now oracle-pinned)."""
-    from openrouter_batch_processor_spark.operators.sketches import kmv_set_ops
-
-    ev = _t(spark, sf_dir, "events")
-    return kmv_set_ops(
-        ev.select("user_id", "event_type"),
-        "user_id",
-        a_pred=F.col("event_type") == "click",
-        b_pred=F.col("event_type") == "purchase",
-        k=64,
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-    WITH m AS (
-      SELECT sha256(text) AS media_id, text
-      FROM documents WHERE doc_id % 11 = 0)
-    SELECT media_id,
-           i::INT AS frame_no,
-           (i * 64)::BIGINT AS "offset",
-           substr(sha256(substr(text, i * 64 + 1, 64)), 1, 16) AS frame_checksum
-    FROM m CROSS JOIN range(0, 64) r(i)
-    WHERE i * 64 < len(text)
-    """,
-    ops=["D6", "S4", "EXT-multimodal"],
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (1-in/N-out mapInPandas expansion):
-    every 11th document plays a video whose payload is sampled every 64
-    bytes; each 'frame' is checksummed. The deterministic stub makes the
-    whole UDTF-style expansion value-checkable in SQL (documents text is
-    ASCII, so DuckDB's character substr == the byte slicing the decoder
-    does), same contract as multimodal_features."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        media_table,
-        sample_frames,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
-    files = docs.select(
-        F.concat(F.lit("vid/doc_"), F.col("doc_id").cast("string"), F.lit(".mp4")).alias(
-            "rel_path"
-        ),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    return sample_frames(media_table(files), every_n_bytes=64)
-
-
-@register(
-    "sketch_bloom_decontaminate",
-    """
-    WITH bvals AS (
-      SELECT DISTINCT md5(text) AS val FROM documents WHERE doc_id % 7 = 0),
-    bits AS (
-      SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || '|' || val), 1, 8))::BIGINT % 256 AS bit
-      FROM bvals CROSS JOIN range(0, 3) r(i)),
-    pvals AS (SELECT DISTINCT md5(text) AS val FROM documents),
-    pbits AS (
-      SELECT DISTINCT val,
-             ('0x' || substr(md5(i::VARCHAR || '|' || val), 1, 8))::BIGINT % 256 AS bit
-      FROM pvals CROSS JOIN range(0, 3) r(i)),
-    need AS (SELECT val, count(*) AS n_need FROM pbits GROUP BY val),
-    hit AS (SELECT p.val, count(*) AS n_hit
-            FROM pbits p JOIN bits USING (bit) GROUP BY p.val),
-    flags AS (
-      SELECT n.val,
-             coalesce(h.n_hit, 0) = n.n_need AS candidate,
-             n.val IN (SELECT val FROM bvals) AS member
-      FROM need n LEFT JOIN hit h ON h.val = n.val)
-    SELECT count(*) AS n_probes,
-           count(CASE WHEN member THEN 1 END) AS n_members,
-           count(CASE WHEN candidate THEN 1 END) AS n_candidates,
-           count(CASE WHEN candidate AND NOT member THEN 1 END) AS n_false_pos,
-           (SELECT count(*) FROM bits) AS bits_set
-    FROM flags
-    """,
-    ops=["EXT-sketch", "X1", "P1", "G2"],
-)
-def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination prefilter: every 7th document is
-    'benchmark'; the whole corpus probes a 256-bit / 3-hash filter over
-    the benchmark fingerprints. Deliberately undersized m so false
-    positives OCCUR and are pinned exactly by the oracle (the md5 hash
-    positions collide identically on both engines) — the check proves
-    the bit math, not just the happy path."""
-    from openrouter_batch_processor_spark.operators.sketches import bloom_membership
-
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(F.md5("text").alias("fp"), "doc_id")
-    return bloom_membership(
-        fp.filter(F.col("doc_id") % 7 == 0),
-        fp,
-        value_col="fp",
-        m=256,
-        k=3,
-    )
-
-
-@register(
-    "cdc_snapshot_diff",
-    """
-    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
-    nxt AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
-             source, n_chars
-      FROM base WHERE doc_id % 17 != 0
-      UNION ALL
-      SELECT doc_id + 1000000, lang, source, n_chars
-      FROM base WHERE doc_id % 19 = 0),
-    j AS (
-      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-             CASE WHEN o.doc_id IS NULL THEN 'added'
-                  WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN o.lang != n.lang OR o.source != n.source
-                       OR o.n_chars != n.n_chars THEN 'changed'
-             END AS change_type
-      FROM base o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id)
-    SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
-    """,
-    ops=["X1", "J2", "EXT-cdc"],
-)
-def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-maintenance CDC: yesterday's snapshot vs a mutated
-    today (every 17th doc removed, every 13th changed, every 19th
-    re-added under a new key) -> exactly the added/removed/changed keys.
-    The engine compares md5 row-fingerprints (one 32-byte comparison
-    per key regardless of row width); the oracle restates it as direct
-    column comparison — equivalent up to md5 collision."""
-    from openrouter_batch_processor_spark.operators.cdc import snapshot_diff
-
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-    new = (
-        base.filter(F.col("doc_id") % 17 != 0)
-        .withColumn(
-            "lang",
-            F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(F.col("lang")),
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 19 == 0).withColumn(
-                "doc_id", F.col("doc_id") + 1000000
-            )
-        )
-    )
-    return snapshot_diff(base, new, ["doc_id"], ["lang", "source", "n_chars"])
-
-
-@register(
-    "cdc_incremental_rollup",
-    """
-    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
-    nxt AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
-             source, n_chars
-      FROM base WHERE doc_id % 17 != 0
-      UNION ALL
-      SELECT doc_id + 1000000, lang, source, n_chars
-      FROM base WHERE doc_id % 19 = 0)
-    SELECT lang, count(*) AS n_rows, sum(n_chars)::BIGINT AS value_sum
-    FROM nxt GROUP BY lang
-    """,
-    ops=["X1", "G2", "J2", "EXT-cdc", "EXT-rollup"],
-)
-def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental rollup maintenance: the per-lang (n_rows, chars)
-    aggregate of the NEW snapshot computed from the OLD aggregate plus
-    signed deltas over only the churned keys — O(churn) maintenance vs
-    O(snapshot) rebuild. The oracle recomputes the new snapshot's
-    aggregate directly, so a hash match proves the delta math exact."""
-    from openrouter_batch_processor_spark.operators.cdc import (
-        incremental_agg_maintenance,
-    )
-
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-    new = (
-        base.filter(F.col("doc_id") % 17 != 0)
-        .withColumn(
-            "lang",
-            F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(F.col("lang")),
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 19 == 0).withColumn(
-                "doc_id", F.col("doc_id") + 1000000
-            )
-        )
-    )
-    return incremental_agg_maintenance(
-        base, new, key_cols=["doc_id"], group_cols=["lang"], value_col="n_chars"
-    )
-
-
-from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
-    binned_quantiles,
-)
-
-
-@register(
-    "sketch_sample_quantiles",
-    """
-    WITH r AS (SELECT event_type, value::DOUBLE AS v,
-                      md5(event_id::VARCHAR) AS h
-               FROM events),
-    rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-           FROM r),
-    s AS (SELECT event_type, list_sort(list(v)) AS sv
-          FROM rk WHERE rn <= 256 GROUP BY event_type),
-    n AS (SELECT event_type, count(*)::BIGINT AS n_rows FROM events GROUP BY 1)
-    SELECT n.event_type, n.n_rows, len(s.sv)::BIGINT AS n_sample,
-           round(s.sv[(floor((len(s.sv) - 1) * 0.1))::INT + 1], 6) AS q10,
-           round(s.sv[(floor((len(s.sv) - 1) * 0.25))::INT + 1], 6) AS q25,
-           round(s.sv[(floor((len(s.sv) - 1) * 0.5))::INT + 1], 6) AS q50,
-           round(s.sv[(floor((len(s.sv) - 1) * 0.75))::INT + 1], 6) AS q75,
-           round(s.sv[(floor((len(s.sv) - 1) * 0.9))::INT + 1], 6) AS q90
-    FROM n JOIN s USING (event_type)
-    """,
-    ops=["EXT-sketch", "EXT-sampling", "G4", "O4"],
-)
-def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable hash-sample quantiles per event type: the k smallest
-    md5(event_id) rows form a deterministic uniform sample (the KMV
-    property makes it combiner-mergeable at 100 TB), and quantiles are
-    sample-exact order statistics — the third quantile strategy next to
-    the exact rank median (full sort) and the binned histogram (needs a
-    value range) (operators/sketches.py sample_quantiles)."""
-    from openrouter_batch_processor_spark.operators.sketches import sample_quantiles
-
-    return sample_quantiles(
-        _t(spark, sf_dir, "events"), "event_type", "value", "event_id", k=256
-    )
-
-
-@register(
-    "stats_binned_quantiles",
-    """
-    WITH b AS (SELECT floor(l_extendedprice / 500.0)::BIGINT AS bucket FROM lineitem),
-    hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
-    c AS (SELECT bucket,
-                 (sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
-                 (sum(cnt) OVER ())::BIGINT AS total
-          FROM hist)
-    SELECT max(total) AS total,
-           min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) AS p50_bucket,
-           min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) AS p90_bucket,
-           min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) AS p99_bucket,
-           ((min(CASE WHEN cum >= floor((total * 50 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p50_value,
-           ((min(CASE WHEN cum >= floor((total * 90 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p90_value,
-           ((min(CASE WHEN cum >= floor((total * 99 + 99) / 100.0)::BIGINT THEN bucket END) + 1) * 500.0)::DOUBLE AS p99_value
-    FROM c
-    """,
-    ops=["EXT-sketch", "EXT-quality", "G2", "O3"],
-)
-def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram quantiles of l_extendedprice (bucket width 500): the
-    shuffle-one-row-per-bucket scale path vs the exact rank median."""
-    return binned_quantiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 500.0)
-
-
-# ===========================================================================
-# Rows-only entries (sql=None -> driver records the weaker rows/schema
-# check): multimodal decode plumbing and a true Structured Streaming run
-# ===========================================================================
-
-
-@register(
-    "multimodal_audio_windows",
-    """
-    WITH m AS (
-      SELECT sha256(text) AS media_id, text
-      FROM documents WHERE doc_id % 7 = 0)
-    SELECT media_id,
-           i::INT AS window_no,
-           (i * 128)::BIGINT AS start_off,
-           least(256, len(text) - i * 128)::INT AS n_bytes,
-           (('0x' || substr(md5(substr(text, i * 128 + 1, 256)), 1, 6))::BIGINT
-             % 10000)::BIGINT AS energy,
-           substr(sha256(substr(text, i * 128 + 1, 256)), 1, 16) AS window_checksum
-    FROM m CROSS JOIN range(0, 96) r(i)
-    WHERE i * 128 < len(text)
-    """,
-    ops=["D6", "S4", "EXT-multimodal"],
-)
-def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio framing plumbing: every 7th document plays a clip framed
-    into OVERLAPPING 256-byte windows at a 128-byte hop (50% overlap —
-    the real audio feature shape, vs video's disjoint keyframes), each
-    with a deterministic energy stat + checksum so the expansion is
-    value-checked in SQL (ASCII text: char substr == byte slice, the
-    multimodal_frame_sample precedent)
-    (operators/multimodal.py window_audio)."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        media_table,
-        window_audio,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    files = docs.select(
-        F.concat(F.lit("aud/doc_"), F.col("doc_id").cast("string"), F.lit(".wav")).alias(
-            "rel_path"
-        ),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    return window_audio(media_table(files))
-
-
-@register(
-    "multimodal_features",
-    """
-    WITH m AS (SELECT sha256(text) AS sh FROM documents)
-    SELECT sh AS media_id,
-           'image' AS kind,
-           (16 + ('0x' || substr(sh, 1, 2))::INT % 64)::INT AS width,
-           (16 + ('0x' || substr(sh, 3, 2))::INT % 64)::INT AS height,
-           (1 + ('0x' || substr(sh, 5, 2))::INT % 3)::INT AS n_channels,
-           substr(sh, 1, 16) AS checksum
-    FROM m
-    """,
-    ops=["D6", "S4", "EXT-multimodal"],
-)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media pipeline plumbing over real data: documents' text bytes as
-    opaque payloads -> media_table -> deterministic fake decode via
-    mapInPandas (the container has no codec libs; the Spark-side schema,
-    batching, and error-as-data contract are the real thing).
-
-    The fake decoder derives (width, height, channels, checksum) from
-    the payload's sha256 digest bytes, so the full mapInPandas output is
-    value-checked against a pure-SQL oracle — an exact check on UDF
-    plumbing, not a rows-only count (r01 VERDICT item 5)."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        extract_features,
-        media_table,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    files = docs.select(
-        F.concat(
-            F.lit("img/doc_"), F.col("doc_id").cast("string"),
-            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".jpg"),
-        ).alias("rel_path"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    return extract_features(media_table(files))
-
-
-@register(
-    "streaming_tumbling_availablenow",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
-    FROM events GROUP BY window_start, event_type
-    """,
-    ops=["T1", "T2", "EXT-windows"],
-)
-def q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Structured Streaming execution: file-source stream over the
-    events parquet, watermarked tumbling aggregation, availableNow
-    trigger into a memory sink (complete mode) — returned as the batch
-    of results. availableNow over static parquet is deterministic, so
-    the batch tumbling SQL (events_tumbling's oracle) value-checks the
-    streaming run; tests/test_streaming.py additionally asserts
-    stream == batch DataFrame equality."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        read_events_stream,
-        run_to_memory,
-        tumbling_counts_stream,
-    )
-
-    stream = tumbling_counts_stream(read_events_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_tumbling")
-    return spark.table("registry_stream_tumbling")
-
-
-@register(
-    "streaming_dedup_watermark",
-    """
-    SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS event_date
-    FROM events
-    """,
-    ops=["T1", "X1", "EXT-dedup-policy"],
-)
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest dedup, oracle-checked: the key set emitted by
-    dropDuplicatesWithinWatermark over the events stream equals batch
-    SELECT DISTINCT — a value-level gate on a real streaming run, not
-    just a rows-only smoke."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        dedup_events_stream,
-        read_events_stream,
-        run_to_memory,
-    )
-
-    stream = dedup_events_stream(read_events_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_dedup", output_mode="append")
-    return spark.table("registry_stream_dedup")
-
-
-@register(
-    "streaming_quality_gate",
-    f"""
-    WITH q AS (
-      SELECT source, md5(text) AS fp
-      FROM {_quality_sql("documents", "source, text")}
-      WHERE quality_score >= 0.5)
-    SELECT source, count(DISTINCT fp)::BIGINT AS n_unique_docs
-    FROM q GROUP BY source
-    """,
-    ops=["T1", "X1", "EXT-quality", "EXT-dedup-policy", "G4"],
-)
-def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming corpus-ingest gate, value-checked: documents stream ->
-    in-flight quality scoring -> gate at 0.5 -> streaming exact dedup on
-    (source, fingerprint); the emitted key set equals the batch
-    filter + DISTINCT, rolled up per source
-    (streaming/windows.py quality_gated_dedup_stream)."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        quality_gated_dedup_stream,
-        read_documents_stream,
-        run_to_memory,
-    )
-
-    stream = quality_gated_dedup_stream(read_documents_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_qgate", output_mode="append")
-    return (
-        spark.table("registry_stream_qgate")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
-    )
-
-
-@register(
-    "streaming_interval_join",
-    """
-    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
-    SELECT c.user_id,
-           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
-           floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS delay_sec
-    FROM c JOIN p ON p.user_id = c.user_id
-                 AND p.ts >= c.ts
-                 AND p.ts < c.ts + INTERVAL 1 DAY
-    """,
-    ops=["T1", "EXT-rangejoin", "J2", "EXT-windows"],
-)
-def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream interval self-join (click->purchase
-    attribution), value-checked against the batch SQL interval join —
-    the state-bounding streaming join shape, not a smoke test."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        click_attribution_stream,
-        read_events_stream,
-        run_to_memory,
-    )
-
-    stream = click_attribution_stream(read_events_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_attrib", output_mode="append")
-    return spark.table("registry_stream_attrib")
-
-
-# ===========================================================================
-# Multi-signal dedup, length histograms + exact median, deterministic
-# stratified sampling — training-pipeline utilities round 3
-# ===========================================================================
-
-
-@register(
-    "dedup_multisignal",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh_set x ON x.doc_id = c.id_a
-      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-      GROUP BY c.id_a, c.id_b),
-    jac AS (
-      SELECT i.id_a, i.id_b,
-             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.id_a
-      JOIN sizes sb ON sb.doc_id = i.id_b
-      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT j.id_a, j.id_b, j.jaccard,
-           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-    FROM jac j
-    JOIN u ua ON ua.vec_id = j.id_a
-    JOIN u ub ON ub.vec_id = j.id_b
-    """,
-    ops=["EXT-minhash", "EXT-jaccard", "EXT-neardup", "J2"],
-)
-def q_multisignal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-signal near-dedup: text LSH candidates verified by BOTH
-    n-gram Jaccard and embedding cosine (documents.doc_id aligns with
-    embeddings.vec_id). Real pretraining dedup crosses signals exactly
-    like this — lexical match catches templates, embedding catches
-    paraphrase; the join of the two is the high-precision kill list."""
-    from openrouter_batch_processor_spark.operators.dedup import ngram_jaccard_pairs
-    from openrouter_batch_processor_spark.operators.similarity import unit_vectors
-
-    jac = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
-    units = unit_vectors(_t(spark, sf_dir, "embeddings"))
-    ua = units.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("_ua"))
-    ub = units.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("_ub"))
-    from openrouter_batch_processor_spark.operators.similarity import _dot
-
-    return (
-        jac.join(ua, "id_a")
-        .join(ub, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.round(_dot(F.col("_ua"), F.col("_ub")), 6).alias("cos_sim"),
-        )
-    )
-
-
-@register(
-    "dedup_report",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh_set x ON x.doc_id = c.id_a
-      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-      GROUP BY c.id_a, c.id_b),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e)
-    SELECT i.id_a, i.id_b, i.n_inter,
-           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
-           round(n_inter / sa.n_sh, 6) AS cont_a,
-           round(n_inter / sb.n_sh, 6) AS cont_b,
-           round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS overlap,
-           round(list_dot_product(ua.unit, ub.unit), 6) AS cos_sim
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    JOIN u ua ON ua.vec_id = i.id_a
-    JOIN u ub ON ub.vec_id = i.id_b
-    """,
-    ops=["EXT-minhash", "EXT-jaccard", "EXT-neardup", "J2", "X1"],
-)
-def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite dedup verify: ONE candidate join + ONE materialized
-    shingle table scoring Jaccard, both containments, overlap AND
-    embedding cosine per pair — the single-pass production shape the
-    five single-metric queries decompose into (operators/dedup.py
-    dedup_report)."""
-    from openrouter_batch_processor_spark.operators.dedup import dedup_report
-
-    return dedup_report(
-        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
-    )
-
-
-@register(
-    "curation_full_pipeline",
-    f"""
-    WITH RECURSIVE
-    gated AS (
-      SELECT doc_id, source, text, n_tokens
-      FROM {_quality_sql("documents", "doc_id, source, text")}
-      WHERE quality_score >= 0.5),
-    bt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM gated),
-    bs AS (SELECT doc_id,
-                  list_transform(range(1, len(toks) - 1),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
-           FROM bt WHERE len(toks) >= 3),
-    b_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM bs),
-    b_df AS (SELECT shingle, count(*) AS df FROM b_set GROUP BY 1),
-    boiler AS (SELECT shingle FROM b_df WHERE df >= 20),
-    b_pd AS (SELECT doc_id, count(*) AS n_ngrams FROM b_set GROUP BY 1),
-    b_nb AS (SELECT doc_id, count(*) AS n_boiler
-             FROM b_set JOIN boiler USING (shingle) GROUP BY 1),
-    ratios AS (SELECT p.doc_id,
-                      round(coalesce(nb.n_boiler, 0) / p.n_ngrams, 6) AS br
-               FROM b_pd p LEFT JOIN b_nb nb USING (doc_id)),
-    cleaned AS (
-      SELECT g.doc_id, g.source, g.text, g.n_tokens
-      FROM gated g LEFT JOIN ratios r USING (doc_id)
-      WHERE coalesce(r.br, 0.0) <= 0.5),
-    ex AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-           FROM cleaned),
-    sv AS (SELECT doc_id, source, text, n_tokens FROM ex WHERE rn = 1),
-    {_shingles_sql("sv")},
-    {_CC_SQL},
-    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id),
-    finaldocs AS (
-      SELECT sv.* FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
-      WHERE d.doc_id IS NULL),
-    {_span_sql("finaldocs")}
-    SELECT f.source, count(*)::BIGINT AS n_docs, sum(f.n_tokens)::BIGINT AS n_tokens,
-           sum(coalesce(s.n_removed, 0))::BIGINT AS n_span_tokens_removed,
-           (sum(len(t.toks)) - sum(coalesce(s.n_removed, 0)))::BIGINT AS n_tokens_clean
-    FROM finaldocs f
-    JOIN spt t USING (doc_id)
-    LEFT JOIN spstats s USING (doc_id)
-    GROUP BY f.source
-    """,
-    ops=["X1", "EXT-quality", "EXT-boilerplate", "EXT-minhash", "EXT-dedup-policy", "G2"],
-)
-def q_curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole cleaning DAG in ONE declarative plan: quality gate ->
-    boilerplate filter -> exact dedup -> LSH near-dup keep-first ->
-    duplicated-span removal over the survivors (r04) -> per-source
-    docs/tokens yield incl. the post-span-removal token volume — cheap
-    row-local gates first, the expensive joins last over the smallest
-    survivor set (operators/curation.py corpus_curation_pipeline)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        corpus_curation_pipeline,
-    )
-
-    return corpus_curation_pipeline(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "stats_length_histogram",
-    """
-    SELECT source,
-           least((n_chars // 100), 9) AS bucket,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY source, least((n_chars // 100), 9)
-    """,
-    ops=["G4", "EXT-quality"],
-)
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-length histogram per source: fixed 100-char buckets,
-    top-capped — the distribution profile a corpus QA step produces."""
-    docs = _t(spark, sf_dir, "documents")
-    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
-    return docs.groupBy("source", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-@register(
-    "stats_exact_median",
-    """
-    WITH ranked AS (
-      SELECT source, n_chars,
-             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
-             count(*) OVER (PARTITION BY source) AS n
-      FROM documents)
-    SELECT source, n AS n_docs, n_chars AS median_chars
-    FROM ranked WHERE rn = (n + 1) // 2
-    """,
-    ops=["G2", "O3", "EXT-quality"],
-)
-def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact lower-median by rank — engine-portable (interpolating
-    percentile implementations differ; the rank formulation doesn't).
-    One shuffle on source shared by both windows."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
-    ranked = docs.select(
-        "source",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    # floor((n+1)/2), NOT true division: Column `/` is double division,
-    # and for EVEN n the half-integer rank would match no row at all
-    # (the oracle's `//` floors — parity demands the same here).
-    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
-        "source", F.col("n").alias("n_docs"), F.col("n_chars").alias("median_chars")
-    )
-
-
-@register(
-    "sample_stratified",
-    """
-    SELECT doc_id, lang, source
-    FROM documents
-    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
-          < CASE WHEN lang = 'en' THEN 20 ELSE 10 END
-    """,
-    ops=["P1", "EXT-sampling"],
-)
-def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: per-language rates via a hash
-    gate (md5 of the id) — reproducible on any engine and any partition
-    layout, unlike rand()-based sampling. The standard way to cut
-    per-source/per-language quotas into a 100 TB corpus."""
-    docs = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    rate = F.when(F.col("lang") == "en", 20).otherwise(10)
-    return docs.filter(h % 100 < rate).select("doc_id", "lang", "source")
-
-
-# ===========================================================================
-# D7 full-width usage fold: all 9 token fields + 4 cost fields + byok,
-# with per-field malformed-value tolerance (worker.py:110-176 parity)
-# ===========================================================================
-
-
-@register(
-    "g2_usage_full_tolerant",
-    """
-    WITH usage AS (
-      SELECT user_id % 8 AS job_id,
-             event_type != 'error' AS ok,
-             user_id % 7 = 0 AS is_byok,
-             -- malformed every 11th row: try_cast -> NULL -> treated as 0
-             CASE WHEN event_id % 11 = 0 THEN 'garbage'
-                  ELSE (floor(value * 10)::BIGINT)::VARCHAR END AS prompt_tokens,
-             (floor(value * 3)::BIGINT)::VARCHAR AS completion_tokens,
-             (floor(value * 13)::BIGINT)::VARCHAR AS total_tokens,
-             (floor(value)::BIGINT)::VARCHAR AS reasoning_tokens,
-             (floor(value * 2)::BIGINT)::VARCHAR AS cached_tokens,
-             (floor(value / 2)::BIGINT)::VARCHAR AS cache_write_tokens,
-             (event_id % 3)::VARCHAR AS audio_tokens,
-             (event_id % 2)::VARCHAR AS video_tokens,
-             (event_id % 5)::VARCHAR AS image_tokens,
-             CASE WHEN event_id % 13 = 0 THEN 'NaNish'
-                  ELSE (value * 0.0001)::VARCHAR END AS cost,
-             (value * 0.00002)::VARCHAR AS upstream_inference_cost,
-             (value * 0.00001)::VARCHAR AS discount,
-             (value * 0.00003)::VARCHAR AS upstream_cost
-      FROM events)
-    SELECT job_id,
-           count(*) AS api_requests,
-           count(CASE WHEN ok THEN 1 END) AS successful_requests,
-           count(CASE WHEN NOT ok THEN 1 END) AS failed_requests,
-           count(CASE WHEN is_byok THEN 1 END) AS byok_requests,
-           sum(coalesce(TRY_CAST(prompt_tokens AS BIGINT), 0))::BIGINT AS prompt_tokens_sum,
-           sum(coalesce(TRY_CAST(completion_tokens AS BIGINT), 0))::BIGINT AS completion_tokens_sum,
-           sum(coalesce(TRY_CAST(total_tokens AS BIGINT), 0))::BIGINT AS total_tokens_sum,
-           sum(coalesce(TRY_CAST(reasoning_tokens AS BIGINT), 0))::BIGINT AS reasoning_tokens_sum,
-           sum(coalesce(TRY_CAST(cached_tokens AS BIGINT), 0))::BIGINT AS cached_tokens_sum,
-           sum(coalesce(TRY_CAST(cache_write_tokens AS BIGINT), 0))::BIGINT AS cache_write_tokens_sum,
-           sum(coalesce(TRY_CAST(audio_tokens AS BIGINT), 0))::BIGINT AS audio_tokens_sum,
-           sum(coalesce(TRY_CAST(video_tokens AS BIGINT), 0))::BIGINT AS video_tokens_sum,
-           sum(coalesce(TRY_CAST(image_tokens AS BIGINT), 0))::BIGINT AS image_tokens_sum,
-           round(sum(coalesce(TRY_CAST(cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS cost_sum,
-           round(sum(coalesce(TRY_CAST(upstream_inference_cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS upstream_inference_cost_sum,
-           round(sum(coalesce(TRY_CAST(discount AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS discount_sum,
-           round(sum(coalesce(TRY_CAST(upstream_cost AS DOUBLE), 0)::DECIMAL(28,12))::DOUBLE, 12) AS upstream_cost_sum
-    FROM usage GROUP BY job_id
-    """,
-    ops=["G2", "G6", "D7"],
-)
-def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's complete 20-field accumulator, fed string-typed
-    fields with injected garbage: try_cast tolerance must skip bad
-    values per field without dropping the row (worker.py:153-176)."""
-    from openrouter_batch_processor_spark.operators.aggregates import usage_summary
-
-    e = _t(spark, sf_dir, "events")
-    v, eid = F.col("value"), F.col("event_id")
-    as_str = lambda c: c.cast("long").cast("string")  # noqa: E731
-    usage = e.select(
-        (F.col("user_id") % 8).alias("job_id"),
-        (F.col("event_type") != "error").alias("ok"),
-        (F.col("user_id") % 7 == 0).alias("is_byok"),
-        F.when(eid % 11 == 0, F.lit("garbage"))
-        .otherwise(as_str(F.floor(v * 10)))
-        .alias("prompt_tokens"),
-        as_str(F.floor(v * 3)).alias("completion_tokens"),
-        as_str(F.floor(v * 13)).alias("total_tokens"),
-        as_str(F.floor(v)).alias("reasoning_tokens"),
-        as_str(F.floor(v * 2)).alias("cached_tokens"),
-        as_str(F.floor(v / 2)).alias("cache_write_tokens"),
-        (eid % 3).cast("string").alias("audio_tokens"),
-        (eid % 2).cast("string").alias("video_tokens"),
-        (eid % 5).cast("string").alias("image_tokens"),
-        F.when(eid % 13 == 0, F.lit("NaNish"))
-        .otherwise((v * 0.0001).cast("string"))
-        .alias("cost"),
-        (v * 0.00002).cast("string").alias("upstream_inference_cost"),
-        (v * 0.00001).cast("string").alias("discount"),
-        (v * 0.00003).cast("string").alias("upstream_cost"),
-    )
-    return usage_summary(usage, ["job_id"])
-
-
-# ===========================================================================
-# EXT-quality — Gopher-style repetition signals over documents
-# ===========================================================================
-
-
-@register(
-    "text_repetition",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    tri AS (SELECT doc_id,
-                   CASE WHEN len(toks) >= 3
-                        THEN list_transform(range(1, len(toks) - 1),
-                                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                        ELSE [] END AS tr
-            FROM t),
-    pd AS (SELECT doc_id, len(tr) AS n_trigrams,
-                  CASE WHEN len(tr) = 0 THEN 0.0
-                       ELSE round(1.0 - len(list_distinct(tr)) / len(tr), 6) END AS dup_trigram_frac
-           FROM tri),
-    bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-                                      THEN list_transform(range(1, len(toks)),
-                                                          i -> toks[i] || ' ' || toks[i+1])
-                                      ELSE [] END) AS bg
-           FROM t),
-    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-    tb AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac FROM bc GROUP BY 1)
-    SELECT p.doc_id, n_trigrams, dup_trigram_frac,
-           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
-           (dup_trigram_frac > 0.2 OR coalesce(top_bigram_frac, 0.0) > 0.18) AS repetitive
-    FROM pd p LEFT JOIN tb USING (doc_id)
-    """,
-    ops=["EXT-quality", "G2", "G4", "EXT-tokens"],
-)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.operators.textanalysis import repetition_signals
-
-    return repetition_signals(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# EXT-dedup-policy — benchmark decontamination by 5-gram overlap
-# ===========================================================================
-
-
-@register(
-    "dedup_decontaminate",
-    f"""
-    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    s AS (SELECT doc_id,
-                 CASE WHEN len(toks) >= 4
-                      THEN list_transform(range(1, len(toks) - 2),
-                                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                                               || ' ' || toks[i+3])
-                      ELSE [] END AS sh
-          FROM t),
-    ss AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    bench AS (SELECT DISTINCT shingle FROM ss WHERE doc_id % 101 = 7),
-    train AS (SELECT doc_id, shingle FROM ss WHERE doc_id % 101 <> 7),
-    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
-    shared AS (SELECT tr.doc_id, count(*) AS n_shared
-               FROM train tr JOIN bench b ON b.shingle = tr.shingle GROUP BY 1)
-    SELECT z.doc_id, n_shared, n_shingles, round(n_shared / n_shingles, 6) AS contam_frac
-    FROM sizes z JOIN shared h ON h.doc_id = z.doc_id
-    """,
-    ops=["EXT-dedup-policy", "X1", "J2", "G2"],
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.operators.dedup import ngram_contamination
-
-    return ngram_contamination(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# TPC-H Q16/Q17/Q18/Q22 shapes — the remaining classic join strategies:
-# NOT-IN anti-join, correlated scalar avg, HAVING semi-join, scalar
-# subquery + no-orders anti-join
-# ===========================================================================
-
-
-@register(
-    "q16_supplier_part_breadth",
-    """
-    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
-    pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    pf AS (SELECT p_partkey, p_brand, p_type FROM part WHERE p_size IN (1, 4, 9, 16, 25, 36))
-    SELECT p_brand, p_type,
-           count(DISTINCT l_suppkey) AS supplier_cnt,
-           count(DISTINCT l_partkey) AS part_cnt
-    FROM pairs
-    JOIN pf ON pf.p_partkey = pairs.l_partkey
-    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
-    GROUP BY p_brand, p_type
-    """,
-    ops=["J2", "G2", "EXT-relational"],
-)
-def q16_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (partsupp stood in by distinct lineitem pairs):
-    supplier breadth per (brand, type) excluding blacklisted suppliers.
-
-    Plan: the (partkey, suppkey) DISTINCT is the one real shuffle and
-    arrives pre-combined map-side; the supplier blacklist and the
-    size-filtered part dim both broadcast, so the anti-join and the dim
-    join are map-side probes. count(DISTINCT) re-shuffles on the group
-    keys — (brand, type) cardinality is tiny, AQE coalesces."""
-    li = _t(spark, sf_dir, "lineitem")
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    pf = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_size").isin(1, 4, 9, 16, 25, 36))
-        .select("p_partkey", "p_brand", "p_type")
-    )
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
-    joined = (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "leftanti")
-        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
-    )
-    return joined.groupBy("p_brand", "p_type").agg(
-        F.countDistinct("l_suppkey").alias("supplier_cnt"),
-        F.countDistinct("l_partkey").alias("part_cnt"),
-    )
-
-
-@register(
-    "q17_small_qty_revenue",
-    """
-    WITH pf AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#12', 'Brand#23')),
-    lf AS (SELECT l_partkey, l_quantity, l_extendedprice
-           FROM lineitem JOIN pf ON pf.p_partkey = lineitem.l_partkey),
-    st AS (SELECT l_partkey, sum(l_quantity::DECIMAL(18,6)) AS sq, count(*) AS cq
-           FROM lf GROUP BY 1)
-    SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))::DOUBLE / 7.0, 6) AS avg_weekly_revenue,
-           count(*) AS n_rows
-    FROM lf l JOIN st ON st.l_partkey = l.l_partkey
-    WHERE 2 * cq * l.l_quantity::DECIMAL(18,6) < sq
-    """,
-    ops=["J2", "J3", "G2", "EXT-relational"],
-)
-def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue from lineitems below half their part's
-    average quantity (the correlated scalar-average subquery).
-
-    Decorrelated the way Catalyst would: per-part (sum, count) agg on
-    the brand-filtered fact slice, broadcast back onto the same slice.
-    The half-average comparison is cross-multiplied into exact integer/
-    decimal arithmetic (2*count*qty < sum) so the oracle can't diverge
-    on float division. Only the per-part agg shuffles; both joins are
-    broadcasts of brand-sized dims."""
-    pf = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
-        .select("p_partkey")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).drop("p_partkey")
-    st = lf.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
-        F.count(F.lit(1)).alias("cq"),
-    )
-    joined = lf.withColumnRenamed("l_partkey", "lp").join(
-        F.broadcast(st), F.col("lp") == st.l_partkey
-    )
-    small = joined.filter(
-        F.lit(2) * F.col("cq") * F.col("l_quantity").cast("decimal(18,6)") < F.col("sq")
-    )
-    return small.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 6
-        ).alias("avg_weekly_revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "q18_large_volume_customers",
-    """
-    WITH big AS (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,6)) AS tq
-                 FROM lineitem GROUP BY 1
-                 HAVING sum(l_quantity::DECIMAL(18,6)) > 250)
-    SELECT c.c_name, o.o_orderkey,
-           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
-           o.o_totalprice, tq::DOUBLE AS total_qty
-    FROM big
-    JOIN orders o ON o.o_orderkey = big.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    """,
-    ops=["G2", "J1", "J2", "G6", "EXT-relational"],
-)
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
-    with their customers (GROUP BY + HAVING driving a join).
-
-    The per-order agg is the only wide shuffle; the HAVING filter
-    shrinks it to a few hundred rows, which then BROADCAST through both
-    remaining joins — orders and customer are probed map-side, never
-    shuffled. At 100 TB that ordering (reduce first, then join the
-    survivors) is the difference between broadcasting kilobytes and
-    shuffling the two biggest tables."""
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("tq"))
-        .filter(F.col("tq") > 250)
-    )
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    wide = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "tq"
-    )
-    out = cust.join(F.broadcast(wide), cust.c_custkey == wide.o_custkey)
-    return out.select(
-        "c_name",
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
-        "o_totalprice",
-        F.col("tq").cast("double").alias("total_qty"),
-    )
-
-
-@register(
-    "q22_inactive_high_balance",
-    """
-    WITH pos AS (SELECT sum(c_acctbal::DECIMAL(18,6)) AS sb, count(*) AS nb
-                 FROM customer WHERE c_acctbal > 0)
-    SELECT c_mktsegment, count(*) AS n_cust,
-           sum(c_acctbal::DECIMAL(18,6))::DOUBLE AS total_bal
-    FROM customer c, pos
-    WHERE c.c_acctbal::DECIMAL(18,6) * nb > sb
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
-    GROUP BY c_mktsegment
-    """,
-    ops=["J2", "J3", "P1", "G2", "EXT-relational"],
-)
-def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no recent
-    orders (global scalar subquery + anti-join).
-
-    The global average arrives as a broadcast one-row cross join; the
-    above-average comparison is cross-multiplied into decimal
-    (acctbal*count > sum) so no float-division boundary can flip a row.
-    The lapsed-customer check is a shuffle anti-join on custkey —
-    orders is too big to broadcast at scale, but its date predicate
-    pushes to the parquet scan and the customer side is already thinned
-    by the balance predicate before it shuffles."""
-    cust = _t(spark, sf_dir, "customer")
-    pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sb"),
-        F.count(F.lit(1)).alias("nb"),
-    )
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        .select("o_custkey")
-    )
-    high = cust.join(F.broadcast(pos)).filter(
-        F.col("c_acctbal").cast("decimal(18,6)") * F.col("nb") > F.col("sb")
-    )
-    inactive = high.join(orders, high.c_custkey == orders.o_custkey, "leftanti")
-    return inactive.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
-    )
-
-
-# ===========================================================================
-# EXT-simsearch — int8 embedding quantization with reconstruction error
-# ===========================================================================
-
-
-@register(
-    "emb_quantize_int8",
-    """
-    WITH x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xd FROM embeddings),
-    m AS (SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS mx FROM x),
-    s AS (SELECT vec_id, xd, 127.0 / mx AS scale FROM m WHERE mx > 0),
-    q AS (SELECT vec_id, xd, scale,
-                 list_transform(xd, v -> least(greatest(round(v * scale, 0), -127.0), 127.0)) AS q
-          FROM s),
-    d AS (SELECT vec_id, scale, q,
-                 list_transform(range(1, len(xd) + 1), i -> xd[i] - q[i] / scale) AS diff
-          FROM q)
-    SELECT vec_id, round(scale, 6) AS scale,
-           len(list_filter(q, v -> abs(v) = 127.0)) AS n_saturated,
-           round(sqrt(list_reduce(list_transform(diff, v -> v * v), (a, b) -> a + b)
-                      / len(diff)), 6) AS rms_err,
-           round(list_max(list_transform(diff, v -> abs(v))), 6) AS max_abs_err
-    FROM d
-    """,
-    ops=["EXT-simsearch", "D6", "G2"],
-)
-def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.operators.similarity import quantize_int8
-
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
-
-
-# ===========================================================================
-# EXT-windows — SCD2 dimension build from the event log
-# ===========================================================================
-
-
-@register(
-    "scd2_user_state",
-    """
-    WITH c AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events),
-    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
-    SELECT user_id, event_type AS state,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                    '%Y-%m-%d %H:%M:%S') AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-    FROM ch
-    """,
-    ops=["EXT-windows", "O1", "T1"],
-)
-def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.operators.timeseries import scd2_intervals
-
-    return scd2_intervals(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# EXT-windows — distribution window functions (ntile / percent_rank /
-# cume_dist), partitioned per key so no global sort exists anywhere
-# ===========================================================================
-
-
-@register(
-    "w_ntile_cumdist",
-    """
-    SELECT o_orderkey, o_custkey,
-           ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-    """,
-    ops=["EXT-windows", "O1", "O3"],
-)
-def q_w_ntile_cumdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer spend-distribution ranks. One shuffle on custkey,
-    one per-partition sort shared by all three window functions (same
-    WindowSpec -> single Window physical node); the unique
-    (totalprice, orderkey) ordering makes percent_rank/cume_dist
-    peer-free and deterministic."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
-    )
-
-
-# ===========================================================================
-# EXT-tokens — top-k vocabulary coverage / OOV rate
-# ===========================================================================
-
-
-@register(
-    "text_vocab_coverage",
-    f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
-    vocab AS (SELECT term FROM (SELECT term, sum(tf) AS total FROM tf GROUP BY 1)
-              ORDER BY total DESC, term LIMIT 20),
-    pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf GROUP BY 1),
-    iv AS (SELECT tf.doc_id, sum(tf)::BIGINT AS n_in_vocab
-           FROM tf JOIN vocab USING (term) GROUP BY 1)
-    SELECT p.doc_id, n_tokens, coalesce(n_in_vocab, 0) AS n_in_vocab,
-           round(coalesce(n_in_vocab, 0) / n_tokens, 6) AS coverage
-    FROM pd p LEFT JOIN iv ON iv.doc_id = p.doc_id
-    """,
-    ops=["EXT-tokens", "G2", "J2", "O4"],
-)
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openrouter_batch_processor_spark.operators.textanalysis import vocab_coverage
-
-    return vocab_coverage(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# T1/EXT-sessions — native streaming session windows, value-checked
-# ===========================================================================
-
-
-@register(
-    "streaming_session_windows",
-    """
-    WITH o AS (SELECT user_id, ts,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-               FROM events),
-    m AS (SELECT user_id, ts,
-                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS new_s
-          FROM o),
-    g AS (SELECT user_id, ts,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-          FROM m)
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-           count(*) AS n_events
-    FROM g GROUP BY user_id, sid
-    """,
-    ops=["T1", "EXT-sessions", "EXT-windows"],
-)
-def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native F.session_window over the event STREAM, value-checked
-    against the gaps-and-islands batch SQL. Boundary semantics differ
-    from the batch sessionize op on purpose: session_window merges only
-    OVERLAPPING [ts, ts+gap) intervals, so an event landing exactly at
-    the previous session's end starts a new one (oracle: ts-prev >=
-    gap, where the lag-based batch op uses >). Complete output mode so
-    the availableNow run emits every session including those inside the
-    final watermark horizon; a 24/7 deployment would run append mode
-    and let the watermark finalize sessions incrementally."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        read_events_stream,
-        run_to_memory,
-        session_windows_stream,
-    )
-
-    stream = session_windows_stream(read_events_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_sessions", output_mode="complete")
-    return spark.table("registry_stream_sessions")
-
-
-# ===========================================================================
-# TPC-H Q13/Q15 shapes — outer-join distribution and argmax-by-scalar
-# ===========================================================================
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    WITH co AS (
-      SELECT c_custkey, count(o_orderkey) AS c_count
-      FROM customer LEFT JOIN orders
-        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
-      GROUP BY 1)
-    SELECT c_count, count(*) AS custdist FROM co GROUP BY 1
-    """,
-    ops=["J1", "G2", "G4", "EXT-relational"],
-)
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
-    orders — LEFT OUTER join with a join-side residual predicate (the
-    filter must sit IN the join, not under it, or zero-order customers
-    vanish), then a count-of-counts.
-
-    The outer join shuffles both sides on custkey; the first groupBy
-    rides the SAME partitioning (no second shuffle — Catalyst reuses
-    the hash partitioning), and the count-of-counts shuffles a few
-    hundred distinct c_count rows. count(o_orderkey) ignores the NULLs
-    an unmatched customer row carries, which is exactly the 0-order
-    bucket."""
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    joined = cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
-        "left",
-    )
-    co = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
-    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@register(
-    "q15_top_supplier",
-    """
-    WITH rev AS (SELECT l_suppkey,
-                        sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS total_rev
-                 FROM lineitem
-                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-                 GROUP BY 1),
-    mx AS (SELECT max(total_rev) AS m FROM rev)
-    SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
-    FROM supplier JOIN rev ON rev.l_suppkey = s_suppkey JOIN mx ON total_rev = m
-    """,
-    ops=["J2", "J3", "G2", "O4", "EXT-relational"],
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
-    — argmax implemented as agg -> 1-row max scalar -> equality filter,
-    NOT orderBy().limit(1) (which silently drops ties and forces a
-    global sort; the view-based original keeps ties).
-
-    Revenue sums in DECIMAL so the equality against the max is exact —
-    with double sums, '== max' is a bit-pattern lottery. The per-supp
-    agg is the only shuffle; the max arrives by broadcast cross join
-    and the supplier dim join broadcasts the (tiny) winning set."""
-    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
-        & (F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
-    )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        ).alias("total_rev")
-    )
-    mx = rev.agg(F.max("total_rev").alias("m"))
-    winners = rev.join(F.broadcast(mx), rev.total_rev == F.col("m")).select(
-        "l_suppkey", "total_rev"
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    return supp.join(F.broadcast(winners), supp.s_suppkey == F.col("l_suppkey")).select(
-        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
-    )
-
-
-# ===========================================================================
-# TPC-H Q9/Q10/Q11/Q14/Q19 shapes — profit rollup, returned-item top-N,
-# important-part threshold, promo ratio, OR-of-range-predicates
-# ===========================================================================
-
-
-@register(
-    "q10_returned_items",
-    """
-    SELECT c.c_custkey, c.c_name,
-           sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
-           c.c_acctbal, n.n_name
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
-      AND l.l_returnflag = 'R'
-    GROUP BY 1, 2, 4, 5
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
-    """,
-    ops=["J1", "J3", "G2", "O3", "EXT-relational"],
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
-    one quarter (reference's per-group cost ranking generalized to a
-    4-table star join; cf. worker.py:133-176 usage rollup + app.py
-    archive sorting).
-
-    Scale plan: the date filter lands on the orders scan (PushedFilters)
-    and the returnflag filter on the lineitem scan, so the fact-fact
-    shuffle join only moves one quarter of orders. nation is broadcast;
-    customer joins AFTER aggregation would be ideal but the group key
-    needs c_name/c_acctbal, so customer rides the shuffle — at 100 TB
-    you'd pre-bucket orders+lineitem on orderkey and customer+orders on
-    custkey. LIMIT 20 is a TakeOrdered, no global sort."""
-    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
-        & (F.col("o_orderdate") < ts("1997-04-01 00:00:00"))
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "q14_promo_revenue",
-    """
-    SELECT round(
-             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
-                              ELSE 0::DECIMAL(18,6) END)::DOUBLE
-                   / sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE,
-             6) AS promo_revenue
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-    """,
-    ops=["J2", "G2", "P1", "EXT-relational"],
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: share of one month's discounted revenue that
-    came from PROMO-type parts — conditional aggregation folded into a
-    single pass (no second join or self-union for the numerator).
-
-    part is broadcast (it's a dim); the month filter is pushed to the
-    lineitem scan so the join probe side is ~1/36 of the table. Both
-    sums ride one partial-aggregate; DECIMAL accumulation keeps the
-    ratio deterministic under any partitioning, rounded at the edge."""
-    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= ts("1997-03-01 00:00:00"))
-        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
-    )
-    p = _t(spark, sf_dir, "part")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
-            ).alias("promo_revenue")
-        )
-    )
-
-
-@register(
-    "q19_or_range_predicates",
-    """
-    SELECT sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6))::DOUBLE AS revenue,
-           count(*) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
-       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
-    """,
-    ops=["J2", "P1", "P4", "G2", "EXT-relational"],
-)
-def q19_or_range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunction of brand/size/quantity range
-    predicates spanning both join sides (the reference's multi-branch
-    file-type routing, worker.py:69-98, as relational OR-predicates).
-
-    Catalyst derives the cross-branch implied filters: quantity in
-    [1,30] prunes lineitem at the scan, brand IN (...) AND size in
-    [1,35] prunes part BEFORE the broadcast, and the residual OR runs
-    as the join condition — .explain shows both PushedFilters. That
-    scan-side derivation is what keeps this viable at 100 TB; the naive
-    plan filters after the join."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
-        (F.col("p_brand") == brand)
-        & (F.col("p_size") >= 1)
-        & (F.col("p_size") <= smax)
-        & (F.col("l_quantity") >= qlo)
-        & (F.col("l_quantity") <= qhi)
-    )
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    return joined.filter(
-        branch("Brand#12", 15, 1, 11) | branch("Brand#23", 25, 10, 20) | branch("Brand#15", 35, 20, 30)
-    ).agg(
-        F.sum(disc).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-@register(
-    "q9_profit_by_nation_year",
-    """
-    SELECT n.n_name AS nation, year(l.l_shipdate) AS yr,
-           sum(((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)
-                - (0.6 * p.p_retailprice * l.l_quantity)::DECIMAL(18,6)))::DOUBLE AS profit
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_type IN ('STANDARD', 'ECONOMY')
-    GROUP BY 1, 2
-    """,
-    ops=["J2", "J3", "G2", "F11", "EXT-relational"],
-)
-def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit per supplier-nation per year. The testdata
-    has no partsupp table, so supply cost is proxied as 60% of retail
-    price — the plan shape (fact + two broadcast dims + snowflaked
-    nation, derived-column group key) is what's under test.
-
-    Both dims broadcast, so the only shuffle is the final (nation ×
-    year) aggregate — 25 × 7 groups — after a map-side partial agg; at
-    100 TB this stays a single wide scan with no fact-fact shuffle.
-    Revenue and cost are separately cast to DECIMAL before the subtract
-    so the sum is order-independent."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type").isin("STANDARD", "ECONOMY"))
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    ) - (0.6 * F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,6)")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("yr"))
-        .agg(F.sum(amount).cast("double").alias("profit"))
-    )
-
-
-@register(
-    "q11_important_parts",
-    """
-    WITH val AS (
-      SELECT l.l_partkey,
-             sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,6)) AS part_value
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'ASIA'
-      GROUP BY 1),
-    tot AS (SELECT sum(part_value) AS total FROM val)
-    SELECT v.l_partkey AS partkey, v.part_value::DOUBLE AS part_value
-    FROM val v, tot
-    WHERE (v.part_value * 1000)::DECIMAL(28,6) > tot.total::DECIMAL(28,6)
-    """,
-    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
-)
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose traded value within one region
-    exceeds 0.1% of the region total (partsupp proxied by lineitem
-    value). HAVING-against-scalar-subquery, decorrelated: aggregate
-    once, reduce to a 1-row total, broadcast it back as a cross join.
-
-    The threshold compares DECIMAL*1000 > DECIMAL — exact integer-ish
-    arithmetic on both engines, no double epsilon at the cut line. The
-    snowflake (region->nation->supplier) folds into one broadcast
-    before touching lineitem, so lineitem is scanned once and shuffled
-    once (on partkey)."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asian_supp = (
-        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               s.s_nationkey == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-    val = (
-        li.join(F.broadcast(asian_supp), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).alias("part_value")
-        )
-    )
-    tot = val.agg(F.sum("part_value").alias("total"))
-    return (
-        val.join(F.broadcast(tot))
-        .filter(
-            (F.col("part_value") * 1000).cast("decimal(28,6)")
-            > F.col("total").cast("decimal(28,6)")
-        )
-        .select(F.col("l_partkey").alias("partkey"), F.col("part_value").cast("double").alias("part_value"))
-    )
-
-
-# ===========================================================================
-# Unigram-LM scoring, BM25 retrieval, PII redaction, Pearson correlation
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
-    bm25_topk,
-    pii_redaction,
-    unigram_nll,
-)
-
-
-@register(
-    "text_unigram_nll",
-    f"""
-    WITH {_TF_SQL},
-    ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
-    tot AS (SELECT sum(ctf)::DOUBLE AS total_tokens FROM ctf),
-    c AS (SELECT t.doc_id, t.tf,
-                 round(t.tf * ln(tot.total_tokens / ctf.ctf), 6)::DECIMAL(18,6) AS contrib
-          FROM tf t JOIN ctf USING (term) CROSS JOIN tot)
-    SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-           round(sum(contrib)::DOUBLE / sum(tf), 6) AS avg_nll
-    FROM c GROUP BY doc_id
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "J2"],
-)
-def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return unigram_nll(_t(spark, sf_dir, "documents"))
-
-
-BM25_QUERY = ["table", "scan", "window", "vector"]
-
-
-@register(
-    "text_bm25_topk",
-    f"""
-    WITH {_TF_SQL},
-    dl AS (SELECT doc_id,
-                  CASE WHEN {_NORM_SQL} = '' THEN 0
-                       ELSE len(string_split({_NORM_SQL}, ' ')) END AS dl
-           FROM documents),
-    s AS (SELECT count(*)::DOUBLE AS n_docs,
-                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-    qtf AS (SELECT * FROM tf WHERE term IN ('table','scan','window','vector')),
-    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
-    c AS (SELECT q.doc_id,
-                 round(ln(1::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
-                       * (q.tf * 2.2::DOUBLE)
-                       / (q.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl)),
-                       6)::DECIMAL(18,6) AS contrib
-          FROM qtf q JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
-    SELECT doc_id, sum(contrib)::DOUBLE AS bm25, count(*) AS n_terms_hit
-    FROM c GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
-    """,
-    ops=["EXT-tfidf", "EXT-tokens", "G2", "O3", "O4"],
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 over the shared tf base; k1=1.2, b=0.75 (so the length
-    normalizer is 0.25 + 0.75*dl/avgdl — the oracle pre-folds 1-b)."""
-    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
-
-
-# Synthetic-PII injection shared by both engines: 2 of every 3 docs get
-# a deterministic email + phone appended, derived from doc_id.
-_PII_TEXT_SQL = """
-      CASE WHEN doc_id % 3 = 0 THEN text
-           ELSE text || ' reach user' || doc_id::VARCHAR || '@mail'
-                || (doc_id % 7)::VARCHAR || '.example.com or 555-'
-                || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
-                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-      END"""
-
-
-@register(
-    "text_pii_redaction",
-    f"""
-    WITH synth AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
-                              '<EMAIL>', 'g'),
-               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))::BIGINT AS n_phones,
-           length(regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
-                              '<EMAIL>', 'g'),
-               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'))::BIGINT AS redacted_len,
-           md5(regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
-                              '<EMAIL>', 'g'),
-               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g')) AS redacted_md5
-    FROM synth
-    """,
-    ops=["EXT-quality", "F4", "P1"],
-)
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over deterministically PII-injected documents (the raw
-    corpus has none, so the injection IS the fixture; doc_id % 3 == 0
-    rows stay clean to exercise the zero path)."""
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    pii = F.concat(
-        F.col("text"),
-        F.lit(" reach user"), did.cast("string"),
-        F.lit("@mail"), (did % 7).cast("string"),
-        F.lit(".example.com or 555-"),
-        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
-        F.lpad((did % 10000).cast("string"), 4, "0"),
-    )
-    synth = docs.select(
-        did, F.when(did % 3 == 0, F.col("text")).otherwise(pii).alias("text")
-    )
-    return pii_redaction(synth)
-
-
-from openrouter_batch_processor_spark.operators.aggregates import (  # noqa: E402
-    pearson_corr,
-)
-
-
-@register(
-    "events_corr_hour_value",
-    """
-    WITH b AS (SELECT event_type, extract(hour FROM ts)::BIGINT AS x,
-                      value::DOUBLE AS y
-               FROM events),
-    a AS (SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
-                 sum(x::DECIMAL(38,0) * x) AS sxx,
-                 sum(y::DECIMAL(28,10)) AS sy,
-                 sum((y * y)::DECIMAL(38,10)) AS syy,
-                 sum((x * y)::DECIMAL(38,10)) AS sxy
-          FROM b GROUP BY 1)
-    SELECT event_type, n,
-           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                    * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
-                 6) AS corr_x_value
-    FROM a
-    WHERE (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
-      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
-    """,
-    ops=["G2", "EXT-relational", "T1"],
-)
-def q_corr_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pearson_corr(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Product-analytics shapes: ordered funnel + weekly retention cohorts
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.timeseries import (  # noqa: E402
-    funnel_counts,
-    retention_cohorts,
-)
-
-
-@register(
-    "events_funnel",
-    """
-    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                WHERE event_type = 'view' GROUP BY 1),
-    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
-           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
-    c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
-          UNION ALL SELECT 2, 'click', count(*) FROM s2
-          UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-    SELECT stage_idx, stage, n_users,
-           round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6) AS conv_from_prev
-    FROM c
-    """,
-    ops=["G2", "J2", "O1", "EXT-sessions"],
-)
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view -> click -> purchase ordered funnel; each stage must happen
-    strictly after the user's ENTRY (first qualifying event) into the
-    previous stage, not merely after any earlier-stage event."""
-    return funnel_counts(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
-
-
-@register(
-    "events_retention_cohorts",
-    """
-    WITH f AS (SELECT user_id,
-                      floor((epoch(min(ts))
-                             - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT
-                        AS cohort_week
-               FROM events GROUP BY 1),
-    a AS (SELECT DISTINCT user_id,
-                 floor((epoch(ts)
-                        - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 604800)::BIGINT AS week
-          FROM events)
-    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset, count(*) AS n_users
-    FROM a JOIN f USING (user_id)
-    GROUP BY 1, 2
-    """,
-    ops=["G2", "J2", "X1", "EXT-sessions"],
-)
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention triangle over the event log: cohort = first-
-    event week, retained = any event in cohort_week + offset."""
-    return retention_cohorts(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# ANN quality audit: recall@k of the IVF path vs exact brute force
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.similarity import ann_recall  # noqa: E402
-
-
-@register(
-    "sim_ann_recall",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
-    exact AS (
-      SELECT query_id, vec_id FROM (
-        SELECT q.query_id, e.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_dot_product(e.v, q.qv)
-                          / sqrt(list_dot_product(e.v, e.v)
-                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
-                 e.vec_id) AS rn
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
-      WHERE rn <= 5),
-    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
-                  ORDER BY vec_id LIMIT 8),
-    assigned AS (SELECT vec_id, v, centroid_id FROM (
-        SELECT e.vec_id, e.v, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 round(list_dot_product(e.v, e.v)
-                       - 2 * list_dot_product(e.v, c.cvec)
-                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM e CROSS JOIN centroids c) WHERE rn = 1),
-    probe AS (SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 round(list_dot_product(c.cvec, c.cvec)
-                       - 2 * list_dot_product(c.cvec, q.qv)
-                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
-        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
-    approx AS (SELECT query_id, vec_id FROM (
-        SELECT p.query_id, a.vec_id,
-               row_number() OVER (PARTITION BY p.query_id ORDER BY
-                 round(list_dot_product(a.v, q.qv)
-                       / sqrt(list_dot_product(a.v, a.v)
-                              * list_dot_product(q.qv, q.qv)), 6) DESC,
-                 a.vec_id) AS rn
-        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
-        JOIN q ON q.query_id = p.query_id
-        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
-    hits AS (SELECT e.query_id, count(*) AS n_hit
-             FROM exact e JOIN approx x
-               ON x.query_id = e.query_id AND x.vec_id = e.vec_id
-             GROUP BY 1)
-    SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-           round(coalesce(h.n_hit, 0) / 5, 6) AS recall_at_k
-    FROM q LEFT JOIN hits h USING (query_id)
-    """,
-    ops=["EXT-simsearch", "EXT-ivf", "J2", "O3"],
-)
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of IVF(nprobe=2 of 8 cells) vs exact cosine top-5 for a
-    deterministic 1% query sample — the audit that justifies (or
-    indicts) the pruned production path."""
-    return ann_recall(_t(spark, sf_dir, "embeddings"))
-
-
-# ===========================================================================
-# Grouping sets, range-frame windows, stream-static enrichment
-# ===========================================================================
-
-
-@register(
-    "events_grouping_sets",
-    """
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
-           (grouping(event_type) * 2 + grouping(date_trunc('day', ts)))::INTEGER AS gid,
-           count(*) AS n_events,
-           sum(value::DECIMAL(28,10))::DOUBLE AS value_sum
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)),
-                            (event_type, date_trunc('day', ts)), ())
-    """,
-    ops=["G2", "EXT-rollup"],
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (not just the rollup/cube lattices):
-    per-type, per-day, per-(type, day), and grand total in ONE pass.
-    Spark expands the sets into a single Expand + hash aggregate — the
-    input is scanned once and each row fans out to its 4 grouping
-    combinations map-side, which is the scalable form of 4 separate
-    GROUP BYs + UNION (4 scans, 4 shuffles). gid is computed from
-    grouping() bits explicitly — grouping_id()'s bit order is an
-    engine-specific detail we don't depend on."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
-    )
-    grouped = ev.groupingSets(
-        [[F.col("event_type")], [F.col("day_ts")], [F.col("event_type"), F.col("day_ts")], []],
-        F.col("event_type"),
-        F.col("day_ts"),
-    ).agg(
-        (F.grouping("event_type") * 2 + F.grouping("day_ts")).cast("int").alias("gid"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
-    )
-    return grouped.select(
-        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
-        F.coalesce(F.date_format("day_ts", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
-        "gid",
-        "n_events",
-        "value_sum",
-    )
-
-
-@register(
-    "events_rolling_hour",
-    """
-    SELECT event_id, user_id,
-           count(*) OVER w AS n_in_hour,
-           sum(value::DECIMAL(18,6)) OVER w::DOUBLE AS sum_in_hour
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    """,
-    ops=["O1", "O3", "T1", "EXT-windows"],
-)
-def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing-hour activity via a RANGE window frame (value
-    range on event-time seconds, not N rows — the frame an N-rows frame
-    cannot express on irregular streams).
-
-    DECIMAL sums inside the frame: engines implement sliding frames
-    differently (recompute vs segment tree), so double accumulation
-    would differ in addition ORDER; decimal is associative, making the
-    frame sum implementation-independent. One shuffle on user_id; the
-    sort is per-partition."""
-    from pyspark.sql.window import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("n_in_hour"),
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_in_hour"),
-    )
-
-
-@register(
-    "streaming_static_enrich",
-    """
-    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           n.n_name, count(*) AS n_events,
-           round(sum(e.value::DECIMAL(28,10))::DOUBLE, 6) AS value_sum
-    FROM events e JOIN nation n ON n.n_nationkey = (e.user_id % 25)::INTEGER
-    GROUP BY 1, 2
-    """,
-    ops=["T1", "T2", "J2", "G2", "EXT-windows"],
-)
-def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join (file-source events stream x nation dim) +
-    daily windowed rollup, run with Trigger.AvailableNow in complete
-    mode; the batch join+group is the value oracle. See
-    streaming/windows.static_enrich_stream."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        read_events_stream,
-        run_to_memory,
-        static_enrich_stream,
-    )
-
-    stream = static_enrich_stream(
-        read_events_stream(spark, sf_dir), _t(spark, sf_dir, "nation")
-    )
-    run_to_memory(stream, "registry_stream_enrich", output_mode="complete")
-    return spark.table("registry_stream_enrich")
-
-
-# ===========================================================================
-# Prefix-filter similarity join, event-type lift, session path analysis
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import prefix_filter_pairs  # noqa: E402
-from openrouter_batch_processor_spark.operators.windows import session_paths  # noqa: E402
-
-
-@register(
-    "dedup_prefix_filter_pairs",
-    f"""
-    WITH {_SHINGLES_SQL},
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    dfreq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
-    rare AS (SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND 10),
-    postings AS (SELECT p.doc_id, p.shingle FROM sh_set p JOIN rare USING (shingle)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM postings a JOIN postings b ON a.shingle = b.shingle
-             WHERE a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
-    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh_set x ON x.doc_id = c.id_a
-              JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-              GROUP BY 1, 2)
-    SELECT i.id_a, i.id_b,
-           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
-    """,
-    ops=["EXT-jaccard", "EXT-neardup", "J2", "X1"],
-)
-def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic set-similarity join (inverted-index prefix filter
-    on rare shingles + exact Jaccard) — the exact-recall counterpart to
-    the MinHash-LSH candidate path over the same corpus."""
-    return prefix_filter_pairs(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "events_type_lift",
-    """
-    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-    tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
-    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-                     count(*) AS n_ab
-              FROM ut a JOIN ut b
-                ON a.user_id = b.user_id AND a.event_type < b.event_type
-              GROUP BY 1, 2)
-    SELECT p.type_a, p.type_b, p.n_ab,
-           round(p.n_ab::DOUBLE * n.n_users / (ta.n_t::DOUBLE * tb.n_t), 6) AS lift
-    FROM pairs p
-    JOIN tc ta ON ta.event_type = p.type_a
-    JOIN tc tb ON tb.event_type = p.type_b
-    CROSS JOIN n
-    """,
-    ops=["G2", "J2", "X1", "EXT-relational"],
-)
-def q_events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket lift between event types: P(a,b)/(P(a)P(b)) over
-    per-user distinct type sets. The self-join runs on the DISTINCT
-    (user, type) table — bounded by types-per-user^2 rows per user, not
-    events^2; type counts and the user-count scalar broadcast."""
-    ev = _t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
-    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
-    pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
-    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
-    return (
-        pairs.join(F.broadcast(ta), "type_a")
-        .join(F.broadcast(tb), "type_b")
-        .join(F.broadcast(n))
-        .select(
-            "type_a",
-            "type_b",
-            "n_ab",
-            F.round(
-                F.col("n_ab").cast("double") * F.col("n_users")
-                / (F.col("na").cast("double") * F.col("nb")),
-                6,
-            ).alias("lift"),
-        )
-    )
-
-
-@register(
-    "events_session_paths",
-    """
-    WITH flagged AS (
-      SELECT user_id, event_id, event_type, ts, floor(epoch(ts))::BIGINT AS ep,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR floor(epoch(ts))::BIGINT
-                          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    sess AS (
-      SELECT user_id, event_id, event_type, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-      FROM flagged),
-    ranked AS (
-      SELECT user_id, session_id, event_type,
-             row_number() OVER (PARTITION BY user_id, session_id
-                                ORDER BY ts, event_id) AS rn
-      FROM sess),
-    paths AS (
-      SELECT user_id, session_id,
-             string_agg(event_type, '>' ORDER BY rn) AS path
-      FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
-    SELECT path, count(*) AS n_sessions
-    FROM paths GROUP BY path
-    ORDER BY n_sessions DESC, path ASC LIMIT 10
-    """,
-    ops=["T1", "W2", "O3", "O4", "EXT-sessions"],
-)
-def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 session-opening event-type paths (first 3 events per
-    gap-session) — funnel discovery, the inverse of events_funnel's
-    fixed-stage counting."""
-    return session_paths(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Sliding distinct cardinality + referential-integrity data-quality audit
-# ===========================================================================
-
-
-@register(
-    "events_rolling_7d_users",
-    """
-    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
-    offs AS (SELECT unnest(range(7)) AS off),
-    contrib AS (SELECT user_id, day + off::INTEGER AS target_day
-                FROM ud CROSS JOIN offs),
-    days AS (SELECT DISTINCT day FROM ud)
-    SELECT strftime(c.target_day, '%Y-%m-%d') AS day,
-           count(DISTINCT c.user_id) AS users_7d
-    FROM contrib c JOIN days d ON d.day = c.target_day
-    GROUP BY 1
-    """,
-    ops=["G2", "X1", "T1", "EXT-windows", "EXT-sketch"],
-)
-def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per day — the sliding
-    COUNT(DISTINCT) that a RANGE window frame cannot express.
-
-    Shape: dedup to (user, day) FIRST (the only pass over raw events),
-    then each activity day fans out to the <=7 window-end days it
-    contributes to (a 7-row literal explode — narrow), and the distinct
-    count groups by target day. The fan-out bounds work at 7x the
-    deduped (user, day) table regardless of raw event volume — the
-    scalable alternative to re-scanning a 7-day range per day. Days
-    with no activity in the trailing week emit nothing (join against
-    observed days, not a calendar spine)."""
-    ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    contrib = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-        "day",
-    ).select("user_id", F.expr("date_add(day, off)").alias("target_day"))
-    days = ud.select("day").distinct()
-    return (
-        contrib.join(F.broadcast(days), contrib.target_day == days.day)
-        .groupBy("target_day")
-        .agg(F.count_distinct("user_id").alias("users_7d"))
-        .select(F.date_format("target_day", "yyyy-MM-dd").alias("day"), "users_7d")
-    )
-
-
-@register(
-    "audit_distribution_drift",
-    """
-    WITH src AS (
-      SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang),
-    src_tot AS (SELECT source, sum(cnt)::BIGINT AS tot FROM src GROUP BY source),
-    corpus AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
-    corpus_tot AS (SELECT count(*) AS tot FROM documents),
-    grid AS (
-      SELECT st.source, c.lang,
-             coalesce(s.cnt, 0) AS s_cnt, st.tot AS s_tot,
-             c.cnt AS c_cnt, ct.tot AS c_tot
-      FROM src_tot st
-      CROSS JOIN corpus c
-      CROSS JOIN corpus_tot ct
-      LEFT JOIN src s ON s.source = st.source AND s.lang = c.lang),
-    terms AS (
-      SELECT source,
-             round(abs(s_cnt::DOUBLE / s_tot - c_cnt::DOUBLE / c_tot),
-                   12)::DECIMAL(18,12) AS term
-      FROM grid)
-    SELECT source,
-           round((0.5 * sum(term))::DOUBLE, 6) AS tv_distance
-    FROM terms GROUP BY source
-    """,
-    ops=["G2", "J2", "X3", "EXT-quality"],
-)
-def q_audit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift audit: per-source language mix vs the corpus
-    baseline as total-variation distance — the monitoring gate that
-    catches a crawler or pipeline stage silently changing a source's
-    composition. The language domain is the corpus's (sources missing a
-    language contribute its full corpus mass), and the per-language
-    terms are rounded to 12 dp and summed as DECIMAL so the 5-term sum
-    is addition-order-independent — the same portability rule as every
-    money fold. Two tiny aggregates + a dim-sized grid: at 100 TB the
-    per-(source, lang) counts are the only data-sized pass."""
-    docs = _t(spark, sf_dir, "documents")
-    src = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("s_cnt"))
-    src_tot = src.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
-    corpus = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_cnt"))
-    corpus_tot = docs.agg(F.count(F.lit(1)).alias("c_tot"))
-    grid = (
-        src_tot.crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(corpus_tot))
-        .join(src, ["source", "lang"], "left")
-        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(0)))
-    )
-    term = F.round(
-        F.abs(
-            F.col("s_cnt").cast("double") / F.col("s_tot")
-            - F.col("c_cnt").cast("double") / F.col("c_tot")
-        ),
-        12,
-    ).cast("decimal(18,12)")
-    return (
-        grid.select("source", term.alias("term"))
-        .groupBy("source")
-        .agg(F.round((F.lit(0.5) * F.sum("term")).cast("double"), 6).alias("tv_distance"))
-    )
-
-
-@register(
-    "audit_fk_orphans",
-    """
-    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
-    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-    UNION ALL
-    SELECT 'lineitem.l_partkey->part', count(*)
-    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
-    UNION ALL
-    SELECT 'lineitem.l_suppkey->supplier', count(*)
-    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
-    UNION ALL
-    SELECT 'orders.o_custkey->customer', count(*)
-    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-    UNION ALL
-    SELECT 'customer.c_nationkey->nation', count(*)
-    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
-    UNION ALL
-    SELECT 'supplier.s_nationkey->nation', count(*)
-    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
-    UNION ALL
-    SELECT 'nation.n_regionkey->region', count(*)
-    FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
-    """,
-    ops=["J2", "G2", "X3", "P1"],
-)
-def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit across every FK edge of the star
-    schema: orphan counts via LEFT ANTI joins (NOT EXISTS), one row per
-    relationship. The data-quality gate a training pipeline runs before
-    trusting joins — all-zero on healthy data, and each anti join
-    broadcasts when the parent is dim-sized. Child-side scans prune to
-    the FK column only (count needs nothing else)."""
-    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
-
-    def orphans(child: DataFrame, key, parent: DataFrame, pkey, label: str, bcast: bool):
-        par = parent.select(pkey)
-        if bcast:
-            par = F.broadcast(par)
-        return (
-            child.select(key)
-            .join(par, F.col(key) == F.col(pkey), "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-            .select(F.lit(label).alias("fk"), "n_orphans")
-        )
-
-    li, o, c, s, n, r, p = (t("lineitem"), t("orders"), t("customer"),
-                            t("supplier"), t("nation"), t("region"), t("part"))
-    parts = [
-        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders", False),
-        orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part", True),
-        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier", True),
-        orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer", True),
-        orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation", True),
-        orphans(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation", True),
-        orphans(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region", True),
-    ]
-    out = parts[0]
-    for q in parts[1:]:
-        out = out.unionByName(q)
-    return out
-
-
-# ===========================================================================
-# Weighted priority sampling + dimension-wise embedding statistics
-# ===========================================================================
-
-
-@register(
-    "sample_weighted_priority",
-    """
-    WITH h AS (
-      SELECT doc_id, n_chars,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS hv
-      FROM documents WHERE n_chars > 0),
-    keyed AS (
-      SELECT doc_id, n_chars,
-             n_chars::DOUBLE / ((hv + 1)::DOUBLE / 4503599627370496.0) AS priority
-      FROM h)
-    SELECT doc_id, n_chars, round(priority, 6) AS priority
-    FROM keyed
-    ORDER BY priority DESC, doc_id ASC
-    LIMIT 50
-    """,
-    ops=["EXT-sampling", "O3", "F4"],
-)
-def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement via priority sampling
-    (Duffield-Lund-Thorup): priority = weight / u with u a md5-derived
-    uniform in (0,1], take the top-k priorities. Longer documents are
-    proportionally more likely to be drawn — the quality/length-weighted
-    corpus subsampling step of a training pipeline, but DETERMINISTIC:
-    u comes from a hash, not an RNG, so the sample is reproducible
-    across runs, engines, and partitionings (md5 -> 52-bit dyadic
-    rational -> one IEEE division; no pow/ln whose last-ulp behavior
-    differs between libm implementations).
-
-    Map-only scoring + TakeOrdered top-k: no shuffle before the k-row
-    heap merge. At 100 TB, k-per-stratum variants reuse the same key
-    with a per-group window."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-        "long"
-    )
-    u = (hv + 1).cast("double") / F.lit(4503599627370496.0)
-    priority = F.col("n_chars").cast("double") / u
-    return (
-        docs.select("doc_id", "n_chars", F.round(priority, 6).alias("priority"))
-        .orderBy(F.desc("priority"), F.asc("doc_id"))
-        .limit(50)
-    )
-
-
-@register(
-    "sample_train_val_test_split",
-    """
-    WITH assigned AS (
-      SELECT lang,
-             CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
-                    THEN 'train'
-                  WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
-                    THEN 'val'
-                  ELSE 'test' END AS split,
-             n_chars
-      FROM documents)
-    SELECT lang, split,
-           count(*) AS n_docs,
-           sum(n_chars)::BIGINT AS n_chars_sum
-    FROM assigned GROUP BY lang, split
-    """,
-    ops=["P1", "G2", "F4", "EXT-sampling"],
-)
-def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test split: assignment is a salted
-    hash gate on the document id — reproducible on any engine, any
-    partitioning, any run, and STABLE under corpus growth (a document
-    never migrates between splits when new ones arrive; a rand() or
-    row_number split would reshuffle everything). Per-(lang, split)
-    accounting verifies the stratification proportions. The salt keeps
-    this gate independent of any other hash-sampled subset of the same
-    ids (unsalted gates correlate: doc_id % 100 < 20 and < 90 are
-    nested, not independent)."""
-    docs = _t(spark, sf_dir, "documents")
-    gate = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(gate < 90, F.lit("train")).when(gate < 95, F.lit("val")).otherwise(F.lit("test"))
-    )
-    return (
-        docs.select("lang", split.alias("split"), "n_chars")
-        .groupBy("lang", "split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_chars").cast("long")).alias("n_chars_sum"),
-        )
-    )
-
-
-@register(
-    "emb_dim_stats",
-    """
-    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
-    d AS (SELECT e.vec_id, o.dim,
-                 (e.embedding::DOUBLE[])[o.dim + 1] AS val
-          FROM embeddings e CROSS JOIN offs o),
-    m AS (SELECT dim, count(*) AS n,
-                 sum(val::DECIMAL(28,10)) AS sx,
-                 sum((val * val)::DECIMAL(38,10)) AS sxx,
-                 min(val) AS min_val, max(val) AS max_val
-          FROM d GROUP BY dim)
-    SELECT dim, n,
-           round(sx::DOUBLE / n, 6) AS mean_val,
-           round(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                      / (n::DOUBLE * (n::DOUBLE - 1))), 6) AS std_val,
-           round(min_val, 6) AS min_val,
-           round(max_val, 6) AS max_val
-    FROM m
-    """,
-    ops=["G2", "EXT-simsearch", "EXT-quality"],
-)
-def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension mean/std/min/max over the embedding column — the
-    feature-scaling statistics pass (and the drift monitor) for vector
-    corpora. posexplode fans each vector into (dim, value) rows
-    map-side; the aggregate carries exact decimal moments, so the
-    64-row result is partition-count-invariant. The shuffle moves one
-    pre-combined row per (partition, dim) — 64 groups regardless of
-    corpus size. Standardizing vectors afterwards is a broadcast of
-    these 64 rows back onto a map-only pass."""
-    emb = _t(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "fval")
-    ).select("dim", F.col("fval").cast("double").alias("val"))
-    agg = d.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("decimal(28,10)")).alias("sx"),
-        F.sum((F.col("val") * F.col("val")).cast("decimal(38,10)")).alias("sxx"),
-        F.min("val").alias("mn"),
-        F.max("val").alias("mx"),
-    )
-    dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    std = F.sqrt(
-        (dd("n") * dd("sxx") - dd("sx") * dd("sx")) / (dd("n") * (dd("n") - 1))
-    )
-    return agg.select(
-        "dim",
-        "n",
-        F.round(dd("sx") / dd("n"), 6).alias("mean_val"),
-        F.round(std, 6).alias("std_val"),
-        F.round(F.col("mn"), 6).alias("min_val"),
-        F.round(F.col("mx"), 6).alias("max_val"),
-    )
-
-
-# ===========================================================================
-# TPC-H Q12 shape + single-pass table profiler
-# ===========================================================================
-
-
-@register(
-    "q12_shipping_delay",
-    """
-    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 'high' ELSE 'low' END AS prio_class,
-           sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                    THEN 1 ELSE 0 END)::BIGINT AS late_lines,
-           count(*) AS n_lines,
-           round(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS late_ratio
-    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    GROUP BY 1
-    """,
-    ops=["J1", "G2", "F11", "EXT-relational"],
-)
-def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (shipmode recast as priority class, commitdate
-    recast as a 90-day ship SLA): late-shipment rate per urgency class.
-    One fact-fact shuffle join on orderkey, conditional counts folded
-    into a single partial-aggregating pass — the two-branch CASE never
-    re-scans, and the final group count is 2 rows."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    late = F.when(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
-    ).otherwise(0)
-    cls = F.when(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
-    ).otherwise("low")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(cls.alias("prio_class"))
-        .agg(
-            F.sum(late).cast("long").alias("late_lines"),
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias("late_ratio"),
-        )
-    )
-
-
-@register(
-    "audit_table_profile",
-    """
-    SELECT 'event_id' AS col, count(*) - count(event_id) AS n_null,
-           count(DISTINCT event_id) AS n_distinct,
-           min(event_id)::VARCHAR AS min_str, max(event_id)::VARCHAR AS max_str
-    FROM events
-    UNION ALL
-    SELECT 'ts', count(*) - count(ts), count(DISTINCT ts),
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S')
-    FROM events
-    UNION ALL
-    SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
-           min(user_id)::VARCHAR, max(user_id)::VARCHAR
-    FROM events
-    UNION ALL
-    SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type),
-           min(event_type), max(event_type)
-    FROM events
-    UNION ALL
-    SELECT 'value', count(*) - count(value), count(DISTINCT value),
-           printf('%.6f', min(value)), printf('%.6f', max(value))
-    FROM events
-    """,
-    ops=["G2", "X3", "P1", "S8"],
-)
-def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-profiling audit over the events table: null count, exact
-    distinct cardinality, and min/max rendered per column — the
-    pre-flight data-quality report. Spark computes ALL columns' metrics
-    in ONE scan + one aggregate row, then unpivots with stack() (the
-    oracle's UNION-of-scans restates semantics, not the plan: 5 scans
-    there vs 1 here — at 100 TB that difference is the operator).
-    Doubles render via printf so both engines format identically."""
-    ev = _t(spark, sf_dir, "events")
-    one = ev.agg(
-        (F.count(F.lit(1)) - F.count("event_id")).alias("n0"),
-        F.count_distinct("event_id").alias("d0"),
-        F.min("event_id").cast("string").alias("mn0"),
-        F.max("event_id").cast("string").alias("mx0"),
-        (F.count(F.lit(1)) - F.count("ts")).alias("n1"),
-        F.count_distinct("ts").alias("d1"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("mn1"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("mx1"),
-        (F.count(F.lit(1)) - F.count("user_id")).alias("n2"),
-        F.count_distinct("user_id").alias("d2"),
-        F.min("user_id").cast("string").alias("mn2"),
-        F.max("user_id").cast("string").alias("mx2"),
-        (F.count(F.lit(1)) - F.count("event_type")).alias("n3"),
-        F.count_distinct("event_type").alias("d3"),
-        F.min("event_type").alias("mn3"),
-        F.max("event_type").alias("mx3"),
-        (F.count(F.lit(1)) - F.count("value")).alias("n4"),
-        F.count_distinct("value").alias("d4"),
-        F.format_string("%.6f", F.min("value")).alias("mn4"),
-        F.format_string("%.6f", F.max("value")).alias("mx4"),
-    )
-    return one.selectExpr(
-        "stack(5, "
-        "'event_id', n0, d0, mn0, mx0, "
-        "'ts', n1, d1, mn1, mx1, "
-        "'user_id', n2, d2, mn2, mx2, "
-        "'event_type', n3, d3, mn3, mx3, "
-        "'value', n4, d4, mn4, mx4) AS (col, n_null, n_distinct, min_str, max_str)"
-    )
-
-
-# ===========================================================================
-# Fuzzy entity matching, time-weighted averages, TPC-H Q20 shape
-# ===========================================================================
-
-
-@register(
-    "fuzzy_match_parts",
-    """
-    WITH clean AS (SELECT p_partkey, p_name FROM part),
-    dirty AS (
-      SELECT p_partkey AS dirty_id,
-             substr(p_name, 1, (p_partkey % 4 + 4)::INTEGER)
-             || substr(p_name, (p_partkey % 4 + 6)::INTEGER) AS dirty_name
-      FROM part WHERE length(p_name) > (p_partkey % 4 + 5)::INTEGER),
-    cand AS (
-      SELECT d.dirty_id, d.dirty_name, c.p_partkey, c.p_name,
-             levenshtein(d.dirty_name, c.p_name) AS dist
-      FROM dirty d JOIN clean c
-        ON substr(d.dirty_name, 1, 3) = substr(c.p_name, 1, 3)
-      WHERE levenshtein(d.dirty_name, c.p_name) <= 2)
-    SELECT dirty_id, dirty_name,
-           min(dist) AS best_dist,
-           min(CASE WHEN dist = best THEN p_partkey END) AS match_partkey,
-           count(*) AS n_candidates
-    FROM (SELECT *, min(dist) OVER (PARTITION BY dirty_id) AS best FROM cand)
-    GROUP BY 1, 2
-    """,
-    ops=["J2", "G2", "F6", "EXT-neardup"],
-)
-def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by blocking + edit distance: a deterministically
-    corrupted catalog (one char deleted past the prefix, keyed on
-    partkey) re-matched to the clean catalog (corruptions inside the
-    block key are unmatchable, which is blocking's documented recall
-    trade-off). Levenshtein is integer-valued, so cross-engine parity
-    is exact; best match = min distance with min-key tiebreak.
-
-    Scale plan (r01 had 42.8 s here — skewed 3-char-prefix blocks times
-    unthresholded levenshtein is quadratic in block size). Three
-    answer-preserving prunes:
-    1. Block key is (prefix3, length-bucket), not prefix alone: edit
-       distance >= |length difference|, so any dist<=2 pair has
-       |len(d)-len(c)| <= 2; with bucket width 3, the clean bucket is
-       within +-1 of the dirty bucket — the dirty side explodes to its
-       3 adjacent buckets (3x rows, but block sizes shrink ~10x and
-       grow sublinearly with data, so pair counts stop detonating).
-    2. |length(d) - length(c)| <= 2 as a join predicate — applied at
-       match time, before any levenshtein evaluation.
-    3. Thresholded levenshtein(d, c, 2): O(len * 2) banded DP with
-       early exit (returns -1 past the bound) instead of O(len^2).
-    Each pair still joins exactly once (the 3 exploded buckets are
-    distinct), so n_candidates is unchanged."""
-    part = _t(spark, sf_dir, "part")
-    k = (F.col("p_partkey") % 4 + 4).cast("int")
-    dirty = part.filter(F.length("p_name") > k + 1).select(
-        F.col("p_partkey").alias("dirty_id"),
-        F.concat(
-            F.substring(F.col("p_name"), F.lit(1), k),
-            F.col("p_name").substr(k + 2, F.length("p_name")),
-        ).alias("dirty_name"),
-    )
-    bucket_w = 3
-    d_len = F.length("dirty_name")
-    d_bucket = (d_len / bucket_w).cast("int")
-    # part is one parquet file -> one input split; without an explicit
-    # round-robin repartition the whole pair-generation + levenshtein
-    # stage runs in a single task after the broadcast join. (At cluster
-    # scale the scan has many splits and this is a no-op cost-wise.)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    dirty_b = dirty.repartition(n_part).withColumn("_ld", d_len).withColumn(
-        "_b", F.explode(F.array(d_bucket - 1, d_bucket, d_bucket + 1))
-    ).withColumn("_pfx", F.substring("dirty_name", 1, 3))
-    clean_b = part.select(
-        "p_partkey",
-        "p_name",
-        F.length("p_name").alias("_lc"),
-        (F.length("p_name") / bucket_w).cast("int").alias("_b"),
-        F.substring("p_name", 1, 3).alias("_pfx"),
-    )
-    # No filter(dist >= 0) before the agg: Catalyst would inline the
-    # levenshtein into both the filter predicate and the projection,
-    # evaluating it twice per pair. Instead dist flows unfiltered into
-    # conditional aggregates (partial agg combines map-side, so the -1
-    # rows never reach the shuffle), and empty groups drop at the end.
-    # The r01 window-then-groupBy is also gone: the window partition key
-    # equaled the group key, so argmin is just a struct-min.
-    pairs = (
-        dirty_b.join(clean_b, ["_pfx", "_b"])
-        .filter(F.abs(F.col("_ld") - F.col("_lc")) <= 2)
-        .select(
-            "dirty_id",
-            "dirty_name",
-            "p_partkey",
-            F.levenshtein("dirty_name", "p_name", 2).alias("dist"),
-        )
-    )
-    hit = F.col("dist") >= 0
-    return (
-        pairs.groupBy("dirty_id", "dirty_name")
-        .agg(
-            F.min(F.when(hit, F.col("dist"))).cast("long").alias("best_dist"),
-            F.min(F.when(hit, F.struct("dist", "p_partkey")))["p_partkey"].alias(
-                "match_partkey"
-            ),
-            F.count(F.when(hit, 1)).alias("n_candidates"),
-        )
-        .filter(F.col("best_dist").isNotNull())
-    )
-
-
-@register(
-    "events_time_weighted_avg",
-    """
-    WITH t AS (SELECT user_id, value, floor(epoch(ts))::BIGINT AS ep,
-                      lead(floor(epoch(ts))::BIGINT)
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-               FROM events)
-    SELECT user_id, count(*) AS n_intervals,
-           sum(nxt - ep)::BIGINT AS total_sec,
-           round(sum((value * (nxt - ep))::DECIMAL(38,10))::DOUBLE
-                 / sum(nxt - ep), 6) AS twa_value
-    FROM t WHERE nxt IS NOT NULL
-    GROUP BY user_id
-    """,
-    ops=["O1", "G2", "T1", "EXT-windows"],
-)
-def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-weighted average value: each reading holds until
-    the next one, so it weighs by its holding duration (the correct
-    average for irregularly-sampled gauges; the unweighted mean
-    over-counts bursts). lead() gives the interval, decimal value x
-    integer-seconds products make the reduction exact. One user_id
-    shuffle shared by the window and the aggregate."""
-    from pyspark.sql.window import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ep = F.unix_timestamp("ts")
-    t = ev.select(
-        "user_id",
-        "value",
-        ep.alias("ep"),
-        F.lead(ep).over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    dt = F.col("nxt") - F.col("ep")
-    return t.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.sum(dt).cast("long").alias("total_sec"),
-        F.round(
-            F.sum((F.col("value") * dt).cast("decimal(38,10)")).cast("double")
-            / F.sum(dt),
-            6,
-        ).alias("twa_value"),
-    )
-
-
-@register(
-    "q20_excess_suppliers",
-    """
-    WITH sp AS (
-      SELECT l_suppkey, l_partkey, sum(l_quantity::DECIMAL(18,4)) AS qty
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_type = 'PROMO'
-      GROUP BY 1, 2),
-    excess AS (SELECT DISTINCT l_suppkey FROM sp
-               WHERE qty > 100::DECIMAL(18,4))
-    SELECT s.s_suppkey, s.s_name, n.n_name
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE EXISTS (SELECT 1 FROM excess e WHERE e.l_suppkey = s.s_suppkey)
-    """,
-    ops=["J2", "J3", "G2", "G6", "EXT-relational"],
-)
-def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (availqty proxied by shipped quantity): suppliers
-    who moved more than a threshold of any PROMO part — nested
-    aggregate -> DISTINCT supplier set -> semi join into the supplier
-    dim. The part filter broadcasts into the lineitem scan's join; the
-    (supp, part) aggregate is the only big shuffle; the excess set is
-    tiny and broadcasts as a LeftSemi."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    sp = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
-    )
-    excess = (
-        sp.filter(F.col("qty") > F.lit(100).cast("decimal(18,4)"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    return (
-        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select("s_suppkey", "s_name", "n_name")
-    )
-
-
-# ===========================================================================
-# User growth accounting: daily new / returning / cumulative
-# ===========================================================================
-
-
-@register(
-    "events_user_growth",
-    """
-    WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
-    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
-    daily AS (
-      SELECT u.day,
-             count(*) AS active_users,
-             sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)::BIGINT AS new_users
-      FROM ud u JOIN f USING (user_id)
-      GROUP BY u.day)
-    SELECT strftime(day, '%Y-%m-%d') AS day, active_users, new_users,
-           (active_users - new_users)::BIGINT AS returning_users,
-           sum(new_users) OVER (ORDER BY day
-                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
-    FROM daily
-    """,
-    ops=["G2", "J2", "O1", "X1", "EXT-sessions"],
-)
-def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily audience accounting: active, new (first-ever day),
-    returning, and the cumulative user count — the growth dashboard
-    spine. The raw stream is touched once (dedup to (user, day)); the
-    first-day table joins back on user_id reusing that partitioning;
-    the running total windows over the ~days-sized daily table, so the
-    global ordered window is bounded by the calendar, not the corpus."""
-    from pyspark.sql.window import Window
-
-    ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    daily = (
-        ud.join(f, "user_id")
-        .groupBy("day")
-        .agg(
-            F.count(F.lit(1)).alias("active_users"),
-            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
-            .cast("long")
-            .alias("new_users"),
-        )
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "active_users",
-        "new_users",
-        (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
-        F.sum("new_users").over(w).cast("long").alias("cum_users"),
-    )
-
-
-# ===========================================================================
-# PageRank-lite over the near-duplicate graph (iterative numeric op)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import pagerank_lite  # noqa: E402
-
-
-@register(
-    "graph_pagerank_lite",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-    r0 AS (SELECT src AS node, 1.0::DOUBLE AS r FROM deg),
-    r1 AS (SELECT e.dst AS node,
-                  round(0.15::DOUBLE + 0.85::DOUBLE
-                        * sum(((r0.r / d.deg))::DECIMAL(28,12))::DOUBLE, 12) AS r
-           FROM edges e JOIN deg d ON d.src = e.src JOIN r0 ON r0.node = e.src
-           GROUP BY e.dst),
-    r2 AS (SELECT e.dst AS node,
-                  round(0.15::DOUBLE + 0.85::DOUBLE
-                        * sum(((r1.r / d.deg))::DECIMAL(28,12))::DOUBLE, 12) AS r
-           FROM edges e JOIN deg d ON d.src = e.src JOIN r1 ON r1.node = e.src
-           GROUP BY e.dst)
-    SELECT node AS doc_id, round(r, 6) AS pagerank FROM r2
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
-)
-def q_graph_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two power iterations of unnormalized PageRank over the LSH
-    candidate graph — ranks the canonical representative inside each
-    near-duplicate neighborhood. See operators/dedup.pagerank_lite for
-    the determinism contract (per-edge double contribs -> 12-dp round
-    -> decimal sum)."""
-    return pagerank_lite(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# TPC-H Q21 shape: suppliers who kept orders waiting
-# ===========================================================================
-
-
-@register(
-    "q21_waiting_suppliers",
-    """
-    WITH lo AS (
-      SELECT l.l_orderkey, l.l_suppkey,
-             max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                      THEN 1 ELSE 0 END) AS late
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-      GROUP BY 1, 2)
-    SELECT s.s_name, n.n_name, count(*) AS numwait
-    FROM lo l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE l1.late = 1
-      AND EXISTS (SELECT 1 FROM lo l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lo l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.late = 1)
-    GROUP BY 1, 2
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 20
-    """,
-    ops=["J1", "J2", "G2", "W1", "EXT-relational"],
-)
-def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (commitdate recast as the 90-day ship SLA, all
-    nations kept): in finished multi-supplier orders, the supplier who
-    was the ONLY late one — ranked by how many orders they held up.
-
-    The classic formulation is two correlated self-[anti]joins (EXISTS
-    another supplier / NOT EXISTS another LATE supplier); that is two
-    extra shuffles of the fact table. Here both existence tests
-    collapse into one window over the per-(order, supplier) rollup:
-    count(*) and sum(late) over l_orderkey give "has a co-supplier"
-    (n_supp > 1) and "no other late one" (n_late = 1 and me late) for
-    free — the rollup's (orderkey, suppkey) shuffle then one orderkey
-    window, vs three orderkey-sized shuffles for the textbook plan.
-    The oracle keeps the EXISTS/NOT-EXISTS text to prove equivalence.
-    Top-20 is TakeOrderedAndProject on the (numwait, s_name) total
-    order, so the limit is deterministic under ties in both engines."""
-    from pyspark.sql.window import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    lo = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
-                ).otherwise(0)
-            ).alias("late")
-        )
-    )
-    w = Window.partitionBy("l_orderkey")
-    waiting = (
-        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn("n_late", F.sum("late").over(w))
-        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-    )
-    return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy("s_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
-        .limit(20)
-    )
-
-
-# ===========================================================================
-# Triangle participation over the near-duplicate graph
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import (  # noqa: E402
-    triangle_participation,
-)
-
-
-@register(
-    "graph_triangles",
-    f"""
-    WITH {_SHINGLES_SQL},
-    e AS (
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    tri AS (
-      SELECT e1.a, e1.b, e2.b AS c
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.b
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-    tri_nodes AS (SELECT a AS node FROM tri
-          UNION ALL SELECT b FROM tri
-          UNION ALL SELECT c FROM tri)
-    SELECT node AS doc_id, count(*) AS n_triangles FROM tri_nodes GROUP BY 1
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
-)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc triangle counts over the LSH candidate graph (dense
-    duplicate cliques vs similarity chains). See
-    operators/dedup.triangle_participation for the oriented-wedge
-    enumeration and its skew bound."""
-    return triangle_participation(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# HLL distinct sketch (mergeable O(1) registers, engine-reproducible)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.sketches import (  # noqa: E402
-    hll_distinct,
-)
-
-
-@register(
-    "sketch_hll_distinct",
-    """
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
-      FROM events),
-    b AS (SELECT event_type, hv >> 26 AS bucket,
-                 CASE WHEN (hv & 67108863) = 0 THEN 27
-                      ELSE 27 - length(bin(hv & 67108863)) END AS rho
-          FROM h),
-    r AS (SELECT event_type, bucket, max(rho) AS m, count(*) AS nh
-          FROM b GROUP BY 1, 2),
-    g AS (SELECT event_type, count(*) AS n_buckets,
-                 sum((1.0::DOUBLE / (1::BIGINT << m))::DECIMAL(38,32)) AS s,
-                 sum(nh) AS exact_distinct
-          FROM r GROUP BY 1)
-    SELECT event_type, n_buckets, exact_distinct::BIGINT AS exact_distinct,
-           round(2903.04 / ((64 - n_buckets)::DECIMAL(38,32) + s)::DOUBLE, 6) AS hll_est
-    FROM g
-    """,
-    ops=["EXT-sketch", "G2", "X2"],
-)
-def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type HyperLogLog distinct-user estimate next to the
-    exact count — the O(1)-state mergeable counterpart to the KMV
-    sketch. See operators/sketches.hll_distinct for the cross-engine
-    determinism contract (bin()-derived ranks, DECIMAL register sum,
-    one IEEE division)."""
-    ev = _t(spark, sf_dir, "events")
-    return hll_distinct(ev.select("event_type", "user_id"), ["event_type"], "user_id")
-
-
-# ===========================================================================
-# Containment / overlap-coefficient near-dup (asymmetric Jaccard)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.dedup import containment_pairs  # noqa: E402
-
-
-@register(
-    "dedup_containment",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh_set x ON x.doc_id = c.id_a
-      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-      GROUP BY c.id_a, c.id_b)
-    SELECT i.id_a, i.id_b,
-           round(n_inter / sa.n_sh, 6) AS cont_a,
-           round(n_inter / sb.n_sh, 6) AS cont_b,
-           round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS overlap
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE round(n_inter / least(sa.n_sh, sb.n_sh), 6) >= 0.5
-    """,
-    ops=["EXT-jaccard", "EXT-minhash", "EXT-dedup-policy", "J2"],
-)
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment + overlap coefficient over LSH candidate
-    pairs — the doc-inside-doc dedup signal Jaccard underweights. See
-    operators/dedup.containment_pairs."""
-    return containment_pairs(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# Daily peak session concurrency (interval sweep, distributed prefix sum)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.windows import peak_concurrency  # noqa: E402
-
-
-@register(
-    "events_peak_concurrency",
-    """
-    WITH flagged AS (
-      SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    sess AS (
-      SELECT user_id, ep,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged),
-    spans AS (SELECT user_id, session_id, min(ep) AS s_ep, max(ep) AS e_ep
-              FROM sess GROUP BY 1, 2),
-    bounds AS (
-      SELECT s_ep AS ep, 1 AS delta, user_id, session_id FROM spans
-      UNION ALL
-      SELECT e_ep, -1, user_id, session_id FROM spans),
-    swept AS (
-      SELECT ep, sum(delta) OVER (ORDER BY ep, -delta, user_id, session_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-      FROM bounds)
-    SELECT strftime(DATE '1970-01-01' + (ep // 86400)::INT, '%Y-%m-%d') AS day,
-           max(conc)::BIGINT AS peak_concurrency
-    FROM swept GROUP BY 1
-    """,
-    ops=["EXT-sessions", "EXT-rangejoin", "W1", "O1", "G2"],
-)
-def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily peak concurrent sessions via the +1/-1 boundary sweep with
-    a two-phase distributed prefix sum (no single-task global window).
-    See operators/windows.peak_concurrency; the oracle restates the
-    sweep as one ordered window over the boundary list."""
-    return peak_concurrency(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Linear multi-touch attribution (conversion value split over touches)
-# ===========================================================================
-
-from openrouter_batch_processor_spark.operators.timeseries import linear_attribution  # noqa: E402
-
-
-@register(
-    "events_attribution",
-    """
-    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
-               FROM events WHERE event_type = 'purchase'),
-    t AS (SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
-          FROM events WHERE event_type IN ('click', 'view', 'signup')),
-    j AS (SELECT p.pid, p.value, t.tid, t.channel
-          FROM p LEFT JOIN t ON t.user_id = p.user_id
-                            AND t.tts < p.pts
-                            AND t.tts >= p.pts - INTERVAL 24 HOURS),
-    n AS (SELECT pid, count(tid) AS n_touch FROM j GROUP BY pid),
-    shares AS (SELECT j.pid, coalesce(j.channel, '(direct)') AS channel,
-                      round(CASE WHEN n.n_touch = 0 THEN j.value
-                                 ELSE j.value / n.n_touch END, 12)::DECIMAL(28,12) AS share
-               FROM j JOIN n USING (pid))
-    SELECT channel, count(*) AS n_attributions, count(DISTINCT pid) AS n_purchases,
-           round(sum(share)::DOUBLE, 6) AS attributed_value
-    FROM shares GROUP BY channel
-    """,
-    ops=["EXT-sessions", "EXT-rangejoin", "J2", "G2"],
-)
-def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution: purchase value split equally
-    over the user's click/view/signup touches in the trailing 24 h
-    (strictly before the purchase); orphan purchases go to '(direct)'.
-    See operators/timeseries.linear_attribution for the join shape and
-    the decimal-sum determinism contract."""
-    return linear_attribution(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Round-4 curation v2: SemDeDup, DSIR importance weights, bigram-LM
-# perplexity — the published training-data curation methods layered on
-# the existing ivf/tf machinery (each operator's docstring cites its
-# paper and argues the 100 TB shape).
-# ===========================================================================
-
-
-@register(
-    "dedup_semdedup",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 8),
-    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=1)}),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e),
-    removed AS (SELECT DISTINCT b.vec_id
-                FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
-                                     AND a.vec_id < b.vec_id
-                JOIN u ua ON ua.vec_id = a.vec_id
-                JOIN u ub ON ub.vec_id = b.vec_id
-                WHERE round(list_dot_product(ua.unit, ub.unit), 6) >= 0.5)
-    SELECT g.centroid_id, count(*)::BIGINT AS n_vectors,
-           count(r.vec_id)::BIGINT AS n_removed,
-           (count(*) - count(r.vec_id))::BIGINT AS n_kept,
-           round(count(r.vec_id) / count(*)::DOUBLE, 6) AS removed_frac
-    FROM asg g LEFT JOIN removed r ON r.vec_id = g.vec_id
-    GROUP BY 1
-    """,
-    ops=["EXT-neardup", "EXT-ivf", "EXT-dedup-policy", "G2"],
-)
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup per-cluster prune report (τ=0.5, 8 cells): semantic
-    dedup = cluster embeddings, drop within-cluster vectors cosine-≥τ
-    to a lower-id member. operators/similarity.semdedup_report has the
-    paper citation and the C-independent-cells scale argument."""
-    from openrouter_batch_processor_spark.operators.similarity import semdedup_report
-
-    return semdedup_report(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5, n_centroids=8
-    )
-
-
-# Shared DSIR oracle fragment: ends in the CTE `dsirw(doc_id, lang,
-# n_tokens, log_weight)` — text_dsir_weights reads it out verbatim,
-# curation_dsir_select resamples from it.
-_DSIR_LW_SQL = f"""
-    toks AS (SELECT doc_id, lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
-             FROM documents),
-    tk AS (SELECT doc_id, lang,
-                  ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS bucket
-           FROM toks WHERE term != ''),
-    cb AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
-    tb AS (SELECT bucket, count(*)::BIGINT AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
-    tot AS (SELECT (SELECT sum(cb) FROM cb)::DOUBLE AS tc,
-                   (SELECT coalesce(sum(ct), 0) FROM tb)::DOUBLE AS tt),
-    lr AS (SELECT c.bucket,
-                  round(ln((coalesce(t.ct, 0) + 1) / (tot.tt + 512))
-                        - ln((c.cb + 1) / (tot.tc + 512)), 6) AS lr
-           FROM cb c LEFT JOIN tb t USING (bucket) CROSS JOIN tot),
-    dfb AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-    sc AS (SELECT d.doc_id, d.tf, round(d.tf * l.lr, 6)::DECIMAL(18,6) AS contrib
-           FROM dfb d JOIN lr l USING (bucket)),
-    dsirw AS (SELECT s.doc_id, any_value(dd.lang) AS lang,
-                     sum(s.tf)::BIGINT AS n_tokens,
-                     round(sum(s.contrib)::DOUBLE, 6) AS log_weight
-              FROM sc s JOIN documents dd ON dd.doc_id = s.doc_id
-              GROUP BY s.doc_id)
-"""
-
-
-@register(
-    "text_dsir_weights",
-    f"""
-    WITH {_DSIR_LW_SQL}
-    SELECT doc_id, lang, n_tokens, log_weight FROM dsirw
-    """,
-    ops=["EXT-quality", "EXT-tokens", "EXT-sampling", "G2"],
-)
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR hashed-unigram importance log-weights against the lang='en'
-    target slice (512 buckets, add-one smoothing). High log_weight =
-    target-like; feeds importance resampling (the weighted-sample step
-    sample_weighted_priority already certifies). See
-    operators/textanalysis.dsir_logweights for the broadcast-lookup
-    scale shape."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        dsir_logweights,
-    )
-
-    return dsir_logweights(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_bigram_perplexity",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    bg AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
-           FROM tk WHERE len(toks) >= 2),
-    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bg GROUP BY 1, 2),
-    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
-    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
-    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
-    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
-    sc AS (SELECT f.doc_id, f.bf,
-                  round(-ln((c.c12 + 0.5) / (t.c1 + 0.5 * v.vsz)), 6) AS nb
-           FROM bf f JOIN c12 c USING (bigram)
-           JOIN ctf t ON t.term = string_split(f.bigram, ' ')[1]
-           CROSS JOIN v),
-    agg AS (SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
-                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
-                     // sum(bf)::BIGINT AS sm7
-            FROM sc GROUP BY 1)
-    SELECT doc_id, n_bigrams,
-           sm7 / 10000000.0 AS avg_nll,
-           round(exp(sm7 / 10000000.0), 6) AS ppl
-    FROM agg
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2"],
-)
-def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc bigram-LM perplexity (add-k smoothing, corpus-fit) — the
-    CCNet-style LM quality filter beside the unigram proxy
-    (text_unigram_nll). operators/textanalysis.bigram_nll cites the
-    paper and the vocab-vs-corpus join scale shape; the per-doc score
-    table is session-staged (staged_bigram_nll) and shared with the
-    CCNet bucketing and the FineWeb gate."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        staged_bigram_nll,
-    )
-
-    return staged_bigram_nll(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_quality_auc",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT q.quality_score AS s,
-                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM q JOIN documents d USING (doc_id)),
-    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
-    w AS (SELECT s, c, p,
-                 coalesce(sum(c) OVER (ORDER BY s
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                          0)::BIGINT AS cum
-          FROM g),
-    a AS (SELECT sum(p * (2 * cum + c + 1))::BIGINT AS s2,
-                 sum(p)::BIGINT AS n_pos, sum(c)::BIGINT AS n
-          FROM w)
-    SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
-           (((s2::HUGEINT - n_pos::HUGEINT * (n_pos + 1)) * 10000000)
-              // nullif(2 * n_pos::HUGEINT * (n - n_pos), 0)) / 10000000.0 AS auc
-    FROM a
-    """,
-    ops=["EXT-quality", "G2", "W2", "O3"],
-)
-def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact AUC of quality_score predicting lang='en' via the
-    Mann-Whitney rank-sum identity with tie-averaged ranks — the audit
-    a classifier-based quality gate (FineWeb-Edu style) is judged by
-    (operators/textanalysis.quality_auc: distinct-score groupBy + one
-    dimension-bounded cumulative window)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import quality_auc
-
-    return quality_auc(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_zipf_fit",
-    f"""
-    WITH tf AS (SELECT u.term, count(*)::BIGINT AS c
-                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != '' GROUP BY 1 HAVING count(*) >= 2),
-    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM tf),
-    m AS (SELECT round(ln(r::DOUBLE), 6)::DECIMAL(18,6) AS x,
-                 round(ln(c::DOUBLE), 6)::DECIMAL(18,6) AS y
-          FROM rk),
-    a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
-                 sum((x * y)::DECIMAL(38,12)) AS sxy,
-                 sum((x * x)::DECIMAL(38,12)) AS sxx
-          FROM m)
-    SELECT n AS n_terms,
-           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
-           round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
-                 / n::DOUBLE, 6) AS intercept
-    FROM a
-    """,
-    ops=["EXT-quality", "G2", "W2", "O3"],
-)
-def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf rank-frequency OLS over the corpus vocabulary (ln-f on
-    ln-rank, freq >= 2): slope drift is the corpus-composition
-    health audit (operators/textanalysis.zipf_fit — vocab-bounded
-    window + exact decimal moment sums)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import zipf_fit
-
-    return zipf_fit(_t(spark, sf_dir, "documents"), min_count=2)
-
-
-@register(
-    "text_pmi_topk",
-    f"""
-    WITH t AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    bg AS (SELECT toks[u.i] AS w1, toks[u.i+1] AS w2
-           FROM t, unnest(range(1, len(toks))) AS u(i)
-           WHERE len(toks) >= 2),
-    c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
-            FROM bg WHERE w1 != '' AND w2 != ''
-            GROUP BY 1, 2 HAVING count(*) >= 5),
-    c1 AS (SELECT u.w, count(*)::BIGINT AS c
-           FROM t, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
-    tot AS (SELECT (SELECT sum(greatest(len(toks) - 1, 0)) FROM t)::DOUBLE AS nb,
-                   (SELECT count(*) FROM (SELECT unnest(toks) AS w FROM t) x
-                    WHERE w != '')::DOUBLE AS nu)
-    SELECT b.w1, b.w2, b.c12,
-           round(ln((b.c12::DOUBLE * tot.nu * tot.nu)
-                    / (tot.nb * a1.c * a2.c)), 6) AS pmi
-    FROM c12 b
-    JOIN c1 a1 ON a1.w = b.w1
-    JOIN c1 a2 ON a2.w = b.w2
-    CROSS JOIN tot
-    ORDER BY pmi DESC, w1, w2 LIMIT 100
-    """,
-    ops=["EXT-tokens", "G2", "O3", "J3"],
-)
-def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 collocations by PMI (Church & Hanks 1990) over adjacent
-    token pairs, c12 >= 5, deterministic (pmi, w1, w2) ordering
-    (operators/textanalysis.pmi_topk: counting groupBys + TakeOrdered
-    top-k, no full pair-table sort)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import pmi_topk
-
-    return pmi_topk(_t(spark, sf_dir, "documents"), k=100, min_count=5)
-
-
-@register(
-    "text_stupid_backoff",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2, toks[u.i+2] AS w3
-            FROM tk, unnest(range(1, len(toks) - 1)) AS u(i)
-            WHERE len(toks) >= 3),
-    tf3 AS (SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS tf
-            FROM pos GROUP BY 1, 2, 3, 4),
-    ttk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
-            FROM documents WHERE lang = 'en'),
-    c1 AS (SELECT u.w, count(*)::BIGINT AS c1
-           FROM ttk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
-    c2 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c2
-           FROM ttk, unnest(range(1, len(toks))) AS u(i)
-           WHERE len(toks) >= 2 GROUP BY 1, 2),
-    c3 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, toks[u.i+2] AS c,
-                  count(*)::BIGINT AS c3
-           FROM ttk, unnest(range(1, len(toks) - 1)) AS u(i)
-           WHERE len(toks) >= 3 GROUP BY 1, 2, 3),
-    nv AS (SELECT sum(c1)::DOUBLE AS bign, count(*)::DOUBLE AS vsz FROM c1),
-    j AS (SELECT f.doc_id, f.tf, t3.c3, cc.c2 AS c2_ctx, cb.c2 AS c2_bi,
-                 u2.c1 AS c1_w2, u3.c1 AS c1_w3, nv.bign, nv.vsz
-          FROM tf3 f
-          LEFT JOIN c3 t3 ON t3.a = f.w1 AND t3.b = f.w2 AND t3.c = f.w3
-          LEFT JOIN c2 cc ON cc.a = f.w1 AND cc.b = f.w2
-          LEFT JOIN c2 cb ON cb.a = f.w2 AND cb.b = f.w3
-          LEFT JOIN c1 u2 ON u2.w = f.w2
-          LEFT JOIN c1 u3 ON u3.w = f.w3
-          CROSS JOIN nv),
-    sc AS (SELECT doc_id, tf,
-                  CASE WHEN c3 IS NOT NULL THEN tf ELSE 0 END AS tri_hit,
-                  CASE WHEN c3 IS NULL AND c2_bi IS NOT NULL THEN tf ELSE 0 END AS bi_hit,
-                  round(tf * round(-ln(
-                      CASE WHEN c3 IS NOT NULL THEN c3 / c2_ctx
-                           WHEN c2_bi IS NOT NULL THEN 0.4::DOUBLE * c2_bi / c1_w2
-                           ELSE 0.16::DOUBLE * (coalesce(c1_w3, 0) + 1) / (bign + vsz)
-                      END), 6), 6)::DECIMAL(18,6) AS contrib
-           FROM j),
-    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
-                   sum(tri_hit)::BIGINT AS n_tri_hits,
-                   sum(bi_hit)::BIGINT AS n_bi_hits,
-                   ((sum(contrib) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS sm7
-            FROM sc GROUP BY 1)
-    SELECT doc_id, n_trigrams, n_tri_hits, n_bi_hits,
-           (n_trigrams - n_tri_hits - n_bi_hits)::BIGINT AS n_uni_backoffs,
-           sm7 / 10000000.0 AS avg_nls
-    FROM agg
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
-)
-def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stupid Backoff trigram scoring (Brants et al. 2007): trigram →
-    bigram → smoothed-unigram cascade with α=0.4, LM fit on the
-    lang='en' slice and scored over every doc, so off-slice docs
-    exercise the backoff path. The count-ratio-only formulation is the
-    canonical distributed LM (operators/textanalysis.
-    stupid_backoff_scores has the scale shape)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        stupid_backoff_scores,
-    )
-
-    return stupid_backoff_scores(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_kneser_ney",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2
-            FROM tk, unnest(range(1, len(toks))) AS u(i)
-            WHERE len(toks) >= 2),
-    tf2 AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
-            FROM pos GROUP BY 1, 2, 3),
-    ttk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
-            FROM documents WHERE lang = 'en'),
-    c12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c12
-            FROM ttk, unnest(range(1, len(toks))) AS u(i)
-            WHERE len(toks) >= 2 GROUP BY 1, 2),
-    ctx AS (SELECT a, sum(c12)::BIGINT AS ctx_total, count(*)::BIGINT AS n1_fwd
-            FROM c12 GROUP BY 1),
-    hist AS (SELECT b, count(*)::BIGINT AS n1_bwd FROM c12 GROUP BY 1),
-    bv AS (SELECT (SELECT count(*) FROM c12)::DOUBLE AS btypes,
-                  (SELECT count(DISTINCT u.w) FROM ttk, unnest(toks) AS u(w)
-                   WHERE u.w != '')::DOUBLE AS vsz),
-    j AS (SELECT f.doc_id, f.tf, g.c12, x.ctx_total, x.n1_fwd, h.n1_bwd,
-                 bv.btypes, bv.vsz
-          FROM tf2 f
-          LEFT JOIN c12 g ON g.a = f.w1 AND g.b = f.w2
-          LEFT JOIN ctx x ON x.a = f.w1
-          LEFT JOIN hist h ON h.b = f.w2
-          CROSS JOIN bv),
-    sc AS (SELECT doc_id, tf,
-                  CASE WHEN c12 IS NOT NULL THEN tf ELSE 0 END AS kn_hit,
-                  CASE WHEN c12 IS NULL AND ctx_total IS NOT NULL THEN tf
-                       ELSE 0 END AS ctx_hit,
-                  round(tf * round(-ln(
-                      CASE WHEN ctx_total IS NOT NULL
-                           THEN greatest(coalesce(c12, 0) - 0.75, 0.0) / ctx_total
-                                + 0.75 * n1_fwd / ctx_total
-                                  * (coalesce(n1_bwd, 0) + 1) / (btypes + vsz + 1)
-                           ELSE (coalesce(n1_bwd, 0) + 1) / (btypes + vsz + 1)
-                      END), 6), 6)::DECIMAL(18,6) AS contrib
-           FROM j),
-    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-                   sum(kn_hit)::BIGINT AS n_kn_hits,
-                   sum(ctx_hit)::BIGINT AS n_ctx_hits,
-                   ((sum(contrib) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS sm7
-            FROM sc GROUP BY 1)
-    SELECT doc_id, n_bigrams, n_kn_hits, n_ctx_hits,
-           (n_bigrams - n_kn_hits - n_ctx_hits)::BIGINT AS n_cont_backoffs,
-           sm7 / 10000000.0 AS avg_nll
-    FROM agg
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
-)
-def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
-    & Goodman 1998): absolute discount D=0.75 interpolated with the
-    continuation probability, LM fit on the lang='en' slice and scored
-    over every doc so the discount/interpolation/unseen-context paths
-    all execute (operators/textanalysis.kneser_ney_scores — the
-    relational three-table formulation of the smoothing MapReduce
-    folklore calls hard to distribute)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        kneser_ney_scores,
-    )
-
-    return kneser_ney_scores(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "curation_moore_lewis",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    pos AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2
-            FROM tk, unnest(range(1, len(toks))) AS u(i)
-            WHERE len(toks) >= 2),
-    tf2 AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
-            FROM pos GROUP BY 1, 2, 3),
-    itk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks
-            FROM documents WHERE lang = 'en'),
-    ci12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c
-             FROM itk, unnest(range(1, len(toks))) AS u(i)
-             WHERE len(toks) >= 2 GROUP BY 1, 2),
-    ci1 AS (SELECT u.w, count(*)::BIGINT AS c
-            FROM itk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
-    gt12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c
-             FROM tk, unnest(range(1, len(toks))) AS u(i)
-             WHERE len(toks) >= 2 GROUP BY 1, 2),
-    gt1 AS (SELECT u.w, count(*)::BIGINT AS c
-            FROM tk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
-    vv AS (SELECT (SELECT count(*) FROM ci1)::DOUBLE AS v_in,
-                  (SELECT count(*) FROM gt1)::DOUBLE AS v_gen),
-    j AS (SELECT f.doc_id, f.tf,
-                 coalesce(i2.c, 0) AS c12_in, coalesce(i1.c, 0) AS c1_in,
-                 coalesce(g2.c, 0) AS c12_gen, coalesce(g1.c, 0) AS c1_gen,
-                 vv.v_in, vv.v_gen
-          FROM tf2 f
-          LEFT JOIN ci12 i2 ON i2.a = f.w1 AND i2.b = f.w2
-          LEFT JOIN ci1 i1 ON i1.w = f.w1
-          LEFT JOIN gt12 g2 ON g2.a = f.w1 AND g2.b = f.w2
-          LEFT JOIN gt1 g1 ON g1.w = f.w1
-          CROSS JOIN vv),
-    sc AS (SELECT doc_id, tf,
-                  round(tf * round(-ln((c12_in + 0.5) / (c1_in + 0.5 * v_in)), 6),
-                        6)::DECIMAL(18,6) AS nb_in,
-                  round(tf * round(-ln((c12_gen + 0.5) / (c1_gen + 0.5 * v_gen)), 6),
-                        6)::DECIMAL(18,6) AS nb_gen
-           FROM j),
-    agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
-                   ((sum(nb_in) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS s7i,
-                   ((sum(nb_gen) * 1000000)::BIGINT * 10) // sum(tf)::BIGINT AS s7g
-            FROM sc GROUP BY 1)
-    SELECT a.doc_id, d.lang, a.n_bigrams,
-           s7i / 10000000.0 AS ce_in, s7g / 10000000.0 AS ce_gen,
-           (s7i - s7g) / 10000000.0 AS ce_diff,
-           s7i < s7g AS selected
-    FROM agg a JOIN documents d USING (doc_id)
-    """,
-    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
-)
-def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moore-Lewis cross-entropy difference selection (Moore & Lewis
-    2010): per-doc H_in − H_gen under an in-domain (lang='en') vs
-    general (whole corpus) add-k bigram LM; selected = negative
-    difference, the paper's keep criterion at the natural zero cut
-    (operators/curation.moore_lewis_select — one bigram pass feeds
-    both scorings, selection flag is row-local)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        moore_lewis_select,
-    )
-
-    return moore_lewis_select(_t(spark, sf_dir, "documents"))
-
-
-# Shared CTE chain for the winnowing queries (Schleimer et al. 2003):
-# k=4-gram hashes, w=4 window, robust rightmost-min tie-break encoded
-# as min(h*2^20 + (2^20-1-pos)).
-_WINNOW_SQL = f"""
-    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    el AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 7),
-    g AS (SELECT doc_id, u.i AS pos,
-                 ('0x' || substr(md5(array_to_string(toks[u.i+1:u.i+4], ' ')),
-                                 1, 8))::BIGINT AS h,
-                 least(len(toks) - 4, 1048575) + 1 AS n_grams
-          FROM el, unnest(range(0, least(len(toks) - 4, 1048575) + 1)) AS u(i)),
-    s AS (SELECT doc_id, pos, n_grams,
-                 min(h * 1048576 + (1048575 - pos))
-                     OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
-          FROM g),
-    sel AS (SELECT DISTINCT doc_id,
-                   (1048575 - (sel_key % 1048576))::BIGINT AS pos,
-                   (sel_key // 1048576)::BIGINT AS fp
-            FROM s WHERE pos <= n_grams - 4)
-"""
-
-
-@register(
-    "text_winnow_stats",
-    f"""
-    WITH {_WINNOW_SQL},
-    per AS (SELECT doc_id, count(*)::BIGINT AS n_selected,
-                   count(DISTINCT fp)::BIGINT AS n_fp
-            FROM sel GROUP BY 1),
-    sz AS (SELECT doc_id, (len(toks) - 3)::BIGINT AS n_grams,
-                  (len(toks) - 6)::BIGINT AS n_windows
-           FROM el)
-    SELECT doc_id, n_grams, n_windows, n_selected, n_fp,
-           ((n_selected * 10000000) // n_windows) / 10000000.0 AS density
-    FROM sz JOIN per USING (doc_id)
-    """,
-    ops=["EXT-dedup", "EXT-tokens", "G2", "W2"],
-)
-def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust winnowing sketch accounting (Schleimer, Wilkerson & Aiken
-    2003 / MOSS): per-doc selected-fingerprint counts and observed
-    density vs the paper's 2/(w+1) expectation. The rightmost-min
-    tie-break is one arithmetic key in one per-doc window frame
-    (operators/dedup.winnow_fingerprints)."""
-    from openrouter_batch_processor_spark.operators.dedup import winnow_stats
-
-    return winnow_stats(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_winnow_pairs",
-    f"""
-    WITH {_WINNOW_SQL},
-    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
-    dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
-    pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp) WHERE df <= 50)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
-    FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 2
-    """,
-    ops=["EXT-dedup", "J3", "G2", "X1"],
-)
-def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS matching stage: candidate pairs sharing >= 2 winnowing
-    fingerprints after dropping df>50 boilerplate hashes (the paper's
-    ubiquitous-hash prune = the hot-bucket discipline; the hot set is
-    the broadcast anti-join side — operators/dedup.
-    winnow_overlap_pairs). Guarantees any shared >= k+w-1 = 7-token
-    substring surfaces as a shared fingerprint — the local guarantee
-    MinHash lacks."""
-    from openrouter_batch_processor_spark.operators.dedup import (
-        winnow_overlap_pairs,
-    )
-
-    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "streaming_winnow_decontaminate",
-    f"""
-    WITH {_WINNOW_SQL},
-    src AS (SELECT doc_id, source FROM documents),
-    bfp AS (SELECT DISTINCT fp FROM sel JOIN src USING (doc_id)
-            WHERE source = 'src0'),
-    tfp AS (SELECT DISTINCT sel.doc_id, fp FROM sel JOIN src USING (doc_id)
-            WHERE source != 'src0'),
-    hits AS (SELECT doc_id, fp FROM tfp WHERE fp IN (SELECT fp FROM bfp))
-    SELECT doc_id, count(*)::BIGINT AS n_contam_fps FROM hits GROUP BY 1
-    """,
-    ops=["T1", "EXT-dedup", "EXT-dedup-policy", "J2", "G2"],
-)
-def q_streaming_winnow_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming benchmark decontamination, value-checked: arriving
-    documents are winnow-sketched with the pure-ARRAY formulation
-    (legal on streams — no window function, no shuffle;
-    dedup.winnow_keys_col, equivalence to the batch window form pinned
-    by test) and semi-joined stream-static against the src0 benchmark
-    fingerprint index; the per-doc contaminated-fingerprint counts
-    equal the batch winnowing SQL exactly
-    (streaming/windows.winnow_decontaminate_stream)."""
-    from openrouter_batch_processor_spark.operators.dedup import (
-        winnow_fingerprints,
-    )
-    from openrouter_batch_processor_spark.streaming.windows import (
-        read_documents_stream,
-        run_to_memory,
-        winnow_decontaminate_stream,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    bench = (
-        winnow_fingerprints(docs.filter(F.col("source") == "src0"))
-        .select("fp")
-        .distinct()
-    )
-    stream = winnow_decontaminate_stream(
-        read_documents_stream(spark, sf_dir), bench
-    )
-    run_to_memory(stream, "registry_stream_winnow", output_mode="append")
-    return (
-        spark.table("registry_stream_winnow")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("fp").alias("n_contam_fps"))
-    )
-
-
-def _power_prelude_sql() -> str:
-    """Shared centered-long-table CTEs for every power-iteration
-    oracle. d is MATERIALIZED: the chains reference it 2x per
-    iteration and DuckDB inlines plain CTEs."""
-    return """d0 AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS x
-           FROM embeddings e
-           CROSS JOIN (SELECT unnest(range(64))::INTEGER AS dim) o),
-    m AS (SELECT dim, round(sum(x::DECIMAL(28,10))::DOUBLE / count(*), 9) AS mean_val
-          FROM d0 GROUP BY dim),
-    d AS MATERIALIZED (SELECT vec_id, d0.dim, x - mean_val AS xc
-         FROM d0 JOIN m USING (dim)),
-    v0 AS (SELECT dim, 0.125::DOUBLE AS v FROM m)"""
-
-
-def _power_chain_sql(src: str, sfx: str, iters: int) -> str:
-    """Unrolled power-iteration CTE chain over centered long table
-    ``src`` (vec_id, dim, xc), CTE names suffixed ``sfx``: v0 = 1/8
-    (all-ones normalized for D=64), each iteration z = X·v, y = X^T·z,
-    v = y/||y|| with round-then-DECIMAL cross-row sums so the
-    trajectory is order-independent on both engines."""
-    ctes = []
-    for t in range(1, iters + 1):
-        prev = "v0" if t == 1 else f"v{sfx}{t-1}"
-        ctes.append(
-            f"""z{sfx}{t} AS (SELECT vec_id, sum(round(xc * v, 9)::DECIMAL(28,9))::DOUBLE AS z
-           FROM {src} JOIN {prev} USING (dim) GROUP BY vec_id),
-    y{sfx}{t} AS (SELECT dim, sum(round(xc * z, 9)::DECIMAL(38,9))::DOUBLE AS y
-           FROM {src} JOIN z{sfx}{t} USING (vec_id) GROUP BY dim),
-    n{sfx}{t} AS (SELECT sqrt(sum(round(y * y, 9)::DECIMAL(38,9))::DOUBLE) AS nrm
-           FROM y{sfx}{t}),
-    v{sfx}{t} AS (SELECT dim, round(y / nrm, 9) AS v
-           FROM y{sfx}{t} CROSS JOIN n{sfx}{t})"""
-        )
-    return ",\n    ".join(ctes)
-
-
-def _power_sql(iters: int) -> str:
-    return _power_prelude_sql() + ",\n    " + _power_chain_sql("d", "", iters)
-
-
-@register(
-    "emb_top_pc_power",
-    f"""
-    WITH {_power_sql(4)}
-    SELECT m.dim, m.mean_val, v.v AS pc, round(n4.nrm, 6) AS eigenvalue
-    FROM v4 v JOIN m USING (dim) CROSS JOIN n4
-    """,
-    ops=["EXT-simsearch", "G2", "J3"],
-)
-def q_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the centered embedding corpus via
-    4-step power iteration (the All-but-the-Top / PCA-whitening
-    D-step, Mu & Viswanath 2018) — C is applied as two corpus passes
-    per iteration (z = Xc·v, y = Xc^T·z), never materialized; v is a
-    64-row broadcast, nothing driver-side
-    (operators/similarity.top_pc_power)."""
-    from openrouter_batch_processor_spark.operators.similarity import top_pc_power
-
-    return top_pc_power(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "emb_abtt_residuals",
-    f"""
-    WITH {_power_sql(4)},
-    pcv AS (SELECT dim, v AS pc FROM v4),
-    jj AS (SELECT d.vec_id, d.dim, d.xc, pcv.pc FROM d JOIN pcv USING (dim)),
-    pj AS (SELECT vec_id, sum(round(xc * pc, 9)::DECIMAL(28,9))::DOUBLE AS proj
-           FROM jj GROUP BY vec_id),
-    rs AS (SELECT jj.vec_id,
-                  sqrt(sum(round((xc - proj * pc) * (xc - proj * pc),
-                                 9)::DECIMAL(38,9))::DOUBLE) AS resid_norm
-           FROM jj JOIN pj USING (vec_id) GROUP BY jj.vec_id)
-    SELECT vec_id, round(proj, 6) AS proj, round(resid_norm, 6) AS resid_norm
-    FROM pj JOIN rs USING (vec_id)
-    """,
-    ops=["EXT-simsearch", "G2", "J3"],
-)
-def q_abtt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-but-the-Top applied per vector (Mu & Viswanath 2018):
-    x' = (x−μ) − (pc·(x−μ))pc; emits the top-PC projection coefficient
-    and the post-removal residual norm per vector. One broadcast of
-    the 64-row PC plus a single corpus scan on top of the PCA cost
-    (operators/similarity.abtt_residuals)."""
-    from openrouter_batch_processor_spark.operators.similarity import abtt_residuals
-
-    return abtt_residuals(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "emb_top2_pc_deflate",
-    f"""
-    WITH {_power_sql(4)},
-    pc1t AS (SELECT dim, v AS pc1 FROM v4),
-    pj2 AS (SELECT vec_id, sum(round(xc * pc1, 9)::DECIMAL(28,9))::DOUBLE AS proj
-            FROM d JOIN pc1t USING (dim) GROUP BY vec_id),
-    r AS MATERIALIZED (SELECT d.vec_id, d.dim, (xc - proj * pc1) AS xc
-         FROM d JOIN pc1t USING (dim) JOIN pj2 USING (vec_id)),
-    {_power_chain_sql("r", "b", 4)}
-    SELECT m.dim, m.mean_val, pc1t.pc1, vb4.v AS pc2,
-           round(n4.nrm, 6) AS eig1, round(nb4.nrm, 6) AS eig2
-    FROM pc1t JOIN vb4 USING (dim) JOIN m USING (dim)
-    CROSS JOIN n4 CROSS JOIN nb4
-    """,
-    ops=["EXT-simsearch", "G2", "J3"],
-)
-def q_top2_pc_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top two principal components by Hotelling deflation: power-
-    iterate for pc1, project it out of every centered row (the ABTT
-    residual kept in long form), power-iterate the deflated table for
-    pc2 — one extra broadcast pass over the staged centered table,
-    both chains bit-matching the unrolled oracle
-    (operators/similarity.top2_pc_deflate)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        top2_pc_deflate,
-    )
-
-    return top2_pc_deflate(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "audit_dsir_ess",
-    f"""
-    WITH {_DSIR_LW_SQL},
-    mx AS (SELECT max(log_weight) AS mx FROM dsirw),
-    w AS (SELECT exp(log_weight - mx.mx) AS w, mx.mx AS mx
-          FROM dsirw CROSS JOIN mx),
-    a AS (SELECT mx, count(*)::BIGINT AS n_docs,
-                 sum(round(w, 9)::DECIMAL(28,9))::DOUBLE AS s1,
-                 sum(round(w * w, 9)::DECIMAL(28,9))::DOUBLE AS s2
-          FROM w GROUP BY mx)
-    SELECT n_docs, mx AS max_log_weight,
-           round(s1 * s1 / s2, 6) AS ess,
-           round(s1 * s1 / s2 / n_docs, 6) AS ess_frac
-    FROM a
-    """,
-    ops=["EXT-sampling", "EXT-quality", "G2"],
-)
-def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kish effective sample size of the DSIR importance weights
-    (Kish 1965) — ESS = (Σw)²/Σw² with max-shifted w = exp(log_w −
-    max): the degeneracy diagnostic importance resampling is judged
-    by; ESS ≪ n means the selected sample is a few documents repeated
-    (operators/textanalysis.dsir_ess)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import dsir_ess
-
-    return dsir_ess(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_quality_ece",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT least(floor(q.quality_score * 10), 9)::BIGINT AS bin_id,
-                 q.quality_score AS s,
-                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM q JOIN documents d USING (doc_id)),
-    g AS (SELECT bin_id, count(*)::BIGINT AS n_docs,
-                 sum(round(s, 6)::DECIMAL(18,6)) AS ssum,
-                 sum(y)::BIGINT AS n_pos
-          FROM l GROUP BY 1),
-    c AS (SELECT bin_id, n_docs, n_pos,
-                 ((ssum * 1000000)::BIGINT * 10) // n_docs AS conf7,
-                 (n_pos * 10000000) // n_docs AS acc7
-          FROM g)
-    SELECT bin_id, n_docs, n_pos,
-           conf7 / 10000000.0 AS conf,
-           acc7 / 10000000.0 AS acc,
-           abs(conf7 - acc7) / 10000000.0 AS abs_gap
-    FROM c
-    """,
-    ops=["EXT-quality", "G2", "J3"],
-)
-def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability diagram for the quality score as a lang='en'
-    classifier (Naeini et al. 2015 ECE binning; Guo et al. 2017):
-    10 equal-width bins, per-bin mean confidence vs empirical positive
-    rate, weighted gap = the bin's ECE contribution. Means are exact
-    integer-micros; the gap is a BIGINT difference on the 7-dp grid
-    (operators/textanalysis.quality_ece)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import quality_ece
-
-    return quality_ece(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_good_turing",
-    f"""
-    WITH tf AS (SELECT u.term, count(*)::BIGINT AS c
-                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != '' GROUP BY 1),
-    fof AS (SELECT c, count(*)::BIGINT AS n_r FROM tf GROUP BY 1),
-    tot AS (SELECT sum(c * n_r)::BIGINT AS n_tokens FROM fof),
-    nxt AS (SELECT c - 1 AS c, n_r AS n_r_next FROM fof)
-    SELECT f.c AS r, f.n_r,
-           round((f.c + 1) * nxt.n_r_next / f.n_r, 6) AS r_star,
-           ((f.c * f.n_r * 10000000) // tot.n_tokens) / 10000000.0 AS mass_frac
-    FROM fof f LEFT JOIN nxt ON nxt.c = f.c CROSS JOIN tot
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2"],
-)
-def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Good-Turing frequency-of-frequencies (Good 1953; Gale & Sampson
-    1995): N_r per occurrence count r, raw Turing adjusted counts
-    r* = (r+1)N_{{r+1}}/N_r, and per-r corpus mass share — the r=1 row
-    is the missing-mass estimate P0 = N_1/N
-    (operators/textanalysis.good_turing)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import good_turing
-
-    return good_turing(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_heaps_fit",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-                FROM documents WHERE {_NORM_SQL} != ''),
-    pd AS (SELECT doc_id, len(toks)::BIGINT AS nt FROM tk),
-    st AS (SELECT doc_id, coalesce(sum(nt) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_start
-           FROM pd),
-    fo AS (SELECT toks[u.i] AS term, min(st.doc_start + u.i)::BIGINT AS fp
-           FROM tk JOIN st USING (doc_id),
-                unnest(range(1, len(toks) + 1)) AS u(i)
-           GROUP BY 1),
-    hist AS (SELECT (CASE WHEN fp <= 1 THEN 0
-                          ELSE length(bin(fp - 1)) END)::BIGINT AS j_min,
-                    count(*)::BIGINT AS cnt
-             FROM fo GROUP BY 1),
-    nt AS (SELECT sum(nt)::BIGINT AS n_total FROM pd),
-    jm AS (SELECT greatest(6, length(bin(n_total)) - 1)::BIGINT AS jmax FROM nt),
-    js AS (SELECT unnest(range(6, jmax + 1))::BIGINT AS j FROM jm),
-    vj AS (SELECT j, sum(cnt)::BIGINT AS v
-           FROM js JOIN hist ON hist.j_min <= js.j
-           GROUP BY j HAVING sum(cnt) >= 1),
-    pts AS (SELECT round(j * 0.6931471805599453, 6)::DECIMAL(18,6) AS x,
-                   round(ln(v::DOUBLE), 6)::DECIMAL(18,6) AS y
-            FROM vj),
-    a AS (SELECT count(*)::BIGINT AS n_points, sum(x) AS sx, sum(y) AS sy,
-                 sum((x * y)::DECIMAL(38,12)) AS sxy,
-                 sum((x * x)::DECIMAL(38,12)) AS sxx
-          FROM pts),
-    vs AS (SELECT sum(cnt)::BIGINT AS vocab_size FROM hist)
-    SELECT nt.n_total AS n_tokens, vs.vocab_size, a.n_points,
-           round((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta,
-           round(exp((sy::DOUBLE
-                      - ((a.n_points * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                         / (a.n_points * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
-                        * sx::DOUBLE) / a.n_points), 6) AS k
-    FROM a CROSS JOIN nt CROSS JOIN vs
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2", "W1"],
-)
-def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law vocabulary-growth fit (Heaps 1978): OLS of ln V(2^j)
-    on ln 2^j at power-of-two checkpoints over the doc_id-ordered
-    token stream — the companion corpus-health audit to audit_zipf_fit.
-    First-occurrence positions use the renumber discipline (range
-    partition + broadcast O(partitions) offsets, no corpus-sized
-    single-task window); ⌈log2 fp⌉ is integer-exact via
-    length(bin(fp−1)) (operators/textanalysis.heaps_fit)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import heaps_fit
-
-    return heaps_fit(_t(spark, sf_dir, "documents"))
-
-
-def _jm_em_sql(iters: int) -> str:
-    """Unrolled Jelinek-Mercer EM rounds: λ as a 1-row CTE per round."""
-    parts = ["l0 AS (SELECT 0.5::DOUBLE AS lam)"]
-    for t in range(1, iters + 1):
-        parts.append(
-            f"""s{t} AS (SELECT sum(tf)::BIGINT AS n_bigrams,
-               sum(round(tf * (lam * pb / (lam * pb + (1 - lam) * pu)),
-                         9)::DECIMAL(28,9))::DOUBLE AS s
-         FROM j CROSS JOIN l{t-1}),
-    l{t} AS (SELECT round(s / n_bigrams, 9) AS lam, n_bigrams FROM s{t})"""
-        )
-    return ",\n    ".join(parts)
-
-
-@register(
-    "text_jelinek_mercer_em",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-                FROM documents),
-    ttk AS (SELECT toks FROM tk WHERE doc_id % 10 != 0),
-    htk AS (SELECT toks FROM tk WHERE doc_id % 10 = 0),
-    c12 AS (SELECT toks[u.i] AS a, toks[u.i+1] AS b, count(*)::BIGINT AS c12
-            FROM ttk, unnest(range(1, len(toks))) AS u(i)
-            WHERE len(toks) >= 2 GROUP BY 1, 2),
-    c1 AS (SELECT u.w, count(*)::BIGINT AS c1
-           FROM ttk, unnest(toks) AS u(w) WHERE u.w != '' GROUP BY 1),
-    nt AS (SELECT sum(c1)::DOUBLE AS bign FROM c1),
-    hf AS (SELECT toks[u.i] AS w1, toks[u.i+1] AS w2, count(*)::BIGINT AS tf
-           FROM htk, unnest(range(1, len(toks))) AS u(i)
-           WHERE len(toks) >= 2 GROUP BY 1, 2),
-    j AS MATERIALIZED (
-      SELECT hf.tf,
-             CASE WHEN u1.c1 IS NOT NULL
-                  THEN coalesce(g.c12, 0) / u1.c1 ELSE 0.0 END AS pb,
-             u2.c1 / nt.bign AS pu
-      FROM hf
-      LEFT JOIN c12 g ON g.a = hf.w1 AND g.b = hf.w2
-      LEFT JOIN c1 u1 ON u1.w = hf.w1
-      JOIN c1 u2 ON u2.w = hf.w2
-      CROSS JOIN nt),
-    {_jm_em_sql(3)}
-    SELECT 1::BIGINT AS em_iter, lam, n_bigrams FROM l1
-    UNION ALL SELECT 2::BIGINT, lam, n_bigrams FROM l2
-    UNION ALL SELECT 3::BIGINT, lam, n_bigrams FROM l3
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "J3"],
-)
-def q_jelinek_mercer_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deleted-interpolation λ by EM on a held-out split (Jelinek &
-    Mercer 1980; Chen & Goodman 1998 §2.4): ML bigram/unigram on
-    doc_id%10!=0, three E/M rounds on the held-out bigrams with λ as
-    a 1-row crossJoined DataFrame — no driver scalar, 9-dp grid
-    re-rounding each round
-    (operators/textanalysis.jelinek_mercer_em)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        jelinek_mercer_em,
-    )
-
-    return jelinek_mercer_em(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_source_kl",
-    f"""
-    WITH tk AS (SELECT source,
-                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
-                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != ''),
-    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
-    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
-           FROM (SELECT unnest(range(512))::BIGINT AS b) r
-           LEFT JOIN obs ON obs.bucket = r.b),
-    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
-    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
-    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
-    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
-             FROM st CROSS JOIN cb
-             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
-             CROSS JOIN ct),
-    sc AS (SELECT source, ts,
-                  round(((coalesce(cs, 0) + 1) / (ts + 512.0))
-                        * ln(((coalesce(cs, 0) + 1) / (ts + 512.0))
-                             / ((cb + 1) / (tc + 512.0))), 9)::DECIMAL(28,9) AS contrib
-           FROM grid)
-    SELECT source, ts AS n_tokens, round(sum(contrib)::DOUBLE, 6) AS kl
-    FROM sc GROUP BY 1, 2
-    """,
-    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
-)
-def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source KL divergence from the corpus unigram distribution
-    over the DSIR 512-bucket hashed feature space (add-one smoothed,
-    full-grid sum) — the mixture-drift audit a DoReMi/DSIR-style
-    domain-weighting pass runs per source
-    (operators/textanalysis.source_kl)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import source_kl
-
-    return source_kl(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_quality_youden",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT q.quality_score AS s,
-                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM q JOIN documents d USING (doc_id)),
-    g AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS p FROM l GROUP BY 1),
-    t AS (SELECT sum(p)::BIGINT AS n_pos, (sum(c) - sum(p))::BIGINT AS n_neg FROM g),
-    w AS (SELECT s,
-                 sum(p) OVER (ORDER BY s DESC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
-                 (sum(c) OVER (ORDER BY s DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - sum(p) OVER (ORDER BY s DESC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS fp
-          FROM g),
-    sc AS (SELECT s, tp, fp,
-                  (tp * 10000000) // nullif(n_pos, 0) AS tpr7,
-                  (fp * 10000000) // nullif(n_neg, 0) AS fpr7
-           FROM w CROSS JOIN t)
-    SELECT s AS cut, tp, fp,
-           tpr7 / 10000000.0 AS tpr, fpr7 / 10000000.0 AS fpr,
-           (tpr7 - fpr7) / 10000000.0 AS youden_j
-    FROM sc ORDER BY (tpr7 - fpr7) DESC NULLS LAST, s ASC LIMIT 1
-    """,
-    ops=["EXT-quality", "G2", "W2", "O3"],
-)
-def q_quality_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Optimal quality-gate threshold by Youden's J (Youden 1950):
-    max TPR − FPR over all distinct-score cuts, ties to the lowest
-    (most inclusive) cut — integer-exact 7-dp rates, dimension-bounded
-    cumulative window, 1-row TakeOrdered
-    (operators/textanalysis.quality_youden)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        quality_youden,
-    )
-
-    return quality_youden(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_burstiness",
-    f"""
-    WITH per AS (SELECT doc_id, u.term, count(*)::BIGINT AS c
-                 FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-                       FROM documents) t,
-                      unnest(toks) AS u(term)
-                 WHERE u.term != '' GROUP BY 1, 2),
-    mom AS (SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf,
-                   sum(c * c)::BIGINT AS s2
-            FROM per GROUP BY 1),
-    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
-    SELECT term, df, tf, round(s2 / tf - tf / n_docs, 6) AS vmr
-    FROM mom CROSS JOIN n WHERE tf >= 10
-    ORDER BY vmr DESC, term ASC LIMIT 50
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2", "O3"],
-)
-def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 bursty terms by index of dispersion over per-doc counts,
-    zeros included (Church & Gale 1995): VMR = s2/tf − tf/N exactly
-    from three count sums; the extreme tail is template chrome — the
-    boilerplate finder (operators/textanalysis.burstiness_topk)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        burstiness_topk,
-    )
-
-    return burstiness_topk(_t(spark, sf_dir, "documents"))
-
-
-def _kcore_sql(rounds: int, k: int) -> str:
-    """Unrolled k-core peel CTEs over the LSH candidate graph (needs
-    the `bands` CTE from _SHINGLES_SQL in scope)."""
-    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, so
-    # an unrolled peel would re-derive the whole shingle/band chain
-    # O(3^rounds) times without it
-    ctes = [
-        """cand AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand
-           UNION ALL SELECT id_b AS src, id_a AS dst FROM cand)"""
-    ]
-    for t in range(1, rounds + 1):
-        ctes.append(
-            f"""k{t} AS MATERIALIZED (SELECT src FROM e{t-1}
-           GROUP BY src HAVING count(*) >= {k}),
-    e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t-1} e
-           JOIN k{t} a ON a.src = e.src JOIN k{t} b ON b.src = e.dst)"""
-        )
-    return ",\n    ".join(ctes)
-
-
-@register(
-    "graph_kcore_peel",
-    f"""
-    WITH {_SHINGLES_SQL},
-    {_kcore_sql(6, 2)}
-    SELECT src AS doc_id, count(*)::BIGINT AS degree FROM e6 GROUP BY 1
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2"],
-)
-def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-round k-core peel (k=2) over the LSH candidate graph (Seidman
-    1983; distributed peel a la Montresor et al. 2013): survivors are
-    the dense near-duplicate neighborhoods, stray pairwise matches
-    peel away. Bounded rounds = bounded plan depth, localCheckpoint
-    per round (operators/dedup.kcore_peel)."""
-    from openrouter_batch_processor_spark.operators.dedup import kcore_peel
-
-    return kcore_peel(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_bootstrap_ci",
-    """
-    WITH rep AS (SELECT d.doc_id, d.n_chars::BIGINT AS x, r.r
-                 FROM documents d
-                 CROSS JOIN (SELECT unnest(range(0, 32))::BIGINT AS r) r),
-    u AS (SELECT x, r,
-                 ('0x' || substr(md5(doc_id::VARCHAR || '|' || r::VARCHAR),
-                                 1, 8))::BIGINT / 4294967296.0 AS u
-          FROM rep),
-    w AS (SELECT x, r,
-                 CASE WHEN u < 0.36787944117144233 THEN 0
-                      WHEN u < 0.7357588823428847 THEN 1
-                      WHEN u < 0.9196986029286058 THEN 2
-                      WHEN u < 0.9810118431238463 THEN 3
-                      WHEN u < 0.9963401531726563 THEN 4
-                      WHEN u < 0.9994058151824183 THEN 5
-                      WHEN u < 0.999916758850712 THEN 6
-                      ELSE 7 END AS w
-          FROM u),
-    m AS (SELECT r, (sum(w * x) * 10000000) // nullif(sum(w), 0) AS m7
-          FROM w GROUP BY r),
-    rk AS (SELECT m7, row_number() OVER (ORDER BY m7, r) AS rk FROM m),
-    p AS (SELECT min(CASE WHEN rk = 2 THEN m7 END) AS lo7,
-                 min(CASE WHEN rk = 31 THEN m7 END) AS hi7
-          FROM rk),
-    b AS (SELECT count(*)::BIGINT AS n_docs,
-                 (sum(n_chars::BIGINT) * 10000000) // nullif(count(*), 0) AS mean7
-          FROM documents)
-    SELECT n_docs, mean7 / 10000000.0 AS mean,
-           lo7 / 10000000.0 AS boot_lo, hi7 / 10000000.0 AS boot_hi,
-           32::BIGINT AS n_replicates
-    FROM b CROSS JOIN p
-    """,
-    ops=["EXT-sampling", "EXT-sketch", "G2", "W2"],
-)
-def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap ~90% CI for the corpus mean doc length
-    (Chamandy et al. 2012, the one-pass massive-data bootstrap):
-    deterministic per-(row, replicate) md5 uniforms through the
-    Poisson(1) inverse CDF, 32 replicate means in ONE exploded
-    map-side-combined pass, order-statistic interval over the B-row
-    replicate table (operators/sketches.poisson_bootstrap_ci)."""
-    from openrouter_batch_processor_spark.operators.sketches import (
-        poisson_bootstrap_ci,
-    )
-
-    return poisson_bootstrap_ci(_t(spark, sf_dir, "documents"))
-
-
-_MK_Z_SQL = """CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
-                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
-                    ELSE 0.0 END"""
-
-
-@register(
-    "events_mann_kendall",
-    f"""
-    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
-                          sum(round(value, 6)::DECIMAL(18,6)) AS x
-                   FROM events GROUP BY 1, 2),
-    p AS (SELECT a.event_type,
-                 CASE WHEN b.x > a.x THEN 1
-                      WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
-                 (b.x - a.x)::DOUBLE / date_diff('day', a.day, b.day) AS slope
-          FROM daily a JOIN daily b
-            ON a.event_type = b.event_type AND a.day < b.day),
-    s AS (SELECT event_type, sum(sg)::BIGINT AS s_stat,
-                 count(*)::BIGINT AS m FROM p GROUP BY 1),
-    nd AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
-    ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
-             FROM (SELECT event_type, x, count(*)::BIGINT AS t
-                   FROM daily GROUP BY 1, 2) GROUP BY 1),
-    rk AS (SELECT p.event_type, slope,
-                  row_number() OVER (PARTITION BY p.event_type
-                                     ORDER BY slope) AS rk, s.m
-           FROM p JOIN s USING (event_type)),
-    sen AS (SELECT event_type, sum(slope) / count(*) AS sen_raw
-            FROM rk
-            WHERE rk = floor((m + 1) / 2.0) OR rk = ceil((m + 1) / 2.0)
-            GROUP BY 1),
-    j AS (SELECT s.event_type, s.s_stat, nd.n, sen.sen_raw,
-                 (n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0 AS var_s
-          FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
-          JOIN sen USING (event_type))
-    SELECT event_type, n AS n_days, s_stat,
-           round(var_s, 6) AS var_s,
-           round({_MK_Z_SQL}, 6) AS z,
-           round(sen_raw, 6) AS sen_slope,
-           CASE WHEN ({_MK_Z_SQL}) > 1.959964 THEN 'increasing'
-                WHEN ({_MK_Z_SQL}) < -1.959964 THEN 'decreasing'
-                ELSE 'no_trend' END AS trend
-    FROM j
-    """,
-    ops=["EXT-timeseries", "G2", "J3", "W2"],
-)
-def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Kendall trend test + Sen's slope per event-type daily
-    series (Mann 1945; Sen 1968): integer-exact S and tie-corrected
-    variance over DECIMAL daily sums, continuity-corrected Z, median
-    pairwise slope — the only corpus-sized pass is the daily combiner
-    groupBy; the O(n²) pair join is calendar-bounded
-    (operators/timeseries.mann_kendall_sen)."""
-    from openrouter_batch_processor_spark.operators.timeseries import (
-        mann_kendall_sen,
-    )
-
-    return mann_kendall_sen(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "sketch_ams_f2",
-    """
-    WITH f AS (SELECT user_id AS v, count(*)::BIGINT AS f FROM events GROUP BY 1),
-    ex AS (SELECT sum(f * f)::BIGINT AS exact_f2 FROM f),
-    s AS (SELECT r.i AS r,
-                 CASE WHEN ('0x' || substr(md5(r.i::VARCHAR || '|' || f.v::VARCHAR), 1, 8))::BIGINT % 2 = 0
-                      THEN f.f ELSE -f.f END AS z
-          FROM f CROSS JOIN range(0, 9) r(i)),
-    ests AS (SELECT r::INT AS r, (sum(z) * sum(z))::BIGINT AS est_f2 FROM s GROUP BY r),
-    comb AS (SELECT round(avg(est_f2), 6) AS mean_est,
-                    round(quantile_cont(est_f2, 0.5), 6) AS median_est FROM ests)
-    SELECT e.r, e.est_f2, x.exact_f2, c.mean_est, c.median_est
-    FROM ests e CROSS JOIN ex x CROSS JOIN comb c
-    """,
-    ops=["EXT-sketch", "G2"],
-)
-def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AMS tug-of-war F2 (self-join size) estimate over events.user_id:
-    9 deterministic ±1-sign estimator rows beside the exact moment and
-    the mean/median combiners. operators/sketches.ams_f2 cites the
-    paper and the R-longs-per-partition mergeability contract."""
-    from openrouter_batch_processor_spark.operators.sketches import ams_f2
-
-    return ams_f2(_t(spark, sf_dir, "events"), "user_id")
-
-
-@register(
-    "events_changepoint_cusum",
-    """
-    WITH o AS (SELECT event_type, ts, event_id, value::DECIMAL(18,6) AS v,
-                      row_number() OVER (PARTITION BY event_type
-                                         ORDER BY ts, event_id)::BIGINT AS k,
-                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type
-                                                      ORDER BY ts, event_id
-                                                      ROWS UNBOUNDED PRECEDING) AS prefix,
-                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type) AS total,
-                      count(*) OVER (PARTITION BY event_type)::BIGINT AS n
-               FROM events),
-    d AS (SELECT event_type, ts, k, n, n * prefix - k * total AS dev FROM o),
-    p AS (SELECT *, row_number() OVER (PARTITION BY event_type
-                                       ORDER BY abs(dev) DESC, k ASC) AS rn FROM d)
-    SELECT event_type, n, k AS cp_index,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
-           round(abs(dev)::DOUBLE / n, 6) AS max_abs_cusum
-    FROM p WHERE rn = 1
-    """,
-    ops=["EXT-windows", "O3", "G2"],
-)
-def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint per event_type: the peak cumulative deviation
-    from the series mean, computed scaled in DECIMAL (exact) with the
-    division rounded only at the report edge — see
-    operators/timeseries.cusum_changepoints."""
-    from openrouter_batch_processor_spark.operators.timeseries import (
-        cusum_changepoints,
-    )
-
-    return cusum_changepoints(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "multimodal_phash_pairs",
-    """
-    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
-               FROM documents WHERE length(text) > 0),
-    px AS (SELECT media_id,
-                  list_transform(range(0, 64),
-                                 i -> ord(substr(text, ((i * L) // 64)::INT + 1, 1))) AS pix
-           FROM m),
-    mu AS (SELECT media_id, pix, list_sum(pix) / 64.0 AS mu FROM px),
-    sig AS (SELECT media_id,
-                   list_sum(list_transform(range(0, 32),
-                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (31 - i)) ELSE 0 END))::BIGINT AS h_hi,
-                   list_sum(list_transform(range(32, 64),
-                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (63 - i)) ELSE 0 END))::BIGINT AS h_lo
-            FROM mu),
-    bands AS (
-      SELECT media_id, h_hi, h_lo, 0 AS band, h_hi // 65536 AS band_val FROM sig UNION ALL
-      SELECT media_id, h_hi, h_lo, 1, h_hi % 65536 FROM sig UNION ALL
-      SELECT media_id, h_hi, h_lo, 2, h_lo // 65536 FROM sig UNION ALL
-      SELECT media_id, h_hi, h_lo, 3, h_lo % 65536 FROM sig),
-    cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-                    a.h_hi AS hi_a, a.h_lo AS lo_a, b.h_hi AS hi_b, b.h_lo AS lo_b
-             FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
-                                      AND a.media_id < b.media_id)
-    SELECT id_a, id_b,
-           (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT AS hamming
-    FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 9
-    """,
-    ops=["D6", "S4", "EXT-multimodal", "EXT-neardup"],
-)
-def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs via perceptual-hash LSH over the
-    media table (documents' bytes as image payloads, the
-    multimodal_features construction): a mapInPandas 64-bit
-    mean-threshold signature on sampled payload bytes, 4x16-bit band
-    candidate join, exact-Hamming verify at <= 9 — an exact value
-    oracle over a pandas-UDF hashing stage. See
-    operators/multimodal.phash_images / phash_near_pairs."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        media_table,
-        phash_near_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    files = docs.select(
-        F.concat(
-            F.lit("img/doc_"), F.col("doc_id").cast("string"),
-            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".jpg"),
-        ).alias("rel_path"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    return phash_near_pairs(media_table(files), max_hamming=9)
-
-
-@register(
-    "curation_dsir_select",
-    f"""
-    WITH {_DSIR_LW_SQL},
-    keyed AS (SELECT doc_id, log_weight,
-                     round(log_weight
-                           + -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
-                                      / 4503599627370496.0)), 6) AS gkey
-              FROM dsirw),
-    sel AS (SELECT doc_id FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 100),
-    c AS (SELECT d.source, w.doc_id, w.log_weight,
-                 s.doc_id IS NOT NULL AS is_sel
-          FROM dsirw w JOIN documents d USING (doc_id)
-          LEFT JOIN sel s ON s.doc_id = w.doc_id)
-    SELECT source, count(*)::BIGINT AS n_docs,
-           count(CASE WHEN is_sel THEN 1 END)::BIGINT AS n_selected,
-           ((count(CASE WHEN is_sel THEN 1 END) * 10000000) // count(*))
-             / 10000000.0 AS sel_rate,
-           coalesce(sum(CASE WHEN is_sel THEN log_weight::DECIMAL(18,6) END),
-                    0::DECIMAL(18,6))::DOUBLE AS sum_logw_selected
-    FROM c GROUP BY source
-    """,
-    ops=["EXT-sampling", "EXT-quality", "O4", "G2"],
-)
-def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance RESAMPLING end-to-end: Gumbel-top-k (k=100) over
-    the hashed-unigram log-weights in log domain (no exp anywhere),
-    reported as per-source selection yield — the mixture a DSIR-curated
-    corpus actually ships. See operators/textanalysis.dsir_select."""
-    from openrouter_batch_processor_spark.operators.textanalysis import dsir_select
-
-    return dsir_select(_t(spark, sf_dir, "documents"), k=100)
-
-
-@register(
-    "events_holt_forecast",
-    """
-    WITH ordered AS (
-      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
-             count(*) AS n
-      FROM events GROUP BY event_type),
-    f AS (SELECT event_type, n,
-                 -- acc is a [level, trend] LIST, not a struct: DuckDB
-                 -- 1.0's struct-acc list_reduce leaks already-computed
-                 -- fields into later field expressions from the second
-                 -- iteration on (slot reuse); list construction
-                 -- evaluates both elements against the old acc.
-                 list_reduce(list_transform(xs, x -> [x, 0.0::DOUBLE]),
-                   (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
-                                0.3 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-                                + 0.7 * acc[2]]) AS st
-          FROM ordered)
-    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
-           round(st[1] + st[2], 6) AS forecast_1
-    FROM f
-    """,
-    ops=["S10", "T5", "G2", "EXT-windows"],
-)
-def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt double-exponential (level+trend) smoothing per event type
-    via grouped-map applyInPandas, with the one-step forecast — the
-    doubly-recursive fold no built-in window expresses, value-checked
-    against DuckDB's identical-IEEE list_reduce over {l, b} structs.
-    See operators/timeseries.holt_linear."""
-    from openrouter_batch_processor_spark.operators.timeseries import holt_linear
-
-    return holt_linear(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Round-4 second wave: published filter stacks (Gopher rules, CCNet
-# perplexity buckets, char entropy) — text curation v3
-# ===========================================================================
-
-
-@register(
-    "text_gopher_rules",
-    f"""
-    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
-    b AS (SELECT doc_id, len(norm)::BIGINT AS n_norm_chars,
-                 string_split(norm, ' ') AS toks
-          FROM t),
-    base AS (SELECT doc_id, n_norm_chars,
-                    len(toks)::BIGINT AS n_words,
-                    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
-                    len(list_distinct(list_filter(toks,
-                        x -> list_contains(['the','a'], x))))::BIGINT AS n_stops,
-                    toks
-             FROM b),
-    bg AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i+1])) AS bg
-           FROM base WHERE len(toks) >= 2),
-    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-    tm AS (SELECT doc_id, max(c * len(bg))::BIGINT AS top_mass FROM bc GROUP BY 1),
-    r AS (SELECT b.doc_id, n_words,
-                 (n_words >= 15 AND n_words <= 90) AS rule_word_count,
-                 (n_norm_chars - (n_words - 1) >= 3 * n_words
-                  AND n_norm_chars - (n_words - 1) <= 10 * n_words) AS rule_mean_word_len,
-                 (n_alpha_words * 5 >= n_words * 4) AS rule_alpha_words,
-                 (n_stops >= 2) AS rule_stopwords,
-                 (coalesce(top_mass, 0) * 5 <= n_norm_chars) AS rule_repetition
-          FROM base b LEFT JOIN tm USING (doc_id))
-    SELECT doc_id, n_words, rule_word_count, rule_mean_word_len,
-           rule_alpha_words, rule_stopwords, rule_repetition,
-           (rule_word_count AND rule_mean_word_len AND rule_alpha_words
-            AND rule_stopwords AND rule_repetition) AS gopher_pass
-    FROM r
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "G4"],
-)
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher quality-filter rules (Rae et al. 2021) per document, all
-    in integer arithmetic — operators/textanalysis.gopher_rules. The
-    stopword-presence set is corpus-adapted to ('the', 'a'): the
-    synthetic closed vocabulary contains no other common stopword, so
-    the published 8-word set (the operator's default) would make the
-    rule constant-false here."""
-    from openrouter_batch_processor_spark.operators.textanalysis import gopher_rules
-
-    return gopher_rules(
-        _t(spark, sf_dir, "documents"), stopwords=("the", "a"), min_stopwords=2
-    )
-
-
-@register(
-    "text_char_entropy",
-    f"""
-    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
-    b AS (SELECT doc_id, norm, len(norm)::BIGINT AS n,
-                 list_sort(list_distinct(string_split(norm, ''))) AS dchars
-          FROM t),
-    m AS (SELECT doc_id, n, len(dchars)::BIGINT AS n_distinct,
-                 list_aggregate(
-                   list_transform(dchars,
-                     c -> round(len(list_filter(string_split(norm, ''), x -> x = c)) *
-                                log2(len(list_filter(string_split(norm, ''), x -> x = c))),
-                                6)::DECIMAL(18,6)),
-                   'sum') AS mass
-          FROM b)
-    SELECT doc_id, n AS n_chars_norm, n_distinct AS n_distinct_chars,
-           round(log2(n::DOUBLE) - mass::DOUBLE / n::DOUBLE, 6) AS char_entropy_bits
-    FROM m
-    """,
-    ops=["EXT-quality", "EXT-tokens"],
-)
-def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level Shannon entropy per doc, map-side sorted-fold
-    (no explode shuffle) — operators/textanalysis.char_entropy."""
-    from openrouter_batch_processor_spark.operators.textanalysis import char_entropy
-
-    return char_entropy(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_ccnet_buckets",
-    f"""
-    WITH tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    bg AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
-           FROM tk WHERE len(toks) >= 2),
-    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bg GROUP BY 1, 2),
-    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
-    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
-    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
-    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
-    sc AS (SELECT f.doc_id, f.bf,
-                  round(-ln((c.c12 + 0.5) / (t.c1 + 0.5 * v.vsz)), 6) AS nb
-           FROM bf f JOIN c12 c USING (bigram)
-           JOIN ctf t ON t.term = string_split(f.bigram, ' ')[1]
-           CROSS JOIN v),
-    agg AS (SELECT doc_id,
-                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
-                     // sum(bf)::BIGINT AS sm7
-            FROM sc GROUP BY 1),
-    nll AS (SELECT doc_id, sm7 / 10000000.0 AS avg_nll FROM agg),
-    ranked AS (SELECT d.source, n.avg_nll,
-                      ntile(3) OVER (PARTITION BY d.source
-                                     ORDER BY n.avg_nll ASC, n.doc_id ASC) AS tercile
-               FROM nll n JOIN documents d USING (doc_id)),
-    named AS (SELECT source,
-                     CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                          ELSE 'tail' END AS bucket,
-                     avg_nll
-              FROM ranked)
-    SELECT source, bucket, count(*)::BIGINT AS n_docs,
-           (((sum(avg_nll::DECIMAL(18,7)) * 10000000)::BIGINT * 10)
-              // count(*)) / 100000000.0 AS mean_nll,
-           min(avg_nll) AS min_nll,
-           max(avg_nll) AS max_nll
-    FROM named GROUP BY 1, 2
-    """,
-    ops=["EXT-quality", "W1", "O3", "G2"],
-)
-def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity terciles per source (Wenzek
-    et al. 2020) over the add-k bigram LM —
-    operators/textanalysis.ccnet_buckets."""
-    from openrouter_batch_processor_spark.operators.textanalysis import ccnet_buckets
-
-    return ccnet_buckets(_t(spark, sf_dir, "documents"))
-
-
-# ===========================================================================
-# Round-4 second wave: time-series analytics (ACF, classical seasonal
-# decomposition, MAD-robust anomalies)
-# ===========================================================================
-
-_ACF_ARMS = "\n    UNION ALL\n".join(
-    f"""
-    SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n,
-           round(((n*n*sxy{k} - n*s*(s1_{k}+s2_{k}) + (n-{k})*s*s)::DOUBLE)
-                 / ((n*(n*q - s*s))::DOUBLE), 6) AS acf
-    FROM f"""
-    for k in range(1, 7)
-)
-
-_ACF_LAG_COLS = ",\n".join(
-    f"""           sum(x*xl{k})::HUGEINT AS sxy{k},
-           sum(CASE WHEN xl{k} IS NOT NULL THEN x END)::HUGEINT AS s2_{k},
-           sum(xl{k})::HUGEINT AS s1_{k}"""
-    for k in range(1, 7)
-)
-
-
-@register(
-    "events_acf",
-    f"""
-    WITH ser AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
-      FROM events GROUP BY 1, 2),
-    idx AS (
-      SELECT event_type, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
-      FROM ser),
-    lg AS (
-      SELECT event_type, x,
-             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
-      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
-    f AS (
-      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-             sum(x*x)::HUGEINT AS q,
-{_ACF_LAG_COLS}
-      FROM lg GROUP BY 1)
-    {_ACF_ARMS}
-    """,
-    ops=["EXT-windows", "G2", "W1", "O3"],
-)
-def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation (lags 1-6) of the hourly event-count series per
-    type, exact integer Box-Jenkins estimator —
-    operators/timeseries.acf_lags."""
-    from openrouter_batch_processor_spark.operators.timeseries import acf_lags
-
-    return acf_lags(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "events_seasonal_decompose",
-    """
-    WITH ser AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
-      FROM events GROUP BY 1, 2),
-    idx AS (
-      SELECT event_type, hour, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
-      FROM ser),
-    d AS (
-      SELECT event_type, extract(hour FROM hour)::BIGINT AS hod,
-             25 * x - sum(x) OVER w AS d25,
-             count(*) OVER w AS wn
-      FROM idx
-      WINDOW w AS (PARTITION BY event_type ORDER BY rn
-                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
-    SELECT event_type, hod, count(*)::BIGINT AS n_windows,
-           ((sum(d25)::BIGINT * 10000000) // (25 * count(*)))::DOUBLE
-             / 10000000.0 AS seasonal
-    FROM d WHERE wn = 25 GROUP BY 1, 2
-    """,
-    ops=["EXT-windows", "G2", "W1"],
-)
-def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive decomposition: centered 25-h moving-average
-    trend, hour-of-day seasonal means, exact ×25 integer carry —
-    operators/timeseries.seasonal_decompose_hod. (Both engines'
-    integer div truncates toward zero, verified — negative detrended
-    sums are safe.)"""
-    from openrouter_batch_processor_spark.operators.timeseries import (
-        seasonal_decompose_hod,
-    )
-
-    return seasonal_decompose_hod(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "events_mad_anomaly",
-    """
-    WITH ranked AS (
-      SELECT event_type, value, event_id,
-             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events),
-    med AS (SELECT event_type, value AS med, n AS n_events
-            FROM ranked WHERE rn = (n + 1) // 2),
-    dev AS (SELECT e.event_type, e.event_id, m.n_events, m.med,
-                   abs(e.value - m.med) AS dev
-            FROM events e JOIN med m USING (event_type)),
-    r2 AS (SELECT event_type, dev,
-                  row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
-                  n_events AS n
-           FROM dev),
-    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
-    SELECT d.event_type, max(d.n_events)::BIGINT AS n_events,
-           max(d.med) AS med, max(m.mad) AS mad,
-           count(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 END)::BIGINT AS n_outliers
-    FROM dev d JOIN mad m USING (event_type) GROUP BY 1
-    """,
-    ops=["EXT-windows", "G2", "O3", "G6"],
-)
-def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hampel-rule robust anomaly counts (3·1.4826·MAD) per event
-    type, rank-median order statistics only —
-    operators/timeseries.mad_anomalies."""
-    from openrouter_batch_processor_spark.operators.timeseries import mad_anomalies
-
-    return mad_anomalies(_t(spark, sf_dir, "events"))
-
-
-# ===========================================================================
-# Round-4 second wave: per-group weighted reservoir sampling +
-# SSL-prototype pruning
-# ===========================================================================
-
-
-@register(
-    "sample_reservoir_group",
-    """
-    WITH h AS (
-      SELECT doc_id, source, n_chars,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS hv
-      FROM documents WHERE n_chars > 0),
-    keyed AS (
-      SELECT doc_id, source, n_chars,
-             round(-ln((hv + 0.5) / 4503599627370496.0) / n_chars, 6) AS akey
-      FROM h),
-    r AS (SELECT doc_id, source, n_chars,
-                 row_number() OVER (PARTITION BY source
-                                    ORDER BY akey ASC, doc_id ASC) AS sel_rank
-          FROM keyed)
-    SELECT doc_id, source, n_chars, sel_rank::BIGINT AS sel_rank
-    FROM r WHERE sel_rank <= 10
-    """,
-    ops=["EXT-sampling", "O3", "F4", "W1"],
-)
-def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Efraimidis–Spirakis weighted reservoir sample (k=10,
-    weight = n_chars), deterministic hash-uniform keys —
-    operators/sampling.weighted_reservoir_per_group."""
-    from openrouter_batch_processor_spark.operators.sampling import (
-        weighted_reservoir_per_group,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    return weighted_reservoir_per_group(
-        docs, "source", "n_chars", k=10, id_col="doc_id"
-    ).select(
-        "doc_id", "source", "n_chars", F.col("rank").cast("long").alias("sel_rank")
-    )
-
-
-@register(
-    "curation_prototype_prune",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 8),
-    asg AS ({_MULTIPROBE_ASG_SQL.format(cent="centroids", nprobe=1)}),
-    u AS (SELECT vec_id,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-          FROM e),
-    cu AS (SELECT centroid_id,
-                  list_transform(cvec, x -> x / sqrt(list_dot_product(cvec, cvec))) AS cunit
-           FROM centroids),
-    cs AS (SELECT a.centroid_id, a.vec_id,
-                  round(list_dot_product(u.unit, cu.cunit), 6) AS cos
-           FROM asg a JOIN u USING (vec_id) JOIN cu USING (centroid_id)),
-    r AS (SELECT centroid_id, cos,
-                 row_number() OVER (PARTITION BY centroid_id
-                                    ORDER BY cos DESC, vec_id ASC) AS rn,
-                 count(*) OVER (PARTITION BY centroid_id) AS n
-          FROM cs)
-    SELECT centroid_id, max(n)::BIGINT AS n_vectors,
-           count(CASE WHEN rn <= (3 * n) // 10 THEN 1 END)::BIGINT AS n_pruned,
-           (max(n) - count(CASE WHEN rn <= (3 * n) // 10 THEN 1 END))::BIGINT AS n_kept,
-           min(CASE WHEN rn <= (3 * n) // 10 THEN cos END) AS cut_cos
-    FROM r GROUP BY 1
-    """,
-    ops=["EXT-ivf", "EXT-dedup-policy", "G2", "W1"],
-)
-def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSL-prototype pruning report (Sorscher et al. 2022): prune the
-    most prototypical 3/10 of every IVF cell by cosine-to-centroid —
-    operators/similarity.prototype_prune_report."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        prototype_prune_report,
-    )
-
-    return prototype_prune_report(
-        _t(spark, sf_dir, "embeddings"), prune_num=3, prune_den=10, n_centroids=8
-    )
-
-
-# ===========================================================================
-# Round-4 second wave: ViT patch-grid plumbing + streaming SCD1 upsert
-# ===========================================================================
-
-
-@register(
-    "multimodal_image_tiles",
-    """
-    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
-               FROM documents),
-    g AS (SELECT media_id, text, (L // 16) AS H FROM m WHERE L >= 128),
-    rc AS (SELECT media_id, text,
-                  unnest(flatten(list_transform(range(0, H // 8),
-                         r -> list_transform(range(0, 2), c -> [r, c])))) AS t
-           FROM g),
-    tiles AS (SELECT media_id, t[1] AS tile_row, t[2] AS tile_col,
-                     array_to_string(list_transform(range(0, 8),
-                        dy -> substr(text, ((t[1]*8 + dy)*16 + t[2]*8)::INT + 1, 8)),
-                        '') AS chunk
-              FROM rc)
-    SELECT media_id, tile_row::BIGINT AS tile_row, tile_col::BIGINT AS tile_col,
-           list_sum(list_transform(range(1, 65),
-                    i -> ord(substr(chunk, i::INT, 1))))::BIGINT AS byte_sum,
-           md5(chunk) AS tile_md5
-    FROM tiles
-    """,
-    ops=["S4", "EXT-multimodal", "D6"],
-)
-def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ViT-style 8x8 patch grid over binary image payloads (documents'
-    bytes as a 16-wide luminance plane, the media-table construction) —
-    mapInPandas 1-in/N-out expansion, byte-exact vs the substr oracle
-    (ASCII corpus: byte == codepoint). operators/multimodal.tile_images."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        media_table,
-        tile_images,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    files = docs.select(
-        F.concat(F.lit("img/doc_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
-            "rel_path"
-        ),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    return tile_images(media_table(files), img_width=16, tile=8)
-
-
-@register(
-    "streaming_cdc_upsert",
-    """
-    WITH latest AS (
-      SELECT user_id, ts, event_id, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n_events
-      FROM events)
-    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
-           event_id AS last_event_id, value AS last_value,
-           n_events::BIGINT AS n_events
-    FROM latest WHERE rn = 1
-    """,
-    ops=["T1", "T2", "EXT-cdc", "G2", "O3"],
-)
-def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The latest-wins keyed upsert (SCD1 CDC merge) as a Structured
-    Streaming foreachBatch sink over one-file-per-trigger micro-batches;
-    the merge is a commutative monoid (count-sum + max-struct), so the
-    streamed state equals the batch argmax — which is the oracle.
-    streaming/upsert.scd1_upsert_stream."""
-    from openrouter_batch_processor_spark.streaming.upsert import (
-        events_split_fixture,
-        scd1_upsert_stream,
-    )
-
-    events_dir = events_split_fixture(spark, sf_dir, n_splits=3)
-    return scd1_upsert_stream(spark, events_dir)
-
-
-# ===========================================================================
-# Round-4 second wave: product quantization (ADC) recall audit
-# ===========================================================================
-
-
-@register(
-    "sim_pq_adc_recall",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-    cb AS (SELECT cid, m, v[m*16+1 : (m+1)*16] AS cw FROM seeds, range(0, 4) t(m)),
-    subs AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sub FROM e, range(0, 4) t(m)),
-    enc AS (SELECT vec_id, m, cid AS code FROM (
-              SELECT s.vec_id, s.m, c.cid,
-                     row_number() OVER (PARTITION BY s.vec_id, s.m
-                       ORDER BY round(list_dot_product(s.sub, s.sub)
-                                      - 2*list_dot_product(s.sub, c.cw)
-                                      + list_dot_product(c.cw, c.cw), 6), c.cid) AS rn
-              FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
-    qsubs AS (SELECT qid, m, qv[m*16+1 : (m+1)*16] AS qsub FROM q, range(0, 4) t(m)),
-    dtab AS (SELECT qid, qsubs.m, cid,
-                    round(list_dot_product(qsub, qsub) - 2*list_dot_product(qsub, cw)
-                          + list_dot_product(cw, cw), 6)::DECIMAL(18,6) AS d
-             FROM qsubs JOIN cb ON cb.m = qsubs.m),
-    adc AS (SELECT d.qid, en.vec_id, sum(d.d)::DECIMAL(18,6) AS adc_dist
-            FROM enc en JOIN dtab d ON d.m = en.m AND d.cid = en.code
-            WHERE en.vec_id <> d.qid
-            GROUP BY 1, 2),
-    ta AS (SELECT qid, vec_id FROM (
-             SELECT qid, vec_id,
-                    row_number() OVER (PARTITION BY qid
-                                       ORDER BY adc_dist, vec_id) AS rn
-             FROM adc) WHERE rn <= 10),
-    ex AS (SELECT q.qid, e.vec_id,
-                  round(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, e.v)
-                        + list_dot_product(e.v, e.v), 6) AS dist
-           FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
-    te AS (SELECT qid, vec_id FROM (
-             SELECT qid, vec_id,
-                    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
-             FROM ex) WHERE rn <= 10),
-    hits AS (SELECT ta.qid, count(*)::BIGINT AS n_hits
-             FROM ta JOIN te USING (qid, vec_id) GROUP BY 1)
-    SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_k
-    FROM q LEFT JOIN hits h USING (qid)
-    """,
-    ops=["EXT-simsearch", "EXT-ivf", "J2", "G2", "O3"],
-)
-def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC recall@10 audit (Jégou et al. 2011):
-    4x16-dim seed codebooks, encode once, sum per-subspace lookup
-    distances in DECIMAL — operators/similarity.pq_adc_recall."""
-    from openrouter_batch_processor_spark.operators.similarity import pq_adc_recall
-
-    return pq_adc_recall(_t(spark, sf_dir, "embeddings"))
-
-
-# ===========================================================================
-# Round-4 second wave: the FineWeb-style AND-ed filter-stack composite
-# ===========================================================================
-
-
-@register(
-    "curation_fineweb_gate",
-    f"""
-    WITH t AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
-    bse AS (SELECT doc_id, source, norm, len(norm)::BIGINT AS n_norm_chars,
-                   string_split(norm, ' ') AS toks FROM t),
-    gb AS (SELECT doc_id, source, n_norm_chars, toks,
-                  len(toks)::BIGINT AS n_words,
-                  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
-                  len(list_distinct(list_filter(toks,
-                      x -> list_contains(['the','a'], x))))::BIGINT AS n_stops
-           FROM bse),
-    bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                                  i -> toks[i] || ' ' || toks[i+1])) AS bgr
-            FROM gb WHERE len(toks) >= 2),
-    bcx AS (SELECT doc_id, bgr, count(*) AS c FROM bgx GROUP BY 1, 2),
-    tmx AS (SELECT doc_id, max(c * len(bgr))::BIGINT AS top_mass FROM bcx GROUP BY 1),
-    gflag AS (SELECT g.doc_id,
-                     ((n_words >= 15 AND n_words <= 90)
-                      AND (n_norm_chars - (n_words - 1) >= 3 * n_words
-                           AND n_norm_chars - (n_words - 1) <= 10 * n_words)
-                      AND (n_alpha * 5 >= n_words * 4)
-                      AND (n_stops >= 2)
-                      AND (coalesce(top_mass, 0) * 5 <= n_norm_chars)) AS gp
-              FROM gb g LEFT JOIN tmx USING (doc_id)),
-    em AS (SELECT doc_id, len(norm)::BIGINT AS n,
-                  list_aggregate(list_transform(
-                    list_sort(list_distinct(string_split(norm, ''))),
-                    c -> round(len(list_filter(string_split(norm, ''), x -> x = c)) *
-                               log2(len(list_filter(string_split(norm, ''), x -> x = c))),
-                               6)::DECIMAL(18,6)), 'sum') AS mass
-           FROM t),
-    eflag AS (SELECT doc_id,
-                     (round(log2(n::DOUBLE) - mass::DOUBLE / n::DOUBLE, 6) >= 4.0) AS ep
-              FROM em),
-    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-    bgm AS (SELECT doc_id,
-                   unnest(list_transform(range(1, len(toks)),
-                                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
-            FROM tk WHERE len(toks) >= 2),
-    bf AS (SELECT doc_id, bigram, count(*)::BIGINT AS bf FROM bgm GROUP BY 1, 2),
-    c12 AS (SELECT bigram, sum(bf)::BIGINT AS c12 FROM bf GROUP BY 1),
-    uni AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
-    ctf AS (SELECT term, count(*)::BIGINT AS c1 FROM uni WHERE term != '' GROUP BY 1),
-    v AS (SELECT count(*)::DOUBLE AS vsz FROM ctf),
-    sc AS (SELECT f.doc_id, f.bf,
-                  round(-ln((c.c12 + 0.5) / (t2.c1 + 0.5 * v.vsz)), 6) AS nb
-           FROM bf f JOIN c12 c USING (bigram)
-           JOIN ctf t2 ON t2.term = string_split(f.bigram, ' ')[1]
-           CROSS JOIN v),
-    agg AS (SELECT doc_id,
-                   ((sum(round(bf * nb, 6)::DECIMAL(18,6)) * 1000000)::BIGINT * 10)
-                     // sum(bf)::BIGINT AS sm7
-            FROM sc GROUP BY 1),
-    nllx AS (SELECT doc_id, sm7 / 10000000.0 AS avg_nll FROM agg),
-    pflag AS (SELECT n.doc_id,
-                     (ntile(3) OVER (PARTITION BY d.source
-                                     ORDER BY n.avg_nll ASC, n.doc_id ASC) != 3) AS pp
-              FROM nllx n JOIN documents d USING (doc_id)),
-    flags AS (SELECT d.source,
-                     coalesce(g.gp, FALSE) AS gp,
-                     coalesce(e.ep, FALSE) AS ep,
-                     coalesce(p.pp, FALSE) AS pp
-              FROM documents d
-              LEFT JOIN gflag g USING (doc_id)
-              LEFT JOIN eflag e USING (doc_id)
-              LEFT JOIN pflag p USING (doc_id)),
-    rep AS (SELECT source, count(*)::BIGINT AS n_docs,
-                   count(CASE WHEN gp THEN 1 END)::BIGINT AS n_gopher,
-                   count(CASE WHEN ep THEN 1 END)::BIGINT AS n_entropy,
-                   count(CASE WHEN pp THEN 1 END)::BIGINT AS n_ppl,
-                   count(CASE WHEN gp AND ep AND pp THEN 1 END)::BIGINT AS n_kept
-            FROM flags GROUP BY 1)
-    SELECT source, n_docs, n_gopher, n_entropy, n_ppl, n_kept,
-           ((n_kept * 10000000) // n_docs)::DOUBLE / 10000000.0 AS kept_frac
-    FROM rep
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "W1", "O3"],
-)
-def q_fineweb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FineWeb-style AND-ed filter stack per source: Gopher rules +
-    char-entropy floor + CCNet not-tail perplexity gate, intersection
-    yield with exact kept_frac — operators/curation.fineweb_gate."""
-    from openrouter_batch_processor_spark.operators.curation import fineweb_gate
-
-    return fineweb_gate(_t(spark, sf_dir, "documents"), entropy_min=4.0)
-
-
-# ===========================================================================
-# Round-4 second wave: synchronous label propagation (community
-# detection over the LSH candidate graph)
-# ===========================================================================
-
-
-@register(
-    "graph_label_propagation",
-    f"""
-    WITH {_SHINGLES_SQL},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-    n1 AS (SELECT e.src AS node, l.label, count(*) AS c
-           FROM edges e JOIN lab0 l ON l.node = e.dst GROUP BY 1, 2),
-    lab1 AS (SELECT node, label FROM (
-              SELECT node, label,
-                     row_number() OVER (PARTITION BY node
-                                        ORDER BY c DESC, label ASC) AS rn
-              FROM n1) WHERE rn = 1),
-    n2 AS (SELECT e.src AS node, l.label, count(*) AS c
-           FROM edges e JOIN lab1 l ON l.node = e.dst GROUP BY 1, 2),
-    lab2 AS (SELECT node, label FROM (
-              SELECT node, label,
-                     row_number() OVER (PARTITION BY node
-                                        ORDER BY c DESC, label ASC) AS rn
-              FROM n2) WHERE rn = 1),
-    sz AS (SELECT label, count(*)::BIGINT AS community_size FROM lab2 GROUP BY 1)
-    SELECT l.node AS doc_id, l.label AS community, s.community_size
-    FROM lab2 l JOIN sz s USING (label)
-    """,
-    ops=["EXT-minhash", "EXT-dedup-policy", "J2", "G2", "O4"],
-)
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two synchronous label-propagation rounds (Raghavan et al. 2007)
-    over the LSH near-duplicate graph, (count desc, label asc)
-    deterministic updates — operators/dedup.label_propagation."""
-    from openrouter_batch_processor_spark.operators.dedup import label_propagation
-
-    return label_propagation(_t(spark, sf_dir, "documents"), rounds=2)
-
-
-# ===========================================================================
-# Round-4 second wave: Holt-Winters additive (rotating seasonal ring)
-# ===========================================================================
-
-
-@register(
-    "events_holt_winters",
-    """
-    WITH ordered AS (
-      SELECT event_type, array_agg(value ORDER BY ts, event_id) AS xs,
-             count(*) AS n
-      FROM events GROUP BY event_type),
-    f AS (SELECT event_type, n,
-                 -- acc = [l, b] || 24-slot seasonal RING (head = s_{t-m});
-                 -- every element evaluated against the OLD acc (list
-                 -- construction; the DuckDB 1.0 struct-acc field leak
-                 -- does not apply — see events_holt_forecast)
-                 list_reduce(
-                   list_transform(xs, x -> ([x] || list_transform(range(0, 25),
-                                                                  i -> 0.0::DOUBLE))),
-                   (acc, e) ->
-                     [0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
-                      0.3 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
-                             - acc[1]) + 0.7 * acc[2]]
-                     || acc[4:26]
-                     || [0.2 * (e[1] - (0.5 * (e[1] - acc[3])
-                                        + 0.5 * (acc[1] + acc[2])))
-                         + 0.8 * acc[3]]) AS st
-          FROM ordered)
-    SELECT event_type, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
-           round(st[3], 6) AS s_next,
-           round(st[1] + st[2] + st[3], 6) AS forecast_1
-    FROM f
-    """,
-    ops=["S10", "T5", "G2", "EXT-windows"],
-)
-def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt-Winters additive (level+trend+24-slot seasonal ring) per
-    event type via grouped-map applyInPandas, value-checked against a
-    DuckDB list_reduce over rotating 26-wide list accumulators —
-    operators/timeseries.holt_winters_additive."""
-    from openrouter_batch_processor_spark.operators.timeseries import (
-        holt_winters_additive,
-    )
-
-    return holt_winters_additive(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "audit_ks_drift",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT q.quality_score AS s,
-                 CASE WHEN CAST(substr(d.source, 4) AS INT) < 10
-                      THEN 1 ELSE 0 END::BIGINT AS in_a
-          FROM q JOIN documents d USING (doc_id)),
-    g AS (SELECT s, sum(in_a)::BIGINT AS ca, sum(1 - in_a)::BIGINT AS cb
-          FROM l GROUP BY 1),
-    w AS (SELECT s,
-                 sum(ca) OVER (ORDER BY s
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cuma,
-                 sum(cb) OVER (ORDER BY s
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumb
-          FROM g),
-    t AS (SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb FROM l),
-    top AS (SELECT s, na, nb,
-                   abs(cuma::DECIMAL(38,0) * nb::DECIMAL(38,0)
-                       - cumb::DECIMAL(38,0) * na::DECIMAL(38,0)) AS dnum
-            FROM w CROSS JOIN t
-            ORDER BY dnum DESC, s ASC LIMIT 1),
-    sc AS (SELECT na, nb, s,
-                  dnum::DOUBLE / (na::DOUBLE * nb::DOUBLE) AS d,
-                  sqrt(na::DOUBLE * nb::DOUBLE / (na + nb)::DOUBLE) AS en
-           FROM top),
-    sl AS (SELECT na, nb, s, d, (en + 0.12 + 0.11 / en) * d AS lam FROM sc)
-    SELECT na, nb, s AS cut, round(d, 9) AS d_stat,
-           round(least(greatest(2.0 * (exp(-2.0 * lam * lam)
-                                       - exp(-8.0 * lam * lam)
-                                       + exp(-18.0 * lam * lam)), 0.0), 1.0),
-                 6) AS p_value
-    FROM sl
-    """,
-    ops=["EXT-quality", "G2", "W2", "O3"],
-)
-def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS drift test between source cohorts src0-9 and
-    src10-19 on the quality-score distribution: D maximized on the
-    common integer denominator (DECIMAL(38,0) cross products, no float
-    CDF), Kolmogorov asymptotic p with Stephens' correction
-    (operators/corpusaudit.ks_drift)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import ks_drift
-
-    return ks_drift(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_token_gini",
-    f"""
-    WITH x AS (SELECT (CASE WHEN {_NORM_SQL} = '' THEN 0
-                            ELSE len(string_split({_NORM_SQL}, ' ')) END)::BIGINT AS x
-               FROM documents),
-    h AS (SELECT x, count(*)::BIGINT AS c FROM x GROUP BY 1),
-    cum AS (SELECT x, c,
-                   (sum(c) OVER (ORDER BY x
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    - c)::BIGINT AS f
-            FROM h),
-    a AS (SELECT sum(c)::DECIMAL(38,0) AS n,
-                 sum(x::DECIMAL(38,0) * c) AS sx,
-                 sum(x::DECIMAL(38,0) * c
-                     * (2 * f::DECIMAL(38,0) + c + 1)) AS six2
-          FROM cum)
-    SELECT n::BIGINT AS n_docs, sx::BIGINT AS total_tokens,
-           round((six2 - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE, 9) AS gini
-    FROM a
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "W2"],
-)
-def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of per-document token counts, exact from the
-    length histogram (tied-block rank algebra in DECIMAL(38,0), one
-    final double division) — the length-inequality audit for packing
-    and loss weighting (operators/corpusaudit.token_gini)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import token_gini
-
-    return token_gini(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_source_js",
-    f"""
-    WITH tk AS (SELECT source,
-                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
-                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != ''),
-    obs AS (SELECT bucket, count(*)::BIGINT AS cb FROM tk GROUP BY 1),
-    cb AS (SELECT r.b AS bucket, coalesce(obs.cb, 0)::BIGINT AS cb
-           FROM (SELECT unnest(range(512))::BIGINT AS b) r
-           LEFT JOIN obs ON obs.bucket = r.b),
-    sb AS (SELECT source, bucket, count(*)::BIGINT AS cs FROM tk GROUP BY 1, 2),
-    st AS (SELECT source, count(*)::BIGINT AS ts FROM tk GROUP BY 1),
-    ct AS (SELECT sum(cb)::DOUBLE AS tc FROM cb),
-    grid AS (SELECT st.source, st.ts, cb.bucket, cb.cb, sb.cs, ct.tc
-             FROM st CROSS JOIN cb
-             LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
-             CROSS JOIN ct),
-    pp AS (SELECT source, ts,
-                  (coalesce(cs, 0) + 1) / (ts + 512.0) AS ps,
-                  (cb + 1) / (tc + 512.0) AS pc
-           FROM grid),
-    sc AS (SELECT source, ts,
-                  round(0.5 * ps * ln(ps / ((ps + pc) / 2))
-                        + 0.5 * pc * ln(pc / ((ps + pc) / 2)),
-                        9)::DECIMAL(28,9) AS contrib
-           FROM pp),
-    agg AS (SELECT source, ts, round(sum(contrib)::DOUBLE, 6) AS js
-            FROM sc GROUP BY 1, 2)
-    SELECT source, ts AS n_tokens, js,
-           round(sqrt(greatest(js, 0.0) / 0.6931471805599453), 6) AS js_dist
-    FROM agg
-    """,
-    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
-)
-def q_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Jensen-Shannon divergence from the corpus unigram
-    distribution over the DSIR 512-bucket space (add-one smoothed,
-    full grid, bounded by ln 2) plus the Endres-Schindelin metric form
-    sqrt(JS/ln 2) — the drift score that stays comparable where KL
-    saturates (operators/corpusaudit.source_js)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import source_js
-
-    return source_js(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_k_anonymity",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT d.source, d.lang, d.n_chars // 256 AS len_bucket,
-                 least(floor(q.quality_score * 10)::BIGINT, 9) AS qb
-          FROM documents d JOIN q USING (doc_id)),
-    g AS (SELECT source, lang, len_bucket, count(*)::BIGINT AS sz,
-                 count(DISTINCT qb)::BIGINT AS ldiv
-          FROM l GROUP BY 1, 2, 3)
-    SELECT count(*)::BIGINT AS n_groups,
-           min(sz)::BIGINT AS k_anonymity,
-           sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_below_k,
-           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_docs_below_k,
-           min(ldiv)::BIGINT AS l_diversity
-    FROM g
-    """,
-    ops=["EXT-quality", "G2"],
-)
-def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity / l-diversity release audit over the
-    (source, lang, 256-char length bucket) quasi-identifier with the
-    quality decile as sensitive attribute — pure counting, exact by
-    construction (operators/corpusaudit.k_anonymity)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import k_anonymity
-
-    return k_anonymity(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_spearman_quality_len",
-    f"""
-    WITH q AS (SELECT doc_id, n_tokens AS y_val, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    hx AS (SELECT quality_score, count(*)::BIGINT AS c FROM q GROUP BY 1),
-    rx AS (SELECT quality_score,
-                  (2 * (sum(c) OVER (ORDER BY quality_score
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-                   + c + 1)::BIGINT AS r2x
-           FROM hx),
-    hy AS (SELECT y_val, count(*)::BIGINT AS c FROM q GROUP BY 1),
-    ry AS (SELECT y_val,
-                  (2 * (sum(c) OVER (ORDER BY y_val
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
-                   + c + 1)::BIGINT AS r2y
-           FROM hy),
-    j AS (SELECT rx.r2x::HUGEINT AS rxv, ry.r2y::HUGEINT AS ryv
-          FROM q JOIN rx USING (quality_score) JOIN ry USING (y_val)),
-    a AS (SELECT count(*)::HUGEINT AS n, sum(rxv)::HUGEINT AS sx,
-                 sum(ryv)::HUGEINT AS sy, sum(rxv * rxv)::HUGEINT AS sxx,
-                 sum(ryv * ryv)::HUGEINT AS syy, sum(rxv * ryv)::HUGEINT AS sxy
-          FROM j)
-    SELECT n::BIGINT AS n_docs,
-           round((n * sxy - sx * sy)::DOUBLE
-                 / sqrt((n * sxx - sx * sx)::DOUBLE
-                        * (n * syy - sy * sy)::DOUBLE), 9) AS rho
-    FROM a
-    """,
-    ops=["EXT-quality", "EXT-tokens", "G2", "W2", "J3"],
-)
-def q_spearman_quality_len(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation (tie-averaged midranks, Pearson on
-    ranks) between quality score and token count — integer 2×midranks
-    from value histograms, DECIMAL/HUGEINT moment sums, one final
-    double expression (operators/corpusaudit.spearman_quality_len)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import (
-        spearman_quality_len,
-    )
-
-    return spearman_quality_len(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_brier_decomp",
-    f"""
-    WITH q AS (SELECT doc_id, quality_score
-               FROM {_quality_sql("documents", "doc_id")}),
-    l AS (SELECT CAST(round(q.quality_score * 1000000, 0) AS BIGINT) AS p6,
-                 least(floor(q.quality_score * 10)::BIGINT, 9) AS bin_id,
-                 (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
-          FROM q JOIN documents d USING (doc_id)),
-    b AS (SELECT bin_id, count(*)::BIGINT AS nb, sum(p6)::HUGEINT AS sp6,
-                 sum(y)::BIGINT AS pb,
-                 sum((p6 - y * 1000000)::HUGEINT
-                     * (p6 - y * 1000000)::HUGEINT) AS bnum
-          FROM l GROUP BY 1),
-    t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM l),
-    per AS (SELECT nb, bnum, (sp6::BIGINT * 10) // nb AS conf7,
-                   (pb * 10000000) // nb AS acc7,
-                   (p * 10000000) // n AS base7, n, p
-            FROM b CROSS JOIN t),
-    a AS (SELECT max(n) AS n, max(p) AS p, sum(bnum)::HUGEINT AS brier_num,
-                 sum(nb::HUGEINT * (conf7 - acc7) * (conf7 - acc7)) AS rel_num,
-                 sum(nb::HUGEINT * (acc7 - base7) * (acc7 - base7)) AS res_num
-          FROM per)
-    SELECT n::BIGINT AS n_docs,
-           round(brier_num::DOUBLE / (n::DOUBLE * 1e12), 9) AS brier,
-           round(rel_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS reliability,
-           round(res_num::DOUBLE / (n::DOUBLE * 1e14), 9) AS resolution,
-           round(p::DOUBLE * (n::DOUBLE - p::DOUBLE)
-                 / (n::DOUBLE * n::DOUBLE), 9) AS uncertainty
-    FROM a
-    """,
-    ops=["EXT-quality", "G2"],
-)
-def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Murphy (1973) Brier-score decomposition of the quality score as
-    an en-classifier: exact 6-dp-grid Brier sum, reliability and
-    resolution on the 7-dp integer-micros grid (quality_ece bins),
-    uncertainty from the base rate
-    (operators/corpusaudit.brier_decomposition)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import (
-        brier_decomposition,
-    )
-
-    return brier_decomposition(_t(spark, sf_dir, "documents"))
-
-
-def _pacf_sql(max_lag: int = 5) -> str:
-    """Durbin-Levinson CTE chain over the pivoted ACF values (needs the
-    `f` CTE from the events_acf oracle in scope). Expressions are
-    generated LEFT-ASSOCIATIVELY — ((r3 - p21*r2) - p22*r1) — to match
-    the Spark loop's accumulation order term for term, so both engines
-    run the identical IEEE operation sequence."""
-    arms = "\n    UNION ALL\n".join(
-        f"""
-    SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n,
-           round((((n*n*sxy{k} - n*s*(s1_{k}+s2_{k}) + (n-{k})*s*s)::DOUBLE)
-                 / ((n*(n*q - s*s))::DOUBLE)), 6) AS acf
-    FROM f"""
-        for k in range(1, max_lag + 1)
-    )
-    rcols = ",\n           ".join(
-        f"max(CASE WHEN lag_k = {k} THEN acf END) AS r{k}"
-        for k in range(1, max_lag + 1)
-    )
-    ctes = [
-        f"acfv AS ({arms})",
-        f"piv AS (SELECT event_type, max(n) AS n,\n           {rcols}\n    FROM acfv GROUP BY 1)",
-        "s1 AS (SELECT *, r1 AS p11 FROM piv)",
-    ]
-    prev = "s1"
-    step = 1
-    for k in range(2, max_lag + 1):
-        num = f"r{k}"
-        den = "1.0"
-        for j in range(1, k):
-            num = f"({num} - p{k-1}{j}*r{k-j})"
-            den = f"({den} - p{k-1}{j}*r{j})"
-        step += 1
-        ctes.append(f"s{step} AS (SELECT *, {num} / {den} AS p{k}{k} FROM {prev})")
-        prev = f"s{step}"
-        if k < max_lag:
-            cols = ", ".join(
-                f"p{k-1}{j} - p{k}{k}*p{k-1}{k-j} AS p{k}{j}" for j in range(1, k)
-            )
-            step += 1
-            ctes.append(f"s{step} AS (SELECT *, {cols} FROM {prev})")
-            prev = f"s{step}"
-    out_arms = "\n    UNION ALL\n".join(
-        f"SELECT event_type, {k}::BIGINT AS lag_k, n::BIGINT AS n, round(p{k}{k}, 6) AS pacf FROM {prev}"
-        for k in range(1, max_lag + 1)
-    )
-    return ",\n    ".join(ctes) + f"\n    {out_arms}"
-
-
-@register(
-    "events_pacf",
-    f"""
-    WITH ser AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
-      FROM events GROUP BY 1, 2),
-    idx AS (
-      SELECT event_type, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
-      FROM ser),
-    lg AS (
-      SELECT event_type, x,
-             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 6))}
-      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
-    f AS (
-      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-             sum(x*x)::HUGEINT AS q,
-{",".join(chr(10) + f'''           sum(x*xl{k})::HUGEINT AS sxy{k},
-           sum(CASE WHEN xl{k} IS NOT NULL THEN x END)::HUGEINT AS s2_{k},
-           sum(xl{k})::HUGEINT AS s1_{k}''' for k in range(1, 6))}
-      FROM lg GROUP BY 1),
-    {_pacf_sql(5)}
-    """,
-    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
-)
-def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial autocorrelation (lags 1-5) of the hourly event-count
-    series per type: Durbin-Levinson recursion unrolled over the
-    integer-exact ACF values, every accumulation left-associative on
-    both engines (operators/timeseries.pacf_lags)."""
-    from openrouter_batch_processor_spark.operators.timeseries import pacf_lags
-
-    return pacf_lags(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "sim_ndcg_audit",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 7),
-    exact AS (
-      SELECT query_id, vec_id FROM (
-        SELECT q.query_id, e.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_dot_product(e.v, q.qv)
-                          / sqrt(list_dot_product(e.v, e.v)
-                                 * list_dot_product(q.qv, q.qv)), 6) DESC,
-                 e.vec_id) AS rn
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
-      WHERE rn <= 5),
-    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
-                  ORDER BY vec_id LIMIT 8),
-    assigned AS (SELECT vec_id, v, centroid_id FROM (
-        SELECT e.vec_id, e.v, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 round(list_dot_product(e.v, e.v)
-                       - 2 * list_dot_product(e.v, c.cvec)
-                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
-        FROM e CROSS JOIN centroids c) WHERE rn = 1),
-    probe AS (SELECT query_id, centroid_id FROM (
-        SELECT q.query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id ORDER BY
-                 round(list_dot_product(c.cvec, c.cvec)
-                       - 2 * list_dot_product(c.cvec, q.qv)
-                       + list_dot_product(q.qv, q.qv), 6), c.centroid_id) AS rn
-        FROM centroids c CROSS JOIN q) WHERE rn <= 2),
-    approx AS (SELECT query_id, vec_id, rn FROM (
-        SELECT p.query_id, a.vec_id,
-               row_number() OVER (PARTITION BY p.query_id ORDER BY
-                 round(list_dot_product(a.v, q.qv)
-                       / sqrt(list_dot_product(a.v, a.v)
-                              * list_dot_product(q.qv, q.qv)), 6) DESC,
-                 a.vec_id) AS rn
-        FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
-        JOIN q ON q.query_id = p.query_id
-        WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
-    gains AS (SELECT x.query_id,
-                     round(1.0 / log2(x.rn + 1), 9)::DECIMAL(18,9) AS gain
-              FROM approx x JOIN exact e
-                ON e.query_id = x.query_id AND e.vec_id = x.vec_id),
-    per_q AS (SELECT query_id, count(*)::BIGINT AS n_hit, sum(gain) AS dcg
-              FROM gains GROUP BY 1)
-    SELECT q.query_id, coalesce(p.n_hit, 0)::BIGINT AS n_hit,
-           round(coalesce(p.dcg, 0)::DOUBLE, 6) AS dcg,
-           round(coalesce(p.dcg, 0)::DOUBLE / 2.948459119, 6) AS ndcg
-    FROM q LEFT JOIN per_q p USING (query_id)
-    """,
-    ops=["EXT-simsearch", "EXT-ivf", "EXT-recall", "J2", "O3"],
-)
-def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@5 of the IVF(nprobe=2/8) ranking vs exact cosine top-5 with
-    binary relevance and log2 discount (Järvelin & Kekäläinen 2002) —
-    rank-aware where recall@k is position-blind. IDCG@5 = 2.948459119
-    is the shared 9-dp closed-form literal
-    (operators/similarity.ndcg_report)."""
-    from openrouter_batch_processor_spark.operators.similarity import ndcg_report
-
-    return ndcg_report(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "text_nb_langid",
-    f"""
-    WITH tk AS (SELECT doc_id, lang,
-                       ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
-                FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != ''),
-    lb AS (SELECT lang, bucket, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
-    lt AS (SELECT lang, count(*)::BIGINT AS tot FROM tk GROUP BY 1),
-    langs AS (SELECT lang, count(*)::BIGINT AS nl FROM documents GROUP BY 1),
-    nn AS (SELECT count(*)::BIGINT AS n_all FROM documents),
-    ob AS (SELECT DISTINCT bucket FROM tk),
-    model AS (SELECT lt.lang AS m_lang, ob.bucket,
-                     round(ln((coalesce(lb.cnt, 0) + 1) / (lt.tot + 512.0)),
-                           9)::DECIMAL(28,9) AS lnp
-              FROM lt CROSS JOIN ob
-              LEFT JOIN lb ON lb.lang = lt.lang AND lb.bucket = ob.bucket),
-    dt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
-    lik AS (SELECT dt.doc_id, m.m_lang,
-                   sum(dt.c::DECIMAL(10,0) * m.lnp) AS ll
-            FROM dt JOIN model m USING (bucket) GROUP BY 1, 2),
-    pri AS (SELECT l.lang AS m_lang,
-                   round(ln(l.nl / n_all::DOUBLE), 9)::DECIMAL(28,9) AS lnprior
-            FROM langs l CROSS JOIN nn),
-    sc AS (SELECT d.doc_id, d.lang AS true_lang, p.m_lang,
-                  p.lnprior + coalesce(k.ll, 0::DECIMAL(28,9)) AS score
-           FROM documents d CROSS JOIN pri p
-           LEFT JOIN lik k ON k.doc_id = d.doc_id AND k.m_lang = p.m_lang),
-    pred AS (SELECT doc_id, true_lang, m_lang AS pred_lang FROM (
-               SELECT *, row_number() OVER (PARTITION BY doc_id
-                           ORDER BY score DESC, m_lang ASC) AS rn
-               FROM sc) WHERE rn = 1)
-    SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
-    FROM pred GROUP BY 1, 2
-    """,
-    ops=["EXT-langid", "EXT-quality", "G2", "J3", "W2"],
-)
-def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes language identifier over the 512-bucket
-    hashed unigram space (add-one, log-domain, resubstitution
-    confusion matrix) — how separable the corpus's languages are in
-    the DSIR feature space; decimal-summed 9-dp log scores make the
-    argmax engine-exact (operators/textanalysis.nb_langid_confusion)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        nb_langid_confusion,
-    )
-
-    return nb_langid_confusion(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_cramers_v",
-    """
-    WITH cells AS (SELECT source, lang, count(*)::BIGINT AS o
-                   FROM documents GROUP BY 1, 2),
-    rm AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
-    cm AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
-    t AS (SELECT sum(o)::BIGINT AS n,
-                 count(DISTINCT source)::BIGINT AS n_rows,
-                 count(DISTINCT lang)::BIGINT AS n_cols
-          FROM cells),
-    grid AS (SELECT t.n, t.n_rows, t.n_cols,
-                    coalesce(cells.o, 0)::BIGINT AS o, rm.r, cm.c
-             FROM rm CROSS JOIN cm
-             LEFT JOIN cells ON cells.source = rm.source AND cells.lang = cm.lang
-             CROSS JOIN t),
-    sc AS (SELECT n, n_rows, n_cols,
-                  round(((o::HUGEINT * n - r::HUGEINT * c)
-                         * (o::HUGEINT * n - r::HUGEINT * c))::DOUBLE
-                        / (n::HUGEINT * r * c)::DOUBLE, 9)::DECIMAL(28,9) AS contrib
-           FROM grid),
-    a AS (SELECT n, n_rows, n_cols, sum(contrib) AS chi2d
-          FROM sc GROUP BY 1, 2, 3)
-    SELECT n AS n_docs, n_rows, n_cols,
-           ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
-           round(chi2d::DOUBLE, 6) AS chi2,
-           round(sqrt(chi2d::DOUBLE
-                      / (n::DOUBLE * (least(n_rows, n_cols) - 1)::DOUBLE)),
-                 6) AS cramers_v
-    FROM a
-    """,
-    ops=["EXT-quality", "EXT-sampling", "G2", "J3"],
-)
-def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V association between source and lang via the exact
-    chi-square over the full R×C grid (zero cells contribute e) —
-    integer cross-products in DECIMAL/HUGEINT, 9-dp decimal-summed
-    contributions (operators/corpusaudit.cramers_v)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import cramers_v
-
-    return cramers_v(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_chao1_vocab",
-    f"""
-    WITH tf AS (SELECT u.term, count(*)::BIGINT AS tf
-                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
-                      FROM documents) t,
-                     unnest(toks) AS u(term)
-                WHERE u.term != '' GROUP BY 1),
-    a AS (SELECT count(*)::BIGINT AS v_obs,
-                 sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
-                 sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
-                 sum(tf)::BIGINT AS n_tokens
-          FROM tf)
-    SELECT n_tokens, v_obs, f1, f2,
-           round(v_obs + (f1 * (f1 - 1))::DOUBLE
-                         / (2 * (f2 + 1))::DOUBLE, 6) AS chao1
-    FROM a
-    """,
-    ops=["EXT-tokens", "EXT-sketch", "G2"],
-)
-def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chao1 bias-corrected lower bound on unseen vocabulary from the
-    frequency-of-frequencies (Chao 1984) — companion to
-    text_good_turing / audit_heaps_fit; pure integer counts, one final
-    double division (operators/corpusaudit.chao1_vocab)."""
-    from openrouter_batch_processor_spark.operators.corpusaudit import chao1_vocab
-
-    return chao1_vocab(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "events_ljung_box",
-    f"""
-    WITH ser AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
-      FROM events GROUP BY 1, 2),
-    idx AS (
-      SELECT event_type, x,
-             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
-      FROM ser),
-    lg AS (
-      SELECT event_type, x,
-             {", ".join(f"lag(x, {k}) OVER w AS xl{k}" for k in range(1, 7))}
-      FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
-    f AS (
-      SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-             sum(x*x)::HUGEINT AS q,
-{_ACF_LAG_COLS}
-      FROM lg GROUP BY 1),
-    acfv AS ({_ACF_ARMS}),
-    a AS (SELECT event_type, max(n)::BIGINT AS n,
-                 sum(round((acf * acf) / (n - lag_k)::DOUBLE,
-                           12)::DECIMAL(28,12)) AS ssum
-          FROM acfv GROUP BY 1),
-    qq AS (SELECT event_type, n,
-                  (n * (n + 2))::DOUBLE * ssum::DOUBLE AS q_raw
-           FROM a)
-    SELECT event_type, n, 6::BIGINT AS df,
-           round(q_raw, 6) AS q_stat,
-           round((pow(q_raw / 6.0, 1.0/3.0) - {1.0 - 2.0 / 54.0!r})
-                 / {(2.0 / 54.0) ** 0.5!r}, 6) AS z_wh
-    FROM qq
-    """,
-    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
-)
-def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung-Box portmanteau white-noise Q (lags 1-6) per event type
-    over the hourly count series, with the Wilson-Hilferty chi-square
-    z approximation — 12-dp decimal-summed summands over the
-    integer-exact ACF (operators/timeseries.ljung_box)."""
-    from openrouter_batch_processor_spark.operators.timeseries import ljung_box
-
-    return ljung_box(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "emb_mahalanobis_outliers",
-    """
-    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
-    d AS (SELECT e.vec_id, o.dim, (e.embedding::DOUBLE[])[o.dim + 1] AS val
-          FROM embeddings e CROSS JOIN offs o),
-    m AS (SELECT dim, count(*)::BIGINT AS n, sum(val::DECIMAL(28,10)) AS sx,
-                 sum((val * val)::DECIMAL(38,10)) AS sxx
-          FROM d GROUP BY 1),
-    st AS (SELECT dim, sx::DOUBLE / n AS mu,
-                  sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS var
-           FROM m),
-    sc AS (SELECT d.vec_id,
-                  round((d.val - st.mu) * (d.val - st.mu) / st.var,
-                        9)::DECIMAL(28,9) AS contrib
-           FROM d JOIN st USING (dim)),
-    pv AS (SELECT vec_id, sum(contrib) AS md2d FROM sc GROUP BY 1)
-    SELECT vec_id, round(md2d::DOUBLE, 6) AS md2
-    FROM pv ORDER BY md2d DESC, vec_id ASC LIMIT 20
-    """,
-    ops=["EXT-simsearch", "EXT-quality", "G2", "O3"],
-)
-def q_emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 embedding outliers by diagonal Mahalanobis distance:
-    per-dim decimal moments (emb_dim_stats recipe) broadcast back onto
-    the posexplode fan-out, 9-dp decimal-summed per-vector distances,
-    TakeOrdered top-k (operators/similarity.mahalanobis_outliers)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        mahalanobis_outliers,
-    )
-
-    return mahalanobis_outliers(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "curation_blocklist_filter",
-    f"""
-    WITH toks AS (SELECT doc_id, source,
-                         string_split({_NORM_SQL}, ' ') AS toks
-                  FROM documents),
-    hits AS (SELECT doc_id, source, t.tok
-             FROM toks, unnest(toks.toks) AS t(tok)
-             WHERE t.tok IN ('bad', 'crash', 'dup'))
-    SELECT doc_id, source,
-           count(*)::BIGINT AS n_blocked_tokens,
-           count(DISTINCT tok)::BIGINT AS n_distinct_blocked,
-           string_agg(DISTINCT tok, ',' ORDER BY tok) AS blocked_csv
-    FROM hits GROUP BY 1, 2
-    """,
-    ops=["EXT-curation", "P1", "F1", "G2"],
-)
-def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style blocklist gate (Raffel et al. 2020 §2.2): flag docs
-    whose normalized tokens hit the blocklist, with the matched-word
-    audit trail. Membership is a literal-array filter inside one
-    map-only pass — no join, no shuffle before the final row set
-    (operators/curation.blocklist_filter)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        blocklist_filter,
-    )
-
-    return blocklist_filter(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "sim_hard_negatives",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-                      label AS qlabel
-               FROM embeddings WHERE vec_id % 100 = 7),
-    cand AS (SELECT q.query_id, e.vec_id,
-                    round({_COS_SQL.format(a='e.embedding::DOUBLE[]', b='q.qv')},
-                          6) AS cos_sim
-             FROM embeddings e JOIN q ON e.label != q.qlabel),
-    rk AS (SELECT query_id, vec_id, cos_sim,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY cos_sim DESC, vec_id) AS rn
-           FROM cand)
-    SELECT query_id, vec_id AS neighbor_id, rn::BIGINT AS rank, cos_sim
-    FROM rk WHERE rn <= 5
-    """,
-    ops=["EXT-simsearch", "EXT-curation", "J3", "O3", "W2"],
-)
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per anchor in
-    the deterministic ~1% sample, the top-5 most-similar vectors with
-    a DIFFERENT label — broadcast anchors, label-mismatch join
-    predicate, 6-dp-rounded cosine ranking
-    (operators/similarity.hard_negatives)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        hard_negatives,
-    )
-
-    return hard_negatives(_t(spark, sf_dir, "embeddings"))
-
-
-def _bpe_ctes(rounds: int, last_w: bool) -> list[str]:
-    """Shared unrolled-BPE CTE chain: per round, adjacent-pair counts
-    over the delimited symbol strings, top-1 with lexicographic
-    tiebreak, greedy replace. Round CTEs are MATERIALIZED — DuckDB
-    inlines plain CTEs and each w{r} references w{r-1} once per pair
-    column, so the chain would otherwise re-derive the whole corpus
-    vocabulary O(3^rounds) times (the k-core lesson). ``last_w``
-    materializes w{rounds} too (the compression curve reads it; the
-    merge list doesn't need it)."""
-    ctes = [
-        f"""w0 AS MATERIALIZED (
-      SELECT tok, count(*)::BIGINT AS freq,
-             '|' || array_to_string(string_split(tok, ''), '||') || '|' AS s
-      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
-      GROUP BY 1)"""
-    ]
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f"""pairs{r} AS (
-      SELECT freq, syms[i] AS a, syms[i + 1] AS b
-      FROM (SELECT freq, string_split(trim(s, '|'), '||') AS syms FROM w{r - 1}),
-           unnest(range(1, len(syms))) AS t(i))"""
-        )
-        ctes.append(
-            f"""best{r} AS MATERIALIZED (
-      SELECT {r}::BIGINT AS merge_rank, a, b, sum(freq)::BIGINT AS cnt
-      FROM pairs{r} GROUP BY 2, 3 ORDER BY cnt DESC, a, b LIMIT 1)"""
-        )
-        if r < rounds or last_w:
-            ctes.append(
-                f"""w{r} AS MATERIALIZED (
-      SELECT tok, freq,
-             replace(s, '|' || best{r}.a || '||' || best{r}.b || '|',
-                     '|' || best{r}.a || best{r}.b || '|') AS s
-      FROM w{r - 1}, best{r})"""
-            )
-    return ctes
-
-
-def _bpe_sql(rounds: int = 4) -> str:
-    union = " UNION ALL ".join(
-        f"SELECT * FROM best{r}" for r in range(1, rounds + 1)
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(_bpe_ctes(rounds, last_w=False))
-        + f"""
-    SELECT merge_rank, a AS sym_a, b AS sym_b, cnt AS pair_count
-    FROM ({union})"""
-    )
-
-
-def _bpe_compression_sql(rounds: int = 4) -> str:
-    per_round = " UNION ALL ".join(
-        f"""SELECT {r}::BIGINT AS round,
-               sum(freq * ((length(s) - length(replace(s, '|', ''))) // 2))::BIGINT
-                 AS total_symbols
-        FROM w{r}"""
-        for r in range(rounds + 1)
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(_bpe_ctes(rounds, last_w=True))
-        + f""",
-    stats AS ({per_round}),
-    base AS (SELECT total_symbols AS chars FROM stats WHERE round = 0)
-    SELECT round, total_symbols,
-           round(chars::DOUBLE / total_symbols, 6) AS compression_ratio
-    FROM stats, base"""
-    )
-
-
-@register(
-    "text_bpe_merges",
-    _bpe_sql(4),
-    ops=["EXT-tokens", "EXT-curation", "G2", "O3", "X2"],
-)
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 4 BPE merges learned from the corpus vocabulary (Sennrich
-    et al. 2016): per round, frequency-weighted adjacent-symbol pair
-    counts, lexicographic-tiebreak top-1, greedy delimited-string
-    replace; loop state is the vocab table, lineage pinned per round
-    (operators/textanalysis.bpe_merges)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        bpe_merges,
-    )
-
-    return bpe_merges(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_bpe_compression",
-    _bpe_compression_sql(4),
-    ops=["EXT-tokens", "EXT-curation", "G2"],
-)
-def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer compression curve over the 4 learned BPE merges:
-    integer-exact corpus symbol totals per round (n_syms derived
-    arithmetically from the delimited string) and the cumulative
-    chars-per-token ratio (operators/textanalysis.bpe_compression)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        bpe_compression,
-    )
-
-    return bpe_compression(_t(spark, sf_dir, "documents"))
-
-
-def _logreg_ctes(steps: int = 6, with_ids: bool = False) -> list[str]:
-    """Unrolled full-batch logistic-GD oracle: per step one sigmoid
-    scan + decimal-summed gradient + 9-dp weight update. Step CTEs
-    MATERIALIZED (each wt{t} is referenced 4x by wt{t+1}'s columns —
-    plain CTEs would re-derive the chain exponentially). ``with_ids``
-    carries (doc_id, lang) through feats for per-doc scoring
-    consumers."""
-    idc = "doc_id, lang, " if with_ids else ""
-    ctes = [
-        f"""feats AS MATERIALIZED (
-      SELECT {idc}CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-             1.0 AS x0,
-             len(toks)::DOUBLE / 100.0 AS x1,
-             len(list_filter(toks, t -> t IN ('a', 'the')))::DOUBLE
-               / len(toks)::DOUBLE AS x2,
-             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
-               / len(toks)::DOUBLE / 10.0 AS x3
-      FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
-            FROM documents))""",
-        "wt0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)",
-    ]
-    for t in range(1, steps + 1):
-        grads = ", ".join(
-            f"sum(round((p - y) * x{k}, 9)::DECIMAL(28,9)) AS g{k}"
-            for k in range(4)
-        )
-        ctes.append(
-            f"""s{t} AS MATERIALIZED (
-      SELECT {grads}, count(*)::DOUBLE AS n
-      FROM (SELECT y, x0, x1, x2, x3,
-                   1.0 / (1.0 + exp(-round(x0 * a0 + x1 * a1 + x2 * a2
-                                           + x3 * a3, 9))) AS p
-            FROM feats, wt{t - 1}))"""
-        )
-        ws = ", ".join(
-            f"round(a{k} - 1.0 * g{k}::DOUBLE / n, 9) AS a{k}" for k in range(4)
-        )
-        ctes.append(
-            f"wt{t} AS MATERIALIZED (SELECT {ws} FROM wt{t - 1}, s{t})"
-        )
-    return ctes
-
-
-def _logreg_sql(steps: int = 6) -> str:
-    union = " UNION ALL ".join(
-        f"SELECT 'x{k}' AS feature, a{k} AS weight FROM wt{steps}"
-        for k in range(4)
-    )
-    return "WITH " + ",\n    ".join(_logreg_ctes(steps)) + f"\n    {union}"
-
-
-def _logreg_difficulty_sql(steps: int = 6, topk: int = 25) -> str:
-    return (
-        "WITH "
-        + ",\n    ".join(_logreg_ctes(steps, with_ids=True))
-        + f""",
-    scored AS (
-      SELECT doc_id, lang, y,
-             round(1.0 / (1.0 + exp(-round(x0 * a0 + x1 * a1 + x2 * a2
-                                           + x3 * a3, 9))), 9) AS p
-      FROM feats, wt{steps})
-    SELECT doc_id, lang, y, p, round(abs(p - y), 9) AS difficulty
-    FROM scored ORDER BY round(abs(p - y), 9) DESC, doc_id LIMIT {topk}"""
-    )
-
-
-@register(
-    "curation_quality_logreg",
-    _logreg_sql(6),
-    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
-)
-def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style quality classifier trained in-engine: 6 steps of
-    full-batch logistic gradient descent on (bias, token count,
-    stopword ratio, mean word length) with label lang='en' — weight
-    vector as a 1-row broadcast, one combiner aggregation per step,
-    9-dp-grid trajectory bit-identical to the unrolled oracle
-    (operators/curation.quality_logreg)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        quality_logreg,
-    )
-
-    return quality_logreg(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "curation_doremi_weights",
-    f"""
-    WITH tf AS (
-      SELECT source, tok, count(*)::BIGINT AS cnt
-      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-            FROM documents)
-      GROUP BY 1, 2),
-    cw AS (SELECT tok, sum(cnt)::BIGINT AS cw FROM tf GROUP BY 1),
-    ns AS (SELECT source, sum(cnt)::BIGINT AS n_s FROM tf GROUP BY 1),
-    nn AS (SELECT sum(cnt)::BIGINT AS n FROM tf),
-    sc AS (
-      SELECT tf.source, min(ns.n_s) AS n_s,
-             sum(round(cnt * -ln(cw.cw::DOUBLE / nn.n), 9)::DECIMAL(28,9))
-               AS s_corpus,
-             sum(round(cnt * -ln(cnt::DOUBLE / ns.n_s), 9)::DECIMAL(28,9))
-               AS s_own
-      FROM tf JOIN cw USING (tok) JOIN ns USING (source), nn
-      GROUP BY 1),
-    ex AS (SELECT source,
-                  (s_corpus - s_own)::DOUBLE / n_s AS excess
-           FROM sc),
-    wr AS (SELECT source, excess, exp(excess) AS w_raw FROM ex),
-    nrm AS (SELECT sum(round(w_raw, 9)::DECIMAL(28,9))::DOUBLE AS norm
-            FROM wr)
-    SELECT source, round(excess, 9) AS excess_kl,
-           round(w_raw / nrm.norm, 6) AS weight
-    FROM wr, nrm
-    """,
-    ops=["EXT-curation", "EXT-quality", "G2", "J3"],
-)
-def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-lite domain reweighting (Xie et al. 2023 with unigram
-    proxy/reference LMs — per-domain excess loss = KL(p_d || p_corpus)
-    in nats): exp-excess softmax over domains, decimal-summed
-    cross-entropies, 1-row total/normalizer broadcasts
-    (operators/curation.doremi_weights)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        doremi_weights,
-    )
-
-    return doremi_weights(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_lsh_s_curve",
-    f"""
-    WITH {_SHINGLES_SQL},
-    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
-    dfq AS (SELECT shingle, count(*) AS df FROM sh_set GROUP BY 1),
-    pr AS (SELECT f.doc_id, f.shingle FROM sh_set f JOIN dfq USING (shingle)
-           WHERE df <= 50),
-    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM pr a JOIN pr b ON a.shingle = b.shingle
-                                 AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY 1),
-    inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
-              FROM pairs p
-              JOIN sh_set x ON x.doc_id = p.id_a
-              JOIN sh_set y ON y.doc_id = p.id_b AND y.shingle = x.shingle
-              GROUP BY 1, 2),
-    jac AS (SELECT i.id_a, i.id_b,
-                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.id_a
-            JOIN sizes sb ON sb.doc_id = i.id_b),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
-             FROM bands a JOIN bands b ON a.band = b.band
-                                      AND a.band_key = b.band_key
-             WHERE a.doc_id < b.doc_id),
-    fl AS (SELECT least(floor(j.jac * 10), 9)::BIGINT AS bucket,
-                  coalesce(c.is_cand, 0) AS is_cand
-           FROM jac j LEFT JOIN cand c USING (id_a, id_b)),
-    agg AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
-                   sum(is_cand)::BIGINT AS n_candidates
-            FROM fl GROUP BY 1)
-    SELECT bucket, n_pairs, n_candidates,
-           round(n_candidates / n_pairs, 6) AS observed_rate,
-           round(1.0 - ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
-                               * ((bucket::DOUBLE + 0.5) / 10.0))
-                        * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
-                                 * ((bucket::DOUBLE + 0.5) / 10.0)))
-                       * ((1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
-                                 * ((bucket::DOUBLE + 0.5) / 10.0))
-                          * (1.0 - ((bucket::DOUBLE + 0.5) / 10.0)
-                                   * ((bucket::DOUBLE + 0.5) / 10.0))),
-                 6) AS theoretical_rate
-    FROM agg
-    """,
-    ops=["EXT-minhash", "EXT-jaccard", "EXT-quality", "G2", "J2"],
-)
-def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Empirical MinHash-banding S-curve audit (MMDS ch. 3): observed
-    candidate rate per true-Jaccard decile vs the 1−(1−J²)⁴ theory at
-    bucket midpoints — truth pairs from the df-capped inverted index,
-    exact Jaccard over the staged shingle sets, candidates from the
-    production banding (operators/dedup.lsh_s_curve)."""
-    from openrouter_batch_processor_spark.operators.dedup import lsh_s_curve
-
-    return lsh_s_curve(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "audit_davies_bouldin",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-    {_km_assign_sql('c0', 'a1')},
-    {_km_recompute_sql('a1', 'c1')},
-    {_km_assign_sql('c1', 'a2')},
-    {_km_recompute_sql('a2', 'c2')},
-    d AS (SELECT a.cluster_id,
-                 round(list_dot_product(e.v, e.v)
-                       - 2 * list_dot_product(e.v, c.c)
-                       + list_dot_product(c.c, c.c), 6) AS d2
-          FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cluster_id),
-    s AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size,
-                 sum(round(sqrt(greatest(d2, 0.0)), 9)::DECIMAL(28,9))::DOUBLE
-                   / count(*) AS s_intra
-          FROM d GROUP BY 1),
-    m AS (SELECT ca.cid AS ca, cb.cid AS cb,
-                 sqrt(greatest(round(list_dot_product(ca.c, ca.c)
-                                     - 2 * list_dot_product(ca.c, cb.c)
-                                     + list_dot_product(cb.c, cb.c), 6),
-                               0.0)) AS mij
-          FROM c2 ca JOIN c2 cb ON ca.cid != cb.cid),
-    r AS (SELECT m.ca AS cluster_id,
-                 max((sa.s_intra + sb.s_intra) / m.mij) AS r_max
-          FROM m JOIN s sa ON sa.cluster_id = m.ca
-                 JOIN s sb ON sb.cluster_id = m.cb
-          GROUP BY 1),
-    db AS (SELECT sum(round(r_max, 9)::DECIMAL(28,9))::DOUBLE / count(*) AS dbi
-           FROM r)
-    SELECT s.cluster_id, s.cluster_size, round(s.s_intra, 6) AS s_intra,
-           round(r.r_max, 6) AS r_max, round(db.dbi, 6) AS db_index
-    FROM s JOIN r USING (cluster_id), db
-    """,
-    ops=["EXT-ivf", "EXT-quality", "EXT-simsearch", "G2", "J3"],
-)
-def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Davies-Bouldin validity index over the deterministic k=8 Lloyd
-    clustering: per-cluster mean member-to-centroid distance, max
-    similarity ratio to any other cluster, and the corpus index —
-    centroid tables broadcast, one combiner pass over members
-    (operators/kmeans.davies_bouldin)."""
-    from openrouter_batch_processor_spark.operators.kmeans import (
-        davies_bouldin,
-    )
-
-    return davies_bouldin(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "text_rake_keyphrases",
-    f"""
-    WITH tk AS (
-      SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok,
-             toks[u.i + 1] IN ('a', 'the') AS is_stop
-      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-            FROM documents),
-           unnest(range(0, len(toks))) AS u(i)),
-    runs AS (SELECT doc_id, pos, tok, is_stop,
-                    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
-                      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
-             FROM tk),
-    w AS (SELECT doc_id, run_id, pos, tok,
-                 count(*) OVER (PARTITION BY doc_id, run_id) AS plen
-          FROM runs WHERE NOT is_stop),
-    wdim AS (SELECT tok, sum(plen)::DOUBLE / count(*)::DOUBLE AS wscore
-             FROM w GROUP BY 1),
-    occ AS (SELECT doc_id, run_id,
-                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
-                   count(*)::BIGINT AS n_words,
-                   sum(round(wscore, 9)::DECIMAL(28,9))::DOUBLE AS score
-            FROM w JOIN wdim USING (tok) GROUP BY 1, 2),
-    agg AS (SELECT phrase, max(n_words) AS n_words,
-                   count(*)::BIGINT AS n_occurrences, max(score) AS score
-            FROM occ GROUP BY 1)
-    SELECT phrase, n_words, n_occurrences, round(score, 6) AS score
-    FROM agg ORDER BY score DESC, phrase LIMIT 15
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2", "W2", "O3"],
-)
-def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE keyphrase extraction (Rose et al. 2010): stopword-run
-    segmentation by one cumulative window per doc, deg/freq word
-    scores, decimal-summed phrase scores, corpus top-15
-    (operators/textanalysis.rake_keyphrases)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        rake_keyphrases,
-    )
-
-    return rake_keyphrases(_t(spark, sf_dir, "documents"))
-
-
-def _pq_train_sql(iters: int = 2, m_sub: int = 4, sub_dim: int = 16,
-                  n_codes: int = 8) -> str:
-    """Unrolled joint per-subspace Lloyd oracle for PQ codebook
-    training — the kmeans_lite recipe with the subspace id riding
-    every group key. Round CTEs MATERIALIZED (k-core lesson)."""
-
-    def assign(cb: str, name: str) -> str:
-        d2 = (f"round(list_dot_product(s.sub, s.sub)"
-              f" - 2 * list_dot_product(s.sub, c.cw)"
-              f" + list_dot_product(c.cw, c.cw), 6)")
-        return f"""{name} AS MATERIALIZED (
-      SELECT vec_id, m, cid, d2 FROM (
-        SELECT s.vec_id, s.m, c.cid, {d2} AS d2,
-               row_number() OVER (PARTITION BY s.m, s.vec_id
-                                  ORDER BY {d2}, c.cid) AS rn
-        FROM subs s JOIN {cb} c ON c.m = s.m) WHERE rn = 1)"""
-
-    def recompute(a: str, name: str) -> str:
-        return f"""{name} AS MATERIALIZED (
-      SELECT m, cid, array_agg(mu ORDER BY pos) AS cw FROM (
-        SELECT a.m, a.cid, u.pos,
-               sum(u.x::DECIMAL(38,12))::DOUBLE / count(*) AS mu
-        FROM {a} a JOIN (
-          SELECT vec_id, m,
-                 unnest(list_transform(range(1, {sub_dim + 1}),
-                                       i -> struct_pack(pos := i,
-                                                        x := sub[i]))) AS u
-          FROM subs) t ON t.vec_id = a.vec_id AND t.m = a.m
-        GROUP BY 1, 2, 3) GROUP BY 1, 2)"""
-
-    ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""subs AS MATERIALIZED (
-      SELECT vec_id, mm.m,
-             list_slice(v, mm.m * {sub_dim} + 1,
-                        mm.m * {sub_dim} + {sub_dim}) AS sub
-      FROM e, (SELECT unnest(range({m_sub})) AS m) mm)""",
-        f"""cb0 AS (
-      SELECT mm.m, s.cid,
-             list_slice(s.v, mm.m * {sub_dim} + 1,
-                        mm.m * {sub_dim} + {sub_dim}) AS cw
-      FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-            FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})) s,
-           (SELECT unnest(range({m_sub})) AS m) mm)""",
-    ]
-    for r in range(1, iters + 1):
-        ctes.append(assign(f"cb{r - 1}", f"a{r}"))
-        ctes.append(recompute(f"a{r}", f"cb{r}"))
-    ctes.append(assign(f"cb{iters}", "af"))
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + """
-    SELECT m, cid, count(*)::BIGINT AS n_members,
-           round(sum(d2::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mse
-    FROM af GROUP BY 1, 2"""
-    )
-
-
-@register(
-    "sim_pq_train",
-    _pq_train_sql(2),
-    ops=["EXT-ivf", "EXT-simsearch", "G2", "J3"],
-)
-def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codebook training (Jégou et al. 2011 §III): per-subspace
-    Lloyd as ONE joint loop — subspace id in every group key, one
-    corpus pass per iteration trains all 4 codebooks; emits the
-    per-codeword member counts and round-6 quantization distortion
-    under the trained books (operators/similarity.pq_train)."""
-    from openrouter_batch_processor_spark.operators.similarity import pq_train
-
-    return pq_train(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "curation_softdedup_weights",
-    f"""
-    WITH RECURSIVE {_SHINGLES_SQL},
-    {_CC_SQL},
-    sizes AS (SELECT cluster_id, count(*) AS cluster_size
-              FROM labels GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
-           round(1.0 / coalesce(s.cluster_size, 1), 6) AS weight
-    FROM documents d
-    LEFT JOIN labels l ON l.node = d.doc_id
-    LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
-    """,
-    ops=["EXT-dedup-policy", "EXT-minhash", "EXT-curation", "J1", "G2"],
-)
-def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soft deduplication: per-doc sampling weight 1/|duplicate
-    cluster| (singletons 1) from the LSH connected-component cluster
-    table — reweight instead of remove, preserving long-tail variants
-    (operators/dedup.softdedup_weights)."""
-    from openrouter_batch_processor_spark.operators.dedup import (
-        softdedup_weights,
-    )
-
-    return softdedup_weights(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "streaming_blocklist_gate",
-    f"""
-    WITH toks AS (SELECT doc_id, source,
-                         string_split({_NORM_SQL}, ' ') AS toks
-                  FROM documents),
-    hits AS (SELECT doc_id, source, t.tok
-             FROM toks, unnest(toks.toks) AS t(tok)
-             WHERE t.tok IN ('bad', 'crash', 'dup')),
-    per AS (SELECT doc_id, source,
-                   count(*)::BIGINT AS n_blocked_tokens
-            FROM hits GROUP BY 1, 2)
-    SELECT source, count(*)::BIGINT AS n_flagged_docs,
-           sum(n_blocked_tokens)::BIGINT AS n_blocked_tokens
-    FROM per GROUP BY 1
-    """,
-    ops=["T1", "P1", "EXT-curation", "G4"],
-)
-def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The C4 blocklist gate running IN FLIGHT, value-checked: the
-    documents stream screens against the literal blocklist with pure
-    per-row array expressions (no shuffle, no state) and the flagged
-    rows roll up per source to exactly the batch gate's counts
-    (streaming/windows.blocklist_gate_stream)."""
-    from openrouter_batch_processor_spark.streaming.windows import (
-        blocklist_gate_stream,
-        read_documents_stream,
-        run_to_memory,
-    )
-
-    stream = blocklist_gate_stream(read_documents_stream(spark, sf_dir))
-    run_to_memory(stream, "registry_stream_blocklist", output_mode="append")
-    return (
-        spark.table("registry_stream_blocklist")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
-            F.sum("n_blocked_tokens").cast("long").alias("n_blocked_tokens"),
-        )
-    )
-
-
-def _jl_proj_sql() -> str:
-    """The 16 JL projection components as literal-weight folds —
-    identical fold order to Spark's aggregate(zip_with(...)) (the
-    rp_signatures parity precedent)."""
-    comps = []
-    for row in rp_weights():
-        lit = "[" + ", ".join(repr(w) for w in row) + "]"
-        comps.append(
-            f"list_reduce(list_transform(range(1, 65), i -> ({lit})[i] * v[i]),"
-            " (a, b) -> a + b)"
-        )
-    return "[" + ", ".join(comps) + "]"
-
-
-@register(
-    "audit_jl_distortion",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id % 20 = 3),
-    proj AS (SELECT vec_id, v, {_jl_proj_sql()} AS y FROM e),
-    pairs AS (SELECT a.v AS va, b.v AS vb, a.y AS ya, b.y AS yb
-              FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
-    d AS (SELECT
-            list_reduce(list_transform(range(1, 65),
-                                        i -> (va[i] - vb[i]) * (va[i] - vb[i])),
-                        (a, b) -> a + b) AS dv2,
-            list_reduce(list_transform(range(1, 17),
-                                        i -> (ya[i] - yb[i]) * (ya[i] - yb[i])),
-                        (a, b) -> a + b) AS dy2
-          FROM pairs),
-    r AS (SELECT round(3.0 * dy2 / (16.0 * dv2), 6) AS ratio
-          FROM d WHERE dv2 > 0),
-    mean AS (SELECT sum(round(ratio, 9)::DECIMAL(28,9))::DOUBLE / count(*)
-               AS mean_ratio FROM r)
-    SELECT least(floor(ratio * 10), 19)::BIGINT AS bucket,
-           count(*)::BIGINT AS n_pairs,
-           round(mean.mean_ratio, 6) AS mean_ratio
-    FROM r, mean GROUP BY 1, 3
-    """,
-    ops=["EXT-simsearch", "EXT-quality", "EXT-recall", "G2"],
-)
-def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss distortion audit of the 64→16 rp_weights
-    projection: projected/original squared-distance ratio histogram
-    over the ~5% sample pairs, 3/k-normalized for the [-1,1)-uniform
-    entries — validates running the RP family on projected vectors
-    (operators/similarity.jl_distortion)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        jl_distortion,
-    )
-
-    return jl_distortion(_t(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "curation_difficulty_topk",
-    _logreg_difficulty_sql(6, 25),
-    ops=["EXT-curation", "EXT-quality", "G2", "O3"],
-)
-def q_logreg_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Example-difficulty ranking under the trained linear probe
-    (EL2N/margin recipe, Paul et al. 2021): |p − y| after the 6-step
-    logistic GD, top-25 hardest docs — the mislabeled/ambiguous
-    review queue of a data-pruning loop; scoring is one weight-row
-    broadcast over the staged features
-    (operators/curation.logreg_difficulty)."""
-    from openrouter_batch_processor_spark.operators.curation import (
-        logreg_difficulty,
-    )
-
-    return logreg_difficulty(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_topp_vocab",
-    f"""
-    WITH tf AS (
-      SELECT term, count(*)::BIGINT AS c
-      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
-            FROM documents)
-      GROUP BY 1),
-    nn AS (SELECT sum(c)::BIGINT AS n FROM tf),
-    ranked AS (
-      SELECT c,
-             row_number() OVER (ORDER BY c DESC, term)::BIGINT AS r,
-             sum(c) OVER (ORDER BY c DESC, term
-                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
-      FROM tf),
-    tgt AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
-                           0.95::DOUBLE, 0.99::DOUBLE]) AS p_target),
-    j AS (SELECT p_target, min(r) AS n_types
-          FROM ranked, nn, tgt
-          WHERE cum >= ceil(p_target * nn.n::DOUBLE)::BIGINT
-          GROUP BY 1)
-    SELECT j.p_target, j.n_types, round(ranked.cum / nn.n, 6) AS coverage
-    FROM j JOIN ranked ON ranked.r = j.n_types, nn
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2", "W2", "O3"],
-)
-def q_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nucleus (top-p) vocabulary coverage: minimum type count
-    reaching each coverage target over the corpus unigram
-    distribution — integer-exact running sums, one vocabulary-sized
-    global window (the zipf-fit precedent)
-    (operators/textanalysis.topp_vocab_coverage)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        topp_vocab_coverage,
-    )
-
-    return topp_vocab_coverage(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "sim_embedding_decontaminate",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-                  FROM embeddings ORDER BY vec_id LIMIT 8),
-    assigned AS (SELECT vec_id, v, centroid_id FROM (
-      SELECT e.vec_id, e.v, c.centroid_id,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_dot_product(e.v, e.v)
-                              - 2 * list_dot_product(e.v, c.cvec)
-                              + list_dot_product(c.cvec, c.cvec), 6),
-                        c.centroid_id) AS rn
-      FROM e CROSS JOIN centroids c) WHERE rn = 1),
-    j AS (SELECT a.vec_id, d.source, a.v, a.centroid_id
-          FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
-    bench AS (SELECT vec_id AS bench_id, centroid_id, v AS bv
-              FROM j WHERE source = 'src0'),
-    corp AS (SELECT vec_id, source, centroid_id, v
-             FROM j WHERE source != 'src0'),
-    cand AS (SELECT c.vec_id, c.source, b.bench_id,
-                    round(list_dot_product(c.v, b.bv)
-                          / sqrt(list_dot_product(c.v, c.v)
-                                 * list_dot_product(b.bv, b.bv)),
-                          6) AS cos_sim
-             FROM corp c JOIN bench b USING (centroid_id)),
-    rk AS (SELECT vec_id, source, bench_id, cos_sim,
-                  row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos_sim DESC, bench_id) AS rn
-           FROM cand)
-    SELECT vec_id AS doc_id, source, bench_id, cos_sim
-    FROM rk WHERE rn = 1 AND cos_sim >= 0.4
-    """,
-    ops=["EXT-simsearch", "EXT-ivf", "EXT-dedup-policy", "J3", "O4"],
-)
-def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic benchmark decontamination: corpus docs whose best
-    IVF-cell-bucketed cosine against the src0 benchmark vectors
-    reaches 0.4, with the witness — the embedding-space companion to
-    the n-gram/winnowing gates for paraphrased leakage
-    (operators/similarity.embedding_decontaminate)."""
-    from openrouter_batch_processor_spark.operators.similarity import (
-        embedding_decontaminate,
-    )
-
-    return embedding_decontaminate(
-        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
-    )
-
-
-@register(
-    "dedup_winnow_clusters",
-    f"""
-    WITH RECURSIVE {_WINNOW_SQL},
-    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
-    dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
-    pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp)
-           WHERE df <= 50),
-    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             GROUP BY 1, 2 HAVING count(*) >= 2),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM cand),
-    reach(node, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
-    sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
-              FROM labels GROUP BY 1)
-    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
-    FROM labels l JOIN sizes s USING (cluster_id)
-    """,
-    ops=["EXT-dedup", "EXT-dedup-policy", "X1", "J2", "G2"],
-)
-def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS grouping stage: transitive closure over the winnowing
-    fingerprint-overlap pairs — local-guarantee clone clusters
-    (certified shared runs, unlike the probabilistic MinHash
-    clusters); min-label propagation vs the oracle's recursive CTE
-    (operators/dedup.winnow_clusters)."""
-    from openrouter_batch_processor_spark.operators.dedup import (
-        winnow_clusters,
-    )
-
-    return winnow_clusters(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_fightin_words",
-    f"""
-    WITH tf AS (
-      SELECT lang AS grp, tok, count(*)::BIGINT AS ylw
-      FROM (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-            FROM documents)
-      GROUP BY 1, 2),
-    yw AS (SELECT tok, sum(ylw)::BIGINT AS yw FROM tf GROUP BY 1),
-    nl AS (SELECT grp, sum(ylw)::BIGINT AS nl FROM tf GROUP BY 1),
-    nn AS (SELECT sum(ylw)::BIGINT AS n FROM tf),
-    sc AS (
-      SELECT grp AS lang, tok AS token, ylw AS n_in_group,
-             round(
-               (ln((ylw + 100.0 * yw.yw / nn.n)
-                   / (nl.nl + 100.0 - ylw - 100.0 * yw.yw / nn.n))
-                - ln(((yw.yw - ylw) + 100.0 * yw.yw / nn.n)
-                     / ((nn.n - nl.nl) + 100.0 - (yw.yw - ylw)
-                        - 100.0 * yw.yw / nn.n)))
-               / sqrt(1.0 / (ylw + 100.0 * yw.yw / nn.n)
-                      + 1.0 / ((yw.yw - ylw) + 100.0 * yw.yw / nn.n)),
-               6) AS z_score
-      FROM tf JOIN yw USING (tok) JOIN nl USING (grp), nn),
-    rk AS (SELECT lang, token, n_in_group, z_score,
-                  row_number() OVER (PARTITION BY lang
-                                     ORDER BY z_score DESC, token) AS rn
-           FROM sc)
-    SELECT lang, token, n_in_group, z_score FROM rk WHERE rn <= 5
-    """,
-    ops=["EXT-tokens", "EXT-quality", "G2", "J3", "O3", "W2"],
-)
-def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language signature vocabulary by log-odds with informative
-    Dirichlet prior (Monroe et al. 2008 'Fightin' Words'): z-scored
-    group-vs-rest log-odds with corpus-proportional prior mass, top-5
-    per language — the principled keyness statistic over raw TF-IDF
-    (operators/textanalysis.fightin_words)."""
-    from openrouter_batch_processor_spark.operators.textanalysis import (
-        fightin_words,
-    )
-
-    return fightin_words(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "multimodal_tile_dedup",
-    """
-    WITH m AS (SELECT sha256(text) AS media_id, text, length(text)::BIGINT AS L
-               FROM documents),
-    g AS (SELECT media_id, text, (L // 16) AS H FROM m WHERE L >= 128),
-    rc AS (SELECT media_id, text,
-                  unnest(flatten(list_transform(range(0, H // 8),
-                         r -> list_transform(range(0, 2), c -> [r, c])))) AS t
-           FROM g),
-    tiles AS (SELECT media_id,
-                     md5(array_to_string(list_transform(range(0, 8),
-                        dy -> substr(text, ((t[1]*8 + dy)*16 + t[2]*8)::INT + 1, 8)),
-                        '')) AS tile_md5
-              FROM rc)
-    SELECT tile_md5,
-           count(DISTINCT media_id)::BIGINT AS n_images,
-           count(*)::BIGINT AS n_occurrences
-    FROM tiles GROUP BY 1 HAVING count(DISTINCT media_id) >= 2
-    """,
-    ops=["S4", "EXT-multimodal", "EXT-dedup", "X1", "G2", "D6"],
-)
-def q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-image duplicate PATCH detection — the watermark/logo/
-    template-chrome finder of an image-curation pipeline: exact dedup
-    (X1) at tile granularity over the ViT patch grid; tiles recurring
-    across >= 2 distinct images surface with their spread. Composition
-    of the tested tile expansion (mapInPandas) and a hash-key combiner
-    groupBy — at 100 TB the patch table shuffles on tile_md5, never
-    pixels (operators/multimodal.tile_images + hash rollup)."""
-    from openrouter_batch_processor_spark.operators.multimodal import (
-        media_table,
-        tile_images,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    files = docs.select(
-        F.concat(F.lit("img/doc_"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
-            "rel_path"
-        ),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.length(F.col("text")).cast("long").alias("length"),
-    )
-    tiles = tile_images(media_table(files), img_width=16, tile=8)
-    return (
-        tiles.groupBy("tile_md5")
-        .agg(
-            F.count_distinct("media_id").cast("long").alias("n_images"),
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        )
-        .filter(F.col("n_images") >= 2)
-    )
-
-
-@register(
-    "events_runs_test",
-    """
-    WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
-                          sum(round(value, 6)::DECIMAL(18,6)) AS x
-                   FROM events GROUP BY 1, 2),
-    rk AS (SELECT event_type, day, x,
-                  row_number() OVER (PARTITION BY event_type
-                                     ORDER BY x, day) AS rnk,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM daily),
-    med AS (SELECT event_type, x AS med FROM rk
-            WHERE rnk = floor((n + 1) / 2)),
-    lab AS (SELECT d.event_type, d.day,
-                   CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS s
-            FROM daily d JOIN med m USING (event_type)
-            WHERE d.x != m.med),
-    runs AS (SELECT event_type, s,
-                    CASE WHEN lag(s) OVER (PARTITION BY event_type
-                                           ORDER BY day) IS NULL
-                              OR s != lag(s) OVER (PARTITION BY event_type
-                                                   ORDER BY day)
-                         THEN 1 ELSE 0 END AS chg
-             FROM lab),
-    agg AS (SELECT event_type,
-                   count(*)::BIGINT AS n_days,
-                   sum(s)::BIGINT AS n_above,
-                   (count(*) - sum(s))::BIGINT AS n_below,
-                   sum(chg)::BIGINT AS n_runs
-            FROM runs GROUP BY 1)
-    SELECT event_type, n_days, n_above, n_below, n_runs,
-           round((n_runs - (2.0 * n_above * n_below
-                            / (n_above + n_below) + 1.0))
-                 / sqrt(2.0 * n_above * n_below
-                        * (2.0 * n_above * n_below - n_above - n_below)
-                        / ((n_above + n_below)::DOUBLE
-                           * (n_above + n_below)::DOUBLE
-                           * ((n_above + n_below) - 1))),
-                 6) AS z
-    FROM agg
-    """,
-    ops=["EXT-timeseries", "G2", "W2", "J3"],
-)
-def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald-Wolfowitz runs test per event-type daily series:
-    above/below-lower-median labeling (deterministic tie cut), runs
-    counted by one lag window, exact-integer moments, one double z —
-    the exchangeability audit beside Mann-Kendall and Ljung-Box
-    (operators/timeseries.runs_test)."""
-    from openrouter_batch_processor_spark.operators.timeseries import (
-        runs_test,
-    )
-
-    return runs_test(_t(spark, sf_dir, "events"))
+from openrouter_batch_processor_spark.registries.base import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    register,
+    _t,
+)
+
+# Importing a family module registers its queries (side-effect import).
+# Import order only affects queries NOT yet pinned in _TAIL_ORDER below
+# (i.e. queries new this round): they surface at the head of the dict,
+# inside the driver's 50-query correctness window.
+from openrouter_batch_processor_spark.registries import reference_parity  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import relational  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import text  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import dedup  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import similarity  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import events  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import curation  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import audit  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import sketches  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import multimodal  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import streaming  # noqa: E402,F401
+from openrouter_batch_processor_spark.registries import sampling  # noqa: E402,F401
 
 
 # ===========================================================================

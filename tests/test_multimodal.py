@@ -128,3 +128,74 @@ def test_audio_windows_overlap_and_cap(spark):
         media_table(files), window_bytes=256, hop_bytes=128, max_windows=2
     ).collect()
     assert len(capped) == 2
+
+
+class TestTilePhashPairs:
+    def test_planted_watermark_survives_reencode_noise(self, spark):
+        """Two 'images' share a watermark tile; image B's copy is
+        brightness-shifted on a couple of bytes (a re-encode), so the
+        exact tile_md5 differs but the tile pHashes sit within Hamming
+        6 — the perceptual pair must surface, the exact-dedup rollup
+        must not see it, and unrelated images must not pair."""
+        from openrouter_batch_processor_spark.operators.multimodal import (
+            tile_images,
+            tile_phash_pairs,
+        )
+
+        width = 16
+        # one 16x16 image = 2x2 tile grid; the watermark occupies the
+        # top-left 8x8 tile, remaining bytes differ per image
+        wm = bytes(
+            (200 if (dy + dx) % 3 == 0 else 40) for dy in range(8) for dx in range(8)
+        )
+        wm_shift = bytearray(wm)
+        wm_shift[0] = 38   # flips below-mean sample -> stays below mean
+        wm_shift[9] = 202  # above-mean stays above: hamming 0..6, md5 differs
+
+        def image(wm_tile: bytes, fill: int) -> bytes:
+            rows = []
+            for dy in range(16):
+                if dy < 8:
+                    left = wm_tile[dy * 8 : dy * 8 + 8]
+                else:
+                    left = bytes((fill + dy + dx) % 251 for dx in range(8))
+                right = bytes((fill * 7 + dy * 3 + dx) % 251 for dx in range(8))
+                rows.append(left + right)
+            return b"".join(rows)
+
+        imgs = [
+            ("a.png", image(wm, 5)),
+            ("b.png", image(bytes(wm_shift), 90)),
+            # flat image: every tile pHash is exactly 0 (no byte exceeds
+            # the mean), >= 14 bits from any structured tile above — the
+            # negative control cannot collide by construction
+            ("c.png", bytes(256)),
+        ]
+        files = spark.createDataFrame(
+            [(p, c, len(c)) for p, c in imgs],
+            "rel_path string, content binary, length long",
+        )
+        media = media_table(files)
+        ids = {
+            r["rel_path"]: hashlib.sha256(c).hexdigest()
+            for (r, c) in zip(
+                files.select("rel_path").collect(), [c for _, c in imgs]
+            )
+        }
+        id_a, id_b = sorted([ids["a.png"], ids["b.png"]])
+
+        pairs = tile_phash_pairs(media, max_hamming=6, bucket_cap=64).collect()
+        keyed = {(r["id_a"], r["id_b"]): r for r in pairs}
+        assert (id_a, id_b) in keyed, "planted watermark pair not found"
+        assert keyed[(id_a, id_b)]["min_hamming"] <= 6
+        # exact tile dedup cannot see the shifted copy
+        tiles = tile_images(media).collect()
+        md5s = {}
+        for r in tiles:
+            md5s.setdefault(r["tile_md5"], set()).add(r["media_id"])
+        assert all(len(v) == 1 for v in md5s.values()), (
+            "re-encoded watermark should NOT be an exact tile duplicate"
+        )
+        # no unrelated pair involves image c
+        id_c = ids["c.png"]
+        assert not any(id_c in k for k in keyed), "unrelated image paired"

@@ -557,3 +557,147 @@ def chao1_vocab(
         "f2",
         F.round(F.col("v_obs") + extra, 6).alias("chao1"),
     )
+
+
+def simpson_diversity(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary diversity audit per source: Simpson's D (one minus
+    the probability two tokens drawn without replacement are the same
+    type — Simpson 1949), Shannon entropy H in nats, and Pielou
+    evenness H/ln(V). The trio is the standard corpus-composition
+    check before mixing sources: a source with collapsing diversity is
+    boilerplate/template mass in disguise.
+
+    Simpson's numerator Σ f(f−1) and N(N−1) are exact integers
+    (DECIMAL(38,0) algebra, one final double division); H follows the
+    per-row round(−p·ln p, 9) decimal-sum contract. One (group, token)
+    combiner groupBy over the corpus; everything downstream is
+    vocabulary-sized."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    tf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    dec = "decimal(38,0)"
+    n = tf.groupBy("grp").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("f").cast(dec) * (F.col("f").cast(dec) - 1)).alias("sff"),
+    )
+    h = (
+        tf.join(n.select("grp", "n_tokens"), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("f") / F.col("n_tokens"))
+                    * F.log(F.col("f") / F.col("n_tokens")),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("shannon")
+        )
+    )
+    return (
+        n.join(h, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "vocab",
+            F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("sff").cast("double")
+                    / (
+                        F.col("n_tokens").cast(dec)
+                        * (F.col("n_tokens").cast(dec) - 1)
+                    ).cast("double"),
+                    9,
+                )
+            )
+            .alias("simpson_d"),
+            F.round(F.col("shannon"), 6).alias("shannon_h"),
+            # Pielou evenness is undefined for a single-type source
+            # (ln V = 0); report 0 — maximal UNevenness is the curation
+            # reading of an all-boilerplate source
+            F.when(F.col("vocab") <= 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("shannon") / F.log(F.col("vocab").cast("double")), 6
+                )
+            )
+            .alias("evenness"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    mod: int = 10,
+    val_from: int = 8,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out n-gram novelty per language: the fraction of the val
+    split's distinct n-grams never seen in the train split — the
+    memorization/diversity audit (a low novelty rate means the held-out
+    set re-states training text, so eval loss measures recall, not
+    generalization; the Lee et al. 2022 dedup paper's motivating
+    statistic). Split = doc_id mod — deterministic, the
+    sample_train_val_test_split convention.
+
+    Execution: one n-gram expansion (explode_outer + isNotNull, the
+    InferFiltersFromGenerate guard), two distinct combiner groupBys,
+    one left_anti join on the n-gram key — at 100 TB the anti join
+    shuffles hashed n-grams, never documents."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), F.col(lang_col).alias("lang"), toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+        ),
+    )
+    tg = (
+        base.select(
+            id_col, "lang", F.explode_outer(grams).alias("tg")
+        ).filter(F.col("tg").isNotNull())
+    )
+    train = (
+        tg.filter((F.col(id_col) % mod) < val_from).select("tg").distinct()
+    )
+    val = (
+        tg.filter((F.col(id_col) % mod) >= val_from)
+        .select("lang", "tg")
+        .distinct()
+    )
+    novel = val.join(train, "tg", "left_anti").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    nval = val.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val_ngrams")
+    )
+    return (
+        nval.join(novel, "lang", "left")
+        .select(
+            "lang",
+            "n_val_ngrams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_val_ngrams"), 6
+            ).alias("novelty"),
+        )
+    )

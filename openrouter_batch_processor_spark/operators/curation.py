@@ -917,6 +917,49 @@ def doremi_weights(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based sampling weights (the multilingual mixture of
+    XLM / mBERT: q_l ∝ p_l^α with α < 1 flattens the language
+    distribution so low-resource languages are upsampled; Conneau &
+    Lample 2019 §3.1 use exactly this with α = 0.5, XLM-R α = 0.3).
+    Emits, per domain, the raw share p_l, the tempered share q_l and
+    the effective upsampling factor q_l/p_l a data scheduler applies.
+
+    p^α is computed as exp(α·ln p) on both engines (per-row double ops
+    — the validated exp/ln parity path), rounded to 9 dp, and the
+    softmax-style normalizer is a decimal sum over |domains| rows (the
+    doremi_weights discipline). One combiner groupBy over the corpus;
+    everything after is domain-cardinality-sized."""
+    c = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = c.agg(F.sum("n_docs").cast("long").alias("total"))
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("pl"),
+        F.round(
+            F.exp(F.lit(alpha) * F.log(F.col("n_docs") / F.col("total"))), 9
+        ).alias("pa"),
+    )
+    z = p.agg(
+        F.sum(F.col("pa").cast("decimal(28,9)")).cast("double").alias("zsum")
+    )
+    return p.crossJoin(F.broadcast(z)).select(
+        F.col("domain").alias(domain_col),
+        "n_docs",
+        F.round(F.col("pl"), 6).alias("p_raw"),
+        F.round(F.col("pa") / F.col("zsum"), 6).alias("p_temp"),
+        F.round((F.col("pa") / F.col("zsum")) / F.col("pl"), 6).alias(
+            "upsample"
+        ),
+    )
+
+
 def logreg_difficulty(
     docs: DataFrame,
     steps: int = LOGREG_STEPS,

@@ -732,6 +732,79 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return votes.select(F.col(id_col), fold.alias("simhash"))
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs with the SCALE DIAL made
+    explicit (VERDICT r07 #6). Candidate volume for b bands of w =
+    bits/b key bits is Θ(n²/2^w) once buckets saturate — with the
+    default 8-bit keys the 100x probe (500k docs) measurably exploded
+    the shuffle (disk-full), because ~2k docs per bucket square into
+    billions of candidates. Two independent knobs keep it
+    sub-quadratic:
+
+    - ``n_bands`` (band width): fewer/wider bands cut expected bucket
+      size by 2^Δw per extra key bit, at the pigeonhole-recall cost
+      (b bands guarantee catching hamming ≤ b−1; beyond that recall is
+      probabilistic). The production setting at 100 TB is 64-bit
+      simhash with 16-bit bands, not 8.
+    - ``bucket_cap``: prune band buckets holding > cap docs before the
+      self-join (the df-cap inverted-index discipline; a saturated
+      bucket is boilerplate mass whose pairs exact-dedup already
+      catches cheaper). Bounds candidate volume by n·cap regardless
+      of n.
+
+    Defaults reproduce the audited dedup_simhash_pairs semantics
+    (4×8-bit bands, no cap)."""
+    bits_per_band = bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    sh = simhash(docs, id_col, text_col, bits)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, band * {bits_per_band}) & {mask}"),
+    )
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "band_key")
+        )
+        bands = bands.join(hot, ["band", "band_key"], "left_anti")
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sim_a", "id_b", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     max_df: int = 10,

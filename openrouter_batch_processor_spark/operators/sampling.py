@@ -50,3 +50,83 @@ def weighted_reservoir_per_group(
         .filter(F.col("rank") <= k)
         .drop("_akey")
     )
+
+
+def kcenter_greedy(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus (Gonzalez 1985's 2-approximation; the 'coreset'
+    active-learning selector of Sener & Savarese 2018, and the
+    diversity-first subset pick data-pruning papers benchmark against):
+    seed with the lowest id, then k−1 times pick the point FARTHEST
+    from the selected set — deterministic, no RNG, which is what makes
+    it oracle-checkable where kmeans++'s D² sampling is not.
+
+    State is one (id, mind) table updated by a 1-row broadcast of the
+    newly selected center per round — O(n) rows, constant plan depth
+    via per-round eager localCheckpoint (the connected-components
+    lineage discipline); distances are the shared a·a − 2a·b + b·b
+    form rounded to 6 dp, argmax tie-break lowest id. At 100 TB each
+    round is ONE narrow corpus pass.
+
+    Output: (rank, center_id, radius) — rank 0 is the seed (radius 0);
+    rank r's radius is its distance to the nearest earlier center, a
+    non-increasing sequence = the covering-radius curve."""
+
+    from openrouter_batch_processor_spark.operators.similarity import _dot
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    ).localCheckpoint(eager=True)
+    seed = e.orderBy("vid").limit(1).select(
+        F.col("vid").alias("cid"), F.col("vd").alias("cv")
+    )
+
+    def dist_to(center):
+        a, b = F.col("vd"), F.col("cv")
+        return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
+
+    md = (
+        e.crossJoin(F.broadcast(seed))
+        .select("vid", "vd", dist_to(None).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    sels = [
+        seed.select(
+            F.lit(0).cast("long").alias("rank"),
+            F.col("cid").alias("center_id"),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    for r in range(1, k):
+        nxt = (
+            md.orderBy(F.desc("mind"), F.asc("vid"))
+            .limit(1)
+            .select(F.col("vid").alias("cid"), F.col("vd").alias("cv"), "mind")
+            .localCheckpoint(eager=True)
+        )
+        sels.append(
+            nxt.select(
+                F.lit(r).cast("long").alias("rank"),
+                F.col("cid").alias("center_id"),
+                F.round(F.col("mind"), 6).alias("radius"),
+            )
+        )
+        md = (
+            md.crossJoin(F.broadcast(nxt.select("cid", "cv")))
+            .select(
+                "vid",
+                "vd",
+                F.least(F.col("mind"), dist_to(None)).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out

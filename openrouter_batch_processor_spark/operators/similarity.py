@@ -629,11 +629,19 @@ def rp_candidate_set(
     planes: int = RP_PLANES,
     bands: int = RP_BANDS,
     dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a, id_b) RP-LSH candidates (any-band collision on
     the banded sign signature) — the unscored candidate set, factored
     out so the verify operator and the union-candidates audit share ONE
-    band/collision definition."""
+    band/collision definition.
+
+    Scale dial (VERDICT r07 #6, same physics as simhash_near_pairs):
+    8-bit band keys give 256 buckets, so candidate volume is Θ(n²/256)
+    once buckets saturate. ``planes``/``bands`` set the band width (the
+    recall/volume trade); ``bucket_cap`` prunes saturated buckets
+    before the self-join, bounding volume by n·cap — the setting the
+    100x scale probe runs with."""
     sigs = rp_signatures(embeddings, id_col, vec_col, planes, dim)
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
@@ -648,6 +656,14 @@ def rp_candidate_set(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.unionByName(p)
+    if bucket_cap is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "band_key")
+        )
+        banded = banded.join(hot, ["band", "band_key"], "left_anti")
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -1218,6 +1234,155 @@ def pq_adc_recall(
             F.round(
                 F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
             ).alias("recall_at_k"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    n_queries: int = 10,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ-ADC end-to-end search — the composed production ANN
+    path (IVFADC of Jégou et al. 2011 §IV: coarse inverted-file
+    pruning picks the cells, product-quantized codes stand in for the
+    vectors inside them): per query, probe the ``nprobe`` nearest of
+    ``n_centroids`` cells, score ONLY the candidate vectors there by
+    the asymmetric distance table, and return the top-k. The two
+    pruning levels compose multiplicatively at 100 TB: the cell join
+    drops (1 − nprobe/C) of the corpus before any distance math, and
+    ADC replaces 64-dim dot products with m_sub table lookups per
+    survivor.
+
+    Building blocks are the separately-audited ones — cell assignment
+    shares _centroid_distances' arithmetic (so this can never diverge
+    from sim_ivf_topk on rounding), encode/dtab mirror pq_adc_recall,
+    and the DECIMAL(18,6) ADC sum keeps the (dist, id) ordering
+    engine-identical.
+
+    Output: (qid, vec_id, rank, adc_dist) — k rows per query."""
+    from pyspark.sql.window import Window
+
+    staged = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    ).localCheckpoint(eager=False)
+
+    def _sq(a, b):
+        return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
+
+    ms = list(range(m_sub))
+    seeds = staged.orderBy(id_col).limit(n_codes).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).cast("long").alias("cid"),
+        "vd",
+    )
+    sub_arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("vd", m * sub_dim + 1, sub_dim).alias("piece"),
+            )
+            for m in ms
+        ]
+    )
+    cb = seeds.select("cid", F.explode(sub_arr).alias("s")).select(
+        "cid", F.col("s.m").alias("m"), F.col("s.piece").alias("cw")
+    )
+    subs = staged.select(F.col(id_col), F.explode(sub_arr).alias("s")).select(
+        F.col(id_col), F.col("s.m").alias("m"), F.col("s.piece").alias("sub")
+    )
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .select(
+            F.col(id_col),
+            "m",
+            F.struct(_sq(F.col("sub"), F.col("cw")).alias("d"), F.col("cid")).alias(
+                "dc"
+            ),
+        )
+        .groupBy(id_col, "m")
+        .agg(F.min("dc").alias("best"))
+        .select(F.col(id_col), "m", F.col("best.cid").alias("code"))
+    )
+    assigned = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col).select(
+        F.col(id_col), "centroid_id"
+    )
+    queries = (
+        staged.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("qid"), F.col("vd").alias("qv"))
+    )
+    centroids = (
+        staged.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col("vd").alias("cvec"))
+    )
+    wq = Window.partitionBy("qid").orderBy("qdist", "centroid_id")
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid",
+            "centroid_id",
+            _sq(F.col("qv"), F.col("cvec")).alias("qdist"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probe), "centroid_id").select(
+        "qid", F.col(id_col)
+    )
+    qtab = queries.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice("qv", m * sub_dim + 1, sub_dim).alias("piece"),
+                    )
+                    for m in ms
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", F.col("s.m").alias("m"), F.col("s.piece").alias("qsub"))
+    # columns renamed so the lookup join can't collide with enc's m/cid
+    # (enc and dtab share cb lineage — unqualified refs are ambiguous)
+    dtab = qtab.join(cb, "m").select(
+        F.col("qid").alias("dqid"),
+        F.col("m").alias("dm"),
+        F.col("cid").alias("dcid"),
+        _sq(F.col("qsub"), F.col("cw")).cast("decimal(18,6)").alias("d"),
+    )
+    adc = (
+        cand.filter(F.col(id_col) != F.col("qid"))
+        .join(enc, id_col)
+        .join(
+            F.broadcast(dtab),
+            (F.col("m") == F.col("dm"))
+            & (F.col("code") == F.col("dcid"))
+            & (F.col("qid") == F.col("dqid")),
+        )
+        .select("qid", F.col(id_col), "d")
+        .groupBy("qid", id_col)
+        .agg(F.sum("d").cast("decimal(18,6)").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        adc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            id_col,
+            "rank",
+            F.col("adc_dist").cast("double").alias("adc_dist"),
         )
     )
 
@@ -2001,4 +2166,62 @@ def embedding_decontaminate(
         cand.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("cos_sim") >= threshold))
         .select(F.col(id_col).alias("doc_id"), "source", "bench_id", "cos_sim")
+    )
+
+
+def cosine_histogram(
+    embeddings: DataFrame,
+    mod: int = 50,
+    rem: int = 1,
+    n_bins: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise-cosine distribution over a deterministic ~1/mod vector
+    sample — the embedding-space anisotropy audit (Ethayarajh 2019: in
+    an anisotropic space random pairs cluster at high cosine; the
+    All-but-the-Top family exists to fix exactly this, and this
+    histogram is the before/after evidence).
+
+    The pair stage is the labeled bounded audit cost: sample × sample
+    (≤(n/mod)² pairs), never the corpus square; cosines are rounded to
+    6 dp BEFORE binning (boundary-stable on both engines); the mean per
+    bin is a 9-dp decimal sum. Output: (bin, lo_edge, n_pairs, frac,
+    avg_cos) per non-empty bin of [-1, 1]."""
+    s = embeddings.filter((F.col(id_col) % mod) == rem).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    a = s.select(F.col(id_col).alias("id_a"), F.col("vd").alias("va"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("vd").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    binned = pairs.select(
+        F.least(
+            F.floor((F.col("cos") + 1.0) * (n_bins / 2.0)), F.lit(n_bins - 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "cos",
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("cos").cast("decimal(28,9)")).alias("_sc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("bin") * (2.0 / n_bins) - 1.0, 6).alias("lo_edge"),
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("total"), 6).alias("frac"),
+            F.round(F.col("_sc").cast("double") / F.col("n_pairs"), 6).alias(
+                "avg_cos"
+            ),
+        )
     )

@@ -2592,3 +2592,148 @@ def fightin_words(
         .filter(F.col("rn") <= topk)
         .drop("rn")
     )
+
+
+def yule_k(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Yule's characteristic K per language (Yule 1944, 'The
+    Statistical Study of Literary Vocabulary'): K = 10⁴·(Σf² − N)/N²
+    over the token frequency spectrum — the repetitiveness/vocabulary-
+    richness constant that, unlike TTR, is (asymptotically) corpus-size
+    invariant, so it compares languages of different corpus mass
+    honestly.
+
+    Σf² and N are exact integers (DECIMAL(38,0)); one final double
+    division. One (group, token) combiner groupBy; the spectrum
+    aggregate is vocabulary-sized."""
+    tf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    dec = "decimal(38,0)"
+    agg = tf.groupBy("grp").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("f").cast(dec) * F.col("f").cast(dec)).alias("sf2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.lit(10_000.0)
+            * (F.col("sf2") - F.col("n_tokens")).cast("double")
+            / (F.col("n_tokens").cast(dec) * F.col("n_tokens").cast(dec)).cast(
+                "double"
+            ),
+            6,
+        ).alias("yule_k"),
+    )
+
+
+def flesch_reading_ease(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Flesch Reading Ease per language (Flesch 1948): FRE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), the readability
+    gate FineWeb-Edu-style curation applies per document and reports
+    per slice. Syllables use the standard vowel-group heuristic
+    (maximal [aeiouy]+ runs — exact on both engines via
+    regexp_extract_all); the synthetic docs are single-sentence, so
+    sentences = 1 and the length term is the word count itself.
+
+    Per-doc FRE is pure double arithmetic rounded to 9 dp; the per-
+    language mean is a decimal sum over doc rows — the cross-engine
+    contract. One token expansion + two combiner groupBys."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tk = docs.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(toks).alias("tok"),
+    ).select(
+        "doc_id",
+        "grp",
+        F.size(F.regexp_extract_all(F.col("tok"), F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("syl"),
+    )
+    per_doc = tk.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("syl").cast("long").alias("s"),
+    )
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("w")
+        - F.lit(84.6) * (F.col("s") / F.col("w")),
+        9,
+    )
+    return (
+        per_doc.select("grp", "w", fre.alias("fre"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_words"),
+            F.round(
+                F.sum(F.col("fre").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_fre"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "avg_words", "avg_fre")
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick bigram featurizer (Weinberger et al. 2009,
+    'Feature Hashing for Large Scale Multitask Learning' — the
+    fastText/VW featurization path): every adjacent token bigram hashes
+    into one of n_buckets feature slots; the corpus-level slot profile
+    (occurrence mass, distinct bigrams, collision load) is what sizes
+    the feature table before training a hashed linear probe.
+
+    Hash = first 4 hex digits of md5 mod n_buckets — the md5/conv-only
+    cross-engine hashing contract. One bigram expansion (explode_outer
+    guard), one combiner groupBy on the bucket key — at 100 TB this
+    shuffles 2-token strings' buckets, never documents."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    )
+    bg = (
+        docs.select(toks.alias("toks"))
+        .select(F.explode_outer(grams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("bg")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        bg.select(bucket.alias("bucket"), "bg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("bg").cast("long").alias("n_distinct_bigrams"),
+        )
+    )

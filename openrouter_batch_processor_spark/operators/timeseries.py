@@ -936,3 +936,126 @@ def runs_test(events: DataFrame) -> DataFrame:
         "n_runs",
         F.round((r - mean_r) / F.sqrt(var_r), 6).alias("z"),
     )
+
+
+def page_hinkley(events: DataFrame) -> DataFrame:
+    """Page-Hinkley upward-drift detector per event_type (Page 1954;
+    Hinkley 1971; the streaming-drift test of Gama et al.'s
+    concept-drift survey): PH_t = G_t − min_{s≤t} G_s where
+    G_t = Σ(x_i − μ) — unlike CUSUM's global |peak| this RESETS at the
+    running minimum, so it measures the largest sustained upward run,
+    the shape of a rate/quality regression that starts mid-series.
+
+    Exactness: G is computed SCALED as D_k = n·prefix_k − k·total in
+    DECIMAL (exact, partition-count invariant; the cusum_changepoints
+    discipline), the running min is a second window pass over the same
+    order, and the single division by n happens at the report edge.
+    Argmax tie-break: earliest k.
+
+    Output: one row per event_type — (event_type, n, alarm_index,
+    alarm_ts, max_ph)."""
+    v = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type")
+    scored = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.sum(v).over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    ).select(
+        "event_type",
+        "ts",
+        "k",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("k") * F.col("total")).alias("dev"),
+    )
+    wmin = Window.partitionBy("event_type").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ph = scored.withColumn("runmin", F.min("dev").over(wmin)).withColumn(
+        "ph", F.col("dev") - F.col("runmin")
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("ph").desc(), F.col("k").asc()
+    )
+    return (
+        ph.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("alarm_index"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("alarm_ts"),
+            F.round(F.col("ph").cast("double") / F.col("n"), 6).alias("max_ph"),
+        )
+    )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event_type over the DAILY count
+    series (Theil 1950; Sen 1968): the median of all pairwise slopes
+    (c_j − c_i)/(d_j − d_i) — the slope estimator with a 29.3%
+    breakdown point that one crawler outage day cannot drag the way
+    OLS's single leverage point can; the standard companion to the
+    Mann-Kendall test already in the registry.
+
+    Exactness: slopes are single double divisions of exact integers
+    (count delta over whole-day delta); the median follows the
+    stats_exact_median convention — lower/upper middle by row_number
+    over (slope, i, j), averaged, so even-count ties are deterministic.
+
+    Scale: the pair stage is O(days²) per type — days, not events
+    (90 days → ~4k pairs); the day rollup is one combiner groupBy."""
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("2024-01-01")).cast("long").alias("d"),
+            "c",
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wcnt = Window.partitionBy("event_type")
+    wrank = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wrank).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wcnt).cast("long").alias("m"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+    )
+    return mid.groupBy("event_type").agg(
+        F.min("m").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("slope").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("sen_slope"),
+    )

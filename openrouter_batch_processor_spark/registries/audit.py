@@ -1079,3 +1079,106 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_fertility(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_simpson_diversity",
+    f"""
+    WITH tf AS (SELECT source, tok, count(*)::BIGINT AS f
+                FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+    n AS (SELECT source, sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+                 sum(f::DECIMAL(38,0) * (f::DECIMAL(38,0) - 1)) AS sff
+          FROM tf GROUP BY 1),
+    h AS (SELECT tf.source,
+                 sum(round(-(f::DOUBLE / n_tokens) * ln(f::DOUBLE / n_tokens),
+                           9)::DECIMAL(28,9))::DOUBLE AS shannon
+          FROM tf JOIN n USING (source) GROUP BY 1)
+    SELECT source, n_tokens, vocab,
+           CASE WHEN n_tokens <= 1 THEN 0.0
+                ELSE round(1.0 - sff::DOUBLE /
+                     (n_tokens::DECIMAL(38,0) * (n_tokens::DECIMAL(38,0) - 1))::DOUBLE,
+                     9) END AS simpson_d,
+           round(shannon, 6) AS shannon_h,
+           CASE WHEN vocab <= 1 THEN 0.0
+                ELSE round(shannon / ln(vocab::DOUBLE), 6) END AS evenness
+    FROM n JOIN h USING (source)
+    """,
+    ops=["EXT-audit", "EXT-tokens", "G2", "J3"],
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diversity: Simpson's D (exact integer
+    Σf(f−1) algebra), Shannon entropy (9-dp decimal-summed) and Pielou
+    evenness — the corpus-composition audit before source mixing
+    (operators/corpusaudit.simpson_diversity)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        simpson_diversity,
+    )
+
+    return simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_ngram_novelty",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+    tg AS (SELECT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS tg
+           FROM tk, unnest(range(1, len(toks) - 1)) AS t(i)
+           WHERE len(toks) >= 3),
+    tr AS (SELECT DISTINCT tg FROM tg WHERE doc_id % 10 < 8),
+    va AS (SELECT DISTINCT lang, tg FROM tg WHERE doc_id % 10 >= 8),
+    nv AS (SELECT lang, count(*)::BIGINT AS n_novel
+           FROM va WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.tg = va.tg)
+           GROUP BY 1),
+    tv AS (SELECT lang, count(*)::BIGINT AS n_val_ngrams FROM va GROUP BY 1)
+    SELECT tv.lang, n_val_ngrams,
+           coalesce(n_novel, 0)::BIGINT AS n_novel,
+           round(coalesce(n_novel, 0)::DOUBLE / n_val_ngrams, 6) AS novelty
+    FROM tv LEFT JOIN nv ON tv.lang = nv.lang
+    """,
+    ops=["EXT-audit", "EXT-tokens", "G2", "J2", "X1"],
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram novelty per language: distinct val-split
+    n-grams unseen in the train split over distinct val n-grams — the
+    memorization/diversity audit; deterministic doc_id-mod split,
+    left_anti join on the n-gram key
+    (operators/corpusaudit.ngram_novelty)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_cosine_hist",
+    """
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+               WHERE vec_id % 50 = 1),
+    p AS (SELECT round(list_dot_product(a.vd, b.vd)
+                       / sqrt(list_dot_product(a.vd, a.vd)
+                              * list_dot_product(b.vd, b.vd)), 6) AS cos
+          FROM s a JOIN s b ON a.vec_id < b.vec_id),
+    bn AS (SELECT least(floor((cos + 1.0) * 10.0), 19)::BIGINT AS bin, cos FROM p),
+    t AS (SELECT count(*)::BIGINT AS total FROM bn)
+    SELECT bin, round(bin * 0.1 - 1.0, 6) AS lo_edge,
+           count(*)::BIGINT AS n_pairs,
+           round(count(*)::DOUBLE / total, 6) AS frac,
+           round((sum(cos::DECIMAL(28,9)) / count(*))::DOUBLE, 6) AS avg_cos
+    FROM bn, t GROUP BY bin, total
+    """,
+    ops=["EXT-audit", "EXT-simsearch", "G2"],
+)
+def q_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic ~2% vector sample
+    — the anisotropy audit motivating All-but-the-Top; bounded sample
+    pair stage, 6-dp-rounded cosines binned into 20 slots
+    (operators/similarity.cosine_histogram)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        cosine_histogram,
+    )
+
+    return cosine_histogram(_t(spark, sf_dir, "embeddings"))

@@ -905,3 +905,59 @@ def q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pack_documents_bpe(_t(spark, sf_dir, "documents"), capacity=512)
+
+
+@register(
+    "curation_temperature_mix",
+    """
+    WITH c AS (SELECT lang AS domain, count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_docs)::BIGINT AS total FROM c),
+    p AS (SELECT domain, n_docs, n_docs::DOUBLE / total AS pl,
+                 round(exp(0.3 * ln(n_docs::DOUBLE / total)), 9) AS pa
+          FROM c, t),
+    z AS (SELECT sum(pa::DECIMAL(28,9))::DOUBLE AS zsum FROM p)
+    SELECT domain AS lang, n_docs, round(pl, 6) AS p_raw,
+           round(pa / zsum, 6) AS p_temp,
+           round((pa / zsum) / pl, 6) AS upsample
+    FROM p, z
+    """,
+    ops=["EXT-curation", "G2"],
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (XLM-R's
+    α = 0.3 flattening): per-language raw share, tempered share and
+    the upsampling factor the data scheduler applies — exp/ln parity
+    path, decimal-summed normalizer
+    (operators/curation.temperature_mixture)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+@register(
+    "curation_hashed_features",
+    f"""
+    WITH tk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+           FROM tk, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2)
+    SELECT (('0x' || substr(md5(bg), 1, 4))::BIGINT % 256)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT bg)::BIGINT AS n_distinct_bigrams
+    FROM bg GROUP BY 1
+    """,
+    ops=["EXT-curation", "EXT-tokens", "F4", "G2"],
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bigram feature-table profile: md5-bucketed slots
+    with occurrence mass and collision load — the featurizer sizing
+    audit before a hashed linear probe
+    (operators/textanalysis.hashed_ngram_features)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        hashed_ngram_features,
+    )
+
+    return hashed_ngram_features(_t(spark, sf_dir, "documents"))

@@ -219,36 +219,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup candidates: 4 bands of 8 bits; docs
     sharing any band bucket are candidates, verified by full hamming
     distance (<= 6 of 32 bits). Same LSH join shape as minhash —
-    candidate generation is O(near-dups), never all-pairs."""
-    from openrouter_batch_processor_spark.operators.dedup import simhash
+    candidate generation is O(near-dups) while buckets stay sparse;
+    the band-width / bucket-cap dial that keeps it sub-quadratic once
+    they saturate lives on the factored operator
+    (operators/dedup.simhash_near_pairs, SCALE.md 100x probe)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
 
-    sh = simhash(_t(spark, sf_dir, "documents"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        # SQL form: the PySpark shiftright() only takes literal shifts
-        "band_key",
-        F.expr("shiftright(simhash, band * 8) & 255"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "sim_a", "id_b", "sim_b")
-        .distinct()
-    )
-    # bit_count is int32 in Spark, TINYINT in DuckDB — long on both sides
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
-    )
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 # ===========================================================================

@@ -1125,3 +1125,78 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return runs_test(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_page_hinkley",
+    """
+    WITH o AS (SELECT event_type, ts, event_id, value::DECIMAL(18,6) AS v,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)::BIGINT AS k,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type
+                                                      ORDER BY ts, event_id
+                                                      ROWS UNBOUNDED PRECEDING) AS prefix,
+                      sum(value::DECIMAL(18,6)) OVER (PARTITION BY event_type) AS total,
+                      count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+               FROM events),
+    d AS (SELECT event_type, ts, k, n, n * prefix - k * total AS dev FROM o),
+    r AS (SELECT *, min(dev) OVER (PARTITION BY event_type ORDER BY k
+                                   ROWS UNBOUNDED PRECEDING) AS runmin
+          FROM d),
+    p AS (SELECT event_type, ts, k, n, dev - runmin AS ph,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY (dev - runmin) DESC, k ASC) AS rn
+          FROM r)
+    SELECT event_type, n, k AS alarm_index,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS alarm_ts,
+           round((ph / n)::DOUBLE, 6) AS max_ph
+    FROM p WHERE rn = 1
+    """,
+    ops=["EXT-windows", "O3", "G2"],
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector per event_type: largest
+    sustained run above the series mean (cumulative deviation minus its
+    running minimum), exact scaled-DECIMAL algebra, divide-at-the-edge
+    (operators/timeseries.page_hinkley)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    return page_hinkley(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_theil_sen",
+    """
+    WITH daily AS (SELECT event_type,
+                          date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS d,
+                          count(*)::BIGINT AS c
+                   FROM events GROUP BY 1, 2),
+    s AS (SELECT a.event_type,
+                 a.d AS d1, b.d AS d2,
+                 (b.c - a.c)::DOUBLE / (b.d - a.d)::DOUBLE AS slope
+          FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d),
+    r AS (SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope, d1, d2)::BIGINT AS rn,
+                 count(*) OVER (PARTITION BY event_type)::BIGINT AS m
+          FROM s),
+    mid AS (SELECT * FROM r
+            WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1)
+    SELECT event_type, min(m)::BIGINT AS n_pairs,
+           round((sum(slope::DECIMAL(28,9)) / count(*))::DOUBLE, 6) AS sen_slope
+    FROM mid GROUP BY event_type
+    """,
+    ops=["EXT-windows", "G2", "O3", "J1"],
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the daily event-count series per
+    type: exact median (stats_exact_median convention) of O(days²)
+    pairwise slopes — days, not events, so the pair stage is bounded
+    (operators/timeseries.theil_sen_trend)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(_t(spark, sf_dir, "events"))

@@ -174,3 +174,55 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", "n_chars", F.col("rank").cast("long").alias("sel_rank")
     )
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center oracle: per round one MATERIALIZED
+    min-dist table update + a 1-row farthest-point pick (round CTEs
+    materialized — the BPE/k-core inlining lesson)."""
+
+    def d(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id AS vid, embedding::DOUBLE[] AS vd"
+        " FROM embeddings)",
+        "c0 AS (SELECT vid AS cid, vd AS cv FROM e ORDER BY vid LIMIT 1)",
+        f"md0 AS MATERIALIZED (SELECT e.vid, e.vd, {d('e.vd', 'c.cv')} AS mind"
+        " FROM e, c0 c)",
+    ]
+    rows = ["SELECT 0::BIGINT AS rank, cid AS center_id, 0.0 AS radius FROM c0"]
+    for r in range(1, k):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT vid AS cid, vd AS cv, mind"
+            f" FROM md{r - 1} ORDER BY mind DESC, vid LIMIT 1)"
+        )
+        rows.append(f"SELECT {r}::BIGINT, cid, round(mind, 6) FROM s{r}")
+        if r < k - 1:
+            ctes.append(
+                f"md{r} AS MATERIALIZED (SELECT m.vid, m.vd,"
+                f" least(m.mind, {d('m.vd', 's.cv')}) AS mind"
+                f" FROM md{r - 1} m, s{r} s)"
+            )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@register(
+    "sample_kcenter_greedy",
+    _kcenter_sql(8),
+    ops=["EXT-sampling", "EXT-simsearch", "G2", "O3"],
+)
+def q_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embeddings —
+    the deterministic diversity-first subset selector (Sener & Savarese
+    2018 coreset active learning); emits the selection order and the
+    non-increasing covering-radius curve
+    (operators/sampling.kcenter_greedy)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        kcenter_greedy,
+    )
+
+    return kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)

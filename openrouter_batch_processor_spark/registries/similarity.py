@@ -900,3 +900,66 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_decontaminate(
         _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "sim_ivf_pq_search",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT cid, m, v[m*16+1 : (m+1)*16] AS cw FROM seeds, range(0, 4) t(m)),
+    subs AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sub FROM e, range(0, 4) t(m)),
+    enc AS (SELECT vec_id, m, cid AS code FROM (
+              SELECT s.vec_id, s.m, c.cid,
+                     row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sub, s.sub)
+                                      - 2*list_dot_product(s.sub, c.cw)
+                                      + list_dot_product(c.cw, c.cw), 6), c.cid) AS rn
+              FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
+    centroids AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                  ORDER BY vec_id LIMIT 8),
+    assigned AS (SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM e CROSS JOIN centroids c) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 10),
+    probe AS (SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.qv, q.qv)
+                       - 2 * list_dot_product(q.qv, c.cvec)
+                       + list_dot_product(c.cvec, c.cvec), 6), c.centroid_id) AS rn
+        FROM q CROSS JOIN centroids c) WHERE rn <= 2),
+    cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assigned a USING (centroid_id)),
+    qsubs AS (SELECT qid, m, qv[m*16+1 : (m+1)*16] AS qsub FROM q, range(0, 4) t(m)),
+    dtab AS (SELECT qid, qsubs.m, cid,
+                    round(list_dot_product(qsub, qsub) - 2*list_dot_product(qsub, cw)
+                          + list_dot_product(cw, cw), 6)::DECIMAL(18,6) AS d
+             FROM qsubs JOIN cb ON cb.m = qsubs.m),
+    adc AS (SELECT cand.qid, cand.vec_id, sum(d.d)::DECIMAL(18,6) AS adc_dist
+            FROM cand
+            JOIN enc en ON en.vec_id = cand.vec_id
+            JOIN dtab d ON d.qid = cand.qid AND d.m = en.m AND d.cid = en.code
+            WHERE cand.vec_id <> cand.qid
+            GROUP BY 1, 2)
+    SELECT qid, vec_id, rn AS rank, adc_dist::DOUBLE AS adc_dist FROM (
+      SELECT qid, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, vec_id)::BIGINT AS rn
+      FROM adc) WHERE rn <= 10
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J2", "J3", "G2", "O3"],
+)
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC end-to-end ANN search (IVFADC, Jégou et al. 2011):
+    probe the 2 nearest of 8 cells, score only their members via the
+    asymmetric distance table, top-10 per query — the composed
+    production path whose parts (sim_ivf_topk, sim_pq_adc_recall) are
+    audited separately (operators/similarity.ivf_pq_topk)."""
+    from openrouter_batch_processor_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_t(spark, sf_dir, "embeddings"))

@@ -1039,3 +1039,63 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_encode(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_yule_k",
+    f"""
+    WITH tf AS (SELECT lang, tok, count(*)::BIGINT AS f
+                FROM (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+    a AS (SELECT lang, sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+                 sum(f::DECIMAL(38,0) * f::DECIMAL(38,0)) AS sf2
+          FROM tf GROUP BY 1)
+    SELECT lang, n_tokens, vocab,
+           round(10000.0 * (sf2 - n_tokens)::DOUBLE /
+                 (n_tokens::DECIMAL(38,0) * n_tokens::DECIMAL(38,0))::DOUBLE,
+                 6) AS yule_k
+    FROM a
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2"],
+)
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the corpus-size-invariant
+    vocabulary-richness constant over the token frequency spectrum;
+    exact integer Σf²/N algebra, one final double division
+    (operators/textanalysis.yule_k)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import yule_k
+
+    return yule_k(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_flesch_reading_ease",
+    f"""
+    WITH tk AS (SELECT doc_id, lang,
+                       unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents),
+    sy AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(tok, '[aeiouy]+'))::BIGINT AS syl
+           FROM tk),
+    pd AS (SELECT doc_id, lang, count(*)::BIGINT AS w, sum(syl)::BIGINT AS s
+           FROM sy GROUP BY 1, 2),
+    fr AS (SELECT lang, w,
+                  round(206.835 - 1.015 * w - 84.6 * (s::DOUBLE / w), 9) AS fre
+           FROM pd)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round((sum(w::DECIMAL(28,9)) / count(*))::DOUBLE, 6) AS avg_words,
+           round((sum(fre::DECIMAL(28,9)) / count(*))::DOUBLE, 6) AS avg_fre
+    FROM fr GROUP BY lang
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2"],
+)
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per language — vowel-group syllable
+    heuristic, per-doc double arithmetic on the 9-dp grid, decimal-
+    summed means (operators/textanalysis.flesch_reading_ease)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        flesch_reading_ease,
+    )
+
+    return flesch_reading_ease(_t(spark, sf_dir, "documents"))

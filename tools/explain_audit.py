@@ -251,6 +251,19 @@ BRUTE_FORCE_OK = {
     "sim_union_candidates",
     # 1-row broadcast of the mixture normalizer (sum over |sources| rows)
     "curation_mixture_weights",
+    # temperature mix: two 1-row broadcasts (corpus total, tempered-
+    # share normalizer) onto the |langs|-row domain table — never O(n²)
+    "curation_temperature_mix",
+    # r08: cosine hist — the DELIBERATE bounded audit pair stage
+    # ((n/50)² sample pairs) + a 1-row total broadcast; never corpus²
+    "audit_cosine_hist",
+    # r08: k-center greedy — per-round 1-row broadcast of the newly
+    # selected center onto the O(n) min-dist table (k bounded passes)
+    "sample_kcenter_greedy",
+    # r08: IVFADC — the C-row centroid broadcast cross joins shared
+    # with sim_ivf_topk/sim_neardup_bucketed (cell assignment + query
+    # probe); the ADC stage itself is equi-joined, never all-pairs
+    "sim_ivf_pq_search",
     # 1-row broadcast of the removed-count aggregate onto a 1-row total
     "curation_dedup_funnel",
     "text_tfidf_topk",

@@ -13,6 +13,12 @@ run is reported (same convention as bench.py).
 
 Usage: python tools/scale_probe.py [--out SCALE.md]
 Appends/updates the '## 10x scale probe' section in SCALE.md.
+
+--x100 (VERDICT r07 #6) probes the candidate-pair stages whose 10x
+growth exceeded linear (dedup_simhash_pairs 6.6x, sim_rp_lsh_pairs
+4.4x) at 100x rows (500k docs / 200k vectors, same constant-selectivity
+re-keyed-copy construction), with dedup_minhash_bands as the linear
+control, and appends a '## 100x scale probe' section.
 """
 
 from __future__ import annotations
@@ -53,6 +59,86 @@ QUERIES = [
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
+
+PROBE_DIR_100 = "/tmp/scale_probe_100x"
+# The 10x probe's superlinear tail + the linear control; jaccard and
+# kcore are the verdict-named companions (candidate-pair consumers).
+# The two banded-LSH pair stages run with the bucket_cap dial — the
+# UNCAPPED defaults are Θ(n²/2^band_bits) once 8-bit buckets saturate
+# and measurably filled this box's disk at 500k docs (the first --x100
+# attempt); the probe's purpose is to show the dial restores
+# near-linear growth, so it measures the capped operator at ALL three
+# scales (apples-to-apples).
+QUERIES_100X = [
+    "dedup_minhash_bands",
+    "dedup_minhash_jaccard",
+    "dedup_simhash_pairs_cap2k",
+    "sim_rp_lsh_pairs_cap2k",
+    "graph_kcore_peel",
+]
+
+
+def _capped_fns() -> dict:
+    from openrouter_batch_processor_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from openrouter_batch_processor_spark.operators.similarity import (
+        rp_candidate_set,
+    )
+    from openrouter_batch_processor_spark.session import load_table
+
+    def simhash_capped(spark, sf_dir):
+        return simhash_near_pairs(
+            load_table(spark, sf_dir, "documents"), bucket_cap=2048
+        )
+
+    def rp_capped(spark, sf_dir):
+        # candidate set only (the saturating stage) with the dial on
+        return rp_candidate_set(
+            load_table(spark, sf_dir, "embeddings"), bucket_cap=2048
+        )
+
+    return {
+        "dedup_simhash_pairs_cap2k": simhash_capped,
+        "sim_rp_lsh_pairs_cap2k": rp_capped,
+    }
+
+
+def build_probe_dir_100(spark) -> None:
+    """100 re-keyed copies in ONE pass (a crossJoin against a 100-row
+    copies dimension, not a 100-way union): doc_id offset per copy, a
+    fixed-width copy tag appended so duplicate selectivity stays
+    constant while volume grows 100x."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(PROBE_DIR_100, "_BUILT")):
+        return
+    shutil.rmtree(PROBE_DIR_100, ignore_errors=True)
+    os.makedirs(PROBE_DIR_100)
+    for name in os.listdir(BASE):
+        if name not in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(BASE, name), os.path.join(PROBE_DIR_100, name))
+    ks = spark.range(100).select(F.col("id").alias("k"))
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    tag = F.concat(F.lit(" copytag"), F.lpad(F.col("k").cast("string"), 3, "0"))
+    docs.crossJoin(ks).select(
+        (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), tag).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.length(tag)).alias("n_chars"),
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR_100, "documents.parquet")
+    )
+    embs = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    embs.crossJoin(ks).select(
+        (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR_100, "embeddings.parquet")
+    )
+    open(os.path.join(PROBE_DIR_100, "_BUILT"), "w").close()
 
 
 def build_probe_dir(spark) -> None:
@@ -104,19 +190,76 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from openrouter_batch_processor_spark.registry import REGISTRY
     from openrouter_batch_processor_spark.operators import staging
 
+    extra = _capped_fns()
     out: dict[str, float] = {}
     for name in names:
-        spec = REGISTRY[name]
+        fn = extra[name] if name in extra else REGISTRY[name].fn
         best = None
         for _ in range(2):  # cold then warm; report warm
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = round(time.perf_counter() - t0, 3)
         out[name] = best
+        print(f"  {sf_dir} {name}: {best}s", flush=True)
     # staged artifacts are keyed on input plan, so the two scales never
     # collide — but clear between scales to keep memory bounded
     staging.clear()
     return out
+
+
+def main_100x() -> None:
+    from openrouter_batch_processor_spark.session import get_spark
+
+    spark = get_spark("scale_probe_100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_probe_dir(spark)
+    build_probe_dir_100(spark)
+
+    t1 = run(spark, BASE, QUERIES_100X)
+    t10 = run(spark, PROBE_DIR, QUERIES_100X)
+    t100 = run(spark, PROBE_DIR_100, QUERIES_100X)
+
+    lines = [
+        "",
+        "## 100x scale probe (measured)",
+        "",
+        "Documents 5k -> 500k, embeddings 2k -> 200k (100 re-keyed copies,",
+        "constant duplicate selectivity; VERDICT r07 #6). Warm second-run",
+        "wall seconds; growth columns are wall ratios for 10x and 100x the",
+        "rows. The two banded-LSH pair stages run with bucket_cap=2048 at",
+        "ALL scales (the `_cap2k` suffix): with the default 8-bit band",
+        "keys (256 buckets) candidate volume is Θ(n²/256) once buckets",
+        "saturate — the UNCAPPED 100x run measurably filled this box's",
+        "disk with shuffle spill (first --x100 attempt, java.io.IOException",
+        "No space left on device). The dial (band width via n_bands/planes,",
+        "or bucket_cap pruning of saturated=boilerplate buckets, volume",
+        "<= n*cap) lives on operators/dedup.simhash_near_pairs and",
+        "operators/similarity.rp_candidate_set; at 100 TB the production",
+        "setting is 64-bit signatures with 16-bit bands + the cap.",
+        "Generated by tools/scale_probe.py --x100.",
+        "",
+        "| query | sf0.1 (s) | 10x (s) | 100x (s) | 10x growth | 100x growth |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES_100X:
+        g10 = t10[name] / t1[name] if t1[name] else float("nan")
+        g100 = t100[name] / t1[name] if t1[name] else float("nan")
+        lines.append(
+            f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {t100[name]:.2f} "
+            f"| {g10:.1f}x | {g100:.1f}x |"
+        )
+    lines.append("")
+    block = "\n".join(lines)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    text = open(path).read()
+    marker = "\n## 100x scale probe (measured)"
+    if marker in text:
+        text = text.split(marker)[0]
+    open(path, "w").write(text.rstrip("\n") + "\n" + block)
+    print(block)
 
 
 def main() -> None:
@@ -159,4 +302,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--x100" in sys.argv:
+        main_100x()
+    else:
+        main()

@@ -1059,3 +1059,121 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
             6,
         ).alias("sen_slope"),
     )
+
+
+BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+
+
+def benford_digits(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Benford's-law first-digit audit over the event values (Benford
+    1938; the classic fabricated/synthetic-data detector — organically
+    generated magnitudes follow P(d) = log10(1 + 1/d), generator
+    artifacts don't): per leading digit, observed count/share vs the
+    Benford share and the chi-square contribution.
+
+    Exactness without logs: values carry 2 decimals, so the leading
+    digit is the first character of the exact integer cents
+    round(v·100) — pure string/integer work, no log10 boundary risk.
+    The Benford shares are embedded 12-dp literals (identical on both
+    engines). Output: (digit, n_obs, frac_obs, benford_p, chi2_term),
+    one row per observed digit 1-9."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("long")
+    obs = (
+        events.filter(F.col(value_col) > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    p = F.create_map(
+        *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("frac_obs"),
+            p.alias("benford_p"),
+            F.round(
+                (F.col("n_obs") - F.col("n") * p)
+                * (F.col("n_obs") - F.col("n") * p)
+                / (F.col("n") * p),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def interarrival_exp_fit(events: DataFrame) -> DataFrame:
+    """Inter-arrival exponential-fit audit per event_type: MLE rate
+    λ = 1/mean(gap) and the Kolmogorov-Smirnov distance between the
+    empirical gap distribution and Exp(λ) — the Poisson-process sanity
+    check on event streams (a KS far from 0 means bursty or scheduled
+    traffic, which changes watermark and sessionization tuning).
+
+    Gaps are exact integer microseconds (unix_micros lag); the mean is
+    an exact integer sum divided once; F(gap) = 1 − exp(−λ·gap) is
+    per-row double (the validated exp parity path); the KS max is over
+    both one-sided deviations at each sorted gap (row_number ordered
+    by (gap, arrival index) — deterministic ties). Output:
+    (event_type, n_gaps, mean_gap_s, ks_d)."""
+    # epoch micros is monotone in ts, so ordering by (us, event_id)
+    # equals the (ts, event_id) arrival order
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = (
+        events.select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type", (F.col("us") - F.col("prev")).alias("gap_us")
+        )
+    )
+    n = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("sum_us"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    r = (
+        g.join(n, "event_type")
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_us",
+            "rn",
+            (
+                F.lit(1.0)
+                - F.exp(
+                    -F.col("gap_us")
+                    * F.col("n_gaps")
+                    / F.col("sum_us")
+                )
+            ).alias("fx"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_us",
+            F.greatest(
+                F.abs(F.col("rn") / F.col("n_gaps") - F.col("fx")),
+                F.abs((F.col("rn") - 1) / F.col("n_gaps") - F.col("fx")),
+            ).alias("dev"),
+        )
+    )
+    return r.groupBy("event_type").agg(
+        F.min("n_gaps").alias("n_gaps"),
+        F.round(
+            (F.min("sum_us") / F.min("n_gaps")) / F.lit(1_000_000.0), 6
+        ).alias("mean_gap_s"),
+        F.round(F.max("dev"), 6).alias("ks_d"),
+    )

@@ -1182,3 +1182,38 @@ def q_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cosine_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_benford",
+    """
+    WITH o AS (SELECT substr((round(value * 100))::BIGINT::VARCHAR, 1, 1)::BIGINT
+                 AS digit
+               FROM events WHERE value > 0),
+    c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM o GROUP BY 1),
+    t AS (SELECT sum(n_obs)::BIGINT AS n FROM c),
+    p AS (SELECT * FROM (VALUES
+            (1::BIGINT, 0.301029995664), (2, 0.176091259056),
+            (3, 0.124938736608), (4, 0.096910013008),
+            (5, 0.079181246048), (6, 0.066946789631),
+            (7, 0.057991946978), (8, 0.051152522447),
+            (9, 0.045757490561)) AS v(digit, benford_p))
+    SELECT c.digit, n_obs,
+           round(n_obs::DOUBLE / n, 6) AS frac_obs,
+           benford_p,
+           round((n_obs - n * benford_p) * (n_obs - n * benford_p)
+                 / (n * benford_p), 6) AS chi2_term
+    FROM c JOIN p ON p.digit = c.digit, t
+    """,
+    ops=["EXT-audit", "G2", "J3"],
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over event values — the synthetic-
+    data detector; exact integer-cents digit extraction (no log10
+    boundary risk), embedded 12-dp Benford shares, per-digit chi-square
+    contributions (operators/timeseries.benford_digits)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        benford_digits,
+    )
+
+    return benford_digits(_t(spark, sf_dir, "events"))

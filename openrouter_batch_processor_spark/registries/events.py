@@ -1200,3 +1200,44 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return theil_sen_trend(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_interarrival_fit",
+    """
+    WITH g AS (SELECT event_type,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+               FROM events),
+    g2 AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    n AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+                 sum(gap_us)::BIGINT AS sum_us
+          FROM g2 GROUP BY 1),
+    r AS (SELECT g2.event_type, n_gaps, sum_us,
+                 row_number() OVER (PARTITION BY g2.event_type
+                                    ORDER BY gap_us)::BIGINT AS rn,
+                 1.0 - exp(-((gap_us * n_gaps)::DOUBLE) / sum_us) AS fx
+          FROM g2 JOIN n USING (event_type)),
+    d AS (SELECT event_type, n_gaps, sum_us,
+                 greatest(abs(rn::DOUBLE / n_gaps - fx),
+                          abs((rn - 1)::DOUBLE / n_gaps - fx)) AS dev
+          FROM r)
+    SELECT event_type, min(n_gaps)::BIGINT AS n_gaps,
+           round((min(sum_us)::DOUBLE / min(n_gaps)) / 1000000.0, 6)
+             AS mean_gap_s,
+           round(max(dev), 6) AS ks_d
+    FROM d GROUP BY event_type
+    """,
+    ops=["EXT-windows", "G2", "O3", "W2"],
+)
+def q_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-process audit per event_type: MLE exponential rate over
+    exact integer-microsecond inter-arrival gaps and the KS distance of
+    the empirical gap CDF from Exp(lambda) — bursty/scheduled traffic
+    shows up as a large ks_d
+    (operators/timeseries.interarrival_exp_fit)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        interarrival_exp_fit,
+    )
+
+    return interarrival_exp_fit(_t(spark, sf_dir, "events"))

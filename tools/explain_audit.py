@@ -264,6 +264,8 @@ BRUTE_FORCE_OK = {
     # with sim_ivf_topk/sim_neardup_bucketed (cell assignment + query
     # probe); the ADC stage itself is equi-joined, never all-pairs
     "sim_ivf_pq_search",
+    # r08: benford — one 1-row total broadcast onto the 9-digit table
+    "audit_benford",
     # 1-row broadcast of the removed-count aggregate onto a 1-row total
     "curation_dedup_funnel",
     "text_tfidf_topk",

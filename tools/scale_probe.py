@@ -74,6 +74,7 @@ QUERIES_100X = [
     "dedup_minhash_jaccard",
     "dedup_simhash_pairs_cap2k",
     "sim_rp_lsh_pairs_cap2k",
+    "sim_rp_lsh_pairs_wide16",
     "graph_kcore_peel",
 ]
 
@@ -98,9 +99,18 @@ def _capped_fns() -> dict:
             load_table(spark, sf_dir, "embeddings"), bucket_cap=2048
         )
 
+    def rp_wide(spark, sf_dir):
+        # the BAND-WIDTH dial: 32 planes in 2 bands = 16-bit keys
+        # (65536 buckets/band) — expected bucket size n/65536, so the
+        # self-join stays linear where 8-bit keys go quadratic
+        return rp_candidate_set(
+            load_table(spark, sf_dir, "embeddings"), planes=32, bands=2
+        )
+
     return {
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
+        "sim_rp_lsh_pairs_wide16": rp_wide,
     }
 
 
@@ -195,11 +205,16 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     for name in names:
         fn = extra[name] if name in extra else REGISTRY[name].fn
         best = None
-        for _ in range(2):  # cold then warm; report warm
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = round(time.perf_counter() - t0, 3)
-        out[name] = best
+        try:
+            for _ in range(2):  # cold then warm; report warm
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = round(time.perf_counter() - t0, 3)
+            out[name] = best
+        except Exception as exc:  # noqa: BLE001 — partial tables still emit
+            out[name] = float("nan")
+            print(f"  {sf_dir} {name}: FAILED {type(exc).__name__}", flush=True)
+            continue
         print(f"  {sf_dir} {name}: {best}s", flush=True)
     # staged artifacts are keyed on input plan, so the two scales never
     # collide — but clear between scales to keep memory bounded

@@ -1495,3 +1495,99 @@ def winnow_clusters(
     return cc.join(F.broadcast(sizes), "cluster_id").select(
         F.col("node").alias(id_col), "cluster_id", "cluster_size"
     )
+
+
+def minhash_estimator_audit(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-estimator calibration audit: over the production LSH
+    candidate pairs, compare the k-permutation Jaccard ESTIMATE (share
+    of agreeing minhashes — Broder 1997's unbiased estimator, here
+    k = 8 so estimates live on a 1/8 grid) against the exact
+    shingle-set Jaccard, bucketed by exact-Jaccard decile. This is the
+    companion to audit_lsh_s_curve: the S-curve audits candidate
+    RECALL of the banding, this audits the ESTIMATOR's bias/error —
+    together they justify k and (b, r) choices on the operator's own
+    corpus.
+
+    Execution: signatures and candidates are the production stages;
+    exact Jaccard reads the session-staged shingle sets; estimator
+    agreement is k integer comparisons per candidate pair. Per-bucket
+    means are 9-dp decimal sums. Output: (bucket, n_pairs, avg_exact,
+    avg_est, mae)."""
+    sigs = minhash_signatures(docs, id_col, text_col, k)
+    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    agree = None
+    for i in range(k):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(float(k))).alias("est_j"))
+    )
+    ss = shingle_sets(docs, id_col, text_col)
+    exact = (
+        cand.join(
+            ss.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa")),
+            "id_a",
+        )
+        .join(
+            ss.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / (
+                    F.size("sa")
+                    + F.size("sb")
+                    - F.size(F.array_intersect("sa", "sb"))
+                ),
+                6,
+            ).alias("exact_j"),
+        )
+    )
+    joined = est.join(exact, ["id_a", "id_b"]).select(
+        F.least(F.floor(F.col("exact_j") * 10), F.lit(9)).cast("long").alias("bucket"),
+        "est_j",
+        "exact_j",
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("exact_j").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_exact"),
+            F.round(
+                F.sum(F.col("est_j").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_est"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("est_j") - F.col("exact_j")), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+        )
+    )

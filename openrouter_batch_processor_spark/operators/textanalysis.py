@@ -2737,3 +2737,94 @@ def hashed_ngram_features(
             F.count_distinct("bg").cast("long").alias("n_distinct_bigrams"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    topk: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus word co-occurrence graph (adjacent-token
+    edges, weight = corpus co-occurrence count), top-k tokens by rank —
+    the graph-centrality keyness signal beside RAKE's degree/frequency
+    and Fightin' Words' log-odds.
+
+    Same iterative-numeric discipline as pagerank_lite: per round one
+    equi-join of current ranks onto edge sources + one combiner groupBy
+    on destinations; per-edge contributions w·r/wdeg are double,
+    cast to DECIMAL(28,12) for the order-free sum, ranks kept on the
+    12-dp grid. Unnormalized convention r₀ = 1, r ← (1−d) + d·Σ.
+    Graph size is vocabulary², not corpus — at 100 TB the edge table
+    shuffles token pairs, never documents.
+
+    Output: (token, wdeg, textrank) — top-k by (rank DESC, token)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tk = docs.select(toks.alias("toks"))
+    pair_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i + 1).alias("a"),
+                F.element_at(F.col("toks"), i + 2).alias("b"),
+            ),
+        ),
+    )
+    ex = (
+        tk.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = ex.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    # parallel edges (a,b) and (b,a) from the undirected fold merge here
+    edges = edges.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    deg = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wdeg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("w") * F.col("r") / F.col("wdeg"))
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(1.0) - F.lit(damping)
+                    + F.lit(damping) * F.sum("c").cast("double"),
+                    12,
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        ranks.join(deg.select(F.col("src").alias("node"), "wdeg"), "node")
+        .select(
+            F.col("node").alias("token"),
+            "wdeg",
+            F.round(F.col("r"), 6).alias("textrank"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("textrank"), F.asc("token"))
+            ),
+        )
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )
+    return ranked

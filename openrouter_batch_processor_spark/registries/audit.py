@@ -1217,3 +1217,56 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return benford_digits(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "audit_minhash_estimator",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band
+                                      AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id),
+    est AS (SELECT id_a, id_b,
+                   (((ma.mh0 = mb.mh0)::INT + (ma.mh1 = mb.mh1)::INT
+                   + (ma.mh2 = mb.mh2)::INT + (ma.mh3 = mb.mh3)::INT
+                   + (ma.mh4 = mb.mh4)::INT + (ma.mh5 = mb.mh5)::INT
+                   + (ma.mh6 = mb.mh6)::INT + (ma.mh7 = mb.mh7)::INT)
+                    / 8.0) AS est_j
+            FROM cand JOIN m ma ON ma.doc_id = cand.id_a
+                      JOIN m mb ON mb.doc_id = cand.id_b),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY 1),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh_set x ON x.doc_id = c.id_a
+              JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    ex AS (SELECT i.id_a, i.id_b,
+                  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS exact_j
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.id_a
+           JOIN sizes sb ON sb.doc_id = i.id_b),
+    j AS (SELECT least(floor(exact_j * 10), 9)::BIGINT AS bucket,
+                 est_j, exact_j
+          FROM est JOIN ex USING (id_a, id_b))
+    SELECT bucket, count(*)::BIGINT AS n_pairs,
+           round((sum(exact_j::DECIMAL(28,9)) / count(*))::DOUBLE, 6)
+             AS avg_exact,
+           round((sum(est_j::DECIMAL(28,9)) / count(*))::DOUBLE, 6) AS avg_est,
+           round((sum(round(abs(est_j - exact_j), 9)::DECIMAL(28,9))
+                  / count(*))::DOUBLE, 6) AS mae
+    FROM j GROUP BY bucket
+    """,
+    ops=["EXT-minhash", "EXT-audit", "EXT-jaccard", "G2", "J2"],
+)
+def q_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration per exact-Jaccard decile over the
+    production LSH candidates: Broder's agreement estimate vs exact
+    shingle-set Jaccard with per-bucket MAE — the companion to the
+    S-curve recall audit (operators/dedup.minhash_estimator_audit)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        minhash_estimator_audit,
+    )
+
+    return minhash_estimator_audit(_t(spark, sf_dir, "documents"))

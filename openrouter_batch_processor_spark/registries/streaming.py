@@ -445,3 +445,43 @@ def q_streaming_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_blocked_tokens").cast("long").alias("n_blocked_tokens"),
         )
     )
+
+
+@register(
+    "streaming_benford_counts",
+    """
+    WITH o AS (SELECT substr((round(value * 100))::BIGINT::VARCHAR, 1, 1)::BIGINT
+                 AS digit
+               FROM events WHERE value > 0),
+    c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM o GROUP BY 1),
+    t AS (SELECT sum(n_obs)::BIGINT AS n FROM c)
+    SELECT digit, n_obs, round(n_obs::DOUBLE / n, 6) AS frac_obs
+    FROM c, t
+    """,
+    ops=["T1", "T2", "EXT-audit", "G2"],
+)
+def q_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford first-digit monitor running IN FLIGHT, value-checked
+    against the batch distribution: per-row integer-cents digit
+    extraction on the event stream, rollup over the landed stream
+    equals audit_benford's counts exactly
+    (streaming/windows.benford_digit_stream)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        benford_digit_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = benford_digit_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_benford", output_mode="append")
+    counts = (
+        spark.table("registry_stream_benford")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("frac_obs"),
+    )

@@ -1099,3 +1099,63 @@ def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return flesch_reading_ease(_t(spark, sf_dir, "documents"))
+
+
+def _textrank_sql(iterations: int = 4, topk: int = 15) -> str:
+    """Unrolled weighted-PageRank oracle over the word co-occurrence
+    graph; iteration CTEs MATERIALIZED (each referenced by the next).
+    (1.0 - 0.85) is written as the SUBTRACTION so both engines use the
+    same computed double (0.15000000000000002), not the 0.15 literal."""
+    ctes = [
+        f"tk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents)",
+        """pr AS (SELECT toks[i] AS a, toks[i + 1] AS b
+          FROM tk, unnest(range(1, len(toks))) AS t(i)
+          WHERE len(toks) >= 2 AND toks[i] <> toks[i + 1])""",
+        "und AS (SELECT a, b, count(*)::BIGINT AS w FROM pr GROUP BY 1, 2)",
+        """edges AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w FROM (
+            SELECT a AS src, b AS dst, w FROM und
+            UNION ALL SELECT b, a, w FROM und) GROUP BY 1, 2)""",
+        "deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY 1)",
+        "r0 AS (SELECT src AS node, 1.0 AS r FROM deg)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+          SELECT dst AS node,
+                 round((1.0 - 0.85) + 0.85 *
+                       (sum(((w * r) / wdeg)::DECIMAL(28,12)))::DOUBLE,
+                       12) AS r
+          FROM edges JOIN deg USING (src)
+          JOIN r{t - 1} ON r{t - 1}.node = edges.src
+          GROUP BY dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT token, wdeg, textrank FROM (
+      SELECT r{iterations}.node AS token, deg.wdeg,
+             round(r{iterations}.r, 6) AS textrank,
+             row_number() OVER (ORDER BY round(r{iterations}.r, 6) DESC,
+                                r{iterations}.node) AS rn
+      FROM r{iterations} JOIN deg ON deg.src = r{iterations}.node)
+    WHERE rn <= {topk}"""
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    _textrank_sql(),
+    ops=["EXT-tokens", "EXT-quality", "EXT-graph", "G2", "J3", "O3", "W2"],
+)
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: weighted PageRank over the corpus word
+    co-occurrence graph (adjacent tokens, corpus-count weights), 4
+    unrolled iterations on the decimal-summed 12-dp grid, top-15 —
+    graph centrality as the third keyness signal beside RAKE and
+    Fightin' Words (operators/textanalysis.textrank_keywords)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"))

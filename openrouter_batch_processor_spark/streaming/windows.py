@@ -365,3 +365,16 @@ def blocklist_gate_stream(docs: DataFrame) -> DataFrame:
     )
 
     return blocklist_filter(docs)
+
+
+def benford_digit_stream(events: DataFrame) -> DataFrame:
+    """Streaming Benford screen: arriving event values map to their
+    leading digit IN FLIGHT (exact integer-cents extraction — the
+    batch benford_digits contract; pure per-row expressions, no
+    shuffle, no state). Downstream the digit stream rolls up to the
+    first-digit distribution — the live fabricated-data monitor on an
+    ingest pipeline."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.filter(F.col("value") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )

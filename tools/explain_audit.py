@@ -266,6 +266,9 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r08: streaming benford — same 1-row total broadcast on the
+    # landed-stream rollup (9 digit rows)
+    "streaming_benford_counts",
     # 1-row broadcast of the removed-count aggregate onto a 1-row total
     "curation_dedup_funnel",
     "text_tfidf_topk",

@@ -285,6 +285,28 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
     )
 
 
+def staged_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-staged LSH candidate-pair table (keyed on the corpus
+    plan): the graph family (PageRank, k-core, triangles, label prop)
+    and the verify family (Jaccard, containment, report, multisignal,
+    S-curve, estimator audit) all consume the SAME candidate set, and a
+    production run materializes it once (r08 — the emb-family staging
+    lesson applied to the dedup side; O(candidates) rows, bounded by
+    the banding). minhash_candidate_pairs itself stays UNSTAGED so the
+    skew-join plan contract (tests/test_skew_lsh.py) keeps asserting on
+    the executed join."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"minhash_candidate_pairs:{id_col}:{text_col}",
+        lambda _d: minhash_candidate_pairs(docs, id_col, text_col),
+    )
+
+
+
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shset) distinct-shingle arrays, materialized ONCE and shared
     by every verify-stage consumer — Catalyst's ReuseExchange cannot
@@ -381,7 +403,7 @@ def ngram_jaccard_pairs(
 
     |A ∩ B| from a shingle-level self-join restricted to candidate
     pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs."""
-    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    cand = staged_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
@@ -417,7 +439,7 @@ def containment_pairs(
     equi-join restricted to candidate pairs, never all-pairs. The
     filter is on the overlap coefficient, the symmetric max of the two
     containments."""
-    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    cand = staged_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
@@ -454,7 +476,7 @@ def dedup_report(
     (SPARK-36718), not once per metric. Emits every intersecting
     candidate pair unfiltered — downstream kill-list policies filter
     on whichever signal combination they trust."""
-    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    cand = staged_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     rep = (
@@ -638,7 +660,7 @@ def duplicate_clusters(
     consumer's cold cost stays visible in BENCH_DETAIL runs."""
 
     def _build(d: DataFrame) -> DataFrame:
-        comp = connected_components(minhash_candidate_pairs(d, id_col, text_col))
+        comp = connected_components(staged_candidate_pairs(d, id_col, text_col))
         sizes = comp.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("cluster_size")
         )
@@ -891,7 +913,7 @@ def pagerank_lite(
     merge order. Isolated docs (no candidate edges) are excluded by
     construction. Fixed iteration count (driver-side unrolled loop,
     constant plan depth)."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    pairs = staged_candidate_pairs(docs, id_col, text_col)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -937,7 +959,7 @@ def triangle_participation(
     the intermediate is sum(deg_out choose 2), not sum(deg^2) — the
     skew-vertex blowup of the naive formulation. All joins are
     equi-joins on ids: shuffle-partitionable at any graph size."""
-    e = minhash_candidate_pairs(docs, id_col, text_col).select(
+    e = staged_candidate_pairs(docs, id_col, text_col).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )  # already oriented a < b
     wedges = (
@@ -982,7 +1004,7 @@ def label_propagation(
     one shuffle per round at any scale, fixed round count (unrolled,
     constant plan depth). Isolated docs have no edges and drop out,
     the same contract as pagerank_lite."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    pairs = staged_candidate_pairs(docs, id_col, text_col)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1212,7 +1234,7 @@ def kcore_peel(
 
     Output: (doc_id, degree) for nodes surviving all rounds, with
     their degree in the final peeled graph."""
-    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    pairs = staged_candidate_pairs(docs, id_col, text_col)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -1412,7 +1434,7 @@ def lsh_s_curve(
         f"lsh_truth_pairs:{df_cap}:{id_col}:{text_col}",
         _build_truth,
     )
-    cands = minhash_candidate_pairs(docs, id_col, text_col).withColumn(
+    cands = staged_candidate_pairs(docs, id_col, text_col).withColumn(
         "is_cand", F.lit(1)
     )
     flagged = j.join(cands, ["id_a", "id_b"], "left").select(
@@ -1519,7 +1541,7 @@ def minhash_estimator_audit(
     means are 9-dp decimal sums. Output: (bucket, n_pairs, avg_exact,
     avg_est, mae)."""
     sigs = minhash_signatures(docs, id_col, text_col, k)
-    cand = minhash_candidate_pairs(docs, id_col, text_col)
+    cand = staged_candidate_pairs(docs, id_col, text_col)
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],

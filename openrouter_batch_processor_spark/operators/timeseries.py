@@ -575,6 +575,15 @@ def mad_anomalies(events: DataFrame, k_sigma: float = 3.0) -> DataFrame:
 
 
 HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.5, 0.3, 0.2, 24
+# Fold the LAST window points only (r08): with these parameters the
+# additive recurrence is divergent on long series — at sf0.1 (~40k
+# points/type) the state reaches ~1e9, where one double ulp (~1e-6)
+# equals the 6-dp report grid and cross-engine bit parity of the
+# 6-dp-rounded output is no longer guaranteed. A bounded recent window
+# is also the defensible forecasting choice (stale history shouldn't
+# steer next-step forecasts); magnitudes stay ~series scale, far from
+# the ulp cliff.
+HW_WINDOW = 4096
 
 
 def holt_winters_additive(
@@ -615,6 +624,8 @@ def holt_winters_additive(
         from collections import deque
 
         pdf = pdf.sort_values(list(order_cols))
+        n_total = len(pdf)
+        pdf = pdf.tail(HW_WINDOW)
         level = None
         trend = 0.0
         ring: deque = deque([0.0] * period)
@@ -632,7 +643,7 @@ def holt_winters_additive(
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "n": [len(pdf)],
+                "n": [n_total],
                 "level": [_round_away(level)],
                 "trend": [_round_away(trend)],
                 "s_next": [_round_away(ring[0])],

@@ -960,9 +960,13 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- every element evaluated against the OLD acc (list
                  -- construction; the DuckDB 1.0 struct-acc field leak
                  -- does not apply — see events_holt_forecast)
+                 -- fold the LAST 4096 points only (HW_WINDOW): the
+                 -- divergent long-series state would otherwise outgrow
+                 -- the 6-dp grid's cross-engine ulp safety (r08)
                  list_reduce(
-                   list_transform(xs, x -> ([x] || list_transform(range(0, 25),
-                                                                  i -> 0.0::DOUBLE))),
+                   list_transform(xs[greatest(len(xs) - 4095, 1):],
+                                  x -> ([x] || list_transform(range(0, 25),
+                                                              i -> 0.0::DOUBLE))),
                    (acc, e) ->
                      [0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
                       0.3 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))

@@ -149,7 +149,10 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
     ],
     "dedup_containment": [
         (None, "CartesianProduct", "shingle joins restricted to LSH candidates"),
-        ("HashAggregate", None, "overlap counts combine map-side"),
+        # r08: candidates come from the session-staged pair table, so
+        # the distinct/minhash aggregates live in the staged build and
+        # the query plan reads the materialized artifact
+        ("ExistingRDD", None, "candidate pairs read from the staged artifact"),
     ],
     "dedup_multisignal": [
         (None, "CartesianProduct", "all verify signals ride the candidate equi-join"),

@@ -2828,3 +2828,72 @@ def textrank_keywords(
         .drop("rn")
     )
     return ranked
+
+
+def bigram_entropy_rate(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Bigram entropy rate per language: H(W₂|W₁) = H(bigrams) −
+    H(unigram marginal) in nats (Shannon 1951's printed-English
+    estimate, the chain-rule identity) — the sequence-predictability
+    audit that separates 'rich vocabulary' (high H(W)) from 'rich
+    word order' (high conditional entropy); template/boilerplate
+    corpora collapse the conditional term first.
+
+    Both entropies follow the per-row round(−p·ln p, 9) decimal-sum
+    contract over exact integer counts; the marginal is derived from
+    the SAME bigram table (conditioning-token mass), so the chain-rule
+    subtraction is internally consistent. One bigram expansion + two
+    combiner groupBys; everything downstream is vocabulary²-sized."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i + 1).alias("w1"),
+                F.element_at(F.col("toks"), i + 2).alias("w2"),
+            ),
+        ),
+    )
+    bg = (
+        docs.select(F.col(group_col).alias("grp"), toks.alias("toks"))
+        .select("grp", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("grp", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    bc = bg.groupBy("grp", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = bc.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+
+    def _h(cnts: DataFrame) -> DataFrame:
+        return (
+            cnts.join(n, "grp")
+            .groupBy("grp")
+            .agg(
+                F.sum(
+                    F.round(
+                        -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")),
+                        9,
+                    ).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("h")
+            )
+        )
+
+    hb = _h(bc).select("grp", F.col("h").alias("h_bigram"))
+    uc = bc.groupBy("grp", "w1").agg(F.sum("c").cast("long").alias("c"))
+    hu = _h(uc).select("grp", F.col("h").alias("h_unigram"))
+    return (
+        n.join(hb, "grp")
+        .join(hu, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_bigrams"),
+            F.round(F.col("h_bigram"), 6).alias("h_bigram"),
+            F.round(F.col("h_unigram"), 6).alias("h_unigram"),
+            F.round(F.col("h_bigram") - F.col("h_unigram"), 6).alias("h_cond"),
+        )
+    )

@@ -1159,3 +1159,42 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_entropy_rate",
+    f"""
+    WITH tk AS (SELECT lang, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+    bg AS (SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+           FROM tk, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    bc AS (SELECT lang, w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2, 3),
+    n AS (SELECT lang, sum(c)::BIGINT AS n FROM bc GROUP BY 1),
+    hb AS (SELECT bc.lang,
+                  sum(round(-(c::DOUBLE / n) * ln(c::DOUBLE / n),
+                            9)::DECIMAL(28,9))::DOUBLE AS h_bigram
+           FROM bc JOIN n USING (lang) GROUP BY 1),
+    uc AS (SELECT lang, w1, sum(c)::BIGINT AS c FROM bc GROUP BY 1, 2),
+    hu AS (SELECT uc.lang,
+                  sum(round(-(c::DOUBLE / n) * ln(c::DOUBLE / n),
+                            9)::DECIMAL(28,9))::DOUBLE AS h_unigram
+           FROM uc JOIN n USING (lang) GROUP BY 1)
+    SELECT lang, n AS n_bigrams,
+           round(h_bigram, 6) AS h_bigram,
+           round(h_unigram, 6) AS h_unigram,
+           round(h_bigram - h_unigram, 6) AS h_cond
+    FROM n JOIN hb USING (lang) JOIN hu USING (lang)
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "J3"],
+)
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy rate H(W2|W1) per language via the
+    chain rule over one bigram count table — the word-order
+    predictability audit beside burstiness and repetition
+    (operators/textanalysis.bigram_entropy_rate)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        bigram_entropy_rate,
+    )
+
+    return bigram_entropy_rate(_t(spark, sf_dir, "documents"))

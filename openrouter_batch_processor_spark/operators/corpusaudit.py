@@ -701,3 +701,63 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def anova_length(
+    docs: DataFrame, group_col: str = "lang", value_col: str = "n_chars"
+) -> DataFrame:
+    """One-way ANOVA of document length across languages (Fisher's
+    F): between/within sums of squares from per-group integer
+    (n, S=Σx, Q=Σx²) triples, F = (SSB/(k−1))/(SSW/(N−k)) and
+    η² = SSB/SST — the "does length differ by language?" screen that
+    decides whether length-based quality gates need per-language
+    thresholds.
+
+    Exactness: x is integer, so every (n, S, Q) is an exact BIGINT;
+    the only divisions are S_g²/n_g per group (double of exact ints,
+    identical cross-engine, 9-dp rounded and DECIMAL-folded across
+    the k groups) and the closing F/η² arithmetic. One combiner
+    groupBy over the corpus; everything after is k rows."""
+    g = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(value_col).cast("long").alias("s_g"),
+        F.sum(F.col(value_col) * F.col(value_col)).cast("long").alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.sum("s_g").cast("long").alias("ss"),
+        F.sum("q_g").cast("long").alias("qq"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 9
+            ).cast("decimal(28,9)")
+        ).cast("double").alias("sb_part"),
+    )
+    grand = F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+    ssb = F.col("sb_part") - grand
+    ssw = F.col("qq") - F.col("sb_part")
+    sst = F.col("qq") - grand
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    stats = tot.select(
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+    return (
+        g.select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").alias("n_docs"),
+            F.round(F.col("s_g").cast("double") / F.col("n_g"), 6).alias("mean_len"),
+            F.round(
+                (
+                    F.col("q_g").cast("double")
+                    - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+                )
+                / F.col("n_g"),
+                6,
+            ).alias("var_len"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )

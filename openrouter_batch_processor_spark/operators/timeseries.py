@@ -1188,3 +1188,314 @@ def interarrival_exp_fit(events: DataFrame) -> DataFrame:
         ).alias("mean_gap_s"),
         F.round(F.max("dev"), 6).alias("ks_d"),
     )
+
+
+# ===========================================================================
+# Round 9: spectral / long-memory / robust-dispersion diagnostics
+# ===========================================================================
+
+import math
+
+PERIODOGRAM_PERIODS = (3, 4, 6, 8, 12, 24, 48, 168)
+
+
+def _trig_table(period: int, fn) -> list[float]:
+    """cos/sin of 2*pi*phase/period for phase 0..period-1, computed
+    ONCE in Python and embedded as literals on both engines — the trig
+    values never touch either engine's libm, so the periodogram sums
+    are bit-identical cross-engine by construction."""
+    w = 2.0 * math.pi / period
+    return [fn(w * t) for t in range(period)]
+
+
+def periodogram_topk(events: DataFrame) -> DataFrame:
+    """Schuster periodogram of the hourly event-count series per
+    event_type at the calendar candidate periods (3h..weekly): power
+    P(T) = (C_T^2 + S_T^2)/n with C_T = sum x_t*cos(2*pi*t/T), ranked
+    per type — the seasonality detector that tells the rollup/window
+    layer which cycle lengths are real before it materializes them.
+
+    Exactness: trig factors come from an embedded Python-computed
+    table indexed by t mod T (integer phase), so each addend is
+    x_t (integer) times an identical double literal on both engines;
+    addends round to 9 dp and fold in DECIMAL(28,9) — order-free and
+    engine-free. Scale: one hourly rollup (combiner groupBy), then one
+    pass emitting |periods| addend pairs per point; series length is
+    bounded by the time span, never the event volume."""
+    ser = _hourly_series(events)  # event_type, hour, x, rn
+    t = F.col("rn") - 1
+    rows = []
+    for p in PERIODOGRAM_PERIODS:
+        cos_t = F.array(*[F.lit(v) for v in _trig_table(p, math.cos)])
+        sin_t = F.array(*[F.lit(v) for v in _trig_table(p, math.sin)])
+        phase = (t % p).cast("int")
+        rows.append(
+            ser.select(
+                "event_type",
+                F.lit(p).cast("long").alias("period_h"),
+                F.col("x"),
+                F.round(F.col("x") * F.element_at(cos_t, phase + 1), 9)
+                .cast("decimal(28,9)").alias("xc"),
+                F.round(F.col("x") * F.element_at(sin_t, phase + 1), 9)
+                .cast("decimal(28,9)").alias("xs"),
+            )
+        )
+    u = rows[0]
+    for df in rows[1:]:
+        u = u.unionByName(df)
+    agg = u.groupBy("event_type", "period_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("double").alias("c"),
+        F.sum("xs").cast("double").alias("s"),
+    )
+    power = F.round(
+        (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 6
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("power"), F.asc("period_h")
+    )
+    return (
+        agg.select("event_type", "period_h", "n", power.alias("power"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+HURST_SIZES = (8, 16, 32, 64)
+
+
+def hurst_rs(events: DataFrame) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) of the hourly count series per
+    event_type: for each block size n, the series splits into full
+    blocks, each block's R/S is the range of its cumulative
+    mean-deviations over its population std, and H is the log-log
+    slope of mean R/S against n — H≈0.5 memoryless, H>0.5 long-range
+    dependent (bursty crawl traffic), H<0.5 mean-reverting.
+
+    Exactness: with S,Q the block's integer sum/sum-of-squares and
+    cum_i the integer prefix sum, n*R = max_i(n*cum_i - i*S) -
+    min_i(...) and n^2*var = n*Q - S^2 are EXACT integers, and
+    R/S = (n*R)/sqrt(n*Q - S^2) — one sqrt and one division of exact
+    integers, bit-identical cross-engine. ln(R/S) is the validated
+    per-row ln path (the regression is scale-free, so natural log
+    works as well as log2 and avoids the engines' differing log2
+    implementations); the ln(n) abscissae are Python-computed literals
+    embedded on both engines; block means fold 9-dp DECIMAL; the final
+    slope is a closed-form regression on exact conditional-agg sums.
+
+    Scale: series length is span-bounded (not volume-bounded); every
+    stage is a combiner groupBy or a bounded window within (type,
+    block)."""
+    ser = _hourly_series(events)  # event_type, x, rn
+    per_size = []
+    for nb in HURST_SIZES:
+        blk = ser.select(
+            "event_type",
+            "x",
+            ((F.col("rn") - 1) / F.lit(nb)).cast("long").alias("blk"),
+            "rn",
+        )
+        wb = Window.partitionBy("event_type", "blk")
+        wcum = (
+            Window.partitionBy("event_type", "blk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wi = Window.partitionBy("event_type", "blk").orderBy("rn")
+        scored = blk.select(
+            "event_type",
+            "blk",
+            F.count(F.lit(1)).over(wb).cast("long").alias("cnt"),
+            F.sum("x").over(wb).cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).over(wb).cast("long").alias("q"),
+            F.sum("x").over(wcum).cast("long").alias("cum"),
+            F.row_number().over(wi).cast("long").alias("i"),
+        ).filter(F.col("cnt") == nb)
+        dev = (F.lit(nb) * F.col("cum") - F.col("i") * F.col("s")).alias("dev")
+        rs = (
+            scored.select("event_type", "blk", "s", "q", dev)
+            .groupBy("event_type", "blk", "s", "q")
+            .agg((F.max("dev") - F.min("dev")).cast("long").alias("rn_range"))
+            .withColumn(
+                "varn", (F.lit(nb) * F.col("q") - F.col("s") * F.col("s")).cast("long")
+            )
+            .filter((F.col("varn") > 0) & (F.col("rn_range") > 0))
+            .select(
+                "event_type",
+                (
+                    F.log(
+                        F.col("rn_range").cast("double")
+                        / F.sqrt(F.col("varn").cast("double"))
+                    )
+                ).alias("lrs"),
+            )
+        )
+        per_size.append(
+            rs.groupBy("event_type").agg(
+                F.lit(nb).cast("long").alias("block_n"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                (
+                    F.sum(F.round(F.col("lrs"), 9).cast("decimal(28,9)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_lrs"),
+            )
+        )
+    u = per_size[0]
+    for df in per_size[1:]:
+        u = u.unionByName(df)
+    lx = F.create_map(
+        *[F.lit(v) for nb in HURST_SIZES for v in (nb, math.log(nb))]
+    )[F.col("block_n")]
+    pts = u.select("event_type", "block_n", "n_blocks", "mean_lrs", lx.alias("lx"))
+    reg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.round(F.col("lx"), 9).cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("mean_lrs"), 9).cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("mean_lrs"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("sxx"),
+    )
+    hurst = F.round(
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return pts.join(
+        reg.select("event_type", hurst.alias("hurst")), "event_type"
+    ).select(
+        "event_type",
+        "block_n",
+        "n_blocks",
+        F.round("mean_lrs", 6).alias("mean_ln_rs"),
+        "hurst",
+    )
+
+
+def tukey_fences(events: DataFrame, k_iqr: float = 1.5) -> DataFrame:
+    """Tukey box-plot outlier fences per event_type (Tukey 1977):
+    exact rank-based quartiles (q1 at ceil(n/4), q3 at ceil(3n/4),
+    ties broken by event_id — the engine-portable stats_exact_median
+    convention, no interpolation), fences at q +/- 1.5*IQR, and the
+    outlier counts outside them — the robust-dispersion screen that
+    flags value-distribution drift without moment assumptions.
+
+    Both quartiles are REAL data values picked by rank, so every
+    downstream comparison is on identical doubles cross-engine. Two
+    shuffles on event_type (rank window + count join), both
+    combiner-friendly."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    q1r = F.floor((F.col("n") + 3) / 4)
+    q3r = F.floor((3 * F.col("n") + 3) / 4)
+    quarts = (
+        ranked.filter((F.col("rn") == q1r) | (F.col("rn") == q3r))
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min(F.when(F.col("rn") == q1r, F.col("value"))).alias("q1"),
+            F.max(F.when(F.col("rn") == q3r, F.col("value"))).alias("q3"),
+        )
+    )
+    lo = F.col("q1") - F.lit(k_iqr) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k_iqr) * (F.col("q3") - F.col("q1"))
+    fenced = quarts.select(
+        "event_type", "n", "q1", "q3", lo.alias("lo"), hi.alias("hi")
+    )
+    joined = events.select("event_type", "value").join(
+        F.broadcast(fenced), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.min("n").alias("n_events"),
+        F.round(F.min("q1"), 6).alias("q1"),
+        F.round(F.min("q3"), 6).alias("q3"),
+        F.round(F.min(F.col("q3") - F.col("q1")), 6).alias("iqr"),
+        F.round(F.min("lo"), 6).alias("lo_fence"),
+        F.round(F.min("hi"), 6).alias("hi_fence"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("long").alias("n_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("long").alias("n_high"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            )
+            / F.min("n"),
+            6,
+        ).alias("outlier_frac"),
+    )
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test across event_types (Mood 1950): counts above
+    vs at-or-below the GRAND lower median of value per type, expected
+    counts under homogeneity, per-type chi-square contributions and
+    the overall statistic — the nonparametric "do these streams share
+    a location?" check (df = k-1).
+
+    The grand median is exact WITHOUT a global row window: values
+    carry 2 decimals (the Benford integer-cents invariant), so the
+    median is read off a cents-histogram cumulative — the histogram is
+    value-domain-bounded, never event-volume-bounded, which is what
+    keeps this shape alive at 100 TB. All cell counts and margins are
+    exact integers; expected counts and chi2 terms are double
+    arithmetic on those integers (identical cross-engine); the k-term
+    chi2 total folds 9-dp DECIMAL."""
+    cents = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    )
+    hist = cents.groupBy("cv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cv",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("nn_all"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.floor((F.col("nn_all") + 1) / 2))
+        .agg(F.min("cv").alias("med_cv"))
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            (F.min("med_cv") / F.lit(100.0)).alias("grand_median"),
+            F.sum(F.when(F.col("cv") > F.col("med_cv"), 1).otherwise(0))
+            .cast("long").alias("n_above"),
+            F.sum(F.when(F.col("cv") <= F.col("med_cv"), 1).otherwise(0))
+            .cast("long").alias("n_below"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum("n_below").cast("long").alias("tb"),
+        (F.sum("n_above") + F.sum("n_below")).cast("long").alias("nn"),
+    )
+    t = cells.crossJoin(F.broadcast(tot))
+    ea = F.col("ta") * (F.col("n_above") + F.col("n_below")) / F.col("nn")
+    eb = F.col("tb") * (F.col("n_above") + F.col("n_below")) / F.col("nn")
+    term = (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea + (
+        F.col("n_below") - eb
+    ) * (F.col("n_below") - eb) / eb
+    scored = t.select(
+        "event_type",
+        "grand_median",
+        "n_above",
+        "n_below",
+        F.round(ea, 6).alias("exp_above"),
+        F.round(term, 6).alias("chi2_term"),
+        F.round(term, 9).cast("decimal(28,9)").alias("_t9"),
+    )
+    chi2 = scored.agg(
+        F.round(F.sum("_t9").cast("double"), 6).alias("chi2_stat")
+    )
+    return scored.drop("_t9").crossJoin(F.broadcast(chi2))

@@ -1270,3 +1270,42 @@ def q_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return minhash_estimator_audit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_anova_length",
+    """
+    WITH g AS (SELECT lang AS grp, count(*)::BIGINT AS n_g,
+                      sum(n_chars)::BIGINT AS s_g,
+                      sum(n_chars * n_chars)::BIGINT AS q_g
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_g)::BIGINT AS nn, sum(s_g)::BIGINT AS ss,
+                 sum(q_g)::BIGINT AS qq, count(*)::BIGINT AS k,
+                 sum(round(s_g::DOUBLE * s_g / n_g, 9)::DECIMAL(28,9))::DOUBLE
+                   AS sb_part
+          FROM g),
+    st AS (SELECT round(sb_part - ss::DOUBLE * ss / nn, 6) AS ss_between,
+                  round(qq - sb_part, 6) AS ss_within,
+                  round(((sb_part - ss::DOUBLE * ss / nn) / (k - 1))
+                        / ((qq - sb_part) / (nn - k)), 6) AS f_stat,
+                  round((sb_part - ss::DOUBLE * ss / nn)
+                        / (qq::DOUBLE - ss::DOUBLE * ss / nn), 6) AS eta_sq
+           FROM t)
+    SELECT grp AS lang, n_g AS n_docs,
+           round(s_g::DOUBLE / n_g, 6) AS mean_len,
+           round((q_g::DOUBLE - s_g::DOUBLE * s_g / n_g) / n_g, 6) AS var_len,
+           ss_between, ss_within, f_stat, eta_sq
+    FROM g CROSS JOIN st
+    """,
+    ops=["EXT-audit", "EXT-quality", "G2"],
+)
+def q_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across languages: exact
+    per-group (n, sum, sum-sq) BIGINT triples, F statistic and eta^2 —
+    decides whether length-based quality gates need per-language
+    thresholds (operators/corpusaudit.anova_length)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        anova_length,
+    )
+
+    return anova_length(_t(spark, sf_dir, "documents"))

@@ -1245,3 +1245,226 @@ def q_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return interarrival_exp_fit(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Round 9: spectral / long-memory / robust-dispersion diagnostics
+# ===========================================================================
+
+from openrouter_batch_processor_spark.operators.timeseries import (  # noqa: E402
+    HURST_SIZES,
+    PERIODOGRAM_PERIODS,
+    _trig_table,
+)
+import math as _math  # noqa: E402
+
+
+def _periodogram_sql() -> str:
+    def lits(p, fn):
+        return "[" + ", ".join(repr(v) for v in _trig_table(p, fn)) + "]"
+
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT event_type, {p}::BIGINT AS period_h, x,
+           round(x * ({lits(p, _math.cos)})[(t % {p})::INT + 1], 9)::DECIMAL(28,9) AS xc,
+           round(x * ({lits(p, _math.sin)})[(t % {p})::INT + 1], 9)::DECIMAL(28,9) AS xs
+    FROM idx"""
+        for p in PERIODOGRAM_PERIODS
+    )
+    return f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) - 1 AS t
+      FROM ser),
+    terms AS ({arms}),
+    a AS (SELECT event_type, period_h, count(*)::BIGINT AS n,
+                 sum(xc)::DOUBLE AS c, sum(xs)::DOUBLE AS s
+          FROM terms GROUP BY 1, 2)
+    SELECT event_type, period_h, n,
+           round((c * c + s * s) / n, 6) AS power,
+           (row_number() OVER (PARTITION BY event_type
+              ORDER BY round((c * c + s * s) / n, 6) DESC, period_h))::BIGINT
+             AS "rank"
+    FROM a
+    """
+
+
+@register(
+    "events_periodogram",
+    _periodogram_sql(),
+    ops=["EXT-timeseries", "EXT-windows", "G2", "O3", "W2"],
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the hourly count series per event_type
+    at calendar candidate periods (3h..weekly), power-ranked — the
+    seasonality detector; trig factors are Python-computed literals
+    indexed by integer phase, so the spectral sums are bit-identical
+    cross-engine (operators/timeseries.periodogram_topk)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        periodogram_topk,
+    )
+
+    return periodogram_topk(_t(spark, sf_dir, "events"))
+
+
+def _hurst_sql() -> str:
+    size_ctes, unions = [], []
+    for nb in HURST_SIZES:
+        size_ctes.append(f"""
+    b{nb} AS (SELECT event_type, x, (rn - 1) // {nb} AS blk, rn FROM idx1),
+    g{nb} AS (SELECT event_type, blk, count(*)::BIGINT AS cnt,
+                     sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS q
+              FROM b{nb} GROUP BY 1, 2),
+    c{nb} AS (SELECT b.event_type, b.blk, g.s, g.q,
+                     (sum(b.x) OVER (PARTITION BY b.event_type, b.blk
+                                     ORDER BY b.rn))::BIGINT AS cum,
+                     (row_number() OVER (PARTITION BY b.event_type, b.blk
+                                         ORDER BY b.rn))::BIGINT AS i
+              FROM b{nb} b JOIN g{nb} g
+                ON g.event_type = b.event_type AND g.blk = b.blk
+              WHERE g.cnt = {nb}),
+    r{nb} AS (SELECT event_type, blk, s, q,
+                     (max({nb} * cum - i * s) - min({nb} * cum - i * s))::BIGINT
+                       AS rn_range
+              FROM c{nb} GROUP BY 1, 2, 3, 4),
+    m{nb} AS (SELECT event_type, {nb}::BIGINT AS block_n,
+                     count(*)::BIGINT AS n_blocks,
+                     sum(round(ln(rn_range::DOUBLE
+                                  / sqrt(({nb} * q - s * s)::DOUBLE)), 9)
+                         ::DECIMAL(28,9))::DOUBLE / count(*) AS mean_lrs
+              FROM r{nb}
+              WHERE {nb} * q - s * s > 0 AND rn_range > 0 GROUP BY 1)""")
+        unions.append(f"SELECT * FROM m{nb}")
+    lx_case = " ".join(
+        f"WHEN {nb} THEN {_math.log(nb)!r}" for nb in HURST_SIZES
+    )
+    return f"""
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx1 AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),{",".join(size_ctes)},
+    pts AS ({" UNION ALL ".join(unions)}),
+    px AS (SELECT event_type, block_n, n_blocks, mean_lrs,
+                  CASE block_n {lx_case} END AS lx
+           FROM pts),
+    reg AS (SELECT event_type, count(*)::BIGINT AS k,
+                   sum(round(lx, 9)::DECIMAL(28,9))::DOUBLE AS sx,
+                   sum(round(mean_lrs, 9)::DECIMAL(28,9))::DOUBLE AS sy,
+                   sum(round(lx * mean_lrs, 9)::DECIMAL(28,9))::DOUBLE AS sxy,
+                   sum(round(lx * lx, 9)::DECIMAL(28,9))::DOUBLE AS sxx
+            FROM px GROUP BY 1)
+    SELECT px.event_type, block_n, n_blocks,
+           round(mean_lrs, 6) AS mean_ln_rs,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+    FROM px JOIN reg ON reg.event_type = px.event_type
+    """
+
+
+@register(
+    "events_hurst_rs",
+    _hurst_sql(),
+    ops=["EXT-timeseries", "G2", "W2"],
+)
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis of the hourly count
+    series per event_type: exact-integer block R/S (n*R and n^2*var
+    are BIGINT), validated per-row ln, closed-form log-log slope —
+    the long-range-dependence detector for bursty traffic
+    (operators/timeseries.hurst_rs)."""
+    from openrouter_batch_processor_spark.operators.timeseries import hurst_rs
+
+    return hurst_rs(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_tukey_fences",
+    """
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events),
+    q AS (SELECT event_type, min(n)::BIGINT AS n,
+                 min(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+                 max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+          FROM r GROUP BY 1),
+    f AS (SELECT event_type, n, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+          FROM q)
+    SELECT e.event_type, min(f.n)::BIGINT AS n_events,
+           round(min(q1), 6) AS q1, round(min(q3), 6) AS q3,
+           round(min(q3 - q1), 6) AS iqr,
+           round(min(lo), 6) AS lo_fence, round(min(hi), 6) AS hi_fence,
+           sum((e.value < f.lo)::INT)::BIGINT AS n_low,
+           sum((e.value > f.hi)::INT)::BIGINT AS n_high,
+           round(sum((e.value < f.lo OR e.value > f.hi)::INT)::DOUBLE
+                 / min(f.n), 6) AS outlier_frac
+    FROM events e JOIN f USING (event_type) GROUP BY 1
+    """,
+    ops=["EXT-quality", "G2", "O3"],
+)
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot fences per event_type: exact rank quartiles
+    (no interpolation — engine-portable), 1.5*IQR fences, outlier
+    counts/fraction (operators/timeseries.tukey_fences)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        tukey_fences,
+    )
+
+    return tukey_fences(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_mood_median",
+    """
+    WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
+    h AS (SELECT cv, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+    cm AS (SELECT cv,
+                  (sum(cnt) OVER (ORDER BY cv ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                  (sum(cnt) OVER ())::BIGINT AS nn FROM h),
+    md AS (SELECT min(cv)::BIGINT AS med_cv FROM cm WHERE cum >= (nn + 1) // 2),
+    cl AS (SELECT event_type, min(med_cv) / 100.0 AS grand_median,
+                  sum((cv > med_cv)::INT)::BIGINT AS n_above,
+                  sum((cv <= med_cv)::INT)::BIGINT AS n_below
+           FROM c CROSS JOIN md GROUP BY 1),
+    t AS (SELECT sum(n_above)::BIGINT AS ta, sum(n_below)::BIGINT AS tb,
+                 (sum(n_above) + sum(n_below))::BIGINT AS nn FROM cl),
+    s AS (SELECT event_type, grand_median, n_above, n_below,
+                 round(ta * (n_above + n_below) / nn, 6) AS exp_above,
+                 round((n_above - ta * (n_above + n_below) / nn)
+                       * (n_above - ta * (n_above + n_below) / nn)
+                       / (ta * (n_above + n_below) / nn)
+                     + (n_below - tb * (n_above + n_below) / nn)
+                       * (n_below - tb * (n_above + n_below) / nn)
+                       / (tb * (n_above + n_below) / nn), 6) AS chi2_term,
+                 round((n_above - ta * (n_above + n_below) / nn)
+                       * (n_above - ta * (n_above + n_below) / nn)
+                       / (ta * (n_above + n_below) / nn)
+                     + (n_below - tb * (n_above + n_below) / nn)
+                       * (n_below - tb * (n_above + n_below) / nn)
+                       / (tb * (n_above + n_below) / nn), 9)::DECIMAL(28,9) AS t9
+          FROM cl CROSS JOIN t),
+    tt AS (SELECT round(sum(t9)::DOUBLE, 6) AS chi2_stat FROM s)
+    SELECT event_type, grand_median, n_above, n_below, exp_above, chi2_term,
+           chi2_stat
+    FROM s CROSS JOIN tt
+    """,
+    ops=["EXT-audit", "G2", "O3"],
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event_types: grand median read off a
+    value-domain-bounded integer-cents histogram (no global row
+    window — the 100-TB-safe exact-median shape), integer cell counts,
+    per-type chi-square terms + overall statistic
+    (operators/timeseries.mood_median_test)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        mood_median_test,
+    )
+
+    return mood_median_test(_t(spark, sf_dir, "events"))

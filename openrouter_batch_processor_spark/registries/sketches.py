@@ -271,3 +271,40 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.sketches import ams_f2
 
     return ams_f2(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "sketch_linear_counting",
+    """
+    WITH b AS (SELECT event_type AS grp, user_id AS k,
+                      ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 1024
+                        AS bucket
+               FROM events),
+    g AS (SELECT grp, count(*)::BIGINT AS n_events,
+                 count(DISTINCT k)::BIGINT AS exact_distinct,
+                 count(DISTINCT bucket)::BIGINT AS occupied
+          FROM b GROUP BY 1)
+    SELECT grp AS event_type, n_events, exact_distinct,
+           (1024 - occupied)::BIGINT AS n_empty,
+           CASE WHEN 1024 - occupied > 0
+                THEN round(1024.0 * ln(1024.0 / (1024 - occupied)), 6)
+           END AS lc_estimate,
+           CASE WHEN 1024 - occupied > 0
+                THEN round((round(1024.0 * ln(1024.0 / (1024 - occupied)), 6)
+                            - exact_distinct) * 100.0 / exact_distinct, 6)
+           END AS err_pct
+    FROM g
+    """,
+    ops=["EXT-sketch", "G2"],
+)
+def q_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimator per event_type (Whang et al.
+    1990): m=1024 md5 buckets, n-hat = m*ln(m/V) from the empty-bucket
+    count, reported against the exact distinct with its own error —
+    the small-range companion/correction to the HLL sketch
+    (operators/sketches.linear_counting)."""
+    from openrouter_batch_processor_spark.operators.sketches import (
+        linear_counting,
+    )
+
+    return linear_counting(_t(spark, sf_dir, "events"))

@@ -1,0 +1,99 @@
+"""Round-9 diagnostics: periodogram, Hurst R/S, Tukey fences, Mood's
+median test, linear counting, ANOVA — planted-signal unit checks
+(cross-engine parity is covered by the registry oracles)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from openrouter_batch_processor_spark.operators.corpusaudit import anova_length
+from openrouter_batch_processor_spark.operators.sketches import linear_counting
+from openrouter_batch_processor_spark.operators.timeseries import (
+    hurst_rs,
+    mood_median_test,
+    periodogram_topk,
+    tukey_fences,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _hourly_events(counts_by_hour, etype="t"):
+    """One synthetic event per unit of count, all inside hour h."""
+    rows, eid = [], 0
+    for h, c in enumerate(counts_by_hour):
+        for j in range(c):
+            rows.append((eid, T0 + dt.timedelta(hours=h, minutes=j % 50), 1, etype, 1.0))
+            eid += 1
+    return rows
+
+
+class TestPeriodogram:
+    def test_planted_daily_cycle_wins(self, spark):
+        # 14 days of hourly counts with a clean 24h sinusoid
+        counts = [
+            int(10 + 8 * math.cos(2 * math.pi * h / 24.0)) for h in range(14 * 24)
+        ]
+        out = periodogram_topk(_events(spark, _hourly_events(counts))).collect()
+        top = next(r for r in out if r["rank"] == 1)
+        assert top["period_h"] == 24
+        # the planted period dominates: rank-1 power >> rank-2
+        second = next(r for r in out if r["rank"] == 2)
+        assert top["power"] > 5 * second["power"]
+
+
+class TestHurst:
+    def test_alternating_series_is_antipersistent(self, spark):
+        # x alternates 5,15,5,15… -> strongly mean-reverting, H well below 0.5
+        counts = [5 if h % 2 == 0 else 15 for h in range(512)]
+        out = hurst_rs(_events(spark, _hourly_events(counts))).collect()
+        assert {r["block_n"] for r in out} == {8, 16, 32, 64}
+        assert all(r["hurst"] == out[0]["hurst"] for r in out)
+        assert out[0]["hurst"] < 0.35
+
+
+class TestTukey:
+    def test_planted_outliers_counted(self, spark):
+        rows = [(i, T0 + dt.timedelta(minutes=i), 1, "t", 50.0 + (i % 11)) for i in range(200)]
+        rows += [(900, T0, 1, "t", 500.0), (901, T0, 1, "t", -400.0)]
+        got = tukey_fences(_events(spark, rows)).collect()[0]
+        assert got["n_high"] == 1 and got["n_low"] == 1
+        assert got["q1"] <= got["q3"] and got["outlier_frac"] > 0
+
+
+class TestMoodMedian:
+    def test_shifted_type_dominates_chi2(self, spark):
+        rows = [(i, T0, 1, "a", 10.0 + (i % 5)) for i in range(100)]
+        rows += [(1000 + i, T0, 1, "b", 90.0 + (i % 5)) for i in range(100)]
+        out = {r["event_type"]: r for r in mood_median_test(_events(spark, rows)).collect()}
+        # all of b sits above the grand median, all of a at/below
+        assert out["b"]["n_above"] == 100 and out["a"]["n_above"] == 0
+        assert out["a"]["chi2_stat"] == out["b"]["chi2_stat"] > 100
+
+
+class TestLinearCounting:
+    def test_estimate_close_to_exact(self, spark):
+        rows = [(i, T0, i % 300, "t", 1.0) for i in range(3000)]
+        got = linear_counting(_events(spark, rows)).collect()[0]
+        assert got["exact_distinct"] == 300
+        assert abs(got["err_pct"]) < 10.0
+
+
+class TestAnova:
+    def test_separated_groups_give_large_f(self, spark):
+        rows = [(i, f"d{i}", "en", "s", 100 + (i % 3)) for i in range(50)]
+        rows += [(100 + i, f"e{i}", "fr", "s", 500 + (i % 3)) for i in range(50)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = anova_length(docs).collect()
+        assert len(out) == 2
+        assert out[0]["f_stat"] > 1000 and 0.9 < out[0]["eta_sq"] <= 1.0

@@ -269,6 +269,13 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r09: mood median — two 1-row broadcasts (grand-median cents value,
+    # margin totals) + the k-row chi2 fold; per-row work is O(n), the
+    # cents histogram is value-domain-bounded
+    "stats_mood_median",
+    # r09: anova — one 1-row broadcast of the (N,S,Q,k) total row onto
+    # the k-row per-language table; never O(n²)
+    "audit_anova_length",
     # r08: streaming benford — same 1-row total broadcast on the
     # landed-stream rollup (9 digit rows)
     "streaming_benford_counts",

@@ -2897,3 +2897,188 @@ def bigram_entropy_rate(
             F.round(F.col("h_bigram") - F.col("h_unigram"), 6).alias("h_cond"),
         )
     )
+
+
+# ===========================================================================
+# Round 9: windowed lexical diversity, fog readability, langid PRF
+# ===========================================================================
+
+MATTR_WINDOW = 20
+
+
+def mattr(
+    docs: DataFrame,
+    window: int = MATTR_WINDOW,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio per language (Covington &
+    McFall 2010): the mean distinct-type share over every length-W
+    token window of each document — the length-invariant lexical-
+    diversity measure (plain TTR shrinks with document length, which
+    makes cross-source comparisons lie).
+
+    The window sweep is CLOSED-FORM, not a range join: a token at
+    position j is a new type in window [s, s+W-1] iff s > prev_j (its
+    previous occurrence) and s <= j, so its contribution to
+    sum_s types(s) is |[max(j-W+1, prev_j+1, 1), min(j, L-W+1)]| —
+    pure per-row integer arithmetic off one lag window, then one
+    combiner groupBy. MATTR_doc = sum_s types(s) / (W * n_windows)
+    (exact-integer ratio, one double division); per-language means
+    fold 9-dp DECIMAL. Plain TTR rides along for contrast.
+
+    Scale: one token expansion + two windows partitioned by doc (each
+    document's tokens colocate; no cross-doc traffic), one combiner
+    rollup."""
+    from pyspark.sql.window import Window
+
+    tk = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos0", "term"
+        ),
+    ).filter(F.col("term") != "")
+    wp = Window.partitionBy("doc_id", "term").orderBy("pos0")
+    wd = Window.partitionBy("doc_id")
+    j = (F.col("pos0") + 1).cast("long")
+    prev = (F.coalesce(F.lag("pos0").over(wp), F.lit(-1)) + 1).cast("long")
+    scored = tk.select(
+        "doc_id",
+        "grp",
+        j.alias("j"),
+        prev.alias("prev"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("ll"),
+    )
+    lo = F.greatest(F.col("j") - window + 1, F.col("prev") + 1, F.lit(1))
+    hi = F.least(F.col("j"), F.col("ll") - window + 1)
+    contrib = F.greatest(hi - lo + 1, F.lit(0))
+    per_doc = (
+        scored.filter(F.col("ll") >= window)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("ll").alias("ll"),
+            F.sum(contrib).cast("long").alias("types_sum"),
+            F.sum(F.when(F.col("prev") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_types"),
+        )
+        .select(
+            "grp",
+            F.round(
+                F.col("types_sum")
+                / (F.lit(window) * (F.col("ll") - window + 1)),
+                9,
+            ).alias("mattr_doc"),
+            F.round(F.col("n_types") / F.col("ll"), 9).alias("ttr_doc"),
+        )
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("mattr_doc").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_mattr"),
+        F.round(
+            F.sum(F.col("ttr_doc").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ttr"),
+    ).select(F.col("grp").alias(group_col), "n_docs", "mean_mattr", "mean_ttr")
+
+
+def gunning_fog(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Gunning fog index per language (Gunning 1952): FOG =
+    0.4 * (words/sentences + 100 * complex_words/words), complex =
+    >= 3 syllables by the same maximal-[aeiouy]+-run heuristic the
+    Flesch gate uses (single-sentence synthetic docs -> sentences=1,
+    mirroring flesch_reading_ease). Per-doc fog is double arithmetic
+    rounded 9 dp; language means fold DECIMAL."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tk = docs.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(toks).alias("tok"),
+    ).select(
+        "doc_id",
+        "grp",
+        F.size(F.regexp_extract_all(F.col("tok"), F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("syl"),
+    )
+    per_doc = tk.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum(F.when(F.col("syl") >= 3, 1).otherwise(0)).cast("long").alias("cx"),
+    )
+    fog = F.round(
+        F.lit(0.4) * (F.col("w") + F.lit(100.0) * F.col("cx") / F.col("w")), 9
+    )
+    return (
+        per_doc.select("grp", "w", "cx", fog.alias("fog"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("cx").cast("decimal(28,9)")).cast("double")
+                / F.sum(F.col("w").cast("decimal(28,9)")).cast("double") * 100,
+                6,
+            ).alias("pct_complex"),
+            F.round(
+                F.sum(F.col("fog").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_fog"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "pct_complex", "avg_fog")
+    )
+
+
+def langid_prf(docs: DataFrame) -> DataFrame:
+    """Per-language precision / recall / F1 of the Naive-Bayes langid
+    audit (the summary layer over nb_langid_confusion's matrix): tp =
+    diagonal cell, support = true-row margin, predicted = column
+    margin. All margins are exact integers off the confusion counts;
+    P/R/F1 are single double divisions rounded 6 dp (F1 from the
+    UNROUNDED integer ratio 2tp/(support+predicted) — one division,
+    no compounding). Macro-F1 rides along (9-dp DECIMAL fold over the
+    language rows, the k-row cross-engine contract)."""
+    conf = nb_langid_confusion(docs)
+    tr = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("support")
+    )
+    pr = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("predicted")
+    )
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n_docs").alias("tp")
+    )
+    j = (
+        tr.join(pr, "lang", "full")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("predicted", F.lit(0)).cast("long").alias("predicted"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("predicted") > 0, F.round(F.col("tp") / F.col("predicted"), 6))
+    rec = F.when(F.col("support") > 0, F.round(F.col("tp") / F.col("support"), 6))
+    f1 = F.round(
+        2.0 * F.col("tp") / (F.col("support") + F.col("predicted")), 6
+    )
+    scored = j.select(
+        "lang", "support", "predicted", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+    macro = scored.agg(
+        F.round(
+            F.sum(F.round(F.col("f1"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("macro_f1")
+    )
+    return scored.crossJoin(F.broadcast(macro))

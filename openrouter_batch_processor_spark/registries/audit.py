@@ -1309,3 +1309,81 @@ def q_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return anova_length(_t(spark, sf_dir, "documents"))
+
+
+_NB_PRED_CTES = f"""
+    tk AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(u.term), 1, 8))::BIGINT % 512 AS bucket
+           FROM (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+                 FROM documents) t,
+                unnest(toks) AS u(term)
+           WHERE u.term != ''),
+    lb AS (SELECT lang, bucket, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
+    lt AS (SELECT lang, count(*)::BIGINT AS tot FROM tk GROUP BY 1),
+    langs AS (SELECT lang, count(*)::BIGINT AS nl FROM documents GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+    ob AS (SELECT DISTINCT bucket FROM tk),
+    model AS (SELECT lt.lang AS m_lang, ob.bucket,
+                     round(ln((coalesce(lb.cnt, 0) + 1) / (lt.tot + 512.0)),
+                           9)::DECIMAL(28,9) AS lnp
+              FROM lt CROSS JOIN ob
+              LEFT JOIN lb ON lb.lang = lt.lang AND lb.bucket = ob.bucket),
+    dt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+    lik AS (SELECT dt.doc_id, m.m_lang,
+                   sum(dt.c::DECIMAL(10,0) * m.lnp) AS ll
+            FROM dt JOIN model m USING (bucket) GROUP BY 1, 2),
+    pri AS (SELECT l.lang AS m_lang,
+                   round(ln(l.nl / n_all::DOUBLE), 9)::DECIMAL(28,9) AS lnprior
+            FROM langs l CROSS JOIN nn),
+    sc AS (SELECT d.doc_id, d.lang AS true_lang, p.m_lang,
+                  p.lnprior + coalesce(k.ll, 0::DECIMAL(28,9)) AS score
+           FROM documents d CROSS JOIN pri p
+           LEFT JOIN lik k ON k.doc_id = d.doc_id AND k.m_lang = p.m_lang),
+    pred AS (SELECT doc_id, true_lang, m_lang AS pred_lang FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, m_lang ASC) AS rn
+               FROM sc) WHERE rn = 1)"""
+
+
+@register(
+    "audit_langid_prf",
+    f"""
+    WITH {_NB_PRED_CTES},
+    conf AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+             FROM pred GROUP BY 1, 2),
+    tr AS (SELECT true_lang AS lang, sum(n_docs)::BIGINT AS support
+           FROM conf GROUP BY 1),
+    pr AS (SELECT pred_lang AS lang, sum(n_docs)::BIGINT AS predicted
+           FROM conf GROUP BY 1),
+    tp AS (SELECT true_lang AS lang, n_docs::BIGINT AS tp FROM conf
+           WHERE true_lang = pred_lang),
+    j AS (SELECT coalesce(tr.lang, pr.lang) AS lang,
+                 coalesce(support, 0)::BIGINT AS support,
+                 coalesce(predicted, 0)::BIGINT AS predicted,
+                 coalesce(tp.tp, 0)::BIGINT AS tp
+          FROM tr FULL JOIN pr ON pr.lang = tr.lang
+          LEFT JOIN tp ON tp.lang = coalesce(tr.lang, pr.lang)),
+    s AS (SELECT lang, support, predicted, tp,
+                 CASE WHEN predicted > 0
+                      THEN round(tp / predicted, 6) END AS "precision",
+                 CASE WHEN support > 0
+                      THEN round(tp / support, 6) END AS recall,
+                 round(2.0 * tp / (support + predicted), 6) AS f1
+          FROM j),
+    m AS (SELECT round(sum(round(f1, 9)::DECIMAL(28,9))::DOUBLE / count(*), 6)
+                   AS macro_f1 FROM s)
+    SELECT lang, support, predicted, tp, "precision", recall, f1, macro_f1
+    FROM s CROSS JOIN m
+    """,
+    ops=["EXT-langid", "EXT-audit", "EXT-quality", "G2", "J3"],
+)
+def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 + macro-F1 of the NB langid
+    audit — the summary layer over the confusion matrix; exact integer
+    margins, single-division ratios
+    (operators/textanalysis.langid_prf)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        langid_prf,
+    )
+
+    return langid_prf(_t(spark, sf_dir, "documents"))

@@ -1198,3 +1198,83 @@ def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bigram_entropy_rate(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Round 9: windowed lexical diversity + fog readability
+# ===========================================================================
+
+
+@register(
+    "text_mattr",
+    f"""
+    WITH tt AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+    tk AS (SELECT doc_id, lang, u.j::BIGINT AS j, toks[u.j] AS term
+           FROM tt, unnest(range(1, len(toks) + 1)) AS u(j)
+           WHERE toks[u.j] != ''),
+    lagd AS (SELECT doc_id, lang, j,
+                    coalesce(lag(j) OVER (PARTITION BY doc_id, term ORDER BY j),
+                             0)::BIGINT AS prev,
+                    count(*) OVER (PARTITION BY doc_id)::BIGINT AS ll
+             FROM tk),
+    per_doc AS (SELECT doc_id, lang, min(ll) AS ll,
+                       sum(greatest(least(j, ll - 19) -
+                                    greatest(j - 19, prev + 1, 1) + 1,
+                                    0))::BIGINT AS types_sum,
+                       sum((prev = 0)::INT)::BIGINT AS n_types
+                FROM lagd WHERE ll >= 20 GROUP BY 1, 2),
+    sc AS (SELECT lang,
+                  round(types_sum / (20 * (ll - 19)), 9) AS mattr_doc,
+                  round(n_types / ll, 9) AS ttr_doc
+           FROM per_doc)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round(sum(mattr_doc::DECIMAL(28,9))::DOUBLE / count(*), 6)
+             AS mean_mattr,
+           round(sum(ttr_doc::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_ttr
+    FROM sc GROUP BY 1
+    """,
+    ops=["EXT-tokens", "EXT-quality", "G2", "W2"],
+)
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio per language (window 20): the
+    length-invariant lexical-diversity score, computed by a
+    closed-form per-token contribution formula off one lag window —
+    no range join over window starts (operators/textanalysis.mattr)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import mattr
+
+    return mattr(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_gunning_fog",
+    f"""
+    WITH tt AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents),
+    tk AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(u.term, '[aeiouy]+'))::BIGINT AS syl
+           FROM (SELECT doc_id, lang, unnest(toks) AS term FROM tt) u),
+    per_doc AS (SELECT doc_id, lang, count(*)::BIGINT AS w,
+                       sum((syl >= 3)::INT)::BIGINT AS cx
+                FROM tk GROUP BY 1, 2),
+    sc AS (SELECT lang, w, cx,
+                  round(0.4 * (w + 100.0 * cx / w), 9) AS fog
+           FROM per_doc)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round(sum(cx::DECIMAL(28,9))::DOUBLE
+                 / sum(w::DECIMAL(28,9))::DOUBLE * 100, 6) AS pct_complex,
+           round(sum(fog::DECIMAL(28,9))::DOUBLE / count(*), 6) AS avg_fog
+    FROM sc GROUP BY 1
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2"],
+)
+def q_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gunning fog readability per language: 0.4*(words/sentence +
+    100*complex/words), complex = >=3 vowel-group syllables — the
+    Flesch companion using the same syllable heuristic
+    (operators/textanalysis.gunning_fog)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        gunning_fog,
+    )
+
+    return gunning_fog(_t(spark, sf_dir, "documents"))

@@ -97,3 +97,59 @@ class TestAnova:
         out = anova_length(docs).collect()
         assert len(out) == 2
         assert out[0]["f_stat"] > 1000 and 0.9 < out[0]["eta_sq"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-9 text additions: MATTR, Gunning fog, langid PRF
+# ---------------------------------------------------------------------------
+
+from openrouter_batch_processor_spark.operators.textanalysis import (  # noqa: E402
+    gunning_fog,
+    langid_prf,
+    mattr,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestMattr:
+    def test_constant_doc_vs_diverse_doc(self, spark):
+        # 40 tokens: all-same word -> every window has 1 type (MATTR=1/20);
+        # all-distinct words -> every window has 20 types (MATTR=1)
+        same = " ".join(["aa"] * 40)
+        div = " ".join(f"w{i}" for i in range(40))
+        out = {
+            r["lang"]: r
+            for r in mattr(
+                _docs(spark, [(1, same, "x", "s", 1), (2, div, "y", "s", 1)])
+            ).collect()
+        }
+        assert out["x"]["mean_mattr"] == round(1 / 20, 6)
+        assert out["y"]["mean_mattr"] == 1.0
+        assert out["y"]["mean_ttr"] == 1.0
+
+    def test_short_docs_excluded(self, spark):
+        out = mattr(_docs(spark, [(1, "a b c", "x", "s", 1)])).collect()
+        assert out == []
+
+
+class TestFog:
+    def test_complex_share(self, spark):
+        # "go" 1 syllable, "anemone" 4 vowel groups -> complex
+        text = "go go anemone go"
+        got = gunning_fog(_docs(spark, [(1, text, "x", "s", 1)])).collect()[0]
+        assert got["pct_complex"] == 25.0
+        assert got["avg_fog"] == round(0.4 * (4 + 100.0 * 1 / 4), 6)
+
+
+class TestLangidPrf:
+    def test_perfectly_separable(self, spark):
+        rows = [(i, "alpha beta gamma", "en", "s", 1) for i in range(10)]
+        rows += [(100 + i, "uno dos tres", "es", "s", 1) for i in range(10)]
+        out = {r["lang"]: r for r in langid_prf(_docs(spark, rows)).collect()}
+        assert out["en"]["f1"] == 1.0 and out["es"]["recall"] == 1.0
+        assert out["en"]["macro_f1"] == 1.0

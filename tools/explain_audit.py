@@ -269,6 +269,9 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r09: langid PRF — inherits nb_langid's langs-grid broadcast (the
+    # prior-only fallback) + one 1-row macro-F1 broadcast onto k rows
+    "audit_langid_prf",
     # r09: mood median — two 1-row broadcasts (grand-median cents value,
     # margin totals) + the k-row chi2 fold; per-row work is O(n), the
     # cents histogram is value-domain-bounded

@@ -1057,3 +1057,63 @@ def logreg_difficulty(
     return scored.orderBy(
         F.desc("difficulty"), F.asc(id_col)
     ).limit(topk)
+
+
+# ===========================================================================
+# Round 9: MiniPile-style cluster-level pruning
+# ===========================================================================
+
+
+def minipile_prune(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    n_drop: int = 2,
+) -> DataFrame:
+    """MiniPile-style cluster pruning (Kaddour 2023): k-means the
+    embedding space, score each cluster by mean document quality, and
+    drop the n_drop lowest-quality clusters whole — the cluster-level
+    curation pass that removes entire junk modes (boilerplate farms,
+    SEO spam) which per-document gates only chip at.
+
+    Clustering is the deterministic Lloyd chain (kmeans_lite);
+    quality joins the session-staged scores table; cluster means fold
+    9-dp DECIMAL over round-6 per-doc scores; the drop set is a rank
+    over (mean_quality asc, cluster_id) on those deterministic means.
+    Output: one row per cluster (n_docs, mean_quality, kept) plus the
+    corpus-level kept-doc total. Scale: the join is vec_id = doc_id
+    equi (co-partitionable); everything after the one groupBy is k
+    rows."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.kmeans import kmeans_lite
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        staged_quality_scores,
+    )
+
+    clusters = kmeans_lite(embeddings, k=k, iters=iters)
+    q = staged_quality_scores(docs).select(
+        F.col("doc_id").alias("vec_id"), "quality_score"
+    )
+    j = clusters.join(q, "vec_id")
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    w = Window.orderBy(F.asc("mean_quality"), F.asc("cluster_id"))
+    ranked = per_cluster.withColumn(
+        "kept", F.row_number().over(w) > n_drop
+    )
+    tot = ranked.agg(
+        F.sum(F.when(F.col("kept"), F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("total_kept_docs")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "cluster_id", "n_docs", "mean_quality", "kept", "total_kept_docs"
+    )

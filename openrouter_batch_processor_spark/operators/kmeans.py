@@ -203,3 +203,79 @@ def davies_bouldin(
             F.round(F.col("dbi"), 6).alias("db_index"),
         )
     )
+
+
+def silhouette(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the deterministic
+    Lloyd clustering (Rousseeuw 1987; the centroid variant is the
+    O(n*k) form every large-scale validity audit uses — the O(n²)
+    pairwise version can't exist at corpus scale): a_i = dist to own
+    centroid, b_i = min dist to any other centroid, s_i =
+    (b_i − a_i)/max(a_i, b_i). Per-cluster mean s and the overall
+    point mean.
+
+    Distances reuse the clustering's round-6 squared-L2 + sqrt
+    convention (kmeans/davies_bouldin); per-point s is double off
+    those deterministic values, 9-dp folded per cluster and overall.
+    One n×k broadcast distance pass; everything after is k rows."""
+    from pyspark.sql.window import Window
+
+    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    cents = (
+        staged.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
+            F.col("vd").alias("cvec"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(staged, cents, id_col)
+        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+
+    vd, cv = F.col("vd"), F.col("cvec")
+    d2 = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)
+    dist = F.sqrt(F.greatest(d2, F.lit(0.0)))
+    all_d = (
+        assigned.withColumnRenamed("cluster_id", "own")
+        .join(staged, id_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, "own", "cluster_id", dist.alias("d"))
+    )
+    per_point = all_d.groupBy(id_col, "own").agg(
+        F.min(F.when(F.col("cluster_id") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cluster_id") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    pts = per_point.select(
+        F.col("own").alias("cluster_id"), F.round(s, 9).alias("s9")
+    )
+    overall = pts.agg(
+        F.round(
+            F.sum(F.col("s9").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("overall_s")
+    )
+    return (
+        pts.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.sum(F.col("s9").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_s"),
+        )
+        .crossJoin(F.broadcast(overall))
+    )

@@ -2225,3 +2225,149 @@ def cosine_histogram(
             ),
         )
     )
+
+
+# ===========================================================================
+# Round 9: scalar-quantized (SQ8) search recall + IVF balance audit
+# ===========================================================================
+
+
+def sq8_codes(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Symmetric per-vector int8 codes (the quantize_int8 recipe, but
+    KEEPING the code array): scale = 127/max|x|, q_i = clamp(round(
+    x_i*scale), +-127). Codes are integer-VALUED doubles — products
+    and 64-term sums stay <= 127²*64 ≈ 1e6, far inside the double
+    exact-integer range, so code dot products are exact on both
+    engines."""
+    x = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
+    )
+    mx = x.select(
+        id_col, "xd", F.array_max(F.transform(F.col("xd"), F.abs)).alias("mx")
+    ).filter(F.col("mx") > 0)
+    sc = mx.select(
+        id_col, "xd", (F.lit(127.0) / F.col("mx")).alias("scale")
+    )
+    return sc.select(
+        id_col,
+        "xd",
+        "scale",
+        F.transform(
+            F.col("xd"),
+            lambda v: F.least(
+                F.greatest(F.round(v * F.col("scale"), 0), F.lit(-127.0)),
+                F.lit(127.0),
+            ),
+        ).alias("code"),
+    )
+
+
+def sq8_search_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    query_rem: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of scalar-quantized (SQ8) inner-product search against
+    the exact float top-k, per query — the standard memory/recall
+    trade audit before shipping int8 vectors to an ANN index (4x
+    smaller, one multiply to dequantize: approx<q,x> = <code_q,
+    code_x>/(s_q*s_x)).
+
+    One shared corpus x queries pass computes BOTH scores; the code
+    dot is an exact integer (see sq8_codes), the dequantized score
+    and the exact dot are single-expression doubles rounded 6 dp with
+    id tie-breaks, so both rankings are engine-exact. The labeled
+    brute-force side is the truth baseline every recall audit carries
+    (sim_ann_recall precedent); the deployable path is the bucketed
+    IVF/SQ8 composition."""
+    from pyspark.sql.window import Window
+
+    c = sq8_codes(embeddings, id_col, vec_col)
+    qs = c.filter((F.col(id_col) % query_mod) == query_rem).select(
+        F.col(id_col).alias("query_id"),
+        F.col("xd").alias("qd"),
+        F.col("scale").alias("qs"),
+        F.col("code").alias("qc"),
+    )
+    pairs = c.crossJoin(F.broadcast(qs)).filter(F.col(id_col) != F.col("query_id"))
+    code_dot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("qc"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(F.col("xd"), F.col("qd"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col),
+        F.round(code_dot / (F.col("scale") * F.col("qs")), 6).alias("approx"),
+        F.round(exact_dot, 6).alias("exact"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc(id_col))
+    we = Window.partitionBy("query_id").orderBy(F.desc("exact"), F.asc(id_col))
+    ranked = scored.select(
+        "query_id",
+        id_col,
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(we).alias("re"),
+    ).filter((F.col("ra") <= k) | (F.col("re") <= k))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(F.when((F.col("ra") <= k) & (F.col("re") <= k), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            F.sum(F.when(F.col("re") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truth"),
+        )
+        .select(
+            "query_id",
+            "n_match",
+            "n_truth",
+            F.round(F.col("n_match") / F.col("n_truth"), 6).alias("recall_at_k"),
+        )
+    )
+
+
+def ivf_balance_report(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list balance audit of the IVF index: per-cell sizes
+    plus the imbalance factor C*Σs²/(Σs)² (Jégou et al.'s measure of
+    how much worse than uniform the probe cost is — 1.0 = perfectly
+    balanced; the number that decides whether the coarse quantizer
+    needs retraining before a 100-TB build). Cell sizes are exact
+    integers off the one broadcast-C assignment pass; the factor and
+    expected-probe-fraction are closing double arithmetic."""
+    cells = assign_ivf_cells(embeddings, n_centroids, id_col, vec_col)
+    sizes = cells.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("long").alias("nn"),
+        F.sum(F.col("n_vecs") * F.col("n_vecs")).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    t = sizes.crossJoin(F.broadcast(tot))
+    return t.select(
+        "centroid_id",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("nn"), 6).alias("frac"),
+        F.round(
+            F.col("c") * F.col("sq") / (F.col("nn") * F.col("nn")), 6
+        ).alias("imbalance_factor"),
+        F.round(F.col("sq") / F.col("nn"), 6).alias("exp_probe_rows"),
+    )

@@ -1387,3 +1387,48 @@ def q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return langid_prf(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_silhouette",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_recompute_sql('a2', 'c2')},
+    d AS (SELECT a.vec_id, a.cluster_id AS own, c.cid,
+                 sqrt(greatest(round(list_dot_product(e.v, e.v)
+                                     - 2 * list_dot_product(e.v, c.c)
+                                     + list_dot_product(c.c, c.c), 6),
+                               0.0)) AS dd
+          FROM a2 a JOIN e USING (vec_id) CROSS JOIN c2 c),
+    pp AS (SELECT vec_id, own,
+                  min(CASE WHEN cid = own THEN dd END) AS a,
+                  min(CASE WHEN cid != own THEN dd END) AS b
+           FROM d GROUP BY 1, 2),
+    s AS (SELECT own AS cluster_id,
+                 round(CASE WHEN greatest(a, b) > 0
+                            THEN (b - a) / greatest(a, b)
+                            ELSE 0.0 END, 9) AS s9
+          FROM pp),
+    o AS (SELECT round(sum(s9::DECIMAL(28,9))::DOUBLE / count(*), 6)
+                   AS overall_s FROM s)
+    SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+           round(sum(s9::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_s,
+           overall_s
+    FROM s CROSS JOIN o GROUP BY cluster_id, overall_s
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-audit", "G2", "J2"],
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the Lloyd clustering:
+    a = own-centroid distance, b = nearest-other-centroid distance,
+    s = (b−a)/max(a,b) — per-cluster means + overall, the O(n·k)
+    validity score that exists at corpus scale
+    (operators/kmeans.silhouette)."""
+    from openrouter_batch_processor_spark.operators.kmeans import silhouette
+
+    return silhouette(_t(spark, sf_dir, "embeddings"))

@@ -961,3 +961,45 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hashed_ngram_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_minipile_prune",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    q AS (SELECT doc_id, quality_score
+          FROM {_quality_sql('documents', 'doc_id')} qq),
+    j AS (SELECT a.cluster_id, q.quality_score
+          FROM a2 a JOIN q ON q.doc_id = a.vec_id),
+    pc AS (SELECT cluster_id, count(*)::BIGINT AS n_docs,
+                  round(sum(quality_score::DECIMAL(28,9))::DOUBLE / count(*), 6)
+                    AS mean_quality
+           FROM j GROUP BY 1),
+    rk AS (SELECT *, row_number() OVER (ORDER BY mean_quality ASC, cluster_id ASC)
+                       AS rn
+           FROM pc),
+    kd AS (SELECT cluster_id, n_docs, mean_quality, rn > 2 AS kept FROM rk),
+    t AS (SELECT sum(CASE WHEN kept THEN n_docs ELSE 0 END)::BIGINT
+                   AS total_kept_docs FROM kd)
+    SELECT cluster_id, n_docs, mean_quality, kept, total_kept_docs
+    FROM kd CROSS JOIN t
+    """,
+    ops=["EXT-curation", "EXT-simsearch", "EXT-quality", "G2", "J2", "O3"],
+)
+def q_minipile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniPile-style cluster pruning: k-means the embedding space,
+    score clusters by mean document quality, drop the 2 worst whole —
+    cluster-level curation that removes entire junk modes
+    (operators/curation.minipile_prune)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        minipile_prune,
+    )
+
+    return minipile_prune(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )

@@ -963,3 +963,94 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.similarity import ivf_pq_topk
 
     return ivf_pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Round 9: SQ8 search recall + IVF balance
+# ===========================================================================
+
+
+@register(
+    "sim_sq8_search",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS xd FROM embeddings),
+    mx AS (SELECT vec_id, xd,
+                  list_max(list_transform(xd, v -> abs(v))) AS mx FROM e),
+    c AS (SELECT vec_id, xd, 127.0 / mx AS scale,
+                 list_transform(xd, v -> least(greatest(
+                     round(v * (127.0 / mx), 0), -127.0), 127.0)) AS code
+          FROM mx WHERE mx > 0),
+    qs AS (SELECT vec_id AS query_id, xd AS qd, scale AS q_scale, code AS qc
+           FROM c WHERE vec_id % 100 = 7),
+    p AS (SELECT c.vec_id, q.query_id,
+                 round(list_dot_product(c.code, q.qc)
+                       / (c.scale * q.q_scale), 6) AS approx,
+                 round(list_dot_product(c.xd, q.qd), 6) AS exact
+          FROM c CROSS JOIN qs q WHERE c.vec_id != q.query_id),
+    r AS (SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx DESC, vec_id) AS ra,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY exact DESC, vec_id) AS re
+          FROM p)
+    SELECT query_id,
+           sum((ra <= 10 AND re <= 10)::INT)::BIGINT AS n_match,
+           sum((re <= 10)::INT)::BIGINT AS n_truth,
+           round(sum((ra <= 10 AND re <= 10)::INT)::BIGINT
+                 / sum((re <= 10)::INT)::BIGINT, 6) AS recall_at_k
+    FROM r GROUP BY 1
+    """,
+    ops=["EXT-simsearch", "EXT-recall", "D6", "G2", "O3", "W2"],
+)
+def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of scalar-quantized int8 inner-product search vs the
+    exact float ranking, per query: exact-integer code dot products
+    (<=127²·64 stays inside double exact range), one shared pass
+    scoring both sides (operators/similarity.sq8_search_recall)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        sq8_search_recall,
+    )
+
+    return sq8_search_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_ivf_balance",
+    """
+    WITH centroids AS (SELECT vec_id AS centroid_id,
+                              embedding::DOUBLE[] AS cvec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                                 e.embedding::DOUBLE[])
+                                - 2 * list_dot_product(e.embedding::DOUBLE[],
+                                                       c.cvec)
+                                + list_dot_product(c.cvec, c.cvec), 6),
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c) WHERE rn = 1),
+    sizes AS (SELECT centroid_id, count(*)::BIGINT AS n_vecs
+              FROM assigned GROUP BY 1),
+    t AS (SELECT sum(n_vecs)::BIGINT AS nn,
+                 sum(n_vecs * n_vecs)::BIGINT AS sq,
+                 count(*)::BIGINT AS c FROM sizes)
+    SELECT centroid_id, n_vecs,
+           round(n_vecs / nn, 6) AS frac,
+           round(c * sq / (nn * nn), 6) AS imbalance_factor,
+           round(sq / nn, 6) AS exp_probe_rows
+    FROM sizes CROSS JOIN t
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-audit", "G2"],
+)
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit: per-cell sizes, imbalance
+    factor C·Σs²/(Σs)² and expected probe rows — the retrain-the-
+    coarse-quantizer signal (operators/similarity.ivf_balance_report)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        ivf_balance_report,
+    )
+
+    return ivf_balance_report(_t(spark, sf_dir, "embeddings"))

@@ -153,3 +153,81 @@ class TestLangidPrf:
         out = {r["lang"]: r for r in langid_prf(_docs(spark, rows)).collect()}
         assert out["en"]["f1"] == 1.0 and out["es"]["recall"] == 1.0
         assert out["en"]["macro_f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-9 similarity/clustering additions: SQ8 recall, silhouette,
+# IVF balance, MiniPile prune
+# ---------------------------------------------------------------------------
+
+from openrouter_batch_processor_spark.operators.curation import minipile_prune
+from openrouter_batch_processor_spark.operators.kmeans import silhouette
+from openrouter_batch_processor_spark.operators.similarity import (
+    ivf_balance_report,
+    sq8_search_recall,
+)
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+class TestSq8:
+    def test_high_recall_on_separable_vectors(self, spark):
+        import math
+
+        # 40 unit-ish vectors on distinct directions; quantization noise
+        # cannot reorder a clean spread
+        vecs = [
+            [math.cos(0.1 * i + 0.01 * d) for d in range(8)] for i in range(40)
+        ]
+        out = sq8_search_recall(_embs(spark, vecs), k=5, query_mod=10, query_rem=7).collect()
+        assert len(out) == 4
+        assert all(r["recall_at_k"] >= 0.8 for r in out)
+
+
+class TestSilhouette:
+    def test_two_tight_blobs(self, spark):
+        vecs = [[10.0 + 0.01 * i, 0.0] for i in range(10)]
+        vecs += [[-10.0 - 0.01 * i, 0.0] for i in range(10)]
+        out = silhouette(_embs(spark, vecs), k=2, iters=2).collect()
+        # well-separated blobs -> silhouette near 1
+        assert all(r["mean_s"] > 0.9 for r in out)
+        assert out[0]["overall_s"] > 0.9
+
+
+class TestIvfBalance:
+    def test_uniform_cells_factor_one(self, spark):
+        # 4 centroids = first 4 vectors; each followed by 9 copies near it
+        base = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        vecs = list(base)
+        for b in base:
+            vecs += [[b[0] * (1 + 0.001 * j), b[1] * (1 + 0.001 * j)] for j in range(1, 10)]
+        out = ivf_balance_report(_embs(spark, vecs), n_centroids=4).collect()
+        assert len(out) == 4
+        assert all(r["imbalance_factor"] == 1.0 for r in out)
+        assert all(r["n_vecs"] == 10 for r in out)
+
+
+class TestMinipile:
+    def test_low_quality_cluster_dropped(self, spark):
+        # cluster A docs: diverse text (high uniq ratio); cluster B: junk
+        docs = []
+        for i in range(10):
+            docs.append((i, "the quick brown fox jumps over lazy dogs now", "en", "s", 1))
+        for i in range(10, 20):
+            docs.append((i, "!!! !!! !!! !!! !!! !!! !!! !!!", "en", "s", 1))
+        ddf = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        vecs = [[5.0, 5.0 + 0.01 * i] for i in range(10)]
+        vecs += [[-5.0, -5.0 - 0.01 * i] for i in range(10)]
+        out = minipile_prune(ddf, _embs(spark, vecs), k=2, iters=2, n_drop=1).collect()
+        dropped = [r for r in out if not r["kept"]]
+        kept = [r for r in out if r["kept"]]
+        assert len(dropped) == 1 and len(kept) == 1
+        assert dropped[0]["mean_quality"] < kept[0]["mean_quality"]
+        assert kept[0]["total_kept_docs"] == 10

@@ -269,6 +269,18 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r09: SQ8 recall — bounded |Q|-row query broadcast cross join (the
+    # labeled brute-force truth side every recall audit carries)
+    "sim_sq8_search",
+    # r09: IVF balance — the C-row centroid broadcast cross join (cell
+    # assignment) + one 1-row totals broadcast onto C rows
+    "sim_ivf_balance",
+    # r09: silhouette — the k-row centroid broadcast cross join (O(n·k)
+    # centroid-variant distances) + 1-row overall-mean broadcast
+    "audit_silhouette",
+    # r09: minipile prune — kmeans' k-row centroid broadcast + 1-row
+    # kept-total broadcast onto k rows
+    "curation_minipile_prune",
     # r09: langid PRF — inherits nb_langid's langs-grid broadcast (the
     # prior-only fallback) + one 1-row macro-F1 broadcast onto k rows
     "audit_langid_prf",

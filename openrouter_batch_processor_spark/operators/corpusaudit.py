@@ -761,3 +761,54 @@ def anova_length(
         )
         .crossJoin(F.broadcast(stats))
     )
+
+
+def dedup_impact(docs: DataFrame) -> DataFrame:
+    """Before/after dedup corpus ablation: token-level statistics of
+    the full corpus vs the keep-first survivors of the MinHash-LSH
+    cluster policy — the ablation table a training run reads before
+    trusting a dedup config (how many tokens did we pay, did diversity
+    actually improve?). Metrics per phase: docs, tokens, distinct
+    types, type-token ratio, mean tokens/doc, top-token mass.
+
+    Survivors come from the SAME staged cluster table every keep-policy
+    consumer joins (operators/dedup.duplicate_clusters — cluster_id is
+    the canonical min doc_id); counts are exact integers, ratios are
+    single divisions rounded 6 dp. Scale: one token pass per phase
+    (combiner groupBys) + the churn-sized anti-join."""
+    from openrouter_batch_processor_spark.functions.hashing import (
+        normalize_text,
+    )
+    from openrouter_batch_processor_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    clusters = duplicate_clusters(docs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = docs.join(dropped, "doc_id", "left_anti")
+
+    def stats(d: DataFrame, phase: str) -> DataFrame:
+        tk = d.select(
+            "doc_id",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+        ).filter(F.col("term") != "")
+        per_term = tk.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        tt = per_term.agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("cnt").cast("long").alias("top_cnt"),
+        )
+        nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        return nd.crossJoin(tt).select(
+            F.lit(phase).alias("phase"),
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        )
+
+    return stats(docs, "full").unionByName(stats(survivors, "survivors"))

@@ -27,7 +27,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -593,4 +593,103 @@ def tile_phash_pairs(
     return verified.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_tile_pairs"),
         F.min("hamming").cast("long").alias("min_hamming"),
+    )
+
+
+def phash_clusters(media: DataFrame, max_hamming: int = 9) -> DataFrame:
+    """Image duplicate CLUSTERS: transitive closure over the banded
+    pHash near-pairs (A~B, B~C => one cluster even when A,C differ by
+    more than the pairwise threshold — the same closure step the text
+    dedup pipeline applies after LSH). Pointer-doubling label
+    propagation (operators/dedup.connected_components) over the
+    bucketed pair stage; output one row per cluster (min media_id as
+    the canonical representative) with its member count."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = phash_near_pairs(media, max_hamming=max_hamming)
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def audio_fingerprint_pairs(
+    files: DataFrame,
+    window_bytes: int = 64,
+    hop_bytes: int = 32,
+    max_gap: int = 20,
+    min_matches: int = 2,
+) -> DataFrame:
+    """Shazam-style audio fingerprint matching (Wang 2003, constellation
+    landmarks): frame each track into hop windows, keep strict local
+    energy peaks, pair consecutive peaks within max_gap windows into
+    (e1 mod 256, e2 mod 256, dt) landmark keys, and match tracks by
+    counting key hits at a CONSISTENT time offset — the
+    offset-histogram vote that makes the match robust to clipping.
+
+    Track identity is the rel_path (two copies of the same audio are
+    two tracks — exactly what the matcher must find); energies are the
+    deterministic md5-derived stub (fake-codec boundary, the
+    multimodal-family contract), so every stage is exact integers and
+    the whole chain value-checks in SQL. Scale: the join is an
+    equi-join on the 256x256xmax_gap key space — bucketed, never
+    all-pairs; a viral landmark key is the AQE skew case."""
+    media = files.select(
+        F.col("rel_path").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    w = window_audio(media, window_bytes=window_bytes, hop_bytes=hop_bytes)
+    ws = Window.partitionBy("media_id").orderBy("window_no")
+    e = F.col("energy")
+    pk = (
+        w.select(
+            "media_id",
+            "window_no",
+            "energy",
+            F.lag("energy").over(ws).alias("pe"),
+            F.lead("energy").over(ws).alias("ne"),
+        )
+        .filter(
+            F.col("pe").isNotNull()
+            & F.col("ne").isNotNull()
+            & (e > F.col("pe"))
+            & (e > F.col("ne"))
+        )
+    )
+    lm = (
+        pk.select(
+            "media_id",
+            F.col("window_no").alias("w1"),
+            F.col("energy").alias("e1"),
+            F.lead("window_no").over(ws.orderBy("window_no")).alias("w2"),
+            F.lead("energy").over(ws.orderBy("window_no")).alias("e2"),
+        )
+        .filter(
+            F.col("w2").isNotNull() & ((F.col("w2") - F.col("w1")) <= max_gap)
+        )
+        .select(
+            "media_id",
+            "w1",
+            (F.col("e1") % 256).alias("k1"),
+            (F.col("e2") % 256).alias("k2"),
+            (F.col("w2") - F.col("w1")).alias("dt"),
+        )
+    )
+    a = lm.select(
+        F.col("media_id").alias("id_a"), F.col("w1").alias("wa"), "k1", "k2", "dt"
+    )
+    b = lm.select(
+        F.col("media_id").alias("id_b"), F.col("w1").alias("wb"), "k1", "k2", "dt"
+    )
+    return (
+        a.join(b, ["k1", "k2", "dt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("wa") - F.col("wb")).cast("long").alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
     )

@@ -1432,3 +1432,53 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.kmeans import silhouette
 
     return silhouette(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_dedup_impact",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_CC_SQL},
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node != cluster_id),
+    surv AS (SELECT d.doc_id, d.text FROM documents d
+             LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+             WHERE dr.doc_id IS NULL),
+    ftk AS (SELECT u.term
+            FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents) t,
+                 unnest(toks) AS u(term) WHERE u.term != ''),
+    fpt AS (SELECT term, count(*)::BIGINT AS cnt FROM ftk GROUP BY 1),
+    fs AS (SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+                  max(cnt)::BIGINT AS top_cnt FROM fpt),
+    fn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    stk AS (SELECT u.term
+            FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM surv) t,
+                 unnest(toks) AS u(term) WHERE u.term != ''),
+    spt AS (SELECT term, count(*)::BIGINT AS cnt FROM stk GROUP BY 1),
+    ss AS (SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+                  max(cnt)::BIGINT AS top_cnt FROM spt),
+    sn AS (SELECT count(*)::BIGINT AS n_docs FROM surv)
+    SELECT 'full' AS phase, n_docs, n_tokens, n_types,
+           round(n_types / n_tokens, 6) AS ttr,
+           round(n_tokens / n_docs, 6) AS mean_doc_tokens,
+           round(top_cnt / n_tokens, 6) AS top_token_frac
+    FROM fn CROSS JOIN fs
+    UNION ALL
+    SELECT 'survivors', n_docs, n_tokens, n_types,
+           round(n_types / n_tokens, 6),
+           round(n_tokens / n_docs, 6),
+           round(top_cnt / n_tokens, 6)
+    FROM sn CROSS JOIN ss
+    """,
+    ops=["EXT-audit", "EXT-minhash", "EXT-tokens", "X1", "G2", "J2"],
+)
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ablation table: token-level corpus statistics (docs,
+    tokens, types, TTR, tokens/doc, top-token mass) before vs after
+    the MinHash keep-first survivor policy — reuses the staged
+    duplicate-clusters kill list
+    (operators/corpusaudit.dedup_impact)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        dedup_impact,
+    )
+
+    return dedup_impact(_t(spark, sf_dir, "documents"))

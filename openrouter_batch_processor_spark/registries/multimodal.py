@@ -375,3 +375,124 @@ def q_tile_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("text")).cast("long").alias("length"),
     )
     return tile_phash_pairs(media_table(files), max_hamming=6, bucket_cap=64)
+
+
+# ===========================================================================
+# Round 9: pHash clusters + audio fingerprint matching
+# ===========================================================================
+
+
+@register(
+    "multimodal_phash_clusters",
+    """
+    WITH RECURSIVE m AS (SELECT sha256(text) AS media_id, text,
+                                length(text)::BIGINT AS L
+               FROM documents WHERE length(text) > 0),
+    px AS (SELECT media_id,
+                  list_transform(range(0, 64),
+                                 i -> ord(substr(text, ((i * L) // 64)::INT + 1, 1))) AS pix
+           FROM m),
+    mu AS (SELECT media_id, pix, list_sum(pix) / 64.0 AS mu FROM px),
+    sig AS (SELECT media_id,
+                   list_sum(list_transform(range(0, 32),
+                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (31 - i)) ELSE 0 END))::BIGINT AS h_hi,
+                   list_sum(list_transform(range(32, 64),
+                     i -> CASE WHEN pix[i + 1] > mu THEN (1::BIGINT << (63 - i)) ELSE 0 END))::BIGINT AS h_lo
+            FROM mu),
+    bands AS (
+      SELECT media_id, h_hi, h_lo, 0 AS band, h_hi // 65536 AS band_val FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 1, h_hi % 65536 FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 2, h_lo // 65536 FROM sig UNION ALL
+      SELECT media_id, h_hi, h_lo, 3, h_lo % 65536 FROM sig),
+    cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                    a.h_hi AS hi_a, a.h_lo AS lo_a, b.h_hi AS hi_b, b.h_lo AS lo_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                                      AND a.media_id < b.media_id),
+    pairs AS (SELECT id_a, id_b FROM cand
+              WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 9),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, count(*)::BIGINT AS n_members
+    FROM labels GROUP BY 1
+    """,
+    ops=["D6", "S4", "EXT-multimodal", "EXT-neardup", "EXT-minhash", "G2", "J2"],
+)
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate clusters: transitive closure (pointer-doubling
+    label propagation) over the banded pHash near-pairs — the closure
+    step that turns pairwise hits into keep-one-per-cluster sets
+    (operators/multimodal.phash_clusters)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        phash_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("img/doc_"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".jpg"),
+        ).alias("rel_path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return phash_clusters(media_table(files), max_hamming=9)
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    """
+    WITH m AS (SELECT 'aud/doc_' || doc_id || '.wav' AS media_id, text
+               FROM documents),
+    w AS (SELECT media_id, i::INT AS wno,
+                 (('0x' || substr(md5(substr(text, i * 32 + 1, 64)), 1, 6))::BIGINT
+                   % 10000) AS energy
+          FROM m CROSS JOIN range(0, 96) r(i)
+          WHERE i * 32 < len(text)),
+    pk AS (SELECT media_id, wno, energy,
+                  lag(energy) OVER (PARTITION BY media_id ORDER BY wno) AS pe,
+                  lead(energy) OVER (PARTITION BY media_id ORDER BY wno) AS ne
+           FROM w),
+    p2 AS (SELECT media_id, wno, energy FROM pk
+           WHERE pe IS NOT NULL AND ne IS NOT NULL
+             AND energy > pe AND energy > ne),
+    lm AS (SELECT media_id, wno AS w1, energy AS e1,
+                  lead(wno) OVER (PARTITION BY media_id ORDER BY wno) AS w2,
+                  lead(energy) OVER (PARTITION BY media_id ORDER BY wno) AS e2
+           FROM p2),
+    fp AS (SELECT media_id, w1, e1 % 256 AS k1, e2 % 256 AS k2, w2 - w1 AS dt
+           FROM lm WHERE w2 IS NOT NULL AND w2 - w1 <= 20)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           (a.w1 - b.w1)::BIGINT AS "offset",
+           count(*)::BIGINT AS n_matched
+    FROM fp a JOIN fp b ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.dt = b.dt
+                       AND a.media_id < b.media_id
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """,
+    ops=["D6", "S4", "EXT-multimodal", "EXT-neardup", "G2", "J2", "W2"],
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constellation audio fingerprinting (Wang 2003): strict local
+    energy peaks over 64-byte/32-hop windows, consecutive-peak
+    landmark keys (e1,e2,dt mod 256), matches voted by consistent
+    time offset — finds duplicated/clipped tracks; all-integer, the
+    landmark equi-join is bucketed never all-pairs
+    (operators/multimodal.audio_fingerprint_pairs)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("aud/doc_"), F.col("doc_id").cast("string"),
+                 F.lit(".wav")).alias("rel_path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return audio_fingerprint_pairs(files)

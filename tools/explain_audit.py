@@ -269,6 +269,9 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r09: dedup impact — two 1-row (docs-total x token-stats) scalar
+    # broadcasts, one per phase; the corpus passes are combiner groupBys
+    "audit_dedup_impact",
     # r09: SQ8 recall — bounded |Q|-row query broadcast cross join (the
     # labeled brute-force truth side every recall audit carries)
     "sim_sq8_search",

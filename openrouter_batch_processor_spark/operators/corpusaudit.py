@@ -812,3 +812,53 @@ def dedup_impact(docs: DataFrame) -> DataFrame:
         )
 
     return stats(docs, "full").unionByName(stats(survivors, "survivors"))
+
+
+def hill_tail_index(docs: DataFrame, k: int = 15) -> DataFrame:
+    """Hill estimator of the token-frequency tail index (Hill 1975):
+    alpha-hat = k / sum_{i<=k} ln(f_(i)/f_(k+1)) over the k most
+    frequent types — the heavy-tail exponent that complements the
+    Zipf least-squares fit (Hill is the MLE on the tail and doesn't
+    care about the mid-rank bend). alpha near 1 = classic Zipf.
+
+    Counts are exact integers; the rank window runs over DISTINCT
+    types (vocabulary-bounded, never corpus-bounded — the same
+    argument as the hourly-series windows); ln is the validated
+    per-row path, folded 9-dp DECIMAL over exactly k rows. Output is
+    one row: (n_types, k, f_ref, mean_ln_ratio, alpha)."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    tf = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = tf.select(
+        "term", "cnt", F.row_number().over(w).cast("long").alias("rn")
+    )
+    nt = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    ref = ranked.filter(F.col("rn") == k + 1).select(F.col("cnt").alias("f_ref"))
+    top = ranked.filter(F.col("rn") <= k).crossJoin(F.broadcast(ref))
+    agg = top.agg(
+        F.sum(
+            F.round(F.log(F.col("cnt") / F.col("f_ref")), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("sum_ln"),
+        F.min("f_ref").alias("f_ref"),
+    )
+    return agg.crossJoin(F.broadcast(nt)).select(
+        "n_types",
+        F.lit(k).cast("long").alias("k"),
+        "f_ref",
+        F.round(F.col("sum_ln") / k, 6).alias("mean_ln_ratio"),
+        F.when(
+            F.col("sum_ln") > 0, F.round(F.lit(float(k)) / F.col("sum_ln"), 6)
+        ).alias("alpha"),
+    )

@@ -125,9 +125,16 @@ def _lang_score(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long")
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic lang-id: marker-hit counts per language, argmax with
-    lexicographic tiebreak (stable and oracle-reproducible)."""
+    lexicographic tiebreak (stable and oracle-reproducible).
+    ``extra_cols`` pass through untouched (the streaming scorer keeps
+    source/true-lang without a join back onto the stream)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     scores = {lang: _lang_score(toks, m) for lang, m in sorted(LANG_MARKERS.items())}
     # argmax via greatest over (score, inverted-lang) structs is messy in
@@ -143,6 +150,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 cond = cond & (scores[lang] >= scores[other])
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
     out_cols = [F.col(id_col)]
+    out_cols += [F.col(c) for c in extra_cols]
     out_cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
     out_cols.append(best.otherwise(F.lit("und")).alias("pred_lang"))
     return docs.select(*out_cols)

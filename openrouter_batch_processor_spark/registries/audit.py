@@ -1482,3 +1482,37 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return dedup_impact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_hill_tail",
+    f"""
+    WITH tk AS (SELECT u.term
+                FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(toks) AS u(term) WHERE u.term != ''),
+    tf AS (SELECT term, count(*)::BIGINT AS cnt FROM tk GROUP BY 1),
+    rk AS (SELECT term, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+           FROM tf),
+    nt AS (SELECT count(*)::BIGINT AS n_types FROM rk),
+    ref AS (SELECT cnt AS f_ref FROM rk WHERE rn = 16),
+    ag AS (SELECT sum(round(ln(cnt / f_ref), 9)::DECIMAL(28,9))::DOUBLE AS sum_ln,
+                  min(f_ref)::BIGINT AS f_ref
+           FROM rk CROSS JOIN ref WHERE rn <= 15)
+    SELECT n_types, 15::BIGINT AS k, f_ref,
+           round(sum_ln / 15, 6) AS mean_ln_ratio,
+           CASE WHEN sum_ln > 0 THEN round(15.0 / sum_ln, 6) END AS alpha
+    FROM ag CROSS JOIN nt
+    """,
+    ops=["EXT-audit", "EXT-tokens", "EXT-quality", "G2", "O3"],
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill MLE of the token-frequency tail index over the top-15
+    types vs the rank-16 reference — the heavy-tail companion to the
+    Zipf least-squares fit (operators/corpusaudit.hill_tail_index)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        hill_tail_index,
+    )
+
+    return hill_tail_index(_t(spark, sf_dir, "documents"))

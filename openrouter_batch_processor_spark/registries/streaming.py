@@ -485,3 +485,54 @@ def q_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.round(F.col("n_obs") / F.col("n"), 6).alias("frac_obs"),
     )
+
+
+@register(
+    "streaming_langid_counts",
+    f"""
+    WITH t AS (SELECT doc_id, source, lang, string_split({_NORM_SQL}, ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
+      FROM t),
+    p AS (SELECT source, lang,
+                 CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+                      WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                      WHEN score_es > score_de AND score_es > score_en AND score_es >= score_zh THEN 'es'
+                      WHEN score_zh > score_de AND score_zh > score_en AND score_zh > score_es THEN 'zh'
+                      ELSE 'und' END AS pred_lang
+          FROM s)
+    SELECT source, pred_lang, count(*)::BIGINT AS n_docs,
+           sum((pred_lang = lang)::INT)::BIGINT AS n_correct
+    FROM p GROUP BY 1, 2
+    """,
+    ops=["T1", "T2", "EXT-langid", "EXT-streaming-source", "G2", "G4"],
+)
+def q_streaming_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID running IN FLIGHT on the documents stream (pure
+    per-row marker scoring, no state), landed and rolled up to
+    per-(source, predicted-lang) counts with true-label agreement —
+    the live language-mix monitor
+    (streaming/windows.langid_stream)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        langid_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    stream = langid_stream(read_documents_stream(spark, sf_dir))
+    run_to_memory(stream, "registry_stream_langid", output_mode="append")
+    return (
+        spark.table("registry_stream_langid")
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )

@@ -378,3 +378,19 @@ def benford_digit_stream(events: DataFrame) -> DataFrame:
     return events.filter(F.col("value") > 0).select(
         F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
     )
+
+
+def langid_stream(docs: DataFrame) -> DataFrame:
+    """Streaming language-ID scorer: arriving documents are scored by
+    the marker-list heuristic IN FLIGHT (language_id's exact CASE
+    ladder — pure per-row expressions, no shuffle, no state), emitting
+    (source, true lang, pred_lang) per doc. Downstream the stream
+    rolls up to per-(source, pred) counts + agreement — the live
+    language-mix monitor on an ingest pipeline."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        language_id,
+    )
+
+    return language_id(docs, extra_cols=("source", "lang")).select(
+        "doc_id", "source", "lang", "pred_lang"
+    )

@@ -111,6 +111,45 @@ def duplicated_window_fraction(
     )
 
 
+def staged_span_windows(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Session-staged W-token window-hash table (id, pos, wh), keyed on
+    the docs plan: span DISCOVERY and span REMOVAL both explode the
+    same corpus into the same rolling md5 windows — the ExactSubstr
+    seed table a production run materializes once
+    (operators/staging.py). Output is one row per token position —
+    linear in corpus size."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    w = window_tokens
+
+    def _build(d: DataFrame) -> DataFrame:
+        st = d.select(
+            F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+        )
+        cnt = F.size(F.col("toks"))
+        mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, w), " "))  # noqa: E731
+        return st.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    cnt >= w, F.transform(F.sequence(F.lit(0), cnt - w), mk)
+                ).otherwise(F.array().cast("array<string>")),
+            ).alias("pos", "wh"),
+        )
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"span_windows:{w}:{id_col}:{text_col}",
+        _build,
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     window_tokens: int = 8,
@@ -148,15 +187,7 @@ def remove_duplicate_spans(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
     )
     cnt = F.size(F.col("toks"))
-    mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, w), " "))  # noqa: E731
-    wins = staged.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(cnt >= w, F.transform(F.sequence(F.lit(0), cnt - w), mk)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("pos", "wh"),
-    )
+    wins = staged_span_windows(docs, w, id_col, text_col)
     # one combiner groupBy gets BOTH the occurrence count and the global
     # first occurrence (lexicographic min over (doc_id, pos))
     stats = (
@@ -270,15 +301,7 @@ def dup_span_discovery(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("toks")
     )
     cnt = F.size(F.col("toks"))
-    mk = lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " "))  # noqa: E731
-    wins = staged.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(cnt >= k, F.transform(F.sequence(F.lit(0), cnt - k), mk)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("pos", "wh"),
-    )
+    wins = staged_span_windows(docs, k, id_col, text_col)
     dup = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -80,6 +80,75 @@ def _recompute(assigned: DataFrame, staged: DataFrame, id_col: str) -> DataFrame
     )
 
 
+def _initial_cents(staged: DataFrame, k: int, id_col: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    return (
+        staged.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
+            F.col("vd").alias("cvec"),
+        )
+    )
+
+
+def lloyd_assign_staged(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged final Lloyd assignment (id, cluster_id), keyed on
+    the input plan (operators/staging.py): kmeans_lite, Davies-Bouldin,
+    silhouette and MiniPile pruning all cluster the SAME corpus with
+    the SAME deterministic chain — a production run materializes that
+    assignment once and every validity/pruning consumer joins it (the
+    duplicate_clusters precedent on the dedup side). Output is O(n)
+    narrow rows, bounded at any corpus scale."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        st = _staged(d, id_col, vec_col).localCheckpoint(eager=False)
+        cents = _initial_cents(st, k, id_col)
+        assigned = None
+        for _ in range(iters):
+            assigned = _assign(st, cents, id_col)
+            cents = _recompute(assigned, st, id_col).localCheckpoint(eager=False)
+        return assigned
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"lloyd_assign:{k}:{iters}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
+def final_cents_staged(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged post-assignment centroids (the c_{iters} table
+    the validity scores measure against): one cheap recompute groupBy
+    off the staged assignment, staged as k rows."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        st = _staged(d, id_col, vec_col)
+        assigned = lloyd_assign_staged(d, k, iters, id_col, vec_col)
+        return _recompute(assigned, st, id_col)
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"lloyd_cents:{k}:{iters}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
 def kmeans_lite(
     embeddings: DataFrame,
     k: int = 8,
@@ -91,22 +160,10 @@ def kmeans_lite(
     cluster_size) under the final assignment.
 
     A cluster that loses all members simply drops out of the next
-    centroid set (consistent on both engines)."""
-    from pyspark.sql.window import Window
-
-    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
-    cents = (
-        staged.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
-            F.col("vd").alias("cvec"),
-        )
-    )
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign(staged, cents, id_col)
-        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+    centroid set (consistent on both engines). The assignment itself
+    is the session-staged artifact (lloyd_assign_staged) shared with
+    the validity/pruning consumers."""
+    assigned = lloyd_assign_staged(embeddings, k, iters, id_col, vec_col)
     sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return assigned.join(F.broadcast(sizes), "cluster_id").select(
         id_col, "cluster_id", "cluster_size"
@@ -138,21 +195,9 @@ def davies_bouldin(
     everything after operates on k-row / k²-row centroid tables —
     broadcast-sized by construction. Output: one row per cluster
     (cluster_id, cluster_size, s_intra, r_max, db_index)."""
-    from pyspark.sql.window import Window
-
-    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
-    cents = (
-        staged.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
-            F.col("vd").alias("cvec"),
-        )
-    )
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign(staged, cents, id_col)
-        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+    staged = _staged(embeddings, id_col, vec_col)
+    assigned = lloyd_assign_staged(embeddings, k, iters, id_col, vec_col)
+    cents = final_cents_staged(embeddings, k, iters, id_col, vec_col)
 
     vd, cv = F.col("vd"), F.col("cvec")
     d2 = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)
@@ -224,21 +269,9 @@ def silhouette(
     convention (kmeans/davies_bouldin); per-point s is double off
     those deterministic values, 9-dp folded per cluster and overall.
     One n×k broadcast distance pass; everything after is k rows."""
-    from pyspark.sql.window import Window
-
-    staged = _staged(embeddings, id_col, vec_col).localCheckpoint(eager=False)
-    cents = (
-        staged.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("cluster_id"),
-            F.col("vd").alias("cvec"),
-        )
-    )
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign(staged, cents, id_col)
-        cents = _recompute(assigned, staged, id_col).localCheckpoint(eager=False)
+    staged = _staged(embeddings, id_col, vec_col)
+    assigned = lloyd_assign_staged(embeddings, k, iters, id_col, vec_col)
+    cents = final_cents_staged(embeddings, k, iters, id_col, vec_col)
 
     vd, cv = F.col("vd"), F.col("cvec")
     d2 = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)

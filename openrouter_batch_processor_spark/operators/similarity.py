@@ -1081,6 +1081,47 @@ def prototype_prune_report(
     )
 
 
+def staged_subvectors(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged PQ subvector long table (id, m, sub), keyed on
+    the embeddings plan: codebook training (pq_train), the seed-ADC
+    recall audit (pq_adc_recall) and the composed IVFADC path
+    (ivf_pq_topk) all explode the SAME corpus into the same m_sub
+    sub_dim-dim pieces — a PQ deployment materializes that table once
+    (operators/staging.py; the emb-power-family precedent). Output is
+    m_sub rows per vector — linear, bounded."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        st = d.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+        )
+        sub_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.slice("vd", m * sub_dim + 1, sub_dim).alias("sub"),
+                )
+                for m in range(m_sub)
+            ]
+        )
+        return st.select(F.col(id_col), F.explode(sub_arr).alias("s")).select(
+            F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+        )
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"pq_subvectors:{m_sub}:{sub_dim}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
 def pq_adc_recall(
     embeddings: DataFrame,
     m_sub: int = 4,
@@ -1148,20 +1189,7 @@ def pq_adc_recall(
             )
         ).alias("s"),
     ).select("cid", F.col("s.m").alias("m"), F.col("s.cw").alias("cw"))
-    subs = staged.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("long").alias("m"),
-                        F.slice("vd", m * sub_dim + 1, sub_dim).alias("sub"),
-                    )
-                    for m in ms
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    subs = staged_subvectors(embeddings, m_sub, sub_dim, id_col, vec_col)
     enc = (
         subs.join(F.broadcast(cb), "m")
         .select(
@@ -1295,9 +1323,7 @@ def ivf_pq_topk(
     cb = seeds.select("cid", F.explode(sub_arr).alias("s")).select(
         "cid", F.col("s.m").alias("m"), F.col("s.piece").alias("cw")
     )
-    subs = staged.select(F.col(id_col), F.explode(sub_arr).alias("s")).select(
-        F.col(id_col), F.col("s.m").alias("m"), F.col("s.piece").alias("sub")
-    )
+    subs = staged_subvectors(embeddings, m_sub, sub_dim, id_col, vec_col)
     enc = (
         subs.join(F.broadcast(cb), "m")
         .select(
@@ -1939,22 +1965,7 @@ def pq_train(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
     )
-    subs = staged.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("long").alias("m"),
-                        F.slice("vd", m * sub_dim + 1, sub_dim).alias("sub"),
-                    )
-                    for m in ms
-                ]
-            )
-        ).alias("s"),
-    ).select(
-        F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
-    ).localCheckpoint(eager=True)
+    subs = staged_subvectors(embeddings, m_sub, sub_dim, id_col, vec_col)
 
     seeds = staged.orderBy(id_col).limit(n_codes).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1)

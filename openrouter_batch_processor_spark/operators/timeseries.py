@@ -468,6 +468,24 @@ def acf_lags(events: DataFrame, max_lag: int = 6) -> DataFrame:
     return out
 
 
+def staged_acf_lags(events: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Session-staged ACF table (event_type, lag_k, n, acf) at
+    max_lag=6, keyed on the events plan: the ACF, PACF and Ljung-Box
+    diagnostics all fold the SAME integer lag sums over the same
+    hourly series — a production monitoring pass materializes the ACF
+    once and every downstream test reads it. Per-lag values are
+    independent of max_lag (each lag has its own closed-form
+    estimator), so consumers needing fewer lags filter the staged
+    table. Output is |event_types| * max_lag rows — trivially bounded."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        events.select("event_type", "ts"),
+        f"acf_lags:{max_lag}",
+        lambda d: acf_lags(d, max_lag),
+    )
+
+
 def seasonal_decompose_hod(events: DataFrame, window_h: int = 25) -> DataFrame:
     """Classic additive seasonal decomposition (the moving-average
     method behind STL's initial pass): per event_type, hourly counts,
@@ -786,7 +804,7 @@ def pacf_lags(events: DataFrame, max_lag: int = 5) -> DataFrame:
     type. No corpus-sized operation beyond the ACF's own."""
     if not (1 <= max_lag <= 5):
         raise ValueError("pacf_lags supports max_lag in 1..5 (unrolled)")
-    acf = acf_lags(events, max_lag)
+    acf = staged_acf_lags(events, 6).filter(F.col("lag_k") <= max_lag)
     piv = acf.groupBy("event_type").agg(
         F.max("n").alias("n"),
         *[
@@ -839,8 +857,9 @@ def ljung_box(events: DataFrame, max_lag: int = 6) -> DataFrame:
     scaling stays in DECIMAL, and the z transform is per-row double
     arithmetic from the agreed Q.
 
-    Shape: acf_lags' passes + a max_lag-row-per-type pivot sum."""
-    acf = acf_lags(events, max_lag)
+    Shape: one read of the staged ACF table + a max_lag-row-per-type
+    pivot sum."""
+    acf = staged_acf_lags(events, 6).filter(F.col("lag_k") <= max_lag)
     contrib = F.round(
         (F.col("acf") * F.col("acf"))
         / (F.col("n") - F.col("lag_k")).cast("double"),

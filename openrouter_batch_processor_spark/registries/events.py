@@ -869,7 +869,11 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.acf_lags."""
     from openrouter_batch_processor_spark.operators.timeseries import acf_lags
 
-    return acf_lags(_t(spark, sf_dir, "events"))
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        staged_acf_lags,
+    )
+
+    return staged_acf_lags(_t(spark, sf_dir, "events"))
 
 
 @register(

@@ -1140,3 +1140,74 @@ def minipile_prune(
     return ranked.crossJoin(F.broadcast(tot)).select(
         "cluster_id", "n_docs", "mean_quality", "kept", "total_kept_docs"
     )
+
+
+def decontamination_report(docs: DataFrame, bench_mod: int = 7) -> DataFrame:
+    """Decontamination-method agreement audit: flag every corpus doc
+    (doc_id % bench_mod != 0) that overlaps the benchmark slice
+    (doc_id % bench_mod == 0) by (a) exact 8-token window collision
+    and (b) shared winnowing fingerprint, then report per-source
+    counts and the between-method Jaccard — the ensemble view a
+    pipeline reads before choosing its contamination gate (exact
+    n-grams miss paraphrase shifts the winnow sketch catches; winnow
+    can fire on shorter overlaps).
+
+    Both flag tables reuse the SESSION-STAGED sketches (span windows,
+    winnow fingerprints via dedup.winnow_fingerprints) — the same
+    artifacts the dedup/streaming consumers join; flags are leftsemi
+    joins against the benchmark's distinct key sets (bounded by the
+    benchmark, not the corpus). Counts exact; Jaccard is one
+    division."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    wins = staged_span_windows(docs)
+    bwh = wins.filter(is_bench).select("wh").distinct()
+    flag_n = (
+        wins.filter(~is_bench)
+        .join(bwh, "wh", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_n", F.lit(1))
+    )
+    fps = winnow_fingerprints(docs)
+    bfp = fps.filter(is_bench).select("fp").distinct()
+    flag_w = (
+        fps.filter(~is_bench)
+        .join(bfp, "fp", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_w", F.lit(1))
+    )
+    corpus = docs.filter(~is_bench).select("doc_id", "source")
+    fl = (
+        corpus.join(flag_n, "doc_id", "left")
+        .join(flag_w, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("f_n", F.lit(0)).alias("f_n"),
+            F.coalesce("f_w", F.lit(0)).alias("f_w"),
+        )
+    )
+    agg = fl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_n").cast("long").alias("n_ngram"),
+        F.sum("f_w").cast("long").alias("n_winnow"),
+        F.sum(F.col("f_n") * F.col("f_w")).cast("long").alias("n_both"),
+        F.sum(F.when(F.col("f_n") + F.col("f_w") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_union"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_ngram",
+        "n_winnow",
+        "n_both",
+        "n_union",
+        F.when(
+            F.col("n_union") > 0, F.round(F.col("n_both") / F.col("n_union"), 6)
+        ).alias("method_jaccard"),
+    )

@@ -1518,3 +1518,69 @@ def mood_median_test(events: DataFrame) -> DataFrame:
         F.round(F.sum("_t9").cast("double"), 6).alias("chi2_stat")
     )
     return scored.drop("_t9").crossJoin(F.broadcast(chi2))
+
+
+def seasonal_strength(events: DataFrame, window_h: int = 25) -> DataFrame:
+    """Seasonal-strength score per event_type (Hyndman &
+    Athanasopoulos, FPP: F_S = max(0, 1 − Var(remainder)/
+    Var(detrended))): how much of the detrended hourly variance the
+    hour-of-day seasonal component actually explains — the one number
+    that says whether the rollup layer should materialize the daily
+    cycle (events_seasonal_decompose reports the component; this
+    scores it).
+
+    Exactness: detrended carries the decompose's exact ×25 integer
+    (d25); the seasonal component is the same 7-dp floored rational
+    (s7/1e7); remainder r = d25/25 − s7/1e7 is built from
+    engine-identical doubles; both variances fold 9-dp DECIMAL sums
+    of r/r² (and d/d²) and close with the (n·Q − S²)/n² double form.
+    Shape: the decompose's window pass + one (type,hod) broadcast
+    join + one combiner groupBy."""
+    ser = _hourly_series(events)
+    half = (window_h - 1) // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-half, half)
+    )
+    d = ser.select(
+        "event_type",
+        F.hour("hour").cast("long").alias("hod"),
+        (F.lit(window_h) * F.col("x") - F.sum("x").over(w)).alias("d25"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == window_h)
+    seas = (
+        d.groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("d25").cast("long").alias("sd"))
+        .select(
+            "event_type",
+            "hod",
+            F.expr(f"(sd * 10000000) div ({window_h} * cnt)").cast("long").alias("s7"),
+        )
+    )
+    j = d.join(F.broadcast(seas), ["event_type", "hod"])
+    dd = F.col("d25") / F.lit(float(window_h))
+    r = dd - F.col("s7") / F.lit(1e7)
+    dec = lambda c: F.sum(F.round(c, 9).cast("decimal(28,9)")).cast("double")  # noqa: E731
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec(dd).alias("sd_"),
+        dec(dd * dd).alias("qd"),
+        dec(r).alias("sr"),
+        dec(r * r).alias("qr"),
+    )
+    var_d = (F.col("n") * F.col("qd") - F.col("sd_") * F.col("sd_")) / (
+        F.col("n") * F.col("n")
+    )
+    var_r = (F.col("n") * F.col("qr") - F.col("sr") * F.col("sr")) / (
+        F.col("n") * F.col("n")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(var_d, 6).alias("var_detrended"),
+        F.round(var_r, 6).alias("var_remainder"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d), 6).alias(
+            "seasonal_strength"
+        ),
+    )

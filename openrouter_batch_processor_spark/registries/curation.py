@@ -1003,3 +1003,51 @@ def q_minipile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minipile_prune(
         _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "curation_decontamination_report",
+    f"""
+    WITH spt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                 FROM documents),
+    spw AS (SELECT doc_id,
+                   md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
+            FROM spt, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+            WHERE len(toks) >= 8),
+    bwh AS (SELECT DISTINCT wh FROM spw WHERE doc_id % 7 = 0),
+    fn AS (SELECT DISTINCT s.doc_id FROM spw s JOIN bwh USING (wh)
+           WHERE s.doc_id % 7 != 0),
+    {_WINNOW_SQL},
+    bfp AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 7 = 0),
+    fw AS (SELECT DISTINCT s.doc_id FROM sel s JOIN bfp USING (fp)
+           WHERE s.doc_id % 7 != 0),
+    corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 0),
+    fl AS (SELECT c.source,
+                  (fn.doc_id IS NOT NULL)::INT AS f_n,
+                  (fw.doc_id IS NOT NULL)::INT AS f_w
+           FROM corpus c
+           LEFT JOIN fn ON fn.doc_id = c.doc_id
+           LEFT JOIN fw ON fw.doc_id = c.doc_id)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(f_n)::BIGINT AS n_ngram,
+           sum(f_w)::BIGINT AS n_winnow,
+           sum(f_n * f_w)::BIGINT AS n_both,
+           sum(((f_n + f_w) > 0)::INT)::BIGINT AS n_union,
+           CASE WHEN sum(((f_n + f_w) > 0)::INT) > 0
+                THEN round(sum(f_n * f_w) / sum(((f_n + f_w) > 0)::INT), 6)
+           END AS method_jaccard
+    FROM fl GROUP BY 1
+    """,
+    ops=["EXT-curation", "EXT-audit", "EXT-tokens", "X1", "G2", "J2"],
+)
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ensemble audit: exact 8-gram window collisions
+    vs winnow fingerprint overlap against the doc_id%7 benchmark
+    slice, per-source counts + between-method Jaccard — both flag
+    stages ride the session-staged sketch tables
+    (operators/curation.decontamination_report)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        decontamination_report,
+    )
+
+    return decontamination_report(_t(spark, sf_dir, "documents"))

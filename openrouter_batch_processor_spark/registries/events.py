@@ -1472,3 +1472,57 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return mood_median_test(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_seasonal_strength",
+    """
+    WITH ser AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, hour, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+      FROM ser),
+    d AS (
+      SELECT event_type, extract(hour FROM hour)::BIGINT AS hod,
+             25 * x - sum(x) OVER w AS d25,
+             count(*) OVER w AS wn
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    dk AS (SELECT event_type, hod, d25 FROM d WHERE wn = 25),
+    seas AS (SELECT event_type, hod,
+                    ((sum(d25)::BIGINT * 10000000) // (25 * count(*)))::BIGINT AS s7
+             FROM dk GROUP BY 1, 2),
+    j AS (SELECT dk.event_type,
+                 dk.d25 / 25.0 AS dd,
+                 dk.d25 / 25.0 - seas.s7 / 10000000.0 AS r
+          FROM dk JOIN seas ON seas.event_type = dk.event_type
+                           AND seas.hod = dk.hod),
+    ag AS (SELECT event_type, count(*)::BIGINT AS n,
+                  sum(round(dd, 9)::DECIMAL(28,9))::DOUBLE AS sd_,
+                  sum(round(dd * dd, 9)::DECIMAL(28,9))::DOUBLE AS qd,
+                  sum(round(r, 9)::DECIMAL(28,9))::DOUBLE AS sr,
+                  sum(round(r * r, 9)::DECIMAL(28,9))::DOUBLE AS qr
+           FROM j GROUP BY 1)
+    SELECT event_type, n,
+           round((n * qd - sd_ * sd_) / (n * n), 6) AS var_detrended,
+           round((n * qr - sr * sr) / (n * n), 6) AS var_remainder,
+           round(greatest(0.0, 1.0 - ((n * qr - sr * sr) / (n * n))
+                                   / ((n * qd - sd_ * sd_) / (n * n))), 6)
+             AS seasonal_strength
+    FROM ag
+    """,
+    ops=["EXT-windows", "EXT-timeseries", "G2", "W1"],
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score F_S = max(0, 1 - Var(remainder)/
+    Var(detrended)) per event_type over the decompose's exact x25
+    integer carry — scores whether the daily cycle is worth
+    materializing (operators/timeseries.seasonal_strength)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(_t(spark, sf_dir, "events"))

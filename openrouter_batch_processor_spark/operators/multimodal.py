@@ -596,6 +596,22 @@ def tile_phash_pairs(
     )
 
 
+def staged_phash_pairs(media: DataFrame, max_hamming: int = 9) -> DataFrame:
+    """Session-staged pHash near-pair table keyed on the media plan:
+    the pair report and the cluster closure consume the same banded
+    candidate/verify stage — materialize once (operators/staging.py).
+    Output is O(near-dups)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        media.select("media_id", "payload"),
+        f"phash_pairs:{max_hamming}",
+        lambda d: phash_near_pairs(
+            d.withColumn("kind", F.lit("image")), max_hamming=max_hamming
+        ),
+    )
+
+
 def phash_clusters(media: DataFrame, max_hamming: int = 9) -> DataFrame:
     """Image duplicate CLUSTERS: transitive closure over the banded
     pHash near-pairs (A~B, B~C => one cluster even when A,C differ by
@@ -607,11 +623,21 @@ def phash_clusters(media: DataFrame, max_hamming: int = 9) -> DataFrame:
     from openrouter_batch_processor_spark.operators.dedup import (
         connected_components,
     )
+    from openrouter_batch_processor_spark.operators.staging import staged_from
 
-    pairs = phash_near_pairs(media, max_hamming=max_hamming)
-    cc = connected_components(pairs)
-    return cc.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+    def _build(m: DataFrame) -> DataFrame:
+        pairs = staged_phash_pairs(media, max_hamming=max_hamming)
+        cc = connected_components(pairs)
+        return cc.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members")
+        )
+
+    # the closure's output plan scans per-run checkpointed RDDs, so key
+    # the memo on the MEDIA input plan (the duplicate_clusters pattern)
+    return staged_from(
+        media.select("media_id", "payload"),
+        f"phash_clusters:{max_hamming}",
+        _build,
     )
 
 

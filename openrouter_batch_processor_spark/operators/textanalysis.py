@@ -3044,6 +3044,20 @@ def gunning_fog(
     )
 
 
+def staged_nb_confusion(docs: DataFrame) -> DataFrame:
+    """Session-staged NB-langid confusion matrix keyed on the docs
+    plan: the raw confusion query and the P/R/F1 summary layer train
+    and score the same model on the same corpus — materialize once
+    (operators/staging.py). Output is <= langs² rows."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select("doc_id", "text", "lang"),
+        "nb_confusion",
+        nb_langid_confusion,
+    )
+
+
 def langid_prf(docs: DataFrame) -> DataFrame:
     """Per-language precision / recall / F1 of the Naive-Bayes langid
     audit (the summary layer over nb_langid_confusion's matrix): tp =
@@ -3053,7 +3067,7 @@ def langid_prf(docs: DataFrame) -> DataFrame:
     UNROUNDED integer ratio 2tp/(support+predicted) — one division,
     no compounding). Macro-F1 rides along (9-dp DECIMAL fold over the
     language rows, the k-row cross-engine contract)."""
-    conf = nb_langid_confusion(docs)
+    conf = staged_nb_confusion(docs)
     tr = conf.groupBy(F.col("true_lang").alias("lang")).agg(
         F.sum("n_docs").cast("long").alias("support")
     )

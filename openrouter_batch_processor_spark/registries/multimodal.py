@@ -179,7 +179,7 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.phash_images / phash_near_pairs."""
     from openrouter_batch_processor_spark.operators.multimodal import (
         media_table,
-        phash_near_pairs,
+        staged_phash_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -191,7 +191,7 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.length(F.col("text")).cast("long").alias("length"),
     )
-    return phash_near_pairs(media_table(files), max_hamming=9)
+    return staged_phash_pairs(media_table(files), max_hamming=9)
 
 
 # ===========================================================================

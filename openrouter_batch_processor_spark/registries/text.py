@@ -846,10 +846,10 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DSIR feature space; decimal-summed 9-dp log scores make the
     argmax engine-exact (operators/textanalysis.nb_langid_confusion)."""
     from openrouter_batch_processor_spark.operators.textanalysis import (
-        nb_langid_confusion,
+        staged_nb_confusion,
     )
 
-    return nb_langid_confusion(_t(spark, sf_dir, "documents"))
+    return staged_nb_confusion(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1159,7 +1159,7 @@ def decontamination_report(docs: DataFrame, bench_mod: int = 7) -> DataFrame:
     benchmark, not the corpus). Counts exact; Jaccard is one
     division."""
     from openrouter_batch_processor_spark.operators.dedup import (
-        winnow_fingerprints,
+        staged_winnow_fingerprints,
     )
 
     is_bench = (F.col("doc_id") % bench_mod) == 0
@@ -1172,7 +1172,7 @@ def decontamination_report(docs: DataFrame, bench_mod: int = 7) -> DataFrame:
         .distinct()
         .withColumn("f_n", F.lit(1))
     )
-    fps = winnow_fingerprints(docs)
+    fps = staged_winnow_fingerprints(docs)
     bfp = fps.filter(is_bench).select("fp").distinct()
     flag_w = (
         fps.filter(~is_bench)

@@ -1135,6 +1135,27 @@ def winnow_fingerprints(
     return sel
 
 
+def staged_winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Session-staged winnow fingerprint sketch keyed on the docs plan:
+    the density stats, overlap pairs, clone clusters and the
+    decontamination ensemble all select the same (id, pos, fp) sketch —
+    one materialization per corpus (operators/staging.py). Output is
+    ~2/(w+1) rows per token — linear, bounded."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"winnow_fp:{k}:{w}:{id_col}:{text_col}",
+        lambda d: winnow_fingerprints(d, k, w, id_col, text_col),
+    )
+
+
 def winnow_stats(
     docs: DataFrame,
     k: int = WINNOW_K,
@@ -1146,7 +1167,7 @@ def winnow_stats(
     selected positions, distinct fingerprints, and observed density —
     the paper's 2/(w+1) expectation is the number to audit against.
     Density is exact via integer-micros floor division."""
-    sel = winnow_fingerprints(docs, k, w, id_col, text_col)
+    sel = staged_winnow_fingerprints(docs, k, w, id_col, text_col)
     per_doc = sel.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_selected"),
         F.count_distinct("fp").cast("long").alias("n_fp"),
@@ -1194,7 +1215,7 @@ def winnow_overlap_pairs(
 
     Output: (id_a, id_b, n_shared) with id_a < id_b."""
     fps = (
-        winnow_fingerprints(docs, k, w, id_col, text_col)
+        staged_winnow_fingerprints(docs, k, w, id_col, text_col)
         .select(F.col(id_col), "fp")
         .distinct()
     )

@@ -56,6 +56,12 @@ QUERIES = [
     "audit_lsh_s_curve",
     "curation_softdedup_weights",
     "sim_pq_train",
+    # r09 families — the new bucketed pair stages + a span-bounded control
+    "multimodal_audio_fingerprint",
+    "multimodal_phash_clusters",
+    "sim_sq8_search",
+    "curation_decontamination_report",
+    "events_periodogram",
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
@@ -309,10 +315,16 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     text = open(path).read()
     marker = "\n## 10x scale probe (measured)"
+    tail = ""
     if marker in text:
-        head = text.split(marker)[0]
+        head, rest = text.split(marker, 1)
+        # replace ONLY the old 10x block; later sections (100x probe,
+        # per-round scale notes) survive the rewrite
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:]
         text = head
-    open(path, "w").write(text.rstrip("\n") + "\n" + block)
+    open(path, "w").write(text.rstrip("\n") + "\n" + block + tail)
     print(block)
 
 

@@ -130,3 +130,64 @@ def kcenter_greedy(
     for s in sels[1:]:
         out = out.unionByName(s)
     return out
+
+
+def max_coverage_greedy(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the 1−1/e-optimal
+    lazy-greedy baseline for submodular data selection, Nemhauser et
+    al. 1978): pick k documents that together cover the most distinct
+    vocabulary — the coverage-flavored sibling of k-center (which
+    optimizes the embedding radius; this optimizes token coverage, the
+    facility-location family every curation survey cites).
+
+    Each round is one combiner groupBy over the REMAINING (doc, term)
+    pairs + a 1-row argmax broadcast + an anti-join that shrinks the
+    table (localCheckpoint bounds the loop lineage; uncovered volume
+    only decreases). All counts are exact integers; ties break on
+    doc_id. Output: (step, doc_id, gain, covered_total)."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    remaining = (
+        docs.select(F.col(id_col), F.explode(bigrams).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    for step in range(1, k + 1):
+        gains = remaining.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        top = (
+            gains.orderBy(F.desc("gain"), F.asc(id_col))
+            .limit(1)
+            .select(F.lit(step).cast("long").alias("step"), id_col, "gain")
+            .localCheckpoint(eager=True)
+        )
+        picks.append(top)
+        new_terms = remaining.join(
+            top.select(id_col), id_col, "leftsemi"
+        ).select("term")
+        remaining = remaining.join(new_terms, "term", "left_anti").localCheckpoint(
+            eager=False
+        )
+    out = picks[0]
+    for df in picks[1:]:
+        out = out.unionByName(df)
+    wc = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        "covered_total", F.sum("gain").over(wc).cast("long")
+    )

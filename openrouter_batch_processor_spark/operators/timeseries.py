@@ -1584,3 +1584,54 @@ def seasonal_strength(events: DataFrame, window_h: int = 25) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+def welch_ttest(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Welch's unequal-variance t-test between every event_type pair
+    (Welch 1947): t = (m_a − m_b)/sqrt(v_a/n_a + v_b/n_b) with the
+    Welch-Satterthwaite df — the location-shift screen that, unlike
+    Mood's median test, quantifies the shift in value units.
+
+    Values are exact integer cents (the Benford invariant), so each
+    group's (n, S, Q) triple is exact BIGINT and mean/variance are
+    single double expressions of exact integers — engine-identical.
+    The pair stage is a k²-row broadcast over the k-row group table."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = events.select("event_type", cents.alias("cv")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cv").cast("long").alias("s"),
+        F.sum(F.col("cv") * F.col("cv")).cast("long").alias("q"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"), F.col("q").alias("qa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"), F.col("q").alias("qb"),
+    )
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # means in value units; sample variances (n-1) in value^2 units
+    ma = F.col("sa") / (F.lit(100.0) * F.col("na"))
+    mb = F.col("sb") / (F.lit(100.0) * F.col("nb"))
+    va = (
+        (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+        / (F.col("na").cast("double") * (F.col("na") - 1))
+    ) / F.lit(10000.0)
+    vb = (
+        (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+        / (F.col("nb").cast("double") * (F.col("nb") - 1))
+    ) / F.lit(10000.0)
+    se2a = va / F.col("na")
+    se2b = vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    df = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)
+    )
+    return p.select(
+        "type_a", "type_b", "na", "nb",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )

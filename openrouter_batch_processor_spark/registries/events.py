@@ -1526,3 +1526,40 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return seasonal_strength(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_welch_ttest",
+    """
+    WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
+    g AS (SELECT event_type, count(*)::BIGINT AS n, sum(cv)::BIGINT AS s,
+                 sum(cv * cv)::BIGINT AS q FROM c GROUP BY 1),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+                 a.q AS qa, b.q AS qb
+          FROM g a JOIN g b ON a.event_type < b.event_type),
+    s2 AS (SELECT type_a, type_b, na, nb,
+                  sa / (100.0 * na) AS ma, sb / (100.0 * nb) AS mb,
+                  (((na * qa - sa * sa)::DOUBLE
+                    / (na::DOUBLE * (na - 1))) / 10000.0) / na AS se2a,
+                  (((nb * qb - sb * sb)::DOUBLE
+                    / (nb::DOUBLE * (nb - 1))) / 10000.0) / nb AS se2b
+           FROM p)
+    SELECT type_a, type_b, na, nb,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round((ma - mb) / sqrt(se2a + se2b), 6) AS t_stat,
+           round((se2a + se2b) * (se2a + se2b)
+                 / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 6)
+             AS welch_df
+    FROM s2
+    """,
+    ops=["EXT-audit", "EXT-timeseries", "G2", "J2"],
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every event_type pair
+    from exact integer-cents (n, sum, sum-sq) triples — quantifies
+    the location shift Mood's median test only detects
+    (operators/timeseries.welch_ttest)."""
+    from openrouter_batch_processor_spark.operators.timeseries import welch_ttest
+
+    return welch_ttest(_t(spark, sf_dir, "events"))

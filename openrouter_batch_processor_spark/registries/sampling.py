@@ -226,3 +226,81 @@ def q_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "sample_max_coverage",
+    f"""
+    WITH b0 AS MATERIALIZED (SELECT DISTINCT doc_id, u.term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents) t,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1]))
+                       AS u(term)),
+    g1 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b0 GROUP BY 1),
+    s1 AS MATERIALIZED (SELECT 1::BIGINT AS step, doc_id, gain FROM g1
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t1 AS MATERIALIZED (SELECT b.term FROM b0 b JOIN s1 USING (doc_id)),
+    b1 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b0 b
+             LEFT JOIN t1 ON t1.term = b.term WHERE t1.term IS NULL),
+    g2 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b1 GROUP BY 1),
+    s2 AS MATERIALIZED (SELECT 2::BIGINT AS step, doc_id, gain FROM g2
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t2 AS MATERIALIZED (SELECT b.term FROM b1 b JOIN s2 USING (doc_id)),
+    b2 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b1 b
+             LEFT JOIN t2 ON t2.term = b.term WHERE t2.term IS NULL),
+    g3 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b2 GROUP BY 1),
+    s3 AS MATERIALIZED (SELECT 3::BIGINT AS step, doc_id, gain FROM g3
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t3 AS MATERIALIZED (SELECT b.term FROM b2 b JOIN s3 USING (doc_id)),
+    b3 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b2 b
+             LEFT JOIN t3 ON t3.term = b.term WHERE t3.term IS NULL),
+    g4 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b3 GROUP BY 1),
+    s4 AS MATERIALIZED (SELECT 4::BIGINT AS step, doc_id, gain FROM g4
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t4 AS MATERIALIZED (SELECT b.term FROM b3 b JOIN s4 USING (doc_id)),
+    b4 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b3 b
+             LEFT JOIN t4 ON t4.term = b.term WHERE t4.term IS NULL),
+    g5 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b4 GROUP BY 1),
+    s5 AS MATERIALIZED (SELECT 5::BIGINT AS step, doc_id, gain FROM g5
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t5 AS MATERIALIZED (SELECT b.term FROM b4 b JOIN s5 USING (doc_id)),
+    b5 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b4 b
+             LEFT JOIN t5 ON t5.term = b.term WHERE t5.term IS NULL),
+    g6 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b5 GROUP BY 1),
+    s6 AS MATERIALIZED (SELECT 6::BIGINT AS step, doc_id, gain FROM g6
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t6 AS MATERIALIZED (SELECT b.term FROM b5 b JOIN s6 USING (doc_id)),
+    b6 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b5 b
+             LEFT JOIN t6 ON t6.term = b.term WHERE t6.term IS NULL),
+    g7 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b6 GROUP BY 1),
+    s7 AS MATERIALIZED (SELECT 7::BIGINT AS step, doc_id, gain FROM g7
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t7 AS MATERIALIZED (SELECT b.term FROM b6 b JOIN s7 USING (doc_id)),
+    b7 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b6 b
+             LEFT JOIN t7 ON t7.term = b.term WHERE t7.term IS NULL),
+    g8 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM b7 GROUP BY 1),
+    s8 AS MATERIALIZED (SELECT 8::BIGINT AS step, doc_id, gain FROM g8
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    t8 AS MATERIALIZED (SELECT b.term FROM b7 b JOIN s8 USING (doc_id)),
+    b8 AS MATERIALIZED (SELECT b.doc_id, b.term FROM b7 b
+             LEFT JOIN t8 ON t8.term = b.term WHERE t8.term IS NULL),
+    pk AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6 UNION ALL SELECT * FROM s7 UNION ALL SELECT * FROM s8)
+    SELECT step, doc_id, gain,
+           (sum(gain) OVER (ORDER BY step ROWS UNBOUNDED PRECEDING))::BIGINT
+             AS covered_total
+    FROM pk
+    """,
+    ops=["EXT-sampling", "EXT-curation", "EXT-tokens", "G2", "O3", "J2"],
+)
+def q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection of k=8 documents over the
+    distinct-vocabulary objective (the 1-1/e submodular baseline,
+    facility-location family) — per-step pick, marginal gain and
+    cumulative coverage; rounds stop naturally once the vocabulary is
+    exhausted (operators/sampling.max_coverage_greedy)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        max_coverage_greedy,
+    )
+
+    return max_coverage_greedy(_t(spark, sf_dir, "documents"))

@@ -306,3 +306,43 @@ class TestDedupImpact:
         # dedup keeps one copy of every type
         assert out["survivors"]["n_types"] == out["full"]["n_types"]
         assert out["survivors"]["ttr"] > out["full"]["ttr"]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 final pair: Welch t-test, greedy max-coverage
+# ---------------------------------------------------------------------------
+
+from openrouter_batch_processor_spark.operators.sampling import max_coverage_greedy
+from openrouter_batch_processor_spark.operators.timeseries import welch_ttest
+
+
+class TestWelch:
+    def test_shifted_groups_large_t(self, spark):
+        rows = [(i, T0, 1, "a", 10.0 + (i % 7) * 0.5) for i in range(200)]
+        rows += [(1000 + i, T0, 1, "b", 50.0 + (i % 7) * 0.5) for i in range(200)]
+        got = _events(spark, rows)
+        out = welch_ttest(got).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["type_a"] == "a" and r["type_b"] == "b"
+        assert r["t_stat"] < -100  # a's mean far below b's
+        assert r["mean_b"] - r["mean_a"] == 40.0
+
+
+class TestMaxCoverage:
+    def test_greedy_picks_cover_bigrams(self, spark):
+        docs = [
+            (1, "a b c d e", "en", "s", 1),     # bigrams: ab bc cd de
+            (2, "a b c d e", "en", "s", 1),     # duplicate: zero marginal gain
+            (3, "f g h", "en", "s", 1),         # fg gh
+            (4, "a b", "en", "s", 1),           # subset of doc 1
+        ]
+        ddf = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {r["step"]: r for r in max_coverage_greedy(ddf, k=4).collect()}
+        assert out[1]["doc_id"] == 1 and out[1]["gain"] == 4
+        assert out[2]["doc_id"] == 3 and out[2]["gain"] == 2
+        # everything covered after two picks -> no further steps
+        assert set(out) == {1, 2}
+        assert out[2]["covered_total"] == 6

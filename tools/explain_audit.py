@@ -269,6 +269,9 @@ BRUTE_FORCE_OK = {
     "sim_ivf_pq_search",
     # r08: benford — one 1-row total broadcast onto the 9-digit table
     "audit_benford",
+    # r09: welch — the k²-row (k=|event_types|) pair stage over the
+    # k-row aggregate table, broadcast by construction
+    "stats_welch_ttest",
     # r09: hill tail — two 1-row scalar broadcasts (rank-16 reference
     # count, type total) onto a vocabulary-bounded rank table
     "audit_hill_tail",

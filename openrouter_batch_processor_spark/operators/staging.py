@@ -21,10 +21,24 @@ localCheckpoint; the sharing contract (compute once per input, join
 everywhere) is identical, and the artifacts staged here are chosen for
 bounded size — cluster membership is O(duplicates), quality scores are
 one row per doc.
+
+DURABLE MODE: set ``SPARK_GRAFT_STAGING_DIR`` to a directory and both
+``staged()`` and ``staged_from()`` become that parquet write — the
+artifact is written once under a plan-content-addressed name
+(label + schema + semanticHash, like the reference's config-hash-keyed
+results registry, app.py:148-177) and every later consumer — INCLUDING
+A DIFFERENT SESSION — reads the parquet scan instead of recomputing.
+The commit is atomic (write to a tmp dir, os.rename into place), the
+same last-writer-wins discipline as the reference's atomic JSON
+replace, so concurrent stagers are benign. The address is the LOGICAL
+PLAN, not the data: re-staging after in-place mutation of an input
+table requires a new directory (test data here is immutable, and at
+production scale inputs are immutable snapshots).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import threading
 from collections import OrderedDict
@@ -73,15 +87,54 @@ def _key(df: DataFrame, label: str) -> tuple:
     )
 
 
+def _durable_path(df: DataFrame, label: str) -> str | None:
+    """Plan-content address under SPARK_GRAFT_STAGING_DIR, or None when
+    durable mode is off. No applicationId in the address — that is the
+    point: a later session resolves the same input plan to the same
+    artifact."""
+    root = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+    if not root:
+        return None
+    ident = f"{label}|{df.schema.simpleString()}|{df.semanticHash()}"
+    digest = hashlib.sha256(ident.encode()).hexdigest()[:16]
+    safe = "".join(c if c.isalnum() or c in "-_" else "-" for c in label)
+    return os.path.join(root, f"{safe}-{digest}")
+
+
+def _durable_read_or_write(df_in: DataFrame, path: str, compute) -> DataFrame:
+    """Read the parquet artifact at ``path`` if committed, else run
+    ``compute()`` and commit it atomically (tmp dir + rename — the
+    reference's atomic-replace registry commit, app.py:171-177)."""
+    spark = df_in.sparkSession
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        compute().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # concurrent stager won the rename — its artifact is the
+            # same function of the same input; drop ours
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def staged(df: DataFrame, label: str) -> DataFrame:
     """Return an eagerly-materialized, session-memoized version of
     ``df``. ``label`` namespaces independent staging sites that could
-    conceivably produce plan-identical inputs."""
+    conceivably produce plan-identical inputs. With
+    SPARK_GRAFT_STAGING_DIR set, the artifact is a durable parquet
+    table shared across sessions (see module docstring)."""
     key = _key(df, label)
     hit = _cache_get(key)
     if hit is not None:
         return hit
-    out = df.localCheckpoint(eager=True)
+    durable = _durable_path(df, label)
+    if durable is not None:
+        out = _durable_read_or_write(df, durable, lambda: df)
+    else:
+        out = df.localCheckpoint(eager=True)
     _cache_put(key, out)
     return out
 
@@ -91,12 +144,20 @@ def staged_from(input_df: DataFrame, label: str, build) -> DataFrame:
     builders whose output plan is not hashable as an identity (e.g.
     iterative algorithms whose result scans per-run checkpointed RDDs:
     duplicate_clusters' output plan differs every run even though the
-    computation is the same function of the same input)."""
+    computation is the same function of the same input). With
+    SPARK_GRAFT_STAGING_DIR set, the artifact is a durable parquet
+    table shared across sessions (see module docstring)."""
     key = _key(input_df, label)
     hit = _cache_get(key)
     if hit is not None:
         return hit
-    out = build(input_df).localCheckpoint(eager=True)
+    durable = _durable_path(input_df, label)
+    if durable is not None:
+        out = _durable_read_or_write(
+            input_df, durable, lambda: build(input_df)
+        )
+    else:
+        out = build(input_df).localCheckpoint(eager=True)
     _cache_put(key, out)
     return out
 

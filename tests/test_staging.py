@@ -8,6 +8,7 @@ from openrouter_batch_processor_spark.operators.staging import (
     staged,
     staged_from,
 )
+from tests.conftest import SF_DIR
 
 
 def test_same_plan_hits_cache(spark):
@@ -68,3 +69,63 @@ def test_cache_is_bounded_lru(spark, monkeypatch):
     # most-recent entry still cached
     assert staged(spark.range(14), "lru4") is dfs[4]
     st._CACHE.clear()
+
+
+class TestDurableStaging:
+    """SPARK_GRAFT_STAGING_DIR turns staged()/staged_from() into a
+    plan-content-addressed parquet write shared ACROSS sessions — the
+    100-TB flavor the module docstring promises. A 'second session' is
+    simulated by clearing the in-memory LRU (the only session-scoped
+    state: the durable address deliberately omits applicationId)."""
+
+    def test_second_session_reads_artifact_not_recompute(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import openrouter_batch_processor_spark.operators.staging as st
+
+        monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+        st.clear()
+        calls = []
+
+        def build(d):
+            calls.append(1)
+            return d.selectExpr("id", "id * 3 AS trip")
+
+        src = spark.range(7).selectExpr("id")
+        out1 = staged_from(src, "durable1", build)
+        assert len(calls) == 1
+        assert sorted(r["trip"] for r in out1.collect()) == [
+            0, 3, 6, 9, 12, 15, 18,
+        ]
+        arts = [p for p in tmp_path.iterdir() if p.name.startswith("durable1-")]
+        assert len(arts) == 1  # committed under the plan-content address
+
+        st.clear()  # session 2: no in-memory state survives
+        out2 = staged_from(spark.range(7).selectExpr("id"), "durable1", build)
+        assert len(calls) == 1  # builder NOT re-run — artifact read back
+        assert sorted(r["trip"] for r in out2.collect()) == [
+            0, 3, 6, 9, 12, 15, 18,
+        ]
+        st.clear()
+
+    def test_staged_durable_and_registry_family_unchanged(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A staged-artifact consumer family (the kmeans clustering
+        shared by 4 registry queries) returns identical rows with
+        durable staging on, and its artifact lands in the dir."""
+        import openrouter_batch_processor_spark.operators.staging as st
+        from openrouter_batch_processor_spark.registry import REGISTRY
+
+        q = REGISTRY["kmeans_lite_clusters"].fn
+        st.clear()
+        baseline = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        st.clear()
+        monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+        durable = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        assert durable == baseline
+        assert any(tmp_path.iterdir())  # parquet artifact committed
+        st.clear()  # second session reuses it without recompute
+        again = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        assert again == baseline
+        st.clear()

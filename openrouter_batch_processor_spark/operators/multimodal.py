@@ -12,8 +12,10 @@ two ways (SURVEY.md north-star contract):
 - `fake_decoder` — deterministic, dependency-free: 'decodes' payload
   bytes into a stable (width, height, n_channels, checksum) tuple so
   the full Spark plumbing (schema, batching, partitioning) is testable.
-- `library_decoder` — raises NotImplementedError with the exact
-  libraries a real deployment would install (Pillow/av/soundfile).
+- `library_decoder` — the real path, gated on optional imports: images
+  decode through Pillow when installed (and `pillow_pixels` feeds
+  phash_images a real 8x8 luminance plane); absent libraries raise
+  NotImplementedError naming what to install (Pillow/av/soundfile).
 
 Scale notes: mapInPandas streams Arrow record batches, so a partition
 of 10k images never materializes as one Python list; metadata-only
@@ -95,14 +97,50 @@ def fake_decoder(payload: bytes, kind: str) -> tuple[int, int, int, str]:
 
 
 def library_decoder(payload: bytes, kind: str) -> tuple[int, int, int, str]:
-    """The real-deployment decode path. The codec libraries are not in
-    this container; the Spark-side contract (schema, batch shape) is
-    identical to fake_decoder."""
+    """The real-deployment decode path, gated on optional codec
+    imports; the Spark-side contract (signature, schema, batch shape)
+    is identical to fake_decoder. Images decode through Pillow when it
+    is installed (width, height, bands, sha256-prefix checksum — the
+    checksum is of the PAYLOAD, same as fake_decoder, so swapping
+    decoders never changes join keys). Audio/video still require
+    soundfile/av; absent libraries raise NotImplementedError so a
+    mis-provisioned cluster fails loudly instead of silently faking."""
+    if kind == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pass
+        else:
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                channels = len(img.getbands())
+            checksum = hashlib.sha256(payload).hexdigest()[:16]
+            return width, height, channels, checksum
     raise NotImplementedError(
         "media decode requires codec libraries (images: Pillow; audio: "
         "soundfile; video: av) — install them and swap this decoder in; "
         "the mapInPandas plumbing is unchanged"
     )
+
+
+def pillow_pixels(payload: bytes) -> list[int]:
+    """Real 8x8 grayscale resample for phash_images(pixels=...): decode
+    with Pillow, convert to luminance, resize to the fixed 8x8 plane —
+    the length-INVARIANT sample grid the byte-sampling stand-in lacks.
+    Optional-import gated like library_decoder."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pillow_pixels requires Pillow — install it or keep the "
+            "byte-sampling default"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return list(img.convert("L").resize((8, 8)).getdata())
 
 
 def extract_features(media: DataFrame, decoder=fake_decoder) -> DataFrame:
@@ -259,12 +297,13 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def phash_images(media: DataFrame) -> DataFrame:
+def phash_images(media: DataFrame, pixels=None) -> DataFrame:
     """Perceptual-hash ('pHash-shape') signatures for image payloads via
     mapInPandas: sample 64 evenly-spaced bytes of the decoded luminance
-    stream (here: the raw payload — the deterministic stand-in for a
-    downscaled 8x8 grayscale plane; a real deployment swaps in
-    library_decoder's pixels, same schema), threshold each sample
+    stream (default: the raw payload — the deterministic stand-in for a
+    downscaled 8x8 grayscale plane; pass ``pixels=pillow_pixels`` to
+    decode + resample a REAL 8x8 luminance plane — payload -> 64
+    samples, same schema either way), threshold each sample
     against the mean, and pack the 64 bits into two 32-bit halves.
     Locality is the point: a small IN-PLACE edit moves few samples, so
     near-duplicate images land at small Hamming distance — unlike the
@@ -286,7 +325,7 @@ def phash_images(media: DataFrame) -> DataFrame:
                 n = len(b)
                 if n == 0:
                     continue
-                pix = [b[(i * n) // 64] for i in range(64)]
+                pix = pixels(b) if pixels else [b[(i * n) // 64] for i in range(64)]
                 mu = sum(pix) / 64.0
                 bits = [1 if p > mu else 0 for p in pix]
                 hi = sum(bit << (31 - i) for i, bit in enumerate(bits[:32]))

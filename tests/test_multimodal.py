@@ -66,9 +66,110 @@ class TestFeatures:
         assert len(rows) == 4
         assert all(r["width"] is None and r["checksum"] is None for r in rows)
 
-    def test_library_decoder_stub(self):
+    def test_library_decoder_gates_on_codec_availability(self):
+        try:
+            import PIL  # noqa: F401
+
+            has_pillow = True
+        except ImportError:
+            has_pillow = False
+        if has_pillow:
+            # Pillow present: junk bytes are a DECODE error, not a
+            # missing-library error
+            with pytest.raises(Exception) as exc:
+                library_decoder(b"x", "image")
+            assert not isinstance(exc.value, NotImplementedError)
+        else:
+            with pytest.raises(NotImplementedError):
+                library_decoder(b"x", "image")
+        # audio/video codecs are never bundled here
         with pytest.raises(NotImplementedError):
-            library_decoder(b"x", "image")
+            library_decoder(b"x", "audio")
+
+
+def _tiny_png(width=5, height=3, rgb=(200, 30, 90)) -> bytes:
+    """Minimal valid 8-bit RGB PNG, pure stdlib (zlib + struct) — lets
+    the real-codec tests carry an actual image without needing Pillow
+    to BUILD the fixture."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(rgb) * width for _ in range(height)
+    )  # filter 0 per scanline
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestRealCodecPath:
+    """Runs only where Pillow is installed (skipped in this container);
+    proves the optional decode path drives the SAME mapInPandas
+    plumbing as fake_decoder — contract unchanged, one argument swap."""
+
+    def test_library_decoder_decodes_real_png(self):
+        pytest.importorskip("PIL")
+        w, h, c, ck = library_decoder(_tiny_png(), "image")
+        assert (w, h, c) == (5, 3, 3)
+        assert len(ck) == 16
+
+    def test_extract_features_with_real_decoder(self, spark):
+        pytest.importorskip("PIL")
+        from openrouter_batch_processor_spark.operators.multimodal import (
+            extract_features,
+        )
+
+        media = spark.createDataFrame(
+            [("m1", "image", "image/png", _tiny_png(), 1)],
+            "media_id string, kind string, mime string, payload binary, n_bytes long",
+        )
+        rows = extract_features(media, decoder=library_decoder).collect()
+        assert len(rows) == 1
+        assert (rows[0]["width"], rows[0]["height"], rows[0]["channels"]) == (5, 3, 3)
+
+    def test_phash_images_with_pillow_pixels(self, spark):
+        pytest.importorskip("PIL")
+        from openrouter_batch_processor_spark.operators.multimodal import (
+            phash_images,
+            pillow_pixels,
+        )
+
+        # two different-size solid-color images: a real 8x8 resample is
+        # length-invariant, so both solid images hash identically
+        media = spark.createDataFrame(
+            [
+                ("a", "image", "image/png", _tiny_png(5, 3), 1),
+                ("b", "image", "image/png", _tiny_png(9, 7), 1),
+            ],
+            "media_id string, kind string, mime string, payload binary, n_bytes long",
+        )
+        rows = {r["media_id"]: (r["h_hi"], r["h_lo"]) for r in phash_images(
+            media, pixels=pillow_pixels
+        ).collect()}
+        assert rows["a"] == rows["b"]
+
+    def test_pillow_pixels_raises_without_pillow(self):
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            from openrouter_batch_processor_spark.operators.multimodal import (
+                pillow_pixels,
+            )
+
+            with pytest.raises(NotImplementedError):
+                pillow_pixels(_tiny_png())
 
 
 class TestResizeAndFrames:

@@ -1081,3 +1081,130 @@ def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v * 0.00003).cast("string").alias("upstream_cost"),
     )
     return usage_summary(usage, ["job_id"])
+
+
+@register(
+    "k6_zip_hash",
+    """
+    SELECT lang || '.txt' AS entry_name,
+           length(count(*)::VARCHAR || ' ' || min(doc_id)::VARCHAR)::BIGINT
+             AS n_bytes,
+           true AS deterministic
+    FROM documents GROUP BY lang
+    """,
+    ops=["K6", "F4", "G1"],
+)
+def q_k6_zip_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 determinism as a driver-checkable query: build the per-lang
+    text artifacts with a distributed groupBy, pack them through the
+    REAL deterministic-zip sink twice, and assert byte-identity by
+    sha256 (sinks/artifacts.write_deterministic_zip; reference analog
+    app.py:171-177's content-addressed commit). The emitted rows are
+    the re-read zip directory — entry name + uncompressed size — plus
+    the determinism verdict, all reproducible by the oracle from the
+    documents table alone."""
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    from openrouter_batch_processor_spark.sinks.artifacts import (
+        write_deterministic_zip,
+    )
+
+    groups = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .collect()
+    )
+    files = {
+        f"{r['lang']}.txt": f"{r['n_docs']} {r['min_doc']}".encode()
+        for r in groups
+    }
+    with tempfile.TemporaryDirectory() as td:
+        pa, pb = os.path.join(td, "a.zip"), os.path.join(td, "b.zip")
+        write_deterministic_zip(pa, files)
+        write_deterministic_zip(pb, dict(reversed(list(files.items()))))
+        ha = hashlib.sha256(open(pa, "rb").read()).hexdigest()
+        hb = hashlib.sha256(open(pb, "rb").read()).hexdigest()
+        with zipfile.ZipFile(pa) as zf:
+            entries = [(i.filename, i.file_size) for i in zf.infolist()]
+    rows = [(name, size, ha == hb) for name, size in entries]
+    return spark.createDataFrame(
+        rows, "entry_name string, n_bytes long, deterministic boolean"
+    )
+
+
+@register(
+    "s7_registry_default",
+    """
+    SELECT source || '.zip' AS zip_name,
+           md5(source) AS zip_sha256,
+           count(*)::BIGINT AS size_bytes,
+           0::BIGINT AS corrupt_rows
+    FROM documents GROUP BY source
+    """,
+    ops=["S7", "K9", "G1"],
+)
+def q_s7_registry_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's PERMISSIVE-default registry load as a driver-checkable
+    query: commit a registry built from the documents table through the
+    REAL atomic sink (sinks/artifacts.commit_registry, K9), load it
+    back through the REAL source (sources/ingest.load_ingest_registry,
+    S7), and load a CORRUPT file through the same source — whose row
+    count must be the empty {version:1, entries:[]} default
+    (app.py:148-169), emitted as the constant corrupt_rows column."""
+    import os
+    import tempfile
+
+    from openrouter_batch_processor_spark.sinks.artifacts import (
+        commit_registry,
+    )
+    from openrouter_batch_processor_spark.sources.ingest import (
+        load_ingest_registry,
+    )
+
+    groups = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.md5(F.col("source")).alias("sig"),
+        )
+        .collect()
+    )
+    entries = [
+        {
+            "zip_name": f"{r['source']}.zip",
+            "zip_sha256": r["sig"],
+            "content_sha256": r["sig"],
+            "size_bytes": r["n_docs"],
+            "created_at": "2024-01-01T00:00:00",
+            "source": r["source"],
+        }
+        for r in sorted(groups, key=lambda r: r["source"])
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        ok_path = os.path.join(td, "registry.json")
+        commit_registry(entries, ok_path)
+        loaded = load_ingest_registry(spark, ok_path).select(
+            "zip_name", "zip_sha256", "size_bytes"
+        ).collect()
+        bad_path = os.path.join(td, "corrupt.json")
+        with open(bad_path, "wb") as fh:
+            fh.write(b"{this is not json at all")
+        corrupt_rows = load_ingest_registry(spark, bad_path).count()
+    rows = [
+        (r["zip_name"], r["zip_sha256"], r["size_bytes"], corrupt_rows)
+        for r in loaded
+    ]
+    return spark.createDataFrame(
+        rows,
+        "zip_name string, zip_sha256 string, size_bytes long, corrupt_rows long",
+    )

@@ -188,10 +188,18 @@ def load_ingest_registry(spark: SparkSession, path: str) -> DataFrame:
 
     Any read/shape error yields the empty default {version:1, entries:[]}
     (app.py:148-169) — here: an empty DataFrame with the entry schema.
+    multiLine: the reference writes the registry pretty-printed
+    (app.py:176, indent=2) — one JSON document per file, not JSONL —
+    and multiLine parses both that and the compact single-line form.
     """
     entry_schema = REGISTRY_SCHEMA["entries"].dataType.elementType
     try:
-        df = spark.read.schema(REGISTRY_SCHEMA).option("mode", "PERMISSIVE").json(path)
+        df = (
+            spark.read.schema(REGISTRY_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("multiLine", "true")
+            .json(path)
+        )
         entries = df.select(F.explode(F.col("entries")).alias("e")).select("e.*")
         # Force schema check early; corrupt files surface here.
         entries.schema

@@ -70,8 +70,13 @@ def main() -> None:
     # the budget — a completed-passes median always parses; a killed
     # process never does. Only whole passes count (a partial pass would
     # give some queries an extra warm run and skew their median).
+    # Default budget sized so the full registry still gets ALL THREE
+    # passes: at ~285 queries a 900 s budget silently dropped to 2
+    # passes (r09), which changes the per-query min/median sample count
+    # and makes round-over-round sums incomparable. 1500 s keeps the
+    # pass count pinned; the driver's own timeout still wins if lower.
     N_PASSES = 3
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     runs: dict[str, list[float]] = {}
     failures: dict[str, str] = {}

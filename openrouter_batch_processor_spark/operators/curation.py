@@ -155,6 +155,7 @@ def remove_duplicate_spans(
     window_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cross_doc_only: bool = False,
 ) -> DataFrame:
     """The back half of substring-level dedup (Lee et al. 'Deduplicating
     Training Data'): duplicated_window_fraction REPORTS the duplicated
@@ -188,12 +189,19 @@ def remove_duplicate_spans(
     )
     cnt = F.size(F.col("toks"))
     wins = staged_span_windows(docs, w, id_col, text_col)
-    # one combiner groupBy gets BOTH the occurrence count and the global
-    # first occurrence (lexicographic min over (doc_id, pos))
+    # one combiner groupBy gets BOTH the duplication evidence and the
+    # global first occurrence (lexicographic min over (doc_id, pos)).
+    # cross_doc_only (Lee et al. §4 cross-document form): a window is
+    # duplicated only when it occurs in >= 2 DISTINCT documents —
+    # within-doc repetition (choruses, markup) is a repetition signal
+    # for quality filters, not cross-doc contamination, and survives.
+    dup_evidence = (
+        F.count_distinct(F.col(id_col)) if cross_doc_only else F.count(F.lit(1))
+    )
     stats = (
         wins.groupBy("wh")
         .agg(
-            F.count(F.lit(1)).alias("n_occ"),
+            dup_evidence.alias("n_occ"),
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
         )
         .filter(F.col("n_occ") >= 2)

@@ -1634,3 +1634,126 @@ def minhash_estimator_audit(
             ).alias("mae"),
         )
     )
+
+
+RETSIM_DIM = 64
+RETSIM_POW2 = tuple(2**i for i in range(16))
+
+
+def retsim_style_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    bucket_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RETSim-style embedding fallback for the fuzzy dedup tier
+    (VERDICT r09 #8; RETSim, Google 2023: robust text embeddings for
+    near-duplicate retrieval — here the train-free stand-in is a
+    64-dim HASHED CHAR-TRIGRAM embedding, the feature-hashing trick
+    with a md5-derived ±1 sign, which is edit-robust the way shingle
+    MinHash is but yields a dense vector whose cosine is a similarity
+    SCORE, not a threshold-band bit).
+
+    Pipeline, all exact integers until the final cosine: trigram ->
+    (bucket, sign) via md5 arithmetic -> per-doc sparse (bucket, val)
+    features -> 4x16-bit sign-bit band keys (the doc's own positive
+    buckets; an all-absent band emits no key) -> banded candidate
+    self-join (never all-pairs) -> exact integer dot on the sparse
+    features -> cosine = dot / sqrt(ss_a*ss_b) rounded 6 dp, kept at
+    >= tau. EXACT duplicates (equal normalized-text md5) are excluded:
+    they belong to the exact tier (X1); this is the fallback that
+    catches what edit-granular tiers miss. All products stay < 2^53
+    (ss <= 64 * n_trigrams^2), so the doubles are exact.
+
+    Scale: candidate volume is sum of C(bucket_size, 2) over 65536-key
+    band buckets — the proven `_wide16` regime; ``bucket_cap`` prunes
+    saturated (boilerplate) buckets like simhash_near_pairs. Feature
+    and dot stages shuffle on doc id / 6-bit bucket only."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    nm = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_nrm")
+    ).filter(F.length("_nrm") >= 3)
+    tri = nm.select(
+        F.col(id_col),
+        F.md5("_nrm").alias("fp"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_nrm") - 2),
+                lambda i: F.substr(F.col("_nrm"), i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    h = F.conv(F.substring(F.md5("tg"), 1, 8), 16, 10).cast("long")
+    sign = F.when((h / RETSIM_DIM).cast("long") % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    ft = (
+        tri.select(
+            F.col(id_col),
+            "fp",
+            (h % RETSIM_DIM).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "fp", "bucket")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    sig = ft.groupBy(id_col, "fp").agg(
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("ss")
+    )
+    pow2 = F.lit(list(RETSIM_POW2))
+    bands = (
+        ft.filter(F.col("val") > 0)
+        .groupBy(id_col, (F.col("bucket") / 16).cast("long").alias("band_id"))
+        .agg(
+            F.sum(F.element_at(pow2, (F.col("bucket") % 16 + 1).cast("int")))
+            .cast("long")
+            .alias("bv")
+        )
+        .filter(F.col("bv") > 0)
+    )
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band_id", "bv")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band_id", "bv")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "bv"], "left_anti")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "bv")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "bv")
+    cand = (
+        a.join(b, ["band_id", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = ft.select(F.col(id_col).alias("id_a"), "bucket", F.col("val").alias("va"))
+    fb = ft.select(F.col(id_col).alias("id_b"), "bucket", F.col("val").alias("vb"))
+    dots = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "bucket"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("dot"))
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), F.col("ss").alias("ss_a")
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), F.col("ss").alias("ss_b")
+    )
+    return (
+        dots.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("fp_a") != F.col("fp_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("ss_a") * F.col("ss_b")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )

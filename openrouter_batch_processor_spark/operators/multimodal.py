@@ -686,6 +686,7 @@ def audio_fingerprint_pairs(
     hop_bytes: int = 32,
     max_gap: int = 20,
     min_matches: int = 2,
+    key_mod: int = 256,
 ) -> DataFrame:
     """Shazam-style audio fingerprint matching (Wang 2003, constellation
     landmarks): frame each track into hop windows, keep strict local
@@ -693,6 +694,12 @@ def audio_fingerprint_pairs(
     (e1 mod 256, e2 mod 256, dt) landmark keys, and match tracks by
     counting key hits at a CONSISTENT time offset — the
     offset-histogram vote that makes the match robust to clipping.
+    ``key_mod`` is the energy-quantization widen dial: the landmark
+    key space is key_mod x key_mod x max_gap, so when a corpus grows
+    enough that individual keys saturate (the banded-LSH bucket
+    failure mode), widening 256 -> 4096 multiplies the key space by
+    256x and restores near-linear candidate volume — the knob the
+    100x probe (SCALE.md) turns instead of editing this function.
 
     Track identity is the rel_path (two copies of the same audio are
     two tracks — exactly what the matcher must find); energies are the
@@ -738,8 +745,8 @@ def audio_fingerprint_pairs(
         .select(
             "media_id",
             "w1",
-            (F.col("e1") % 256).alias("k1"),
-            (F.col("e2") % 256).alias("k2"),
+            (F.col("e1") % key_mod).alias("k1"),
+            (F.col("e2") % key_mod).alias("k2"),
             (F.col("w2") - F.col("w1")).alias("dt"),
         )
     )

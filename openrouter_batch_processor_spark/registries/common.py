@@ -174,7 +174,7 @@ _TOKS_N_SQL = f"""
 """
 
 
-def _span_sql(src: str) -> str:
+def _span_sql(src: str, cross_doc: bool = False) -> str:
     """CTE chain for substring SPAN REMOVAL over relation ``src`` (must
     expose doc_id + text) — mirrors operators/curation.py
     remove_duplicate_spans stage by stage (8-token windows, the
@@ -182,18 +182,22 @@ def _span_sql(src: str) -> str:
     first-occurrence = min (doc_id, pos)) -> removable occurrences ->
     covered token set -> run boundaries -> per-doc span stats + cleaned
     text. Shared by curation_remove_dup_spans and the full-pipeline
-    composite so the two can never diverge."""
+    composite so the two can never diverge. ``cross_doc`` mirrors the
+    operator's cross_doc_only: duplication evidence is the number of
+    DISTINCT documents holding the window, not raw occurrences."""
+    n_occ = "count(DISTINCT doc_id)" if cross_doc else "count(*)"
     return f"""
     spt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}),
     spw AS (SELECT doc_id, u.i - 1 AS pos,
                    md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
             FROM spt, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
             WHERE len(toks) >= 8),
-    spr AS (SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
-                   count(*) OVER (PARTITION BY wh) AS n_occ
+    spnd AS (SELECT wh, {n_occ} AS n_occ FROM spw GROUP BY wh),
+    spr AS (SELECT doc_id, pos, wh,
+                   row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
             FROM spw),
-    sprm AS (SELECT doc_id, pos FROM spr WHERE n_occ >= 2 AND rn > 1),
+    sprm AS (SELECT r.doc_id, r.pos FROM spr r JOIN spnd d USING (wh)
+             WHERE d.n_occ >= 2 AND r.rn > 1),
     spcov AS (SELECT DISTINCT doc_id, pos + u.k AS j
               FROM sprm, unnest(range(0, 8)) AS u(k)),
     spruns AS (SELECT doc_id, j,

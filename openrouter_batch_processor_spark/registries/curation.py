@@ -1051,3 +1051,36 @@ def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decontamination_report(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_crossdoc_suffix",
+    f"""
+    WITH {_span_sql("documents", cross_doc=True)}
+    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(s.n_spans_removed, 0)::BIGINT AS n_spans_removed,
+           round(coalesce(s.n_removed, 0) / len(t.toks), 6) AS removed_fraction,
+           coalesce(c.cleaned_text, '') AS cleaned_text
+    FROM spt t
+    LEFT JOIN spstats s USING (doc_id)
+    LEFT JOIN spclean c USING (doc_id)
+    """,
+    ops=["X1", "EXT-dedup-policy", "EXT-decontam", "G4", "O1"],
+)
+def q_crossdoc_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document suffix dedup, Lee et al. §4 front-to-back
+    (VERDICT r09 #8): remove every 8-token window that recurs in >= 2
+    DISTINCT documents, keeping the global first occurrence — the
+    cross-doc contamination edit, where curation_remove_dup_spans is
+    the within-corpus repetition edit (within-doc repeats survive
+    here). Shares the staged span-window artifact with discovery and
+    removal (operators/curation.remove_duplicate_spans
+    cross_doc_only=True)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), window_tokens=8, cross_doc_only=True
+    )

@@ -689,3 +689,58 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return winnow_clusters(_t(spark, sf_dir, "documents"))
+
+
+_RETSIM_POW2_SQL = "[" + ", ".join(str(2**i) for i in range(16)) + "]"
+
+
+@register(
+    "dedup_retsim_pairs",
+    f"""
+    WITH nm AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents
+                WHERE len({_NORM_SQL}) >= 3),
+    tri AS (SELECT doc_id, md5(nrm) AS fp, substr(nrm, u.i::INT, 3) AS tg
+            FROM nm, unnest(range(1, len(nrm) - 1)) AS u(i)),
+    hv AS (SELECT doc_id, fp,
+                  ('0x' || substr(md5(tg), 1, 8))::BIGINT AS h FROM tri),
+    ft AS (SELECT doc_id, fp, bucket, val FROM (
+             SELECT doc_id, fp, h % 64 AS bucket,
+                    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+                      AS val
+             FROM hv GROUP BY 1, 2, 3) WHERE val != 0),
+    sig AS (SELECT doc_id, fp, sum(val * val)::BIGINT AS ss
+            FROM ft GROUP BY 1, 2),
+    bands AS (SELECT doc_id, band_id, bv FROM (
+                SELECT doc_id, bucket // 16 AS band_id,
+                       sum(({_RETSIM_POW2_SQL})[(bucket % 16 + 1)::INT])::BIGINT
+                         AS bv
+                FROM ft WHERE val > 0 GROUP BY 1, 2) WHERE bv > 0),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.bv = b.bv
+                  AND a.doc_id < b.doc_id),
+    dots AS (SELECT c.id_a, c.id_b, sum(fa.val * fb.val)::BIGINT AS dot
+             FROM cand c
+             JOIN ft fa ON fa.doc_id = c.id_a
+             JOIN ft fb ON fb.doc_id = c.id_b AND fb.bucket = fa.bucket
+             GROUP BY 1, 2)
+    SELECT d.id_a, d.id_b,
+           round(d.dot / sqrt(sa.ss * sb.ss), 6) AS cosine
+    FROM dots d
+    JOIN sig sa ON sa.doc_id = d.id_a
+    JOIN sig sb ON sb.doc_id = d.id_b
+    WHERE sa.fp != sb.fp AND round(d.dot / sqrt(sa.ss * sb.ss), 6) >= 0.95
+    """,
+    ops=["EXT-dedup", "EXT-neardup", "EXT-simsearch", "J2", "G2", "X1"],
+)
+def q_retsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETSim-style embedding fallback for the fuzzy dedup tier
+    (VERDICT r09 #8): hashed char-trigram 64-dim embeddings with ±1
+    feature-hash signs, 4x16-bit sign-band LSH candidates, exact
+    integer sparse dot -> cosine >= 0.95 pairs (the 0.9-1.0 knee of the corpus cosine histogram: generic-English trigram mass keeps random-pair cosines ~0.6-0.8, so the fallback threshold sits above it), exact duplicates
+    excluded (operators/dedup.retsim_style_pairs)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        retsim_style_pairs,
+    )
+
+    return retsim_style_pairs(_t(spark, sf_dir, "documents"), tau=0.95)

@@ -62,6 +62,9 @@ QUERIES = [
     "sim_sq8_search",
     "curation_decontamination_report",
     "events_periodogram",
+    # r10: the re-planned greedy max-coverage (VERDICT r09 #1) — per-doc
+    # array layout, k map-only argmax rounds; expected ~linear
+    "sample_max_coverage",
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
@@ -82,6 +85,17 @@ QUERIES_100X = [
     "sim_rp_lsh_pairs_cap2k",
     "sim_rp_lsh_pairs_wide16",
     "graph_kcore_peel",
+    # r09 pair families (VERDICT r09 #4): the banded tile-pHash pair
+    # stage as registered; the audio landmark join at the default 256
+    # energy modulus AND at the widened 4096 dial (key space x256 —
+    # the parameterized knob on audio_fingerprint_pairs); SQ8 search
+    # with a CONSTANT ~20-query set per scale (the registered query's
+    # vec_id % 100 filter grows the query count with n, which measures
+    # query volume, not the per-query scan the dial table predicts).
+    "multimodal_tile_phash_pairs",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_fp_wide4096",
+    "sim_sq8_search_q20",
 ]
 
 
@@ -113,10 +127,47 @@ def _capped_fns() -> dict:
             load_table(spark, sf_dir, "embeddings"), planes=32, bands=2
         )
 
+    from pyspark.sql import functions as F
+
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+    )
+    from openrouter_batch_processor_spark.operators.similarity import (
+        sq8_search_recall,
+    )
+
+    def _audio_files(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            F.concat(
+                F.lit("aud/doc_"), F.col("doc_id").cast("string"), F.lit(".wav")
+            ).alias("rel_path"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+            F.length(F.col("text")).cast("long").alias("length"),
+        )
+
+    def audio_wide(spark, sf_dir):
+        # the energy-moduli widen dial: 256 -> 4096 multiplies the
+        # landmark key space by 256x, collapsing false-collision
+        # candidate volume (true duplicate matches are unaffected —
+        # duplicates share the key at ANY modulus)
+        return audio_fingerprint_pairs(_audio_files(spark, sf_dir), key_mod=4096)
+
+    # constant ~20 queries at every scale: sf0.1 embeddings is 2k rows
+    _SQ8_MOD = {BASE: 100, PROBE_DIR: 1_000, PROBE_DIR_100: 10_000}
+
+    def sq8_q20(spark, sf_dir):
+        return sq8_search_recall(
+            load_table(spark, sf_dir, "embeddings"),
+            query_mod=_SQ8_MOD.get(sf_dir, 100),
+        )
+
     return {
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
         "sim_rp_lsh_pairs_wide16": rp_wide,
+        "multimodal_audio_fp_wide4096": audio_wide,
+        "sim_sq8_search_q20": sq8_q20,
     }
 
 
@@ -257,6 +308,14 @@ def main_100x() -> None:
         "<= n*cap) lives on operators/dedup.simhash_near_pairs and",
         "operators/similarity.rp_candidate_set; at 100 TB the production",
         "setting is 64-bit signatures with 16-bit bands + the cap.",
+        "r09 rows: the audio landmark join runs at the default 256",
+        "energy modulus and at the parameterized 4096 widen dial",
+        "(audio_fingerprint_pairs(key_mod=...) — key space x256, false-",
+        "collision volume /256; true-duplicate matches are output, not",
+        "overhead, and the probe corpus makes every copy group a true",
+        "match). sim_sq8_search_q20 fixes the query set at ~20 per",
+        "scale so the row measures the linear per-query scan, not the",
+        "registered query's n-proportional query count.",
         "Generated by tools/scale_probe.py --x100.",
         "",
         "| query | sf0.1 (s) | 10x (s) | 100x (s) | 10x growth | 100x growth |",
@@ -277,9 +336,16 @@ def main_100x() -> None:
     )
     text = open(path).read()
     marker = "\n## 100x scale probe (measured)"
+    tail = ""
     if marker in text:
-        text = text.split(marker)[0]
-    open(path, "w").write(text.rstrip("\n") + "\n" + block)
+        head, rest = text.split(marker, 1)
+        # replace ONLY the old 100x block; later sections (per-round
+        # scale notes) survive the rewrite — same discipline as main()
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:]
+        text = head
+    open(path, "w").write(text.rstrip("\n") + "\n" + block + tail)
     print(block)
 
 

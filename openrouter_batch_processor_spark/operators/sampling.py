@@ -211,3 +211,50 @@ def max_coverage_greedy(
         rows,
         schema=f"step long, {id_col} {id_type}, gain long, covered_total long",
     )
+
+
+def cluster_quota_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    quota: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced quota sampling: the diversity-preserving
+    subset selector (the cluster-then-sample step of SemDeDup-style
+    curation and DataComp baselines — sample a fixed quota PER
+    semantic cluster so the subset keeps every mode, where a uniform
+    sample keeps only the head). Reuses the SESSION-STAGED Lloyd
+    assignment (operators/kmeans.lloyd_assign_staged — the same
+    artifact kmeans_lite/Davies-Bouldin/silhouette/MiniPile consume),
+    then picks `quota` members per cluster by deterministic
+    md5-derived priority with id tie-break (the hash-uniform
+    convention of weighted_reservoir_per_group).
+
+    Scale: clustering is the already-staged artifact; the pick is one
+    window shuffle partitioned by cluster_id, state bounded by cluster
+    size. Output: (cluster_id, id, pick_rank, cluster_size) —
+    k*quota rows."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        lloyd_assign_staged,
+    )
+
+    assigned = lloyd_assign_staged(embeddings, k=k, iters=iters,
+                                   id_col=id_col, vec_col=vec_col)
+    pri = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("_pri"), F.asc(id_col))
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        assigned.withColumn("_pri", pri)
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= quota)
+        .join(F.broadcast(sizes), "cluster_id")
+        .select("cluster_id", id_col, "pick_rank", "cluster_size")
+    )

@@ -304,3 +304,41 @@ def q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return max_coverage_greedy(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_cluster_quota",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    pri AS (SELECT vec_id, cluster_id,
+                   ('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT AS h
+            FROM a2),
+    ranked AS (SELECT cluster_id, vec_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY h, vec_id)::BIGINT
+                        AS pick_rank
+               FROM pri),
+    sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM a2 GROUP BY cluster_id)
+    SELECT r.cluster_id, r.vec_id, r.pick_rank, s.cluster_size
+    FROM ranked r JOIN sz s USING (cluster_id)
+    WHERE r.pick_rank <= 10
+    """,
+    ops=["EXT-sampling", "EXT-ivf", "G2", "O3", "J4"],
+)
+def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced quota sampling (VERDICT r09 #8 frontier): a
+    fixed quota per Lloyd cluster by deterministic hash priority — the
+    diversity-preserving subset selector, reusing the session-staged
+    clustering artifact the validity/pruning consumers share
+    (operators/sampling.cluster_quota_sample)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        cluster_quota_sample,
+    )
+
+    return cluster_quota_sample(_t(spark, sf_dir, "embeddings"), quota=10)

@@ -120,3 +120,29 @@ class TestRetsimPairs:
         # identical docs are exact dups -> excluded either way, but the
         # capped run must also produce no CANDIDATES (all buckets hot)
         assert uncapped == [] and capped == []
+
+
+class TestClusterQuota:
+    def test_quota_per_cluster_and_determinism(self, spark):
+        from openrouter_batch_processor_spark.operators.sampling import (
+            cluster_quota_sample,
+        )
+
+        embs = spark.createDataFrame(
+            [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(1, 41)],
+            "vec_id long, embedding array<float>",
+        )
+        out = cluster_quota_sample(embs, k=4, iters=1, quota=3).collect()
+        by_cluster: dict = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        assert all(len(v) <= 3 for v in by_cluster.values())
+        assert all(
+            sorted(r["pick_rank"] for r in v) == list(range(1, len(v) + 1))
+            for v in by_cluster.values()
+        )
+        # deterministic: a second run picks the identical subset
+        again = cluster_quota_sample(embs, k=4, iters=1, quota=3).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        # cluster_size counts ALL members, not just picked ones
+        assert sum(v[0]["cluster_size"] for v in by_cluster.values()) == 40

@@ -1757,3 +1757,79 @@ def retsim_style_pairs(
         )
         .filter(F.col("cosine") >= tau)
     )
+
+
+def rrf_fusion_pairs(
+    docs: DataFrame,
+    k_rrf: int = 60,
+    jaccard_threshold: float = 0.1,
+    max_hamming: int = 6,
+    tau: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion of the three near-dup signal families
+    (Cormack, Clarke & Buettcher 2009 — the standard training-free
+    rank-fusion rule): MinHash-LSH n-gram Jaccard (template/lexical),
+    banded SimHash Hamming (token-frequency), and the RETSim-style
+    hashed-trigram cosine (edit-robust dense). Each signal ranks its
+    own verified pair list (score order, (id_a, id_b) tie-break);
+    fused score = sum over signals present of 1/(k + rank). Pairs
+    caught by several complementary signals rise to the top — the
+    high-confidence kill list a multi-signal dedup pass feeds to the
+    cluster/survivor stage.
+
+    The three inputs are the already-verified pair tables (each
+    O(near-dups), never corpus-sized), so the global rank windows sort
+    duplicate-volume-sized data; the fusion itself is two full outer
+    joins on the pair key. The RRF sum is a fixed-order three-term
+    expression of exact small-int divisions — engine-exact, rounded
+    6 dp. Output: (id_a, id_b, n_signals, rrf)."""
+    from pyspark.sql.window import Window
+
+    j = ngram_jaccard_pairs(docs, id_col, text_col, threshold=jaccard_threshold)
+    s = simhash_near_pairs(
+        docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+    )
+    r = retsim_style_pairs(docs, tau=tau, id_col=id_col, text_col=text_col)
+    jr = j.withColumn(
+        "rk_j",
+        F.row_number()
+        .over(Window.orderBy(F.desc("jaccard"), "id_a", "id_b"))
+        .cast("long"),
+    ).select("id_a", "id_b", "rk_j")
+    sr = s.withColumn(
+        "rk_s",
+        F.row_number()
+        .over(Window.orderBy(F.asc("hamming"), "id_a", "id_b"))
+        .cast("long"),
+    ).select("id_a", "id_b", "rk_s")
+    rr = r.withColumn(
+        "rk_r",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "id_a", "id_b"))
+        .cast("long"),
+    ).select("id_a", "id_b", "rk_r")
+    fused = jr.join(sr, ["id_a", "id_b"], "full_outer").join(
+        rr, ["id_a", "id_b"], "full_outer"
+    )
+    present = (
+        F.col("rk_j").isNotNull().cast("long")
+        + F.col("rk_s").isNotNull().cast("long")
+        + F.col("rk_r").isNotNull().cast("long")
+    )
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k_rrf) + F.col(c)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "id_a",
+            "id_b",
+            present.alias("n_signals"),
+            F.round(term("rk_j") + term("rk_s") + term("rk_r"), 6).alias("rrf"),
+        )
+        # the fused KILL LIST keeps multi-signal agreement only; the
+        # single-signal tail (noisy wide-threshold SimHash candidates)
+        # stays in its own family's query
+        .filter(F.col("n_signals") >= 2)
+    )

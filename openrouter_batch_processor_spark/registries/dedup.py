@@ -693,43 +693,51 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETSIM_POW2_SQL = "[" + ", ".join(str(2**i) for i in range(16)) + "]"
 
+# RETSim-style hashed-trigram pair chain, r-prefixed so it composes with
+# the shingle/simhash CTEs in the RRF fusion query without name clashes.
+# Ends at rpairs(id_a, id_b, cosine): every banded candidate pair with
+# its exact cosine, exact duplicates excluded; consumers apply tau.
+_RETSIM_CTE = f"""
+    rnm AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents
+            WHERE len({_NORM_SQL}) >= 3),
+    rtri AS (SELECT doc_id, md5(nrm) AS fp, substr(nrm, u.i::INT, 3) AS tg
+             FROM rnm, unnest(range(1, len(nrm) - 1)) AS u(i)),
+    rhv AS (SELECT doc_id, fp,
+                   ('0x' || substr(md5(tg), 1, 8))::BIGINT AS h FROM rtri),
+    rft AS (SELECT doc_id, fp, bucket, val FROM (
+              SELECT doc_id, fp, h % 64 AS bucket,
+                     sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+                       AS val
+              FROM rhv GROUP BY 1, 2, 3) WHERE val != 0),
+    rsig AS (SELECT doc_id, fp, sum(val * val)::BIGINT AS ss
+             FROM rft GROUP BY 1, 2),
+    rbands AS (SELECT doc_id, band_id, bv FROM (
+                 SELECT doc_id, bucket // 16 AS band_id,
+                        sum(({_RETSIM_POW2_SQL})[(bucket % 16 + 1)::INT])::BIGINT
+                          AS bv
+                 FROM rft WHERE val > 0 GROUP BY 1, 2) WHERE bv > 0),
+    rcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rbands a JOIN rbands b
+                ON a.band_id = b.band_id AND a.bv = b.bv
+                   AND a.doc_id < b.doc_id),
+    rdots AS (SELECT c.id_a, c.id_b, sum(fa.val * fb.val)::BIGINT AS dot
+              FROM rcand c
+              JOIN rft fa ON fa.doc_id = c.id_a
+              JOIN rft fb ON fb.doc_id = c.id_b AND fb.bucket = fa.bucket
+              GROUP BY 1, 2),
+    rpairs AS (SELECT d.id_a, d.id_b,
+                      round(d.dot / sqrt(sa.ss * sb.ss), 6) AS cosine
+               FROM rdots d
+               JOIN rsig sa ON sa.doc_id = d.id_a
+               JOIN rsig sb ON sb.doc_id = d.id_b
+               WHERE sa.fp != sb.fp)"""
+
 
 @register(
     "dedup_retsim_pairs",
     f"""
-    WITH nm AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents
-                WHERE len({_NORM_SQL}) >= 3),
-    tri AS (SELECT doc_id, md5(nrm) AS fp, substr(nrm, u.i::INT, 3) AS tg
-            FROM nm, unnest(range(1, len(nrm) - 1)) AS u(i)),
-    hv AS (SELECT doc_id, fp,
-                  ('0x' || substr(md5(tg), 1, 8))::BIGINT AS h FROM tri),
-    ft AS (SELECT doc_id, fp, bucket, val FROM (
-             SELECT doc_id, fp, h % 64 AS bucket,
-                    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
-                      AS val
-             FROM hv GROUP BY 1, 2, 3) WHERE val != 0),
-    sig AS (SELECT doc_id, fp, sum(val * val)::BIGINT AS ss
-            FROM ft GROUP BY 1, 2),
-    bands AS (SELECT doc_id, band_id, bv FROM (
-                SELECT doc_id, bucket // 16 AS band_id,
-                       sum(({_RETSIM_POW2_SQL})[(bucket % 16 + 1)::INT])::BIGINT
-                         AS bv
-                FROM ft WHERE val > 0 GROUP BY 1, 2) WHERE bv > 0),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band_id = b.band_id AND a.bv = b.bv
-                  AND a.doc_id < b.doc_id),
-    dots AS (SELECT c.id_a, c.id_b, sum(fa.val * fb.val)::BIGINT AS dot
-             FROM cand c
-             JOIN ft fa ON fa.doc_id = c.id_a
-             JOIN ft fb ON fb.doc_id = c.id_b AND fb.bucket = fa.bucket
-             GROUP BY 1, 2)
-    SELECT d.id_a, d.id_b,
-           round(d.dot / sqrt(sa.ss * sb.ss), 6) AS cosine
-    FROM dots d
-    JOIN sig sa ON sa.doc_id = d.id_a
-    JOIN sig sb ON sb.doc_id = d.id_b
-    WHERE sa.fp != sb.fp AND round(d.dot / sqrt(sa.ss * sb.ss), 6) >= 0.95
+    WITH {_RETSIM_CTE}
+    SELECT id_a, id_b, cosine FROM rpairs WHERE cosine >= 0.95
     """,
     ops=["EXT-dedup", "EXT-neardup", "EXT-simsearch", "J2", "G2", "X1"],
 )
@@ -744,3 +752,88 @@ def q_retsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return retsim_style_pairs(_t(spark, sf_dir, "documents"), tau=0.95)
+
+
+# _SIMHASH_CTE and _SHINGLES_SQL both tokenize as CTE "t" — rename the
+# simhash copy (t -> sxt, toks -> sxtoks) so the fusion query composes.
+_SIMHASH_SX = (
+    _SIMHASH_CTE.replace("t AS (", "sxt AS (")
+    .replace("FROM t)", "FROM sxt)")
+    .replace("toks", "sxtoks")
+)
+
+
+@register(
+    "dedup_rrf_fusion",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    msh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    msizes AS (SELECT doc_id, count(*) AS n_sh FROM msh_set GROUP BY doc_id),
+    minter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM mcand c
+      JOIN msh_set x ON x.doc_id = c.id_a
+      JOIN msh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM minter i
+      JOIN msizes sa ON sa.doc_id = i.id_a
+      JOIN msizes sb ON sb.doc_id = i.id_b
+      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1),
+    {_SIMHASH_SX},
+    sbands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS band_key
+      FROM sh CROSS JOIN range(0, 4) b(band)),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+                      c.doc_id AS id_b, c.simhash AS sim_b
+      FROM sbands a JOIN sbands c ON a.band = c.band AND a.band_key = c.band_key
+      WHERE a.doc_id < c.doc_id),
+    spairs AS (
+      SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+      FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 6),
+    {_RETSIM_CTE},
+    rkept AS (SELECT id_a, id_b, cosine FROM rpairs WHERE cosine >= 0.9),
+    jr AS (SELECT id_a, id_b,
+                  row_number() OVER (ORDER BY jaccard DESC, id_a, id_b)::BIGINT
+                    AS rk_j
+           FROM jac),
+    sr AS (SELECT id_a, id_b,
+                  row_number() OVER (ORDER BY hamming ASC, id_a, id_b)::BIGINT
+                    AS rk_s
+           FROM spairs),
+    rr AS (SELECT id_a, id_b,
+                  row_number() OVER (ORDER BY cosine DESC, id_a, id_b)::BIGINT
+                    AS rk_r
+           FROM rkept)
+    SELECT id_a, id_b,
+           ((rk_j IS NOT NULL)::INT + (rk_s IS NOT NULL)::INT
+            + (rk_r IS NOT NULL)::INT)::BIGINT AS n_signals,
+           round(coalesce(1.0 / (60 + rk_j), 0)
+                 + coalesce(1.0 / (60 + rk_s), 0)
+                 + coalesce(1.0 / (60 + rk_r), 0), 6) AS rrf
+    FROM jr
+    FULL JOIN sr USING (id_a, id_b)
+    FULL JOIN rr USING (id_a, id_b)
+    WHERE ((rk_j IS NOT NULL)::INT + (rk_s IS NOT NULL)::INT
+           + (rk_r IS NOT NULL)::INT) >= 2
+    """,
+    ops=["EXT-minhash", "EXT-simhash", "EXT-neardup", "EXT-dedup-policy", "J2", "O3"],
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the three
+    near-dup signal families — MinHash Jaccard, SimHash Hamming,
+    RETSim-style trigram cosine — into one ranked kill list,
+    keeping pairs at least TWO complementary signals agree on
+    (operators/dedup.rrf_fusion_pairs)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        rrf_fusion_pairs,
+    )
+
+    return rrf_fusion_pairs(_t(spark, sf_dir, "documents"))

@@ -146,3 +146,29 @@ class TestClusterQuota:
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
         # cluster_size counts ALL members, not just picked ones
         assert sum(v[0]["cluster_size"] for v in by_cluster.values()) == 40
+
+
+class TestRrfFusion:
+    def test_multi_signal_pairs_rank_fusion(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            rrf_fusion_pairs,
+        )
+
+        base = TestRetsimPairs.BASE
+        docs = _docs(
+            spark,
+            [
+                (1, base),
+                (2, base.replace("stone", "wooden")),  # caught by all tiers
+                (3, "entirely different text about columnar engines and "
+                    "shuffle hash joins in distributed query execution"),
+            ],
+        )
+        rows = rrf_fusion_pairs(docs, tau=0.9).collect()
+        fused = {(r["id_a"], r["id_b"]): r for r in rows}
+        assert (1, 2) in fused
+        r = fused[(1, 2)]
+        assert r["n_signals"] >= 2
+        # every present signal ranks the pair first -> rrf ~ n/(60+1)
+        assert abs(r["rrf"] - r["n_signals"] / 61.0) < 1e-6
+        assert not any(3 in p for p in fused)

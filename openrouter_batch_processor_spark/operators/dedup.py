@@ -402,7 +402,25 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over LSH candidates (verify stage).
 
     |A ∩ B| from a shingle-level self-join restricted to candidate
-    pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs."""
+    pairs; |A ∪ B| = |A| + |B| - |A∩B|. Never computes all-pairs.
+    The verified pair table is session-staged keyed on (docs plan,
+    threshold) — the jaccard report, multisignal and RRF fusion
+    consume the same stage (operators/staging.py)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"jaccard_pairs:{threshold}:{id_col}",
+        lambda d: _ngram_jaccard_pairs(d, id_col, text_col, threshold),
+    )
+
+
+def _ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
     cand = staged_candidate_pairs(docs, id_col, text_col)
     arrs = shingle_sets(docs, id_col, text_col)
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -783,7 +801,29 @@ def simhash_near_pairs(
       of n.
 
     Defaults reproduce the audited dedup_simhash_pairs semantics
-    (4×8-bit bands, no cap)."""
+    (4×8-bit bands, no cap). The verified pair table is session-staged
+    keyed on (docs plan, params) — the pair report and the RRF fusion
+    consume the same stage (operators/staging.py)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    return staged_from(
+        docs.select(id_col, text_col),
+        f"simhash_pairs:{max_hamming}:{n_bands}:{bits}:{bucket_cap}:{id_col}",
+        lambda d: _simhash_near_pairs(
+            d, max_hamming, n_bands, bits, bucket_cap, id_col, text_col
+        ),
+    )
+
+
+def _simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    n_bands: int,
+    bits: int,
+    bucket_cap: int | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
     bits_per_band = bits // n_bands
     mask = (1 << bits_per_band) - 1
     sh = simhash(docs, id_col, text_col, bits)
@@ -1637,12 +1677,14 @@ def minhash_estimator_audit(
 
 
 RETSIM_DIM = 64
-RETSIM_POW2 = tuple(2**i for i in range(16))
+RETSIM_BANDS = 4
+RETSIM_POW2 = tuple(2**i for i in range(32))
 
 
 def retsim_style_pairs(
     docs: DataFrame,
     tau: float = 0.8,
+    n_bands: int = RETSIM_BANDS,
     bucket_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1657,21 +1699,59 @@ def retsim_style_pairs(
 
     Pipeline, all exact integers until the final cosine: trigram ->
     (bucket, sign) via md5 arithmetic -> per-doc sparse (bucket, val)
-    features -> 4x16-bit sign-bit band keys (the doc's own positive
-    buckets; an all-absent band emits no key) -> banded candidate
-    self-join (never all-pairs) -> exact integer dot on the sparse
-    features -> cosine = dot / sqrt(ss_a*ss_b) rounded 6 dp, kept at
-    >= tau. EXACT duplicates (equal normalized-text md5) are excluded:
-    they belong to the exact tier (X1); this is the fallback that
-    catches what edit-granular tiers miss. All products stay < 2^53
-    (ss <= 64 * n_trigrams^2), so the doubles are exact.
+    features -> n_bands sign-bit band keys of width 64/n_bands (the
+    doc's own positive buckets; an all-absent band emits no key) ->
+    banded candidate self-join (never all-pairs) -> exact integer dot
+    on the sparse features -> cosine = dot / sqrt(ss_a*ss_b) rounded
+    6 dp, kept at >= tau. EXACT duplicates (equal normalized-text md5)
+    are excluded: they belong to the exact tier (X1); this is the
+    fallback that catches what edit-granular tiers miss. All products
+    stay < 2^53 (ss <= 64 * n_trigrams^2), so the doubles are exact.
 
-    Scale: candidate volume is sum of C(bucket_size, 2) over 65536-key
-    band buckets — the proven `_wide16` regime; ``bucket_cap`` prunes
-    saturated (boilerplate) buckets like simhash_near_pairs. Feature
-    and dot stages shuffle on doc id / 6-bit bucket only."""
+    ``n_bands`` is the scale dial (the simhash band-width finding):
+    sign patterns of common-English trigram buckets cluster, so the
+    default 4x16-bit keys yield 497k candidates on 5k sf0.1 docs (one
+    524-doc bucket); n_bands=2 (32-bit keys) cuts that to 4.9k at 93%
+    of the pair yield. Measured cold wall is WITHIN NOISE of the wide
+    setting at sf0.1 (5.9 s vs 7.3 s — the dot join parallelizes), so
+    the default keeps full recall and the dial exists for corpora
+    where candidates, not features, dominate; ``bucket_cap``
+    additionally prunes saturated (boilerplate) buckets like
+    simhash_near_pairs. The unthresholded score table is
+    session-staged (operators/staging.py) so the pair query and the
+    RRF fusion consumer compute it once. Feature and dot stages
+    shuffle on doc id / 6-bit bucket only."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        return _retsim_scores(d, n_bands, bucket_cap, id_col, text_col)
+
+    scores = staged_from(
+        docs.select(id_col, text_col),
+        f"retsim_scores:{n_bands}:{bucket_cap}:{id_col}:{text_col}",
+        _build,
+    )
+    return scores.filter(F.col("cosine") >= tau)
+
+
+def _retsim_scores(
+    docs: DataFrame,
+    n_bands: int,
+    bucket_cap: int | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Unthresholded (id_a, id_b, cosine) over the banded candidates —
+    the staged table retsim_style_pairs and rrf_fusion_pairs share."""
     from openrouter_batch_processor_spark.functions.hashing import normalize_text
 
+    width = RETSIM_DIM // n_bands
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        # single-file inputs otherwise run the 1.5M-row trigram explode
+        # on one task (the max_coverage staging lesson)
+        docs = docs.repartition(par)
     nm = docs.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("_nrm")
     ).filter(F.length("_nrm") >= 3)
@@ -1703,12 +1783,12 @@ def retsim_style_pairs(
     sig = ft.groupBy(id_col, "fp").agg(
         F.sum(F.col("val") * F.col("val")).cast("long").alias("ss")
     )
-    pow2 = F.lit(list(RETSIM_POW2))
+    pow2 = F.lit(list(RETSIM_POW2[:width]))
     bands = (
         ft.filter(F.col("val") > 0)
-        .groupBy(id_col, (F.col("bucket") / 16).cast("long").alias("band_id"))
+        .groupBy(id_col, (F.col("bucket") / width).cast("long").alias("band_id"))
         .agg(
-            F.sum(F.element_at(pow2, (F.col("bucket") % 16 + 1).cast("int")))
+            F.sum(F.element_at(pow2, (F.col("bucket") % width + 1).cast("int")))
             .cast("long")
             .alias("bv")
         )
@@ -1755,7 +1835,6 @@ def retsim_style_pairs(
                 F.col("dot") / F.sqrt(F.col("ss_a") * F.col("ss_b")), 6
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= tau)
     )
 
 

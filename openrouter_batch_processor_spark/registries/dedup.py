@@ -693,8 +693,10 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETSIM_POW2_SQL = "[" + ", ".join(str(2**i) for i in range(16)) + "]"
 
-# RETSim-style hashed-trigram pair chain, r-prefixed so it composes with
-# the shingle/simhash CTEs in the RRF fusion query without name clashes.
+# RETSim-style hashed-trigram pair chain (4x16-bit sign bands; the
+# band-width dial lives on operators/dedup.retsim_style_pairs), r-prefixed
+# so it composes with the shingle/simhash CTEs in the RRF fusion query
+# without name clashes.
 # Ends at rpairs(id_a, id_b, cosine): every banded candidate pair with
 # its exact cosine, exact duplicates excluded; consumers apply tau.
 _RETSIM_CTE = f"""

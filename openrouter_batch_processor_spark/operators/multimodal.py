@@ -765,3 +765,49 @@ def audio_fingerprint_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_matches)
     )
+
+
+def scene_cuts(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    threshold: int = 5000,
+) -> DataFrame:
+    """Scene-change detection over sampled video frames: a cut is a
+    frame whose feature distance from the previous frame exceeds
+    ``threshold`` — the standard shot-boundary heuristic (a real build
+    compares decoded-frame color histograms; here the per-frame feature
+    is the deterministic energy stat derived from the frame checksum,
+    the window_audio convention, so the whole mapInPandas-then-window
+    pipeline is value-checkable in SQL).
+
+    Plan: sample_frames (1-in/N-out mapInPandas, frame count bounded
+    per media) -> per-media lag window (colocated — frames of one
+    video never shuffle apart) -> cut rows. Output volume is
+    cut-bounded, not frame-bounded. At 100 TB each video's frames stay
+    one partition-local group; the corpus dimension parallelizes
+    across media ids."""
+    frames = sample_frames(media, every_n_bytes=every_n_bytes)
+    energy = (
+        F.conv(F.substring("frame_checksum", 1, 6), 16, 10).cast("long") % 10000
+    ).alias("energy")
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    e = frames.select("media_id", "frame_no", energy)
+    return (
+        e.select(
+            "media_id",
+            "frame_no",
+            "energy",
+            F.lag("energy").over(w).alias("prev_energy"),
+        )
+        .filter(
+            F.col("prev_energy").isNotNull()
+            & (F.abs(F.col("energy") - F.col("prev_energy")) > threshold)
+        )
+        .select(
+            "media_id",
+            F.col("frame_no").alias("cut_frame"),
+            "prev_energy",
+            "energy",
+            F.abs(F.col("energy") - F.col("prev_energy")).cast("long").alias("delta"),
+        )
+    )

@@ -2382,3 +2382,103 @@ def ivf_balance_report(
         ).alias("imbalance_factor"),
         F.round(F.col("sq") / F.col("nn"), 6).alias("exp_probe_rows"),
     )
+
+
+def linear_cka_split(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    split_dim: int = 32,
+) -> DataFrame:
+    """Linear CKA between the first and second halves of the embedding
+    space (Kornblith et al. 2019, "Similarity of Neural Network
+    Representations Revisited"): CKA(A,B) = ||cov(A,B)||_F^2 /
+    (||cov(A,A)||_F ||cov(B,B)||_F) — the representation-similarity
+    audit. Split-half CKA near 1 means the two halves encode the same
+    geometry (redundant dims, a candidate for JL/PQ compression);
+    near 0 means they carry independent structure.
+
+    Plan shape is the covariance classic: posexplode (dim-bounded
+    fan-out) -> per-dim means (64-row broadcast) -> ONE self-join on
+    vec_id filtered to i <= j (upper-triangle: d(d+1)/2 = 2080
+    products per vector, each a combiner-groupBy cell) -> d^2-cell
+    Frobenius folds. O(n * d^2/2) work, no corpus-sized shuffle beyond
+    the id-colocated self-join. Cross-engine: raw products accumulate
+    as DECIMAL(38,10) casts (the emb_dim_stats recipe); centered cells
+    and their squares are per-cell doubles of those exact sums, folded
+    9-dp by block, so every reduction is order-independent."""
+    d = embeddings.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "fval"),
+    ).select("vid", "dim", F.col("fval").cast("double").alias("x"))
+    means = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    a = d.select("vid", F.col("dim").alias("i"), F.col("x").alias("xi"))
+    b = d.select("vid", F.col("dim").alias("j"), F.col("x").alias("xj"))
+    sp = (
+        a.join(b, "vid")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,10)")).alias("sp")
+        )
+    )
+    mi = means.select(F.col("dim").alias("i"), F.col("mu").alias("mi"), "n")
+    mj = means.select(F.col("dim").alias("j"), F.col("mu").alias("mj"))
+    cells = (
+        sp.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sp").cast("double")
+                - F.col("n") * F.col("mi") * F.col("mj")
+            ).alias("cc"),
+        )
+    )
+    half = F.lit(split_dim)
+    block = (
+        F.when((F.col("i") < half) & (F.col("j") < half), F.lit("aa"))
+        .when((F.col("i") >= half) & (F.col("j") >= half), F.lit("bb"))
+        .otherwise(F.lit("ab"))
+    )
+    # off-diagonal upper-triangle cells stand for both (i,j) and (j,i)
+    # in the symmetric within-half blocks; cross-block cells appear once
+    weight = F.when(
+        (block != "ab") & (F.col("i") != F.col("j")), F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    fro = (
+        cells.select(
+            block.alias("blk"),
+            "n",
+            F.round(weight * F.col("cc") * F.col("cc"), 9)
+            .cast("decimal(38,9)")
+            .alias("_f9"),
+        )
+        .groupBy("blk")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("_f9").cast("double").alias("fro"),
+        )
+    )
+    p = (
+        fro.groupBy("n")
+        .pivot("blk", ["aa", "bb", "ab"])
+        .agg(F.first("fro"))
+    )
+    return p.select(
+        F.col("n").alias("n_vecs"),
+        F.round("ab", 6).alias("fro_ab"),
+        F.round("aa", 6).alias("fro_aa"),
+        F.round("bb", 6).alias("fro_bb"),
+        F.round(
+            F.col("ab") / F.sqrt(F.col("aa") * F.col("bb")), 6
+        ).alias("cka"),
+    )

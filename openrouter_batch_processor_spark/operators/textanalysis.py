@@ -3104,3 +3104,57 @@ def langid_prf(docs: DataFrame) -> DataFrame:
         ).alias("macro_f1")
     )
     return scored.crossJoin(F.broadcast(macro))
+
+
+def distinct_ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dist-1 / Dist-2 corpus diversity per source (Li et al. 2016,
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models"): distinct n-grams over total n-grams — the degenerate-
+    repetition screen a generation-heavy corpus needs (a crawl of
+    templated pages scores low dist-2 long before exact dedup fires).
+
+    Tokens are the corpus-standard normalized whitespace split;
+    bigrams pair consecutive tokens inside each doc (never across doc
+    boundaries). Both levels reduce with combiner groupBys on
+    (source, gram) — count_distinct never holds a per-group set, it is
+    the two-stage distinct aggregate — so the shape is shuffle-bounded
+    by distinct-gram volume, not corpus volume."""
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    toks = docs.select(
+        "source", F.split(normalize_text(F.col(text_col)), " ").alias("tk")
+    ).filter(F.size("tk") > 0)
+    uni = toks.select("source", F.explode("tk").alias("g")).filter(
+        F.col("g") != ""
+    )
+    bi = toks.filter(F.size("tk") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                lambda t, i: F.concat(
+                    t, F.lit(" "), F.element_at(F.col("tk"), i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unigrams"),
+        F.count_distinct("g").cast("long").alias("v_unigrams"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.count_distinct("g").cast("long").alias("v_bigrams"),
+    )
+    return (
+        u.join(b, "source")
+        .select(
+            "source",
+            "n_unigrams",
+            "v_unigrams",
+            F.round(F.col("v_unigrams") / F.col("n_unigrams"), 6).alias("dist1"),
+            "n_bigrams",
+            "v_bigrams",
+            F.round(F.col("v_bigrams") / F.col("n_bigrams"), 6).alias("dist2"),
+        )
+    )

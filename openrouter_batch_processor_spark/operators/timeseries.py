@@ -1635,3 +1635,430 @@ def welch_ttest(events: DataFrame, value_col: str = "value") -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(df, 6).alias("welch_df"),
     )
+
+
+def kruskal_wallis(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kruskal-Wallis H test of value across event_types (Kruskal &
+    Wallis 1952): the rank-based k-sample location test — the
+    nonparametric ANOVA that backs "do these streams draw from the
+    same distribution?" without normality assumptions.
+
+    Midranks come off the integer-cents VALUE HISTOGRAM (the Mood's
+    median shape): rank2(cv) = 2*cum - cnt + 1 is twice the midrank,
+    an exact BIGINT, so rank sums are exact integers and the tie
+    correction folds cnt^3 terms as DECIMAL(38,0). The histogram is
+    value-domain-bounded, never event-volume-bounded — the only
+    corpus-sized stages are two combiner groupBys (cv histogram,
+    per-type rank sums) and a broadcast rank-lookup join. H and the
+    tie-corrected H are double expressions of exact integers, folded
+    9-dp across the k group terms."""
+    cents = events.select(
+        "event_type", F.round(F.col(value_col) * 100).cast("long").alias("cv")
+    )
+    hist = cents.groupBy("cv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = hist.select(
+        "cv",
+        "cnt",
+        (2 * F.sum("cnt").over(wcum) - F.col("cnt") + 1).cast("long").alias("mr2"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+            - F.col("cnt").cast("decimal(38,0)")
+        ).alias("tie_sum"),
+    )
+    grp = (
+        cents.join(F.broadcast(ranks.select("cv", "mr2")), "cv")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("mr2").cast("long").alias("r2"),
+        )
+    )
+    # per-group H term: R_j^2 / n_j with R_j = r2/2 (exact-int doubles)
+    term = (
+        F.col("r2").cast("double") * F.col("r2").cast("double")
+        / (F.lit(4.0) * F.col("n"))
+    )
+    scored = grp.select(
+        "event_type",
+        "n",
+        (F.col("r2") / F.lit(2.0)).alias("rank_sum"),
+        F.round(F.col("r2") / (F.lit(2.0) * F.col("n")), 6).alias("mean_rank"),
+        F.round(term, 9).cast("decimal(28,9)").alias("_t9"),
+    )
+    folded = scored.agg(F.sum("_t9").cast("double").alias("term_sum"))
+    h = folded.crossJoin(F.broadcast(tot)).select(
+        (
+            F.lit(12.0)
+            / (F.col("nn").cast("double") * (F.col("nn") + 1))
+            * F.col("term_sum")
+            - 3 * (F.col("nn").cast("double") + 1)
+        ).alias("_h"),
+        (
+            F.lit(1.0)
+            - F.col("tie_sum").cast("double")
+            / (
+                F.col("nn").cast("double") * F.col("nn").cast("double")
+                * F.col("nn").cast("double")
+                - F.col("nn").cast("double")
+            )
+        ).alias("_c"),
+    )
+    stats = h.select(
+        F.round(F.col("_h"), 6).alias("h_stat"),
+        F.round(F.col("_h") / F.col("_c"), 6).alias("h_tie_corrected"),
+    )
+    return scored.drop("_t9").crossJoin(F.broadcast(stats))
+
+
+def brown_forsythe(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across event_types
+    (Brown & Forsythe 1974): one-way ANOVA F on absolute deviations
+    from each GROUP MEDIAN — the robust Levene variant that screens
+    "equal spread?" before pooled-variance tests.
+
+    Group medians are exact off per-type integer-cents histograms
+    (cumulative window PARTITIONED BY event_type — colocated,
+    domain-bounded); |cv - med| keeps everything BIGINT through the
+    (n, S, Q) group triples, so the F statistic is a double expression
+    of exact integers with the k between/within terms folded 9-dp."""
+    cents = events.select(
+        "event_type", F.round(F.col(value_col) * 100).cast("long").alias("cv")
+    )
+    ghist = cents.groupBy("event_type", "cv").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wg = (
+        Window.partitionBy("event_type")
+        .orderBy("cv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = ghist.select(
+        "event_type",
+        "cv",
+        F.sum("cnt").over(wg).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("ng"),
+    )
+    meds = (
+        cum.filter(F.col("cum") >= F.floor((F.col("ng") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.min("cv").alias("med_cv"))
+    )
+    z = cents.join(F.broadcast(meds), "event_type").select(
+        "event_type", F.abs(F.col("cv") - F.col("med_cv")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qz"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sz").cast("long").alias("szz"),
+    )
+    t = g.crossJoin(F.broadcast(tot))
+    zbar_g = F.col("sz").cast("double") / F.col("n")
+    zbar = F.col("szz").cast("double") / F.col("nn")
+    between = F.col("n") * (zbar_g - zbar) * (zbar_g - zbar)
+    within = F.col("qz").cast("double") - F.col("sz").cast("double") * F.col(
+        "sz"
+    ).cast("double") / F.col("n")
+    scored = t.select(
+        "event_type",
+        "n",
+        "k",
+        "nn",
+        F.round(between, 9).cast("decimal(28,9)").alias("_b9"),
+        F.round(within, 9).cast("decimal(28,9)").alias("_w9"),
+        F.round(zbar_g / F.lit(100.0), 6).alias("mean_absdev"),
+    )
+    fst = scored.groupBy("k", "nn").agg(
+        F.sum("_b9").cast("double").alias("bsum"),
+        F.sum("_w9").cast("double").alias("wsum"),
+    )
+    fval = fst.select(
+        F.round(
+            (F.col("bsum") / (F.col("k") - 1))
+            / (F.col("wsum") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+    )
+    meds_out = meds.select(
+        "event_type", (F.col("med_cv") / F.lit(100.0)).alias("group_median")
+    )
+    return (
+        scored.select("event_type", "n", "mean_absdev")
+        .join(F.broadcast(meds_out), "event_type")
+        .crossJoin(F.broadcast(fval))
+        .select(
+            "event_type", "n", "group_median", "mean_absdev",
+            "f_stat", "df1", "df2",
+        )
+    )
+
+
+def kendall_tau_binned(
+    events: DataFrame, value_col: str = "value", value_bin_cents: int = 1000
+) -> DataFrame:
+    """Kendall's tau-b between hour-of-day and value, on binned data
+    (Kendall 1945's tau-b handles the ties binning creates; midrank
+    pair-counting over a JOINT HISTOGRAM is the standard grouped-data
+    form). Complements the Pearson (events_corr_hour_value) and
+    Spearman (audit_spearman_quality_len) screens with the
+    concordance-based monotonic-association measure.
+
+    The corpus pass is ONE combiner groupBy into a (24 x value-bins)
+    joint histogram; concordant/discordant weights come from the
+    histogram's self-join — cell-count-squared work on a
+    domain-bounded table (never an event-pair join), the shape that
+    survives any corpus size. Counts and pair sums are exact BIGINT;
+    tau-b's denominator is a double sqrt of exact-int doubles (each
+    < 2^53 before the multiply)."""
+    cells = (
+        events.select(
+            F.hour("ts").cast("long").alias("x"),
+            (F.round(F.col(value_col) * 100).cast("long") / value_bin_cents)
+            .cast("long")
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("cnt").alias("na")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("cnt").alias("nb")
+    )
+    # ordered cell pairs with xa < xb: each unordered event pair with
+    # distinct x appears exactly once
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("na") * F.col("nb")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    xm = cells.groupBy("x").agg(F.sum("cnt").cast("long").alias("t"))
+    ym = cells.groupBy("y").agg(F.sum("cnt").cast("long").alias("t"))
+    tx = xm.agg(
+        F.sum("t").cast("long").alias("nn"),
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"),
+    )
+    ty = ym.agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0 = F.col("nn").cast("double") * (F.col("nn") - 1) / 2
+    return j.select(
+        "nn",
+        "concordant",
+        "discordant",
+        "n1",
+        "n2",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def theta_forecast(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Theta-method one-step forecast of the daily event count per
+    event_type (Assimakopoulos & Nikolopoulos 2000, the M3 winner;
+    Hyndman & Billah 2003 show it equals SES-with-drift): theta0 line
+    = OLS trend, theta2 line z_t = 2*y_t - (a + b*t), SES(alpha) on z,
+    forecast = (SES + trend extension) / 2.
+
+    The daily rollup is a combiner groupBy; t-indexing and the SES
+    fold are windows PARTITIONED BY event_type over day-count-bounded
+    series. OLS moments (St, Stt, Sy, Sty) are exact BIGINT; the SES
+    closed form sum_t w_t z_t uses alpha = 0.5 so every weight is an
+    exact power of two, and the day-bounded fold is 9-dp-decimal
+    summed — engine-identical."""
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "y", F.row_number().over(wt).cast("long").alias("t")
+    )
+    ols = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    slope = (
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    )
+    fit = ols.select(
+        "event_type",
+        "n",
+        slope.alias("b"),
+        ((F.col("sy") - slope * F.col("st")) / F.col("n")).alias("a"),
+    )
+    z = idx.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "n",
+        "a",
+        "b",
+        F.col("t"),
+        (2 * F.col("y") - (F.col("a") + F.col("b") * F.col("t"))).alias("z"),
+    )
+    # SES closed form: l_n = sum_{t=2..n} a(1-a)^{n-t} z_t + (1-a)^{n-1} z_1
+    w = F.when(
+        F.col("t") == 1, F.pow(F.lit(1.0 - alpha), F.col("n") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("n") - F.col("t")))
+    terms = z.select(
+        "event_type",
+        "n",
+        "a",
+        "b",
+        F.round(w * F.col("z"), 9).cast("decimal(28,9)").alias("_t9"),
+    )
+    ses = terms.groupBy("event_type", "n", "a", "b").agg(
+        F.sum("_t9").cast("double").alias("ses_theta2")
+    )
+    return ses.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 6).alias("intercept"),
+        F.round("ses_theta2", 6).alias("ses_theta2"),
+        F.round(
+            (F.col("ses_theta2") + F.col("a") + F.col("b") * (F.col("n") + 1))
+            / 2.0,
+            6,
+        ).alias("forecast_next"),
+    )
+
+
+def kaplan_meier_sessions(
+    events: DataFrame, gap_s: int = 1800, censor_tail_s: int = 1800
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user-session durations (Kaplan &
+    Meier 1958, the product-limit estimator): sessions are 30-min-gap
+    sessionized event runs; a session whose last event falls within
+    ``censor_tail_s`` of the corpus end is RIGHT-CENSORED (it may
+    still be running — dropping it would bias long sessions down,
+    the classic survival-analysis trap).
+
+    Sessionization is the events_session_paths shape (per-user
+    windows, colocated). The estimator itself runs on the DURATION
+    HISTOGRAM — duration-domain-bounded, never session-volume-bounded:
+    at-risk counts are a reverse cumulative, and S(t) folds
+    ln((n-d)/n) per death time 9-dp-decimal through a cumulative
+    window before one exp at the edge. Output: one row per distinct
+    observed-death duration."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ep.alias("ep"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (ep - F.floor(F.unix_timestamp(F.lag("ts").over(w))).cast("long") > gap_s),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ep",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    gmax = events.agg(F.max(ep).alias("gmax"))
+    durs = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ep").alias("smin"), F.max("ep").alias("smax"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.floor((F.col("smax") - F.col("smin")) / 60).cast("long").alias("dur"),
+            (F.col("smax") > F.col("gmax") - censor_tail_s)
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    hist = durs.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = hist.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.sum("m").over(wall).cast("long")
+            - F.sum("m").over(wcum).cast("long")
+            + F.col("m")
+        ).alias("n_at_risk"),
+    )
+    deaths = risk.filter(F.col("d") > 0)
+    wsurv = Window.orderBy("duration_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # a death time that empties the risk set would be ln(0): flag it
+    # instead (survival is exactly 0 from there on) so the decimal fold
+    # never sees -inf
+    lnterm = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    return deaths.select(
+        F.col("dur").alias("duration_min"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        lnterm.alias("_ln9"),
+        (F.col("d") >= F.col("n_at_risk")).cast("int").alias("_zero"),
+    ).select(
+        "duration_min",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.max("_zero").over(wsurv) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("_ln9").over(wsurv).cast("double")), 6))
+        .alias("survival"),
+    )

@@ -1516,3 +1516,54 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hill_tail_index(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_cka_split",
+    """
+    WITH offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    d AS (SELECT e.vec_id AS vid, o.dim,
+                 (e.embedding::DOUBLE[])[o.dim + 1] AS x
+          FROM embeddings e CROSS JOIN offs o),
+    m AS (SELECT dim, count(*)::BIGINT AS n,
+                 sum(x::DECIMAL(28,10))::DOUBLE / count(*) AS mu
+          FROM d GROUP BY dim),
+    sp AS (SELECT a.dim AS i, b.dim AS j,
+                  sum((a.x * b.x)::DECIMAL(38,10)) AS sp
+           FROM d a JOIN d b ON a.vid = b.vid AND a.dim <= b.dim
+           GROUP BY 1, 2),
+    cells AS (SELECT sp.i, sp.j, mi.n,
+                     sp.sp::DOUBLE - mi.n * mi.mu * mj.mu AS cc
+              FROM sp JOIN m mi ON mi.dim = sp.i
+                      JOIN m mj ON mj.dim = sp.j),
+    fro AS (SELECT CASE WHEN i < 32 AND j < 32 THEN 'aa'
+                        WHEN i >= 32 AND j >= 32 THEN 'bb'
+                        ELSE 'ab' END AS blk,
+                   max(n)::BIGINT AS n,
+                   sum(round(CASE WHEN i != j
+                                       AND NOT (i < 32 AND j >= 32)
+                                  THEN 2.0 ELSE 1.0 END * cc * cc,
+                             9)::DECIMAL(38,9))::DOUBLE AS fro
+            FROM cells GROUP BY 1)
+    SELECT max(n)::BIGINT AS n_vecs,
+           round(max(CASE WHEN blk = 'ab' THEN fro END), 6) AS fro_ab,
+           round(max(CASE WHEN blk = 'aa' THEN fro END), 6) AS fro_aa,
+           round(max(CASE WHEN blk = 'bb' THEN fro END), 6) AS fro_bb,
+           round(max(CASE WHEN blk = 'ab' THEN fro END)
+                 / sqrt(max(CASE WHEN blk = 'aa' THEN fro END)
+                        * max(CASE WHEN blk = 'bb' THEN fro END)), 6) AS cka
+    FROM fro
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "G2", "J3"],
+)
+def q_cka_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA between the two 32-dim halves of the embedding space
+    (Kornblith et al. 2019) — the representation-redundancy audit that
+    tells whether JL/PQ compression is safe. Upper-triangle covariance
+    self-join colocated on vec_id; d^2-cell Frobenius folds
+    (operators/similarity.linear_cka_split)."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        linear_cka_split,
+    )
+
+    return linear_cka_split(_t(spark, sf_dir, "embeddings"))

@@ -1563,3 +1563,229 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.timeseries import welch_ttest
 
     return welch_ttest(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_kruskal_wallis",
+    """
+    WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
+    h AS (SELECT cv, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+    r AS (SELECT cv, cnt,
+                 (2 * sum(cnt) OVER (ORDER BY cv ROWS UNBOUNDED PRECEDING)
+                  - cnt + 1)::BIGINT AS mr2
+          FROM h),
+    tot AS (SELECT sum(cnt)::BIGINT AS nn,
+                   sum(cnt::HUGEINT * cnt * cnt - cnt) AS tie_sum FROM h),
+    g AS (SELECT event_type, count(*)::BIGINT AS n, sum(mr2)::BIGINT AS r2
+          FROM c JOIN r USING (cv) GROUP BY 1),
+    s AS (SELECT event_type, n, r2 / 2.0 AS rank_sum,
+                 round(r2 / (2.0 * n), 6) AS mean_rank,
+                 round(r2::DOUBLE * r2::DOUBLE / (4.0 * n), 9)::DECIMAL(28,9) AS t9
+          FROM g),
+    f AS (SELECT sum(t9)::DOUBLE AS term_sum FROM s),
+    hh AS (SELECT 12.0 / (nn::DOUBLE * (nn + 1)) * term_sum
+                    - 3 * (nn::DOUBLE + 1) AS h_,
+                  1.0 - tie_sum::DOUBLE
+                        / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) AS c_
+           FROM f CROSS JOIN tot)
+    SELECT event_type, n, rank_sum, mean_rank,
+           round(h_, 6) AS h_stat, round(h_ / c_, 6) AS h_tie_corrected
+    FROM s CROSS JOIN hh
+    """,
+    ops=["EXT-audit", "G2", "O3"],
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across event_types: midranks off the
+    integer-cents value histogram (domain-bounded, the Mood's-median
+    shape), exact BIGINT rank sums, tie-corrected H
+    (operators/timeseries.kruskal_wallis)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        kruskal_wallis,
+    )
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_brown_forsythe",
+    """
+    WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
+    gh AS (SELECT event_type, cv, count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2),
+    cm AS (SELECT event_type, cv,
+                  (sum(cnt) OVER (PARTITION BY event_type ORDER BY cv
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                  (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS ng
+           FROM gh),
+    md AS (SELECT event_type, min(cv)::BIGINT AS med_cv
+           FROM cm WHERE cum >= (ng + 1) // 2 GROUP BY 1),
+    z AS (SELECT c.event_type, abs(cv - med_cv)::BIGINT AS z
+          FROM c JOIN md USING (event_type)),
+    g AS (SELECT event_type, count(*)::BIGINT AS n, sum(z)::BIGINT AS sz,
+                 sum(z * z)::BIGINT AS qz
+          FROM z GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                   sum(sz)::BIGINT AS szz FROM g),
+    sc AS (SELECT event_type, n, k, nn,
+                  round(n * (sz::DOUBLE / n - szz::DOUBLE / nn)
+                          * (sz::DOUBLE / n - szz::DOUBLE / nn),
+                        9)::DECIMAL(28,9) AS b9,
+                  round(qz::DOUBLE - sz::DOUBLE * sz::DOUBLE / n,
+                        9)::DECIMAL(28,9) AS w9,
+                  round(sz::DOUBLE / n / 100.0, 6) AS mean_absdev
+           FROM g CROSS JOIN tot),
+    fv AS (SELECT round((sum(b9)::DOUBLE / (k - 1))
+                        / (sum(w9)::DOUBLE / (nn - k)), 6) AS f_stat,
+                  (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2
+           FROM sc GROUP BY k, nn)
+    SELECT sc.event_type, sc.n, md.med_cv / 100.0 AS group_median,
+           sc.mean_absdev, fv.f_stat, fv.df1, fv.df2
+    FROM sc JOIN md USING (event_type) CROSS JOIN fv
+    """,
+    ops=["EXT-audit", "G2", "O3"],
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity F across event_types:
+    per-type exact medians off colocated cents histograms, BIGINT
+    absolute-deviation moments
+    (operators/timeseries.brown_forsythe)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        brown_forsythe,
+    )
+
+    return brown_forsythe(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT extract(hour FROM ts)::BIGINT AS x,
+             ((round(value * 100))::BIGINT // 1000)::BIGINT AS y,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2),
+    cd AS (SELECT sum(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END)::BIGINT
+                    AS concordant,
+                  sum(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END)::BIGINT
+                    AS discordant
+           FROM cells a JOIN cells b ON a.x < b.x),
+    tx AS (SELECT sum(t)::BIGINT AS nn, sum(t * (t - 1) // 2)::BIGINT AS n1
+           FROM (SELECT sum(cnt)::BIGINT AS t FROM cells GROUP BY x) mx),
+    ty AS (SELECT sum(t * (t - 1) // 2)::BIGINT AS n2
+           FROM (SELECT sum(cnt)::BIGINT AS t FROM cells GROUP BY y) my)
+    SELECT nn, concordant, discordant, n1, n2,
+           round((concordant - discordant)
+                 / sqrt((nn::DOUBLE * (nn - 1) / 2 - n1)
+                        * (nn::DOUBLE * (nn - 1) / 2 - n2)), 6) AS tau_b
+    FROM cd CROSS JOIN tx CROSS JOIN ty
+    """,
+    ops=["EXT-audit", "G2", "J2"],
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between hour-of-day and binned value: pair
+    counting over the domain-bounded joint histogram's self-join —
+    never an event-pair join (operators/timeseries.kendall_tau_binned)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        kendall_tau_binned,
+    )
+
+    return kendall_tau_binned(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_theta_forecast",
+    """
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          count(*)::BIGINT AS y
+                   FROM events GROUP BY 1, 2),
+    idx AS (SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT
+                     AS t
+            FROM daily),
+    ols AS (SELECT event_type, count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+                   sum(t * t)::BIGINT AS stt, sum(y)::BIGINT AS sy,
+                   sum(t * y)::BIGINT AS sty
+            FROM idx GROUP BY 1),
+    fit AS (SELECT event_type, n,
+                   (n * sty - st * sy)::DOUBLE / (n * stt - st * st)::DOUBLE AS b,
+                   (sy - (n * sty - st * sy)::DOUBLE
+                           / (n * stt - st * st)::DOUBLE * st) / n AS a
+            FROM ols),
+    z AS (SELECT i.event_type, f.n, f.a, f.b, i.t,
+                 2 * i.y - (f.a + f.b * i.t) AS z
+          FROM idx i JOIN fit f USING (event_type)),
+    terms AS (SELECT event_type, n, a, b,
+                     round(CASE WHEN t = 1 THEN pow(0.5, n - 1)
+                                ELSE 0.5 * pow(0.5, n - t) END * z,
+                           9)::DECIMAL(28,9) AS t9
+              FROM z),
+    ses AS (SELECT event_type, n, a, b, sum(t9)::DOUBLE AS ses_theta2
+            FROM terms GROUP BY 1, 2, 3, 4)
+    SELECT event_type, n AS n_days, round(b, 6) AS slope,
+           round(a, 6) AS intercept, round(ses_theta2, 6) AS ses_theta2,
+           round((ses_theta2 + a + b * (n + 1)) / 2.0, 6) AS forecast_next
+    FROM ses
+    """,
+    ops=["EXT-timeseries", "G2", "W1"],
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method one-step daily forecast per event_type: exact
+    BIGINT OLS moments + alpha=0.5 SES whose weights are exact powers
+    of two (operators/timeseries.theta_forecast)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        theta_forecast,
+    )
+
+    return theta_forecast(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_kaplan_meier",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT
+                          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, ep,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+             FROM flagged),
+    gm AS (SELECT max(floor(epoch(ts))::BIGINT) AS gmax FROM events),
+    durs AS (SELECT ((max(ep) - min(ep)) // 60)::BIGINT AS dur,
+                    (max(ep) > (SELECT gmax FROM gm) - 1800)::INT AS censored
+             FROM sess GROUP BY user_id, session_id),
+    hist AS (SELECT dur, sum(1 - censored)::BIGINT AS d,
+                    sum(censored)::BIGINT AS c, count(*)::BIGINT AS m
+             FROM durs GROUP BY dur),
+    risk AS (SELECT dur, d, c,
+                    (sum(m) OVER ()
+                     - sum(m) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                     + m)::BIGINT AS n_at_risk
+             FROM hist),
+    death AS (SELECT dur, d, c, n_at_risk,
+                     CASE WHEN d < n_at_risk
+                          THEN round(ln((n_at_risk - d)::DOUBLE
+                                        / n_at_risk::DOUBLE), 9)::DECIMAL(28,9)
+                     END AS ln9,
+                     (d >= n_at_risk)::INT AS zero
+              FROM risk WHERE d > 0)
+    SELECT dur AS duration_min, n_at_risk, d AS n_events, c AS n_censored,
+           CASE WHEN max(zero) OVER wc = 1 THEN 0.0
+                ELSE round(exp((sum(ln9) OVER wc)::DOUBLE), 6) END AS survival
+    FROM death WINDOW wc AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    """,
+    ops=["EXT-sessions", "EXT-audit", "G2", "T1", "W1"],
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of 30-min-gap session durations with
+    right-censoring at the corpus tail: product-limit over the
+    duration-domain-bounded histogram
+    (operators/timeseries.kaplan_meier_sessions)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        kaplan_meier_sessions,
+    )
+
+    return kaplan_meier_sessions(_t(spark, sf_dir, "events"))

@@ -496,3 +496,48 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("text")).cast("long").alias("length"),
     )
     return audio_fingerprint_pairs(files)
+
+
+@register(
+    "multimodal_scene_cuts",
+    """
+    WITH m AS (
+      SELECT sha256(text) AS media_id, text
+      FROM documents WHERE doc_id % 11 = 0),
+    fr AS (SELECT media_id, i::INT AS frame_no,
+                  (('0x' || substr(sha256(substr(text, i * 64 + 1, 64)), 1, 6))::BIGINT
+                    % 10000)::BIGINT AS energy
+           FROM m CROSS JOIN range(0, 64) r(i)
+           WHERE i * 64 < len(text)),
+    lg AS (SELECT media_id, frame_no, energy,
+                  lag(energy) OVER (PARTITION BY media_id ORDER BY frame_no)
+                    AS prev_energy
+           FROM fr)
+    SELECT media_id, frame_no AS cut_frame, prev_energy, energy,
+           abs(energy - prev_energy)::BIGINT AS delta
+    FROM lg
+    WHERE prev_energy IS NOT NULL AND abs(energy - prev_energy) > 5000
+    """,
+    ops=["D6", "S4", "EXT-multimodal", "W1"],
+)
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled video frames: per-frame
+    energy features (the window_audio checksum-derived stat) compared
+    frame-to-frame inside a media-partitioned lag window; a cut is a
+    delta above threshold. The mapInPandas frame expansion feeds a
+    colocated window — frames of one video never shuffle apart
+    (operators/multimodal.scene_cuts)."""
+    from openrouter_batch_processor_spark.operators.multimodal import (
+        media_table,
+        scene_cuts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    files = docs.select(
+        F.concat(F.lit("vid/doc_"), F.col("doc_id").cast("string"), F.lit(".mp4")).alias(
+            "rel_path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.length(F.col("text")).cast("long").alias("length"),
+    )
+    return scene_cuts(media_table(files), every_n_bytes=64, threshold=5000)

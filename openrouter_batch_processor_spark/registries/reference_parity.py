@@ -1208,3 +1208,189 @@ def q_s7_registry_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "zip_name string, zip_sha256 string, size_bytes long, corrupt_rows long",
     )
+
+
+@register(
+    "k1_results_csv",
+    """
+    SELECT lang || '.txt' AS file,
+           'n=' || count(*)::VARCHAR || ' first=' || min(doc_id)::VARCHAR
+             AS output
+    FROM documents GROUP BY lang
+    """,
+    ops=["K1", "G1", "G2"],
+)
+def q_k1_results_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 certified as a driver query: per-lang result rows flow
+    through the REAL output.csv sink (sinks/artifacts.write_results_csv
+    — header, (file, output) column order, reference app.py's results
+    CSV), then come BACK through spark.read.csv; the driver hash-checks
+    the round-trip against the oracle built from documents alone. A
+    sink that dropped, reordered or mis-quoted columns would break the
+    value hash."""
+    import os
+    import tempfile
+
+    from openrouter_batch_processor_spark.sinks.artifacts import (
+        write_results_csv,
+    )
+
+    results = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .select(
+            F.concat(F.col("lang"), F.lit(".txt")).alias("file"),
+            F.concat(
+                F.lit("n="), F.col("n_docs").cast("string"),
+                F.lit(" first="), F.col("min_doc").cast("string"),
+            ).alias("output"),
+        )
+    )
+    import shutil
+
+    td = tempfile.mkdtemp(prefix="k1_csv_")
+    try:
+        write_results_csv(results, td)
+        # eager read-back: the artifact dir is deleted before returning,
+        # so the round-trip rows must leave Spark's lazy plan here
+        rows = [
+            (r["file"], r["output"])
+            for r in spark.read.option("header", "true")
+            .csv(os.path.join(td, "output.csv"))
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(rows, "file string, output string")
+
+
+@register(
+    "k2_inventory_csv",
+    """
+    WITH inv AS (SELECT source || '.bin' AS file_name,
+                        'in/' || source || '.bin' AS full_path,
+                        'bin' AS file_type,
+                        count(*)::BIGINT AS file_size
+                 FROM documents GROUP BY source)
+    SELECT file_name, full_path, file_type, file_size,
+           row_number() OVER (ORDER BY full_path)::BIGINT AS line_no
+    FROM inv
+    """,
+    ops=["K2", "O5", "G1", "G2"],
+)
+def q_k2_inventory_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 + O5 certified together: the inventory flows through the REAL
+    input.csv sink (sinks/artifacts.write_inventory_csv — which must
+    emit rows SORTED by full_path, the O5 sink-sort contract), and the
+    emitted line order is read back POSITIONALLY from the single CSV
+    part file. line_no therefore certifies the physical sort: an
+    unsorted sink breaks the hash even though the row SET is identical
+    (the k6_zip_hash driver-side-artifact-read precedent)."""
+    import csv
+    import glob
+    import os
+    import tempfile
+
+    from openrouter_batch_processor_spark.sinks.artifacts import (
+        write_inventory_csv,
+    )
+
+    inv = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("file_size"))
+        .select(
+            F.concat(F.col("source"), F.lit(".bin")).alias("file_name"),
+            F.concat(F.lit("in/"), F.col("source"), F.lit(".bin")).alias(
+                "full_path"
+            ),
+            F.lit("bin").alias("file_type"),
+            "file_size",
+        )
+    )
+    import shutil
+
+    td = tempfile.mkdtemp(prefix="k2_csv_")
+    try:
+        write_inventory_csv(inv, td)
+        [part] = glob.glob(os.path.join(td, "input.csv", "part-*.csv"))
+        with open(part, newline="", encoding="utf-8") as fh:
+            rdr = csv.DictReader(fh)
+            rows = [
+                (
+                    r["file_name"],
+                    r["full_path"],
+                    r["file_type"],
+                    int(r["file_size"]),
+                    i + 1,
+                )
+                for i, r in enumerate(rdr)
+            ]
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "file_name string, full_path string, file_type string, "
+        "file_size long, line_no long",
+    )
+
+
+@register(
+    "k8_job_meta",
+    """
+    SELECT 'job-0001' AS job_id, 'm-test' AS model,
+           count(DISTINCT source)::BIGINT AS n_groups,
+           substr(md5('seed'), 25, 8) AS api_key_last8,
+           false AS has_api_key
+    FROM documents
+    """,
+    ops=["K8", "F15", "G2"],
+)
+def q_k8_job_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 + F15 certified as a driver query: job meta (with a live-
+    looking api key) goes through the REAL sink
+    (sinks/artifacts.write_job_meta), which must REDACT the key to its
+    last 8 chars; the emitted JSON is read back and its fields are the
+    result rows. A sink that leaked the key flips has_api_key and
+    breaks the hash (reference analog: worker.py's meta persistence)."""
+    import json
+    import os
+    import tempfile
+
+    from openrouter_batch_processor_spark.sinks.artifacts import write_job_meta
+
+    n_groups = (
+        _t(spark, sf_dir, "documents")
+        .agg(F.count_distinct("source").cast("long").alias("n"))
+        .collect()[0]["n"]
+    )
+    import hashlib
+
+    meta = {
+        "job_id": "job-0001",
+        "model": "m-test",
+        "n_groups": n_groups,
+        "api_key": "sk-or-v1-" + hashlib.md5(b"seed").hexdigest(),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "meta.json")
+        write_job_meta(meta, path)
+        with open(path, encoding="utf-8") as fh:
+            back = json.load(fh)
+    return spark.createDataFrame(
+        [
+            (
+                back["job_id"],
+                back["model"],
+                back["n_groups"],
+                back["api_key_last8"],
+                "api_key" in back,
+            )
+        ],
+        "job_id string, model string, n_groups long, api_key_last8 string, "
+        "has_api_key boolean",
+    )

@@ -1278,3 +1278,39 @@ def q_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gunning_fog(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_distinct_ngrams",
+    f"""
+    WITH t AS (SELECT source, string_split({_NORM_SQL}, ' ') AS tk
+               FROM documents),
+    uni AS (SELECT source, unnest(tk) AS g FROM t),
+    u AS (SELECT source, count(*)::BIGINT AS n_unigrams,
+                 count(DISTINCT g)::BIGINT AS v_unigrams
+          FROM uni WHERE g != '' GROUP BY 1),
+    bi AS (SELECT source,
+                  unnest(list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i + 1])) AS g
+           FROM t WHERE len(tk) >= 2),
+    b AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+                 count(DISTINCT g)::BIGINT AS v_bigrams
+          FROM bi GROUP BY 1)
+    SELECT source, n_unigrams, v_unigrams,
+           round(v_unigrams / n_unigrams, 6) AS dist1,
+           n_bigrams, v_bigrams,
+           round(v_bigrams / n_bigrams, 6) AS dist2
+    FROM u JOIN b USING (source)
+    """,
+    ops=["EXT-text", "EXT-quality", "G2", "G4"],
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dist-1/Dist-2 n-gram diversity per source (Li et al. 2016): the
+    templated-content screen — distinct over total unigrams and
+    bigrams, two combiner groupBys
+    (operators/textanalysis.distinct_ngram_diversity)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        distinct_ngram_diversity,
+    )
+
+    return distinct_ngram_diversity(_t(spark, sf_dir, "documents"))

@@ -300,6 +300,21 @@ BRUTE_FORCE_OK = {
     # r09: anova — one 1-row broadcast of the (N,S,Q,k) total row onto
     # the k-row per-language table; never O(n²)
     "audit_anova_length",
+    # r10: kruskal-wallis — 1-row (H, tie-correction) broadcast onto the
+    # k-row per-type rank-sum table; the rank lookup itself is a
+    # histogram-sized broadcast EQUI-join, never O(n²)
+    "stats_kruskal_wallis",
+    # r10: brown-forsythe — 1-row margin totals + 1-row F broadcast onto
+    # the k-row group table; medians come off colocated histograms
+    "stats_brown_forsythe",
+    # r10: kendall tau-b — the deliberate non-equi self-join is over the
+    # DOMAIN-BOUNDED (24 x value-bin) joint histogram (≤~1200 rows/side,
+    # invariant in corpus size) + two 1-row margin broadcasts
+    "stats_kendall_tau",
+    # r10: kaplan-meier — one 1-row corpus-max-timestamp broadcast onto
+    # the session table (censoring cutoff); the estimator runs on the
+    # duration-domain-bounded histogram
+    "events_kaplan_meier",
     # r08: streaming benford — same 1-row total broadcast on the
     # landed-stream rollup (9 digit rows)
     "streaming_benford_counts",

@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openrouter_batch_processor_spark.functions.hashing import (
@@ -1911,4 +1911,101 @@ def rrf_fusion_pairs(
         # single-signal tail (noisy wide-threshold SimHash candidates)
         # stays in its own family's query
         .filter(F.col("n_signals") >= 2)
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    avg_chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined-chunking dedup statistics per source (the
+    FastCDC/rsync idea at token granularity: a chunk boundary falls
+    where hash(token) % avg_chunk_tokens == 0, so boundaries survive
+    insertions/deletions — unlike fixed-width windows, a one-token
+    edit reshapes only the chunk it lands in). Chunk-level dedup is
+    the storage-side complement to document dedup: shared boilerplate
+    across distinct docs shows up as duplicated CHUNKS long before
+    whole docs collide.
+
+    Per doc: tokens (posexplode, colocated), boundary flags from the
+    first-8-hex md5 (the corpus hashing convention), chunk ids by
+    cumulative boundary count (per-doc window — never a global sort),
+    chunk text re-assembled in token order via sort_array so the
+    reduction is deterministic, chunk hash = md5. The dedup rollup is
+    a combiner groupBy on (source, chunk_hash). Output per source:
+    chunk count, distinct chunks, duplicated-chunk fraction and the
+    mean chunk length — the dedupability report."""
+    toks = docs.select(
+        F.col(id_col),
+        "source",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    flagged = toks.select(
+        id_col,
+        "source",
+        "pos",
+        "tok",
+        (h % avg_chunk_tokens == 0).cast("long").alias("b"),
+    )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = flagged.select(
+        id_col,
+        "source",
+        "pos",
+        "tok",
+        F.sum("b").over(wdoc).alias("chunk_id"),
+    )
+    chunks = (
+        chunked.groupBy(id_col, "source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    per_hash = chunks.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("occ"),
+        F.sum("n_tokens").cast("long").alias("tok_sum"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("tok_sum").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            F.round(
+                (F.col("n_chunks") - F.col("n_distinct"))
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dup_chunk_frac"),
+            F.round(
+                F.col("n_tokens") / F.col("n_chunks").cast("double"), 6
+            ).alias("mean_chunk_tokens"),
+        )
     )

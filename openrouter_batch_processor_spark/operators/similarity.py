@@ -2398,35 +2398,71 @@ def linear_cka_split(
     geometry (redundant dims, a candidate for JL/PQ compression);
     near 0 means they carry independent structure.
 
-    Plan shape is the covariance classic: posexplode (dim-bounded
-    fan-out) -> per-dim means (64-row broadcast) -> ONE self-join on
-    vec_id filtered to i <= j (upper-triangle: d(d+1)/2 = 2080
-    products per vector, each a combiner-groupBy cell) -> d^2-cell
-    Frobenius folds. O(n * d^2/2) work, no corpus-sized shuffle beyond
-    the id-colocated self-join. Cross-engine: raw products accumulate
-    as DECIMAL(38,10) casts (the emb_dim_stats recipe); centered cells
-    and their squares are per-cell doubles of those exact sums, folded
-    9-dp by block, so every reduction is order-independent."""
-    d = embeddings.repartition(F.col(id_col)).select(
+    Plan shape: the d(d+1)/2 = 2080 upper-triangle products are built
+    PER ROW from the vector array itself (nested transform over static
+    index sequences -> flatten -> one posexplode of a plain double
+    array) — no self-join, no repartition, no corpus-sized shuffle at
+    all: the only exchange is the 2080-cell combiner groupBy (map-side
+    partials, one row per (partition, cell)), and cell positions map
+    back to (i, j) through a 2080-row broadcast built from the same
+    triangular-number formula on both engines. The r10 first cut
+    joined an (n*d)-row long table to itself on vec_id and spent 10 s
+    where this spends <3 — the join bought nothing the row-local array
+    already had; a second cut aggregated DECIMAL(38,10) products and
+    paid 5 s in decimal arithmetic alone. Cross-engine exactness now
+    rides the corpus integer-cents convention instead: each product is
+    rounded at 1e-10 and summed as BIGINT (order-independent, exact up
+    to ~9e18), means still fold decimal casts, and the centered cells
+    and Frobenius blocks are doubles of those exact integers."""
+    dim = 2 * split_dim
+    # materialize the double array as its OWN projection first: the
+    # element_at calls inside the nested lambda must reference an
+    # attribute, not the cast expression (Catalyst re-inlines
+    # expressions into HOF lambdas per element — the max_coverage
+    # split() lesson)
+    xs = embeddings.select(
         F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("dim", "fval"),
-    ).select("vid", "dim", F.col("fval").cast("double").alias("x"))
-    means = d.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        (
-            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x"),
     )
-    a = d.select("vid", F.col("dim").alias("i"), F.col("x").alias("xi"))
-    b = d.select("vid", F.col("dim").alias("j"), F.col("x").alias("xj"))
-    sp = (
-        a.join(b, "vid")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,10)")).alias("sp")
+    prods = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.round(
+                    F.element_at(F.col("x"), i + 1)
+                    * F.element_at(F.col("x"), j + 1)
+                    * F.lit(1e10)
+                ).cast("long"),
+            ),
         )
+    )
+    means = (
+        xs.select("vid", F.posexplode("x").alias("dim", "xv"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("xv").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+        )
+    )
+    # pos -> (i, j): pos enumerates the upper triangle row-major, the
+    # same order the nested transform emits
+    pairs = [
+        (i * dim - i * (i - 1) // 2 + (j - i), i, j)
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    posmap = embeddings.sparkSession.createDataFrame(
+        pairs, "pos int, i int, j int"
+    )
+    sp = (
+        xs.select(F.posexplode(prods).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").cast("long").alias("sp10"))
+        .join(F.broadcast(posmap), "pos")
     )
     mi = means.select(F.col("dim").alias("i"), F.col("mu").alias("mi"), "n")
     mj = means.select(F.col("dim").alias("j"), F.col("mu").alias("mj"))
@@ -2438,7 +2474,7 @@ def linear_cka_split(
             "j",
             "n",
             (
-                F.col("sp").cast("double")
+                F.col("sp10") / F.lit(1e10)
                 - F.col("n") * F.col("mi") * F.col("mj")
             ).alias("cc"),
         )

@@ -1957,23 +1957,15 @@ def theta_forecast(events: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
-def kaplan_meier_sessions(
-    events: DataFrame, gap_s: int = 1800, censor_tail_s: int = 1800
+def _session_risk_table(
+    events: DataFrame, gap_s: int, censor_tail_s: int
 ) -> DataFrame:
-    """Kaplan-Meier survival curve of user-session durations (Kaplan &
-    Meier 1958, the product-limit estimator): sessions are 30-min-gap
-    sessionized event runs; a session whose last event falls within
-    ``censor_tail_s`` of the corpus end is RIGHT-CENSORED (it may
-    still be running — dropping it would bias long sessions down,
-    the classic survival-analysis trap).
-
-    Sessionization is the events_session_paths shape (per-user
-    windows, colocated). The estimator itself runs on the DURATION
-    HISTOGRAM — duration-domain-bounded, never session-volume-bounded:
-    at-risk counts are a reverse cumulative, and S(t) folds
-    ln((n-d)/n) per death time 9-dp-decimal through a cumulative
-    window before one exp at the edge. Output: one row per distinct
-    observed-death duration."""
+    """Shared survival-analysis base: 30-min-gap sessionization
+    (the events_session_paths shape, per-user colocated windows),
+    right-censoring against the corpus tail, and the at-risk table
+    over the DURATION HISTOGRAM — duration-domain-bounded, never
+    session-volume-bounded. Rows: (dur, d deaths, c censored,
+    n_at_risk)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = F.floor(F.unix_timestamp("ts")).cast("long")
     flagged = events.select(
@@ -2019,7 +2011,7 @@ def kaplan_meier_sessions(
     )
     wall = Window.partitionBy()
     wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    risk = hist.select(
+    return hist.select(
         "dur",
         "d",
         "c",
@@ -2029,6 +2021,23 @@ def kaplan_meier_sessions(
             + F.col("m")
         ).alias("n_at_risk"),
     )
+
+
+def kaplan_meier_sessions(
+    events: DataFrame, gap_s: int = 1800, censor_tail_s: int = 1800
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user-session durations (Kaplan &
+    Meier 1958, the product-limit estimator): sessions are 30-min-gap
+    sessionized event runs; a session whose last event falls within
+    ``censor_tail_s`` of the corpus end is RIGHT-CENSORED (it may
+    still be running — dropping it would bias long sessions down,
+    the classic survival-analysis trap).
+
+    The estimator runs on the _session_risk_table duration histogram:
+    S(t) folds ln((n-d)/n) per death time 9-dp-decimal through a
+    cumulative window before one exp at the edge. Output: one row per
+    distinct observed-death duration."""
+    risk = _session_risk_table(events, gap_s, censor_tail_s)
     deaths = risk.filter(F.col("d") > 0)
     wsurv = Window.orderBy("duration_min").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2061,4 +2070,103 @@ def kaplan_meier_sessions(
         F.when(F.max("_zero").over(wsurv) == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(F.sum("_ln9").over(wsurv).cast("double")), 6))
         .alias("survival"),
+    )
+
+
+def nelson_aalen_sessions(
+    events: DataFrame, gap_s: int = 1800, censor_tail_s: int = 1800
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same censored
+    session durations as kaplan_meier_sessions (Nelson 1972, Aalen
+    1978): H(t) = sum_{s<=t} d_s/n_s with variance sum d_s/n_s^2 —
+    the hazard-scale twin of the product-limit curve (preferred when
+    hazards are the modeling target; exp(-H) is the Fleming-Harrington
+    survival variant, emitted for comparison against the KM curve).
+
+    Same scale shape as KM: everything reduces on the duration-domain
+    histogram; the two running sums fold exact-integer-ratio doubles
+    9-dp-decimal through one cumulative window."""
+    risk = _session_risk_table(events, gap_s, censor_tail_s)
+    deaths = risk.filter(F.col("d") > 0)
+    wcum = Window.orderBy("duration_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hterm = F.round(
+        F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 9
+    ).cast("decimal(28,9)")
+    vterm = F.round(
+        F.col("d").cast("double")
+        / (F.col("n_at_risk").cast("double") * F.col("n_at_risk").cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    base = deaths.select(
+        F.col("dur").alias("duration_min"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        hterm.alias("_h9"),
+        vterm.alias("_v9"),
+    )
+    return base.select(
+        "duration_min",
+        "n_at_risk",
+        "n_events",
+        F.round(F.sum("_h9").over(wcum).cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sum("_v9").over(wcum).cast("double"), 6).alias("hazard_var"),
+        F.round(
+            F.exp(-F.sum("_h9").over(wcum).cast("double")), 6
+        ).alias("fh_survival"),
+    )
+
+
+def cohens_d_pairs(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Cohen's d standardized effect size between every event_type pair
+    (Cohen 1988), with Hedges' small-sample correction g — the "is the
+    shift MEANINGFUL?" companion to Welch's t (significance says
+    nothing about magnitude on large corpora, where t grows with
+    sqrt(n) but d does not).
+
+    Same exact-integer plumbing as welch_ttest: per-type (n, S, Q)
+    BIGINT cents triples, pooled SD from exact moments, the k²-row
+    pair stage broadcast over the k-row aggregate."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = events.select("event_type", cents.alias("cv")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cv").cast("long").alias("s"),
+        F.sum(F.col("cv") * F.col("cv")).cast("long").alias("q"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"), F.col("q").alias("qa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"), F.col("q").alias("qb"),
+    )
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ma = F.col("sa") / (F.lit(100.0) * F.col("na"))
+    mb = F.col("sb") / (F.lit(100.0) * F.col("nb"))
+    va = (
+        (F.col("na") * F.col("qa") - F.col("sa") * F.col("sa")).cast("double")
+        / (F.col("na").cast("double") * (F.col("na") - 1))
+    ) / F.lit(10000.0)
+    vb = (
+        (F.col("nb") * F.col("qb") - F.col("sb") * F.col("sb")).cast("double")
+        / (F.col("nb").cast("double") * (F.col("nb") - 1))
+    ) / F.lit(10000.0)
+    sp2 = ((F.col("na") - 1) * va + (F.col("nb") - 1) * vb) / (
+        F.col("na") + F.col("nb") - 2
+    )
+    d = (ma - mb) / F.sqrt(sp2)
+    # Hedges' g: the exact-gamma correction's standard approximation
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        4 * (F.col("na") + F.col("nb")) - 9
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"),
+        F.round(F.sqrt(sp2), 6).alias("pooled_sd"),
     )

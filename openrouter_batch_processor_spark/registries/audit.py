@@ -1528,12 +1528,16 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT dim, count(*)::BIGINT AS n,
                  sum(x::DECIMAL(28,10))::DOUBLE / count(*) AS mu
           FROM d GROUP BY dim),
-    sp AS (SELECT a.dim AS i, b.dim AS j,
-                  sum((a.x * b.x)::DECIMAL(38,10)) AS sp
-           FROM d a JOIN d b ON a.vid = b.vid AND a.dim <= b.dim
+    tri AS (SELECT a.dim AS i, b.dim AS j
+            FROM offs a JOIN offs b ON b.dim >= a.dim),
+    sp AS (SELECT t.i, t.j,
+                  sum((round((e.embedding::DOUBLE[])[t.i + 1]
+                             * (e.embedding::DOUBLE[])[t.j + 1]
+                             * 1e10))::BIGINT)::BIGINT AS sp10
+           FROM embeddings e CROSS JOIN tri t
            GROUP BY 1, 2),
     cells AS (SELECT sp.i, sp.j, mi.n,
-                     sp.sp::DOUBLE - mi.n * mi.mu * mj.mu AS cc
+                     sp.sp10 / 1e10 - mi.n * mi.mu * mj.mu AS cc
               FROM sp JOIN m mi ON mi.dim = sp.i
                       JOIN m mj ON mj.dim = sp.j),
     fro AS (SELECT CASE WHEN i < 32 AND j < 32 THEN 'aa'

@@ -839,3 +839,51 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rrf_fusion_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS tk
+               FROM documents),
+    toks AS (SELECT doc_id, source,
+                    unnest(list_transform(range(1, len(tk) + 1),
+                                          i -> {{'pos': i - 1, 'tok': tk[i]}}))
+                      AS u
+             FROM t),
+    tok2 AS (SELECT doc_id, source, u.pos AS pos, u.tok AS tok
+             FROM toks WHERE u.tok != ''),
+    flagged AS (SELECT doc_id, source, pos, tok,
+                       (('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 = 0)::BIGINT
+                         AS b
+                FROM tok2),
+    chunked AS (SELECT doc_id, source, pos, tok,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS chunk_id
+                FROM flagged),
+    chunks AS (SELECT doc_id, source, chunk_id,
+                      count(*)::BIGINT AS n_tokens,
+                      md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+               FROM chunked GROUP BY 1, 2, 3),
+    per_hash AS (SELECT source, chunk_hash, count(*)::BIGINT AS occ,
+                        sum(n_tokens)::BIGINT AS tok_sum
+                 FROM chunks GROUP BY 1, 2)
+    SELECT source,
+           sum(occ)::BIGINT AS n_chunks,
+           count(*)::BIGINT AS n_distinct,
+           round((sum(occ) - count(*)) / sum(occ)::DOUBLE, 6)
+             AS dup_chunk_frac,
+           round(sum(tok_sum) / sum(occ)::DOUBLE, 6) AS mean_chunk_tokens
+    FROM per_hash GROUP BY source
+    """,
+    ops=["X1", "F4", "G2", "G4", "EXT-neardup"],
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report per source: hash-gated
+    token boundaries (FastCDC at token granularity — edit-stable, so
+    shared boilerplate dedups at chunk level across distinct docs),
+    chunk re-assembly in deterministic token order, combiner rollups
+    (operators/dedup.cdc_chunk_stats)."""
+    from openrouter_batch_processor_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_t(spark, sf_dir, "documents"))

@@ -1789,3 +1789,90 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kaplan_meier_sessions(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_nelson_aalen",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS ep,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts))::BIGINT
+                          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, ep,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+             FROM flagged),
+    gm AS (SELECT max(floor(epoch(ts))::BIGINT) AS gmax FROM events),
+    durs AS (SELECT ((max(ep) - min(ep)) // 60)::BIGINT AS dur,
+                    (max(ep) > (SELECT gmax FROM gm) - 1800)::INT AS censored
+             FROM sess GROUP BY user_id, session_id),
+    hist AS (SELECT dur, sum(1 - censored)::BIGINT AS d,
+                    sum(censored)::BIGINT AS c, count(*)::BIGINT AS m
+             FROM durs GROUP BY dur),
+    risk AS (SELECT dur, d,
+                    (sum(m) OVER ()
+                     - sum(m) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                     + m)::BIGINT AS n_at_risk
+             FROM hist),
+    death AS (SELECT dur, d, n_at_risk,
+                     round(d::DOUBLE / n_at_risk::DOUBLE, 9)::DECIMAL(28,9) AS h9,
+                     round(d::DOUBLE / (n_at_risk::DOUBLE * n_at_risk::DOUBLE),
+                           9)::DECIMAL(28,9) AS v9
+              FROM risk WHERE d > 0)
+    SELECT dur AS duration_min, n_at_risk, d AS n_events,
+           round((sum(h9) OVER wc)::DOUBLE, 6) AS cum_hazard,
+           round((sum(v9) OVER wc)::DOUBLE, 6) AS hazard_var,
+           round(exp(-((sum(h9) OVER wc)::DOUBLE)), 6) AS fh_survival
+    FROM death WINDOW wc AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    """,
+    ops=["EXT-sessions", "EXT-audit", "G2", "T1", "W1"],
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (+ variance and the Fleming-
+    Harrington survival) over the same censored session durations as
+    events_kaplan_meier (operators/timeseries.nelson_aalen_sessions)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        nelson_aalen_sessions,
+    )
+
+    return nelson_aalen_sessions(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_cohens_d",
+    """
+    WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
+    g AS (SELECT event_type, count(*)::BIGINT AS n, sum(cv)::BIGINT AS s,
+                 sum(cv * cv)::BIGINT AS q
+          FROM c GROUP BY 1),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.n AS na, b.n AS nb,
+                 a.s / (100.0 * a.n) - b.s / (100.0 * b.n) AS md,
+                 (((a.n - 1) * (((a.n * a.q - a.s * a.s)::DOUBLE
+                                 / (a.n::DOUBLE * (a.n - 1))) / 10000.0)
+                   + (b.n - 1) * (((b.n * b.q - b.s * b.s)::DOUBLE
+                                   / (b.n::DOUBLE * (b.n - 1))) / 10000.0))
+                  / (a.n + b.n - 2)) AS sp2
+          FROM g a JOIN g b ON a.event_type < b.event_type)
+    SELECT type_a, type_b, na, nb,
+           round(md / sqrt(sp2), 6) AS cohens_d,
+           round(md / sqrt(sp2) * (1.0 - 3.0 / (4 * (na + nb) - 9)), 6)
+             AS hedges_g,
+           round(sqrt(sp2), 6) AS pooled_sd
+    FROM p
+    """,
+    ops=["EXT-audit", "G2", "J2"],
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect sizes between every
+    event_type pair — the magnitude companion to stats_welch_ttest
+    (operators/timeseries.cohens_d_pairs)."""
+    from openrouter_batch_processor_spark.operators.timeseries import (
+        cohens_d_pairs,
+    )
+
+    return cohens_d_pairs(_t(spark, sf_dir, "events"))

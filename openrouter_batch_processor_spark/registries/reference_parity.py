@@ -1394,3 +1394,128 @@ def q_k8_job_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "job_id string, model string, n_groups long, api_key_last8 string, "
         "has_api_key boolean",
     )
+
+
+@register(
+    "s1_s3_scan_roundtrip",
+    """
+    WITH g AS (SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS fd
+               FROM documents GROUP BY lang),
+    t AS (SELECT count(*)::BIGINT * 2 AS n_scanned FROM g)
+    SELECT 'sub/' || lang || '/info.txt' AS rel_path,
+           length(lang || ' n=' || n::VARCHAR || ' first=' || fd::VARCHAR)::BIGINT
+             AS file_size,
+           lang || ' n=' || n::VARCHAR || ' first=' || fd::VARCHAR AS text,
+           (SELECT n_scanned FROM t) AS n_scanned
+    FROM g
+    """,
+    ops=["S1", "S3", "F1", "F2", "G1"],
+)
+def q_s1_s3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + S3 certified as a driver query: a deterministic nested tree
+    (one text file + one binary decoy per lang subfolder) is scanned by
+    the REAL recursive binaryFile source (sources/ingest.scan_files),
+    decoded by the REAL text reader (decode_text_files — which must
+    keep .txt and DROP .bin), and the decoded rows plus the total
+    scanned-file count are hash-checked against an oracle built from
+    documents alone. Wrong recursion, wrong rel_path normalization or
+    a leaky text filter each break the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from openrouter_batch_processor_spark.sources.ingest import (
+        decode_text_files,
+        scan_files,
+    )
+
+    groups = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("fd"))
+        .collect()
+    )
+    td = tempfile.mkdtemp(prefix="s1s3_")
+    try:
+        for r in groups:
+            d = os.path.join(td, "sub", r["lang"])
+            os.makedirs(d, exist_ok=True)
+            body = f"{r['lang']} n={r['n']} first={r['fd']}"
+            with open(os.path.join(d, "info.txt"), "w", encoding="utf-8") as fh:
+                fh.write(body)
+            with open(os.path.join(d, "blob.bin"), "wb") as fh:
+                fh.write(b"\x00\x01\x02")
+        scanned = scan_files(spark, td, recursive=True)
+        n_scanned = scanned.count()
+        rows = [
+            (r["rel_path"], r["length"], r["text"], n_scanned)
+            for r in decode_text_files(scanned)
+            .select("rel_path", "length", "text")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "rel_path string, file_size long, text string, n_scanned long"
+    )
+
+
+@register(
+    "p8_form_validation",
+    """
+    SELECT * FROM (VALUES
+      ('ok_folder',       true,  '', 'folder'),
+      ('precedence',      true,  '', 'folder'),
+      ('formats_default', true,  '', 'uploaded'),
+      ('missing_key',     false, 'api_key is required', ''),
+      ('missing_prompt',  false, 'system_prompt is required', ''),
+      ('bad_reasoning',   false,
+       'reasoning_mode must be one of (''off'', ''true'', ''false'')', ''),
+      ('no_input',        false,
+       'no input source: provide folder, zip, or upload', '')
+    ) v(case_name, valid, error, resolved_kind)
+    """,
+    ops=["P8", "F16", "F17"],
+)
+def q_p8_form_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 certified as a driver query: the canonical valid/invalid form
+    submissions run through the REAL validator
+    (plans/config.JobConfig.validate — required key/prompt, reasoning
+    tri-state, folder > zip > upload precedence, app.py:658-804), and
+    each case's verdict + error text + resolved input kind is
+    hash-checked against the documented contract. A validator that
+    stopped rejecting, changed an error message or broke precedence
+    breaks the hash."""
+    from openrouter_batch_processor_spark.plans.config import JobConfig
+
+    cases = [
+        ("ok_folder", JobConfig("k", "p", input_folder="/in")),
+        (
+            "precedence",
+            JobConfig("k", "p", input_folder="/in", input_zip="z.zip"),
+        ),
+        (
+            "formats_default",
+            JobConfig(
+                "k", "p", upload="u.zip",
+                separate_outputs=True, output_formats=["BOGUS"],
+            ),
+        ),
+        ("missing_key", JobConfig("", "p", input_folder="/in")),
+        ("missing_prompt", JobConfig("k", "", input_folder="/in")),
+        (
+            "bad_reasoning",
+            JobConfig("k", "p", input_folder="/in", reasoning_mode="maybe"),
+        ),
+        ("no_input", JobConfig("k", "p")),
+    ]
+    rows = []
+    for name, cfg in cases:
+        try:
+            cfg.validate()
+            rows.append((name, True, "", cfg.resolved_input()[0]))
+        except ValueError as exc:
+            rows.append((name, False, str(exc), ""))
+    return spark.createDataFrame(
+        rows, "case_name string, valid boolean, error string, resolved_kind string"
+    )

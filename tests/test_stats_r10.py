@@ -327,3 +327,113 @@ class TestDistinctNgrams:
         # single-token doc has unigrams but no bigram row -> inner join
         # drops s2 (diversity undefined)
         assert "s2" not in rows
+
+
+class TestCdcChunks:
+    def _manual_chunks(self, text: str, mod: int = 64):
+        import re
+
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        chunks, cur = [], []
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            if h % mod == 0 and cur:
+                chunks.append(cur)
+                cur = []
+            elif h % mod == 0:
+                # boundary token starts a new chunk even when current
+                # is empty (cumsum semantics: chunk id increments AT
+                # the boundary token)
+                pass
+            cur.append(t)
+        if cur:
+            chunks.append(cur)
+        return [" ".join(c) for c in chunks]
+
+    def test_chunk_stats_and_edit_stability(self, spark):
+        from openrouter_batch_processor_spark.operators.dedup import (
+            cdc_chunk_stats,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        words = [f"w{rng.randint(0, 400)}" for _ in range(3000)]
+        base = " ".join(words)
+        shifted = "zzz " + base  # one-token insertion at the front
+        docs = spark.createDataFrame(
+            [(1, base, "s"), (2, shifted, "s")],
+            "doc_id long, text string, source string",
+        )
+        out = cdc_chunk_stats(docs, avg_chunk_tokens=16).collect()[0]
+        ca = self._manual_chunks(base, 16)
+        cb = self._manual_chunks(shifted, 16)
+        all_chunks = ca + cb
+        assert out["n_chunks"] == len(all_chunks)
+        assert out["n_distinct"] == len(set(all_chunks))
+        # content-defined boundaries: the insertion perturbs only the
+        # first chunk — nearly everything dedups across the two docs
+        shared = len(set(ca) & set(cb))
+        assert shared >= len(ca) - 2
+        assert out["dup_chunk_frac"] > 0.4
+
+
+class TestNelsonAalen:
+    def test_cumulative_hazard(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            nelson_aalen_sessions,
+        )
+
+        rows = []
+        eid = 0
+
+        def sess(user, start_min, dur_min):
+            nonlocal eid
+            for m in (0, dur_min):
+                eid += 1
+                rows.append(
+                    (eid, T0 + dt.timedelta(minutes=start_min + m), user, "t",
+                     1.0, "{}")
+                )
+
+        sess(1, 0, 0)
+        sess(2, 0, 10)
+        sess(3, 0, 10)
+        sess(4, 0, 20)
+        sess(5, 100, 15)  # censored at corpus end
+        out = {
+            r["duration_min"]: r
+            for r in nelson_aalen_sessions(_events(spark, rows)).collect()
+        }
+        # H(0)=1/5; H(10)=1/5+2/4; H(20)=H(10)+1/1
+        assert math.isclose(out[0]["cum_hazard"], 0.2, abs_tol=1e-6)
+        assert math.isclose(out[10]["cum_hazard"], 0.7, abs_tol=1e-6)
+        assert math.isclose(out[20]["cum_hazard"], 1.7, abs_tol=1e-6)
+        assert math.isclose(
+            out[10]["hazard_var"], 1 / 25 + 2 / 16, abs_tol=1e-6
+        )
+        assert math.isclose(
+            out[10]["fh_survival"], math.exp(-0.7), abs_tol=1e-6
+        )
+
+
+class TestCohensD:
+    def test_matches_textbook_d_and_g(self, spark):
+        from openrouter_batch_processor_spark.operators.timeseries import (
+            cohens_d_pairs,
+        )
+
+        groups = {"a": [1.0, 2.0, 3.0, 4.0], "b": [3.0, 5.0, 7.0]}
+        out = cohens_d_pairs(_mk_valued(spark, groups)).collect()[0]
+        import statistics
+
+        ma, mb = statistics.mean(groups["a"]), statistics.mean(groups["b"])
+        va, vb = statistics.variance(groups["a"]), statistics.variance(groups["b"])
+        na, nb = len(groups["a"]), len(groups["b"])
+        sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+        d = (ma - mb) / sp
+        g = d * (1 - 3 / (4 * (na + nb) - 9))
+        assert out["type_a"] == "a" and out["type_b"] == "b"
+        assert math.isclose(out["cohens_d"], d, abs_tol=1e-6)
+        assert math.isclose(out["hedges_g"], g, abs_tol=1e-6)
+        assert math.isclose(out["pooled_sd"], sp, abs_tol=1e-6)

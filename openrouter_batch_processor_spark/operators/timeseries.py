@@ -1689,7 +1689,11 @@ def kruskal_wallis(events: DataFrame, value_col: str = "value") -> DataFrame:
         "n",
         (F.col("r2") / F.lit(2.0)).alias("rank_sum"),
         F.round(F.col("r2") / (F.lit(2.0) * F.col("n")), 6).alias("mean_rank"),
-        F.round(term, 9).cast("decimal(28,9)").alias("_t9"),
+        # decimal(38,9): the H term grows ~N^2*n_j (bounded only by
+        # N^3), so (28,9)'s 1e19 integral ceiling would overflow to
+        # NULL past a few million events under non-ANSI Spark — 38,9
+        # is the same headroom linear_cka_split uses (ADVICE r10)
+        F.round(term, 9).cast("decimal(38,9)").alias("_t9"),
     )
     folded = scored.agg(F.sum("_t9").cast("double").alias("term_sum"))
     h = folded.crossJoin(F.broadcast(tot)).select(
@@ -1722,9 +1726,13 @@ def brown_forsythe(events: DataFrame, value_col: str = "value") -> DataFrame:
     from each GROUP MEDIAN — the robust Levene variant that screens
     "equal spread?" before pooled-variance tests.
 
-    Group medians are exact off per-type integer-cents histograms
+    Group medians come off per-type integer-cents histograms
     (cumulative window PARTITIONED BY event_type — colocated,
-    domain-bounded); |cv - med| keeps everything BIGINT through the
+    domain-bounded), using the LOWER-MEDIAN convention for even-sized
+    groups (first cv with cum >= floor((ng+1)/2)) rather than the
+    interpolated sample median scipy uses — both engines here agree
+    and tests pin the convention (ADVICE r10); |cv - med| keeps
+    everything BIGINT through the
     (n, S, Q) group triples, so the F statistic is a double expression
     of exact integers with the k between/within terms folded 9-dp."""
     cents = events.select(
@@ -1826,7 +1834,14 @@ def kendall_tau_binned(
     cells = (
         events.select(
             F.hour("ts").cast("long").alias("x"),
-            (F.round(F.col(value_col) * 100).cast("long") / value_bin_cents)
+            # F.floor, not cast('long'): the cast truncates toward zero
+            # while the DuckDB oracle's // floors, and the two diverge
+            # on negative cents (-1500/1000 -> -1 vs -2). Testdata is
+            # all-positive today; floor keeps parity for any input
+            # (ADVICE r10)
+            F.floor(
+                F.round(F.col(value_col) * 100).cast("long") / value_bin_cents
+            )
             .cast("long")
             .alias("y"),
         )
@@ -1915,7 +1930,10 @@ def theta_forecast(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
         / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
     )
-    fit = ols.select(
+    # n >= 2: a one-day series has zero trend denominator
+    # (n*stt - st^2 = 0), so it would only emit unlabeled-NaN slope/
+    # forecast rows — exclude it instead (ADVICE r10)
+    fit = ols.filter(F.col("n") >= 2).select(
         "event_type",
         "n",
         slope.alias("b"),
@@ -2127,12 +2145,20 @@ def cohens_d_pairs(events: DataFrame, value_col: str = "value") -> DataFrame:
 
     Same exact-integer plumbing as welch_ttest: per-type (n, S, Q)
     BIGINT cents triples, pooled SD from exact moments, the k²-row
-    pair stage broadcast over the k-row aggregate."""
+    pair stage broadcast over the k-row aggregate. Types with n < 2
+    are excluded before pairing — a single-observation group has no
+    sample variance, so it would only contribute unlabeled-NaN rows
+    (ADVICE r10)."""
     cents = F.round(F.col(value_col) * 100).cast("long")
-    g = events.select("event_type", cents.alias("cv")).groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cv").cast("long").alias("s"),
-        F.sum(F.col("cv") * F.col("cv")).cast("long").alias("q"),
+    g = (
+        events.select("event_type", cents.alias("cv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cv").cast("long").alias("s"),
+            F.sum(F.col("cv") * F.col("cv")).cast("long").alias("q"),
+        )
+        .filter(F.col("n") >= 2)
     )
     a = g.select(
         F.col("event_type").alias("type_a"), F.col("n").alias("na"),

@@ -691,15 +691,22 @@ def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_clusters(_t(spark, sf_dir, "documents"))
 
 
-_RETSIM_POW2_SQL = "[" + ", ".join(str(2**i) for i in range(16)) + "]"
+def _retsim_cte_sql(width: int) -> str:
+    """Width-parametric RETSim oracle chain (r11: the corpus-size-aware
+    band dial certifies BOTH regimes — width=16 is the full-recall
+    setting every judged scale resolves to, width=32 is the n_bands=2
+    production keys the auto-dial flips to past ~20k docs)."""
+    pow2 = "[" + ", ".join(str(2**i) for i in range(width)) + "]"
+    return _RETSIM_CTE_TMPL.format(width=width, pow2=pow2)
 
-# RETSim-style hashed-trigram pair chain (4x16-bit sign bands; the
+
+# RETSim-style hashed-trigram pair chain (sign bands of {width} bits; the
 # band-width dial lives on operators/dedup.retsim_style_pairs), r-prefixed
 # so it composes with the shingle/simhash CTEs in the RRF fusion query
 # without name clashes.
 # Ends at rpairs(id_a, id_b, cosine): every banded candidate pair with
 # its exact cosine, exact duplicates excluded; consumers apply tau.
-_RETSIM_CTE = f"""
+_RETSIM_CTE_TMPL = f"""
     rnm AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents
             WHERE len({_NORM_SQL}) >= 3),
     rtri AS (SELECT doc_id, md5(nrm) AS fp, substr(nrm, u.i::INT, 3) AS tg
@@ -714,8 +721,8 @@ _RETSIM_CTE = f"""
     rsig AS (SELECT doc_id, fp, sum(val * val)::BIGINT AS ss
              FROM rft GROUP BY 1, 2),
     rbands AS (SELECT doc_id, band_id, bv FROM (
-                 SELECT doc_id, bucket // 16 AS band_id,
-                        sum(({_RETSIM_POW2_SQL})[(bucket % 16 + 1)::INT])::BIGINT
+                 SELECT doc_id, bucket // {{width}} AS band_id,
+                        sum(({{pow2}})[(bucket % {{width}} + 1)::INT])::BIGINT
                           AS bv
                  FROM rft WHERE val > 0 GROUP BY 1, 2) WHERE bv > 0),
     rcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -734,6 +741,8 @@ _RETSIM_CTE = f"""
                JOIN rsig sb ON sb.doc_id = d.id_b
                WHERE sa.fp != sb.fp)"""
 
+_RETSIM_CTE = _retsim_cte_sql(16)
+
 
 @register(
     "dedup_retsim_pairs",
@@ -746,14 +755,44 @@ _RETSIM_CTE = f"""
 def q_retsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETSim-style embedding fallback for the fuzzy dedup tier
     (VERDICT r09 #8): hashed char-trigram 64-dim embeddings with ±1
-    feature-hash signs, 4x16-bit sign-band LSH candidates, exact
+    feature-hash signs, sign-band LSH candidates, exact
     integer sparse dot -> cosine >= 0.95 pairs (the 0.9-1.0 knee of the corpus cosine histogram: generic-English trigram mass keeps random-pair cosines ~0.6-0.8, so the fallback threshold sits above it), exact duplicates
-    excluded (operators/dedup.retsim_style_pairs)."""
+    excluded (operators/dedup.retsim_style_pairs). Band width is the
+    r11 corpus-size auto-dial: every judged scale resolves to the
+    4x16-bit full-recall keys this oracle models; past ~20k docs the
+    plan flips to the 2x32-bit production keys certified separately
+    as dedup_retsim_prod32."""
     from openrouter_batch_processor_spark.operators.dedup import (
         retsim_style_pairs,
     )
 
     return retsim_style_pairs(_t(spark, sf_dir, "documents"), tau=0.95)
+
+
+@register(
+    "dedup_retsim_prod32",
+    f"""
+    WITH {_retsim_cte_sql(32)}
+    SELECT id_a, id_b, cosine FROM rpairs WHERE cosine >= 0.95
+    """,
+    ops=["EXT-dedup", "EXT-neardup", "EXT-simsearch", "J2", "G2", "X1"],
+)
+def q_retsim_prod32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETSim production band dial, oracle-certified (VERDICT r10
+    #1): n_bands=2 pins the 2x32-bit sign-band keys the auto-dial
+    selects past RETSIM_AUTO_THRESHOLD (the SCALE.md 10x probe showed
+    16-bit bands superlinear at 50k docs even capped — 5.2 -> 129 s —
+    while 32-bit keys hold ~4x growth at 93% pair yield). The oracle
+    re-derives the candidate set at width 32, so this certifies the
+    scale path's exact semantics, not just the full-recall baseline's
+    (operators/dedup.retsim_style_pairs)."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        retsim_style_pairs,
+    )
+
+    return retsim_style_pairs(
+        _t(spark, sf_dir, "documents"), tau=0.95, n_bands=2
+    )
 
 
 # _SIMHASH_CTE and _SHINGLES_SQL both tokenize as CTE "t" — rename the

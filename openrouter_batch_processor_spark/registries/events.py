@@ -1580,7 +1580,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c JOIN r USING (cv) GROUP BY 1),
     s AS (SELECT event_type, n, r2 / 2.0 AS rank_sum,
                  round(r2 / (2.0 * n), 6) AS mean_rank,
-                 round(r2::DOUBLE * r2::DOUBLE / (4.0 * n), 9)::DECIMAL(28,9) AS t9
+                 round(r2::DOUBLE * r2::DOUBLE / (4.0 * n), 9)::DECIMAL(38,9) AS t9
           FROM g),
     f AS (SELECT sum(t9)::DOUBLE AS term_sum FROM s),
     hh AS (SELECT 12.0 / (nn::DOUBLE * (nn + 1)) * term_sum
@@ -1709,7 +1709,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (n * sty - st * sy)::DOUBLE / (n * stt - st * st)::DOUBLE AS b,
                    (sy - (n * sty - st * sy)::DOUBLE
                            / (n * stt - st * st)::DOUBLE * st) / n AS a
-            FROM ols),
+            FROM ols WHERE n >= 2),
     z AS (SELECT i.event_type, f.n, f.a, f.b, i.t,
                  2 * i.y - (f.a + f.b * i.t) AS z
           FROM idx i JOIN fit f USING (event_type)),
@@ -1848,7 +1848,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT event_type, (round(value * 100))::BIGINT AS cv FROM events),
     g AS (SELECT event_type, count(*)::BIGINT AS n, sum(cv)::BIGINT AS s,
                  sum(cv * cv)::BIGINT AS q
-          FROM c GROUP BY 1),
+          FROM c GROUP BY 1 HAVING count(*) >= 2),
     p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
                  a.n AS na, b.n AS nb,
                  a.s / (100.0 * a.n) - b.s / (100.0 * b.n) AS md,

@@ -49,49 +49,37 @@ from openrouter_batch_processor_spark.registries import sampling  # noqa: E402,F
 
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
-# entries of queries() (observed r01-r09: exactly the first 50 in dict
-# order). Round 10: all 283 queries are driver-certified (ledger r01-r09
-# complete, CORRECTNESS_r09 50/50), so _FRONT_50 is empty and every
-# query NEW in round 10 (registered after this block, unlisted in both
-# lists) slots straight into the window; the remaining slots fall to
-# the head of _TAIL_ORDER, which is sorted by certification age —
-# oldest driver evidence first (r03 head … r09 tail) so stale rows get
-# refreshed before fresh ones. Past certifications live in
-# rotation_ledger.DRIVER_CHECKED and back the ops-coverage invariant
-# (tests/test_registry_order.py).
+# entries of queries() (observed r01-r10: exactly the first 50 in dict
+# order). Round 11: every r10 query is certified (ledger r01-r10,
+# CORRECTNESS_r10 50/50). _FRONT_50 pins the DELIBERATE_RECHECKS set
+# (rotation_ledger.py — replanned-after-certification queries, per the
+# "a replanned query re-enters the window the round its plan changes"
+# rule); queries NEW in round 11 (unlisted in both lists, e.g.
+# dedup_retsim_prod32) slot in right after; the remaining slots fall to
+# the head of _TAIL_ORDER, which is regenerated each round sorted by
+# certification age — oldest driver evidence first (r04 head … r10
+# tail) so stale rows get refreshed before fresh ones. Past
+# certifications live in rotation_ledger.DRIVER_CHECKED and back the
+# ops-coverage invariant (tests/test_registry_order.py).
 # ===========================================================================
 
-_FRONT_50: list[str] = []
+_FRONT_50: list[str] = [
+    "sample_max_coverage",
+    "dedup_minhash_bands",
+    "dedup_minhash_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_incremental_candidates",
+    "multimodal_audio_fingerprint",
+    "dedup_retsim_pairs",
+    "dedup_rrf_fusion",
+    "stats_kruskal_wallis",
+    "stats_kendall_tau",
+    "stats_cohens_d",
+    "events_theta_forecast",
+    "audit_cka_split",
+]
 
 _TAIL_ORDER = [
-    "streaming_tumbling_availablenow",
-    "curation_boilerplate_ngrams",
-    "curation_dup_windows",
-    "curation_mixture_weights",
-    "curation_quality_sweep",
-    "dedup_canonical_by_quality",
-    "curation_dedup_funnel",
-    "audit_source_overlap",
-    "streaming_quality_gate",
-    "curation_full_pipeline",
-    "q16_supplier_part_breadth",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q22_inactive_high_balance",
-    "w_ntile_cumdist",
-    "events_linear_trend",
-    "events_corr_hour_value",
-    "events_grouping_sets",
-    "events_rolling_hour",
-    "events_type_lift",
-    "events_session_paths",
-    "events_rolling_7d_users",
-    "events_time_weighted_avg",
-    "events_user_growth",
-    "events_attribution",
-    "q12_shipping_delay",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
     "audit_fk_orphans",
     "sample_weighted_priority",
     "emb_dim_stats",
@@ -117,7 +105,6 @@ _TAIL_ORDER = [
     "streaming_llm_pipeline",
     "text_tfidf_topk",
     "text_heavy_hitters",
-    "dedup_minhash_bands",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_neardup_pairs",
@@ -126,8 +113,6 @@ _TAIL_ORDER = [
     "q6_revenue_forecast",
     "q4_priority_check",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_jaccard",
     "dedup_prefix_filter_pairs",
     "sketch_cms_heavy_hitters",
     "text_char_entropy",
@@ -283,7 +268,6 @@ _TAIL_ORDER = [
     "f8_footer",
     "j5_resolution",
     "llm_pipeline_mock",
-    "dedup_incremental_candidates",
     "sim_neardup_multiprobe",
     "sim_multiprobe_recall",
     "multimodal_frame_sample",
@@ -316,9 +300,7 @@ _TAIL_ORDER = [
     "audit_hill_tail",
     "sketch_linear_counting",
     "multimodal_phash_clusters",
-    "multimodal_audio_fingerprint",
     "streaming_langid_counts",
-    "sample_max_coverage",
     "events_anomaly_zscore",
     "topk_suppliers_per_nation",
     "cube_docs_source_lang",
@@ -347,8 +329,50 @@ _TAIL_ORDER = [
     "q9_profit_by_nation_year",
     "q11_important_parts",
     "events_retention_cohorts",
+    "k6_zip_hash",
+    "s7_registry_default",
+    "k1_results_csv",
+    "k2_inventory_csv",
+    "k8_job_meta",
+    "s1_s3_scan_roundtrip",
+    "p8_form_validation",
+    "text_distinct_ngrams",
+    "dedup_cdc_chunks",
+    "stats_brown_forsythe",
+    "events_kaplan_meier",
+    "events_nelson_aalen",
+    "curation_crossdoc_suffix",
+    "multimodal_scene_cuts",
+    "sample_cluster_quota",
+    "streaming_tumbling_availablenow",
+    "curation_boilerplate_ngrams",
+    "curation_dup_windows",
+    "curation_mixture_weights",
+    "curation_quality_sweep",
+    "dedup_canonical_by_quality",
+    "curation_dedup_funnel",
+    "audit_source_overlap",
+    "streaming_quality_gate",
+    "curation_full_pipeline",
+    "q16_supplier_part_breadth",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q22_inactive_high_balance",
+    "w_ntile_cumdist",
+    "events_linear_trend",
+    "events_corr_hour_value",
+    "events_grouping_sets",
+    "events_rolling_hour",
+    "events_type_lift",
+    "events_session_paths",
+    "events_rolling_7d_users",
+    "events_time_weighted_avg",
+    "events_user_growth",
+    "events_attribution",
+    "q12_shipping_delay",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
-
 
 
 def _reorder_registry() -> None:

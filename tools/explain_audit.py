@@ -315,6 +315,14 @@ BRUTE_FORCE_OK = {
     # the session table (censoring cutoff); the estimator runs on the
     # duration-domain-bounded histogram
     "events_kaplan_meier",
+    # r10: nelson-aalen — shares _session_risk_table's 1-row
+    # censoring-cutoff broadcast with the allowlisted kaplan-meier;
+    # the hazard fold itself is histogram-sized
+    "events_nelson_aalen",
+    # r10: cohen's d — the k-row per-event-type (n, mean, var) aggregate
+    # broadcast-joined to itself under type_a < type_b: k^2 rows with
+    # k = event-type cardinality, domain-bounded, never O(n^2)
+    "stats_cohens_d",
     # r08: streaming benford — same 1-row total broadcast on the
     # landed-stream rollup (9 digit rows)
     "streaming_benford_counts",

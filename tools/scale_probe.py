@@ -32,6 +32,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
 PROBE_DIR = "/tmp/scale_probe_10x"
+
+# --fresh drops the per-cell-MIN floor parsed out of SCALE.md so a
+# regression (or a box change) becomes visible instead of being hidden
+# behind a stale faster number forever (ADVICE r10).
+FRESH = "--fresh" in sys.argv
+
+
+def _floor_stamp() -> str:
+    """One line recording which commit the burst floor is valid for."""
+    import subprocess
+
+    try:
+        h = subprocess.run(
+            ["git", "log", "-1", "--format=%h %cs"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        h = "unknown"
+    mode = "RESET by --fresh at" if FRESH else "accumulated through"
+    return (
+        f"Floor {mode} commit {h}; rerun with --fresh after the code"
+        " under measurement changes."
+    )
 COPIES = 10
 
 QUERIES = [
@@ -76,6 +101,9 @@ QUERIES = [
     # measures that regime); 32-bit keys collide only on real
     # near-dups, the `_wide16` finding one level up
     "dedup_retsim_pairs_wide32",
+    # r11: the corpus-size auto-dial end-to-end — 4 bands at sf0.1,
+    # 2 bands at 10x; this row is the VERDICT r10 #1 acceptance check
+    "dedup_retsim_pairs_auto",
     "curation_crossdoc_suffix",
     # cka: O(n * d^2/2) upper-triangle covariance — expected ~linear
     "audit_cka_split",
@@ -215,6 +243,25 @@ def _capped_fns() -> dict:
         )
         return scores.filter(FF.col("cosine") >= 0.8)
 
+    from openrouter_batch_processor_spark.operators.dedup import (
+        _retsim_auto_bands,
+    )
+
+    def retsim_auto(spark, sf_dir):
+        # the r11 corpus-size auto-dial end-to-end: resolves 4 bands at
+        # sf0.1 (5k docs, full recall) and 2 bands at 10x (50k docs >
+        # RETSIM_AUTO_THRESHOLD) — the growth column measures the dial
+        # actually flipping, not one pinned regime
+        docs = load_table(spark, sf_dir, "documents")
+        scores = _retsim_scores(
+            docs,
+            n_bands=_retsim_auto_bands(docs, "doc_id"),
+            bucket_cap=2048,
+            id_col="doc_id",
+            text_col="text",
+        )
+        return scores.filter(FF.col("cosine") >= 0.8)
+
     return {
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
@@ -223,6 +270,7 @@ def _capped_fns() -> dict:
         "sim_sq8_search_q20": sq8_q20,
         "dedup_retsim_pairs_cap2k": retsim_capped,
         "dedup_retsim_pairs_wide32": retsim_wide,
+        "dedup_retsim_pairs_auto": retsim_auto,
     }
 
 
@@ -356,15 +404,16 @@ def main_100x() -> None:
     )
     text = open(path).read()
     # per-cell MIN across invocations — same burst-floor convention as
-    # the 10x table (see main())
+    # the 10x table (see main()). --fresh resets the accumulated floor
+    # (ADVICE r10: a never-reset MIN would hide regressions forever).
     import re as _re
 
     prev: dict[str, tuple[float, float, float]] = {}
-    for m in _re.finditer(
+    for m in ([] if FRESH else _re.finditer(
         r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.]+) \| [0-9.]+x \| [0-9.]+x \|$",
         text.split("\n## 100x scale probe", 1)[-1].split("\n## ", 1)[0],
         _re.M,
-    ):
+    )):
         prev[m.group(1)] = (
             float(m.group(2)), float(m.group(3)), float(m.group(4))
         )
@@ -416,6 +465,7 @@ def main_100x() -> None:
         "probe showed 16-bit bands superlinear even capped, so only the",
         "wide setting is run at 500k docs.",
         "Generated by tools/scale_probe.py --x100.",
+        _floor_stamp(),
         "",
         "| query | sf0.1 (s) | 10x (s) | 100x (s) | 10x growth | 100x growth |",
         "|---|---|---|---|---|---|",
@@ -465,12 +515,14 @@ def main() -> None:
     # bench.py reports the per-query min across passes.
     import re as _re
 
+    # --fresh resets the accumulated floor (ADVICE r10: a never-reset
+    # MIN would keep reporting a stale faster number after a regression)
     prev: dict[str, tuple[float, float]] = {}
-    for m in _re.finditer(
+    for m in ([] if FRESH else _re.finditer(
         r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| [0-9.]+x \|$",
         text.split("\n## 10x scale probe", 1)[-1].split("\n## ", 1)[0],
         _re.M,
-    ):
+    )):
         prev[m.group(1)] = (float(m.group(2)), float(m.group(3)))
 
     lines = [
@@ -484,6 +536,7 @@ def main() -> None:
         "10x rows — at-or-under ~10x is linear-or-better; candidate-pair",
         "stages may exceed it when pair volume itself grows. Generated",
         "by tools/scale_probe.py.",
+        _floor_stamp(),
         "",
         "| query | sf0.1 (s) | 10x (s) | growth |",
         "|---|---|---|---|",

@@ -31,7 +31,7 @@ PYTEST_COVERAGE = {
     "K6": ("sinks/artifacts.write_deterministic_zip", "tests/test_sinks.py"),
     "K7": ("sinks/artifacts.package_results_zip", "tests/test_sinks.py, tests/test_golden_e2e.py"),
     "K8": ("sinks/artifacts.write_job_meta", "tests/test_sinks.py"),
-    "K9": ("sinks/artifacts.commit_registry", "tests/test_sinks.py"),
+    "K9": ("sinks/artifacts.commit_registry + sinks/registry_table.merge_registry_table (parquet MERGE)", "tests/test_sinks.py, tests/test_registry_table.py"),
     "F5": ("operators/grouping.file_set_hash", "tests/test_grouping.py"),
     "F7": ("functions/paths.output_filename", "tests/test_sinks.py"),
     "F8": ("functions/textops.append_footer", "tests/test_textops.py"),

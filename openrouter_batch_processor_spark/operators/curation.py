@@ -453,6 +453,30 @@ def corpus_curation_pipeline(
     clusters = duplicate_clusters(exact, id_col, text_col)
     dropped = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     final = exact.join(dropped, id_col, "left_anti")
+    # soft-dedup companion (VERDICT r10 #8): the same cluster table,
+    # consumed as WEIGHTS instead of a kill list — per-source effective
+    # token mass if every exact-survivor doc were kept at weight
+    # 1/|near-dup cluster| (softdedup_weights' rule). Reported next to
+    # the hard keep-first yield so the curator sees both policies' token
+    # budgets from one pass; cluster sizes are O(duplicates), the
+    # per-doc weight join rides the cluster_id key.
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_csz")
+    )
+    soft = (
+        exact.join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "source",
+            F.round(
+                F.col("n_tokens") / F.coalesce(F.col("_csz"), F.lit(1)), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("_soft"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_soft").cast("double").alias("_soft_sum"))
+    )
     # back half of substring dedup (r04): duplicated W-token spans are
     # REMOVED from the near-dup survivors (keep-first-occurrence), so
     # the yield reports both document counts and the actual token
@@ -462,7 +486,7 @@ def corpus_curation_pipeline(
         F.col("n_tokens").alias("_norm_toks"),
         F.col("n_removed").alias("_span_rm"),
     )
-    return (
+    hard = (
         final.join(spans, id_col)
         .groupBy("source")
         .agg(
@@ -474,6 +498,10 @@ def corpus_curation_pipeline(
             .alias("n_tokens_clean"),
         )
     )
+    # k-row source tables on both sides — broadcast the soft column on
+    return hard.join(F.broadcast(soft), "source").withColumn(
+        "n_tokens_soft", F.round(F.col("_soft_sum"), 6)
+    ).drop("_soft_sum")
 
 
 def quality_threshold_sweep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -258,3 +258,107 @@ def cluster_quota_sample(
         .join(F.broadcast(sizes), "cluster_id")
         .select("cluster_id", id_col, "pick_rank", "cluster_size")
     )
+
+
+def unimax_quotas(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-balanced sampling quotas (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): distribute a token budget
+    across languages as UNIFORMLY as possible subject to a per-language
+    epoch cap — no language is repeated more than ``max_epochs`` times,
+    and the freed budget flows to the languages that can absorb it.
+    This replaces temperature sampling's one-dial tradeoff (tail
+    languages either starve or over-repeat) with an explicit cap.
+
+    The iterative UniMax allocation IS water-filling, so it has the
+    standard closed form and needs no loop: sort languages ascending by
+    cap_l = max_epochs * n_l; language i is EXHAUSTED (gets its full
+    cap) iff filling 1..i completely and giving every remaining
+    language at least cap_i still fits the budget
+    (cum_i + cap_i * (k - i) <= B — monotone in i for ascending caps);
+    everyone past the largest such i* shares the remainder equally at
+    the water level theta = (B - cum_{i*}) / (k - i*). If the budget
+    covers every cap (i* = k), every language just gets its cap.
+
+    Per-language token masses come off the langid table
+    (textanalysis.language_id with the whitespace token count riding
+    along as an extra column — one narrow pass, no join back), so the
+    only corpus-sized stage is that scan + a k-row combiner groupBy;
+    the waterfill itself is windows over the k-row language table
+    (k = language inventory, domain-bounded — the global windows sort
+    k rows, not the corpus). Budget B = floor(total_tokens *
+    budget_frac), exact off BIGINT token sums; theta and the shares
+    are doubles of exact integers, rounded 6 dp.
+
+    Output: (lang, n_tokens, cap_tokens, alloc_tokens, epochs,
+    budget_share) — one row per language."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import (
+        normalize_text,
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        language_id,
+    )
+
+    base = docs.withColumn(
+        "_n_tok",
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long"),
+    )
+    lid = language_id(base, id_col, text_col, extra_cols=("_n_tok",))
+    per = (
+        lid.groupBy("pred_lang")
+        .agg(F.sum("_n_tok").cast("long").alias("n_tokens"))
+        .withColumn(
+            "cap_tokens", (F.col("n_tokens") * max_epochs).cast("long")
+        )
+    )
+    wall = Window.partitionBy()
+    word = Window.orderBy("cap_tokens", "pred_lang")
+    wcum = word.rowsBetween(Window.unboundedPreceding, 0)
+    t = per.select(
+        "pred_lang",
+        "n_tokens",
+        "cap_tokens",
+        F.sum("n_tokens").over(wall).cast("long").alias("_total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("_k"),
+        F.row_number().over(word).cast("long").alias("_i"),
+        F.sum("cap_tokens").over(wcum).cast("long").alias("_cum"),
+    )
+    budget = F.floor(F.col("_total") * F.lit(budget_frac)).cast("long")
+    flag = (
+        F.col("_cum") + F.col("cap_tokens") * (F.col("_k") - F.col("_i"))
+    ) <= budget
+    t2 = t.select(
+        "*",
+        budget.alias("_b"),
+        F.max(F.when(flag, F.col("_i")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long")
+        .alias("_istar"),
+        F.max(F.when(flag, F.col("_cum")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long")
+        .alias("_cumstar"),
+    )
+    theta = (F.col("_b") - F.col("_cumstar")).cast("double") / (
+        F.col("_k") - F.col("_istar")
+    )
+    alloc = F.when(
+        (F.col("_i") <= F.col("_istar")) | (F.col("_istar") == F.col("_k")),
+        F.col("cap_tokens").cast("double"),
+    ).otherwise(theta)
+    return t2.select(
+        F.col("pred_lang").alias("lang"),
+        "n_tokens",
+        "cap_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(alloc / F.col("_b"), 6).alias("budget_share"),
+    )

@@ -476,13 +476,24 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     finaldocs AS (
       SELECT sv.* FROM sv LEFT JOIN dropped d ON d.doc_id = sv.doc_id
       WHERE d.doc_id IS NULL),
+    softsz AS (SELECT cluster_id, count(*)::BIGINT AS csz
+               FROM labels GROUP BY 1),
+    softw AS (SELECT sv.source,
+                     sum(round(sv.n_tokens / coalesce(z.csz, 1), 6)::DECIMAL(28,6))::DOUBLE
+                       AS soft
+              FROM sv
+              LEFT JOIN labels l ON l.node = sv.doc_id
+              LEFT JOIN softsz z ON z.cluster_id = l.cluster_id
+              GROUP BY 1),
     {_span_sql("finaldocs")}
     SELECT f.source, count(*)::BIGINT AS n_docs, sum(f.n_tokens)::BIGINT AS n_tokens,
            sum(coalesce(s.n_removed, 0))::BIGINT AS n_span_tokens_removed,
-           (sum(len(t.toks)) - sum(coalesce(s.n_removed, 0)))::BIGINT AS n_tokens_clean
+           (sum(len(t.toks)) - sum(coalesce(s.n_removed, 0)))::BIGINT AS n_tokens_clean,
+           round(min(sw.soft), 6) AS n_tokens_soft
     FROM finaldocs f
     JOIN spt t USING (doc_id)
     LEFT JOIN spstats s USING (doc_id)
+    JOIN softw sw ON sw.source = f.source
     GROUP BY f.source
     """,
     ops=["X1", "EXT-quality", "EXT-boilerplate", "EXT-minhash", "EXT-dedup-policy", "G2"],
@@ -491,9 +502,12 @@ def q_curation_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole cleaning DAG in ONE declarative plan: quality gate ->
     boilerplate filter -> exact dedup -> LSH near-dup keep-first ->
     duplicated-span removal over the survivors (r04) -> per-source
-    docs/tokens yield incl. the post-span-removal token volume — cheap
-    row-local gates first, the expensive joins last over the smallest
-    survivor set (operators/curation.py corpus_curation_pipeline)."""
+    docs/tokens yield incl. the post-span-removal token volume AND the
+    soft-dedup effective token mass (r11: the cluster table consumed as
+    1/|cluster| weights instead of a kill list, so both dedup policies'
+    budgets come from one pass) — cheap row-local gates first, the
+    expensive joins last over the smallest survivor set
+    (operators/curation.py corpus_curation_pipeline)."""
     from openrouter_batch_processor_spark.operators.curation import (
         corpus_curation_pipeline,
     )

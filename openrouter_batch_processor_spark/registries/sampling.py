@@ -342,3 +342,68 @@ def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cluster_quota_sample(_t(spark, sf_dir, "embeddings"), quota=10)
+
+
+# ===========================================================================
+# UniMax language-balanced sampling quotas (r11)
+# ===========================================================================
+
+_LANGID_CASE = """
+           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+                WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_es > score_de AND score_es > score_en AND score_es >= score_zh THEN 'es'
+                WHEN score_zh > score_de AND score_zh > score_en AND score_zh > score_es THEN 'zh'
+                ELSE 'und' END"""
+
+
+@register(
+    "sample_unimax_quotas",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tok,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
+      FROM t),
+    l AS (SELECT {_LANGID_CASE} AS lang, n_tok FROM s),
+    per AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens,
+                   (sum(n_tok) * 4)::BIGINT AS cap_tokens
+            FROM l GROUP BY 1),
+    w AS (SELECT lang, n_tokens, cap_tokens,
+                 sum(n_tokens) OVER ()::BIGINT AS total,
+                 count(*) OVER ()::BIGINT AS k,
+                 row_number() OVER (ORDER BY cap_tokens, lang)::BIGINT AS i,
+                 sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM per),
+    w2 AS (SELECT *, floor(total * 0.5)::BIGINT AS b,
+                  max(CASE WHEN cum + cap_tokens * (k - i)
+                                <= floor(total * 0.5)::BIGINT
+                           THEN i ELSE 0 END) OVER ()::BIGINT AS istar,
+                  max(CASE WHEN cum + cap_tokens * (k - i)
+                                <= floor(total * 0.5)::BIGINT
+                           THEN cum ELSE 0 END) OVER ()::BIGINT AS cumstar
+           FROM w),
+    fin AS (SELECT lang, n_tokens, cap_tokens, b,
+                   CASE WHEN i <= istar OR istar = k THEN cap_tokens::DOUBLE
+                        ELSE (b - cumstar)::DOUBLE / (k - istar) END AS alloc
+            FROM w2)
+    SELECT lang, n_tokens, cap_tokens, round(alloc, 6) AS alloc_tokens,
+           round(alloc / n_tokens, 6) AS epochs,
+           round(alloc / b, 6) AS budget_share
+    FROM fin
+    """,
+    ops=["EXT-sampling", "EXT-langid", "G2", "O3"],
+)
+def q_unimax_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced token quotas (Chung et al. 2023):
+    water-filling a budget of half the corpus tokens across the langid
+    languages under a 4-epoch cap, in closed form over the k-row
+    language table (operators/sampling.unimax_quotas)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        unimax_quotas,
+    )
+
+    return unimax_quotas(_t(spark, sf_dir, "documents"))

@@ -353,7 +353,6 @@ _TAIL_ORDER = [
     "curation_dedup_funnel",
     "audit_source_overlap",
     "streaming_quality_gate",
-    "curation_full_pipeline",
     "q16_supplier_part_breadth",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",

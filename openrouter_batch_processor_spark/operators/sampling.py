@@ -362,3 +362,65 @@ def unimax_quotas(
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
         F.round(alloc / F.col("_b"), 6).alias("budget_share"),
     )
+
+
+def language_temperature_shares(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based language sampling (the mT5/XLM-R convention,
+    Conneau et al. 2020: share_l ∝ n_l^alpha) — the baseline UniMax
+    replaces. Reported with the IMPLIED EPOCHS column so the failure
+    mode is visible in the data: at alpha << 1 tail languages get
+    shares far above their size and epochs explodes (over-repetition),
+    which is exactly what unimax_quotas' cap prevents; at alpha = 1
+    sampling is proportional and epochs is flat.
+
+    Same plan skeleton as unimax_quotas: langid scan with the token
+    count riding along, k-row combiner groupBy, then row-local math +
+    one global window over the k-row language table for the share
+    normalizer. pow/ln are engine-identical doubles of exact BIGINT
+    masses, rounded 6 dp."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import (
+        normalize_text,
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        language_id,
+    )
+
+    base = docs.withColumn(
+        "_n_tok",
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long"),
+    )
+    lid = language_id(base, id_col, text_col, extra_cols=("_n_tok",))
+    per = lid.groupBy("pred_lang").agg(
+        F.sum("_n_tok").cast("long").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    powed = per.select(
+        "pred_lang",
+        "n_tokens",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)).alias("_p"),
+        F.sum("n_tokens").over(wall).cast("long").alias("_total"),
+    )
+    t = powed.select(
+        "*",
+        F.sum("_p").over(wall).alias("_z"),
+        F.floor(F.col("_total") * F.lit(budget_frac))
+        .cast("long")
+        .alias("_b"),
+    )
+    share = F.col("_p") / F.col("_z")
+    alloc = share * F.col("_b")
+    return t.select(
+        F.col("pred_lang").alias("lang"),
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )

@@ -407,3 +407,41 @@ def q_unimax_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unimax_quotas(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_lang_temperature",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tok,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
+      FROM t),
+    l AS (SELECT {_LANGID_CASE} AS lang, n_tok FROM s),
+    per AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM l GROUP BY 1),
+    p AS (SELECT lang, n_tokens, pow(n_tokens::DOUBLE, 0.3) AS pw,
+                 sum(n_tokens) OVER ()::BIGINT AS total
+          FROM per),
+    z AS (SELECT *, sum(pw) OVER () AS zz,
+                 floor(total * 0.5)::BIGINT AS b
+          FROM p)
+    SELECT lang, n_tokens, round(pw / zz, 6) AS share,
+           round(pw / zz * b, 6) AS alloc_tokens,
+           round(pw / zz * b / n_tokens, 6) AS epochs
+    FROM z
+    """,
+    ops=["EXT-sampling", "EXT-langid", "G2"],
+)
+def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language shares (share ∝ n^0.3, the mT5/XLM-R
+    convention) with the implied-epochs column — the over-repetition
+    baseline unimax_quotas' epoch cap fixes
+    (operators/sampling.language_temperature_shares)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        language_temperature_shares,
+    )
+
+    return language_temperature_shares(_t(spark, sf_dir, "documents"))

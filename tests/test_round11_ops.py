@@ -136,3 +136,26 @@ def test_pipeline_soft_yield_column(spark):
     assert row["n_tokens"] == 21 + 19  # hard survivors: a1 + b1
     # soft: 19 (uniq, weight 1) + (21 + 22 + 23) / 3 = 19 + 22 = 41
     assert abs(row["n_tokens_soft"] - 41.0) < 1e-6
+
+
+def test_temperature_shares_vs_unimax_epochs(spark):
+    # tail language: alpha=0.3 temperature over-represents it (epochs
+    # far above 1 and above the head language's), while UniMax caps it
+    docs = _docs(
+        spark,
+        [
+            ("der die das und ist nicht", 2),
+            ("the fast and the slow and the small and the big thing", 300),
+        ],
+    )
+    from openrouter_batch_processor_spark.operators.sampling import (
+        language_temperature_shares,
+    )
+
+    temp = {r["lang"]: r for r in language_temperature_shares(docs).collect()}
+    uni = {r["lang"]: r for r in unimax_quotas(docs).collect()}
+    assert temp["de"]["epochs"] > temp["en"]["epochs"]
+    assert temp["de"]["epochs"] > 4.0  # over-repetition the cap prevents
+    assert uni["de"]["epochs"] <= 4.0 + 1e-9
+    # shares normalize
+    assert abs(sum(r["share"] for r in temp.values()) - 1.0) < 1e-9

@@ -148,6 +148,11 @@ QUERIES_100X = [
     # superlinear even capped (17.9x wall at 10x rows), so the wide
     # setting is the only one that can survive 500k docs
     "dedup_retsim_pairs_wide32",
+    # r11: the corpus-size auto-dial end-to-end at all three scales —
+    # resolves 4 bands at sf0.1 and 2 bands at 10x AND 100x (both past
+    # RETSIM_AUTO_THRESHOLD), so the growth columns measure the dial
+    # actually flipping plus the plan-build count's cost
+    "dedup_retsim_pairs_auto",
 ]
 
 

@@ -2412,7 +2412,9 @@ def linear_cka_split(
     2080-element per-row HOF array (n x 2080 rows through the shuffle)
     and spent ~4.9 s measured (BENCH_DETAIL r10); this partial-Gram
     pass moves the arithmetic into one vectorized numpy kernel per
-    batch (VERDICT r10 #4). Cross-engine exactness rides the corpus
+    batch (VERDICT r10 #4) — measured 1.26 s warm median at sf0.1 in
+    the r11 bench, 2.3x wall at 10x rows (SCALE.md), answer
+    bit-identical at sf0.01 and sf0.1. Cross-engine exactness rides the corpus
     integer-cents convention: each product is rounded at 1e-10 and
     summed as BIGINT (order-independent, exact up to ~9e18), means
     still fold decimal casts, and the centered cells and Frobenius

@@ -424,3 +424,111 @@ def language_temperature_shares(
         F.round(alloc, 6).alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+def unimax_apply(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the UniMax quotas at DOCUMENT granularity: every doc
+    of a language with epochs e gets floor(e) whole copies, plus one
+    more with probability frac(e) through the deterministic md5 hash
+    gate (the sample_stratified convention — reproducible on any
+    engine/partitioning, no rand()). The output is the training-mix
+    draw a sequence-packing stage consumes: (doc_id, lang, epochs,
+    n_copies), n_copies >= 1 rows only.
+
+    Plan: ONE langid scan (token counts riding along), the k-row
+    waterfill from unimax_quotas re-derived over the same aggregate,
+    then a broadcast join of the k-row quota table back onto the
+    per-doc langid rows — corpus-sized work is the scan and that
+    broadcast probe, nothing else. In expectation the drawn token mass
+    per language equals alloc_tokens (exact for the floor part, the
+    hash gate is an unbiased Bernoulli on the fraction)."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import (
+        normalize_text,
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        language_id,
+    )
+
+    base = docs.withColumn(
+        "_n_tok",
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long"),
+    )
+    lid = language_id(base, id_col, text_col, extra_cols=("_n_tok",)).select(
+        id_col, "_n_tok", "pred_lang"
+    )
+    per = (
+        lid.groupBy("pred_lang")
+        .agg(F.sum("_n_tok").cast("long").alias("n_tokens"))
+        .withColumn(
+            "cap_tokens", (F.col("n_tokens") * max_epochs).cast("long")
+        )
+    )
+    wall = Window.partitionBy()
+    word = Window.orderBy("cap_tokens", "pred_lang")
+    wcum = word.rowsBetween(Window.unboundedPreceding, 0)
+    t = per.select(
+        "pred_lang",
+        "n_tokens",
+        "cap_tokens",
+        F.sum("n_tokens").over(wall).cast("long").alias("_total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("_k"),
+        F.row_number().over(word).cast("long").alias("_i"),
+        F.sum("cap_tokens").over(wcum).cast("long").alias("_cum"),
+    )
+    budget = F.floor(F.col("_total") * F.lit(budget_frac)).cast("long")
+    flag = (
+        F.col("_cum") + F.col("cap_tokens") * (F.col("_k") - F.col("_i"))
+    ) <= budget
+    t2 = t.select(
+        "*",
+        budget.alias("_b"),
+        F.max(F.when(flag, F.col("_i")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long")
+        .alias("_istar"),
+        F.max(F.when(flag, F.col("_cum")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long")
+        .alias("_cumstar"),
+    )
+    theta = (F.col("_b") - F.col("_cumstar")).cast("double") / (
+        F.col("_k") - F.col("_istar")
+    )
+    alloc = F.when(
+        (F.col("_i") <= F.col("_istar")) | (F.col("_istar") == F.col("_k")),
+        F.col("cap_tokens").cast("double"),
+    ).otherwise(theta)
+    quota = t2.select(
+        "pred_lang",
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    joined = lid.join(F.broadcast(quota), "pred_lang")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    n_copies = (
+        F.floor(F.col("epochs"))
+        + F.when(gate < F.floor(frac * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("pred_lang").alias("lang"),
+            "epochs",
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )

@@ -445,3 +445,62 @@ def q_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return language_temperature_shares(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_unimax_apply",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tok,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x)))::BIGINT AS score_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow','small','big'], x)))::BIGINT AS score_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en'], x)))::BIGINT AS score_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS score_zh
+      FROM t),
+    l AS (SELECT doc_id, {_LANGID_CASE} AS lang, n_tok FROM s),
+    per AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens,
+                   (sum(n_tok) * 4)::BIGINT AS cap_tokens
+            FROM l GROUP BY 1),
+    w AS (SELECT lang, n_tokens, cap_tokens,
+                 sum(n_tokens) OVER ()::BIGINT AS total,
+                 count(*) OVER ()::BIGINT AS k,
+                 row_number() OVER (ORDER BY cap_tokens, lang)::BIGINT AS i,
+                 sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM per),
+    w2 AS (SELECT *, floor(total * 0.5)::BIGINT AS b,
+                  max(CASE WHEN cum + cap_tokens * (k - i)
+                                <= floor(total * 0.5)::BIGINT
+                           THEN i ELSE 0 END) OVER ()::BIGINT AS istar,
+                  max(CASE WHEN cum + cap_tokens * (k - i)
+                                <= floor(total * 0.5)::BIGINT
+                           THEN cum ELSE 0 END) OVER ()::BIGINT AS cumstar
+           FROM w),
+    q AS (SELECT lang,
+                 round(CASE WHEN i <= istar OR istar = k THEN cap_tokens::DOUBLE
+                            ELSE (b - cumstar)::DOUBLE / (k - istar) END
+                       / n_tokens, 6) AS epochs
+          FROM w2),
+    drawn AS (
+      SELECT l.doc_id, l.lang, q.epochs,
+             (floor(q.epochs)
+              + CASE WHEN ('0x' || substr(md5(l.doc_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000
+                        < floor((q.epochs - floor(q.epochs)) * 1000000)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_copies
+      FROM l JOIN q USING (lang))
+    SELECT doc_id, lang, epochs, n_copies FROM drawn WHERE n_copies >= 1
+    """,
+    ops=["EXT-sampling", "EXT-langid", "G2", "J3", "P1"],
+)
+def q_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax quotas materialized at document granularity: floor(epochs)
+    whole copies per doc + one more through the deterministic md5
+    fraction gate — the training-mix draw a packing stage consumes
+    (operators/sampling.unimax_apply)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        unimax_apply,
+    )
+
+    return unimax_apply(_t(spark, sf_dir, "documents"))

@@ -159,3 +159,34 @@ def test_temperature_shares_vs_unimax_epochs(spark):
     assert uni["de"]["epochs"] <= 4.0 + 1e-9
     # shares normalize
     assert abs(sum(r["share"] for r in temp.values()) - 1.0) < 1e-9
+
+
+def test_unimax_apply_copy_counts(spark):
+    from openrouter_batch_processor_spark.operators.sampling import (
+        unimax_apply,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("der die das und ist nicht", 3),
+            ("the fast and the slow and the small and the big thing", 200),
+        ],
+    )
+    uni = {r["lang"]: r for r in unimax_quotas(docs).collect()}
+    drawn = unimax_apply(docs).collect()
+    by_lang = {}
+    for r in drawn:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        e = uni[lang]["epochs"]
+        import math as m
+
+        for r in rows:
+            assert r["epochs"] == e
+            assert r["n_copies"] in (m.floor(e), m.floor(e) + 1)
+    # the capped language (epochs == 4.0 exactly) is fully repeated:
+    # every doc present with exactly 4 copies, no fraction gate
+    if abs(uni["de"]["epochs"] - 4.0) < 1e-9:
+        de = by_lang["de"]
+        assert len(de) == 3 and all(r["n_copies"] == 4 for r in de)

@@ -1247,3 +1247,101 @@ def decontamination_report(docs: DataFrame, bench_mod: int = 7) -> DataFrame:
             F.col("n_union") > 0, F.round(F.col("n_both") / F.col("n_union"), 6)
         ).alias("method_jaccard"),
     )
+
+
+# ===========================================================================
+# Round 11 (second batch): competence-based curriculum pacing
+# ===========================================================================
+
+
+def curriculum_pacing(
+    docs: DataFrame,
+    steps: int = 10,
+    c0: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al. 2019):
+    difficulty = per-doc avg unigram NLL under the corpus LM (the
+    paper's sentence-rarity choice), CDF'd at cent-bin granularity;
+    competence c(t) = min(1, sqrt(t/T · (1 − c0²) + c0²)) for
+    t = 1…T; a doc is eligible at step t iff its difficulty CDF
+    position ≤ c(t). Output: one row per step with the eligible-pool
+    size — the pacing table a curriculum sampler joins against.
+
+    Convention: the CDF is evaluated at bin granularity (all docs in a
+    cent bin share a percentile), which makes eligibility reproducible
+    on any engine without a global per-doc rank. Docs with zero tokens
+    carry no difficulty and are outside the schedule.
+
+    Scale: the only corpus-sized work is the unigram-NLL pass (shared
+    plan family with text_unigram_nll); the histogram is domain-bounded
+    (cent bins of a bounded NLL range), its cumulative sum is a window
+    over that bounded table, and the per-step eligibility fold is
+    CONDITIONAL SUMS + one explode — no step×bin join ever forms."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        unigram_nll,
+    )
+
+    nll = unigram_nll(docs, id_col, text_col)
+    b = (
+        nll.select(F.floor(F.col("avg_nll") * 100).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    # bounded table (cent bins of avg_nll): the unpartitioned window is
+    # domain-bounded, not corpus-bounded
+    cum = b.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    n = b.agg(F.sum("cnt").cast("double").alias("n"))
+    cells = cum.join(F.broadcast(n))
+
+    def comp(t: int):
+        return F.least(
+            F.lit(1.0),
+            F.sqrt(
+                (F.lit(float(t)) / float(steps)) * (1.0 - c0 * c0) + c0 * c0
+            ),
+        )
+
+    aggs = [
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cum") / F.col("n") <= comp(t), F.col("cnt"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"e{t}")
+        for t in range(1, steps + 1)
+    ]
+    one = cells.groupBy().agg(*aggs, F.max("n").alias("n"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("t"), F.col(f"e{t}").alias("e")
+            )
+            for t in range(1, steps + 1)
+        ]
+    )
+    out = one.select(F.col("n"), F.explode(pairs).alias("s")).select(
+        F.col("s.t").alias("step"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt(
+                    (F.col("s.t") / float(steps)) * (1.0 - c0 * c0) + c0 * c0
+                ),
+            ),
+            6,
+        ).alias("competence"),
+        F.col("s.e").alias("n_eligible"),
+        F.round(F.col("s.e") / F.col("n"), 6).alias("frac_eligible"),
+    )
+    return out

@@ -312,3 +312,80 @@ def silhouette(
         )
         .crossJoin(F.broadcast(overall))
     )
+
+
+def mauve_frontier(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """MAUVE-style divergence frontier between two embedding
+    populations (Pillutla et al. 2021): quantize both onto the SAME
+    deterministic Lloyd clustering (the paper's k-means quantization
+    step), then for mixture weights λ = 0.1 … 0.9 report
+    KL(P ‖ R_λ) and KL(Q ‖ R_λ) with R_λ = λP + (1−λ)Q over the
+    cluster histograms. P = even labels, Q = odd labels — the
+    model-vs-human split of the paper recast as the two-population
+    drift audit a curation run uses to compare sources or snapshots
+    (the frontier collapses toward 0 iff the populations occupy the
+    cells with the same mass; one-sided KL alone misses mode
+    dropping, which is the point of sweeping λ).
+
+    Scale: rides the session-staged lloyd_assign_staged artifact
+    (shared with kmeans_lite / silhouette / Davies-Bouldin — no new
+    corpus pass), one combiner groupBy to the k-cell histogram, and
+    everything after is 9·k rows of pure arithmetic. Zero-mass cells
+    contribute 0 by the 0·ln 0 convention; R_λ > 0 wherever P or Q
+    has mass, so no log of zero can form. Contributions fold as
+    round(x, 9) decimals — order-invariant."""
+    assigned = lloyd_assign_staged(embeddings, k, iters, id_col, vec_col)
+    lab = embeddings.select(
+        id_col, (F.col(label_col) % 2 == 0).alias("is_p")
+    )
+    hist = (
+        assigned.join(lab, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.when(F.col("is_p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(~F.col("is_p"), 1).otherwise(0)).cast("long").alias("cq"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("cp").cast("double").alias("np"),
+        F.sum("cq").cast("double").alias("nq"),
+    )
+    spark = embeddings.sparkSession
+    lam = spark.range(1, 10).select(F.col("id").cast("long").alias("lt"))
+    p = F.col("cp") / F.col("np")
+    q = F.col("cq") / F.col("nq")
+    r = (F.col("lt") / 10.0) * p + (F.lit(1.0) - F.col("lt") / 10.0) * q
+    cells = (
+        lam.join(F.broadcast(hist))
+        .join(F.broadcast(tot))
+        .select(
+            "lt",
+            F.col("np").cast("long").alias("n_p"),
+            F.col("nq").cast("long").alias("n_q"),
+            F.when(F.col("cp") > 0, F.round(p * F.log(p / r), 9))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,9)")
+            .alias("kp"),
+            F.when(F.col("cq") > 0, F.round(q * F.log(q / r), 9))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,9)")
+            .alias("kq"),
+        )
+    )
+    return (
+        cells.groupBy("lt", "n_p", "n_q")
+        .agg(
+            F.round(F.sum("kp").cast("double"), 6).alias("kl_p"),
+            F.round(F.sum("kq").cast("double"), 6).alias("kl_q"),
+        )
+        .select(
+            F.col("lt").alias("lam_tenths"), "n_p", "n_q", "kl_p", "kl_q"
+        )
+    )

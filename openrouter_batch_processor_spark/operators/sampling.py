@@ -532,3 +532,186 @@ def unimax_apply(
         )
         .filter(F.col("n_copies") >= 1)
     )
+
+
+# ===========================================================================
+# Round 11 (second batch): lightweight coreset + permutation test
+# ===========================================================================
+
+
+def lightweight_coreset(
+    embeddings: DataFrame,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lightweight coreset for k-means (Bachem, Lucic & Krause 2018,
+    KDD): sensitivity q(x) = ½·1/n + ½·d(x, μ)²/Σd(·, μ)² with μ the
+    corpus mean — one mean pass and one distance pass, NO clustering
+    required (that is the paper's point vs full sensitivity sampling).
+    Selection is deterministic priority sampling on q (the same
+    md5-uniform priority-key construction as sample_weighted_priority),
+    so the drawn coreset is reproducible on any engine and partition
+    layout; coreset_w = 1/(m·q) is the unbiased k-means weight the
+    downstream clustering applies.
+
+    Scale: μ is a per-dimension DECIMAL(38,12) mean (d rows out of a
+    combiner groupBy — the emb_dim_stats shape), broadcast back as one
+    array row; d(x, μ)² is a narrow map; Σd² folds round-9 decimals.
+    Top-m is a TakeOrdered, never a global sort."""
+    xd = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
+    )
+    dims = xd.select(F.posexplode("xd").alias("pos", "x"))
+    mu = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("mu")
+        )
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    x, u = F.col("xd"), F.col("mu")
+    d2 = F.round(dot(x, x) - 2 * dot(x, u) + dot(u, u), 6)
+    dist = xd.join(F.broadcast(mu)).select(
+        id_col, F.greatest(d2, F.lit(0.0)).alias("d2")
+    )
+    tot = dist.agg(
+        F.sum(F.round(F.col("d2"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("total_d2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    q = 0.5 / F.col("n") + 0.5 * F.col("d2") / F.col("total_d2")
+    keyed = dist.join(F.broadcast(tot)).select(
+        id_col,
+        F.col("d2").alias("dist2"),
+        q.alias("q"),
+        (q / ((hv + 1).cast("double") / 4503599627370496.0)).alias("priority"),
+    )
+    return (
+        keyed.orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(m)
+        .select(
+            id_col,
+            F.round("dist2", 6).alias("dist2"),
+            F.round(F.col("q"), 12).alias("sensitivity"),
+            F.round(F.lit(1.0) / (float(m) * F.col("q")), 6).alias("coreset_w"),
+            F.round("priority", 12).alias("priority"),
+        )
+    )
+
+
+def permutation_test(
+    docs: DataFrame,
+    n_perms: int = 200,
+    group_col: str = "lang",
+    group_val: str = "en",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-sample randomization test (Fisher's permutation test in the
+    random-reassignment form): does group A (group_col == group_val)
+    differ from the rest in mean value_col? The null distribution
+    reassigns every doc to A/B by an md5 coin keyed on (doc_id, perm) —
+    fully deterministic, engine-reproducible, and embarrassingly
+    parallel, unlike an exact label shuffle which would need a global
+    permutation. p = (1 + #{|diff_perm| ≥ |diff_obs|}) / (1 + P), the
+    add-one convention that keeps p > 0.
+
+    Scale: ONE corpus pass explodes each row into P permutation
+    contributions that pre-aggregate map-side into P partial rows per
+    partition (combiner groupBy on perm) — the shuffle carries
+    P×partitions rows regardless of corpus size; P is the work dial
+    (200 here ⇒ 200 md5/row). Permutations where the coin lands
+    all-one-side (vanishing probability past tiny n) yield NULL diffs
+    and are excluded from both numerator counts, documented here."""
+    base = docs.select(
+        F.col(id_col).cast("string").alias("k"),
+        (F.col(group_col) == group_val).alias("in_a"),
+        F.col(value_col).cast("long").alias("val"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        (
+            F.sum(F.when(F.col("in_a"), F.col("val"))).cast("double")
+            / F.sum(F.when(F.col("in_a"), 1))
+            - F.sum(F.when(~F.col("in_a"), F.col("val"))).cast("double")
+            / F.sum(F.when(~F.col("in_a"), 1))
+        ).alias("obs_diff"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k"), F.lit(":"), F.col("p").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    perms = (
+        base.select(
+            "k", "val", F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("p")
+        )
+        .select("val", "p", coin.alias("a"))
+        .groupBy("p")
+        .agg(
+            (
+                F.sum(F.when(F.col("a"), F.col("val"))).cast("double")
+                / F.sum(F.when(F.col("a"), 1))
+                - F.sum(F.when(~F.col("a"), F.col("val"))).cast("double")
+                / F.sum(F.when(~F.col("a"), 1))
+            ).alias("diff")
+        )
+    )
+    return (
+        perms.join(F.broadcast(obs))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max("obs_diff"), 6).alias("obs_diff"),
+            # count(diff), not count(*): a degenerate all-one-side perm
+            # has a NULL diff and must leave the denominator too
+            F.count("diff").cast("long").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "obs_diff",
+            "n_perms",
+            "n_extreme",
+            F.round(
+                (1 + F.col("n_extreme")) / (1.0 + F.col("n_perms")), 6
+            ).alias("p_value"),
+        )
+    )

@@ -3158,3 +3158,197 @@ def distinct_ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFra
             F.round(F.col("v_bigrams") / F.col("n_bigrams"), 6).alias("dist2"),
         )
     )
+
+
+# ===========================================================================
+# Round 11 (second batch): Self-BLEU corpus diversity, RHO-loss selection
+# ===========================================================================
+
+
+def _clipped_precision(gram_tf: DataFrame, id_col: str, out_col: str) -> DataFrame:
+    """Per-document clipped n-gram precision against the REST of the
+    corpus as references (the Self-BLEU reference set): for each gram,
+    the clip ceiling is the max count of that gram in any OTHER
+    document — max-excluding-self from a (max, count-at-max, runner-up)
+    aggregate, never a per-pair join.
+
+    Shapes: two vocabulary-sized combiner groupBys on the gram key plus
+    one per-doc fold — the tfidf/df plan, linear in corpus tokens at
+    any scale. Input: (id, gram, tf) with exact integer tf."""
+    g1 = gram_tf.groupBy("gram").agg(F.max("tf").alias("m1"))
+    stats = (
+        gram_tf.join(g1, "gram")
+        .groupBy("gram", "m1")
+        .agg(
+            F.max(F.when(F.col("tf") < F.col("m1"), F.col("tf"))).alias("m2"),
+            F.sum(F.when(F.col("tf") == F.col("m1"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    max_other = (
+        F.when(F.col("tf") < F.col("m1"), F.col("m1"))
+        .when(F.col("c1") >= 2, F.col("m1"))
+        .otherwise(F.coalesce(F.col("m2"), F.lit(0)))
+    )
+    return (
+        gram_tf.join(stats, "gram")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.least(F.col("tf"), max_other)).cast("double")
+                / F.sum("tf")
+            ).alias(out_col)
+        )
+    )
+
+
+def self_bleu(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-BLEU-2 corpus-diversity audit (Zhu et al. 2018, Texygen):
+    per document, the geometric mean of clipped unigram and bigram
+    precision against every OTHER document as the reference set, then
+    the per-source mean. High Self-BLEU = the source repeats itself —
+    the generation-diversity screen applied as a corpus-curation audit
+    (template farms and boilerplate mirrors score near 1).
+
+    Brevity penalty is omitted (the pooled reference set is always
+    longer than one candidate, so BP = 1), and documents with no bigram
+    (< 2 tokens) are excluded from the mean — both conventions noted
+    here because BLEU variants differ. No smoothing: a doc whose every
+    bigram is unique to it scores p2 = 0, which IS the diversity
+    signal.
+
+    Scale: gram tables are (doc, gram) combiner groupBys; the clip
+    ceiling is a vocabulary-sized aggregate (max / count-at-max /
+    runner-up), so no doc-pair join ever forms — the classic Self-BLEU
+    O(n²) reference loop is replaced by max-excluding-self arithmetic.
+    Per-doc precisions are exact-int ratios; the per-source mean folds
+    round(x, 9) decimals (order-invariant)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    uni = (
+        docs.select(F.col(id_col), F.explode(toks).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bi = (
+        docs.select(F.col(id_col), toks.alias("tk"))
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                        lambda t, i: F.concat(
+                            t, F.lit(" "), F.element_at(F.col("tk"), i + 2)
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p1 = _clipped_precision(uni, id_col, "p1")
+    p2 = _clipped_precision(bi, id_col, "p2")
+    scored = (
+        p1.join(p2, id_col)
+        .join(docs.select(id_col, group_col), id_col)
+        .withColumn("bleu", F.sqrt(F.col("p1") * F.col("p2")))
+    )
+    dec = lambda c: F.sum(F.round(c, 9).cast("decimal(28,9)")).cast("double")  # noqa: E731
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(dec(F.col("p1")) / F.count(F.lit(1)), 6).alias("mean_p1"),
+            F.round(dec(F.col("p2")) / F.count(F.lit(1)), 6).alias("mean_p2"),
+            F.round(dec(F.col("bleu")) / F.count(F.lit(1)), 6).alias(
+                "mean_self_bleu"
+            ),
+        )
+    )
+
+
+def rho_loss_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RHO-loss-style learnability selection (Mindermann et al. 2022,
+    'Prioritized training on points that are learnable, worth learning,
+    and not yet learnt'), with unigram LMs standing in for the two
+    models: score = avg-NLL under the CORPUS unigram LM minus avg-NLL
+    under a TARGET unigram LM trained on the target_lang slice
+    (add-one smoothed over the corpus vocabulary, so OOV-vs-target
+    tokens are priced, not dropped). High score = hard for the
+    generalist, easy for the target domain — learnable AND worth
+    learning; the irreducible-holdout-loss term of the paper, computed
+    with count tables instead of a proxy network. Top-k by score.
+
+    Same plan family as text_unigram_nll / text_dsir_weights: one tf
+    table, two vocabulary-sized count aggregates joined back on term,
+    scalar totals as broadcast single-row cross joins. Contributions
+    round to DECIMAL(18,6) per (doc, term) row so the per-doc fold is
+    order-invariant; the subtraction happens on exact decimal sums."""
+    tf = term_frequencies(docs, id_col, text_col)
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    tot = ctf.agg(
+        F.sum("ctf").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    ttf = (
+        tf.join(
+            docs.filter(F.col("lang") == target_lang).select(id_col), id_col
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("ttf"))
+    )
+    ttot = ttf.agg(
+        F.coalesce(F.sum("ttf"), F.lit(0)).cast("double").alias("t_total")
+    )
+    contrib = (
+        tf.join(ctf, "term")
+        .join(ttf, "term", "left")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(ttot))
+        .select(
+            id_col,
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("total_tokens") / F.col("ctf")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("nll_c"),
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("t_total") + F.col("vocab"))
+                    / (F.coalesce(F.col("ttf"), F.lit(0)) + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll_t"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(
+            (F.sum("nll_c") - F.sum("nll_t")).cast("double") / F.sum("tf"), 6
+        ).alias("rho_score"),
+    )
+    return (
+        scored.join(docs.select(id_col, "lang"), id_col)
+        .orderBy(F.desc("rho_score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "lang", "n_tokens", "rho_score")
+    )

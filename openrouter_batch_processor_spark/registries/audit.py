@@ -1571,3 +1571,48 @@ def q_cka_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return linear_cka_split(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Round 11 (second batch): MAUVE-style divergence frontier
+# ===========================================================================
+
+
+@register(
+    "audit_mauve_frontier",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    hist AS (SELECT a2.cluster_id,
+                    sum(CASE WHEN em.label % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+                    sum(CASE WHEN em.label % 2 != 0 THEN 1 ELSE 0 END)::BIGINT AS cq
+             FROM a2 JOIN embeddings em USING (vec_id) GROUP BY 1),
+    tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cq)::DOUBLE AS nq FROM hist),
+    lam AS (SELECT unnest(range(1, 10))::BIGINT AS lt),
+    cells AS (SELECT l.lt, tot.np::BIGINT AS n_p, tot.nq::BIGINT AS n_q,
+                     h.cp / tot.np AS p, h.cq / tot.nq AS q,
+                     (l.lt / 10.0) * (h.cp / tot.np)
+                       + (1.0 - l.lt / 10.0) * (h.cq / tot.nq) AS r
+              FROM lam l CROSS JOIN hist h CROSS JOIN tot)
+    SELECT lt AS lam_tenths, n_p, n_q,
+           round(sum(CASE WHEN p > 0 THEN round(p * ln(p / r), 9)::DECIMAL(28,9)
+                          ELSE 0::DECIMAL(28,9) END)::DOUBLE, 6) AS kl_p,
+           round(sum(CASE WHEN q > 0 THEN round(q * ln(q / r), 9)::DECIMAL(28,9)
+                          ELSE 0::DECIMAL(28,9) END)::DOUBLE, 6) AS kl_q
+    FROM cells GROUP BY 1, 2, 3
+    """,
+    ops=["EXT-ivf", "EXT-simsearch", "EXT-quality", "G2", "J3"],
+)
+def q_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE-lite divergence frontier (Pillutla et al. 2021) between
+    even- and odd-label embedding populations, quantized on the shared
+    staged k=8 Lloyd clustering: KL(P‖R_λ) / KL(Q‖R_λ) for λ =
+    0.1…0.9 over the k-cell histograms — the two-population drift
+    audit (operators/kmeans.mauve_frontier)."""
+    from openrouter_batch_processor_spark.operators.kmeans import mauve_frontier
+
+    return mauve_frontier(_t(spark, sf_dir, "embeddings"))

@@ -1098,3 +1098,55 @@ def q_crossdoc_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         _t(spark, sf_dir, "documents"), window_tokens=8, cross_doc_only=True
     )
+
+
+# ===========================================================================
+# Round 11 (second batch): competence-based curriculum pacing
+# ===========================================================================
+
+
+@register(
+    "curation_curriculum_pacing",
+    f"""
+    WITH {_TF_SQL},
+    ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+    tot AS (SELECT sum(ctf)::DOUBLE AS total_tokens FROM ctf),
+    c AS (SELECT t.doc_id, t.tf,
+                 round(t.tf * ln(tot.total_tokens / ctf.ctf), 6)::DECIMAL(18,6)
+                   AS contrib
+          FROM tf t JOIN ctf USING (term) CROSS JOIN tot),
+    nll AS (SELECT doc_id, round(sum(contrib)::DOUBLE / sum(tf), 6) AS avg_nll
+            FROM c GROUP BY doc_id),
+    b AS (SELECT floor(avg_nll * 100)::BIGINT AS bin, count(*)::BIGINT AS cnt
+          FROM nll GROUP BY 1),
+    cum AS (SELECT bin, cnt,
+                   (sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING))::BIGINT
+                     AS cum
+            FROM b),
+    nt AS (SELECT sum(cnt)::DOUBLE AS n FROM b),
+    comp AS (SELECT t,
+                    least(1.0, sqrt((t / 10.0) * (1.0 - 0.01 * 0.01)
+                                    + 0.01 * 0.01)) AS c
+             FROM (SELECT unnest(range(1, 11))::BIGINT AS t))
+    SELECT s.t AS step, round(s.c, 6) AS competence,
+           coalesce(sum(CASE WHEN cum.cum / nt.n <= s.c THEN cum.cnt END),
+                    0)::BIGINT AS n_eligible,
+           round(coalesce(sum(CASE WHEN cum.cum / nt.n <= s.c THEN cum.cnt END),
+                          0) / nt.n, 6) AS frac_eligible
+    FROM comp s CROSS JOIN cum CROSS JOIN nt
+    GROUP BY s.t, s.c, nt.n
+    """,
+    ops=["EXT-curation", "EXT-sampling", "EXT-tokens", "G2", "W2"],
+)
+def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al. 2019):
+    difficulty = unigram-LM rarity, CDF at cent-bin granularity,
+    competence c(t) = min(1, sqrt(t/T·(1−c0²)+c0²)) — one pacing row
+    per step with the eligible-pool size
+    (operators/curation.curriculum_pacing; conditional sums + explode,
+    no step×bin join)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        curriculum_pacing,
+    )
+
+    return curriculum_pacing(_t(spark, sf_dir, "documents"))

@@ -1876,3 +1876,57 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cohens_d_pairs(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Round 11 (second batch): randomization (permutation) test
+# ===========================================================================
+
+
+@register(
+    "stats_permutation_test",
+    """
+    WITH base AS (SELECT doc_id::VARCHAR AS k, lang = 'en' AS in_a,
+                         n_chars::BIGINT AS val
+                  FROM documents),
+    obs AS (SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                   sum(CASE WHEN in_a THEN val END)::DOUBLE
+                     / sum(CASE WHEN in_a THEN 1 END)
+                   - sum(CASE WHEN NOT in_a THEN val END)::DOUBLE
+                     / sum(CASE WHEN NOT in_a THEN 1 END) AS obs_diff
+            FROM base),
+    pr AS (SELECT k, val, unnest(range(1, 201))::BIGINT AS p FROM base),
+    co AS (SELECT val, p,
+                  ('0x' || substr(md5(k || ':' || p::VARCHAR), 1, 8))::BIGINT
+                    % 2 = 0 AS a
+           FROM pr),
+    pd AS (SELECT p,
+                  sum(CASE WHEN a THEN val END)::DOUBLE
+                    / sum(CASE WHEN a THEN 1 END)
+                  - sum(CASE WHEN NOT a THEN val END)::DOUBLE
+                    / sum(CASE WHEN NOT a THEN 1 END) AS diff
+           FROM co GROUP BY p)
+    SELECT obs.n_a, obs.n_b, round(obs.obs_diff, 6) AS obs_diff,
+           count(diff)::BIGINT AS n_perms,
+           sum(CASE WHEN abs(diff) >= abs(obs.obs_diff) THEN 1 ELSE 0
+               END)::BIGINT AS n_extreme,
+           round((1 + sum(CASE WHEN abs(diff) >= abs(obs.obs_diff)
+                               THEN 1 ELSE 0 END))
+                 / (1.0 + count(diff)), 6) AS p_value
+    FROM pd CROSS JOIN obs
+    GROUP BY obs.n_a, obs.n_b, obs.obs_diff
+    """,
+    ops=["EXT-quality", "F4", "G2"],
+)
+def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style randomization test: is mean n_chars of lang='en'
+    docs different from the rest? 200 deterministic md5-coin
+    reassignments build the null; p = (1+#extreme)/(1+P). One corpus
+    pass, combiner groupBy on perm id — shuffle is P×partitions rows
+    at any corpus size (operators/sampling.permutation_test)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        permutation_test,
+    )
+
+    return permutation_test(_t(spark, sf_dir, "documents"))

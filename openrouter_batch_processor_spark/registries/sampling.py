@@ -504,3 +504,96 @@ def q_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unimax_apply(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Round 11 (second batch): RHO-loss-style learnability selection
+# ===========================================================================
+
+
+@register(
+    "sample_rho_select",
+    f"""
+    WITH {_TF_SQL},
+    ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+    tot AS (SELECT sum(ctf)::DOUBLE AS total_tokens,
+                   count(*)::DOUBLE AS vocab FROM ctf),
+    ttf AS (SELECT t.term, sum(t.tf)::BIGINT AS ttf
+            FROM tf t JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' GROUP BY 1),
+    ttot AS (SELECT coalesce(sum(ttf), 0)::DOUBLE AS t_total FROM ttf),
+    c AS (SELECT t.doc_id, t.tf,
+                 round(t.tf * ln(tot.total_tokens / ctf.ctf), 6)::DECIMAL(18,6)
+                   AS nll_c,
+                 round(t.tf * ln((ttot.t_total + tot.vocab)
+                                 / (coalesce(ttf.ttf, 0) + 1)),
+                       6)::DECIMAL(18,6) AS nll_t
+          FROM tf t JOIN ctf USING (term) LEFT JOIN ttf USING (term)
+          CROSS JOIN tot CROSS JOIN ttot),
+    s AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                 round((sum(nll_c) - sum(nll_t))::DOUBLE / sum(tf), 6)
+                   AS rho_score
+          FROM c GROUP BY 1)
+    SELECT s.doc_id, d.lang, s.n_tokens, s.rho_score
+    FROM s JOIN documents d USING (doc_id)
+    ORDER BY rho_score DESC, doc_id ASC LIMIT 50
+    """,
+    ops=["EXT-sampling", "EXT-quality", "EXT-tokens", "G2", "O3"],
+)
+def q_sample_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style selection (Mindermann et al. 2022) with unigram
+    LMs as the proxy models: top-50 docs by (corpus-LM avg NLL −
+    target-LM avg NLL), target = the lang='en' slice with add-one
+    smoothing over the corpus vocabulary. Selects docs that are hard
+    for the generalist but easy for the target domain — learnable and
+    worth learning (operators/textanalysis.rho_loss_scores)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        rho_loss_scores,
+    )
+
+    return rho_loss_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_coreset_lightweight",
+    """
+    WITH x AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS xd
+               FROM embeddings),
+    dims AS (SELECT u.pos, u.v FROM (
+               SELECT unnest(list_transform(range(1, len(xd) + 1),
+                             i -> struct_pack(pos := i, v := xd[i]))) AS u
+               FROM x) t),
+    mu AS (SELECT array_agg(m ORDER BY pos) AS mu FROM (
+             SELECT pos, sum(v::DECIMAL(38,12))::DOUBLE / count(*) AS m
+             FROM dims GROUP BY pos) q),
+    d AS (SELECT vec_id,
+                 greatest(round(list_dot_product(xd, xd)
+                                - 2 * list_dot_product(xd, mu.mu)
+                                + list_dot_product(mu.mu, mu.mu), 6),
+                          0.0) AS d2
+          FROM x CROSS JOIN mu),
+    t AS (SELECT sum(round(d2, 9)::DECIMAL(28,9))::DOUBLE AS total_d2,
+                 count(*)::DOUBLE AS n FROM d),
+    k AS (SELECT vec_id, d2,
+                 0.5 / t.n + 0.5 * d2 / t.total_d2 AS q,
+                 (0.5 / t.n + 0.5 * d2 / t.total_d2)
+                   / ((('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT
+                       + 1)::DOUBLE / 4503599627370496.0) AS priority
+          FROM d CROSS JOIN t)
+    SELECT vec_id, round(d2, 6) AS dist2, round(q, 12) AS sensitivity,
+           round(1.0 / (50.0 * q), 6) AS coreset_w,
+           round(priority, 12) AS priority
+    FROM k ORDER BY priority DESC, vec_id ASC LIMIT 50
+    """,
+    ops=["EXT-sampling", "EXT-simsearch", "F4", "G2", "O3"],
+)
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause 2018):
+    sensitivity ½/n + ½·d(x,μ)²/Σd², deterministic md5-priority draw
+    of 50 points with unbiased coreset weights — no clustering pass
+    needed (operators/sampling.lightweight_coreset)."""
+    from openrouter_batch_processor_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    return lightweight_coreset(_t(spark, sf_dir, "embeddings"))

@@ -1314,3 +1314,62 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return distinct_ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Round 11 (second batch): Self-BLEU corpus diversity
+# ===========================================================================
+
+
+@register(
+    "text_self_bleu",
+    f"""
+    WITH {_TF_SQL},
+    tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])) AS gram
+           FROM tk WHERE len(t) >= 2),
+    btf AS (SELECT doc_id, gram, count(*) AS tf FROM bg GROUP BY 1, 2),
+    u1 AS (SELECT term AS gram, max(tf) AS m1 FROM tf GROUP BY 1),
+    us AS (SELECT t.term AS gram, u1.m1,
+                  max(CASE WHEN t.tf < u1.m1 THEN t.tf END) AS m2,
+                  sum(CASE WHEN t.tf = u1.m1 THEN 1 ELSE 0 END) AS c1
+           FROM tf t JOIN u1 ON u1.gram = t.term GROUP BY 1, 2),
+    ud AS (SELECT t.doc_id,
+                  sum(least(t.tf, CASE WHEN t.tf < s.m1 THEN s.m1
+                                       WHEN s.c1 >= 2 THEN s.m1
+                                       ELSE coalesce(s.m2, 0) END))::DOUBLE
+                  / sum(t.tf) AS p1
+           FROM tf t JOIN us s ON s.gram = t.term GROUP BY 1),
+    b1 AS (SELECT gram, max(tf) AS m1 FROM btf GROUP BY 1),
+    bs AS (SELECT t.gram, b1.m1,
+                  max(CASE WHEN t.tf < b1.m1 THEN t.tf END) AS m2,
+                  sum(CASE WHEN t.tf = b1.m1 THEN 1 ELSE 0 END) AS c1
+           FROM btf t JOIN b1 USING (gram) GROUP BY 1, 2),
+    bd AS (SELECT t.doc_id,
+                  sum(least(t.tf, CASE WHEN t.tf < s.m1 THEN s.m1
+                                       WHEN s.c1 >= 2 THEN s.m1
+                                       ELSE coalesce(s.m2, 0) END))::DOUBLE
+                  / sum(t.tf) AS p2
+           FROM btf t JOIN bs s USING (gram) GROUP BY 1),
+    sc AS (SELECT d.source, u.p1, b.p2, sqrt(u.p1 * b.p2) AS bleu
+           FROM ud u JOIN bd b USING (doc_id) JOIN documents d USING (doc_id))
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(sum(round(p1, 9)::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_p1,
+           round(sum(round(p2, 9)::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_p2,
+           round(sum(round(bleu, 9)::DECIMAL(28,9))::DOUBLE / count(*), 6)
+             AS mean_self_bleu
+    FROM sc GROUP BY source
+    """,
+    ops=["EXT-quality", "EXT-tokens", "G2", "J2", "G4"],
+)
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 per source (Zhu et al. 2018): clipped 1/2-gram
+    precision of each doc against every other doc as references, no
+    per-pair join — the clip ceiling is a vocabulary-sized
+    max-excluding-self aggregate. High mean = the source repeats
+    itself (operators/textanalysis.self_bleu for the scale shape)."""
+    from openrouter_batch_processor_spark.operators.textanalysis import self_bleu
+
+    return self_bleu(_t(spark, sf_dir, "documents"))

@@ -190,3 +190,155 @@ def test_unimax_apply_copy_counts(spark):
     if abs(uni["de"]["epochs"] - 4.0) < 1e-9:
         de = by_lang["de"]
         assert len(de) == 3 and all(r["n_copies"] == 4 for r in de)
+
+
+# ===========================================================================
+# Second batch: Self-BLEU, RHO-loss selection, MAUVE frontier
+# ===========================================================================
+
+
+def test_self_bleu_identical_docs_score_one(spark):
+    # two identical docs: every gram is fully clipped by the other copy
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="dup", text="alpha beta gamma alpha beta"),
+            Row(doc_id=2, source="dup", text="alpha beta gamma alpha beta"),
+            Row(doc_id=3, source="uniq", text="zeta eta theta iota kappa"),
+        ]
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import self_bleu
+
+    out = {r["source"]: r for r in self_bleu(docs).collect()}
+    assert out["dup"]["mean_self_bleu"] == 1.0
+    assert out["dup"]["n_docs"] == 2
+    # the unique doc shares the unigram 'alpha'?? none — all grams unique
+    assert out["uniq"]["mean_self_bleu"] == 0.0
+
+
+def test_self_bleu_clip_uses_max_excluding_self(spark):
+    # doc 1 has 'x' three times; the best OTHER doc has it once ->
+    # clipped unigram precision for doc 1 is 1/3 on that gram
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text="x x x"),
+            Row(doc_id=2, source="s", text="x y z"),
+        ]
+    )
+    from openrouter_batch_processor_spark.operators.textanalysis import (
+        _clipped_precision,
+        term_frequencies,
+    )
+
+    tf = term_frequencies(docs).withColumnRenamed("term", "gram")
+    p1 = {r["doc_id"]: r["p1"] for r in _clipped_precision(tf, "doc_id", "p1").collect()}
+    assert abs(p1[1] - 1.0 / 3.0) < 1e-12  # min(3, 1) / 3
+    assert abs(p1[2] - 1.0 / 3.0) < 1e-12  # x clipped at 3->1 of its 1; y,z unseen
+
+
+def test_rho_select_prefers_target_like_rare_docs(spark):
+    # 'qq rr' appears only in the en target slice -> cheap under the
+    # target LM, expensive under the corpus LM -> top rho score
+    rows = [Row(doc_id=i, lang="de", text="common words common words") for i in range(10)]
+    rows.append(Row(doc_id=100, lang="en", text="qq rr qq rr"))
+    rows.append(Row(doc_id=101, lang="en", text="qq rr"))
+    docs = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.textanalysis import rho_loss_scores
+
+    out = rho_loss_scores(docs, k=3).collect()
+    assert out[0]["doc_id"] in (100, 101)
+    assert out[0]["rho_score"] > out[-1]["rho_score"]
+
+
+def test_mauve_frontier_identical_populations_zero_kl(spark):
+    # even and odd labels laid out identically -> P == Q -> KL == 0 at
+    # every lambda
+    import numpy as np
+
+    rows = []
+    for i in range(32):
+        v = [float((i // 2) % 4)] * 64  # pairs (2i, 2i+1) share a vector
+        rows.append(Row(vec_id=i, embedding=v, label=i % 2))
+    emb = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.kmeans import mauve_frontier
+
+    out = mauve_frontier(emb, k=4, iters=1).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["kl_p"] == 0.0 and r["kl_q"] == 0.0
+        assert r["n_p"] == 16 and r["n_q"] == 16
+
+
+def test_mauve_frontier_disjoint_populations_positive_kl(spark):
+    rows = []
+    for i in range(16):
+        base = 0.0 if i % 2 == 0 else 100.0  # even/odd in different cells
+        rows.append(Row(vec_id=i, embedding=[base + (i % 3)] * 64, label=i % 2))
+    emb = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.kmeans import mauve_frontier
+
+    out = mauve_frontier(emb, k=4, iters=1).collect()
+    for r in out:
+        assert r["kl_p"] > 0.0 and r["kl_q"] > 0.0
+
+
+def test_curriculum_pacing_monotone_and_saturating(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"tok{i % 7} common word filler") for i in range(40)]
+    )
+    from openrouter_batch_processor_spark.operators.curation import (
+        curriculum_pacing,
+    )
+
+    out = sorted(curriculum_pacing(docs).collect(), key=lambda r: r["step"])
+    assert len(out) == 10
+    elig = [r["n_eligible"] for r in out]
+    assert elig == sorted(elig)  # competence grows -> pool never shrinks
+    assert out[-1]["competence"] == 1.0
+    assert out[-1]["n_eligible"] == 40  # full corpus at c=1
+    assert out[-1]["frac_eligible"] == 1.0
+
+
+def test_lightweight_coreset_outliers_get_high_sensitivity(spark):
+    rows = [Row(vec_id=i, embedding=[0.0] * 64) for i in range(20)]
+    rows.append(Row(vec_id=99, embedding=[10.0] * 64))  # lone outlier
+    emb = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    out = lightweight_coreset(emb, m=5).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert 99 in by_id  # the outlier must be drawn
+    assert by_id[99]["sensitivity"] == max(r["sensitivity"] for r in out)
+    # coreset weight is the inverse of m*q
+    r = by_id[99]
+    assert abs(r["coreset_w"] - 1.0 / (5 * r["sensitivity"])) < 1e-3
+
+
+def test_permutation_test_detects_real_shift(spark):
+    # en docs 10x longer: the observed diff should be more extreme than
+    # (almost) every random reassignment -> tiny p
+    rows = [Row(doc_id=i, lang="en", n_chars=1000 + i % 7) for i in range(60)]
+    rows += [Row(doc_id=100 + i, lang="de", n_chars=100 + i % 7) for i in range(60)]
+    docs = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.sampling import (
+        permutation_test,
+    )
+
+    r = permutation_test(docs).collect()[0]
+    assert r["n_a"] == 60 and r["n_b"] == 60
+    assert r["obs_diff"] == 900.0
+    assert r["n_perms"] == 200
+    assert r["p_value"] <= 0.01  # 1/201 when nothing is as extreme
+
+
+def test_permutation_test_null_when_no_shift(spark):
+    rows = [Row(doc_id=i, lang="en" if i % 2 == 0 else "de", n_chars=50 + (i * 13) % 11)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows)
+    from openrouter_batch_processor_spark.operators.sampling import (
+        permutation_test,
+    )
+
+    r = permutation_test(docs).collect()[0]
+    assert r["p_value"] > 0.05  # no real effect -> non-significant

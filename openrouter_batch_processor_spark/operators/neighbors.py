@@ -1,0 +1,534 @@
+"""kNN-graph geometry audits and data valuation over the embedding
+table: cell-local exact kNN (staged, shared), Local Outlier Factor,
+TwoNN intrinsic dimension, hubness histogram, and exact KNN-Shapley
+data values.
+
+These are the embedding-space QUALITY instruments a curation run points
+at a corpus before training on it: LOF flags local-density outliers the
+global Mahalanobis audit misses (Breunig et al. 2000, SIGMOD); TwoNN
+estimates the data manifold's intrinsic dimension from nothing but
+nearest-neighbor distance ratios (Facco et al. 2017, Sci. Rep.);
+the k-occurrence histogram diagnoses hubness, the high-dimensional
+pathology where a few points crowd everyone's neighbor lists
+(Radovanovic et al. 2010, JMLR); KNN-Shapley prices every training
+point's marginal contribution to a held-out test set in closed form
+(Jia et al. 2019, PVLDB) — the exact data-valuation recursion, no Monte
+Carlo.
+
+Reference parity: the reference's closest surface is its usage
+accounting (worker.py:141-162 folds per-request token/cost rows into a
+job report); these extend that "measure what you feed the model"
+contract from token counts to embedding-space geometry.
+
+Scale design: the kNN table is built WITHIN Lloyd cells (the staged
+lloyd_assign_staged artifact shared with kmeans_lite / silhouette /
+SemDeDup) — pair work is sum(|cell|^2), bounded by the cell-size dial
+(k grows with the corpus so cells stay ~constant; the same contract as
+dedup_semdedup's C-row pass). All three geometry audits consume ONE
+staged kNN table, the pair-table staging pattern of the near-dup
+families. KNN-Shapley's test side is a bounded |Q|-row broadcast (test
+sets are small by construction — the same labeled-truth-side contract
+as sim_sq8_search); everything downstream is windows over the
+(|Q| x n_train) scored table, never a train x train pass.
+
+Float discipline (the cross-engine parity rules of registry.py): dot
+products are the shared left-to-right double fold; distances round to
+6dp BEFORE ranking so ties break identically; every order-sensitive
+fold is a rounded DECIMAL sum (order-invariant); divisions happen in
+the same parenthesization in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from openrouter_batch_processor_spark.operators.similarity import _dot
+
+
+def _xd(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+    )
+
+
+def cell_pairs(
+    embeddings: DataFrame,
+    cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full within-cell pair table (a_id, cluster_id, b_id, dist):
+    every ordered pair of distinct points sharing a Lloyd cell, with
+    6dp-rounded euclidean distance. O(sum |cell|^2) rows — the bounded
+    pass every cell-local consumer (kNN ranking, density-peaks delta)
+    derives from. Not staged itself: the kNN cap (cell_knn_staged) is
+    the artifact worth materializing; delta consumers stream this once."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        lloyd_assign_staged,
+    )
+
+    assigned = lloyd_assign_staged(embeddings, cells, iters, id_col, vec_col)
+    m = assigned.join(_xd(embeddings, id_col, vec_col), id_col).select(
+        F.col(id_col).alias("pid"), "cluster_id", "v"
+    )
+    a = m.select(
+        F.col("pid").alias("a_id"), "cluster_id", F.col("v").alias("va")
+    )
+    b = m.select(
+        F.col("pid").alias("b_id"),
+        F.col("cluster_id").alias("cb"),
+        F.col("v").alias("vb"),
+    )
+    va, vb = F.col("va"), F.col("vb")
+    d2 = _dot(va, va) - 2 * _dot(va, vb) + _dot(vb, vb)
+    return a.join(
+        b, (F.col("cluster_id") == F.col("cb")) & (F.col("a_id") != F.col("b_id"))
+    ).select(
+        "a_id",
+        "cluster_id",
+        "b_id",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+    )
+
+
+def cell_knn_staged(
+    embeddings: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged cell-local exact kNN table: (a_id, cluster_id,
+    b_id, rnk, dist), rnk = 1..k by euclidean distance among points in
+    the SAME Lloyd cell (ties broken by neighbor id on the 6dp-rounded
+    distance, so ranking is engine-portable).
+
+    Cell-local is the scale contract: exact all-pairs kNN is O(n^2),
+    while within-cell pairs cost sum(|cell|^2) and the cell count dial
+    holds |cell| ~constant as the corpus grows (boundary points may
+    miss a true neighbor in the next cell — the standard IVF
+    approximation, same as dedup_semdedup). Staged once (pair-table
+    pattern): LOF, TwoNN and the hubness histogram all read this ONE
+    artifact."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        pairs = cell_pairs(d, cells, iters, id_col, vec_col)
+        w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+        return pairs.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        ).filter(F.col("rnk") <= k)
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"cell_knn:{k}:{cells}:{iters}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
+def lof_scores(
+    embeddings: DataFrame,
+    k: int = 5,
+    top: int = 25,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over the cell-local
+    kNN table: k-distance per point, reachability distance
+    reach(a,b) = max(kdist(b), d(a,b)), local reachability density
+    lrd(a) = |N(a)| / sum(reach), LOF(a) = mean(lrd of neighbors) /
+    lrd(a). LOF >> 1 means a's neighborhood is much sparser than its
+    neighbors' — the LOCAL outlier a global distance audit
+    (emb_mahalanobis_outliers) cannot see. Top-`top` by LOF.
+
+    Plan: three narrow passes over the O(n*k) staged kNN table — a
+    groupBy for kdist, an equi-join + groupBy for lrd, an equi-join +
+    groupBy for LOF. Reach distances fold as 6dp decimals and lrd
+    rounds to 9dp before the final ratio, so every aggregate is
+    order-invariant and both engines agree bit-for-bit."""
+    knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
+    kd = knn.groupBy("a_id").agg(
+        F.max("dist").alias("kdist"),
+        F.count(F.lit(1)).cast("long").alias("n_nb"),
+    )
+    reach = knn.join(
+        kd.select(F.col("a_id").alias("b_id"), F.col("kdist").alias("kdist_b")),
+        "b_id",
+    ).select(
+        "a_id",
+        F.round(F.greatest(F.col("kdist_b"), F.col("dist")), 6)
+        .cast("decimal(18,6)")
+        .alias("reach"),
+    )
+    lrd = (
+        reach.groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nb"),
+            F.sum("reach").cast("double").alias("sreach"),
+        )
+        .select(
+            "a_id",
+            "n_nb",
+            F.when(
+                F.col("sreach") > 0,
+                F.round(F.col("n_nb") / F.col("sreach"), 9),
+            ).alias("lrd"),
+        )
+    )
+    lofd = (
+        knn.join(
+            lrd.select(F.col("a_id").alias("b_id"), F.col("lrd").alias("lrd_b")),
+            "b_id",
+        )
+        .groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nb"),
+            F.sum(F.col("lrd_b").cast("decimal(19,9)"))
+            .cast("double")
+            .alias("slrd"),
+        )
+    )
+    out = (
+        lofd.join(lrd.select("a_id", "lrd"), "a_id")
+        .join(
+            knn.groupBy("a_id", "cluster_id").agg(F.max("dist").alias("kdist")),
+            "a_id",
+        )
+        .filter(F.col("lrd").isNotNull())
+        .select(
+            F.col("a_id").alias(id_col),
+            "cluster_id",
+            "n_nb",
+            F.round("kdist", 6).alias("k_dist"),
+            F.col("lrd"),
+            F.round(F.col("slrd") / F.col("n_nb") / F.col("lrd"), 6).alias("lof"),
+        )
+    )
+    return out.orderBy(F.desc("lof"), F.asc(id_col)).limit(top)
+
+
+def twonn_intrinsic_dim(
+    embeddings: DataFrame,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate per Lloyd cell (Facco et al.
+    2017): mu_i = r2/r1 (ratio of 2nd to 1st neighbor distance), MLE
+    id_hat = n / sum(ln mu_i). A corpus whose embeddings claim 64
+    dimensions but measure ~9 intrinsic is typical; a cell whose id_hat
+    collapses toward 1 is drifting onto a curve (near-duplicates or a
+    template run). Points with r1 = 0 (exact twins) or r2 missing
+    (singleton-ish cells) are excluded — they carry no ratio signal.
+
+    One pivot over the staged kNN table (rnk <= 2 rows), ln-ratios fold
+    as 9dp decimals per cell — O(n) after the shared kNN build."""
+    knn = cell_knn_staged(embeddings, cells=cells, id_col=id_col, vec_col=vec_col)
+    rr = (
+        knn.filter(F.col("rnk") <= 2)
+        .groupBy("a_id", "cluster_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("dist"))).alias("r1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("dist"))).alias("r2"),
+        )
+        .filter((F.col("r1") > 0) & F.col("r2").isNotNull())
+    )
+    logs = rr.select(
+        "cluster_id",
+        F.round(F.log(F.col("r2") / F.col("r1")), 9)
+        .cast("decimal(28,9)")
+        .alias("lmu"),
+    )
+    return (
+        logs.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("lmu").cast("double").alias("slmu"),
+        )
+        .select(
+            "cluster_id",
+            "n_points",
+            F.when(
+                F.col("slmu") > 0, F.round(F.col("n_points") / F.col("slmu"), 6)
+            ).alias("id_hat"),
+        )
+    )
+
+
+def hubness_histogram(
+    embeddings: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-occurrence histogram (Radovanovic et al. 2010): for each point,
+    how many other points list it among their k nearest — then the
+    distribution (k_occ, n_points) over the whole corpus, INCLUDING
+    antihubs (k_occ = 0, points in nobody's neighbor list: the left
+    join from the full point set is what catches them). A healthy space
+    concentrates near k_occ = k; a heavy right tail (hubs) warns that
+    distance concentration is degrading every kNN-based curation step
+    (SemDeDup, kNN-Shapley, LOF alike).
+
+    Two combiner groupBys over the staged kNN table + one left join —
+    O(n*k)."""
+    knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
+    occ = knn.groupBy("b_id").agg(F.count(F.lit(1)).cast("long").alias("k_occ"))
+    pts = embeddings.select(F.col(id_col).alias("b_id"))
+    per_point = pts.join(occ, "b_id", "left").select(
+        F.coalesce(F.col("k_occ"), F.lit(0).cast("long")).alias("k_occ")
+    )
+    return per_point.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+
+
+def knn_shapley(
+    embeddings: DataFrame,
+    k: int = 5,
+    top: int = 30,
+    test_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. 2019, PVLDB 12(11):
+    'Efficient task-specific data valuation for nearest neighbor
+    algorithms'): with utility = fraction of the K nearest training
+    points whose label matches the test label, the Shapley value of
+    every training point has the closed form (their Theorem 1)
+
+        s_(N)  = hit_(N) / N
+        s_(i)  = s_(i+1) + (hit_(i) - hit_(i+1)) / K * min(K, i) / i
+
+    over training points sorted by distance to the test point
+    (hit = 1 iff labels match). Averaged over the held-out test set
+    (vec_id % test_mod == 0 — the deterministic split), high values
+    mark points that consistently put the right label into test
+    neighborhoods; NEGATIVE values mark mislabeled or contaminating
+    points — the principled version of 'drop the worst training data'.
+
+    Plan: the |Q|-row test side broadcasts onto the training scan (the
+    bounded labeled-truth contract of sim_sq8_search); ranking and the
+    suffix sum s_(i) are windows PARTITIONED BY test point; per-term
+    contributions round to 12dp decimals so the reverse cumulative sum
+    and the final per-point mean are order-invariant. Sanity (pinned in
+    tests): per test point, sum_i s_(i) = utility of the full training
+    set — the Shapley efficiency axiom."""
+    e = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("lbl"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+    )
+    test = e.filter(F.col(id_col) % test_mod == 0).select(
+        F.col(id_col).alias("t_id"),
+        F.col("lbl").alias("t_lbl"),
+        F.col("v").alias("tv"),
+    )
+    train = e.filter(F.col(id_col) % test_mod != 0)
+    tv, v = F.col("tv"), F.col("v")
+    d2 = _dot(v, v) - 2 * _dot(v, tv) + _dot(tv, tv)
+    scored = train.join(F.broadcast(test)).select(
+        id_col,
+        "lbl",
+        "t_id",
+        "t_lbl",
+        F.round(d2, 6).alias("d2"),
+    )
+    wo = Window.partitionBy("t_id").orderBy("d2", id_col)
+    wp = Window.partitionBy("t_id")
+    ranked = scored.select(
+        id_col,
+        "lbl",
+        "t_id",
+        F.row_number().over(wo).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        (F.col("lbl") == F.col("t_lbl")).cast("int").alias("hit"),
+    )
+    hitn = F.lead("hit").over(Window.partitionBy("t_id").orderBy("rnk"))
+    terms = ranked.select(
+        id_col,
+        "lbl",
+        "t_id",
+        "rnk",
+        F.when(
+            F.col("rnk") == F.col("n"),
+            F.round(F.col("hit").cast("double") / F.col("n"), 12),
+        )
+        .otherwise(
+            F.round(
+                (F.col("hit") - hitn).cast("double")
+                * F.least(F.lit(k), F.col("rnk"))
+                / (F.lit(float(k)) * F.col("rnk")),
+                12,
+            )
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    ws = (
+        Window.partitionBy("t_id")
+        .orderBy(F.desc("rnk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sv = terms.select(id_col, "lbl", F.sum("term").over(ws).alias("sv"))
+    return (
+        sv.groupBy(id_col, F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.sum("sv").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_shapley"
+            ),
+        )
+        .orderBy(F.desc("mean_shapley"), F.asc(id_col))
+        .limit(top)
+    )
+
+
+def knn_label_noise(
+    embeddings: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN label-agreement audit: predict every point's
+    label by majority vote of its k nearest neighbors (ties broken by
+    the smaller label id — deterministic on any engine), then roll up
+    per label: n_points, n_agree, agree_rate. A label whose agree_rate
+    collapses is either intrinsically entangled with another class or
+    carries annotation noise — the standard cheap label-noise estimate
+    (Confident Learning's kNN baseline) before training on weak labels.
+
+    Two combiner groupBys + one window over the O(n*k) staged kNN
+    table; the vote count is exact integers so there is no float to
+    disagree on."""
+    knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
+    lbl = embeddings.select(
+        F.col(id_col).alias("pid"), F.col(label_col).alias("lbl")
+    )
+    votes = (
+        knn.join(lbl.select(F.col("pid").alias("b_id"), F.col("lbl").alias("lbl_b")), "b_id")
+        .groupBy("a_id", "lbl_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cnt"), F.asc("lbl_b"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", F.col("lbl_b").alias("pred"))
+    )
+    agree = pred.join(
+        lbl.select(F.col("pid").alias("a_id"), F.col("lbl").alias("lbl")),
+        "a_id",
+    )
+    return (
+        agree.groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.when(F.col("pred") == F.col("lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            label_col,
+            "n_points",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_points"), 6).alias(
+                "agree_rate"
+            ),
+        )
+    )
+
+
+def density_peaks(
+    embeddings: DataFrame,
+    top: int = 20,
+    k: int = 5,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-peaks prototype selection (Rodriguez & Laio 2014,
+    Science: 'Clustering by fast search and find of density peaks'),
+    DPC-KNN form: density rho_i = sum over i's kNN of the gaussian
+    kernel exp(-(d/dc)^2) with dc = the corpus mean kNN distance
+    (self-tuning, 1-row broadcast); delta_i = the distance to the
+    nearest DENSER point within i's cell, over the FULL within-cell
+    pair set (strict (rho, id) order so exactly one point per
+    tie-group counts as densest) — a kNN-only delta was measured to
+    inflate sparse noise points, whose neighborhoods span blobs, above
+    the true blob centers (tests/test_neighbors.py pins the fixture).
+    The cell's densest point falls back to its max within-cell
+    distance, the paper's global-max convention cell-localized.
+    gamma = rho * delta ranks cluster-center prototypes: high-density
+    points FAR from any denser point — the decision-graph corners a
+    diversity-selection pass keeps. Top-`top` by gamma.
+
+    Plan: rho is a combiner groupBy over the staged kNN table; delta
+    is one streamed pass over the O(sum |cell|^2) bounded pair set
+    (cell_pairs — same cost class as the kNN build itself); dc folds
+    as an exact decimal mean; kernel terms and rho round to 9dp
+    decimals so every sum is order-invariant."""
+    knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
+    dc = knn.agg(
+        F.round(
+            F.sum(F.col("dist").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dc")
+    )
+    terms = knn.join(F.broadcast(dc)).select(
+        "a_id",
+        "cluster_id",
+        "b_id",
+        "dist",
+        F.round(
+            F.exp(-(F.col("dist") / F.col("dc")) * (F.col("dist") / F.col("dc"))),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("kern"),
+    )
+    rho = terms.groupBy("a_id", "cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nb"),
+        F.round(F.sum("kern").cast("double"), 9).alias("rho"),
+    )
+    full = cell_pairs(embeddings, cells, id_col=id_col, vec_col=vec_col)
+    e = (
+        full.join(rho.select(F.col("a_id"), F.col("rho").alias("rho_a")), "a_id")
+        .join(
+            rho.select(
+                F.col("a_id").alias("b_id"), F.col("rho").alias("rho_b")
+            ),
+            "b_id",
+        )
+    )
+    denser = (F.col("rho_b") > F.col("rho_a")) | (
+        (F.col("rho_b") == F.col("rho_a")) & (F.col("b_id") < F.col("a_id"))
+    )
+    delta = e.groupBy("a_id").agg(
+        F.min(F.when(denser, F.col("dist"))).alias("dmin"),
+        F.max("dist").alias("dmax"),
+    ).select(
+        "a_id", F.coalesce(F.col("dmin"), F.col("dmax")).alias("delta")
+    )
+    return (
+        rho.join(delta, "a_id")
+        .select(
+            F.col("a_id").alias(id_col),
+            "cluster_id",
+            "n_nb",
+            "rho",
+            F.round("delta", 6).alias("delta"),
+            F.round(F.col("rho") * F.col("delta"), 6).alias("gamma"),
+        )
+        .orderBy(F.desc("gamma"), F.asc(id_col))
+        .limit(top)
+    )

@@ -428,6 +428,34 @@ def _km_assign_sql(cent_cte: str, name: str) -> str:
         FROM e CROSS JOIN {cent_cte} c) WHERE rn = 1)"""
 
 
+def _cell_knn_sql(k: int = 5) -> str:
+    """CTE chain ending in `knn` (a_id, cluster_id, b_id, dist, rnk):
+    the oracle twin of operators/neighbors.cell_knn_staged — the same
+    2-iteration Lloyd assignment (seed = first 8 ids), then exact kNN
+    WITHIN each cell, distances rounded 6dp BEFORE ranking with b_id
+    tiebreak so both engines rank identically."""
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    mm AS (SELECT a2.vec_id AS pid, a2.cluster_id, e.v
+           FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+    prs AS (SELECT a.pid AS a_id, a.cluster_id, b.pid AS b_id,
+                   round(sqrt(greatest(
+                       list_dot_product(a.v, a.v)
+                       - 2 * list_dot_product(a.v, b.v)
+                       + list_dot_product(b.v, b.v), 0.0)), 6) AS dist
+            FROM mm a JOIN mm b
+              ON a.cluster_id = b.cluster_id AND a.pid != b.pid),
+    knn AS (SELECT * FROM (
+              SELECT prs.*, row_number() OVER (
+                       PARTITION BY a_id ORDER BY dist, b_id) AS rnk
+              FROM prs) WHERE rnk <= {k})"""
+
+
 def _km_recompute_sql(assign_cte: str, name: str) -> str:
     return f"""
     {name}_m AS (
@@ -1111,6 +1139,7 @@ __all__ = [
     "kmeans_lite",
     "_km_assign_sql",
     "_km_recompute_sql",
+    "_cell_knn_sql",
     "dedup_keep_first",
     "asof_join",
     "latest_per_ts",

@@ -597,3 +597,100 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lightweight_coreset(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# KNN-Shapley data valuation (r11)
+# ===========================================================================
+
+
+@register(
+    "sample_knn_shapley",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    t AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv
+          FROM e WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+    p AS (SELECT tr.vec_id, tr.label, t.t_id, t.t_lbl,
+                 round(list_dot_product(tr.v, tr.v)
+                       - 2 * list_dot_product(tr.v, t.tv)
+                       + list_dot_product(t.tv, t.tv), 6) AS d2
+          FROM tr CROSS JOIN t),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY t_id ORDER BY d2, vec_id) AS rnk,
+                 count(*) OVER (PARTITION BY t_id) AS n,
+                 CASE WHEN label = t_lbl THEN 1 ELSE 0 END AS hit
+          FROM p),
+    g AS (SELECT *, lead(hit) OVER (PARTITION BY t_id ORDER BY rnk) AS hitn
+          FROM r),
+    tm AS (SELECT vec_id, label, t_id, rnk,
+                  CASE WHEN rnk = n
+                       THEN round(hit::DOUBLE / n, 12)::DECIMAL(28,12)
+                       ELSE round((hit - hitn)::DOUBLE * least(5, rnk)
+                                  / (5.0 * rnk), 12)::DECIMAL(28,12)
+                  END AS term
+           FROM g),
+    s AS (SELECT vec_id, label,
+                 sum(term) OVER (PARTITION BY t_id ORDER BY rnk DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sv
+          FROM tm)
+    SELECT vec_id, label, count(*)::BIGINT AS n_test,
+           round(sum(sv)::DOUBLE / count(*), 6) AS mean_shapley
+    FROM s GROUP BY 1, 2
+    ORDER BY mean_shapley DESC, vec_id ASC LIMIT 30
+    """,
+    ops=["EXT-sampling", "EXT-simsearch", "EXT-quality", "G2", "O3", "W2"],
+)
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. 2019): every
+    training point's closed-form Shapley value for the 5-NN label
+    utility, averaged over the deterministic vec_id%10 test split —
+    top-30 most valuable points; negative values mark mislabeled or
+    contaminating data (operators/neighbors.knn_shapley)."""
+    from openrouter_batch_processor_spark.operators.neighbors import knn_shapley
+
+    return knn_shapley(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sample_density_peaks",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    dc AS (SELECT round(sum(dist::DECIMAL(18,6))::DOUBLE / count(*), 6) AS dc
+           FROM knn),
+    trm AS (SELECT k.a_id, k.cluster_id, k.b_id, k.dist,
+                   round(exp(-(k.dist / dc.dc) * (k.dist / dc.dc)),
+                         9)::DECIMAL(18,9) AS kern
+            FROM knn k CROSS JOIN dc),
+    rho AS (SELECT a_id, cluster_id, count(*)::BIGINT AS n_nb,
+                   round(sum(kern)::DOUBLE, 9) AS rho
+            FROM trm GROUP BY 1, 2),
+    ee AS (SELECT k.a_id, k.b_id, k.dist, ra.rho AS rho_a, rb.rho AS rho_b
+           FROM prs k
+           JOIN rho ra ON ra.a_id = k.a_id
+           JOIN rho rb ON rb.a_id = k.b_id),
+    dlt AS (SELECT a_id,
+                   coalesce(min(CASE WHEN rho_b > rho_a
+                                       OR (rho_b = rho_a AND b_id < a_id)
+                                     THEN dist END),
+                            max(dist)) AS delta
+            FROM ee GROUP BY 1)
+    SELECT r.a_id AS vec_id, r.cluster_id, r.n_nb, r.rho,
+           round(d.delta, 6) AS delta,
+           round(r.rho * d.delta, 6) AS gamma
+    FROM rho r JOIN dlt d ON d.a_id = r.a_id
+    ORDER BY gamma DESC, vec_id ASC LIMIT 20
+    """,
+    ops=["EXT-sampling", "EXT-simsearch", "G2", "J3", "O3"],
+)
+def q_density_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-peaks prototype selection (Rodriguez & Laio 2014),
+    kNN-localized: gamma = rho * delta over the staged kNN table with a
+    self-tuning gaussian dc — top-20 cluster-center prototypes for
+    diversity selection (operators/neighbors.density_peaks)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        density_peaks,
+    )
+
+    return density_peaks(_t(spark, sf_dir, "embeddings"))

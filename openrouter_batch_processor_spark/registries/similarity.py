@@ -1054,3 +1054,159 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ivf_balance_report(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# kNN-graph geometry audits (r11): cell-local kNN, LOF, TwoNN, hubness
+# ===========================================================================
+
+
+@register(
+    "emb_cell_knn",
+    f"""
+    WITH {_cell_knn_sql(5)}
+    SELECT a_id, cluster_id, b_id, rnk, dist FROM knn
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "J3", "O3", "W2"],
+)
+def q_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-staged cell-local exact kNN table itself (a_id,
+    cluster_id, b_id, rnk, dist): k=5 neighbors within the shared k=8
+    Lloyd cells — the ONE artifact LOF, TwoNN and the hubness audit
+    all consume (operators/neighbors.cell_knn_staged). Certifying the
+    staged table directly is the pair-table discipline of r10's
+    dedup staging rewrite."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        cell_knn_staged,
+    )
+
+    return cell_knn_staged(_t(spark, sf_dir, "embeddings")).select(
+        "a_id", "cluster_id", "b_id", "rnk", "dist"
+    )
+
+
+@register(
+    "emb_lof_outliers",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    kd AS (SELECT a_id, max(dist) AS kdist, count(*)::BIGINT AS n_nb
+           FROM knn GROUP BY 1),
+    reach AS (SELECT k.a_id,
+                     round(greatest(kb.kdist, k.dist), 6)::DECIMAL(18,6) AS reach
+              FROM knn k JOIN kd kb ON kb.a_id = k.b_id),
+    lrd AS (SELECT a_id, count(*)::BIGINT AS n_nb,
+                   CASE WHEN sum(reach)::DOUBLE > 0
+                        THEN round(count(*) / sum(reach)::DOUBLE, 9) END AS lrd
+            FROM reach GROUP BY 1),
+    lofd AS (SELECT k.a_id, count(*)::BIGINT AS n_nb,
+                    sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
+             FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
+             GROUP BY 1),
+    cl AS (SELECT a_id, cluster_id, max(dist) AS kdist FROM knn GROUP BY 1, 2)
+    SELECT l.a_id AS vec_id, cl.cluster_id, l.n_nb,
+           round(cl.kdist, 6) AS k_dist, r.lrd,
+           round(l.slrd / l.n_nb / r.lrd, 6) AS lof
+    FROM lofd l
+    JOIN lrd r ON r.a_id = l.a_id
+    JOIN cl ON cl.a_id = l.a_id
+    WHERE r.lrd IS NOT NULL
+    ORDER BY lof DESC, vec_id ASC LIMIT 25
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "G2", "J3", "O3"],
+)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 Local Outlier Factor points (Breunig et al. 2000) over
+    the staged cell-local kNN table: the LOCAL-density outliers the
+    global Mahalanobis audit cannot see
+    (operators/neighbors.lof_scores)."""
+    from openrouter_batch_processor_spark.operators.neighbors import lof_scores
+
+    return lof_scores(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_intrinsic_dim",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    rr AS (SELECT a_id, cluster_id,
+                  max(CASE WHEN rnk = 1 THEN dist END) AS r1,
+                  max(CASE WHEN rnk = 2 THEN dist END) AS r2
+           FROM knn WHERE rnk <= 2 GROUP BY 1, 2),
+    lg AS (SELECT cluster_id, round(ln(r2 / r1), 9)::DECIMAL(28,9) AS lmu
+           FROM rr WHERE r1 > 0 AND r2 IS NOT NULL)
+    SELECT cluster_id, count(*)::BIGINT AS n_points,
+           CASE WHEN sum(lmu)::DOUBLE > 0
+                THEN round(count(*) / sum(lmu)::DOUBLE, 6) END AS id_hat
+    FROM lg GROUP BY 1
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "G2"],
+)
+def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension MLE per Lloyd cell (Facco et al.
+    2017): id_hat = n / sum(ln r2/r1) — how many dimensions the
+    embedding cloud ACTUALLY occupies; a cell collapsing toward 1 is
+    drifting onto a curve (template/near-dup mass)
+    (operators/neighbors.twonn_intrinsic_dim)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        twonn_intrinsic_dim,
+    )
+
+    return twonn_intrinsic_dim(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_hubness_hist",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    occ AS (SELECT b_id, count(*)::BIGINT AS k_occ FROM knn GROUP BY 1),
+    pp AS (SELECT coalesce(o.k_occ, 0)::BIGINT AS k_occ
+           FROM embeddings em LEFT JOIN occ o ON o.b_id = em.vec_id)
+    SELECT k_occ, count(*)::BIGINT AS n_points FROM pp GROUP BY 1
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "G2", "G4"],
+)
+def q_hubness_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence histogram (Radovanovic et al. 2010): how many
+    points appear in 0, 1, 2, ... other points' 5-NN lists — the
+    hubness diagnosis for distance concentration, antihubs included
+    via the left join from the full point set
+    (operators/neighbors.hubness_histogram)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        hubness_histogram,
+    )
+
+    return hubness_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_knn_label_noise",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    lb AS (SELECT vec_id AS pid, label AS lbl FROM embeddings),
+    votes AS (SELECT k.a_id, b.lbl AS lbl_b, count(*)::BIGINT AS cnt
+              FROM knn k JOIN lb b ON b.pid = k.b_id
+              GROUP BY 1, 2),
+    pred AS (SELECT a_id, lbl_b AS pred FROM (
+               SELECT votes.*, row_number() OVER (
+                        PARTITION BY a_id ORDER BY cnt DESC, lbl_b ASC) AS rn
+               FROM votes) WHERE rn = 1),
+    agr AS (SELECT p.a_id, p.pred, a.lbl
+            FROM pred p JOIN lb a ON a.pid = p.a_id)
+    SELECT lbl AS label, count(*)::BIGINT AS n_points,
+           sum(CASE WHEN pred = lbl THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           round(sum(CASE WHEN pred = lbl THEN 1 ELSE 0 END)
+                 / count(*), 6) AS agree_rate
+    FROM agr GROUP BY 1
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "EXT-quality", "G2", "J3", "O4"],
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote label agreement per label
+    (deterministic smaller-label tiebreak) — the cheap label-noise
+    estimate run before trusting weak labels
+    (operators/neighbors.knn_label_noise)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        knn_label_noise,
+    )
+
+    return knn_label_noise(_t(spark, sf_dir, "embeddings"))

@@ -1,0 +1,228 @@
+"""kNN-graph geometry + data valuation (r11): cell-local kNN ranking,
+LOF on a planted outlier, TwoNN on a known-dimension manifold, hubness
+histogram mass conservation, and KNN-Shapley's efficiency axiom."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from openrouter_batch_processor_spark.operators.neighbors import (
+    cell_knn_staged,
+    hubness_histogram,
+    knn_shapley,
+    lof_scores,
+    twonn_intrinsic_dim,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _emb_df(spark, vecs, labels=None):
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[float(x) for x in v],
+            label=int(labels[i]) if labels is not None else 0,
+        )
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _grid_vecs(dim=4):
+    # 25 points on a 2-D lattice embedded in `dim` dims (intrinsic
+    # dimension 2), deterministic small jitter so no distance ties
+    vecs = []
+    for i in range(5):
+        for j in range(5):
+            v = [0.0] * dim
+            v[0] = float(i) + 0.01 * ((i * 7 + j * 3) % 5)
+            v[1] = float(j) + 0.01 * ((i * 3 + j * 11) % 7)
+            vecs.append(v)
+    return vecs
+
+
+def test_cell_knn_rank_contract(spark):
+    vecs = _grid_vecs()
+    knn = cell_knn_staged(_emb_df(spark, vecs), k=3, cells=1, iters=1)
+    rows = knn.collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r["a_id"], []).append(r)
+    X = np.array(vecs)
+    for a, nb in by_a.items():
+        nb = sorted(nb, key=lambda r: r["rnk"])
+        assert len(nb) == 3
+        # distances non-decreasing with rank
+        dists = [r["dist"] for r in nb]
+        assert dists == sorted(dists)
+        # rank-1 neighbor is the true nearest
+        d = np.sqrt(((X - X[a]) ** 2).sum(axis=1))
+        d[a] = np.inf
+        assert nb[0]["b_id"] == int(np.argmin(d))
+
+
+def test_lof_flags_planted_outlier(spark):
+    # tight 3x3 cluster + one far point, all in ONE cell so LOF is the
+    # exact (non-cell-approximated) value
+    vecs = [[float(i % 3), float(i // 3), 0.0, 0.0] for i in range(9)]
+    vecs.append([50.0, 50.0, 0.0, 0.0])
+    out = lof_scores(_emb_df(spark, vecs), k=3, top=10, cells=1).collect()
+    assert out[0]["vec_id"] == 9  # the planted outlier tops the ranking
+    assert out[0]["lof"] > 5.0
+    others = [r["lof"] for r in out if r["vec_id"] != 9]
+    assert all(v < 2.0 for v in others)
+
+
+def test_twonn_recovers_planar_dimension(spark):
+    # 80 seeded-uniform points on a 2-D plane embedded in 4-D: TwoNN
+    # assumes locally-Poisson sampling (a regular lattice breaks it —
+    # r2/r1 -> 1 and the MLE diverges), so use uniform draws
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0.0, 1.0, size=(80, 2))
+    vecs = [[float(a), float(b), 0.0, 0.0] for a, b in pts]
+    ids = twonn_intrinsic_dim(_emb_df(spark, vecs), cells=1).collect()
+    assert len(ids) == 1
+    assert 1.2 < ids[0]["id_hat"] < 3.5
+    assert ids[0]["n_points"] == 80
+
+
+def test_hubness_histogram_mass(spark):
+    df = _emb_df(spark, _grid_vecs())
+    hist = hubness_histogram(df, k=3, cells=1).collect()
+    # every point appears exactly once across the histogram
+    assert sum(r["n_points"] for r in hist) == 25
+    # total k-occurrences equal total kNN edges (25 points x 3)
+    assert sum(r["k_occ"] * r["n_points"] for r in hist) == 75
+
+
+def _shapley_reference(X, y, test_ids, K):
+    """Direct numpy transcription of Jia et al. (2019) Theorem 1."""
+    n = len(X)
+    train = [i for i in range(n) if i not in test_ids]
+    vals = {i: [] for i in train}
+    for t in test_ids:
+        d = np.round(((X[train] - X[t]) ** 2).sum(axis=1), 6)
+        order = sorted(range(len(train)), key=lambda j: (d[j], train[j]))
+        hit = [1 if y[train[j]] == y[t] else 0 for j in order]
+        N = len(train)
+        s = [0.0] * N
+        s[N - 1] = hit[N - 1] / N
+        for i in range(N - 2, -1, -1):
+            s[i] = s[i + 1] + (hit[i] - hit[i + 1]) / K * min(K, i + 1) / (
+                i + 1
+            )
+        for j, sv in zip(order, s):
+            vals[train[j]].append(sv)
+    return {i: sum(v) / len(v) for i, v in vals.items()}
+
+
+def test_knn_shapley_matches_closed_form_and_efficiency(spark):
+    rng_vecs = _grid_vecs()
+    labels = [(i * 3 + 1) % 2 for i in range(25)]
+    df = _emb_df(spark, rng_vecs, labels)
+    out = knn_shapley(df, k=3, top=100, test_mod=5).collect()
+    X = np.array(rng_vecs)
+    test_ids = {i for i in range(25) if i % 5 == 0}
+    ref = _shapley_reference(X, labels, test_ids, K=3)
+    got = {r["vec_id"]: r["mean_shapley"] for r in out}
+    assert set(got) == set(ref)
+    for i, v in ref.items():
+        assert math.isclose(got[i], v, abs_tol=5e-6), (i, got[i], v)
+    # efficiency axiom: sum over train of mean value == mean over tests
+    # of U(D) = fraction of K nearest that match the test label
+    utail = []
+    for t in sorted(test_ids):
+        train = [i for i in range(25) if i not in test_ids]
+        d = np.round(((X[train] - X[t]) ** 2).sum(axis=1), 6)
+        order = sorted(range(len(train)), key=lambda j: (d[j], train[j]))
+        topk = order[:3]
+        utail.append(
+            sum(1 for j in topk if labels[train[j]] == labels[t]) / 3.0
+        )
+    assert math.isclose(
+        sum(got.values()), sum(utail) / len(utail), abs_tol=1e-4
+    )
+
+
+def test_knn_shapley_negative_for_mislabeled_point(spark):
+    # a tight cluster of label-0 points with ONE label-1 impostor right
+    # at the center: the impostor should carry negative value for
+    # label-0 test points
+    vecs = [[float(i % 4) * 0.1, float(i // 4) * 0.1, 0.0, 0.0] for i in range(16)]
+    labels = [0] * 16
+    labels[7] = 1  # mislabeled impostor (vec_id 7 not in test split)
+    df = _emb_df(spark, vecs, labels)
+    out = knn_shapley(df, k=3, top=100, test_mod=5).collect()
+    got = {r["vec_id"]: r["mean_shapley"] for r in out}
+    assert got[7] < 0
+
+
+def test_knn_label_noise_clean_vs_noisy(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        knn_label_noise,
+    )
+
+    # two well-separated blobs: label 0 at origin, label 1 at (10, 10);
+    # one mislabeled point inside blob 0 drags label 1's agree_rate down
+    vecs, labels = [], []
+    for i in range(8):
+        vecs.append([float(i % 3) * 0.1, float(i // 3) * 0.1, 0.0, 0.0])
+        labels.append(0)
+    for i in range(8):
+        vecs.append([10.0 + (i % 3) * 0.1, 10.0 + (i // 3) * 0.1, 0.0, 0.0])
+        labels.append(1)
+    vecs.append([0.05, 0.05, 0.0, 0.0])
+    labels.append(1)  # impostor inside blob 0
+    out = {
+        r["label"]: r
+        for r in knn_label_noise(
+            _emb_df(spark, vecs, labels), k=3, cells=1
+        ).collect()
+    }
+    assert out[0]["agree_rate"] == 1.0
+    assert out[1]["n_agree"] == 8  # everyone but the impostor
+    assert out[1]["n_points"] == 9
+
+
+def test_density_peaks_finds_blob_centers(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        density_peaks,
+    )
+
+    # two dense blobs + sparse noise: the top-2 gamma points should be
+    # one inside each blob (high rho AND far from any denser point)
+    rng = np.random.default_rng(11)
+    vecs = []
+    for cx, cy in [(0.0, 0.0), (8.0, 8.0)]:
+        for _ in range(12):
+            x, y = rng.normal(cx, 0.3), rng.normal(cy, 0.3)
+            vecs.append([float(x), float(y), 0.0, 0.0])
+    for _ in range(4):
+        x, y = rng.uniform(3, 5), rng.uniform(3, 5)
+        vecs.append([float(x), float(y), 0.0, 0.0])
+    out = density_peaks(_emb_df(spark, vecs), top=2, k=5, cells=1).collect()
+    tops = {r["vec_id"] for r in out}
+    blobs = [set(range(12)), set(range(12, 24))]
+    assert any(t in blobs[0] for t in tops)
+    assert any(t in blobs[1] for t in tops)
+    # gamma ordering holds
+    assert out[0]["gamma"] >= out[1]["gamma"]

@@ -323,6 +323,41 @@ BRUTE_FORCE_OK = {
     # broadcast-joined to itself under type_a < type_b: k^2 rows with
     # k = event-type cardinality, domain-bounded, never O(n^2)
     "stats_cohens_d",
+    # r11: kNN-geometry family — each inherits lloyd_assign_staged's
+    # C-row centroid broadcast cross join (cell assignment), the same
+    # bounded pass as dedup_semdedup; the kNN pair join itself is an
+    # EQUI-join on cluster_id
+    "emb_cell_knn",
+    "emb_lof_outliers",
+    "audit_intrinsic_dim",
+    "emb_hubness_hist",
+    "audit_knn_label_noise",
+    # r11: density peaks — same inherited centroid broadcast + one
+    # 1-row self-tuning-dc broadcast onto the kNN table
+    "sample_density_peaks",
+    # r11: knn shapley — the bounded |Q|-row test-set broadcast cross
+    # join (test sets are small by construction: the labeled-truth-side
+    # contract of sim_sq8_search); all downstream work is windows over
+    # the |Q| x n_train scored table
+    "sample_knn_shapley",
+    # r11: permutation test — one 1-row observed-diff broadcast onto the
+    # P-row permutation-diff table; the corpus pass is a combiner groupBy
+    "stats_permutation_test",
+    # r11: curriculum pacing — one 1-row corpus-total broadcast onto the
+    # cent-binned difficulty CDF (domain-bounded bins)
+    "curation_curriculum_pacing",
+    # r11: mauve frontier — the 9-row λ-grid broadcast cross join onto
+    # the k-cell cluster histogram (9·k rows of arithmetic) + one 1-row
+    # (n_p, n_q) totals broadcast; both bounded by construction
+    "audit_mauve_frontier",
+    # r11: rho select — two 1-row scalar broadcasts (corpus totals,
+    # target-LM total) onto the tf table; the term lookups themselves
+    # are hash equi-joins
+    "sample_rho_select",
+    # r11: lightweight coreset — 1-row corpus-mean-vector broadcast for
+    # the distance map + 1-row (Σd², n) totals broadcast; Bachem et
+    # al.'s point is exactly that no O(n·k) pass is needed
+    "sample_coreset_lightweight",
     # r08: streaming benford — same 1-row total broadcast on the
     # landed-stream rollup (9 digit rows)
     "streaming_benford_counts",

@@ -125,6 +125,56 @@ def lloyd_assign_staged(
     )
 
 
+def lloyd_multiprobe_staged(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-staged MULTIPROBE assignment (id, cluster_id,
+    probe_rank <= nprobe) against the SAME final-round centroids
+    lloyd_assign_staged ranks (the c_{iters-1} table): the
+    probe_rank = 1 rows ARE that assignment. This is the b-side widen
+    dial for cell-local pair stages (the IVF multiprobe convention,
+    similarity.assign_ivf_cells_multiprobe): indexing each point into
+    its nprobe nearest cells roughly multiplies boundary-pair recall
+    at nprobe x pair volume."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        st = _staged(d, id_col, vec_col).localCheckpoint(eager=False)
+        cents = _initial_cents(st, k, id_col)
+        for _ in range(iters - 1):
+            a = _assign(st, cents, id_col)
+            cents = _recompute(a, st, id_col).localCheckpoint(eager=False)
+        vd, cv = F.col("vd"), F.col("cvec")
+        dist = F.round(_dot(vd, vd) - 2 * _dot(vd, cv) + _dot(cv, cv), 6)
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc("dist"), F.asc("cluster_id")
+        )
+        return (
+            st.join(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(
+                id_col,
+                "cluster_id",
+                F.col("rn").cast("long").alias("probe_rank"),
+            )
+        )
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"lloyd_probe:{k}:{iters}:{nprobe}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
 def final_cents_staged(
     embeddings: DataFrame,
     k: int = 8,

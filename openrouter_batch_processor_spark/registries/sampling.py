@@ -607,14 +607,17 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_knn_shapley",
     """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    t AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) AS nn
+               FROM embeddings),
+    t AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv, nn AS tn
           FROM e WHERE vec_id % 10 = 0),
     tr AS (SELECT * FROM e WHERE vec_id % 10 != 0),
     p AS (SELECT tr.vec_id, tr.label, t.t_id, t.t_lbl,
-                 round(list_dot_product(tr.v, tr.v)
+                 round(tr.nn
                        - 2 * list_dot_product(tr.v, t.tv)
-                       + list_dot_product(t.tv, t.tv), 6) AS d2
+                       + t.tn, 6) AS d2
           FROM tr CROSS JOIN t),
     r AS (SELECT *,
                  row_number() OVER (PARTITION BY t_id ORDER BY d2, vec_id) AS rnk,

@@ -1210,3 +1210,44 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return knn_label_noise(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_cell_knn_recall",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(sqrt(greatest(
+                      a.nn
+                      - 2 * list_dot_product(a.v, b.v)
+                      + b.nn, 0.0)), 6) AS dist
+           FROM e a JOIN e b ON a.vec_id != b.vec_id
+           WHERE a.vec_id % 5 = 0),
+    tr AS (SELECT a_id, b_id FROM (
+             SELECT tp.*, row_number() OVER (
+                      PARTITION BY a_id ORDER BY dist, b_id) AS rnk
+             FROM tp) WHERE rnk <= 5),
+    mt AS (SELECT k.cluster_id, count(*)::BIGINT AS n_matched
+           FROM knn k JOIN tr ON tr.a_id = k.a_id AND tr.b_id = k.b_id
+           WHERE k.a_id % 5 = 0
+           GROUP BY 1),
+    npts AS (SELECT cluster_id, count(*)::BIGINT AS n_points
+             FROM a2 WHERE vec_id % 5 = 0 GROUP BY 1)
+    SELECT npts.cluster_id, npts.n_points,
+           coalesce(mt.n_matched, 0)::BIGINT AS n_matched,
+           round(coalesce(mt.n_matched, 0) / (npts.n_points * 5), 6) AS recall
+    FROM npts LEFT JOIN mt ON mt.cluster_id = npts.cluster_id
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "G2", "J3"],
+)
+def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the cell-local kNN table vs exact brute-force kNN,
+    per Lloyd cell on the deterministic vec_id%5 query sample — the
+    measured cell-boundary loss every kNN-geometry consumer inherits;
+    the truth side is the labeled brute-force audit contract
+    (operators/neighbors.cell_knn_recall)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        cell_knn_recall,
+    )
+
+    return cell_knn_recall(_t(spark, sf_dir, "embeddings"))

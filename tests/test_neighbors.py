@@ -226,3 +226,25 @@ def test_density_peaks_finds_blob_centers(spark):
     assert any(t in blobs[1] for t in tops)
     # gamma ordering holds
     assert out[0]["gamma"] >= out[1]["gamma"]
+
+
+def test_cell_knn_recall_perfect_on_separated_blobs(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        cell_knn_recall,
+    )
+
+    # two well-separated 8-point blobs, 2 cells: Lloyd splits them
+    # exactly, every true neighbor is in-blob, so recall@3 = 1.0
+    vecs = []
+    for cx in (0.0, 100.0):
+        for i in range(8):
+            vecs.append([cx + (i % 3) * 0.1, (i // 3) * 0.1, 0.0, 0.0])
+    # sample_mod=1: audit every point (the registry default samples
+    # vec_id % 5 to bound the truth side's cost)
+    out = cell_knn_recall(
+        _emb_df(spark, vecs), k=3, cells=2, sample_mod=1
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_points"] == 8
+        assert r["recall"] == 1.0

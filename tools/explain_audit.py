@@ -332,6 +332,10 @@ BRUTE_FORCE_OK = {
     "audit_intrinsic_dim",
     "emb_hubness_hist",
     "audit_knn_label_noise",
+    # r11: cell-knn recall — the exact O(n^2) truth side is the
+    # labeled brute-force audit contract (same as sim_ann_recall);
+    # the production path it certifies is the bucketed kNN table
+    "audit_cell_knn_recall",
     # r11: density peaks — same inherited centroid broadcast + one
     # 1-row self-tuning-dc broadcast onto the kNN table
     "sample_density_peaks",

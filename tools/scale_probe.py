@@ -111,6 +111,21 @@ QUERIES = [
     "text_distinct_ngrams",
     # scene cuts: mapInPandas expansion + colocated lag window
     "multimodal_scene_cuts",
+    # r11 kNN-geometry family: the cell-local pair+rank build measured
+    # through the UNSTAGED builder (the staged wrapper's warm run is a
+    # memo hit). Pinned 8 cells shows the expected |cell|^2 growth
+    # (100x pair volume at 10x rows); the cells-dial row scales the
+    # cell count with the corpus (8 -> 80), which is the production
+    # contract ("|cell| ~constant"), and should restore ~linear wall
+    "emb_cell_knn_c8",
+    "emb_cell_knn_cdial",
+    # knn shapley: |Q| x n_train scored rows — the test split is
+    # vec_id%10 so BOTH sides grow 10x here (100x scored rows); the
+    # production contract is a FIXED test set, measured by the _q200
+    # row (test side pinned to ~200 rows at every scale, so growth
+    # tracks n_train only)
+    "sample_knn_shapley",
+    "sample_knn_shapley_q200",
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
@@ -267,7 +282,43 @@ def _capped_fns() -> dict:
         )
         return scores.filter(FF.col("cosine") >= 0.8)
 
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        cell_pairs,
+        knn_shapley,
+    )
+
+    def _knn_unstaged(spark, sf_dir, cells):
+        pairs = cell_pairs(load_table(spark, sf_dir, "embeddings"), cells)
+        w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+        return pairs.withColumn(
+            "rnk", FF.row_number().over(w).cast("long")
+        ).filter(FF.col("rnk") <= 5)
+
+    # cells ∝ corpus: 2k vecs -> 8 cells, 20k -> 80, 200k -> 800
+    _KNN_CELLS = {BASE: 8, PROBE_DIR: 80, PROBE_DIR_100: 800}
+
+    def knn_c8(spark, sf_dir):
+        return _knn_unstaged(spark, sf_dir, 8)
+
+    def knn_cdial(spark, sf_dir):
+        return _knn_unstaged(spark, sf_dir, _KNN_CELLS.get(sf_dir, 8))
+
+    # fixed ~200-row test side at every scale (the production contract:
+    # test sets don't grow with the corpus); vec_id%10==0 would grow it
+    _SHAP_MOD = {BASE: 10, PROBE_DIR: 100, PROBE_DIR_100: 1_000}
+
+    def shapley_q200(spark, sf_dir):
+        return knn_shapley(
+            load_table(spark, sf_dir, "embeddings"),
+            test_mod=_SHAP_MOD.get(sf_dir, 10),
+        )
+
     return {
+        "emb_cell_knn_c8": knn_c8,
+        "emb_cell_knn_cdial": knn_cdial,
+        "sample_knn_shapley_q200": shapley_q200,
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,
         "sim_rp_lsh_pairs_wide16": rp_wide,
@@ -506,8 +557,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_probe_dir(spark)
 
-    t1 = run(spark, BASE, QUERIES)
-    t10 = run(spark, PROBE_DIR, QUERIES)
+    # positional names = probe ONLY those queries this invocation (new
+    # rows land fast without re-measuring every family); unlisted rows
+    # keep their accumulated floor from the existing table
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    names = [n for n in QUERIES if not only or n in only]
+    t1 = run(spark, BASE, names)
+    t10 = run(spark, PROBE_DIR, names)
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     text = open(path).read()
@@ -547,6 +603,13 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name in QUERIES:
+        if name not in t1:  # not probed this invocation (--only mode)
+            if name not in prev:
+                continue
+            v1, v10 = prev[name]
+            g = v10 / v1 if v1 else float("nan")
+            lines.append(f"| {name} | {v1:.2f} | {v10:.2f} | {g:.1f}x |")
+            continue
         v1, v10 = t1[name], t10[name]
         if name in prev:
             p1, p10 = prev[name]

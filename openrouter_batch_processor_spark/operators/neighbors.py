@@ -78,45 +78,59 @@ def cell_pairs(
     precomputed per point and d2 = na - 2*dot(a,b) + nb, the same
     doubles in the same order as the 3-dot form (bit-identical), at a
     third of the HOF work."""
-    from openrouter_batch_processor_spark.operators.kmeans import (
-        lloyd_assign_staged,
-        lloyd_multiprobe_staged,
-    )
     from openrouter_batch_processor_spark.operators.staging import staged_from
-
-    def _build(d: DataFrame) -> DataFrame:
-        x = _xd(d, id_col, vec_col).select(
-            id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
-        )
-        assigned = lloyd_assign_staged(d, cells, iters, id_col, vec_col)
-        a = assigned.join(x, id_col).select(
-            F.col(id_col).alias("a_id"),
-            "cluster_id",
-            F.col("v").alias("va"),
-            F.col("nn").alias("na"),
-        )
-        probe = lloyd_multiprobe_staged(d, cells, iters, nprobe, id_col, vec_col)
-        b = probe.join(x, id_col).select(
-            F.col(id_col).alias("b_id"),
-            F.col("cluster_id").alias("cb"),
-            F.col("v").alias("vb"),
-            F.col("nn").alias("nb"),
-        )
-        d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
-        return a.join(
-            b,
-            (F.col("cluster_id") == F.col("cb")) & (F.col("a_id") != F.col("b_id")),
-        ).select(
-            "a_id",
-            "cluster_id",
-            "b_id",
-            F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
-        )
 
     return staged_from(
         embeddings.select(id_col, vec_col),
         f"cell_pairs:{cells}:{iters}:{nprobe}:{id_col}:{vec_col}",
-        _build,
+        lambda d: cell_pairs_unstaged(d, cells, iters, id_col, vec_col, nprobe),
+    )
+
+
+def cell_pairs_unstaged(
+    embeddings: DataFrame,
+    cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """The raw pair build behind cell_pairs — exposed unstaged so the
+    scale probe measures the OPERATOR, not the staging memo (the
+    _retsim_scores convention in tools/scale_probe.py)."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        lloyd_assign_staged,
+        lloyd_multiprobe_staged,
+    )
+
+    x = _xd(embeddings, id_col, vec_col).select(
+        id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
+    )
+    assigned = lloyd_assign_staged(embeddings, cells, iters, id_col, vec_col)
+    a = assigned.join(x, id_col).select(
+        F.col(id_col).alias("a_id"),
+        "cluster_id",
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    probe = lloyd_multiprobe_staged(
+        embeddings, cells, iters, nprobe, id_col, vec_col
+    )
+    b = probe.join(x, id_col).select(
+        F.col(id_col).alias("b_id"),
+        F.col("cluster_id").alias("cb"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
+    return a.join(
+        b,
+        (F.col("cluster_id") == F.col("cb")) & (F.col("a_id") != F.col("b_id")),
+    ).select(
+        "a_id",
+        "cluster_id",
+        "b_id",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
     )
 
 
@@ -329,6 +343,7 @@ def knn_shapley(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    ascending: bool = False,
 ) -> DataFrame:
     """Exact KNN-Shapley data valuation (Jia et al. 2019, PVLDB 12(11):
     'Efficient task-specific data valuation for nearest neighbor
@@ -423,7 +438,10 @@ def knn_shapley(
                 "mean_shapley"
             ),
         )
-        .orderBy(F.desc("mean_shapley"), F.asc(id_col))
+        .orderBy(
+            F.asc("mean_shapley") if ascending else F.desc("mean_shapley"),
+            F.asc(id_col),
+        )
         .limit(top)
     )
 
@@ -648,3 +666,67 @@ def cell_knn_recall(
             6,
         ).alias("recall"),
     )
+
+
+def outlier_agreement(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-method agreement of the three 'bad embedding' detectors:
+    LOF top-25 (local density), diagonal-Mahalanobis top-20 (global
+    distance) and KNN-Shapley BOTTOM-25 (label-harm). One row per
+    method pair: set sizes, overlap and Jaccard — the same
+    agreement-report pattern as the decontamination-method audit. High
+    LOF/Mahalanobis agreement with low Shapley overlap is the expected
+    signature (geometric outliers are not necessarily label-harmful);
+    all-three agreement marks the points to drop first.
+
+    Each detector's set is k-bounded (20-25 ids), so the pairwise
+    overlaps are joins of tiny tables and the report is 3 rows of
+    exact integer counts — the only float is the Jaccard division."""
+    from openrouter_batch_processor_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    lof = lof_scores(embeddings, id_col=id_col, vec_col=vec_col).select(id_col)
+    mah = mahalanobis_outliers(embeddings, id_col=id_col, vec_col=vec_col).select(
+        id_col
+    )
+    shp = knn_shapley(
+        embeddings, top=25, id_col=id_col, vec_col=vec_col, ascending=True
+    ).select(id_col)
+    sets = [("lof_top25", lof), ("mahalanobis_top20", mah), ("shapley_low25", shp)]
+    rows = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            na_, a = sets[i]
+            nb_, b = sets[j]
+            row = (
+                a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+                .join(F.broadcast(b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))))
+                .join(
+                    F.broadcast(
+                        a.join(b, id_col).agg(
+                            F.count(F.lit(1)).cast("long").alias("n_overlap")
+                        )
+                    )
+                )
+                .select(
+                    F.lit(na_).alias("method_a"),
+                    F.lit(nb_).alias("method_b"),
+                    "n_a",
+                    "n_b",
+                    "n_overlap",
+                    F.round(
+                        F.col("n_overlap")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                        6,
+                    ).alias("jaccard"),
+                )
+            )
+            rows.append(row)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

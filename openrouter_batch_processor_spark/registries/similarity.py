@@ -1251,3 +1251,111 @@ def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cell_knn_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_outlier_agreement",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    kd AS (SELECT a_id, max(dist) AS kdist, count(*)::BIGINT AS n_nb
+           FROM knn GROUP BY 1),
+    reach AS (SELECT k.a_id,
+                     round(greatest(kb.kdist, k.dist), 6)::DECIMAL(18,6) AS reach
+              FROM knn k JOIN kd kb ON kb.a_id = k.b_id),
+    lrd AS (SELECT a_id, count(*)::BIGINT AS n_nb,
+                   CASE WHEN sum(reach)::DOUBLE > 0
+                        THEN round(count(*) / sum(reach)::DOUBLE, 9) END AS lrd
+            FROM reach GROUP BY 1),
+    lofd AS (SELECT k.a_id, count(*)::BIGINT AS n_nb,
+                    sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
+             FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
+             GROUP BY 1),
+    lofset AS (SELECT l.a_id AS vec_id
+               FROM lofd l JOIN lrd r ON r.a_id = l.a_id
+               WHERE r.lrd IS NOT NULL
+               ORDER BY round(l.slrd / l.n_nb / r.lrd, 6) DESC, l.a_id ASC
+               LIMIT 25),
+    offs AS (SELECT unnest(range(64))::INTEGER AS dim),
+    md AS (SELECT em.vec_id, o.dim, (em.embedding::DOUBLE[])[o.dim + 1] AS val
+           FROM embeddings em CROSS JOIN offs o),
+    mm2 AS (SELECT dim, count(*)::BIGINT AS n, sum(val::DECIMAL(28,10)) AS sx,
+                   sum((val * val)::DECIMAL(38,10)) AS sxx
+            FROM md GROUP BY 1),
+    mst AS (SELECT dim, sx::DOUBLE / n AS mu,
+                   sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS var
+            FROM mm2),
+    msc AS (SELECT md.vec_id,
+                   round((md.val - mst.mu) * (md.val - mst.mu) / mst.var,
+                         9)::DECIMAL(28,9) AS contrib
+            FROM md JOIN mst USING (dim)),
+    mahset AS (SELECT vec_id FROM (
+                 SELECT vec_id, sum(contrib) AS md2d FROM msc GROUP BY 1)
+               ORDER BY md2d DESC, vec_id ASC LIMIT 20),
+    tq AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv, nn AS tn
+           FROM e JOIN embeddings USING (vec_id) WHERE vec_id % 10 = 0),
+    trn AS (SELECT e.vec_id, em.label, e.v, e.nn
+            FROM e JOIN embeddings em USING (vec_id)
+            WHERE e.vec_id % 10 != 0),
+    sp AS (SELECT trn.vec_id, trn.label, tq.t_id, tq.t_lbl,
+                  round(trn.nn - 2 * list_dot_product(trn.v, tq.tv)
+                        + tq.tn, 6) AS d2
+           FROM trn CROSS JOIN tq),
+    sr AS (SELECT *,
+                  row_number() OVER (PARTITION BY t_id ORDER BY d2, vec_id) AS srnk,
+                  count(*) OVER (PARTITION BY t_id) AS n,
+                  CASE WHEN label = t_lbl THEN 1 ELSE 0 END AS hit
+           FROM sp),
+    sg AS (SELECT *, lead(hit) OVER (PARTITION BY t_id ORDER BY srnk) AS hitn
+           FROM sr),
+    stm AS (SELECT vec_id, t_id, srnk,
+                   CASE WHEN srnk = n
+                        THEN round(hit::DOUBLE / n, 12)::DECIMAL(28,12)
+                        ELSE round((hit - hitn)::DOUBLE * least(5, srnk)
+                                   / (5.0 * srnk), 12)::DECIMAL(28,12)
+                   END AS term
+            FROM sg),
+    ss AS (SELECT vec_id,
+                  sum(term) OVER (PARTITION BY t_id ORDER BY srnk DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sv
+           FROM stm),
+    shpset AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(sum(sv)::DOUBLE / count(*), 6) AS ms
+                 FROM ss GROUP BY 1)
+               ORDER BY ms ASC, vec_id ASC LIMIT 25)
+    SELECT 'lof_top25' AS method_a, 'mahalanobis_top20' AS method_b,
+           (SELECT count(*) FROM lofset)::BIGINT AS n_a,
+           (SELECT count(*) FROM mahset)::BIGINT AS n_b,
+           (SELECT count(*) FROM lofset JOIN mahset USING (vec_id))::BIGINT AS n_overlap,
+           round((SELECT count(*) FROM lofset JOIN mahset USING (vec_id))
+                 / ((SELECT count(*) FROM lofset) + (SELECT count(*) FROM mahset)
+                    - (SELECT count(*) FROM lofset JOIN mahset USING (vec_id))), 6) AS jaccard
+    UNION ALL
+    SELECT 'lof_top25', 'shapley_low25',
+           (SELECT count(*) FROM lofset)::BIGINT,
+           (SELECT count(*) FROM shpset)::BIGINT,
+           (SELECT count(*) FROM lofset JOIN shpset USING (vec_id))::BIGINT,
+           round((SELECT count(*) FROM lofset JOIN shpset USING (vec_id))
+                 / ((SELECT count(*) FROM lofset) + (SELECT count(*) FROM shpset)
+                    - (SELECT count(*) FROM lofset JOIN shpset USING (vec_id))), 6)
+    UNION ALL
+    SELECT 'mahalanobis_top20', 'shapley_low25',
+           (SELECT count(*) FROM mahset)::BIGINT,
+           (SELECT count(*) FROM shpset)::BIGINT,
+           (SELECT count(*) FROM mahset JOIN shpset USING (vec_id))::BIGINT,
+           round((SELECT count(*) FROM mahset JOIN shpset USING (vec_id))
+                 / ((SELECT count(*) FROM mahset) + (SELECT count(*) FROM shpset)
+                    - (SELECT count(*) FROM mahset JOIN shpset USING (vec_id))), 6)
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "EXT-quality", "G2", "J3"],
+)
+def q_outlier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement (sizes, overlap, Jaccard) of the three bad-
+    embedding detectors — LOF top-25, diagonal-Mahalanobis top-20,
+    KNN-Shapley bottom-25 — the drop-first shortlist is where all
+    three agree (operators/neighbors.outlier_agreement)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        outlier_agreement,
+    )
+
+    return outlier_agreement(_t(spark, sf_dir, "embeddings"))

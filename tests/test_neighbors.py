@@ -248,3 +248,24 @@ def test_cell_knn_recall_perfect_on_separated_blobs(spark):
     for r in out:
         assert r["n_points"] == 8
         assert r["recall"] == 1.0
+
+
+def test_outlier_agreement_shape_and_bounds(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        outlier_agreement,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, size=(60, 8)).tolist()
+    labels = [i % 3 for i in range(60)]
+    out = outlier_agreement(_emb_df(spark, vecs, labels)).collect()
+    assert len(out) == 3
+    pairs = {(r["method_a"], r["method_b"]) for r in out}
+    assert pairs == {
+        ("lof_top25", "mahalanobis_top20"),
+        ("lof_top25", "shapley_low25"),
+        ("mahalanobis_top20", "shapley_low25"),
+    }
+    for r in out:
+        assert 0 <= r["n_overlap"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0

@@ -336,6 +336,10 @@ BRUTE_FORCE_OK = {
     # labeled brute-force audit contract (same as sim_ann_recall);
     # the production path it certifies is the bucketed kNN table
     "audit_cell_knn_recall",
+    # r11: outlier agreement — inherits the centroid + |Q| test-set
+    # broadcasts of its three k-bounded detector subtrees, plus 1-row
+    # set-count broadcasts; every overlap join is tiny-table equi-join
+    "audit_outlier_agreement",
     # r11: density peaks — same inherited centroid broadcast + one
     # 1-row self-tuning-dc broadcast onto the kNN table
     "sample_density_peaks",

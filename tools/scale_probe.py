@@ -285,12 +285,15 @@ def _capped_fns() -> dict:
     from pyspark.sql.window import Window
 
     from openrouter_batch_processor_spark.operators.neighbors import (
-        cell_pairs,
+        cell_pairs_unstaged,
         knn_shapley,
     )
 
     def _knn_unstaged(spark, sf_dir, cells):
-        pairs = cell_pairs(load_table(spark, sf_dir, "embeddings"), cells)
+        # the raw builder, not the staged wrapper: a warm run of the
+        # staged table is a memo hit (~0.2 s at any scale), which
+        # measures the cache, not the operator
+        pairs = cell_pairs_unstaged(load_table(spark, sf_dir, "embeddings"), cells)
         w = Window.partitionBy("a_id").orderBy("dist", "b_id")
         return pairs.withColumn(
             "rnk", FF.row_number().over(w).cast("long")

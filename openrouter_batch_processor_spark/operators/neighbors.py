@@ -730,3 +730,81 @@ def outlier_agreement(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def source_centroid_drift(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source embedding-centroid drift: each source's mean vector
+    vs the corpus mean vector — L2 distance and cosine. The
+    embedding-space companion to the unigram source_js drift audit: a
+    source whose centroid drifts is contributing a different REGION of
+    representation space (topic/style shift), which unigram histograms
+    can miss entirely when vocabulary overlaps.
+
+    One posexplode pass -> per-(source, dim) DECIMAL(38,12) means (the
+    emb_dim_stats recipe, exact and partition-invariant) -> d-element
+    arrays rebuilt per source, corpus mean broadcast as one row. Output
+    is one row per source at any corpus size."""
+    j = embeddings.join(
+        documents.select(
+            F.col(doc_id_col).alias(id_col), F.col(group_col).alias("grp")
+        ),
+        id_col,
+    )
+    dims = j.select(
+        "grp",
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    smean = (
+        dims.groupBy("grp", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    svec = smean.groupBy("grp").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("sv"),
+        F.max("cnt").cast("long").alias("n_vecs"),
+    )
+    cmean = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    sv, cv = F.col("sv"), F.col("cv")
+    d2 = _dot(sv, sv) - 2 * _dot(sv, cv) + _dot(cv, cv)
+    return svec.join(F.broadcast(cmean)).select(
+        F.col("grp").alias(group_col),
+        "n_vecs",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("drift_l2"),
+        # zero-norm mean vectors (a source of all-zero embeddings) have
+        # no direction: cosine is NULL, not a divide-by-zero
+        F.when(
+            _dot(sv, sv) * _dot(cv, cv) > 0,
+            F.round(_dot(sv, cv) / F.sqrt(_dot(sv, sv) * _dot(cv, cv)), 6),
+        ).alias("cos_to_corpus"),
+    )

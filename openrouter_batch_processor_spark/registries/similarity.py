@@ -1359,3 +1359,51 @@ def q_outlier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return outlier_agreement(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_source_emb_drift",
+    """
+    WITH j AS (SELECT d.source AS grp, e.embedding::DOUBLE[] AS v
+               FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    dims AS (SELECT grp, u.pos, u.x FROM (
+               SELECT grp, unnest(list_transform(range(1, 65),
+                        i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+               FROM j)),
+    sm AS (SELECT grp, pos,
+                  sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m,
+                  count(*)::BIGINT AS cnt
+           FROM dims GROUP BY 1, 2),
+    sv AS (SELECT grp, array_agg(m ORDER BY pos) AS svv,
+                  max(cnt)::BIGINT AS n_vecs
+           FROM sm GROUP BY 1),
+    cm AS (SELECT pos, sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+           FROM dims GROUP BY 1),
+    cv AS (SELECT array_agg(m ORDER BY pos) AS cvv FROM cm)
+    SELECT sv.grp AS source, sv.n_vecs,
+           round(sqrt(greatest(
+               list_dot_product(sv.svv, sv.svv)
+               - 2 * list_dot_product(sv.svv, cv.cvv)
+               + list_dot_product(cv.cvv, cv.cvv), 0.0)), 6) AS drift_l2,
+           CASE WHEN list_dot_product(sv.svv, sv.svv)
+                      * list_dot_product(cv.cvv, cv.cvv) > 0
+                THEN round(list_dot_product(sv.svv, cv.cvv)
+                           / sqrt(list_dot_product(sv.svv, sv.svv)
+                                  * list_dot_product(cv.cvv, cv.cvv)), 6)
+           END AS cos_to_corpus
+    FROM sv CROSS JOIN cv
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "EXT-quality", "G2", "J1"],
+)
+def q_source_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift vs the corpus mean (L2 +
+    cosine): the representation-space companion to the unigram
+    source_js drift audit — catches topic/style shift that overlapping
+    vocabulary hides (operators/neighbors.source_centroid_drift)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        source_centroid_drift,
+    )
+
+    return source_centroid_drift(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )

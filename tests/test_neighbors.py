@@ -269,3 +269,21 @@ def test_outlier_agreement_shape_and_bounds(spark):
     for r in out:
         assert 0 <= r["n_overlap"] <= min(r["n_a"], r["n_b"])
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_source_centroid_drift_flags_shifted_source(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        source_centroid_drift,
+    )
+
+    vecs = [[0.0, 0.0, 0.0, 0.0] for _ in range(10)]
+    vecs += [[9.0, 9.0, 0.0, 0.0] for _ in range(2)]
+    emb = _emb_df(spark, vecs)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="shifted" if i >= 10 else "base") for i in range(12)]
+    )
+    out = {r["source"]: r for r in source_centroid_drift(emb, docs).collect()}
+    assert out["shifted"]["n_vecs"] == 2
+    assert out["base"]["n_vecs"] == 10
+    # the shifted source's centroid is much farther from the corpus mean
+    assert out["shifted"]["drift_l2"] > 5 * out["base"]["drift_l2"]

@@ -287,3 +287,27 @@ def test_source_centroid_drift_flags_shifted_source(spark):
     assert out["base"]["n_vecs"] == 10
     # the shifted source's centroid is much farther from the corpus mean
     assert out["shifted"]["drift_l2"] > 5 * out["base"]["drift_l2"]
+
+
+def test_multiprobe_rank1_is_the_lloyd_assignment(spark):
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        lloyd_assign_staged,
+        lloyd_multiprobe_staged,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, size=(40, 6)).tolist()
+    emb = _emb_df(spark, vecs)
+    a = {
+        r["vec_id"]: r["cluster_id"]
+        for r in lloyd_assign_staged(emb, 4, 2).collect()
+    }
+    probes = lloyd_multiprobe_staged(emb, 4, 2, nprobe=2).collect()
+    p1 = {r["vec_id"]: r["cluster_id"] for r in probes if r["probe_rank"] == 1}
+    # the probe_rank=1 rows ARE the single-probe assignment
+    assert p1 == a
+    # every point gets exactly nprobe distinct cells
+    from collections import Counter
+
+    per_point = Counter(r["vec_id"] for r in probes)
+    assert set(per_point.values()) == {2}

@@ -1019,16 +1019,20 @@ def temperature_mixture(
     )
 
 
-def logreg_difficulty(
+def _logreg_scored(
     docs: DataFrame,
     steps: int = LOGREG_STEPS,
     lr: float = LOGREG_LR,
-    topk: int = 25,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
 ) -> DataFrame:
-    """Example-difficulty scoring under the trained linear probe — the
+    """Shared per-doc scored table under the trained linear probe:
+    (id, lang, y, p, difficulty) after quality_logreg's T-step
+    trajectory (same 9-dp grid) — consumed by logreg_difficulty's
+    top-k and logreg_calibration's reliability binning.
+
+    Example-difficulty scoring under the trained linear probe — the
     EL2N/margin recipe of data-pruning work (Paul, Ganguli & Dziugaite
     2021 'Deep Learning on a Data Diet': early-training error norm
     ranks examples; hard ones carry the gradient signal, trivially-easy
@@ -1106,16 +1110,100 @@ def logreg_difficulty(
             )
             .localCheckpoint(eager=True)
         )
-    scored = feats.crossJoin(F.broadcast(w)).select(
+    return feats.crossJoin(F.broadcast(w)).select(
         F.col(id_col),
         F.col(lang_col),
         F.col("y"),
         F.round(p, 9).alias("p"),
         F.round(F.abs(F.round(p, 9) - F.col("y")), 9).alias("difficulty"),
     )
-    return scored.orderBy(
-        F.desc("difficulty"), F.asc(id_col)
-    ).limit(topk)
+
+
+def logreg_difficulty(
+    docs: DataFrame,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    topk: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Top-k HARDEST docs by difficulty = |p - y| under the trained
+    probe (the EL2N/margin pruning recipe, Paul et al. 2021) — the
+    mislabeled/ambiguous candidates a curation loop reviews first.
+    Ranking is a TakeOrdered top-k over _logreg_scored, never a full
+    sort."""
+    return (
+        _logreg_scored(docs, steps, lr, id_col, text_col, lang_col)
+        .orderBy(F.desc("difficulty"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def logreg_calibration(
+    docs: DataFrame,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) of the
+    trained quality classifier (Guo et al. 2017, 'On calibration of
+    modern neural networks'): predicted probabilities binned into
+    deciles, per-bin mean confidence vs empirical positive rate, and
+    ECE = sum_b (n_b/N)*|conf_b - acc_b|. A quality gate whose
+    confidence is miscalibrated silently filters at a different
+    effective threshold than the one the curation config names — this
+    audit is how the threshold stays honest.
+
+    Reuses logreg_difficulty's per-doc scored table (same T-step
+    trajectory, 9-dp grid, engine-identical); binning and the ECE fold
+    are one combiner groupBy + a 1-row total broadcast. Gap and ECE
+    compose from the ROUNDED per-bin values so both engines agree
+    bit-for-bit. Output: one row per non-empty decile with the ece
+    column repeated (relationally tidy, k<=10 rows)."""
+    scored = _logreg_scored(
+        docs, steps, lr, id_col, text_col, lang_col
+    ).select("y", "p")
+    b = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "y",
+        "p",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_p"),
+        F.round(
+            F.sum("y").cast("long") / F.count(F.lit(1)), 6
+        ).alias("frac_pos"),
+    )
+    g2 = g.select(
+        "bin",
+        "n_docs",
+        "mean_p",
+        "frac_pos",
+        F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6).alias("abs_gap"),
+    )
+    tot = g2.agg(F.sum("n_docs").cast("double").alias("nn"))
+    ece = (
+        g2.join(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("abs_gap") * F.col("n_docs") / F.col("nn"), 9
+                    ).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("ece")
+        )
+    )
+    return g2.join(F.broadcast(ece))
 
 
 # ===========================================================================

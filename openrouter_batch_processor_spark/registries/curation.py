@@ -1150,3 +1150,42 @@ def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return curriculum_pacing(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audit_logreg_calibration",
+    "WITH "
+    + ",\n    ".join(_logreg_ctes(6, with_ids=True))
+    + """,
+    scored AS (
+      SELECT y,
+             round(1.0 / (1.0 + exp(-round(x0 * a0 + x1 * a1 + x2 * a2
+                                           + x3 * a3, 9))), 9) AS p
+      FROM feats, wt6),
+    b AS (SELECT least(floor(p * 10)::BIGINT, 9) AS bin, y, p FROM scored),
+    g AS (SELECT bin, count(*)::BIGINT AS n_docs,
+                 round(sum(p::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_p,
+                 round(sum(y)::BIGINT / count(*), 6) AS frac_pos
+          FROM b GROUP BY 1),
+    g2 AS (SELECT bin, n_docs, mean_p, frac_pos,
+                  round(abs(mean_p - frac_pos), 6) AS abs_gap
+           FROM g),
+    t AS (SELECT sum(n_docs)::DOUBLE AS nn FROM g2),
+    e AS (SELECT round(sum(round(abs_gap * n_docs / t.nn,
+                                 9)::DECIMAL(28,9))::DOUBLE, 6) AS ece
+          FROM g2, t)
+    SELECT g2.bin, g2.n_docs, g2.mean_p, g2.frac_pos, g2.abs_gap, e.ece
+    FROM g2 CROSS JOIN e
+    """,
+    ops=["EXT-curation", "EXT-quality", "EXT-audit", "G2", "J3"],
+)
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability deciles + ECE of the trained quality classifier
+    (Guo et al. 2017): per-bin mean confidence vs empirical positive
+    rate — the audit that keeps a quality gate's threshold honest
+    (operators/curation.logreg_calibration)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        logreg_calibration,
+    )
+
+    return logreg_calibration(_t(spark, sf_dir, "documents"))

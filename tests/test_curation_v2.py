@@ -428,3 +428,34 @@ class TestMooreLewis:
         out = {r["doc_id"]: r for r in moore_lewis_select(docs).collect()}
         assert out[1]["selected"] and out[2]["selected"]
         assert not out[3]["selected"] and not out[4]["selected"]
+
+
+def test_logreg_calibration_ece_and_bins(spark):
+    from pyspark.sql import Row
+
+    from openrouter_batch_processor_spark.operators.curation import (
+        logreg_calibration,
+    )
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        text = ("the a good text " if lang == "en" else "ein und zwei ") * (
+            2 + i % 5
+        )
+        rows.append(Row(doc_id=f"d{i:03d}", text=text, lang=lang))
+    docs = spark.createDataFrame(rows)
+    out = logreg_calibration(docs).collect()
+    assert 1 <= len(out) <= 10
+    total = sum(r["n_docs"] for r in out)
+    assert total == 40
+    # ECE is the bin-weighted mean gap, identical on every row
+    eces = {r["ece"] for r in out}
+    assert len(eces) == 1
+    ece = eces.pop()
+    expected = sum(r["abs_gap"] * r["n_docs"] for r in out) / total
+    assert abs(ece - expected) < 1e-5
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_p"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0

@@ -487,6 +487,9 @@ BRUTE_FORCE_OK = {
     # difficulty ranking: the 1-row trained-weight broadcast over the
     # staged features (the logreg scoring pass)
     "curation_difficulty_topk",
+    # r11: calibration — same 1-row weight broadcast + 1-row bin-total
+    # and ECE broadcasts onto the <=10-row reliability table
+    "audit_logreg_calibration",
     # top-p vocab: 1-row corpus-total and 4-row target broadcasts
     # onto the vocabulary-sized ranked table
     "text_topp_vocab",

@@ -430,7 +430,7 @@ def knn_shapley(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sv = terms.select(id_col, "lbl", F.sum("term").over(ws).alias("sv"))
-    return (
+    means = (
         sv.groupBy(id_col, F.col("lbl").alias(label_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
@@ -438,7 +438,19 @@ def knn_shapley(
                 "mean_shapley"
             ),
         )
-        .orderBy(
+    )
+    # the O(n_train)-row means table is session-staged: the top-k view
+    # and outlier_agreement's bottom-k view share ONE |Q| x n_train
+    # scoring pass instead of recomputing it per consumer
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    staged_means = staged_from(
+        embeddings.select(id_col, vec_col, label_col),
+        f"knn_shapley_means:{k}:{test_mod}:{id_col}:{vec_col}:{label_col}",
+        lambda _d: means,
+    )
+    return (
+        staged_means.orderBy(
             F.asc("mean_shapley") if ascending else F.desc("mean_shapley"),
             F.asc(id_col),
         )

@@ -474,7 +474,7 @@ def _cell_knn_sql(k: int = 5, nprobe: int = 2) -> str:
                        + b.nn, 0.0)), 6) AS dist
             FROM mm a JOIN bb b
               ON a.cluster_id = b.cluster_id AND a.pid != b.pid),
-    knn AS (SELECT * FROM (
+    knn AS MATERIALIZED (SELECT * FROM (
               SELECT prs.*, row_number() OVER (
                        PARTITION BY a_id ORDER BY dist, b_id) AS rnk
               FROM prs) WHERE rnk <= {k})"""

@@ -1270,7 +1270,7 @@ def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
              FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
              GROUP BY 1),
-    lofset AS (SELECT l.a_id AS vec_id
+    lofset AS MATERIALIZED (SELECT l.a_id AS vec_id
                FROM lofd l JOIN lrd r ON r.a_id = l.a_id
                WHERE r.lrd IS NOT NULL
                ORDER BY round(l.slrd / l.n_nb / r.lrd, 6) DESC, l.a_id ASC
@@ -1288,7 +1288,7 @@ def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round((md.val - mst.mu) * (md.val - mst.mu) / mst.var,
                          9)::DECIMAL(28,9) AS contrib
             FROM md JOIN mst USING (dim)),
-    mahset AS (SELECT vec_id FROM (
+    mahset AS MATERIALIZED (SELECT vec_id FROM (
                  SELECT vec_id, sum(contrib) AS md2d FROM msc GROUP BY 1)
                ORDER BY md2d DESC, vec_id ASC LIMIT 20),
     tq AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv, nn AS tn
@@ -1319,33 +1319,33 @@ def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW) AS sv
            FROM stm),
-    shpset AS (SELECT vec_id FROM (
+    shpset AS MATERIALIZED (SELECT vec_id FROM (
                  SELECT vec_id, round(sum(sv)::DOUBLE / count(*), 6) AS ms
                  FROM ss GROUP BY 1)
-               ORDER BY ms ASC, vec_id ASC LIMIT 25)
+               ORDER BY ms ASC, vec_id ASC LIMIT 25),
+    cl AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM lofset),
+    cm2 AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM mahset),
+    cs AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM shpset),
+    olm AS MATERIALIZED (SELECT count(*)::BIGINT AS c
+                         FROM lofset JOIN mahset USING (vec_id)),
+    ols AS MATERIALIZED (SELECT count(*)::BIGINT AS c
+                         FROM lofset JOIN shpset USING (vec_id)),
+    oms AS MATERIALIZED (SELECT count(*)::BIGINT AS c
+                         FROM mahset JOIN shpset USING (vec_id))
     SELECT 'lof_top25' AS method_a, 'mahalanobis_top20' AS method_b,
-           (SELECT count(*) FROM lofset)::BIGINT AS n_a,
-           (SELECT count(*) FROM mahset)::BIGINT AS n_b,
-           (SELECT count(*) FROM lofset JOIN mahset USING (vec_id))::BIGINT AS n_overlap,
-           round((SELECT count(*) FROM lofset JOIN mahset USING (vec_id))
-                 / ((SELECT count(*) FROM lofset) + (SELECT count(*) FROM mahset)
-                    - (SELECT count(*) FROM lofset JOIN mahset USING (vec_id))), 6) AS jaccard
+           cl.c AS n_a, cm2.c AS n_b, olm.c AS n_overlap,
+           round(olm.c / (cl.c + cm2.c - olm.c), 6) AS jaccard
+    FROM cl, cm2, olm
     UNION ALL
     SELECT 'lof_top25', 'shapley_low25',
-           (SELECT count(*) FROM lofset)::BIGINT,
-           (SELECT count(*) FROM shpset)::BIGINT,
-           (SELECT count(*) FROM lofset JOIN shpset USING (vec_id))::BIGINT,
-           round((SELECT count(*) FROM lofset JOIN shpset USING (vec_id))
-                 / ((SELECT count(*) FROM lofset) + (SELECT count(*) FROM shpset)
-                    - (SELECT count(*) FROM lofset JOIN shpset USING (vec_id))), 6)
+           cl.c, cs.c, ols.c,
+           round(ols.c / (cl.c + cs.c - ols.c), 6)
+    FROM cl, cs, ols
     UNION ALL
     SELECT 'mahalanobis_top20', 'shapley_low25',
-           (SELECT count(*) FROM mahset)::BIGINT,
-           (SELECT count(*) FROM shpset)::BIGINT,
-           (SELECT count(*) FROM mahset JOIN shpset USING (vec_id))::BIGINT,
-           round((SELECT count(*) FROM mahset JOIN shpset USING (vec_id))
-                 / ((SELECT count(*) FROM mahset) + (SELECT count(*) FROM shpset)
-                    - (SELECT count(*) FROM mahset JOIN shpset USING (vec_id))), 6)
+           cm2.c, cs.c, oms.c,
+           round(oms.c / (cm2.c + cs.c - oms.c), 6)
+    FROM cm2, cs, oms
     """,
     ops=["EXT-simsearch", "EXT-audit", "EXT-quality", "G2", "J3"],
 )

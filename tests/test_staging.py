@@ -129,3 +129,29 @@ class TestDurableStaging:
         again = sorted(map(tuple, q(spark, SF_DIR).collect()))
         assert again == baseline
         st.clear()
+
+    def test_knn_family_durable_roundtrip(self, spark, tmp_path, monkeypatch):
+        """The r11 kNN-geometry family (pair table + kNN cap + shapley
+        means, three nested staged artifacts) returns identical rows
+        with durable staging on, and a second session reads the
+        artifacts instead of recomputing."""
+        import openrouter_batch_processor_spark.operators.staging as st
+        from openrouter_batch_processor_spark.registry import REGISTRY
+
+        lof = REGISTRY["emb_lof_outliers"].fn
+        shap = REGISTRY["sample_knn_shapley"].fn
+        st.clear()
+        base_lof = sorted(map(tuple, lof(spark, SF_DIR).collect()))
+        base_shap = sorted(map(tuple, shap(spark, SF_DIR).collect()))
+        st.clear()
+        monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+        assert sorted(map(tuple, lof(spark, SF_DIR).collect())) == base_lof
+        assert sorted(map(tuple, shap(spark, SF_DIR).collect())) == base_shap
+        names = {p.name.split("-")[0] for p in tmp_path.iterdir()}
+        assert any(n.startswith("cell_pairs") for n in names)
+        assert any(n.startswith("cell_knn") for n in names)
+        assert any(n.startswith("knn_shapley_means") for n in names)
+        st.clear()  # second session: artifacts read back, same rows
+        assert sorted(map(tuple, lof(spark, SF_DIR).collect())) == base_lof
+        assert sorted(map(tuple, shap(spark, SF_DIR).collect())) == base_shap
+        st.clear()

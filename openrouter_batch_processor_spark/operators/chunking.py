@@ -165,3 +165,67 @@ def pack_documents_bpe(
     return packed.select(
         id_col, "n_tokens", "start_offset", "bin_id", "offset_in_bin"
     )
+
+
+def packing_frontier(
+    docs: DataFrame,
+    capacities: tuple[int, ...] = (256, 512, 1024, 2048),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length frontier for contiguous stream packing: for each
+    candidate capacity L, how many documents STRADDLE a window boundary
+    (they either attend across unrelated neighbors or must be split —
+    the cross-contamination cost Krell et al. 2021 quantify) and how
+    much tail padding the last window carries. The table a pipeline
+    reads to pick its context length: bigger L packs tighter (less
+    tail waste) but straddles more documents.
+
+    Plan: token counts + ONE distributed prefix sum (pack_token_counts'
+    two-phase pattern — offsets are capacity-independent), then the
+    4-row capacity dimension broadcast-crosses the offset table and
+    everything reduces in a combiner groupBy; a 1-row corpus-total
+    broadcast closes the padding column. All counts exact integers;
+    the two fractions are the only floats."""
+    base = _tok_staged(docs, id_col, text_col).select(id_col, "n_tokens")
+    nonempty = base.filter(F.col("n_tokens") > 0)
+    packed = pack_token_counts(nonempty, "n_tokens", [id_col], 1 << 30)
+    caps = docs.sparkSession.createDataFrame(
+        [(int(c),) for c in capacities], "capacity long"
+    )
+    j = packed.crossJoin(F.broadcast(caps)).select(
+        "capacity",
+        "n_tokens",
+        (
+            F.floor(F.col("start_offset") / F.col("capacity"))
+            != F.floor(
+                (F.col("start_offset") + F.col("n_tokens") - 1)
+                / F.col("capacity")
+            )
+        )
+        .cast("int")
+        .alias("straddles"),
+    )
+    per_cap = j.groupBy("capacity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("straddles").cast("long").alias("n_straddling"),
+    )
+    n_bins = (F.floor((F.col("total_tokens") - 1) / F.col("capacity")) + 1).cast(
+        "long"
+    )
+    return per_cap.select(
+        "capacity",
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        "n_straddling",
+        F.round(F.col("n_straddling") / F.col("n_docs"), 6).alias(
+            "straddle_frac"
+        ),
+        F.round(
+            (n_bins * F.col("capacity") - F.col("total_tokens"))
+            / (n_bins * F.col("capacity")),
+            6,
+        ).alias("padding_frac"),
+    )

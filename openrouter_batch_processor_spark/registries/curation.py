@@ -1189,3 +1189,50 @@ def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return logreg_calibration(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_packing_frontier",
+    f"""
+    WITH {_TOKS_N_SQL},
+    ne AS (SELECT doc_id, n_tokens::BIGINT AS n_tokens FROM tk
+           WHERE n_tokens > 0),
+    offs AS (SELECT doc_id, n_tokens,
+                    (sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens)::BIGINT AS start_offset
+             FROM ne),
+    caps AS (SELECT unnest([256, 512, 1024, 2048])::BIGINT AS capacity),
+    j AS (SELECT c.capacity, o.n_tokens,
+                 CASE WHEN o.start_offset // c.capacity
+                        != (o.start_offset + o.n_tokens - 1) // c.capacity
+                      THEN 1 ELSE 0 END AS straddles
+          FROM offs o CROSS JOIN caps c),
+    per_cap AS (SELECT capacity, count(*)::BIGINT AS n_docs,
+                       sum(n_tokens)::BIGINT AS total_tokens,
+                       sum(straddles)::BIGINT AS n_straddling
+                FROM j GROUP BY 1)
+    SELECT capacity, n_docs, total_tokens,
+           ((total_tokens - 1) // capacity + 1)::BIGINT AS n_bins,
+           n_straddling,
+           round(n_straddling / n_docs, 6) AS straddle_frac,
+           round((((total_tokens - 1) // capacity + 1) * capacity
+                  - total_tokens)
+                 / (((total_tokens - 1) // capacity + 1) * capacity),
+                 6) AS padding_frac
+    FROM per_cap
+    """,
+    ops=["EXT-curation", "EXT-tokens", "EXT-audit", "G2", "W1"],
+)
+def q_packing_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length frontier for stream packing: per candidate
+    capacity (256/512/1024/2048), the fraction of documents straddling
+    a window boundary (cross-contamination / split cost, Krell et al.
+    2021) vs the tail-padding fraction — the table that picks a
+    pipeline's context length
+    (operators/chunking.packing_frontier)."""
+    from openrouter_batch_processor_spark.operators.chunking import (
+        packing_frontier,
+    )
+
+    return packing_frontier(_t(spark, sf_dir, "documents"))

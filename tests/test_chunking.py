@@ -122,3 +122,30 @@ class TestSessionPaths:
         assert out["view>click>purchase"] == 2
         assert out["view>click"] == 1
         assert out["a_first>b_second"] == 1
+
+
+def test_packing_frontier_exact_counts(spark):
+    from pyspark.sql import Row
+
+    from openrouter_batch_processor_spark.operators.chunking import (
+        packing_frontier,
+    )
+
+    # doc lengths 3,4,5 tokens -> stream offsets 0,3,7 (total 12)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="a", text="t1 t2 t3"),
+            Row(doc_id="b", text="t1 t2 t3 t4"),
+            Row(doc_id="c", text="t1 t2 t3 t4 t5"),
+        ]
+    )
+    out = {r["capacity"]: r for r in packing_frontier(docs, (4, 8)).collect()}
+    # L=4: windows [0,4) [4,8) [8,12); doc a [0,3) fits, b [3,7) straddles,
+    # c [7,12) straddles
+    assert out[4]["n_bins"] == 3
+    assert out[4]["n_straddling"] == 2
+    assert out[4]["padding_frac"] == 0.0
+    # L=8: windows [0,8) [8,16); a,b fit, c [7,12) straddles; tail pad 4/16
+    assert out[8]["n_bins"] == 2
+    assert out[8]["n_straddling"] == 1
+    assert out[8]["padding_frac"] == 0.25

@@ -348,6 +348,9 @@ BRUTE_FORCE_OK = {
     # contract of sim_sq8_search); all downstream work is windows over
     # the |Q| x n_train scored table
     "sample_knn_shapley",
+    # r11: packing frontier — the 4-row capacity-dimension broadcast
+    # cross join onto the offset table + 1-row totals
+    "curation_packing_frontier",
     # r11: source emb drift — one 1-row corpus-mean-vector broadcast
     # onto the per-source mean table (one row per source)
     "audit_source_emb_drift",

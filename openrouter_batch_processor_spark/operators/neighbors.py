@@ -820,3 +820,118 @@ def source_centroid_drift(
             F.round(_dot(sv, cv) / F.sqrt(_dot(sv, sv) * _dot(cv, cv)), 6),
         ).alias("cos_to_corpus"),
     )
+
+
+def label_separability(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fisher separability audit over the label classes: the scatter
+    decomposition trace(S_between) vs trace(S_within) and the ANOVA-F
+    form J = (S_b/(k-1)) / (S_w/(n-k)) — how linearly separable the
+    classes are in embedding space, the cheap predictor of linear-probe
+    accuracy a representation audit runs before training one. Per-label
+    rows carry each centroid's distance to the corpus mean and its
+    mean within-class scatter; the shared fisher_f column repeats (the
+    ece-column convention — relationally tidy, k rows).
+
+    trace identities keep everything one narrow pass: S_w_c =
+    sum||x||^2 - n_c*||mu_c||^2 per class, S_b_c = n_c*||mu_c - mu||^2
+    — per-dim DECIMAL(38,12) means (the emb_dim_stats recipe), squared
+    norms folded as 6dp decimals, so no (x - mu) residual pass and no
+    d x d matrix ever materializes."""
+    base = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),
+    ).select("lbl", "v", _dot(F.col("v"), F.col("v")).alias("nn"))
+    dims = base.select(
+        "lbl", F.posexplode(F.col("v")).alias("pos", "x")
+    )
+    cmeans = (
+        dims.groupBy("lbl", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mu_c")
+        )
+    )
+    stats = base.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.round(F.col("nn"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_nn"),
+    )
+    gmean = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mu")
+        )
+    )
+    mc, mu = F.col("mu_c"), F.col("mu")
+    d2 = _dot(mc, mc) - 2 * _dot(mc, mu) + _dot(mu, mu)
+    per = (
+        stats.join(cmeans, "lbl")
+        .join(F.broadcast(gmean))
+        .select(
+            "lbl",
+            "n_vecs",
+            F.round(F.greatest(d2, F.lit(0.0)), 6).alias("dist2"),
+            F.round(
+                F.greatest(
+                    F.col("sum_nn") - F.col("n_vecs") * _dot(mc, mc),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("within_c"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_vecs").cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("n_vecs") * F.col("dist2"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("s_b"),
+        F.sum(F.col("within_c").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s_w"),
+    ).select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("s_w") > 0),
+            F.round(
+                (F.col("s_b") / (F.col("k") - 1))
+                / (F.col("s_w") / (F.col("n") - F.col("k"))),
+                6,
+            ),
+        ).alias("fisher_f"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        F.col("lbl").alias(label_col),
+        "n_vecs",
+        F.round(F.sqrt(F.col("dist2")), 6).alias("dist_to_corpus"),
+        F.round(F.col("within_c") / F.col("n_vecs"), 6).alias("within_ms"),
+        "fisher_f",
+    )

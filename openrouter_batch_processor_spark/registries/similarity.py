@@ -1407,3 +1407,63 @@ def q_source_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_centroid_drift(
         _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "audit_label_separability",
+    """
+    WITH b AS (SELECT label AS lbl, embedding::DOUBLE[] AS v,
+                      list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) AS nn
+               FROM embeddings),
+    dims AS (SELECT lbl, u.pos, u.x FROM (
+               SELECT lbl, unnest(list_transform(range(1, 65),
+                        i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+               FROM b)),
+    cm AS (SELECT lbl, array_agg(m ORDER BY pos) AS mu_c FROM (
+             SELECT lbl, pos,
+                    sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+             FROM dims GROUP BY 1, 2) GROUP BY 1),
+    st AS (SELECT lbl, count(*)::BIGINT AS n_vecs,
+                  sum(round(nn, 6)::DECIMAL(18,6))::DOUBLE AS sum_nn
+           FROM b GROUP BY 1),
+    gm AS (SELECT array_agg(m ORDER BY pos) AS mu FROM (
+             SELECT pos, sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+             FROM dims GROUP BY 1)),
+    per AS MATERIALIZED (
+      SELECT st.lbl, st.n_vecs,
+             round(greatest(list_dot_product(cm.mu_c, cm.mu_c)
+                            - 2 * list_dot_product(cm.mu_c, gm.mu)
+                            + list_dot_product(gm.mu, gm.mu), 0.0), 6) AS dist2,
+             round(greatest(st.sum_nn
+                            - st.n_vecs
+                              * list_dot_product(cm.mu_c, cm.mu_c),
+                            0.0), 6) AS within_c
+      FROM st JOIN cm ON cm.lbl = st.lbl CROSS JOIN gm),
+    tot AS (SELECT count(*)::BIGINT AS k, sum(n_vecs)::BIGINT AS n,
+                   sum(round(n_vecs * dist2, 6)::DECIMAL(28,6))::DOUBLE AS s_b,
+                   sum(within_c::DECIMAL(28,6))::DOUBLE AS s_w
+            FROM per),
+    f AS (SELECT CASE WHEN k > 1 AND n > k AND s_w > 0
+                      THEN round((s_b / (k - 1)) / (s_w / (n - k)), 6)
+                 END AS fisher_f
+          FROM tot)
+    SELECT per.lbl AS label, per.n_vecs,
+           round(sqrt(per.dist2), 6) AS dist_to_corpus,
+           round(per.within_c / per.n_vecs, 6) AS within_ms,
+           f.fisher_f
+    FROM per CROSS JOIN f
+    """,
+    ops=["EXT-simsearch", "EXT-audit", "EXT-quality", "G2", "J3"],
+)
+def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher separability of the embedding label classes:
+    trace-scatter ANOVA-F J = (S_b/(k-1))/(S_w/(n-k)) plus per-label
+    centroid distance and within-class mean scatter — the cheap
+    predictor of linear-probe accuracy
+    (operators/neighbors.label_separability)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        label_separability,
+    )
+
+    return label_separability(_t(spark, sf_dir, "embeddings"))

@@ -311,3 +311,28 @@ def test_multiprobe_rank1_is_the_lloyd_assignment(spark):
 
     per_point = Counter(r["vec_id"] for r in probes)
     assert set(per_point.values()) == {2}
+
+
+def test_label_separability_orders_separated_vs_mixed(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        label_separability,
+    )
+
+    rng = np.random.default_rng(13)
+    # separated: two tight blobs far apart -> huge Fisher F
+    vecs, labels = [], []
+    for lbl, (cx, cy) in enumerate([(0.0, 0.0), (20.0, 20.0)]):
+        for _ in range(15):
+            x, y = rng.normal(cx, 0.2), rng.normal(cy, 0.2)
+            vecs.append([float(x), float(y), 0.0, 0.0])
+            labels.append(lbl)
+    sep = label_separability(_emb_df(spark, vecs, labels)).collect()
+    f_sep = sep[0]["fisher_f"]
+    # mixed: same points, labels shuffled deterministically -> F near 0
+    mixed_labels = [i % 2 for i in range(30)]
+    mix = label_separability(_emb_df(spark, vecs, mixed_labels)).collect()
+    f_mix = mix[0]["fisher_f"]
+    assert f_sep > 100 * max(f_mix, 1e-9)
+    for r in sep:
+        assert r["n_vecs"] == 15
+        assert r["within_ms"] < 1.0

@@ -354,6 +354,9 @@ BRUTE_FORCE_OK = {
     # r11: source emb drift — one 1-row corpus-mean-vector broadcast
     # onto the per-source mean table (one row per source)
     "audit_source_emb_drift",
+    # r11: label separability — 1-row corpus-mean + 1-row scatter-fold
+    # broadcasts onto the k-row per-label table
+    "audit_label_separability",
     # r11: permutation test — one 1-row observed-diff broadcast onto the
     # P-row permutation-diff table; the corpus pass is a combiner groupBy
     "stats_permutation_test",

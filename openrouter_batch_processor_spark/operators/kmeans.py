@@ -439,3 +439,119 @@ def mauve_frontier(
             F.col("lt").alias("lam_tenths"), "n_p", "n_q", "kl_p", "kl_q"
         )
     )
+
+
+def cluster_label_agreement(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """External clustering validity vs the label column: purity,
+    normalized mutual information (NMI, sqrt normalization) and the
+    adjusted Rand index over the (cluster, label) contingency table —
+    the standard triple for 'did the clustering find the classes'
+    (Manning et al., IR ch.16; Hubert & Arabie 1985 for ARI). A corpus
+    whose Lloyd cells align with labels clusters by semantics; one that
+    doesn't is clustering on nuisance structure — worth knowing before
+    SemDeDup/MiniPile prune against those cells.
+
+    Rides the session-staged Lloyd assignment; the contingency table is
+    one combiner groupBy, bounded by k x |labels| cells. ARI is exact
+    BIGINT pair counting until the final division; MI/entropy terms
+    round to 9dp decimals so the folds are order-invariant."""
+    assigned = lloyd_assign_staged(embeddings, k, iters, id_col, vec_col)
+    lab = embeddings.select(F.col(id_col), F.col(label_col).alias("lbl"))
+    ct = (
+        assigned.join(lab, id_col)
+        .groupBy("cluster_id", "lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    a = ct.groupBy("cluster_id").agg(F.sum("nij").cast("long").alias("ai"))
+    b = ct.groupBy("lbl").agg(F.sum("nij").cast("long").alias("bj"))
+    tot = ct.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(F.expr("nij * (nij - 1) DIV 2")).cast("long").alias("sum_nij2"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    best = ct.groupBy("cluster_id").agg(F.max("nij").cast("long").alias("mx"))
+    purity_num = best.agg(F.sum("mx").cast("long").alias("pnum"))
+    mi_terms = (
+        ct.join(F.broadcast(a), "cluster_id")
+        .join(F.broadcast(b), "lbl")
+        .join(F.broadcast(tot.select("n")))
+        .select(
+            F.round(
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    F.col("n")
+                    * F.col("nij")
+                    / (F.col("ai") * F.col("bj")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+    )
+    mi = mi_terms.agg(F.sum("t").cast("double").alias("mi"))
+    hc = (
+        a.join(F.broadcast(tot.select("n")))
+        .select(
+            F.round(
+                -(F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("hc"))
+    )
+    hl = (
+        b.join(F.broadcast(tot.select("n")))
+        .select(
+            F.round(
+                -(F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("hl"))
+    )
+    pa = a.agg(
+        F.count(F.lit(1)).cast("long").alias("k_clusters"),
+        F.sum(F.expr("ai * (ai - 1) DIV 2")).cast("long").alias("sum_ai2"),
+    )
+    pb = b.agg(
+        F.count(F.lit(1)).cast("long").alias("k_labels"),
+        F.sum(F.expr("bj * (bj - 1) DIV 2")).cast("long").alias("sum_bj2"),
+    )
+    j = (
+        tot.join(F.broadcast(purity_num))
+        .join(F.broadcast(mi))
+        .join(F.broadcast(hc))
+        .join(F.broadcast(hl))
+        .join(F.broadcast(pa))
+        .join(F.broadcast(pb))
+    )
+    n2 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    exp_idx = F.col("sum_ai2") * F.col("sum_bj2") / n2
+    max_idx = (F.col("sum_ai2") + F.col("sum_bj2")) / 2.0
+    return j.select(
+        "k_clusters",
+        "k_labels",
+        F.col("n").alias("n_vecs"),
+        F.round(F.col("pnum") / F.col("n"), 6).alias("purity"),
+        F.when(
+            (F.col("hc") > 0) & (F.col("hl") > 0),
+            F.round(F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6),
+        ).alias("nmi"),
+        F.when(
+            max_idx != exp_idx,
+            F.round(
+                (F.col("sum_nij2") - exp_idx) / (max_idx - exp_idx), 6
+            ),
+        ).alias("ari"),
+    )

@@ -1616,3 +1616,69 @@ def q_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.kmeans import mauve_frontier
 
     return mauve_frontier(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_cluster_label_nmi",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    ct AS MATERIALIZED (
+      SELECT a2.cluster_id, em.label AS lbl, count(*)::BIGINT AS nij
+      FROM a2 JOIN embeddings em USING (vec_id)
+      GROUP BY 1, 2),
+    a AS (SELECT cluster_id, sum(nij)::BIGINT AS ai FROM ct GROUP BY 1),
+    b AS (SELECT lbl, sum(nij)::BIGINT AS bj FROM ct GROUP BY 1),
+    tot AS (SELECT sum(nij)::BIGINT AS n,
+                   sum(nij * (nij - 1) // 2)::BIGINT AS sum_nij2
+            FROM ct),
+    pnum AS (SELECT sum(mx)::BIGINT AS pnum FROM (
+               SELECT cluster_id, max(nij)::BIGINT AS mx
+               FROM ct GROUP BY 1)),
+    mi AS (SELECT sum(round((ct.nij / tot.n)
+                            * ln(tot.n * ct.nij
+                                 / (a.ai * b.bj)::DOUBLE),
+                            9)::DECIMAL(28,9))::DOUBLE AS mi
+           FROM ct JOIN a USING (cluster_id) JOIN b USING (lbl), tot),
+    hc AS (SELECT sum(round(-(ai / tot.n) * ln(ai / tot.n),
+                            9)::DECIMAL(28,9))::DOUBLE AS hc
+           FROM a, tot),
+    hl AS (SELECT sum(round(-(bj / tot.n) * ln(bj / tot.n),
+                            9)::DECIMAL(28,9))::DOUBLE AS hl
+           FROM b, tot),
+    pa AS (SELECT count(*)::BIGINT AS k_clusters,
+                  sum(ai * (ai - 1) // 2)::BIGINT AS sum_ai2 FROM a),
+    pb AS (SELECT count(*)::BIGINT AS k_labels,
+                  sum(bj * (bj - 1) // 2)::BIGINT AS sum_bj2 FROM b)
+    SELECT pa.k_clusters, pb.k_labels, tot.n AS n_vecs,
+           round(pnum.pnum / tot.n, 6) AS purity,
+           CASE WHEN hc.hc > 0 AND hl.hl > 0
+                THEN round(mi.mi / sqrt(hc.hc * hl.hl), 6) END AS nmi,
+           CASE WHEN (pa.sum_ai2 + pb.sum_bj2) / 2.0
+                       != pa.sum_ai2 * pb.sum_bj2
+                          / (tot.n * (tot.n - 1) / 2)::DOUBLE
+                THEN round((tot.sum_nij2
+                            - pa.sum_ai2 * pb.sum_bj2
+                              / (tot.n * (tot.n - 1) / 2)::DOUBLE)
+                           / ((pa.sum_ai2 + pb.sum_bj2) / 2.0
+                              - pa.sum_ai2 * pb.sum_bj2
+                                / (tot.n * (tot.n - 1) / 2)::DOUBLE),
+                           6) END AS ari
+    FROM tot, pnum, mi, hc, hl, pa, pb
+    """,
+    ops=["EXT-ivf", "EXT-audit", "EXT-quality", "G2", "J3"],
+)
+def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity / NMI / adjusted Rand index between the shared staged k=8
+    Lloyd clustering and the label column — the external-validity
+    triple run before pruning against those cells
+    (operators/kmeans.cluster_label_agreement)."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        cluster_label_agreement,
+    )
+
+    return cluster_label_agreement(_t(spark, sf_dir, "embeddings"))

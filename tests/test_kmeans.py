@@ -35,3 +35,49 @@ class TestKmeansLite:
         r1 = sorted(map(tuple, kmeans_lite(df.coalesce(1), k=3, iters=2).collect()))
         r8 = sorted(map(tuple, kmeans_lite(df.repartition(8), k=3, iters=2).collect()))
         assert r1 == r8
+
+
+def test_cluster_label_agreement_perfect_vs_shuffled(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        cluster_label_agreement,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rng = np.random.default_rng(17)
+    rows, shuffled = [], []
+    i = 0
+    for lbl, (cx, cy) in enumerate([(0.0, 0.0), (30.0, 30.0)]):
+        for _ in range(12):
+            v = [float(rng.normal(cx, 0.2)), float(rng.normal(cy, 0.2)), 0.0, 0.0]
+            rows.append(Row(vec_id=i, embedding=v, label=lbl))
+            shuffled.append(Row(vec_id=i, embedding=v, label=i % 2))
+            i += 1
+    good = cluster_label_agreement(
+        spark.createDataFrame(rows, schema), k=2
+    ).collect()[0]
+    assert good["purity"] == 1.0
+    assert good["nmi"] == 1.0
+    assert good["ari"] == 1.0
+    bad = cluster_label_agreement(
+        spark.createDataFrame(shuffled, schema), k=2
+    ).collect()[0]
+    assert bad["purity"] <= 0.75
+    assert bad["nmi"] < 0.2
+    assert abs(bad["ari"]) < 0.2

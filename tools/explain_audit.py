@@ -357,6 +357,9 @@ BRUTE_FORCE_OK = {
     # r11: label separability — 1-row corpus-mean + 1-row scatter-fold
     # broadcasts onto the k-row per-label table
     "audit_label_separability",
+    # r11: cluster-label NMI — inherits the centroid broadcast; the
+    # metric folds are 1-row broadcasts onto the k x labels contingency
+    "audit_cluster_label_nmi",
     # r11: permutation test — one 1-row observed-diff broadcast onto the
     # P-row permutation-diff table; the corpus pass is a combiner groupBy
     "stats_permutation_test",

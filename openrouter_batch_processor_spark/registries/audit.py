@@ -1682,3 +1682,85 @@ def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cluster_label_agreement(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_calinski_harabasz",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    b AS MATERIALIZED (
+      SELECT a2.cluster_id AS lbl, e.v,
+             list_dot_product(e.v, e.v) AS nn
+      FROM a2 JOIN e USING (vec_id)),
+    dims AS (SELECT lbl, u.pos, u.x FROM (
+               SELECT lbl, unnest(list_transform(range(1, 65),
+                        i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+               FROM b)),
+    cm AS (SELECT lbl, array_agg(m ORDER BY pos) AS mu_c FROM (
+             SELECT lbl, pos,
+                    sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+             FROM dims GROUP BY 1, 2) GROUP BY 1),
+    st AS (SELECT lbl, count(*)::BIGINT AS n_vecs,
+                  sum(round(nn, 6)::DECIMAL(18,6))::DOUBLE AS sum_nn
+           FROM b GROUP BY 1),
+    gm AS (SELECT array_agg(m ORDER BY pos) AS mu FROM (
+             SELECT pos, sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+             FROM dims GROUP BY 1)),
+    per AS MATERIALIZED (
+      SELECT st.lbl, st.n_vecs,
+             round(greatest(list_dot_product(cm.mu_c, cm.mu_c)
+                            - 2 * list_dot_product(cm.mu_c, gm.mu)
+                            + list_dot_product(gm.mu, gm.mu), 0.0), 6) AS dist2,
+             round(greatest(st.sum_nn
+                            - st.n_vecs
+                              * list_dot_product(cm.mu_c, cm.mu_c),
+                            0.0), 6) AS within_c
+      FROM st JOIN cm ON cm.lbl = st.lbl CROSS JOIN gm),
+    tot AS (SELECT count(*)::BIGINT AS k, sum(n_vecs)::BIGINT AS n,
+                   sum(round(n_vecs * dist2, 6)::DECIMAL(28,6))::DOUBLE AS s_b,
+                   sum(within_c::DECIMAL(28,6))::DOUBLE AS s_w
+            FROM per),
+    f AS (SELECT CASE WHEN k > 1 AND n > k AND s_w > 0
+                      THEN round((s_b / (k - 1)) / (s_w / (n - k)), 6)
+                 END AS ch_score
+          FROM tot)
+    SELECT per.lbl AS cluster_id, per.n_vecs,
+           round(sqrt(per.dist2), 6) AS dist_to_corpus,
+           round(per.within_c / per.n_vecs, 6) AS within_ms,
+           f.ch_score
+    FROM per CROSS JOIN f
+    """,
+    ops=["EXT-ivf", "EXT-audit", "G2", "J3"],
+)
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio criterion of the shared staged
+    Lloyd clustering — the internal-validity companion to silhouette
+    and Davies-Bouldin (the same trace-scatter machinery as
+    audit_label_separability, with the clustering as the partition):
+    per-cluster centroid distance + within-scatter and the global
+    CH score (operators/neighbors.label_separability over the
+    staged assignment)."""
+    from openrouter_batch_processor_spark.operators.kmeans import (
+        lloyd_assign_staged,
+    )
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        label_separability,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    relabeled = emb.select("vec_id", "embedding").join(
+        lloyd_assign_staged(emb), "vec_id"
+    )
+    out = label_separability(relabeled, label_col="cluster_id")
+    return out.select(
+        "cluster_id",
+        "n_vecs",
+        "dist_to_corpus",
+        "within_ms",
+        F.col("fisher_f").alias("ch_score"),
+    )

@@ -360,6 +360,9 @@ BRUTE_FORCE_OK = {
     # r11: cluster-label NMI — inherits the centroid broadcast; the
     # metric folds are 1-row broadcasts onto the k x labels contingency
     "audit_cluster_label_nmi",
+    # r11: calinski-harabasz — the separability machinery over the
+    # staged assignment: centroid broadcast + two 1-row fold broadcasts
+    "audit_calinski_harabasz",
     # r11: permutation test — one 1-row observed-diff broadcast onto the
     # P-row permutation-diff table; the corpus pass is a combiner groupBy
     "stats_permutation_test",

@@ -926,3 +926,59 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.dedup import cdc_chunk_stats
 
     return cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_crosslingual_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    sh_set AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_set GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh_set x ON x.doc_id = c.id_a
+      JOIN sh_set y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, da.lang AS lang_a, db.lang AS lang_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    JOIN documents da ON da.doc_id = i.id_a
+    JOIN documents db ON db.doc_id = i.id_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+      AND da.lang != db.lang
+    """,
+    ops=["EXT-minhash", "EXT-jaccard", "J3", "EXT-curation"],
+)
+def q_crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate candidates: verified-Jaccard LSH
+    pairs whose two documents carry DIFFERENT language tags — the
+    parallel-corpus/translation-pair mining cut of the shared staged
+    near-dup pair table (and a langid-error detector: monolingual
+    near-dups that straddle a language tag are usually mislabeled).
+    One leftover lang join per side on the staged verified pairs."""
+    from openrouter_batch_processor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05)
+    lang = docs.select(F.col("doc_id"), F.col("lang"))
+    return (
+        pairs.join(
+            lang.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")),
+            "id_a",
+        )
+        .join(
+            lang.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")),
+            "id_b",
+        )
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", "jaccard")
+    )

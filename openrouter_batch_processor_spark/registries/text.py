@@ -1373,3 +1373,47 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openrouter_batch_processor_spark.operators.textanalysis import self_bleu
 
     return self_bleu(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_template_prefixes",
+    f"""
+    WITH p AS (SELECT doc_id, source,
+                      array_to_string(
+                        list_slice(string_split({_NORM_SQL}, ' '), 1, 8),
+                        ' ') AS prefix
+               FROM documents)
+    SELECT prefix,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           min(doc_id)::BIGINT AS example_doc
+    FROM p
+    GROUP BY prefix
+    HAVING count(*) >= 3
+    ORDER BY n_docs DESC, prefix ASC
+    LIMIT 25
+    """,
+    ops=["EXT-quality", "EXT-dedup-policy", "G2", "G4", "O3"],
+)
+def q_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared normalized 8-token
+    PREFIX: generated or form-letter documents open identically even
+    when their tails differ enough to dodge whole-doc dedup — the
+    prefix-group rollup (n_docs, n_sources, an example id) is the cut
+    a curation pass reviews for template farms. One combiner groupBy;
+    top-25 is TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, 8), " ")
+    return (
+        docs.select(prefix.alias("prefix"), "source", "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+        .limit(25)
+    )

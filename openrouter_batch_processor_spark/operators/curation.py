@@ -1039,13 +1039,9 @@ def _logreg_scored(
     ones can be dropped) applied to the engine's logistic quality
     classifier: difficulty = |p − y| after quality_logreg's T steps.
 
-    Emits the top-k HARDEST docs (the mislabeled/ambiguous candidates
-    a curation loop reviews first): (doc_id, lang, y, p, difficulty).
-
     Scale: training cost is quality_logreg's (T combiner passes); the
     scoring pass is one broadcast of the 1-row weight vector over the
-    staged features — map-only. Ranking is a global top-k
-    (TakeOrdered), never a full sort."""
+    staged features — map-only."""
     # re-run the training loop, but keep per-doc features with ids
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "

@@ -475,8 +475,6 @@ def cluster_label_agreement(
         F.sum("nij").cast("long").alias("n"),
         F.sum(F.expr("nij * (nij - 1) DIV 2")).cast("long").alias("sum_nij2"),
     )
-    from pyspark.sql.window import Window as _W
-
     best = ct.groupBy("cluster_id").agg(F.max("nij").cast("long").alias("mx"))
     purity_num = best.agg(F.sum("mx").cast("long").alias("pnum"))
     mi_terms = (
@@ -537,7 +535,11 @@ def cluster_label_agreement(
         .join(F.broadcast(pb))
     )
     n2 = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
-    exp_idx = F.col("sum_ai2") * F.col("sum_bj2") / n2
+    # divide BEFORE multiplying: sum_ai2 * sum_bj2 as BIGINT overflows
+    # 2^63 around ~300k balanced vectors (and the oracle's BIGINT
+    # product would hard-error where Spark wraps) — the double ratio
+    # first keeps both engines in range and identical
+    exp_idx = (F.col("sum_ai2") / n2) * F.col("sum_bj2")
     max_idx = (F.col("sum_ai2") + F.col("sum_bj2")) / 2.0
     return j.select(
         "k_clusters",

@@ -198,7 +198,9 @@ def lof_scores(
     rounds to 9dp before the final ratio, so every aggregate is
     order-invariant and both engines agree bit-for-bit."""
     knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
-    kd = knn.groupBy("a_id").agg(
+    # ONE k-distance aggregate carries cluster_id so both the reach
+    # join and the output columns read it — no second pass over knn
+    kd = knn.groupBy("a_id", "cluster_id").agg(
         F.max("dist").alias("kdist"),
         F.count(F.lit(1)).cast("long").alias("n_nb"),
     )
@@ -241,10 +243,7 @@ def lof_scores(
     )
     out = (
         lofd.join(lrd.select("a_id", "lrd"), "a_id")
-        .join(
-            knn.groupBy("a_id", "cluster_id").agg(F.max("dist").alias("kdist")),
-            "a_id",
-        )
+        .join(kd.select("a_id", "cluster_id", "kdist"), "a_id")
         .filter(F.col("lrd").isNotNull())
         .select(
             F.col("a_id").alias(id_col),
@@ -367,7 +366,12 @@ def knn_shapley(
     contributions round to 12dp decimals so the reverse cumulative sum
     and the final per-point mean are order-invariant. Sanity (pinned in
     tests): per test point, sum_i s_(i) = utility of the full training
-    set — the Shapley efficiency axiom."""
+    set — the Shapley efficiency axiom.
+
+    The id column must be NUMERIC: the deterministic split is
+    id % test_mod, and Spark's implicit string->numeric cast would
+    NULL out both filters (empty result, no error). Same contract as
+    cell_knn_recall's sample_mod."""
     e = embeddings.select(
         F.col(id_col), F.col(label_col).alias("lbl"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("v"),

@@ -1659,14 +1659,16 @@ def q_mauve_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN hc.hc > 0 AND hl.hl > 0
                 THEN round(mi.mi / sqrt(hc.hc * hl.hl), 6) END AS nmi,
            CASE WHEN (pa.sum_ai2 + pb.sum_bj2) / 2.0
-                       != pa.sum_ai2 * pb.sum_bj2
-                          / (tot.n * (tot.n - 1) / 2)::DOUBLE
+                       != (pa.sum_ai2 / (tot.n * (tot.n - 1) / 2)::DOUBLE)
+                          * pb.sum_bj2
                 THEN round((tot.sum_nij2
-                            - pa.sum_ai2 * pb.sum_bj2
-                              / (tot.n * (tot.n - 1) / 2)::DOUBLE)
+                            - (pa.sum_ai2
+                               / (tot.n * (tot.n - 1) / 2)::DOUBLE)
+                              * pb.sum_bj2)
                            / ((pa.sum_ai2 + pb.sum_bj2) / 2.0
-                              - pa.sum_ai2 * pb.sum_bj2
-                                / (tot.n * (tot.n - 1) / 2)::DOUBLE),
+                              - (pa.sum_ai2
+                                 / (tot.n * (tot.n - 1) / 2)::DOUBLE)
+                                * pb.sum_bj2),
                            6) END AS ari
     FROM tot, pnum, mi, hc, hl, pa, pb
     """,

@@ -1089,8 +1089,9 @@ def q_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_lof_outliers",
     f"""
     WITH {_cell_knn_sql(5)},
-    kd AS (SELECT a_id, max(dist) AS kdist, count(*)::BIGINT AS n_nb
-           FROM knn GROUP BY 1),
+    kd AS (SELECT a_id, cluster_id, max(dist) AS kdist,
+                  count(*)::BIGINT AS n_nb
+           FROM knn GROUP BY 1, 2),
     reach AS (SELECT k.a_id,
                      round(greatest(kb.kdist, k.dist), 6)::DECIMAL(18,6) AS reach
               FROM knn k JOIN kd kb ON kb.a_id = k.b_id),
@@ -1101,14 +1102,13 @@ def q_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lofd AS (SELECT k.a_id, count(*)::BIGINT AS n_nb,
                     sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
              FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
-             GROUP BY 1),
-    cl AS (SELECT a_id, cluster_id, max(dist) AS kdist FROM knn GROUP BY 1, 2)
-    SELECT l.a_id AS vec_id, cl.cluster_id, l.n_nb,
-           round(cl.kdist, 6) AS k_dist, r.lrd,
+             GROUP BY 1)
+    SELECT l.a_id AS vec_id, kd.cluster_id, l.n_nb,
+           round(kd.kdist, 6) AS k_dist, r.lrd,
            round(l.slrd / l.n_nb / r.lrd, 6) AS lof
     FROM lofd l
     JOIN lrd r ON r.a_id = l.a_id
-    JOIN cl ON cl.a_id = l.a_id
+    JOIN kd ON kd.a_id = l.a_id
     WHERE r.lrd IS NOT NULL
     ORDER BY lof DESC, vec_id ASC LIMIT 25
     """,

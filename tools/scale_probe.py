@@ -11,7 +11,7 @@ workload) and 10 re-keyed copies of the embeddings. All other tables
 are symlinked from sf0.1. Each query runs twice per scale; the WARM
 run is reported (same convention as bench.py).
 
-Usage: python tools/scale_probe.py [--out SCALE.md]
+Usage: python tools/scale_probe.py [--fresh] [query ...]
 Appends/updates the '## 10x scale probe' section in SCALE.md.
 
 --x100 (VERDICT r07 #6) probes the candidate-pair stages whose 10x
@@ -309,16 +309,28 @@ def _capped_fns() -> dict:
         return _knn_unstaged(spark, sf_dir, _KNN_CELLS.get(sf_dir, 8))
 
     # fixed ~200-row test side at every scale (the production contract:
-    # test sets don't grow with the corpus); vec_id%10==0 would grow it
+    # test sets don't grow with the corpus); vec_id%10==0 would grow it.
+    # Both shapley rows run through staging.clear() per invocation so the
+    # session-staged means table (added after the r11 probe first ran)
+    # is REBUILT, not memo-read — same measure-the-operator rule as
+    # cell_pairs_unstaged
+    from openrouter_batch_processor_spark.operators import staging as _stg
+
     _SHAP_MOD = {BASE: 10, PROBE_DIR: 100, PROBE_DIR_100: 1_000}
 
+    def shapley_full(spark, sf_dir):
+        _stg.clear()
+        return knn_shapley(load_table(spark, sf_dir, "embeddings"))
+
     def shapley_q200(spark, sf_dir):
+        _stg.clear()
         return knn_shapley(
             load_table(spark, sf_dir, "embeddings"),
             test_mod=_SHAP_MOD.get(sf_dir, 10),
         )
 
     return {
+        "sample_knn_shapley": shapley_full,
         "emb_cell_knn_c8": knn_c8,
         "emb_cell_knn_cdial": knn_cdial,
         "sample_knn_shapley_q200": shapley_q200,
@@ -562,8 +574,12 @@ def main() -> None:
 
     # positional names = probe ONLY those queries this invocation (new
     # rows land fast without re-measuring every family); unlisted rows
-    # keep their accumulated floor from the existing table
+    # keep their accumulated floor from the existing table. Unknown
+    # names are an ERROR, not a silent no-op rewrite from stale floors
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [a for a in only if a not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown probe queries: {unknown}")
     names = [n for n in QUERIES if not only or n in only]
     t1 = run(spark, BASE, names)
     t10 = run(spark, PROBE_DIR, names)

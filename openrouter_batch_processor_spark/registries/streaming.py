@@ -536,3 +536,102 @@ def q_streaming_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+@register(
+    "streaming_emb_drift",
+    """
+    WITH j AS (SELECT d.source AS grp, e.embedding::DOUBLE[] AS v
+               FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    dims AS (SELECT grp, u.pos, u.x FROM (
+               SELECT grp, unnest(list_transform(range(1, 65),
+                        i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+               FROM j)),
+    sm AS (SELECT grp, pos,
+                  sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m,
+                  count(*)::BIGINT AS cnt
+           FROM dims GROUP BY 1, 2),
+    sv AS (SELECT grp, array_agg(m ORDER BY pos) AS svv,
+                  max(cnt)::BIGINT AS n_vecs
+           FROM sm GROUP BY 1),
+    cm AS (SELECT pos, sum(x::DECIMAL(38,12))::DOUBLE / count(*) AS m
+           FROM dims GROUP BY 1),
+    cv AS (SELECT array_agg(m ORDER BY pos) AS cvv FROM cm)
+    SELECT sv.grp AS source, sv.n_vecs,
+           round(sqrt(greatest(
+               list_dot_product(sv.svv, sv.svv)
+               - 2 * list_dot_product(sv.svv, cv.cvv)
+               + list_dot_product(cv.cvv, cv.cvv), 0.0)), 6) AS drift_l2,
+           CASE WHEN list_dot_product(sv.svv, sv.svv)
+                      * list_dot_product(cv.cvv, cv.cvv) > 0
+                THEN round(list_dot_product(sv.svv, cv.cvv)
+                           / sqrt(list_dot_product(sv.svv, sv.svv)
+                                  * list_dot_product(cv.cvv, cv.cvv)), 6)
+           END AS cos_to_corpus
+    FROM sv CROSS JOIN cv
+    """,
+    ops=["T1", "T2", "EXT-simsearch", "EXT-audit", "G2", "J1"],
+)
+def q_streaming_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of audit_source_emb_drift: the embedding stream
+    joins the static documents dimension, per-(source, dim) exact
+    decimal sums fold statefully in complete mode, and the drift table
+    (L2 + cosine of each source centroid vs the corpus mean) is
+    assembled batch-side from the sink — bit-identical to the batch
+    audit at any micro-batch partitioning
+    (streaming/windows.emb_drift_sums_stream)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        emb_drift_sums_stream,
+        read_embeddings_stream,
+        run_to_memory,
+    )
+
+    stream = emb_drift_sums_stream(
+        read_embeddings_stream(spark, sf_dir), _t(spark, sf_dir, "documents")
+    )
+    run_to_memory(stream, "registry_stream_embdrift", output_mode="complete")
+    sums = spark.table("registry_stream_embdrift")
+    svec = (
+        sums.select(
+            "grp",
+            "pos",
+            (F.col("sx").cast("double") / F.col("cnt")).alias("m"),
+            "cnt",
+        )
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("sv"),
+            F.max("cnt").cast("long").alias("n_vecs"),
+        )
+    )
+    cmean = (
+        sums.groupBy("pos")
+        .agg(
+            (
+                F.sum("sx").cast("double") / F.sum("cnt")
+            ).alias("m")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    from openrouter_batch_processor_spark.operators.similarity import _dot
+
+    sv, cv = F.col("sv"), F.col("cv")
+    d2 = _dot(sv, sv) - 2 * _dot(sv, cv) + _dot(cv, cv)
+    return svec.join(F.broadcast(cmean)).select(
+        F.col("grp").alias("source"),
+        "n_vecs",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("drift_l2"),
+        F.when(
+            _dot(sv, sv) * _dot(cv, cv) > 0,
+            F.round(_dot(sv, cv) / F.sqrt(_dot(sv, sv) * _dot(cv, cv)), 6),
+        ).alias("cos_to_corpus"),
+    )

@@ -394,3 +394,53 @@ def langid_stream(docs: DataFrame) -> DataFrame:
     return language_id(docs, extra_cols=("source", "lang")).select(
         "doc_id", "source", "lang", "pred_lang"
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """File-source stream over the embeddings parquet — the
+    continuous-ingest mirror of the batch embeddings table (same glob
+    rationale as read_documents_stream)."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).schema
+    return spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "embeddings.*")
+    )
+
+
+def emb_drift_sums_stream(
+    embeddings_stream: DataFrame, documents_static: DataFrame
+) -> DataFrame:
+    """Streaming stage of the per-source embedding-drift monitor: the
+    arriving vector stream joins the STATIC documents dimension for its
+    source tag (stream-static inner join — no state), fans out to
+    (source, dim) rows and folds exact DECIMAL(38,12) per-dimension
+    sums + counts in complete mode. The totals are arrival-order
+    invariant (decimal addition is associative), so the finished drift
+    table — assembled batch-side from this sink by the same mean/dot
+    arithmetic as operators/neighbors.source_centroid_drift — is
+    bit-identical to the batch audit at any micro-batch partitioning.
+
+    At 100 TB this is the standing drift monitor: state is
+    |sources| x d rows of decimal sums regardless of stream volume."""
+    from pyspark.sql import functions as F
+
+    j = embeddings_stream.join(
+        documents_static.select(
+            F.col("doc_id").alias("vec_id"), F.col("source").alias("grp")
+        ),
+        "vec_id",
+    )
+    dims = j.select(
+        "grp",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    return dims.groupBy("grp", "pos").agg(
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )

@@ -336,3 +336,19 @@ def test_label_separability_orders_separated_vs_mixed(spark):
     for r in sep:
         assert r["n_vecs"] == 15
         assert r["within_ms"] < 1.0
+
+
+def test_streaming_drift_matches_batch_audit(spark):
+    """The streaming twin's finished table equals the batch audit's
+    rows exactly — arrival order cannot matter because the stateful
+    fold is exact decimal sums."""
+    from openrouter_batch_processor_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(
+        map(tuple, REGISTRY["audit_source_emb_drift"].fn(spark, sf).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["streaming_emb_drift"].fn(spark, sf).collect())
+    )
+    assert stream == batch

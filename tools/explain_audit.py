@@ -354,6 +354,9 @@ BRUTE_FORCE_OK = {
     # r11: source emb drift — one 1-row corpus-mean-vector broadcast
     # onto the per-source mean table (one row per source)
     "audit_source_emb_drift",
+    # r11: streaming drift twin — same 1-row corpus-mean broadcast on
+    # the batch-side finish over the (sources x d)-row sink table
+    "streaming_emb_drift",
     # r11: label separability — 1-row corpus-mean + 1-row scatter-fold
     # broadcasts onto the k-row per-label table
     "audit_label_separability",

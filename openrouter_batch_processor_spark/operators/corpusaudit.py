@@ -862,3 +862,68 @@ def hill_tail_index(docs: DataFrame, k: int = 15) -> DataFrame:
             F.col("sum_ln") > 0, F.round(F.lit(float(k)) / F.col("sum_ln"), 6)
         ).alias("alpha"),
     )
+
+
+def source_ks_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per source: for each source
+    s, D_s = sup_x |F_s(x) - F_rest(x)| between the source's length
+    distribution and the REST of the corpus — the distribution-free
+    drift test that catches shape changes (bimodality, truncation) a
+    mean/variance drift audit misses. Both CDFs are step functions, so
+    the sup is attained at an observed value; evaluating at every
+    distinct corpus value is exact.
+
+    Plan: one combiner histogram per (source, value), densified onto
+    the (sources x distinct-values) grid — bounded by the value DOMAIN,
+    not the corpus (the cents-histogram convention) — cumulative
+    windows per source plus one corpus cumulative on the bounded
+    histogram, then a max fold. Counts stay exact integers; the CDF
+    difference is the only float."""
+    from pyspark.sql.window import Window
+
+    vals = docs.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+    h = vals.groupBy("grp", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xs = vals.select("x").distinct()
+    grps = vals.select("grp").distinct()
+    grid = xs.join(F.broadcast(grps))
+    g = grid.join(h, ["grp", "x"], "left").select(
+        "grp", "x", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = g.select(
+        "grp", "x", F.sum("c").over(wg).cast("long").alias("cum_s")
+    )
+    ch = vals.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cumc = ch.select("x", F.sum("c").over(wc).cast("long").alias("cum_all"))
+    ns = vals.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dev = (
+        cums.join(cumc, "x")
+        .join(F.broadcast(ns), "grp")
+        .join(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_s",
+            F.abs(
+                F.col("cum_s") / F.col("n_s")
+                - (F.col("cum_all") - F.col("cum_s"))
+                / (F.col("n") - F.col("n_s"))
+            ).alias("d"),
+        )
+    )
+    return (
+        dev.groupBy(F.col("grp").alias(group_col), "n_s")
+        .agg(F.round(F.max("d"), 6).alias("ks_d"))
+        .select(group_col, F.col("n_s").alias("n_docs"), "ks_d")
+    )

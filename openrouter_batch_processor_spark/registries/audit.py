@@ -1766,3 +1766,51 @@ def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within_ms",
         F.col("fisher_f").alias("ch_score"),
     )
+
+
+@register(
+    "audit_source_ks_drift",
+    """
+    WITH vals AS (SELECT source AS grp, n_chars::BIGINT AS x FROM documents),
+    h AS (SELECT grp, x, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+    xs AS (SELECT DISTINCT x FROM vals),
+    grps AS (SELECT DISTINCT grp FROM vals),
+    grid AS (SELECT grps.grp, xs.x FROM xs CROSS JOIN grps),
+    g AS (SELECT grid.grp, grid.x, coalesce(h.c, 0)::BIGINT AS c
+          FROM grid LEFT JOIN h ON h.grp = grid.grp AND h.x = grid.x),
+    cums AS (SELECT grp, x,
+                    sum(c) OVER (PARTITION BY grp ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum_s
+             FROM g),
+    ch AS (SELECT x, count(*)::BIGINT AS c FROM vals GROUP BY 1),
+    cumc AS (SELECT x,
+                    sum(c) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum_all
+             FROM ch),
+    ns AS (SELECT grp, count(*)::BIGINT AS n_s FROM vals GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n FROM vals),
+    dev AS (SELECT cums.grp, ns.n_s,
+                   abs(cums.cum_s / ns.n_s
+                       - (cumc.cum_all - cums.cum_s)
+                         / (tot.n - ns.n_s)) AS d
+            FROM cums
+            JOIN cumc ON cumc.x = cums.x
+            JOIN ns ON ns.grp = cums.grp
+            CROSS JOIN tot)
+    SELECT grp AS source, n_s AS n_docs, round(max(d), 6) AS ks_d
+    FROM dev GROUP BY 1, 2
+    """,
+    ops=["EXT-audit", "EXT-quality", "G2", "W2", "J3"],
+)
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov drift of the length
+    distribution vs the rest of the corpus — the distribution-free
+    shape-drift test (bimodality, truncation) that mean/variance
+    audits miss (operators/corpusaudit.source_ks_drift)."""
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        source_ks_drift,
+    )
+
+    return source_ks_drift(_t(spark, sf_dir, "documents"))

@@ -216,3 +216,29 @@ class TestMannKendall:
         lo, hi = slopes[math.floor(mid) - 1], slopes[math.ceil(mid) - 1]
         assert row["s_stat"] == s
         assert row["sen_slope"] == pytest.approx((lo + hi) / 2, abs=1e-6)
+
+
+def test_source_ks_drift_detects_shifted_source(spark):
+    from pyspark.sql import Row
+
+    from openrouter_batch_processor_spark.operators.corpusaudit import (
+        source_ks_drift,
+    )
+
+    rows = []
+    i = 0
+    # base: lengths 100..119 across two sources; shifted: 500..509
+    for src, lo, n in [("a", 100, 20), ("b", 100, 20), ("shifted", 500, 10)]:
+        for j in range(n):
+            rows.append(Row(doc_id=i, source=src, n_chars=lo + j))
+            i += 1
+    out = {
+        r["source"]: r
+        for r in source_ks_drift(spark.createDataFrame(rows)).collect()
+    }
+    # disjoint support: the shifted source's CDF gap reaches 1.0
+    assert out["shifted"]["ks_d"] == 1.0
+    # the two identically-distributed sources drift only by the
+    # shifted mass inside their "rest" comparison (10/30 = 0.333...)
+    assert abs(out["a"]["ks_d"] - 1 / 3) < 1e-4
+    assert abs(out["b"]["ks_d"] - 1 / 3) < 1e-4

@@ -360,6 +360,9 @@ BRUTE_FORCE_OK = {
     # r11: label separability — 1-row corpus-mean + 1-row scatter-fold
     # broadcasts onto the k-row per-label table
     "audit_label_separability",
+    # r11: source KS drift — the |sources|-row group-dimension
+    # broadcast densifies the domain-bounded value grid + 1-row total
+    "audit_source_ks_drift",
     # r11: cluster-label NMI — inherits the centroid broadcast; the
     # metric folds are 1-row broadcasts onto the k x labels contingency
     "audit_cluster_label_nmi",

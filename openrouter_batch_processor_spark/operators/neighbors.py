@@ -939,3 +939,71 @@ def label_separability(
         F.round(F.col("within_c") / F.col("n_vecs"), 6).alias("within_ms"),
         "fisher_f",
     )
+
+
+def knn_probe_frontier(
+    embeddings: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    sample_mod: int = 5,
+    probes: tuple[int, ...] = (1, 2),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k per nprobe setting against the same sampled brute-force
+    truth — the measured frontier of the multiprobe dial (one row per
+    nprobe: n_queries, n_matched, recall). cell_pairs' docstring quotes
+    28% -> 48.4%; this query puts those numbers under the driver's
+    value hash so the dial's effect is certified, not prose.
+
+    The truth side is computed ONCE (the labeled |Q| x n contract of
+    cell_knn_recall); each probe setting reads its own staged kNN
+    table."""
+    x = _xd(embeddings, id_col, vec_col).select(
+        id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
+    )
+    a = x.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = x.select(
+        F.col(id_col).alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
+    allp = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+    )
+    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+    truth = (
+        allp.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("a_id", "b_id")
+    )
+    nq = a.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    rows = []
+    for p in probes:
+        approx = cell_knn_staged(
+            embeddings, k, cells, id_col=id_col, vec_col=vec_col, nprobe=p
+        ).filter(F.col("a_id") % sample_mod == 0)
+        matched = approx.join(truth, ["a_id", "b_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched")
+        )
+        rows.append(
+            nq.join(F.broadcast(matched)).select(
+                F.lit(int(p)).cast("long").alias("nprobe"),
+                "n_queries",
+                "n_matched",
+                F.round(
+                    F.col("n_matched") / (F.col("n_queries") * F.lit(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1467,3 +1467,81 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return label_separability(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_knn_probe_frontier",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) AS nn
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_probe_sql('c1', 'pp1', 1)},
+    {_km_probe_sql('c1', 'pp2', 2)},
+    mm AS (SELECT a2.vec_id AS pid, a2.cluster_id, e.v, e.nn
+           FROM a2 JOIN e ON e.vec_id = a2.vec_id
+           WHERE a2.vec_id % 5 = 0),
+    tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(sqrt(greatest(
+                      a.nn
+                      - 2 * list_dot_product(a.v, b.v)
+                      + b.nn, 0.0)), 6) AS dist
+           FROM e a JOIN e b ON a.vec_id != b.vec_id
+           WHERE a.vec_id % 5 = 0),
+    tr AS MATERIALIZED (SELECT a_id, b_id FROM (
+             SELECT tp.*, row_number() OVER (
+                      PARTITION BY a_id ORDER BY dist, b_id) AS rnk
+             FROM tp) WHERE rnk <= 5),
+    nq AS (SELECT count(*)::BIGINT AS n_queries FROM e
+           WHERE vec_id % 5 = 0),
+    bb1 AS (SELECT pp1.vec_id AS pid, pp1.cluster_id, e.v, e.nn
+            FROM pp1 JOIN e ON e.vec_id = pp1.vec_id),
+    bb2 AS (SELECT pp2.vec_id AS pid, pp2.cluster_id, e.v, e.nn
+            FROM pp2 JOIN e ON e.vec_id = pp2.vec_id),
+    k1 AS MATERIALIZED (SELECT a_id, b_id FROM (
+            SELECT a.pid AS a_id, b.pid AS b_id,
+                   row_number() OVER (PARTITION BY a.pid ORDER BY
+                     round(sqrt(greatest(a.nn
+                       - 2 * list_dot_product(a.v, b.v)
+                       + b.nn, 0.0)), 6), b.pid) AS rnk
+            FROM mm a JOIN bb1 b
+              ON a.cluster_id = b.cluster_id AND a.pid != b.pid)
+          WHERE rnk <= 5),
+    k2 AS MATERIALIZED (SELECT a_id, b_id FROM (
+            SELECT a.pid AS a_id, b.pid AS b_id,
+                   row_number() OVER (PARTITION BY a.pid ORDER BY
+                     round(sqrt(greatest(a.nn
+                       - 2 * list_dot_product(a.v, b.v)
+                       + b.nn, 0.0)), 6), b.pid) AS rnk
+            FROM mm a JOIN bb2 b
+              ON a.cluster_id = b.cluster_id AND a.pid != b.pid)
+          WHERE rnk <= 5),
+    m1 AS (SELECT count(*)::BIGINT AS n_matched
+           FROM k1 JOIN tr ON tr.a_id = k1.a_id AND tr.b_id = k1.b_id),
+    m2 AS (SELECT count(*)::BIGINT AS n_matched
+           FROM k2 JOIN tr ON tr.a_id = k2.a_id AND tr.b_id = k2.b_id)
+    SELECT 1::BIGINT AS nprobe, nq.n_queries, m1.n_matched,
+           round(m1.n_matched / (nq.n_queries * 5), 6) AS recall
+    FROM nq, m1
+    UNION ALL
+    SELECT 2::BIGINT, nq.n_queries, m2.n_matched,
+           round(m2.n_matched / (nq.n_queries * 5), 6)
+    FROM nq, m2
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-audit", "G2", "J3"],
+)
+def q_knn_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the cell-local kNN table at nprobe=1 vs nprobe=2
+    against one sampled brute-force truth side — the multiprobe dial's
+    measured frontier under the driver's value hash
+    (operators/neighbors.knn_probe_frontier)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        knn_probe_frontier,
+    )
+
+    return knn_probe_frontier(_t(spark, sf_dir, "embeddings"))

@@ -336,6 +336,9 @@ BRUTE_FORCE_OK = {
     # labeled brute-force audit contract (same as sim_ann_recall);
     # the production path it certifies is the bucketed kNN table
     "audit_cell_knn_recall",
+    # r11: probe frontier — the same labeled brute-force truth side,
+    # read by both nprobe settings' staged kNN tables
+    "audit_knn_probe_frontier",
     # r11: outlier agreement — inherits the centroid + |Q| test-set
     # broadcasts of its three k-bounded detector subtrees, plus 1-row
     # set-count broadcasts; every overlap join is tiny-table equi-join

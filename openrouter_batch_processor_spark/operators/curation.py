@@ -1429,3 +1429,139 @@ def curriculum_pacing(
         F.round(F.col("s.e") / F.col("n"), 6).alias("frac_eligible"),
     )
     return out
+
+
+def logreg_cartography(
+    docs: DataFrame,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Dataset cartography over the quality classifier's training
+    trajectory (Swayamdipta et al. 2020, 'Dataset cartography: mapping
+    and diagnosing datasets with training dynamics'): per example, the
+    MEAN true-class confidence and the VARIABILITY (population std) of
+    that confidence across the T gradient steps. easy-to-learn = high
+    mean / low std, hard-to-learn = low mean / low std (label-noise
+    candidates), ambiguous = high std (the examples the paper shows
+    matter most for OOD generalization). Top-k most-variable examples.
+
+    The trajectory snapshots w_1..w_T are the SAME 9-dp-grid weights
+    quality_logreg walks; per-step confidences are COLUMNS of one row
+    (step order is fixed, not data order), so the mean/std arithmetic
+    has no fold-order concern at all."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n_toks = F.size("toks").cast("double")
+    stop = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin("a", "the"))
+    ).cast("double")
+    sumlen = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    feats = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        (F.col(lang_col) == "en").cast("double").alias("y"),
+        toks.alias("toks"),
+    ).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "y",
+        F.lit(1.0).alias("x0"),
+        (n_toks / F.lit(100.0)).alias("x1"),
+        (stop / n_toks).alias("x2"),
+        (sumlen / n_toks / F.lit(10.0)).alias("x3"),
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    w = spark.range(1).select(*[F.lit(0.0).alias(f"w{j}") for j in range(4)])
+    z = (
+        F.col("x0") * F.col("w0")
+        + F.col("x1") * F.col("w1")
+        + F.col("x2") * F.col("w2")
+        + F.col("x3") * F.col("w3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
+    snapshots = []
+    for _ in range(steps):
+        j = feats.crossJoin(F.broadcast(w))
+        aggs = [
+            F.sum(
+                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).alias(f"g{k}")
+            for k in range(4)
+        ] + [F.count(F.lit(1)).cast("double").alias("n")]
+        g = j.agg(*aggs)
+        w = (
+            g.crossJoin(F.broadcast(w))
+            .select(
+                *[
+                    F.round(
+                        F.col(f"w{k}")
+                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
+                        9,
+                    ).alias(f"w{k}")
+                    for k in range(4)
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+        snapshots.append(w)
+
+    cur = feats
+    conf_cols = []
+    for t, wt in enumerate(snapshots, start=1):
+        wt_t = wt.select(*[F.col(f"w{j}").alias(f"w{j}_{t}") for j in range(4)])
+        cur = cur.crossJoin(F.broadcast(wt_t))
+        zt = (
+            F.col("x0") * F.col(f"w0_{t}")
+            + F.col("x1") * F.col(f"w1_{t}")
+            + F.col("x2") * F.col(f"w2_{t}")
+            + F.col("x3") * F.col(f"w3_{t}")
+        )
+        pt = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(zt, 9)))
+        conf_cols.append(
+            F.round(
+                F.when(F.col("y") == 1.0, pt).otherwise(F.lit(1.0) - pt), 9
+            ).alias(f"c{t}")
+        )
+    scored = cur.select(id_col, lang_col, "y", *conf_cols)
+    cs = [F.col(f"c{t}") for t in range(1, steps + 1)]
+    mean_c = sum(cs[1:], cs[0]) / float(steps)
+    var_c = sum(
+        [(c - mean_c) * (c - mean_c) for c in cs[1:]],
+        (cs[0] - mean_c) * (cs[0] - mean_c),
+    ) / float(steps)
+    out = scored.select(
+        id_col,
+        lang_col,
+        F.round(mean_c, 6).alias("mean_conf"),
+        F.round(F.sqrt(var_c), 6).alias("variability"),
+    ).select(
+        id_col,
+        lang_col,
+        "mean_conf",
+        "variability",
+        F.when(
+            (F.col("variability") <= 0.05) & (F.col("mean_conf") >= 0.5),
+            "easy",
+        )
+        .when(
+            (F.col("variability") <= 0.05) & (F.col("mean_conf") < 0.5),
+            "hard",
+        )
+        .otherwise("ambiguous")
+        .alias("region"),
+    )
+    return out.orderBy(
+        F.desc("variability"), F.asc(id_col)
+    ).limit(topk)

@@ -1236,3 +1236,56 @@ def q_packing_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return packing_frontier(_t(spark, sf_dir, "documents"))
+
+
+def _carto_conf(t: int) -> str:
+    z = f"x0 * wt{t}.a0 + x1 * wt{t}.a1 + x2 * wt{t}.a2 + x3 * wt{t}.a3"
+    return (
+        f"round(CASE WHEN y = 1.0 THEN 1.0 / (1.0 + exp(-round({z}, 9))) "
+        f"ELSE 1.0 - 1.0 / (1.0 + exp(-round({z}, 9))) END, 9) AS c{t}"
+    )
+
+
+@register(
+    "curation_cartography",
+    "WITH "
+    + ",\n    ".join(_logreg_ctes(6, with_ids=True))
+    + f""",
+    scored AS (
+      SELECT doc_id, lang, y,
+             {', '.join(_carto_conf(t) for t in range(1, 7))}
+      FROM feats, wt1, wt2, wt3, wt4, wt5, wt6),
+    m AS (SELECT doc_id, lang,
+                 (c1 + c2 + c3 + c4 + c5 + c6) / 6.0 AS mean_c,
+                 c1, c2, c3, c4, c5, c6
+          FROM scored),
+    v AS (SELECT doc_id, lang, round(mean_c, 6) AS mean_conf,
+                 round(sqrt(((c1 - mean_c) * (c1 - mean_c)
+                             + (c2 - mean_c) * (c2 - mean_c)
+                             + (c3 - mean_c) * (c3 - mean_c)
+                             + (c4 - mean_c) * (c4 - mean_c)
+                             + (c5 - mean_c) * (c5 - mean_c)
+                             + (c6 - mean_c) * (c6 - mean_c)) / 6.0),
+                       6) AS variability
+          FROM m)
+    SELECT doc_id, lang, mean_conf, variability,
+           CASE WHEN variability <= 0.05 AND mean_conf >= 0.5 THEN 'easy'
+                WHEN variability <= 0.05 AND mean_conf < 0.5 THEN 'hard'
+                ELSE 'ambiguous' END AS region
+    FROM v
+    ORDER BY variability DESC, doc_id ASC LIMIT 20
+    """,
+    ops=["EXT-curation", "EXT-quality", "EXT-audit", "G2", "O3"],
+)
+def q_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020) over the quality
+    classifier's 6-step trajectory: per-example mean true-class
+    confidence x variability, with the easy / hard / ambiguous region
+    tags — top-20 most-variable examples, the slice the paper shows
+    carries OOD generalization
+    (operators/curation.logreg_cartography)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        logreg_cartography,
+    )
+
+    return logreg_cartography(_t(spark, sf_dir, "documents"))

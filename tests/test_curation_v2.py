@@ -459,3 +459,28 @@ def test_logreg_calibration_ece_and_bins(spark):
         assert 0 <= r["bin"] <= 9
         assert 0.0 <= r["mean_p"] <= 1.0
         assert 0.0 <= r["frac_pos"] <= 1.0
+
+
+def test_cartography_regions_and_bounds(spark):
+    from pyspark.sql import Row
+
+    from openrouter_batch_processor_spark.operators.curation import (
+        logreg_cartography,
+    )
+
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 2 == 0 else "de"
+        text = ("the a of text here " if lang == "en" else "ein zwei drei ") * (
+            2 + i % 4
+        )
+        rows.append(Row(doc_id=f"d{i:03d}", text=text, lang=lang))
+    out = logreg_cartography(spark.createDataFrame(rows), topk=30).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 0.0 <= r["mean_conf"] <= 1.0
+        assert 0.0 <= r["variability"] <= 0.5
+        assert r["region"] in ("easy", "hard", "ambiguous")
+    # ordered by variability descending
+    vs = [r["variability"] for r in out]
+    assert vs == sorted(vs, reverse=True)

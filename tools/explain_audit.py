@@ -511,6 +511,10 @@ BRUTE_FORCE_OK = {
     # r11: calibration — same 1-row weight broadcast + 1-row bin-total
     # and ECE broadcasts onto the <=10-row reliability table
     "audit_logreg_calibration",
+    # r11: cartography — six 1-row trajectory-snapshot broadcasts onto
+    # the staged features (one scoring pass, per-step confidences as
+    # columns)
+    "curation_cartography",
     # top-p vocab: 1-row corpus-total and 4-row target broadcasts
     # onto the vocabulary-sized ranked table
     "text_topp_vocab",

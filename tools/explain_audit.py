@@ -196,9 +196,14 @@ AUDITS: dict[str, list[tuple[str | None, str | None, str]]] = {
     ],
     "fuzzy_match_parts": [
         (None, "CartesianProduct", "candidates come from the (prefix, length-bucket) equi-join"),
-        ("RoundRobinPartitioning", None,
-         "explicit round-robin repartition spreads levenshtein work across tasks"),
-        ("BroadcastHashJoin", None, "clean catalog broadcasts onto the exploded dirty side"),
+        # r12: the blocked+scored pair table is session-staged
+        # (VERDICT r11 #6) — the consumer plan reads the artifact; the
+        # build pass carries the round-robin repartition (levenshtein
+        # spread across tasks) and the broadcast blocked join
+        ("ExistingRDD", None, "scored pairs read from the staged artifact"),
+        # struct-min argmin compiles to SortAggregate (hash agg does not
+        # support struct-typed min buffers) — assert the generic token
+        ("Aggregate", None, "argmin struct-min + candidate count aggregate over the artifact"),
     ],
 }
 
@@ -339,6 +344,11 @@ BRUTE_FORCE_OK = {
     # r11: probe frontier — the same labeled brute-force truth side,
     # read by both nprobe settings' staged kNN tables
     "audit_knn_probe_frontier",
+    # r12: graph-expansion frontier — the same ~fixed-|Q| labeled
+    # brute-force truth side (materialized once), plus 1-row
+    # count-scalar broadcasts per method row; the expansion candidates
+    # themselves come from equi-joins over the staged kNN graph
+    "audit_graph_expansion_recall",
     # r11: outlier agreement — inherits the centroid + |Q| test-set
     # broadcasts of its three k-bounded detector subtrees, plus 1-row
     # set-count broadcasts; every overlap join is tiny-table equi-join

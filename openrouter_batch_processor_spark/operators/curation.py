@@ -150,6 +150,75 @@ def staged_span_windows(
     )
 
 
+def maximal_dup_spans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    top: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL duplicated spans (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', the ExactSubstr
+    granularity): a span is a maximal run of token positions whose
+    every W-token window occurs >= 2 times in the corpus (total
+    occurrences, within-doc repeats included — the paper's definition;
+    curation_crossdoc_suffix is the distinct-docs POLICY variant, and
+    remove_duplicate_spans is the removal edit). Where the removal
+    operators report coverage, this reports the spans THEMSELVES —
+    the top-`top` longest: (doc_id, span_start, span_tokens, n_seeds,
+    span_md5), span_md5 hashing the exact token run so two engines (or
+    two corpus snapshots) can diff span identity, not just lengths.
+
+    Suffix-automaton-free: consecutive duplicated seed windows ARE the
+    maximal span at W-token resolution — one row_number gap-group per
+    doc over the session-staged window table (staged_span_windows,
+    shared with discovery/removal), then a groupBy per run. Everything
+    is exact integers/md5; ordering is (span_tokens DESC, doc_id,
+    span_start), fully deterministic."""
+    from pyspark.sql.window import Window
+
+    from openrouter_batch_processor_spark.functions.hashing import normalize_text
+
+    w = window_tokens
+    wins = staged_span_windows(docs, w, id_col, text_col)
+    dup = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("n_occ")).filter(
+        F.col("n_occ") >= 2
+    )
+    marked = wins.join(dup.select("wh"), "wh", "leftsemi")
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    runs = marked.select(id_col, "pos", (F.col("pos") - rn).alias("grp"))
+    spans = runs.groupBy(id_col, "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + w).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_seeds"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    return (
+        spans.join(toks, id_col)
+        .select(
+            id_col,
+            "span_start",
+            "span_tokens",
+            "n_seeds",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        (F.col("span_start") + 1).cast("int"),
+                        F.col("span_tokens").cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("span_md5"),
+        )
+        .orderBy(F.desc("span_tokens"), F.asc(id_col), F.asc("span_start"))
+        .limit(top)
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     window_tokens: int = 8,

@@ -1100,6 +1100,49 @@ def q_crossdoc_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_maximal_dup_spans",
+    f"""
+    WITH spt AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                 FROM documents),
+    spw AS (SELECT doc_id, u.i - 1 AS pos,
+                   md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS wh
+            FROM spt, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+            WHERE len(toks) >= 8),
+    spd AS (SELECT wh FROM spw GROUP BY wh HAVING count(*) >= 2),
+    runs AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM (SELECT s.doc_id, s.pos FROM spw s JOIN spd USING (wh))),
+    spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+                     (max(pos) - min(pos) + 8)::BIGINT AS span_tokens,
+                     count(*)::BIGINT AS n_seeds
+              FROM runs GROUP BY doc_id, grp)
+    SELECT sp.doc_id, sp.span_start, sp.span_tokens, sp.n_seeds,
+           md5(array_to_string(list_slice(
+               t.toks, (sp.span_start + 1)::INTEGER,
+               (sp.span_start + sp.span_tokens)::INTEGER), ' ')) AS span_md5
+    FROM spans sp JOIN spt t USING (doc_id)
+    ORDER BY span_tokens DESC, doc_id ASC, span_start ASC LIMIT 25
+    """,
+    ops=["X1", "EXT-dedup-policy", "EXT-tokens", "G2", "O3"],
+)
+def q_maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 MAXIMAL duplicated spans (Lee et al. 2022 ExactSubstr
+    granularity, VERDICT r11 #8): maximal runs of 8-token windows each
+    occurring >= 2 times corpus-wide (within-doc repeats count, the
+    paper's definition), with the exact span token-run hashed so span
+    IDENTITY — not just coverage — sits under the driver's value hash;
+    closes the cross-doc substring family next to the first-occurrence
+    policy (curation_crossdoc_suffix) and the removal edit
+    (operators/curation.maximal_dup_spans)."""
+    from openrouter_batch_processor_spark.operators.curation import (
+        maximal_dup_spans,
+    )
+
+    return maximal_dup_spans(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Round 11 (second batch): competence-based curriculum pacing
 # ===========================================================================

@@ -333,3 +333,56 @@ def test_remove_spans_matches_python_reference(spark):
             for r in remove_duplicate_spans(df).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+class TestMaximalDupSpans:
+    """ExactSubstr-granularity maximal-span REPORT (r12, VERDICT r11
+    #8): spans themselves under the hash, not just coverage."""
+
+    def test_planted_passage_maximal_and_identical_hash(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            maximal_dup_spans,
+        )
+
+        passage = (
+            "the quick brown fox jumps over the lazy sleeping dog "
+            "while winter rain falls softly"  # 15 tokens
+        )
+        a = f"alpha one two three four five six seven {passage}"
+        b = f"{passage} omega nine eight grape pear plum peach apple"
+        c = "entirely different words with no overlap whatsoever here at all"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        out = maximal_dup_spans(docs, window_tokens=8).collect()
+        by_doc = {r["doc_id"]: r for r in out}
+        # both occurrences surface as one maximal span each; doc 3 clean
+        assert set(by_doc) == {1, 2}
+        s1, s2 = by_doc[1], by_doc[2]
+        # maximal extent: exactly the 15-token passage (8 seeds of 8
+        # consecutive windows -> 15 tokens), nothing more
+        assert s1["span_tokens"] == 15 and s2["span_tokens"] == 15
+        assert s1["span_start"] == 8 and s2["span_start"] == 0
+        assert s1["n_seeds"] == 8 and s2["n_seeds"] == 8
+        # identical token run -> identical span_md5
+        assert s1["span_md5"] == s2["span_md5"]
+
+    def test_within_doc_repeat_counts_as_duplication(self, spark):
+        from openrouter_batch_processor_spark.operators.curation import (
+            maximal_dup_spans,
+        )
+
+        eight = "one two three four five six seven eight"
+        # the 8-gram repeats WITHIN one doc: Lee et al. count total
+        # occurrences, so both copies mark spans (the crossdoc policy
+        # variant would see only one distinct doc and skip it)
+        docs = spark.createDataFrame(
+            [(1, f"{eight} filler junk padding extra {eight}"),
+             (2, "totally unrelated text with nothing shared here at all")],
+            "doc_id long, text string",
+        )
+        out = maximal_dup_spans(docs, window_tokens=8).collect()
+        assert {r["doc_id"] for r in out} == {1}
+        assert len(out) == 2
+        assert all(r["span_tokens"] == 8 for r in out)
+        assert out[0]["span_md5"] == out[1]["span_md5"]

@@ -239,8 +239,9 @@ def test_cell_knn_recall_perfect_on_separated_blobs(spark):
     for cx in (0.0, 100.0):
         for i in range(8):
             vecs.append([cx + (i % 3) * 0.1, (i // 3) * 0.1, 0.0, 0.0])
-    # sample_mod=1: audit every point (the registry default samples
-    # vec_id % 5 to bound the truth side's cost)
+    # sample_mod=1: audit every point (the registry default auto-dials
+    # the modulus to a ~fixed-count query set, max(1, n/200), to keep
+    # the truth side linear)
     out = cell_knn_recall(
         _emb_df(spark, vecs), k=3, cells=2, sample_mod=1
     ).collect()
@@ -352,3 +353,28 @@ def test_streaming_drift_matches_batch_audit(spark):
         map(tuple, REGISTRY["streaming_emb_drift"].fn(spark, sf).collect())
     )
     assert stream == batch
+
+
+def test_graph_expansion_recall_dominates_baseline(spark):
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        graph_expansion_recall,
+    )
+
+    # a 1-D chain of 32 points split across 4 cells: true neighborhoods
+    # straddle cell boundaries, so the plain cell-kNN baseline loses
+    # recall there and one NN-expansion hop must buy some of it back
+    # (graph recall >= base recall by construction: candidates are a
+    # superset and the rerank is exact)
+    vecs = [[float(i), 0.0, 0.0, 0.0] for i in range(32)]
+    out = graph_expansion_recall(
+        _emb_df(spark, vecs), k=3, cells=4, sample_mod=1
+    ).collect()
+    rows = {r["method"]: r for r in out}
+    assert set(rows) == {"cell_knn", "graph_expand_1hop"}
+    base, graph = rows["cell_knn"], rows["graph_expand_1hop"]
+    assert base["n_queries"] == graph["n_queries"] == 32
+    assert graph["recall"] >= base["recall"]
+    assert graph["n_candidates"] >= base["n_candidates"]
+    assert 0.0 <= base["recall"] <= 1.0 and graph["recall"] <= 1.0
+    # expansion is bounded by k + k^2 candidates per query
+    assert graph["avg_candidates"] <= 3 + 9

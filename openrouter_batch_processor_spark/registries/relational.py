@@ -1346,17 +1346,25 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _fuzzy_blocked_pairs(part: DataFrame) -> DataFrame:
-    """Session-staged blocked+scored pair table behind
-    fuzzy_match_parts: (dirty_id, dirty_name, p_partkey, dist) where
-    dist is the banded levenshtein(d, c, 2) (-1 past the bound; the -1
-    rows stay IN the table so consumers aggregate conditionally —
-    filtering here would make Catalyst inline the levenshtein into
-    both the filter predicate and the projection, evaluating it twice
-    per pair on the build pass)."""
+def _fuzzy_match_table(part: DataFrame) -> DataFrame:
+    """Session-staged RESOLVED match table behind fuzzy_match_parts:
+    (dirty_id, dirty_name, best_dist, match_partkey, n_candidates) —
+    the argmin + candidate-count aggregate over the blocked banded-
+    levenshtein pairs, staged as one O(n_dirty)-row artifact (the
+    knn_shapley_means convention: the match table IS what an entity-
+    resolution run materializes and every consumer joins).
+
+    Staging the RAW pair table was tried first (r12) and reverted: at
+    sf0.1 it is 41M rows (blocked candidates incl. the -1 past-bound
+    rows), and its localCheckpoint storage squeezed unified memory
+    until the downstream struct-min SortAggregate OOM'd under the
+    bench's full-session artifact load. The build below streams the
+    pairs straight into the aggregate — no giant intermediate — and
+    the -1 rows still flow unfiltered into conditional aggregates so
+    the levenshtein is never Catalyst-inlined twice per pair."""
     from openrouter_batch_processor_spark.operators.staging import staged_from
 
-    def _build(p: DataFrame) -> DataFrame:
+    def _pairs(p: DataFrame) -> DataFrame:
         k = (F.col("p_partkey") % 4 + 4).cast("int")
         dirty = p.filter(F.length("p_name") > k + 1).select(
             F.col("p_partkey").alias("dirty_id"),
@@ -1395,9 +1403,23 @@ def _fuzzy_blocked_pairs(part: DataFrame) -> DataFrame:
             )
         )
 
+    def _build(p: DataFrame) -> DataFrame:
+        pairs = _pairs(p)
+        hit = F.col("dist") >= 0
+        return (
+            pairs.groupBy("dirty_id", "dirty_name")
+            .agg(
+                F.min(F.when(hit, F.col("dist"))).cast("long").alias("best_dist"),
+                F.min(F.when(hit, F.struct("dist", "p_partkey")))["p_partkey"]
+                .alias("match_partkey"),
+                F.count(F.when(hit, 1)).alias("n_candidates"),
+            )
+            .filter(F.col("best_dist").isNotNull())
+        )
+
     return staged_from(
         part.select("p_partkey", "p_name"),
-        "fuzzy_blocked_pairs:pfx3:w3:d2",
+        "fuzzy_match_table:pfx3:w3:d2",
         _build,
     )
 
@@ -1450,26 +1472,14 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each pair still joins exactly once (the 3 exploded buckets are
     distinct), so n_candidates is unchanged.
 
-    The scored pair table is SESSION-STAGED (VERDICT r11 #6, the
-    pair-table discipline of the near-dup families): the explode +
-    blocked join + banded levenshtein pay once per session/corpus;
-    warm passes read the materialized table — this query was the
-    bench's slowest for four rounds purely on re-paying that stage
-    under co-tenant load."""
+    The resolved MATCH TABLE is SESSION-STAGED (VERDICT r11 #6): the
+    explode + blocked join + banded levenshtein + argmin pay once per
+    session/corpus; warm passes read the O(n_dirty)-row artifact —
+    this query was the bench's slowest for four rounds purely on
+    re-paying that stage under co-tenant load. (Staging the raw pair
+    table instead was tried and OOM'd — see _fuzzy_match_table.)"""
     part = _t(spark, sf_dir, "part")
-    pairs = _fuzzy_blocked_pairs(part)
-    hit = F.col("dist") >= 0
-    return (
-        pairs.groupBy("dirty_id", "dirty_name")
-        .agg(
-            F.min(F.when(hit, F.col("dist"))).cast("long").alias("best_dist"),
-            F.min(F.when(hit, F.struct("dist", "p_partkey")))["p_partkey"].alias(
-                "match_partkey"
-            ),
-            F.count(F.when(hit, 1)).alias("n_candidates"),
-        )
-        .filter(F.col("best_dist").isNotNull())
-    )
+    return _fuzzy_match_table(part)
 
 
 @register(

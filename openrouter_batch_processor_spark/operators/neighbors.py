@@ -685,6 +685,57 @@ def density_peaks(
     )
 
 
+def _truth_knn_staged(
+    embeddings: DataFrame,
+    k: int,
+    sample_mod: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Session-staged brute-force kNN truth (a_id, b_id) for the
+    id % sample_mod == 0 query sample — the ONE |Q| x n exact pass all
+    three recall audits (cell_knn_recall, knn_probe_frontier,
+    graph_expansion_recall) certify against. Staging it is the r12
+    bench finding: each audit rebuilding the identical truth was the
+    dominant per-query cost (~3 s each warm at sf0.1); one staged
+    build amortizes it across the family, the same pair-table
+    discipline as the approximate side."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(d: DataFrame) -> DataFrame:
+        x = _xd(d, id_col, vec_col).select(
+            id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
+        )
+        a = x.filter(F.col(id_col) % sample_mod == 0).select(
+            F.col(id_col).alias("a_id"),
+            F.col("v").alias("va"),
+            F.col("nn").alias("na"),
+        )
+        b = x.select(
+            F.col(id_col).alias("b_id"),
+            F.col("v").alias("vb"),
+            F.col("nn").alias("nb"),
+        )
+        d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
+        allp = a.join(b, F.col("a_id") != F.col("b_id")).select(
+            "a_id",
+            "b_id",
+            F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+        )
+        w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+        return (
+            allp.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("a_id", "b_id")
+        )
+
+    return staged_from(
+        embeddings.select(id_col, vec_col),
+        f"knn_truth:{k}:{sample_mod}:{id_col}:{vec_col}",
+        _build,
+    )
+
+
 def cell_knn_recall(
     embeddings: DataFrame,
     k: int = 5,
@@ -703,7 +754,9 @@ def cell_knn_recall(
     The truth side is the same labeled brute-force contract as
     sim_ann_recall: an audit PAYS the exact |Q| x n pass to certify
     the production path, on a SAMPLED query set — it is never the
-    production path itself. ``sample_mod=None`` (the default) dials
+    production path itself; the truth table is SESSION-STAGED
+    (_truth_knn_staged) and shared with the nprobe-frontier and
+    graph-expansion audits. ``sample_mod=None`` (the default) dials
     the modulus to the corpus (_auto_sample_mod: max(1, n/200)) so the
     query set is ~FIXED-COUNT at any scale and the truth side stays
     linear in n — the sample_knn_shapley_q200 contract; the r11 form
@@ -716,31 +769,7 @@ def cell_knn_recall(
     if sample_mod is None:
         sample_mod = _auto_sample_mod(embeddings, id_col)
     approx = cell_knn_staged(embeddings, k, cells, id_col=id_col, vec_col=vec_col)
-    x = _xd(embeddings, id_col, vec_col).select(
-        id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
-    )
-    a = x.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("a_id"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
-    )
-    b = x.select(
-        F.col(id_col).alias("b_id"),
-        F.col("v").alias("vb"),
-        F.col("nn").alias("nb"),
-    )
-    d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
-    allp = a.join(b, F.col("a_id") != F.col("b_id")).select(
-        "a_id",
-        "b_id",
-        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
-    )
-    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
-    truth = (
-        allp.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("a_id", "b_id")
-    )
+    truth = _truth_knn_staged(embeddings, k, sample_mod, id_col, vec_col)
     matched = (
         approx.filter(F.col("a_id") % sample_mod == 0)
         .join(truth, ["a_id", "b_id"])
@@ -1059,40 +1088,22 @@ def knn_probe_frontier(
     The truth side follows the labeled |Q| x n contract of
     cell_knn_recall — ``sample_mod=None`` auto-dials to a ~fixed-count
     query set (max(1, n/200)) so the exact pass stays linear in n —
-    and is MATERIALIZED once via localCheckpoint (ADVICE r11: without
-    it each probe branch of the union re-executed the |Q| x n scan);
-    each probe setting then reads its own staged kNN table."""
+    and is SESSION-STAGED (_truth_knn_staged; ADVICE r11 asked for at
+    least a localCheckpoint so probe branches stop re-executing the
+    |Q| x n scan — staging additionally shares it with the recall and
+    graph-expansion audits); each probe setting then reads its own
+    staged kNN table."""
     if cells is None:
         cells = _auto_cells(embeddings, id_col)
     if sample_mod is None:
         sample_mod = _auto_sample_mod(embeddings, id_col)
+    # session-staged + eagerly materialized: every probe branch of the
+    # union joins this table, and the recall/graph audits reuse it
+    truth = _truth_knn_staged(embeddings, k, sample_mod, id_col, vec_col)
     x = _xd(embeddings, id_col, vec_col).select(
         id_col, "v", _dot(F.col("v"), F.col("v")).alias("nn")
     )
-    a = x.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("a_id"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
-    )
-    b = x.select(
-        F.col(id_col).alias("b_id"),
-        F.col("v").alias("vb"),
-        F.col("nn").alias("nb"),
-    )
-    d2 = F.col("na") - 2 * _dot(F.col("va"), F.col("vb")) + F.col("nb")
-    allp = a.join(b, F.col("a_id") != F.col("b_id")).select(
-        "a_id",
-        "b_id",
-        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
-    )
-    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
-    truth = (
-        allp.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("a_id", "b_id")
-        # materialize: every probe branch of the union joins this table
-        .localCheckpoint(eager=False)
-    )
+    a = x.filter(F.col(id_col) % sample_mod == 0)
     nq = a.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     rows = []
     for p in probes:
@@ -1140,8 +1151,9 @@ def graph_expansion_recall(
     'graph_expand_1hop' unions each query's neighbors with its
     neighbors' neighbors (<= k + k^2 candidates), exact-reranks to
     top-k, then matches truth. The truth side follows the fixed-count
-    query contract (_auto_sample_mod) and is materialized once
-    (localCheckpoint — both method rows join it); the expansion itself
+    query contract (_auto_sample_mod) and is session-staged
+    (_truth_knn_staged — both method rows and the sibling audits join
+    one artifact); the expansion itself
     reads the ONE staged kNN artifact, no new pair scan — which is the
     point of graph reuse. Distances round to 6dp before ranking with
     b_id tiebreak (engine-portable); counts are exact integers; the
@@ -1187,23 +1199,10 @@ def graph_expansion_recall(
         .filter(F.col("rn") <= k)
         .select("a_id", "b_id")
     )
-    qa = x.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("a_id"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
+    truth = _truth_knn_staged(embeddings, k, sample_mod, id_col, vec_col)
+    nq = x.filter(F.col(id_col) % sample_mod == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
     )
-    tp = qa.join(b, F.col("a_id") != F.col("b_id")).select(
-        "a_id",
-        "b_id",
-        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
-    )
-    truth = (
-        tp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=False)
-    )
-    nq = qa.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
 
     def _row(label: str, cand_df: DataFrame, top_df: DataFrame) -> DataFrame:
         nc = cand_df.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))

@@ -180,6 +180,18 @@ QUERIES_100X = [
     # RETSIM_AUTO_THRESHOLD), so the growth columns measure the dial
     # actually flipping plus the plan-build count's cost
     "dedup_retsim_pairs_auto",
+    # r12: the registered cell-kNN path with the cells auto-dial at all
+    # three scales (8 -> 80 -> 800 cells). The PAIR stage stays linear
+    # by construction (|cell| ~constant); what this row prices at 200k
+    # vectors is the FLAT Lloyd assignment, whose broadcast argmin is
+    # O(n * cells) = O(n^2/250) once cells track the corpus — the
+    # documented regime boundary where a production deployment swaps
+    # the flat coarse quantizer for a hierarchical one (the IVF
+    # convention; see SCALE.md prose)
+    "emb_cell_knn",
+    # r12: the fixed-count truth audit at 100x — |Q| pinned ~200, so
+    # the brute-force side is 200 x n, linear in the corpus
+    "audit_cell_knn_recall",
 ]
 
 
@@ -502,9 +514,20 @@ def main_100x() -> None:
     build_probe_dir(spark)
     build_probe_dir_100(spark)
 
-    t1 = run(spark, BASE, QUERIES_100X)
-    t10 = run(spark, PROBE_DIR, QUERIES_100X)
-    t100 = run(spark, PROBE_DIR_100, QUERIES_100X)
+    # positional names = probe ONLY those rows this invocation (same
+    # --only contract as main()): a full 15-row x 3-scale sweep in one
+    # session accumulates enough shuffle/broadcast state to heap-OOM
+    # the 128-partition 100x stages (observed r12 — the OOM then wedges
+    # the session and every later row records a false FAILED). Unlisted
+    # rows keep their accumulated floor from the existing table.
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [a for a in only if a not in QUERIES_100X]
+    if unknown:
+        raise SystemExit(f"unknown 100x probe queries: {unknown}")
+    names = [n for n in QUERIES_100X if not only or n in only]
+    t1 = run(spark, BASE, names)
+    t10 = run(spark, PROBE_DIR, names)
+    t100 = run(spark, PROBE_DIR_100, names)
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
@@ -525,6 +548,10 @@ def main_100x() -> None:
             float(m.group(2)), float(m.group(3)), float(m.group(4))
         )
     for name in QUERIES_100X:
+        if name not in t1:  # not probed this invocation (--only mode)
+            if name in prev:
+                t1[name], t10[name], t100[name] = prev[name]
+            continue
         if name in prev:
             p1, p10, p100 = prev[name]
             if t1[name] == t1[name]:
@@ -578,6 +605,8 @@ def main_100x() -> None:
         "|---|---|---|---|---|---|",
     ]
     for name in QUERIES_100X:
+        if name not in t1:  # neither probed nor in the prior table
+            continue
         g10 = t10[name] / t1[name] if t1[name] else float("nan")
         g100 = t100[name] / t1[name] if t1[name] else float("nan")
         lines.append(

@@ -598,6 +598,17 @@ def main_100x() -> None:
         "builder at the production band dial (2x32-bit keys) — the 10x",
         "probe showed 16-bit bands superlinear even capped, so only the",
         "wide setting is run at 500k docs.",
+        "r12 rows: emb_cell_knn is the REGISTERED auto-dial path",
+        "(cells 8 -> 80 -> 800): pair volume stays ~linear by",
+        "construction and the measured 13.8x wall for 100x rows prices",
+        "the flat Lloyd assignment's O(n*cells) term emerging at 200k",
+        "vectors — the regime boundary where a production deployment",
+        "swaps the flat coarse quantizer for a hierarchical one.",
+        "audit_cell_knn_recall keeps |Q| ~200 by the fixed-count",
+        "modulus, so its truth side is 200 x n exact HOF dots (40M at",
+        "200k vectors): 53.1x wall for 100x rows/work — sublinear in",
+        "work, and the audit's price is paid once per certification,",
+        "never on the production path.",
         "Generated by tools/scale_probe.py --x100.",
         _floor_stamp(),
         "",

@@ -75,13 +75,39 @@ CELL_FLOOR = 8
 KNN_AUDIT_TARGET_QUERIES = 200
 
 
+# Count memo keyed on (session, plan): one auto-dial COUNT JOB per
+# corpus per session instead of one per call — an audit invocation
+# resolves cells AND sample_mod from the same corpus, and the kNN
+# family shares one embeddings table, so the plan-build count was
+# running 2x per audit and ~15x per bench pass (ADVICE r12 #3). Counts
+# of an immutable input plan can never go stale; the key IS the plan.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
 def _corpus_count(embeddings: DataFrame, id_col: str) -> int | None:
-    """One metadata-only count at plan-build time (no column IO for
-    parquet scans); None for uncountable (streaming) inputs."""
+    """One count JOB at plan-build time per (session, corpus plan) —
+    memoized, so repeat auto-dial calls are dict hits. Column pruning
+    reduces the scan to the id column (for parquet, a footer-driven
+    columnar count; not free, but no payload IO). None only for
+    uncountable (streaming) inputs — a misnamed id_col raises in the
+    select, outside the try, and fails fast (ADVICE r12 #3)."""
+    from pyspark.errors import AnalysisException
+
+    proj = embeddings.select(id_col)
+    key = (
+        proj.sparkSession.sparkContext.applicationId,
+        proj.schema.simpleString(),
+        proj.semanticHash(),
+    )
+    hit = _COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
     try:
-        return embeddings.select(id_col).count()
-    except Exception:
+        n = proj.count()
+    except AnalysisException:  # streaming source: count() is unsupported
         return None
+    _COUNT_CACHE[key] = n
+    return n
 
 
 def _auto_cells(embeddings: DataFrame, id_col: str) -> int:
@@ -97,7 +123,13 @@ def _auto_cells(embeddings: DataFrame, id_col: str) -> int:
 def _auto_sample_mod(embeddings: DataFrame, id_col: str) -> int:
     n = _corpus_count(embeddings, id_col)
     if n is None:
-        return KNN_AUDIT_TARGET_QUERIES  # arbitrary bounded fallback
+        # Uncountable (streaming) input: modulus 200 yields n/200 query
+        # rows, i.e. it does NOT bound |Q| the way the counted path
+        # does (ADVICE r12 #2). The family is batch-only (every
+        # consumer ranks a finite pair table), so this branch is
+        # defensive; a streaming caller gets a fractional sample, not
+        # the fixed-count contract.
+        return KNN_AUDIT_TARGET_QUERIES
     return max(1, n // KNN_AUDIT_TARGET_QUERIES)
 
 

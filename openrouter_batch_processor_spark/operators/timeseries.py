@@ -1244,9 +1244,13 @@ def periodogram_topk(events: DataFrame) -> DataFrame:
     ser = _hourly_series(events)  # event_type, hour, x, rn
     t = F.col("rn") - 1
     rows = []
+    from openrouter_batch_processor_spark.functions.litarrays import (
+        lit_double_array,
+    )
+
     for p in PERIODOGRAM_PERIODS:
-        cos_t = F.array(*[F.lit(v) for v in _trig_table(p, math.cos)])
-        sin_t = F.array(*[F.lit(v) for v in _trig_table(p, math.sin)])
+        cos_t = lit_double_array(_trig_table(p, math.cos))
+        sin_t = lit_double_array(_trig_table(p, math.sin))
         phase = (t % p).cast("int")
         rows.append(
             ser.select(

@@ -142,6 +142,17 @@ QUERIES = [
 
 N_BASE = {"documents": None, "embeddings": None}  # filled at runtime
 
+# Rows whose probe fn clears the staging memo per invocation (so a
+# count would pay the FULL multi-minute rebuild again at 100x) and
+# whose output is a fixed-size report anyway — wall growth there is
+# never output-volume, so the attribution column adds nothing.
+NO_OUT_COUNT = {
+    "audit_cell_knn_recall",
+    "audit_knn_probe_frontier",
+    "sample_knn_shapley",
+    "sample_knn_shapley_q200",
+}
+
 PROBE_DIR_100 = "/tmp/scale_probe_100x"
 # The 10x probe's superlinear tail + the linear control; jaccard and
 # kcore are the verdict-named companions (candidate-pair consumers).
@@ -210,9 +221,12 @@ def _capped_fns() -> dict:
         )
 
     def rp_capped(spark, sf_dir):
-        # candidate set only (the saturating stage) with the dial on
+        # candidate set only (the saturating stage), PINNED to the
+        # 8-bit-band regime at all scales (planes=16 explicit — the
+        # r13 auto-dial would resolve wide past 20k vectors, and this
+        # row exists to measure the narrow regime's saturation)
         return rp_candidate_set(
-            load_table(spark, sf_dir, "embeddings"), bucket_cap=2048
+            load_table(spark, sf_dir, "embeddings"), planes=16, bucket_cap=2048
         )
 
     def rp_wide(spark, sf_dir):
@@ -475,7 +489,9 @@ def build_probe_dir(spark) -> None:
     open(os.path.join(PROBE_DIR, "_BUILT"), "w").close()
 
 
-def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def run(
+    spark, sf_dir: str, names: list[str], rows_out: dict | None = None
+) -> dict[str, float]:
     from openrouter_batch_processor_spark.registry import REGISTRY
     from openrouter_batch_processor_spark.operators import staging
 
@@ -500,10 +516,72 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             print(f"  {sf_dir} {name}: FAILED {type(exc).__name__}", flush=True)
             continue
         print(f"  {sf_dir} {name}: {best}s", flush=True)
+        if rows_out is not None and name not in NO_OUT_COUNT:
+            # Output-row attribution (VERDICT r12 #4): wall growth on a
+            # pairs query whose ANSWER grows (the probe corpus's
+            # re-keyed copies make every copy group a true cluster) is
+            # output volume, not plan blowup — record |result| per
+            # scale so superlinear wall can be attributed honestly.
+            # One extra count per (query, scale), outside the timings.
+            try:
+                rows_out.setdefault(name, {})[sf_dir] = fn(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001
+                rows_out.setdefault(name, {})[sf_dir] = None
     # staged artifacts are keyed on input plan, so the two scales never
     # collide — but clear between scales to keep memory bounded
     staging.clear()
     return out
+
+
+def _parse_prev_out_rows(block: str, n_scales: int) -> dict[str, list[str]]:
+    """Parse a prior '### Output rows' subsection (carry-over for rows
+    not probed this invocation). Cells are decimal counts or 'n/a'."""
+    import re as _re
+
+    prev: dict[str, list[str]] = {}
+    if "### Output rows" not in block:
+        return prev
+    sub = block.split("### Output rows", 1)[1]
+    pat = r"^\| (\S+) \|" + r" (\d+|n/a) \|" * n_scales + r"$"
+    for m in _re.finditer(pat, sub, _re.M):
+        prev[m.group(1)] = [m.group(2 + i) for i in range(n_scales)]
+    return prev
+
+
+def _out_rows_lines(
+    header_scales: list[str],
+    order: list[str],
+    measured: dict[str, dict],
+    scale_dirs: list[str],
+    prev: dict[str, list[str]],
+) -> list[str]:
+    """Render the output-rows subsection, merging this invocation's
+    counts over any prior table's (measured wins; unprobed rows carry)."""
+    lines = [
+        "",
+        "### Output rows (result cardinality per scale)",
+        "",
+        "Counts are deterministic (same code, same corpus), measured",
+        "once per probe invocation outside the timed runs — the",
+        "attribution column for the wall-growth tables above (a pairs",
+        "query whose answer is N× larger is allowed to cost ~N×).",
+        "",
+        "| query | " + " | ".join(f"rows @{s}" for s in header_scales) + " |",
+        "|---|" + "---|" * len(header_scales),
+    ]
+    for name in order:
+        cells = prev.get(name, ["n/a"] * len(scale_dirs))
+        got = measured.get(name)
+        if got is not None:
+            for i, d in enumerate(scale_dirs):
+                v = got.get(d)
+                if v is not None:
+                    cells[i] = str(v)
+        if all(c == "n/a" for c in cells) and got is None:
+            continue  # never probed, nothing to carry
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines.append("")
+    return lines
 
 
 def main_100x() -> None:
@@ -525,9 +603,10 @@ def main_100x() -> None:
     if unknown:
         raise SystemExit(f"unknown 100x probe queries: {unknown}")
     names = [n for n in QUERIES_100X if not only or n in only]
-    t1 = run(spark, BASE, names)
-    t10 = run(spark, PROBE_DIR, names)
-    t100 = run(spark, PROBE_DIR_100, names)
+    rows_out: dict[str, dict] = {}
+    t1 = run(spark, BASE, names, rows_out)
+    t10 = run(spark, PROBE_DIR, names, rows_out)
+    t100 = run(spark, PROBE_DIR_100, names, rows_out)
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
@@ -624,7 +703,17 @@ def main_100x() -> None:
             f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {t100[name]:.2f} "
             f"| {g10:.1f}x | {g100:.1f}x |"
         )
-    lines.append("")
+    prev_block = text.split("\n## 100x scale probe", 1)[-1].split("\n## ", 1)[0]
+    prev_out = {} if FRESH else _parse_prev_out_rows(prev_block, 3)
+    lines.extend(
+        _out_rows_lines(
+            ["1x", "10x", "100x"],
+            QUERIES_100X,
+            rows_out,
+            [BASE, PROBE_DIR, PROBE_DIR_100],
+            prev_out,
+        )
+    )
     block = "\n".join(lines)
 
     marker = "\n## 100x scale probe (measured)"
@@ -657,8 +746,9 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown probe queries: {unknown}")
     names = [n for n in QUERIES if not only or n in only]
-    t1 = run(spark, BASE, names)
-    t10 = run(spark, PROBE_DIR, names)
+    rows_out: dict[str, dict] = {}
+    t1 = run(spark, BASE, names, rows_out)
+    t10 = run(spark, PROBE_DIR, names, rows_out)
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     text = open(path).read()
@@ -712,7 +802,13 @@ def main() -> None:
             v10 = min(v10, p10) if v10 == v10 else p10
         g = v10 / v1 if v1 else float("nan")
         lines.append(f"| {name} | {v1:.2f} | {v10:.2f} | {g:.1f}x |")
-    lines.append("")
+    prev_block10 = text.split("\n## 10x scale probe", 1)[-1].split("\n## ", 1)[0]
+    prev_out10 = {} if FRESH else _parse_prev_out_rows(prev_block10, 2)
+    lines.extend(
+        _out_rows_lines(
+            ["1x", "10x"], QUERIES, rows_out, [BASE, PROBE_DIR], prev_out10
+        )
+    )
     block = "\n".join(lines)
     marker = "\n## 10x scale probe (measured)"
     tail = ""

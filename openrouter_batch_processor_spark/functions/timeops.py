@@ -63,20 +63,16 @@ def parse_timedelta(text: Column) -> Column:
     # One regexp_extract per capture group looks wasteful, but it stays
     # inside whole-stage codegen; binding the match once via a
     # higher-order function drops the expression to interpreted eval and
-    # measures ~60% SLOWER at sf0.1. r13: run the H:MM:SS regex ONCE
-    # (group 0) and split the short matched substring on ':' — the three
-    # capture groups of that pattern are exactly the ':'-separated
-    # fields of its match, so h/m/s are substring reads instead of three
-    # more full-string regex executions. split() on a 1-char literal
-    # stays in codegen; "" (no match) splits to [""], whose missing
-    # elements are NULL and propagate to the same NULL total the
-    # empty-group casts produced.
+    # measures ~60% SLOWER at sf0.1. Keep the codegen-friendly form.
+    # (r13 re-measured the alternatives: extracting group 0 once and
+    # split()-ing the short match re-evaluates BOTH the regex and the
+    # split per consumed element — no subexpression sharing — and timed
+    # 3.3 s vs 2.8 s for this form on the f12 round-trip at sf0.1.)
     day_part = F.regexp_extract(text, r"^(-?\d+) days?, ", 1)
     hms = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 0)
-    parts = F.split(hms, ":")
-    h = parts.getItem(0)
-    m = parts.getItem(1)
-    s = parts.getItem(2)
+    h = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 1)
+    m = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 2)
+    s = F.regexp_extract(text, r"(\d+):(\d{2}):(\d{2}(?:\.\d+)?)$", 3)
     days = F.when(day_part == "", F.lit(0)).otherwise(day_part.cast("long"))
     total = (
         days.cast("double") * 86400

@@ -926,6 +926,8 @@ def quality_logreg(
         (sumlen / n_toks / F.lit(10.0)).alias("x3"),
     ).localCheckpoint(eager=True)
 
+    from openrouter_batch_processor_spark.operators.staging import relocalize
+
     spark = docs.sparkSession
     w = spark.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
@@ -948,9 +950,11 @@ def quality_logreg(
             for k in range(4)
         ] + [F.count(F.lit(1)).cast("double").alias("n")]
         g = j.agg(*aggs)
-        w = (
-            g.crossJoin(F.broadcast(w))
-            .select(
+        # relocalize, not localCheckpoint: the weight row is iteration
+        # state — as a LocalRelation the next step's broadcast costs no
+        # job, so each step is exactly its one aggregation job
+        w = relocalize(
+            g.crossJoin(F.broadcast(w)).select(
                 *[
                     F.round(
                         F.col(f"w{k}")
@@ -960,7 +964,6 @@ def quality_logreg(
                     for k in range(4)
                 ]
             )
-            .localCheckpoint(eager=True)
         )
 
     rows = [

@@ -162,6 +162,55 @@ def staged_from(input_df: DataFrame, label: str, build) -> DataFrame:
     return out
 
 
+def relocalize(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL DataFrame (iteration state: a weight row, a
+    centroid table, a merge list — never data-sized) and re-embed it as
+    a LocalRelation with the same rows and schema.
+
+    Why not localCheckpoint: an eager checkpoint of a k-row table costs
+    a job, and every downstream broadcast of it costs ANOTHER job (the
+    exchange reads checkpoint blocks through the scheduler). A
+    LocalRelation's rows live in the plan itself: broadcasting it is
+    driver-local (executeCollect on LocalTableScan launches no job), so
+    a T-step iterative operator drops from ~3 scheduler round-trips per
+    step to the single aggregation job that computes the step.
+
+    Values are bit-identical: collect() returns the Spark-COMPUTED
+    doubles/decimals and createDataFrame re-encodes them exactly — no
+    arithmetic happens on the Python side.
+
+    At cluster scale the same call works unchanged (iteration state is
+    size-bounded by construction — k centroids, d weights); this is the
+    standard driver-side loop of distributed iterative algorithms, not
+    a .collect() of data rows.
+
+    Implementation note: NOT createDataFrame(rows) — PySpark backs that
+    with a parallelized RDD (defaultParallelism partitions, jobs to
+    broadcast). Literal structs exploded from a 1-row range collapse to
+    a genuine LocalRelation under constant folding."""
+    from pyspark.sql import functions as F
+
+    rows = df.collect()
+    spark = df.sparkSession
+    fields = df.schema.fields
+    if not rows:
+        return spark.createDataFrame([], df.schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(r[f.name]).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_s"))
+        .select("_s.*")
+    )
+
+
 def clear() -> None:
     """Drop every memoized artifact reference (the ContextCleaner then
     reclaims the checkpoint blocks). For harnesses that sweep multiple

@@ -37,6 +37,18 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Floor for AQE's partition coalescing (default 1 MB). The
+        # within-cell / within-bucket pair joins EXPAND |bucket|-fold
+        # past their shuffled bytes, which the byte-based coalescer
+        # cannot see: a 1 MB pre-join exchange folds to ONE partition
+        # and the whole pair explosion + verify work lands on one task
+        # (measured: bucketed near-dup 2.6 s -> 1.5 s at sf0.1 with the
+        # 64 KB floor). parallelismFirst (default on) already targets
+        # total/parallelism; this floor only stops the 1 MB minimum
+        # from overriding it on small shuffles — large shuffles are
+        # governed by the advisory size at any scale, so cluster plans
+        # are unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
@@ -108,13 +120,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in NANOS_TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    df = _respread_unsplittable(spark, df, path)
     _TABLE_CACHE[key] = df
     return df
+
+
+# Sizing for re-spread unsplittable inputs: ~5k rows or ~250 KB
+# (uncompressed) per task — small tasks, but the point is to get the
+# heavy per-row expression work (regex render/parse, shingle+md5,
+# decimal folds) off a single core; the cap keeps the count tied to
+# the cluster's parallelism, not a local constant. The fire condition
+# is measured, not guessed: a single row group holding >=50k rows OR
+# >=1 MB uncompressed wins (f12_elapsed 3.9 s -> 0.9 s, a 15-query
+# documents-family sweep 21.5 s -> 15.9 s at sf0.1); below it the
+# added exchange loses (the 0.8 MB embeddings table measured a
+# regression — its heavy work happens after its own shuffles).
+_RESPREAD_ROWS_PER_TASK = 5_000
+_RESPREAD_BYTES_PER_TASK = 250_000
+_RESPREAD_MIN_ROWS_PER_GROUP = 50_000
+_RESPREAD_MIN_BYTES_PER_GROUP = 1_000_000
+
+
+def _respread_unsplittable(spark, df, path: str):
+    """Fix guide-§2.5 input skew: the testdata tables are single parquet
+    files with ONE row group each, which the reader cannot split — every
+    scan-side stage (and everything narrow above it: explodes, shingle
+    md5s, partial aggregations) would run as ONE task regardless of
+    cores. Re-spread big such tables right after the read with a
+    round-robin repartition sized from footer metadata, capped at
+    defaultParallelism. Filters and column pruning still push through
+    the exchange to the scan, so the shuffle carries only what the
+    query keeps. At production scale tables have many files/row groups
+    and this branch never fires."""
+    if not os.path.isfile(path):
+        return df  # multi-file directory: the reader splits it fine
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        n, rgs = md.num_rows, max(md.num_row_groups, 1)
+        unc = sum(md.row_group(i).total_byte_size for i in range(rgs))
+    except Exception:  # noqa: BLE001 — unreadable footer: leave as-is
+        return df
+    if (
+        n // rgs < _RESPREAD_MIN_ROWS_PER_GROUP
+        and unc // rgs < _RESPREAD_MIN_BYTES_PER_GROUP
+    ):
+        return df
+    parts = min(
+        max(-(-n // _RESPREAD_ROWS_PER_TASK), -(-unc // _RESPREAD_BYTES_PER_TASK)),
+        spark.sparkContext.defaultParallelism,
+    )
+    if parts <= rgs:
+        return df
+    return df.repartition(parts)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

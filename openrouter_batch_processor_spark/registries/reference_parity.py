@@ -214,6 +214,14 @@ def q_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (epoch("l_shipdate") - epoch("o_orderdate")).alias("elapsed_sec"),
     )
+    # The render + parse round-trip below is 5 regex executions per row
+    # over 600k rows, all above an unsplittable single-row-group scan —
+    # re-spread the 3-column projection first (measured 3.9 s -> 0.9 s
+    # at sf0.1; guide §8: the caller knows the downstream work is
+    # narrow and per-row expensive, the optimizer cannot)
+    from openrouter_batch_processor_spark.session import respread_for_narrow_work
+
+    joined = respread_for_narrow_work(joined)
     out = joined.withColumn("elapsed_str", format_timedelta(F.col("elapsed_sec")))
     # round-trip through the parser (F12 inverse, app.py:1038-1057)
     return out.withColumn("elapsed_rt", parse_timedelta(F.col("elapsed_str")))
@@ -1054,8 +1062,16 @@ def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields with injected garbage: try_cast tolerance must skip bad
     values per field without dropping the row (worker.py:153-176)."""
     from openrouter_batch_processor_spark.operators.aggregates import usage_summary
+    from openrouter_batch_processor_spark.session import respread_for_narrow_work
 
-    e = _t(spark, sf_dir, "events")
+    # 16 string-format columns + 13 decimal folds per row over an
+    # unsplittable single-row-group scan: re-spread the pruned input
+    # first (measured 1.77 s -> 0.78 s at sf0.1; guide §8)
+    e = respread_for_narrow_work(
+        _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "value"
+        )
+    )
     v, eid = F.col("value"), F.col("event_id")
     as_str = lambda c: c.cast("long").cast("string")  # noqa: E731
     usage = e.select(

@@ -34,6 +34,8 @@ from openrouter_batch_processor_spark.registries.common import *  # noqa: F401,F
     ops=["G2", "P1", "O1"],
 )
 def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openrouter_batch_processor_spark.session import respread_for_narrow_work
+
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -43,9 +45,23 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     ).cast("decimal(18,6)")
     cnt = F.count(F.lit(1))
+    # 6 decimal-fold aggregates per row over an unsplittable
+    # single-row-group scan: re-spread the filtered 7-column projection
+    # before the partial aggregation (measured 1.8 s -> 1.0 s at sf0.1)
+    pruned = respread_for_narrow_work(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        pruned.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity", 4)).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice", 4)).cast("double").alias("sum_base_price"),

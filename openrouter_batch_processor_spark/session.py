@@ -133,18 +133,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 # Sizing for re-spread unsplittable inputs: ~5k rows or ~250 KB
 # (uncompressed) per task — small tasks, but the point is to get the
-# heavy per-row expression work (regex render/parse, shingle+md5,
-# decimal folds) off a single core; the cap keeps the count tied to
-# the cluster's parallelism, not a local constant. The fire condition
-# is measured, not guessed: a single row group holding >=50k rows OR
-# >=1 MB uncompressed wins (f12_elapsed 3.9 s -> 0.9 s, a 15-query
-# documents-family sweep 21.5 s -> 15.9 s at sf0.1); below it the
-# added exchange loses (the 0.8 MB embeddings table measured a
-# regression — its heavy work happens after its own shuffles).
+# heavy per-row expression work (tokenize, shingle+md5, n-gram
+# explodes) off a single core; the cap keeps the count tied to the
+# cluster's parallelism, not a local constant.
+#
+# The fire condition is measured, not guessed, and it is deliberately
+# NARROW — fat text rows only (>=100 B/row uncompressed AND >=1 MB per
+# row group). A blanket re-spread of the big NARROW tables (lineitem/
+# orders/events, 23-26 B/row) was measured as a net LOSS across the
+# suite: the few map-heavy consumers (f12's regex round-trip, q1's
+# decimal folds) won 2-4x, but ~30 filter/join/agg-first queries paid
+# the extra full-table exchange without unlocking anything (q21
+# 1.1 s -> 1.9 s, q3 0.8 -> 1.3, events_type_lift 0.5 -> 1.0 …).
+# Those few map-heavy consumers re-spread THEIR OWN projection instead
+# (respread_for_narrow_work below — guide §8: use what the caller
+# knows that the optimizer does not). The 0.8 MB embeddings table
+# (fixed-width doubles, heavy work after its own shuffles) also
+# measured a regression and stays out via the bytes/row gate.
 _RESPREAD_ROWS_PER_TASK = 5_000
 _RESPREAD_BYTES_PER_TASK = 250_000
-_RESPREAD_MIN_ROWS_PER_GROUP = 50_000
 _RESPREAD_MIN_BYTES_PER_GROUP = 1_000_000
+_RESPREAD_MIN_BYTES_PER_ROW = 100
 
 
 def _respread_unsplittable(spark, df, path: str):
@@ -152,12 +161,11 @@ def _respread_unsplittable(spark, df, path: str):
     files with ONE row group each, which the reader cannot split — every
     scan-side stage (and everything narrow above it: explodes, shingle
     md5s, partial aggregations) would run as ONE task regardless of
-    cores. Re-spread big such tables right after the read with a
-    round-robin repartition sized from footer metadata, capped at
-    defaultParallelism. Filters and column pruning still push through
-    the exchange to the scan, so the shuffle carries only what the
-    query keeps. At production scale tables have many files/row groups
-    and this branch never fires."""
+    cores. Re-spread fat-row (text) such tables right after the read
+    with a round-robin repartition sized from footer metadata, capped
+    at defaultParallelism (see the threshold rationale above). At
+    production scale tables have many files/row groups and this branch
+    never fires."""
     if not os.path.isfile(path):
         return df  # multi-file directory: the reader splits it fine
     try:
@@ -169,8 +177,8 @@ def _respread_unsplittable(spark, df, path: str):
     except Exception:  # noqa: BLE001 — unreadable footer: leave as-is
         return df
     if (
-        n // rgs < _RESPREAD_MIN_ROWS_PER_GROUP
-        and unc // rgs < _RESPREAD_MIN_BYTES_PER_GROUP
+        unc // rgs < _RESPREAD_MIN_BYTES_PER_GROUP
+        or unc // max(n, 1) < _RESPREAD_MIN_BYTES_PER_ROW
     ):
         return df
     parts = min(
@@ -180,6 +188,16 @@ def _respread_unsplittable(spark, df, path: str):
     if parts <= rgs:
         return df
     return df.repartition(parts)
+
+
+def respread_for_narrow_work(df):
+    """Per-query re-spread for a MAP-HEAVY projection over an
+    unsplittable input (guide §8): the caller knows the work that
+    follows is narrow and expensive per row (regex render/parse,
+    many decimal folds), so one round-robin exchange of the pruned
+    projection buys full-cluster parallelism for it. Use on the
+    narrow projection (after column pruning), not on the raw table."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

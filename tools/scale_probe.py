@@ -35,7 +35,10 @@ PROBE_DIR = "/tmp/scale_probe_10x"
 
 # --fresh drops the per-cell-MIN floor parsed out of SCALE.md so a
 # regression (or a box change) becomes visible instead of being hidden
-# behind a stale faster number forever (ADVICE r10).
+# behind a stale faster number forever (ADVICE r10). r13: in --only
+# mode the reset applies ONLY to the rows probed this invocation —
+# previously a subset --fresh run silently deleted every other row's
+# accumulated floor from the table.
 FRESH = "--fresh" in sys.argv
 
 
@@ -168,6 +171,11 @@ QUERIES_100X = [
     "dedup_simhash_pairs_cap2k",
     "sim_rp_lsh_pairs_cap2k",
     "sim_rp_lsh_pairs_wide16",
+    # r13: the REGISTERED query path (planes=None -> _rp_auto_planes,
+    # VERDICT r12 #2) — 16 planes at sf0.1, 32 planes (16-bit bands) at
+    # 10x/100x, exact-cosine verify included; the acceptance row that a
+    # default caller gets the wide regime past the knee
+    "sim_rp_lsh_pairs",
     "graph_kcore_peel",
     # r09 pair families (VERDICT r09 #4): the banded tile-pHash pair
     # stage as registered; the audio landmark join at the default 256
@@ -618,11 +626,11 @@ def main_100x() -> None:
     import re as _re
 
     prev: dict[str, tuple[float, float, float]] = {}
-    for m in ([] if FRESH else _re.finditer(
+    for m in _re.finditer(
         r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.]+) \| [0-9.]+x \| [0-9.]+x \|$",
         text.split("\n## 100x scale probe", 1)[-1].split("\n## ", 1)[0],
         _re.M,
-    )):
+    ):
         prev[m.group(1)] = (
             float(m.group(2)), float(m.group(3)), float(m.group(4))
         )
@@ -633,16 +641,18 @@ def main_100x() -> None:
             continue
         if name in prev:
             p1, p10, p100 = prev[name]
+            # --fresh resets the floor for PROBED rows only; a NaN
+            # (failed run) still falls back to the prior floor
             if t1[name] == t1[name]:
-                t1[name] = min(t1[name], p1)
+                t1[name] = t1[name] if FRESH else min(t1[name], p1)
             else:
                 t1[name] = p1
             if t10[name] == t10[name]:
-                t10[name] = min(t10[name], p10)
+                t10[name] = t10[name] if FRESH else min(t10[name], p10)
             else:
                 t10[name] = p10
             if t100[name] == t100[name]:
-                t100[name] = min(t100[name], p100)
+                t100[name] = t100[name] if FRESH else min(t100[name], p100)
             else:
                 t100[name] = p100
 
@@ -704,7 +714,7 @@ def main_100x() -> None:
             f"| {g10:.1f}x | {g100:.1f}x |"
         )
     prev_block = text.split("\n## 100x scale probe", 1)[-1].split("\n## ", 1)[0]
-    prev_out = {} if FRESH else _parse_prev_out_rows(prev_block, 3)
+    prev_out = _parse_prev_out_rows(prev_block, 3)  # counts are deterministic; measured rows overwrite
     lines.extend(
         _out_rows_lines(
             ["1x", "10x", "100x"],
@@ -763,12 +773,13 @@ def main() -> None:
 
     # --fresh resets the accumulated floor (ADVICE r10: a never-reset
     # MIN would keep reporting a stale faster number after a regression)
+    # — for PROBED rows only (r13); unprobed rows keep their floors
     prev: dict[str, tuple[float, float]] = {}
-    for m in ([] if FRESH else _re.finditer(
+    for m in _re.finditer(
         r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| [0-9.]+x \|$",
         text.split("\n## 10x scale probe", 1)[-1].split("\n## ", 1)[0],
         _re.M,
-    )):
+    ):
         prev[m.group(1)] = (float(m.group(2)), float(m.group(3)))
 
     lines = [
@@ -798,12 +809,16 @@ def main() -> None:
         v1, v10 = t1[name], t10[name]
         if name in prev:
             p1, p10 = prev[name]
-            v1 = min(v1, p1) if v1 == v1 else p1
-            v10 = min(v10, p10) if v10 == v10 else p10
+            if FRESH:  # reset floor for probed rows; NaN keeps prior
+                v1 = v1 if v1 == v1 else p1
+                v10 = v10 if v10 == v10 else p10
+            else:
+                v1 = min(v1, p1) if v1 == v1 else p1
+                v10 = min(v10, p10) if v10 == v10 else p10
         g = v10 / v1 if v1 else float("nan")
         lines.append(f"| {name} | {v1:.2f} | {v10:.2f} | {g:.1f}x |")
     prev_block10 = text.split("\n## 10x scale probe", 1)[-1].split("\n## ", 1)[0]
-    prev_out10 = {} if FRESH else _parse_prev_out_rows(prev_block10, 2)
+    prev_out10 = _parse_prev_out_rows(prev_block10, 2)  # counts are deterministic; measured rows overwrite
     lines.extend(
         _out_rows_lines(
             ["1x", "10x"], QUERIES, rows_out, [BASE, PROBE_DIR], prev_out10

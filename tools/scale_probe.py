@@ -396,7 +396,39 @@ def _capped_fns() -> dict:
         _stg.clear()
         return knn_probe_frontier(load_table(spark, sf_dir, "embeddings"))
 
+    # The registered jaccard/clusters queries are fully session-staged
+    # (warm runs are memo reads ~0.03 s — they measure the cache, not
+    # the operator; the pre-r13 floors for these rows were accumulated
+    # against older, less-staged code). Probe the UNSTAGED builders —
+    # candidates/shingle-set inputs stay staged (built once per scale),
+    # so the row measures exactly the verify / clustering stage the
+    # VERDICT r12 weak-marks name. Both inherit the r13 MinHash band
+    # auto-dial through staged_candidate_pairs.
+    from openrouter_batch_processor_spark.operators.dedup import (
+        _ngram_jaccard_pairs,
+        connected_components,
+        staged_candidate_pairs,
+    )
+
+    def jaccard_unstaged(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return _ngram_jaccard_pairs(docs, "doc_id", "text", 0.1)
+
+    def clusters_unstaged(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        comp = connected_components(
+            staged_candidate_pairs(docs, "doc_id", "text")
+        )
+        from pyspark.sql import functions as FX
+
+        sizes = comp.groupBy("cluster_id").agg(
+            FX.count(FX.lit(1)).alias("cluster_size")
+        )
+        return comp.join(sizes, "cluster_id")
+
     return {
+        "dedup_minhash_jaccard": jaccard_unstaged,
+        "dedup_clusters": clusters_unstaged,
         "sample_knn_shapley": shapley_full,
         "emb_cell_knn_c8": knn_c8,
         "emb_cell_knn_cdial": knn_cdial,
@@ -698,6 +730,16 @@ def main_100x() -> None:
         "200k vectors): 53.1x wall for 100x rows/work — sublinear in",
         "work, and the audit's price is paid once per certification,",
         "never on the production path.",
+        "r13 rows: dedup_minhash_jaccard / dedup_clusters measure the",
+        "UNSTAGED verify / clustering builders (the registered queries",
+        "are fully session-staged — a warm run is a ~0.03 s memo read",
+        "that measures the cache, not the operator; pre-r13 floors for",
+        "these rows came from older, less-staged code). Both inherit",
+        "the r13 MinHash band auto-dial (4x2 -> 2x4 minhashes past 20k",
+        "docs) through staged_candidate_pairs; sim_rp_lsh_pairs is the",
+        "registered RP-LSH path whose planes auto-dial 16 -> 32 past",
+        "20k vectors. See '## Round-13 scale notes' for the",
+        "candidate-volume attribution of the jaccard/kcore rows.",
         "Generated by tools/scale_probe.py --x100.",
         _floor_stamp(),
         "",

@@ -865,6 +865,26 @@ def blocklist_filter(
     )
 
 
+def _relocalize_chain(w):
+    """relocalize() an unrolled iteration-state chain with AQE off for
+    just that collect: the chain is T one-row exchanges — AQE has
+    nothing to coalesce or skew-split there, and its per-stage
+    re-optimization latency (~0.1 s x 2T stages, measured) is the whole
+    cost. Conf is toggled around the single driver-blocking collect and
+    restored immediately; queries planned outside the window are
+    untouched. Values are unaffected — AQE is a physical-planning
+    concern only."""
+    from openrouter_batch_processor_spark.operators.staging import relocalize
+
+    conf = w.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return relocalize(w)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+
 LOGREG_STEPS = 6
 LOGREG_LR = 1.0
 
@@ -918,61 +938,75 @@ def quality_logreg(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double")
+    # Lazy checkpoint: materialized ONCE, inside the single job below
+    # (eager would be a separate plan-build-time job for no reason now
+    # that the whole trajectory is one plan).
     feats = staged.select(
         "y",
         F.lit(1.0).alias("x0"),
         (n_toks / F.lit(100.0)).alias("x1"),
         (stop / n_toks).alias("x2"),
         (sumlen / n_toks / F.lit(10.0)).alias("x3"),
-    ).localCheckpoint(eager=True)
-
-    from openrouter_batch_processor_spark.operators.staging import relocalize
+    ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    # T steps UNROLLED INTO ONE PLAN (guide §1.2 per-plan work; VERDICT
+    # r13 #1): each step's weight row stays a lazy 1-row subplan that
+    # the next step crossJoin-broadcasts, and the CURRENT weights ride
+    # THROUGH the gradient aggregation as max() over the (identical-
+    # valued) broadcast columns — so every step references the previous
+    # weight row exactly ONCE and the physical plan is linear in T by
+    # construction (a naive unroll references w twice per step and
+    # measured an exponential 56-stage blowup when exchange reuse did
+    # not dedupe the nested chains). One job with T back-to-back
+    # aggregation stages replaces T driver-blocking collect/relocalize
+    # round-trips. max() over a column whose rows all hold one double
+    # returns that double bit-exactly; arithmetic, rounding grid and
+    # aggregation order are otherwise unchanged, so the trajectory is
+    # bit-identical to the per-step-materialized form.
+    # Expression construction as SQL strings — ONE py4j round-trip per
+    # step (selectExpr) instead of ~100 Column-builder calls (the
+    # litarrays precedent: the parser runs JVM-side; measured ~1.5 s of
+    # plan-build py4j for the Column form of this loop at 6 steps).
+    # `1.0D` = double literal (bare 1.0 parses as DECIMAL); operator
+    # precedence and associativity reproduce the Column form exactly.
+    w = spark.range(1).selectExpr(
+        *[f"cast(0.0 as double) as w{j}" for j in range(4)]
     )
+    z_sql = "(x0*w0 + x1*w1 + x2*w2 + x3*w3)"
+    p_sql = f"(1.0D / (1.0D + exp(-round({z_sql}, 9))))"
+    lr_sql = repr(float(lr)) + "D"
     for _ in range(steps):
-        z = (
-            F.col("x0") * F.col("w0")
-            + F.col("x1") * F.col("w1")
-            + F.col("x2") * F.col("w2")
-            + F.col("x3") * F.col("w3")
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
         j = feats.crossJoin(F.broadcast(w))
-        aggs = [
-            F.sum(
-                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
-                    "decimal(28,9)"
-                )
-            ).alias(f"g{k}")
-            for k in range(4)
-        ] + [F.count(F.lit(1)).cast("double").alias("n")]
-        g = j.agg(*aggs)
-        # relocalize, not localCheckpoint: the weight row is iteration
-        # state — as a LocalRelation the next step's broadcast costs no
-        # job, so each step is exactly its one aggregation job
-        w = relocalize(
-            g.crossJoin(F.broadcast(w)).select(
-                *[
-                    F.round(
-                        F.col(f"w{k}")
-                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
-                        9,
-                    ).alias(f"w{k}")
-                    for k in range(4)
-                ]
-            )
+        g = j.selectExpr(
+            *[
+                f"sum(cast(round(({p_sql} - y) * x{k}, 9) as decimal(28,9))) as g{k}"
+                for k in range(4)
+            ],
+            "cast(count(1) as double) as n",
+            *[f"max(w{k}) as w{k}" for k in range(4)],
+        )
+        w = g.selectExpr(
+            *[
+                f"round(w{k} - ({lr_sql} * cast(g{k} as double)) / n, 9) as w{k}"
+                for k in range(4)
+            ]
         )
 
-    rows = [
-        w.select(F.lit(f"x{k}").alias("feature"), F.col(f"w{k}").alias("weight"))
-        for k in range(4)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    # Execute the whole chain as ONE no-AQE job and re-embed the 4
+    # weights as a LocalRelation (see _relocalize_chain).
+    w = _relocalize_chain(w)
+    # Single reference to the trajectory plan: explode a 4-struct array
+    # instead of 4 unionByName branches (each branch would re-reference
+    # — and without exchange reuse re-EXECUTE — the whole T-step chain).
+    out = w.selectExpr(
+        "inline(array({}))".format(
+            ", ".join(
+                f"named_struct('feature', 'x{k}', 'weight', w{k})"
+                for k in range(4)
+            )
+        )
+    )
     return out
 
 
@@ -1140,50 +1174,48 @@ def _logreg_scored(
         (n_toks / F.lit(100.0)).alias("x1"),
         (stop / n_toks).alias("x2"),
         (sumlen / n_toks / F.lit(10.0)).alias("x3"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    # Unrolled-into-one-plan trajectory — same scheme and rationale as
+    # quality_logreg above (weights ride through each aggregation via
+    # max() so the chain is linear in T with a SINGLE reference per
+    # step; SQL-string construction = one py4j round-trip per step;
+    # one job, T aggregation stages, bit-identical 9-dp grid).
+    w = spark.range(1).selectExpr(
+        *[f"cast(0.0 as double) as w{j}" for j in range(4)]
     )
-    z = (
-        F.col("x0") * F.col("w0")
-        + F.col("x1") * F.col("w1")
-        + F.col("x2") * F.col("w2")
-        + F.col("x3") * F.col("w3")
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
+    z_sql = "(x0*w0 + x1*w1 + x2*w2 + x3*w3)"
+    p_sql = f"(1.0D / (1.0D + exp(-round({z_sql}, 9))))"
+    lr_sql = repr(float(lr)) + "D"
     for _ in range(steps):
         j = feats.crossJoin(F.broadcast(w))
-        aggs = [
-            F.sum(
-                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
-                    "decimal(28,9)"
-                )
-            ).alias(f"g{k}")
-            for k in range(4)
-        ] + [F.count(F.lit(1)).cast("double").alias("n")]
-        g = j.agg(*aggs)
-        w = (
-            g.crossJoin(F.broadcast(w))
-            .select(
-                *[
-                    F.round(
-                        F.col(f"w{k}")
-                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
-                        9,
-                    ).alias(f"w{k}")
-                    for k in range(4)
-                ]
-            )
-            .localCheckpoint(eager=True)
+        g = j.selectExpr(
+            *[
+                f"sum(cast(round(({p_sql} - y) * x{k}, 9) as decimal(28,9))) as g{k}"
+                for k in range(4)
+            ],
+            "cast(count(1) as double) as n",
+            *[f"max(w{k}) as w{k}" for k in range(4)],
         )
-    return feats.crossJoin(F.broadcast(w)).select(
-        F.col(id_col),
-        F.col(lang_col),
-        F.col("y"),
-        F.round(p, 9).alias("p"),
-        F.round(F.abs(F.round(p, 9) - F.col("y")), 9).alias("difficulty"),
+        w = g.selectExpr(
+            *[
+                f"round(w{k} - ({lr_sql} * cast(g{k} as double)) / n, 9) as w{k}"
+                for k in range(4)
+            ]
+        )
+    # Materialize the trajectory ONCE (a single collect executes the
+    # whole T-stage chain as one job) and re-embed the 4 weights as a
+    # LocalRelation: consumers that reference the scored table more
+    # than once (calibration's bins + ECE total) re-execute only the
+    # cheap map over the checkpointed features, never the chain.
+    w = _relocalize_chain(w)
+    return feats.crossJoin(F.broadcast(w)).selectExpr(
+        id_col,
+        lang_col,
+        "y",
+        f"round({p_sql}, 9) as p",
+        f"round(abs(round({p_sql}, 9) - y), 9) as difficulty",
     )
 
 
@@ -1550,63 +1582,59 @@ def logreg_cartography(
         (n_toks / F.lit(100.0)).alias("x1"),
         (stop / n_toks).alias("x2"),
         (sumlen / n_toks / F.lit(10.0)).alias("x3"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
-    w = spark.range(1).select(*[F.lit(0.0).alias(f"w{j}") for j in range(4)])
-    z = (
-        F.col("x0") * F.col("w0")
-        + F.col("x1") * F.col("w1")
-        + F.col("x2") * F.col("w2")
-        + F.col("x3") * F.col("w3")
+    # Unrolled-into-one-plan trajectory (same scheme as quality_logreg:
+    # weights ride through each gradient aggregation via max() so the
+    # chain stays linear in T), with the per-step SNAPSHOTS accumulated
+    # as extra carried columns (w{k}_{t}) of the same 1-row state — the
+    # final state row holds the whole trajectory, and the consumption
+    # below is ONE broadcast crossJoin instead of T. One job replaces
+    # T checkpoint + broadcast round-trips per step; the 9-dp grid and
+    # step arithmetic are unchanged, so every snapshot is bit-identical.
+    w = spark.range(1).selectExpr(
+        *[f"cast(0.0 as double) as w{j}" for j in range(4)]
     )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 9)))
-    snapshots = []
-    for _ in range(steps):
+    z_sql = "(x0*w0 + x1*w1 + x2*w2 + x3*w3)"
+    p_sql = f"(1.0D / (1.0D + exp(-round({z_sql}, 9))))"
+    lr_sql = repr(float(lr)) + "D"
+    snap_cols: list[str] = []
+    for t in range(1, steps + 1):
         j = feats.crossJoin(F.broadcast(w))
-        aggs = [
-            F.sum(
-                F.round((p - F.col("y")) * F.col(f"x{k}"), 9).cast(
-                    "decimal(28,9)"
-                )
-            ).alias(f"g{k}")
+        g = j.selectExpr(
+            *[
+                f"sum(cast(round(({p_sql} - y) * x{k}, 9) as decimal(28,9))) as g{k}"
+                for k in range(4)
+            ],
+            "cast(count(1) as double) as n",
+            *[f"max(w{k}) as w{k}" for k in range(4)],
+            *[f"max({c}) as {c}" for c in snap_cols],
+        )
+        upd = [
+            f"round(w{k} - ({lr_sql} * cast(g{k} as double)) / n, 9)"
             for k in range(4)
-        ] + [F.count(F.lit(1)).cast("double").alias("n")]
-        g = j.agg(*aggs)
-        w = (
-            g.crossJoin(F.broadcast(w))
-            .select(
-                *[
-                    F.round(
-                        F.col(f"w{k}")
-                        - F.lit(lr) * F.col(f"g{k}").cast("double") / F.col("n"),
-                        9,
-                    ).alias(f"w{k}")
-                    for k in range(4)
-                ]
-            )
-            .localCheckpoint(eager=True)
+        ]
+        w = g.selectExpr(
+            *[f"{u} as w{k}" for k, u in enumerate(upd)],
+            *[f"{u} as w{k}_{t}" for k, u in enumerate(upd)],
+            *snap_cols,
         )
-        snapshots.append(w)
+        snap_cols.extend(f"w{k}_{t}" for k in range(4))
 
-    cur = feats
-    conf_cols = []
-    for t, wt in enumerate(snapshots, start=1):
-        wt_t = wt.select(*[F.col(f"w{j}").alias(f"w{j}_{t}") for j in range(4)])
-        cur = cur.crossJoin(F.broadcast(wt_t))
-        zt = (
-            F.col("x0") * F.col(f"w0_{t}")
-            + F.col("x1") * F.col(f"w1_{t}")
-            + F.col("x2") * F.col(f"w2_{t}")
-            + F.col("x3") * F.col(f"w3_{t}")
+    # One collect executes the whole chain as one job; the snapshot row
+    # becomes a LocalRelation so the consumption below costs no extra
+    # stage (same rationale as _logreg_scored).
+    w = _relocalize_chain(w.select(*snap_cols))
+    cur = feats.crossJoin(F.broadcast(w))
+    conf_exprs = []
+    for t in range(1, steps + 1):
+        zt = f"(x0*w0_{t} + x1*w1_{t} + x2*w2_{t} + x3*w3_{t})"
+        pt = f"(1.0D / (1.0D + exp(-round({zt}, 9))))"
+        conf_exprs.append(
+            f"round(CASE WHEN y = 1.0D THEN {pt} ELSE 1.0D - {pt} END, 9) as c{t}"
         )
-        pt = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(zt, 9)))
-        conf_cols.append(
-            F.round(
-                F.when(F.col("y") == 1.0, pt).otherwise(F.lit(1.0) - pt), 9
-            ).alias(f"c{t}")
-        )
-    scored = cur.select(id_col, lang_col, "y", *conf_cols)
+    scored = cur.selectExpr(id_col, lang_col, "y", *conf_exprs)
     cs = [F.col(f"c{t}") for t in range(1, steps + 1)]
     mean_c = sum(cs[1:], cs[0]) / float(steps)
     var_c = sum(

@@ -401,6 +401,13 @@ def incremental_minhash_candidates(
     Band width auto-dials to the corpus size exactly like
     minhash_candidate_pairs (same dial, same judged-scale pin): bucket
     occupancy — the per-new-doc join cost — is what the wide keys bound.
+
+    Immutable-input assumption (ADVICE r13 #3): the auto-dial's corpus
+    count is memoized per (session, plan). ``docs`` must be an immutable
+    snapshot for the session's lifetime — a caller that appends to the
+    same path mid-session and re-invokes must call
+    session.clear_table_cache() (or staging.clear()) first, or the dial
+    sizes bands off the pre-append count.
     """
     b = lsh_bands(
         minhash_signatures(docs, id_col, text_col),

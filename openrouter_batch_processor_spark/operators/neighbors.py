@@ -80,8 +80,19 @@ KNN_AUDIT_TARGET_QUERIES = 200
 # resolves cells AND sample_mod from the same corpus, and the kNN
 # family shares one embeddings table, so the plan-build count was
 # running 2x per audit and ~15x per bench pass (ADVICE r12 #3). Counts
-# of an immutable input plan can never go stale; the key IS the plan.
+# of an immutable input plan can never go stale FOR IMMUTABLE INPUTS —
+# the contract of the testdata snapshots and of production immutable
+# table snapshots. A caller that appends to a path mid-session (the
+# incremental-dedup growth scenario) must clear this memo alongside the
+# table cache: staging.clear() and session.clear_table_cache() both do
+# (ADVICE r13 #3).
 _COUNT_CACHE: dict[tuple, int] = {}
+
+
+def clear_count_cache() -> None:
+    """Invalidation hook for mutable-source sessions (wired into
+    staging.clear() / session.clear_table_cache())."""
+    _COUNT_CACHE.clear()
 
 
 def _corpus_count(embeddings: DataFrame, id_col: str) -> int | None:

@@ -187,14 +187,40 @@ def relocalize(df: DataFrame) -> DataFrame:
     Implementation note: NOT createDataFrame(rows) — PySpark backs that
     with a parallelized RDD (defaultParallelism partitions, jobs to
     broadcast). Literal structs exploded from a 1-row range collapse to
-    a genuine LocalRelation under constant folding."""
+    a genuine LocalRelation under constant folding.
+
+    Supported field types: atomic scalars and (nested) arrays of them —
+    the types F.lit() can re-embed exactly. MapType/StructType iteration
+    state is refused up front with a clear error (ADVICE r13 #4) rather
+    than failing downstream inside lit()."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in df.schema.fields:
+        dt = f.dataType
+        while isinstance(dt, ArrayType):
+            dt = dt.elementType
+        if isinstance(dt, (MapType, StructType)):
+            raise TypeError(
+                f"relocalize: field '{f.name}' has unsupported type "
+                f"{f.dataType.simpleString()} — only atomic scalars and "
+                "arrays of them can be re-embedded as literals; "
+                "use localCheckpoint for map/struct iteration state"
+            )
 
     rows = df.collect()
     spark = df.sparkSession
     fields = df.schema.fields
     if not rows:
-        return spark.createDataFrame([], df.schema)
+        # Empty LocalRelation via range(0), NOT createDataFrame([], ...)
+        # — the latter is RDD-backed and spawns jobs on broadcast, the
+        # exact cost this helper exists to avoid (ADVICE r13 #4).
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
     structs = [
         F.struct(
             *[
@@ -215,6 +241,13 @@ def clear() -> None:
     """Drop every memoized artifact reference (the ContextCleaner then
     reclaims the checkpoint blocks). For harnesses that sweep multiple
     datasets in one session (tools/scale_probe.py) — queries never need
-    this; the LRU bound handles steady-state."""
+    this; the LRU bound handles steady-state. Also clears the auto-dial
+    count memo: a harness that re-points a path at new data must not
+    dial band widths off the previous corpus's count (ADVICE r13 #3)."""
     with _LOCK:
         _CACHE.clear()
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        clear_count_cache,
+    )
+
+    clear_count_cache()

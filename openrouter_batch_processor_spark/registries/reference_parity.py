@@ -219,9 +219,13 @@ def q_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-spread the 3-column projection first (measured 3.9 s -> 0.9 s
     # at sf0.1; guide §8: the caller knows the downstream work is
     # narrow and per-row expensive, the optimizer cannot)
+    import os as _os
+
     from openrouter_batch_processor_spark.session import respread_for_narrow_work
 
-    joined = respread_for_narrow_work(joined)
+    joined = respread_for_narrow_work(
+        joined, source_path=_os.path.join(sf_dir, "lineitem.parquet")
+    )
     out = joined.withColumn("elapsed_str", format_timedelta(F.col("elapsed_sec")))
     # round-trip through the parser (F12 inverse, app.py:1038-1057)
     return out.withColumn("elapsed_rt", parse_timedelta(F.col("elapsed_str")))
@@ -1061,6 +1065,8 @@ def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's complete 20-field accumulator, fed string-typed
     fields with injected garbage: try_cast tolerance must skip bad
     values per field without dropping the row (worker.py:153-176)."""
+    import os as _os
+
     from openrouter_batch_processor_spark.operators.aggregates import usage_summary
     from openrouter_batch_processor_spark.session import respread_for_narrow_work
 
@@ -1070,7 +1076,8 @@ def q_usage_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = respread_for_narrow_work(
         _t(spark, sf_dir, "events").select(
             "user_id", "event_type", "event_id", "value"
-        )
+        ),
+        source_path=_os.path.join(sf_dir, "events.parquet"),
     )
     v, eid = F.col("value"), F.col("event_id")
     as_str = lambda c: c.cast("long").cast("string")  # noqa: E731

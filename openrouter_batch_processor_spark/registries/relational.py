@@ -48,6 +48,8 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 decimal-fold aggregates per row over an unsplittable
     # single-row-group scan: re-spread the filtered 7-column projection
     # before the partial aggregation (measured 1.8 s -> 1.0 s at sf0.1)
+    import os as _os
+
     pruned = respread_for_narrow_work(
         li.filter(
             F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz")
@@ -58,7 +60,8 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
             "l_discount",
             "l_tax",
-        )
+        ),
+        source_path=_os.path.join(sf_dir, "lineitem.parquet"),
     )
     return (
         pruned.groupBy("l_returnflag", "l_linestatus")

@@ -102,7 +102,16 @@ _TABLE_CACHE: dict[tuple, "object"] = {}
 
 
 def clear_table_cache() -> None:
+    """Invalidate the load_table plan memo AND the dependent auto-dial
+    count memo (a re-pointed/rewritten path must re-count — ADVICE
+    r13 #3) plus the footer-metadata memo."""
     _TABLE_CACHE.clear()
+    _FOOTER_CACHE.clear()
+    from openrouter_batch_processor_spark.operators.neighbors import (
+        clear_count_cache,
+    )
+
+    clear_count_cache()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -156,6 +165,31 @@ _RESPREAD_MIN_BYTES_PER_GROUP = 1_000_000
 _RESPREAD_MIN_BYTES_PER_ROW = 100
 
 
+# Footer-metadata memo: (path) -> (num_rows, num_row_groups,
+# uncompressed_bytes) or None (multi-file dir / unreadable footer).
+# Shared by the load-time fat-row respread and the per-query
+# narrow-work respread gate so neither re-reads footers per call.
+_FOOTER_CACHE: dict[str, tuple | None] = {}
+
+
+def _footer_meta(path: str) -> tuple | None:
+    if path in _FOOTER_CACHE:
+        return _FOOTER_CACHE[path]
+    meta = None
+    if os.path.isfile(path):
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            rgs = max(md.num_row_groups, 1)
+            unc = sum(md.row_group(i).total_byte_size for i in range(rgs))
+            meta = (md.num_rows, rgs, unc)
+        except Exception:  # noqa: BLE001 — unreadable footer: leave as-is
+            meta = None
+    _FOOTER_CACHE[path] = meta
+    return meta
+
+
 def _respread_unsplittable(spark, df, path: str):
     """Fix guide-§2.5 input skew: the testdata tables are single parquet
     files with ONE row group each, which the reader cannot split — every
@@ -165,17 +199,17 @@ def _respread_unsplittable(spark, df, path: str):
     with a round-robin repartition sized from footer metadata, capped
     at defaultParallelism (see the threshold rationale above). At
     production scale tables have many files/row groups and this branch
-    never fires."""
-    if not os.path.isfile(path):
-        return df  # multi-file directory: the reader splits it fine
-    try:
-        import pyarrow.parquet as pq
+    never fires.
 
-        md = pq.ParquetFile(path).metadata
-        n, rgs = md.num_rows, max(md.num_row_groups, 1)
-        unc = sum(md.row_group(i).total_byte_size for i in range(rgs))
-    except Exception:  # noqa: BLE001 — unreadable footer: leave as-is
-        return df
+    Contract note (order): the round-robin exchange makes row order
+    within downstream partitions nondeterministic. Every registered
+    query above load_table is order-insensitive (certified by the full
+    3-SF oracle sweep); any FUTURE operator relying on first/limit-style
+    arrival order above load_table must pin its own ordering."""
+    meta = _footer_meta(path)
+    if meta is None:
+        return df  # multi-file directory / unreadable footer
+    n, rgs, unc = meta
     if (
         unc // rgs < _RESPREAD_MIN_BYTES_PER_GROUP
         or unc // max(n, 1) < _RESPREAD_MIN_BYTES_PER_ROW
@@ -190,14 +224,26 @@ def _respread_unsplittable(spark, df, path: str):
     return df.repartition(parts)
 
 
-def respread_for_narrow_work(df):
+def respread_for_narrow_work(df, source_path: str | None = None):
     """Per-query re-spread for a MAP-HEAVY projection over an
     unsplittable input (guide §8): the caller knows the work that
     follows is narrow and expensive per row (regex render/parse,
     many decimal folds), so one round-robin exchange of the pruned
     projection buys full-cluster parallelism for it. Use on the
-    narrow projection (after column pruning), not on the raw table."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    narrow projection (after column pruning), not on the raw table.
+
+    ``source_path``: the dominant input's parquet path. When given,
+    the re-spread is gated on the same footer-metadata unsplittability
+    check as load_table's — a well-split production input (multi-file
+    directory, or more row groups than cluster parallelism) returns
+    ``df`` unchanged, so clusters never pay a pointless full-table
+    exchange (ADVICE r13 #2)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if source_path is not None:
+        meta = _footer_meta(source_path)
+        if meta is None or meta[1] >= parallelism:
+            return df  # splittable enough already: no-op
+    return df.repartition(parallelism)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

@@ -10,7 +10,7 @@ launched (REST-free: uses the SparkContext status tracker via py4j).
 
 Two passes; pass 1 is cold (staged artifacts build there), pass 2 is the
 warm shape the bench's median reports. Output: JSON to stdout +
-/root/repo/plans/r13/profile.json.
+/root/repo/plans/$SPARK_GRAFT_PROFILE_ROUND/profile.json (default r14).
 """
 
 from __future__ import annotations
@@ -83,7 +83,7 @@ def main() -> None:
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PROFILE_ROUND", "r14"),
         "profile.json",
     )
     os.makedirs(os.path.dirname(dest), exist_ok=True)

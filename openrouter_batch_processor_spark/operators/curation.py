@@ -865,25 +865,9 @@ def blocklist_filter(
     )
 
 
-def _relocalize_chain(w):
-    """relocalize() an unrolled iteration-state chain with AQE off for
-    just that collect: the chain is T one-row exchanges — AQE has
-    nothing to coalesce or skew-split there, and its per-stage
-    re-optimization latency (~0.1 s x 2T stages, measured) is the whole
-    cost. Conf is toggled around the single driver-blocking collect and
-    restored immediately; queries planned outside the window are
-    untouched. Values are unaffected — AQE is a physical-planning
-    concern only."""
-    from openrouter_batch_processor_spark.operators.staging import relocalize
-
-    conf = w.sparkSession.conf
-    prev = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return relocalize(w)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", prev)
-
+from openrouter_batch_processor_spark.operators.staging import (  # noqa: E402
+    relocalize_chain as _relocalize_chain,
+)
 
 LOGREG_STEPS = 6
 LOGREG_LR = 1.0

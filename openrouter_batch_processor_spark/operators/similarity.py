@@ -503,14 +503,21 @@ def multiprobe_rerank_report(
             )
         ).alias("s")
     ).select("s.*")
-    # localCheckpoint the 1-row baseline aggregate: it feeds two
-    # differently-pruned projections (stats row + volume denominator),
-    # and ReuseExchange cannot dedupe differently-pruned subtrees — the
-    # whole baseline scoring pipeline would execute twice
-    base = _scored_multiprobe_pairs(embeddings, 8, 1, id_col, vec_col).agg(
-        F.count(F.lit(1)).alias("n_cand"),
-        F.count(F.when(hit, 1)).alias("n_pairs"),
-    ).localCheckpoint(eager=True)
+    # relocalize the 1-row baseline aggregate (it feeds two
+    # differently-pruned projections — stats row + volume denominator —
+    # and ReuseExchange cannot dedupe differently-pruned subtrees, so
+    # without materialization the whole baseline scoring pipeline would
+    # execute twice): as a LocalRelation the two consumers and their
+    # broadcasts cost no scheduler jobs, where the eager localCheckpoint
+    # paid a checkpoint job plus a broadcast job per consumer.
+    from openrouter_batch_processor_spark.operators.staging import relocalize
+
+    base = relocalize(
+        _scored_multiprobe_pairs(embeddings, 8, 1, id_col, vec_col).agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count(F.when(hit, 1)).alias("n_pairs"),
+        )
+    )
     base_row = base.select(
         F.lit("single_c8").alias("mode"),
         F.lit(8).cast("long").alias("n_centroids"),
@@ -2024,44 +2031,76 @@ def pq_train(
         ).alias("s"),
     ).select("cid", F.col("s.m").alias("m"), F.col("s.cw").alias("cw"))
 
-    sub, cw = F.col("sub"), F.col("cw")
-    d2 = F.round(_dot(sub, sub) - 2 * _dot(sub, cw) + _dot(cw, cw), 6)
-    assigned = None
-    for _ in range(iters):
-        w = Window.partitionBy("m", id_col).orderBy(F.asc("d2"), F.asc("cid"))
-        assigned = (
-            subs.join(F.broadcast(cb), "m")
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "m", "cid", "d2")
+    # SQL-string expressions — one py4j round-trip per projection (the
+    # litarrays precedent; the Column-builder form of this loop paid
+    # ~1 s of driver py4j per build). The strings reproduce the Column
+    # form exactly: same HOF dot folds, same round-6 grid, same int*2
+    # promotion.
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+            " (acc, v) -> acc + v)"
         )
-        means = (
-            assigned.join(subs, [id_col, "m"])
-            .select("m", "cid", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mu")
-            )
-        )
-        cb = means.groupBy("m", "cid").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mu"))),
-                lambda s: s["mu"],
-            ).alias("cw")
-        ).localCheckpoint(eager=True)
 
-    # final distortion under the TRAINED codebooks (fresh assignment)
-    w = Window.partitionBy("m", id_col).orderBy(F.asc("d2"), F.asc("cid"))
+    d2_sql = (
+        f"round({_dot_sql('sub', 'sub')} - 2 * {_dot_sql('sub', 'cw')}"
+        f" + {_dot_sql('cw', 'cw')}, 6)"
+    )
+    # Argmin as a partial-aggregable struct-min instead of a
+    # row_number window (guide §2.3 "aggregate before you shuffle"):
+    # min(struct(d2, cid, sub)) over the n_codes candidates of each
+    # (m, id) IS the (round-6 distance, codeword-id)-tiebroken argmin —
+    # cid is unique per group so later fields never participate in the
+    # comparison — and map-side partial aggregation reduces the
+    # n x m_sub x n_codes candidate rows to n x m_sub BEFORE the
+    # exchange, where the window form shuffled and sorted them all.
+    # Carrying `sub` through the struct also removes the join back to
+    # subs that the means recompute paid per iteration.
+    # Per-dimension means: sub_dim parallel decimal sums in ONE groupBy
+    # (guide §2.4) — the posexplode -> groupBy(m,cid,pos) ->
+    # collect_list/sort_array chain paid an extra shuffle and a
+    # sub_dim-fold row explosion per iteration for the same addends;
+    # array(pos 0..d-1) reproduces the sorted-by-pos rebuild exactly.
+    mean_sql = ", ".join(
+        f"cast(sum(cast(sub[{i}] as decimal(38,12))) as double) / count(1)"
+        for i in range(sub_dim)
+    )
+    for _ in range(iters):
+        best = (
+            subs.join(F.broadcast(cb), "m")
+            .selectExpr("m", f"`{id_col}`", "cid", "sub", f"{d2_sql} as d2")
+            .groupBy("m", id_col)
+            .agg(F.expr("min(struct(d2, cid, sub))").alias("b"))
+        )
+        cb = (
+            best.selectExpr("m", "b.cid as cid", "b.sub as sub")
+            .groupBy("m", "cid")
+            .agg(F.expr(f"array({mean_sql})").alias("cw"))
+        )
+
+    # The Lloyd chain stays LAZY across iterations (cb is referenced
+    # once per stage, so the plan is linear in iters); ONE collect
+    # executes the whole training as a single query — AQE stays ON for
+    # it (unlike the logreg trajectory: this chain carries data-sized
+    # assignment joins AQE turns into broadcast joins; disabling it
+    # measured 3.7 s of static sort-merge plans) — and re-embeds the
+    # m_sub x n_codes codeword rows as a LocalRelation, so the
+    # final-assignment broadcast below costs no scheduler jobs
+    # (guide §1.2 per-plan work / VERDICT r13 #1). Values bit-identical:
+    # the collect returns the same Spark-computed doubles the eager
+    # per-iteration checkpoints held.
+    from openrouter_batch_processor_spark.operators.staging import relocalize
+
+    cb = relocalize(cb)
+
+    # final distortion under the TRAINED codebooks (fresh assignment,
+    # same struct-min argmin as the training loop)
     final = (
         subs.join(F.broadcast(cb), "m")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("m", "cid", "d2")
+        .selectExpr("m", f"`{id_col}`", "cid", f"{d2_sql} as d2")
+        .groupBy("m", id_col)
+        .agg(F.expr("min(struct(d2, cid))").alias("b"))
+        .selectExpr("m", "b.cid as cid", "b.d2 as d2")
     )
     return final.groupBy("m", "cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),

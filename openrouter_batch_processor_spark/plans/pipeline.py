@@ -260,8 +260,5 @@ def run_streaming_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = assemble_prompts(files)
     config = LLMConfig(system_prompt=SYSTEM_PROMPT)
     results = llm_map(groups, config, MockTransport)
-    ckpt = tempfile.mkdtemp(prefix="llm_stream_ckpt_")
-    run_to_memory(
-        results, "registry_streaming_llm", output_mode="complete", checkpoint_dir=ckpt
-    )
+    run_to_memory(results, "registry_streaming_llm", output_mode="complete")
     return spark.table("registry_streaming_llm")

@@ -84,12 +84,23 @@ def scd1_upsert_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     fresh temp dir per run (availableNow, no checkpoint: reruns are
     idempotent recomputations, which is what the oracle compare
     needs)."""
+    from openrouter_batch_processor_spark.streaming.windows import (
+        ephemeral_checkpoint_dir,
+    )
+
     schema = spark.read.parquet(events_dir).schema
-    state_root = tempfile.mkdtemp(prefix="scd1_state_")
+    # Ephemeral run state on the fastest local volume (tmpfs when
+    # present) — the versioned state parquets and the stream checkpoint
+    # are scratch for this finite run, recreated from scratch next run
+    # (see ephemeral_checkpoint_dir); a durable CDC deployment would
+    # point both at real storage.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state_root = tempfile.mkdtemp(prefix="scd1_state_", dir=base)
     pointer = os.path.join(state_root, "CURRENT")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         summary = _batch_summary(batch_df)
+        cur = None
         if os.path.exists(pointer):
             with open(pointer) as fh:
                 cur = fh.read().strip()
@@ -108,16 +119,26 @@ def scd1_upsert_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         )
         with open(pointer, "w") as fh:
             fh.write(nxt)
+        if cur is not None:
+            # superseded version: only the pointer's target is ever read
+            # again, so reclaim the scratch space eagerly (state_root
+            # may live on tmpfs)
+            shutil.rmtree(os.path.join(state_root, cur), ignore_errors=True)
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-        .writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = ephemeral_checkpoint_dir()
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     with open(pointer) as fh:
         cur = fh.read().strip()
     final = spark.read.parquet(os.path.join(state_root, cur))

@@ -228,6 +228,23 @@ def progress_stream(results_stream: DataFrame) -> DataFrame:
     )
 
 
+def ephemeral_checkpoint_dir() -> str:
+    """Temp checkpoint location for a run-to-completion availableNow
+    query, on the fastest local volume (tmpfs when the platform has
+    one). The WAL/offset-log commits and every state-store delta file
+    of the run land there — on this class of box that is ~0.5 s per
+    stateful query vs a disk-backed temp dir (measured: tumbling
+    addBatch 1378 -> 911 ms). These checkpoints are DELETED after the
+    run — they are the in-flight scratch state of a finite run, not
+    recovery state; a production continuous stream passes an explicit
+    durable checkpoint_dir exactly as before."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(dir=base, prefix="spark-ckpt-")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
@@ -245,11 +262,20 @@ def run_to_memory(
     default (32 here) pays 32 store setups for kilobyte-scale state. A
     long-running production stream sizes this to state volume instead;
     the conf is restored after the run (streaming queries pin their
-    partitioning at first start, so this can't affect batch plans)."""
+    partitioning at first start, so this can't affect batch plans).
+
+    Without an explicit ``checkpoint_dir`` the run uses an ephemeral
+    tmpfs checkpoint (ephemeral_checkpoint_dir above), removed after
+    termination."""
+    import shutil
+
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    tmp_ckpt = None
+    if not checkpoint_dir:
+        tmp_ckpt = checkpoint_dir = ephemeral_checkpoint_dir()
     try:
         writer = (
             stream_df.writeStream.format("memory")
@@ -263,6 +289,8 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if tmp_ckpt:
+            shutil.rmtree(tmp_ckpt, ignore_errors=True)
 
 
 def static_enrich_stream(

@@ -858,31 +858,31 @@ def outlier_agreement(
     all-three agreement marks the points to drop first.
 
     Each detector's set is k-bounded (20-25 ids) and MATERIALIZED once
-    via localCheckpoint (ADVICE r11: each set feeds two pairwise
-    aggregates plus its own count — without the checkpoint every branch
-    re-executed the detector subtree), so the pairwise overlaps are
+    via relocalize (ADVICE r11 established the materialization: each
+    set feeds two pairwise aggregates plus its own count — without it
+    every branch re-executed the detector subtree; as LocalRelations
+    the nine downstream count/overlap branches and their broadcasts
+    additionally cost no scheduler jobs, where the checkpointed form
+    paid a broadcast job per branch), so the pairwise overlaps are
     joins of tiny tables and the report is 3 rows of exact integer
     counts — the only float is the Jaccard division."""
     from openrouter_batch_processor_spark.operators.similarity import (
         mahalanobis_outliers,
     )
+    from openrouter_batch_processor_spark.operators.staging import relocalize
 
-    lof = (
-        lof_scores(embeddings, id_col=id_col, vec_col=vec_col)
-        .select(id_col)
-        .localCheckpoint(eager=False)
+    lof = relocalize(
+        lof_scores(embeddings, id_col=id_col, vec_col=vec_col).select(id_col)
     )
-    mah = (
-        mahalanobis_outliers(embeddings, id_col=id_col, vec_col=vec_col)
-        .select(id_col)
-        .localCheckpoint(eager=False)
+    mah = relocalize(
+        mahalanobis_outliers(embeddings, id_col=id_col, vec_col=vec_col).select(
+            id_col
+        )
     )
-    shp = (
+    shp = relocalize(
         knn_shapley(
             embeddings, top=25, id_col=id_col, vec_col=vec_col, ascending=True
-        )
-        .select(id_col)
-        .localCheckpoint(eager=False)
+        ).select(id_col)
     )
     sets = [("lof_top25", lof), ("mahalanobis_top20", mah), ("shapley_low25", shp)]
     rows = []

@@ -3172,34 +3172,37 @@ def _clipped_precision(gram_tf: DataFrame, id_col: str, out_col: str) -> DataFra
     document — max-excluding-self from a (max, count-at-max, runner-up)
     aggregate, never a per-pair join.
 
-    Shapes: two vocabulary-sized combiner groupBys on the gram key plus
-    one per-doc fold — the tfidf/df plan, linear in corpus tokens at
-    any scale. Input: (id, gram, tf) with exact integer tf."""
-    g1 = gram_tf.groupBy("gram").agg(F.max("tf").alias("m1"))
-    stats = (
-        gram_tf.join(g1, "gram")
-        .groupBy("gram", "m1")
-        .agg(
-            F.max(F.when(F.col("tf") < F.col("m1"), F.col("tf"))).alias("m2"),
-            F.sum(F.when(F.col("tf") == F.col("m1"), 1).otherwise(0))
-            .cast("long")
-            .alias("c1"),
-        )
+    Shape: ONE exchange on the gram key (two stacked whole-partition
+    window aggregates sharing it — the groupBy(max) + groupBy(m2,c1) +
+    two join-backs of the previous form re-referenced the gram table
+    three times, re-executing its explode+groupBy subtree per branch)
+    plus the per-doc fold — still linear in corpus tokens at any
+    scale. Input: (id, gram, tf) with exact integer tf."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("gram")
+    t = gram_tf.withColumn("m1", F.max("tf").over(w)).select(
+        id_col,
+        "tf",
+        "m1",
+        F.sum(F.when(F.col("tf") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("c1"),
+        F.max(F.when(F.col("tf") < F.col("m1"), F.col("tf")))
+        .over(w)
+        .alias("m2"),
     )
     max_other = (
         F.when(F.col("tf") < F.col("m1"), F.col("m1"))
         .when(F.col("c1") >= 2, F.col("m1"))
         .otherwise(F.coalesce(F.col("m2"), F.lit(0)))
     )
-    return (
-        gram_tf.join(stats, "gram")
-        .groupBy(id_col)
-        .agg(
-            (
-                F.sum(F.least(F.col("tf"), max_other)).cast("double")
-                / F.sum("tf")
-            ).alias(out_col)
-        )
+    return t.groupBy(id_col).agg(
+        (
+            F.sum(F.least(F.col("tf"), max_other)).cast("double")
+            / F.sum("tf")
+        ).alias(out_col)
     )
 
 

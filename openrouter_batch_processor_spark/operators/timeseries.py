@@ -393,18 +393,32 @@ def holt_linear(
 
 def _hourly_series(events: DataFrame) -> DataFrame:
     """Per-(event_type, hour) counts with a contiguous rank index —
-    the shared series frame under ACF / seasonal decomposition. One
-    shuffle on event_type (a handful of small series; each easily fits
-    an executor at any corpus scale because the series length is
-    bounded by the time span, not the event volume)."""
-    hourly = (
-        events.groupBy(
-            "event_type", F.date_trunc("hour", "ts").alias("hour")
+    the shared series frame under ACF / PACF / seasonal decomposition /
+    periodogram / Hurst. One shuffle on event_type (a handful of small
+    series; each easily fits an executor at any corpus scale because
+    the series length is bounded by the time span, not the event
+    volume).
+
+    SESSION-STAGED (operators/staging.py): five registry queries (and
+    hurst_rs four times internally) derive the same bounded series from
+    the same events scan — materializing it once replaces five
+    full-table scan+groupBy subtrees with one artifact read, the same
+    discipline as the dedup pair tables."""
+    from openrouter_batch_processor_spark.operators.staging import staged_from
+
+    def _build(ev: DataFrame) -> DataFrame:
+        hourly = (
+            ev.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        w = Window.partitionBy("event_type").orderBy("hour")
+        return hourly.withColumn("rn", F.row_number().over(w))
+
+    return staged_from(
+        events.select("event_type", "ts"), "hourly_series", _build
     )
-    w = Window.partitionBy("event_type").orderBy("hour")
-    return hourly.withColumn("rn", F.row_number().over(w))
 
 
 def acf_lags(events: DataFrame, max_lag: int = 6) -> DataFrame:
@@ -1310,63 +1324,74 @@ def hurst_rs(events: DataFrame) -> DataFrame:
     stage is a combiner groupBy or a bounded window within (type,
     block)."""
     ser = _hourly_series(events)  # event_type, x, rn
-    per_size = []
-    for nb in HURST_SIZES:
-        blk = ser.select(
+    # ALL block sizes in ONE window pass (guide §2.4 "remove shuffles
+    # outright"): the per-size union re-ran the identical
+    # window+groupBy chain over the same bounded series four times
+    # (4x3 window frames, 4 unioned subtrees, ~14 AQE stages); with nb
+    # exploded into the partition key it is one window chain and one
+    # aggregation chain. Per-(nb, blk) arithmetic is unchanged — nb is
+    # the same exact long, blocks and their integer sums identical —
+    # so every lrs and the regression inputs are bit-identical.
+    blk = ser.select(
+        "event_type",
+        "x",
+        "rn",
+        F.explode(
+            F.array(*[F.lit(nb).cast("long") for nb in HURST_SIZES])
+        ).alias("nb"),
+    ).select(
+        "event_type",
+        "nb",
+        "x",
+        ((F.col("rn") - 1) / F.col("nb")).cast("long").alias("blk"),
+        "rn",
+    )
+    wb = Window.partitionBy("event_type", "nb", "blk")
+    wcum = (
+        Window.partitionBy("event_type", "nb", "blk")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wi = Window.partitionBy("event_type", "nb", "blk").orderBy("rn")
+    scored = blk.select(
+        "event_type",
+        "nb",
+        "blk",
+        F.count(F.lit(1)).over(wb).cast("long").alias("cnt"),
+        F.sum("x").over(wb).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wb).cast("long").alias("q"),
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+        F.row_number().over(wi).cast("long").alias("i"),
+    ).filter(F.col("cnt") == F.col("nb"))
+    dev = (F.col("nb") * F.col("cum") - F.col("i") * F.col("s")).alias("dev")
+    rs = (
+        scored.select("event_type", "nb", "blk", "s", "q", dev)
+        .groupBy("event_type", "nb", "blk", "s", "q")
+        .agg((F.max("dev") - F.min("dev")).cast("long").alias("rn_range"))
+        .withColumn(
+            "varn",
+            (F.col("nb") * F.col("q") - F.col("s") * F.col("s")).cast("long"),
+        )
+        .filter((F.col("varn") > 0) & (F.col("rn_range") > 0))
+        .select(
             "event_type",
-            "x",
-            ((F.col("rn") - 1) / F.lit(nb)).cast("long").alias("blk"),
-            "rn",
+            "nb",
+            (
+                F.log(
+                    F.col("rn_range").cast("double")
+                    / F.sqrt(F.col("varn").cast("double"))
+                )
+            ).alias("lrs"),
         )
-        wb = Window.partitionBy("event_type", "blk")
-        wcum = (
-            Window.partitionBy("event_type", "blk")
-            .orderBy("rn")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        wi = Window.partitionBy("event_type", "blk").orderBy("rn")
-        scored = blk.select(
-            "event_type",
-            "blk",
-            F.count(F.lit(1)).over(wb).cast("long").alias("cnt"),
-            F.sum("x").over(wb).cast("long").alias("s"),
-            F.sum(F.col("x") * F.col("x")).over(wb).cast("long").alias("q"),
-            F.sum("x").over(wcum).cast("long").alias("cum"),
-            F.row_number().over(wi).cast("long").alias("i"),
-        ).filter(F.col("cnt") == nb)
-        dev = (F.lit(nb) * F.col("cum") - F.col("i") * F.col("s")).alias("dev")
-        rs = (
-            scored.select("event_type", "blk", "s", "q", dev)
-            .groupBy("event_type", "blk", "s", "q")
-            .agg((F.max("dev") - F.min("dev")).cast("long").alias("rn_range"))
-            .withColumn(
-                "varn", (F.lit(nb) * F.col("q") - F.col("s") * F.col("s")).cast("long")
-            )
-            .filter((F.col("varn") > 0) & (F.col("rn_range") > 0))
-            .select(
-                "event_type",
-                (
-                    F.log(
-                        F.col("rn_range").cast("double")
-                        / F.sqrt(F.col("varn").cast("double"))
-                    )
-                ).alias("lrs"),
-            )
-        )
-        per_size.append(
-            rs.groupBy("event_type").agg(
-                F.lit(nb).cast("long").alias("block_n"),
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                (
-                    F.sum(F.round(F.col("lrs"), 9).cast("decimal(28,9)"))
-                    .cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean_lrs"),
-            )
-        )
-    u = per_size[0]
-    for df in per_size[1:]:
-        u = u.unionByName(df)
+    )
+    u = rs.groupBy("event_type", "nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (
+            F.sum(F.round(F.col("lrs"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_lrs"),
+    ).withColumnRenamed("nb", "block_n")
     lx = F.create_map(
         *[F.lit(v) for nb in HURST_SIZES for v in (nb, math.log(nb))]
     )[F.col("block_n")]

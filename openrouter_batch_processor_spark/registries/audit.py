@@ -226,8 +226,24 @@ def q_audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE scan + one aggregate row, then unpivots with stack() (the
     oracle's UNION-of-scans restates semantics, not the plan: 5 scans
     there vs 1 here — at 100 TB that difference is the operator).
-    Doubles render via printf so both engines format identically."""
-    ev = _t(spark, sf_dir, "events")
+    Doubles render via printf so both engines format identically.
+
+    The 5 exact count_distincts compile to an Expand (6x row
+    multiplication) whose partial aggregation keys are near-unique —
+    over the unsplittable single-row-group scan that whole 3.6M-row
+    hash ran on ONE core, so the pruned projection is re-spread first
+    (guide §8 / the q1 pattern; measured 1.7 s -> 0.9 s at sf0.1; gated
+    no-op on well-split production inputs)."""
+    import os as _os
+
+    from openrouter_batch_processor_spark.session import respread_for_narrow_work
+
+    ev = respread_for_narrow_work(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        source_path=_os.path.join(sf_dir, "events.parquet"),
+    )
     one = ev.agg(
         (F.count(F.lit(1)) - F.count("event_id")).alias("n0"),
         F.count_distinct("event_id").alias("d0"),
